@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
+over the same scale-factor tables and compare sorted rows/columns.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # squash -0.0 and tiny representation noise at 9 significant digits
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v)
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            oc = con.sql(sql)
+            o_cols, o_rows = oc.columns, oc.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            gc = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_cols, g_rows = gc.columns, gc.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        if sorted(o_cols) != sorted(g_cols):
+            print(f"FAIL {name}: columns oracle={sorted(o_cols)} spark={sorted(g_cols)}")
+            n_fail += 1
+            continue
+        oc2, orows = norm_rows(o_cols, o_rows)
+        gc2, grows = norm_rows(g_cols, g_rows)
+        if orows != grows:
+            n_fail += 1
+            print(f"FAIL {name}: rows oracle={len(orows)} spark={len(grows)}")
+            shown = 0
+            for i in range(max(len(orows), len(grows))):
+                a = orows[i] if i < len(orows) else None
+                b = grows[i] if i < len(grows) else None
+                if a != b:
+                    print(f"  [{i}] oracle={a}")
+                    print(f"  [{i}]  spark={b}")
+                    shown += 1
+                    if shown >= 5:
+                        break
+        else:
+            print(f"OK   {name} ({len(orows)} rows)")
+    print(f"{'ALL OK' if n_fail == 0 else str(n_fail) + ' FAILURES'}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

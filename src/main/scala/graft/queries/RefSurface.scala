@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Enrich, ParentEdges, QualityGates, UltimateParent}
+
+/** The reference's own operator surface (SURVEY.md §2) expressed over the
+  * harness tables, each with a DuckDB oracle.
+  *
+  * The parent/rollup family runs on a synthetic 3-level hierarchy derived
+  * from the star schema: region (roots) ← nation ← customer, with ids
+  * prefixed `R`/`N`/`C` to share one key space — exercising exactly the
+  * reference's edge semantics at depth 2.
+  */
+object RefSurface {
+
+  private def hierarchyNodes(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).select(
+      concat(lit("R"), col("r_regionkey")).as("id"),
+      concat(lit("R"), col("r_regionkey")).as("parent"))
+    val n = Tables.nation(spark, dir).select(
+      concat(lit("N"), col("n_nationkey")).as("id"),
+      concat(lit("R"), col("n_regionkey")).as("parent"))
+    val c = Tables.customer(spark, dir).select(
+      concat(lit("C"), col("c_custkey")).as("id"),
+      concat(lit("N"), col("c_nationkey")).as("parent"))
+    r.unionByName(n).unionByName(c)
+  }
+
+  private val nodesCte =
+    """WITH nodes AS (
+      |  SELECT 'R' || r_regionkey AS id, 'R' || r_regionkey AS parent FROM region
+      |  UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+      |  UNION ALL SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer)
+      |""".stripMargin
+
+  /** Rollup `(id, ultimate_parent)` over the synthetic hierarchy. */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    UltimateParent
+      .resolveDistributed(hierarchyNodes(spark, dir))
+      .select(col("id"), col("ultimate_parent"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — exact-distinct uniqueness gate (ror_dag.py:181).
+    "q01_uniqueness_gate" -> ((s, d) =>
+      QualityGates.uniqueIdsDf(Tables.orders(s, d), "o_orderkey")),
+
+    // A2 — monotonic row-count gate (ror_dag.py:186-189).
+    "q02_monotonic_gate" -> ((s, d) =>
+      QualityGates.monotonicCountDf(Tables.lineitem(s, d), Tables.orders(s, d))),
+
+    // G3 — duplicate-id report (get_ultimate_parent.py:80); empty iff unique.
+    "q03_duplicate_ids" -> ((s, d) =>
+      ParentEdges.duplicateIds(Tables.customer(s, d), "c_custkey")),
+
+    // T2 — last-parent-wins, case-insensitive edge extraction over an
+    // array<struct> built per order from its (linenumber-ordered) lineitems.
+    "q04_parent_edges" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rels = li
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          when(col("l_returnflag") === "R", lit("Parent")).otherwise(lit("related")).as("type"),
+          concat(lit("P"), col("l_partkey")).as("id")))).as("rels0"))
+        .select(
+          col("l_orderkey").as("orderkey"),
+          transform(col("rels0"), r =>
+            struct(r.getField("type").as("type"), r.getField("id").as("id"))).as("relationships"))
+      rels.select(
+        col("orderkey"),
+        ParentEdges.parentIdCol(concat(lit("O"), col("orderkey")), col("relationships")).as("parent"))
+    }),
+
+    // G1/G2 — distributed pointer-jumping ultimate-parent fixpoint.
+    "q05_ultimate_parent_rollup" -> ((s, d) => rollup(s, d)),
+
+    // J1 — broadcast enrichment join + region-name lookup.
+    "q06_enrich_ultimate_parent" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(
+        concat(lit("C"), col("c_custkey")).as("id"), col("c_custkey"))
+      val enriched = Enrich.withUltimateParent(cust, rollup(s, d))
+      val region = Tables.region(s, d).select(
+        concat(lit("R"), col("r_regionkey")).as("ultimate_parent"),
+        col("r_name").as("region_name"))
+      enriched
+        .join(broadcast(region), Seq("ultimate_parent"))
+        .select(col("c_custkey"), col("ultimate_parent"), col("region_name"))
+    }),
+
+    // F1-F3 — scalar function surface (lower / endswith / split+element_at).
+    "q07_scalar_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        lower(col("p_type")).as("type_lower"),
+        col("p_name").endsWith("widget").as("is_widget"),
+        element_at(split(col("p_name"), " "), -1).as("name_last"),
+        concat(lit("B"), element_at(split(col("p_brand"), "#"), -1)).as("brand_num"))),
+
+    // Headline agg — TPC-H Q1-style pricing summary (partial+final hashagg).
+    "q08_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))),
+
+    // Headline sort/limit — top-k with deterministic tie-break + F4 date fmt.
+    "q09_topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(
+          col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("total"),
+          date_format(col("o_orderdate"), "yyyyMMdd").as("odate"))),
+
+    // Headline join — TPC-H Q5-style revenue per nation in one region.
+    "q10_revenue_by_nation" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d); val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_uniqueness_gate" ->
+      "SELECT (count(distinct o_orderkey) = count(o_orderkey)) AS unique_ok FROM orders",
+
+    "q02_monotonic_gate" ->
+      """SELECT ((SELECT count(*) FROM lineitem) >= (SELECT count(*) FROM orders)) AS monotonic_ok""",
+
+    "q03_duplicate_ids" ->
+      "SELECT c_custkey AS id, count(*) AS cnt FROM customer GROUP BY c_custkey HAVING count(*) > 1",
+
+    "q04_parent_edges" ->
+      """SELECT l_orderkey AS orderkey,
+        |  coalesce(
+        |    list_filter(
+        |      list(struct_pack(
+        |             t := CASE WHEN l_returnflag = 'R' THEN 'Parent' ELSE 'related' END,
+        |             i := 'P' || l_partkey)
+        |           ORDER BY l_linenumber,
+        |             CASE WHEN l_returnflag = 'R' THEN 'Parent' ELSE 'related' END,
+        |             'P' || l_partkey),
+        |      r -> lower(r.t) = 'parent')[-1].i,
+        |    'O' || l_orderkey) AS parent
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q05_ultimate_parent_rollup" -> (nodesCte +
+      """SELECT a.id AS id, c.parent AS ultimate_parent
+        |FROM nodes a JOIN nodes b ON a.parent = b.id JOIN nodes c ON b.parent = c.id""".stripMargin),
+
+    "q06_enrich_ultimate_parent" ->
+      """SELECT c_custkey, 'R' || n_regionkey AS ultimate_parent, r_name AS region_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+
+    "q07_scalar_funcs" ->
+      """SELECT p_partkey, lower(p_type) AS type_lower,
+        |  ends_with(p_name, 'widget') AS is_widget,
+        |  string_split(p_name, ' ')[-1] AS name_last,
+        |  'B' || string_split(p_brand, '#')[-1] AS brand_num
+        |FROM part""".stripMargin,
+
+    "q08_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q09_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+        |  strftime(o_orderdate, '%Y%m%d') AS odate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q10_revenue_by_nation" ->
+      """SELECT n_name AS nation,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+  )
+}
