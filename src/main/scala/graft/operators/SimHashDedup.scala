@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** SimHash near-duplicate detection over a 32-bit fingerprint.
+  *
+  * Pipeline: explode word tokens → 60-bit md5 hash per occurrence →
+  * per-document majority vote on each of 32 bit positions (an occurrence-
+  * weighted simhash) → candidate pairs via chunk blocking → exact Hamming
+  * filter.
+  *
+  * Chunk blocking is DETERMINISTIC, not probabilistic: split the 32-bit
+  * fingerprint into 4 byte-sized chunks; by pigeonhole any pair within
+  * Hamming distance 3 (< 4 chunks) agrees exactly on at least one chunk, so
+  * joining on (chunk index, chunk value) finds every qualifying pair while
+  * shuffling only (docs × 4) narrow rows — never O(n²). At larger corpora
+  * raise to a 64-bit fingerprint with 16-bit chunks (same pigeonhole
+  * argument for Hamming ≤ 3) to keep bucket collision rates low.
+  *
+  * The simhash itself is one explode + one hash-aggregate — both map-side
+  * combinable; the 32 conditional sums ride in a single `groupBy`.
+  */
+object SimHashDedup {
+
+  val Bits = 32
+
+  /** `(id, simhash)` — occurrence-weighted 32-bit simhash of the text. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("id"),
+      explode(TextHash.tokens(col(textCol))).as("w"))
+    val hashed = tok.withColumn("h", TextHash.md5Long(col("w")))
+    val oneCols = (0 until Bits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"o$j")
+    }
+    val agg = hashed.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), oneCols: _*)
+    val sim = (0 until Bits).map { j =>
+      when(col(s"o$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs `(id_a, id_b, hamming)` with Hamming ≤ `maxHamming`
+    * (must be ≤ 3 for the 4-chunk blocking guarantee to be lossless). */
+  def pairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is only lossless for Hamming <= 3")
+    val s = simhash(docs, idCol, textCol)
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("ci"), shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("cv"))
+    }
+    val ch = s.select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("c"))
+    ch.as("x")
+      .join(ch.as("y"), col("x.c") === col("y.c") && col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** DuckDB oracle: identical simhash computation, brute-force pairing (the
+    * blocking is lossless, so brute force gives the same pair set). */
+  def oracleSql(table: String, idCol: String, textCol: String, maxHamming: Int = 3): String = {
+    val ones = (0 until Bits).map(j => s"sum((h >> $j) & 1) AS o$j").mkString(", ")
+    val simBits = (0 until Bits)
+      .map(j => s"(CASE WHEN 2 * o$j > n THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT $idCol AS id, unnest(${TextHash.tokensSql(textCol)}) AS w FROM $table),
+       |th AS (SELECT id, ${TextHash.md5LongSql("w")} AS h FROM tok),
+       |agg AS (SELECT id, count(*) AS n, $ones FROM th GROUP BY id),
+       |sim AS (SELECT id, ($simBits)::BIGINT AS sh FROM agg)
+       |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh))::INT AS hamming
+       |FROM sim a JOIN sim b ON a.id < b.id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over `array<float>` embedding columns.
+  *
+  * All scalar math is built-in higher-order functions (`zip_with` +
+  * `aggregate`) — codegen'd column expressions, no UDFs. Vectors are cast to
+  * `array<double>` first so Spark and DuckDB fold the identical sequence of
+  * double operations (left-to-right) and produce bit-identical cosines.
+  *
+  * Scale paths:
+  *   - [[nearDupPairs]] / [[topK]] are exact brute force — the correctness
+  *     baseline, O(n·m) comparisons. Fine for a broadcast-sized query set
+  *     against a large corpus (the common "dedupe new batch against corpus"
+  *     shape): Spark broadcasts the small side, so no shuffle of the corpus.
+  *   - [[ivfTopK]] is the ANN scale path: a coarse quantizer (centroid per
+  *     partition key) prunes the corpus to `nprobe` buckets per query, so
+  *     each query scans only ~nprobe/k of the data. Bucket assignment is a
+  *     broadcast join against the (tiny) centroid table.
+  */
+object VectorOps {
+
+  /** Cast to array<double> once; all downstream math is exact-deterministic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force near-duplicate pairs `(id_a, id_b, cosine)` at/above a
+    * cosine threshold. O(n²/2) — use for modest n or pre-blocked input;
+    * the LSH/IVF variants are the large-corpus path. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos"), 3).as("cosine"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. The query side is
+    * expected small (it is broadcast); ties broken by neighbor id. */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 3).as("cosine"))
+  }
+
+  /** IVF-style ANN: centroids = per-`bucketCol` mean vector (rounded to 6
+    * decimals so the centroid doubles are reproducible across engines);
+    * each query probes the `nprobe` nearest centroids and brute-forces only
+    * those buckets. Recall < 1.0 by design; exactness is [[topK]]'s job. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, bucketCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(bucketCol).as("bucket"),
+      asDouble(col(vecCol)).as("cv"))
+    // mean vector per bucket: explode positions, avg per (bucket, pos).
+    val dims = c.select(posexplode(col("cv")).as(Seq("pos", "x")), col("bucket"))
+      .groupBy(col("bucket"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+    val centroids = dims
+      .groupBy(col("bucket"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("bucket"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("bucket").asc)
+    val probed = q.join(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("bucket"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probed)
+      .join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 3).as("cosine"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+import graft.operators.{MinHashDedup, SimHashDedup, VectorOps}
+
+/** Extension surface: deduplication + similarity search over the
+  * `documents` and `embeddings` tables (BASELINE.json north star).
+  *
+  * Every probabilistic pipeline (MinHash LSH, char-ngram LSH, SimHash) has
+  * its oracle generated from the same constants via the portable md5-based
+  * hash, so the DuckDB replay is exact — the gate validates the full chain.
+  */
+object DedupQueries {
+
+  private val wordCfg = MinHashDedup.Config(numHashes = 16, bands = 8, jaccardThreshold = 0.8)
+  private val charCfg = MinHashDedup.Config(numHashes = 16, bands = 8, jaccardThreshold = 0.7)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content. (Synthetic corpus has no exact
+    // dups — every group has n_copies = 1 — but the operator is exercised.)
+    "q11_dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
+
+    // MinHash-LSH near-dup over word 3-gram shingles, exact-Jaccard verified.
+    "q12_dedup_minhash_lsh" -> ((s, d) =>
+      MinHashDedup.pairs(
+        Tables.documents(s, d), "doc_id",
+        TextHash.wordShingles(col("text"), 3), wordCfg)),
+
+    // Same LSH engine over character 4-gram shingles (ngram-Jaccard dedup).
+    "q13_dedup_ngram_jaccard" -> ((s, d) =>
+      MinHashDedup.pairs(
+        Tables.documents(s, d), "doc_id",
+        TextHash.charShingles(col("text"), 4), charCfg)),
+
+    // SimHash near-dup, lossless 4-chunk blocking, Hamming <= 3.
+    "q14_dedup_simhash" -> ((s, d) =>
+      SimHashDedup.pairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
+
+    // Embedding-cosine near-dup (brute-force baseline path).
+    "q15_dedup_embedding" -> ((s, d) =>
+      VectorOps.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)),
+
+    // Exact cosine top-k: 10 query vectors against the full corpus.
+    "q16_sim_topk_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      VectorOps.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+    }),
+
+    // IVF-style ANN: label-bucket centroids, probe 2 of 10 buckets.
+    "q17_sim_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      VectorOps.ivfTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", k = 3, nprobe = 2)
+    }),
+  )
+
+  private val ivfOracle: String =
+    """WITH c AS (SELECT vec_id AS neighbor_id, label AS bucket, embedding::DOUBLE[] AS cv FROM embeddings),
+      |dims AS (SELECT bucket, unnest(cv) AS x, unnest(range(1, len(cv)+1)) AS pos FROM c),
+      |dimavg AS (SELECT bucket, pos, round(avg(x), 6) AS m FROM dims GROUP BY bucket, pos),
+      |centroids AS (SELECT bucket, list(m ORDER BY pos) AS centroid FROM dimavg GROUP BY bucket),
+      |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, qv, bucket FROM (
+      |    SELECT q.query_id, q.qv, ce.bucket,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qv, ce.centroid) DESC, ce.bucket) AS prank
+      |    FROM q CROSS JOIN centroids ce) WHERE prank <= 2),
+      |scored AS (
+      |  SELECT p.query_id, c.neighbor_id, list_cosine_similarity(p.qv, c.cv) AS cos
+      |  FROM probes p JOIN c ON p.bucket = c.bucket AND p.query_id != c.neighbor_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank::INT AS rank, round(cos, 3) AS cosine
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q11_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q12_dedup_minhash_lsh" ->
+      MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg),
+
+    "q13_dedup_ngram_jaccard" ->
+      MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.charShinglesSql("text", 4), charCfg),
+
+    "q14_dedup_simhash" ->
+      SimHashDedup.oracleSql("documents", "doc_id", "text", maxHamming = 3),
+
+    "q15_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+
+    "q16_sim_topk_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |        list_cosine_similarity(q.v, n.v) AS cos
+        |      FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id != q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM c)
+        |SELECT query_id, neighbor_id, rank::INT AS rank, round(cos, 3) AS cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q17_sim_ann_ivf" -> ivfOracle,
+  )
+}

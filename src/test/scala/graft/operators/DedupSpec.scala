@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.functions.TextHash
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base + " extra"),                           // near-dup of 1
+    (3L, "completely different words about spark engines and shuffles here"),
+    (4L, base),                                      // exact dup of 1
+    (5L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keepFirst keeps lowest id per key") {
+    val out = ExactDedup.keepFirst(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("exact dedup groups reports copies") {
+    val g = ExactDedup.groups(docs, Seq("text"), "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+    assert(g.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not distinct docs") {
+    val pairs = MinHashDedup.pairs(docs, "doc_id",
+        TextHash.wordShingles(col("text"), 3),
+        MinHashDedup.Config(16, 8, 0.5))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair")
+    assert(pairs.contains((1L, 2L)), "near dup pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "distinct doc has no pair")
+  }
+
+  test("simhash: identical docs have hamming 0; blocking finds them") {
+    val pairs = SimHashDedup.pairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val p14 = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(p14.exists(_._3 == 0), s"exact dup must have hamming 0, got $pairs")
+  }
+
+  test("cosine near-dup and topK agree on an obvious structure") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nd = VectorOps.nearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 2L)))
+    val tk = VectorOps.topK(emb.filter(col("vec_id") === 1), emb, "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(tk == Seq(2L))
+  }
+
+  test("shingles: short docs still produce one shingle") {
+    val sh = docs.filter(col("doc_id") === 5)
+      .select(TextHash.wordShingles(col("text"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(sh == Seq("short doc"))
+  }
+}
