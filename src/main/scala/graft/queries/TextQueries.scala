@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+import graft.operators.{Multimodal, Sessionize}
+
+/** Extension surface: text analysis, sessionization, multimodal metadata —
+  * the per-document / per-event operators of a training-data pipeline. All
+  * are single-pass column math or one-shuffle aggregations.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  // language marker words for the n-gram-free heuristic language ID
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "de", "que"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  /** BPE-ish pre-tokenizer: letter runs, single digits, single punctuation. */
+  private val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality scoring: token stats + stopword density -> composite score.
+    "q18_text_stats" -> ((s, d) => {
+      val toks = TextHash.tokens(col("text"))
+      val nTok = size(toks)
+      val nonWs = length(regexp_replace(col("text"), "\\s", ""))
+      val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+      val stopRatio = nStop.cast("double") / nTok
+      val avgLen = nonWs.cast("double") / nTok
+      val score = least(lit(1.0), nTok.cast("double") / 100.0) * 0.5 +
+        stopRatio * 0.3 + least(lit(1.0), avgLen / 8.0) * 0.2
+      Tables.documents(s, d).select(
+        col("doc_id"), nTok.as("n_tokens"),
+        nonWs.cast("long").as("n_nonws_chars"),
+        round(avgLen, 3).as("avg_token_len"),
+        round(stopRatio, 3).as("stopword_ratio"),
+        round(score, 3).as("quality_score"))
+    }),
+
+    // Heuristic language ID by marker-word hits, deterministic tie-break.
+    "q19_lang_id" -> ((s, d) => {
+      val toks = TextHash.tokens(lower(col("text")))
+      val hits = langMarkers.map { case (lang, ms) =>
+        lang -> size(filter(toks, t => t.isin(ms: _*)))
+      }.toMap
+      val pred = when(hits("en") >= greatest(hits("es"), hits("fr"), hits("de")), "en")
+        .when(hits("es") >= greatest(hits("fr"), hits("de")), "es")
+        .when(hits("fr") >= hits("de"), "fr")
+        .otherwise("de")
+      Tables.documents(s, d).select(
+        col("doc_id"), pred.as("lang_pred"),
+        greatest(hits("en"), hits("es"), hits("fr"), hits("de")).as("marker_hits"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    "q20_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(TextHash.tokens(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit(bpePattern)).as("bpe_tokens"),
+        length(col("text")).as("n_chars_calc"))),
+
+    // Fingerprinting: whole-doc hash + min rolling 8-gram hash (winnowing).
+    "q21_doc_fingerprint" -> ((s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextHash.md5Long(norm).as("fingerprint"),
+        array_min(transform(TextHash.charShingles(norm, 8), sh => TextHash.md5Long(sh)))
+          .as("fp_rolling_min"))
+    }),
+
+    // Sessionization: 30-minute inactivity gap per user.
+    "q22_sessionize" -> ((s, d) => Sessionize.batch(Tables.events(s, d))),
+
+    // Top-k aggregation over the event stream.
+    "q23_top_users_by_value" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_events"))
+        .orderBy(desc("total_value"), asc("user_id"))
+        .limit(20)),
+
+    // Multimodal: binary payload column -> deterministic stub metadata
+    // (column path; the mapPartitions decoder path is tested separately).
+    "q24_media_meta" -> ((s, d) =>
+      Multimodal.stubMetaColumns(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("frames"))),
+  )
+
+  val oracle: Map[String, String] = {
+    val toksSql = TextHash.tokensSql("text")
+    val ltoksSql = TextHash.tokensSql("lower(text)")
+    val markerLen = langMarkers.map { case (lang, ms) =>
+      lang -> s"len(list_filter($ltoksSql, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    }.toMap
+    val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    Map(
+      "q18_text_stats" ->
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks,
+           |  length(regexp_replace(text, '\\s', '', 'g')) AS nonws FROM documents),
+           |m AS (SELECT doc_id, len(toks) AS n_tokens, nonws,
+           |  len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks) AS stop_ratio,
+           |  nonws::DOUBLE / len(toks) AS avg_len FROM t)
+           |SELECT doc_id, n_tokens, nonws::BIGINT AS n_nonws_chars,
+           |  round(avg_len, 3) AS avg_token_len,
+           |  round(stop_ratio, 3) AS stopword_ratio,
+           |  round(least(1.0, n_tokens::DOUBLE / 100.0) * 0.5 + stop_ratio * 0.3
+           |        + least(1.0, avg_len / 8.0) * 0.2, 3) AS quality_score
+           |FROM m""".stripMargin,
+
+      "q19_lang_id" ->
+        s"""WITH h AS (SELECT doc_id,
+           |  ${markerLen("en")} AS c_en, ${markerLen("es")} AS c_es,
+           |  ${markerLen("fr")} AS c_fr, ${markerLen("de")} AS c_de
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+           |       WHEN c_es >= greatest(c_fr, c_de) THEN 'es'
+           |       WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS lang_pred,
+           |  greatest(c_en, c_es, c_fr, c_de) AS marker_hits
+           |FROM h""".stripMargin,
+
+      "q20_token_count" ->
+        s"""SELECT doc_id, len($toksSql) AS ws_tokens,
+           |  len(regexp_extract_all(text, '$bpePattern')) AS bpe_tokens,
+           |  length(text) AS n_chars_calc
+           |FROM documents""".stripMargin,
+
+      "q21_doc_fingerprint" ->
+        s"""SELECT doc_id,
+           |  ${TextHash.md5LongSql(normSql)} AS fingerprint,
+           |  list_min(list_transform(${TextHash.charShinglesSql(normSql, 8)},
+           |    sh -> ${TextHash.md5LongSql("sh")})) AS fp_rolling_min
+           |FROM documents""".stripMargin,
+
+      "q22_sessionize" -> Sessionize.batchOracleSql(),
+
+      "q23_top_users_by_value" ->
+        """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+          |FROM events GROUP BY user_id
+          |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
+
+      "q24_media_meta" ->
+        """SELECT doc_id,
+          |  octet_length(encode(text))::INT AS byte_len,
+          |  (octet_length(encode(text)) % 640)::INT AS width,
+          |  ((octet_length(encode(text)) * 7) % 480)::INT AS height,
+          |  (octet_length(encode(text)) % 30 + 1)::INT AS frames
+          |FROM documents""".stripMargin,
+    )
+  }
+}
