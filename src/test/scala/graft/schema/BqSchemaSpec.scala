@@ -1,0 +1,53 @@
+package graft.schema
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BqSchemaSpec extends AnyFunSuite {
+
+  private val json =
+    """[
+      |  {"name": "id", "type": "STRING", "mode": "REQUIRED", "description": "the key"},
+      |  {"name": "established", "type": "INTEGER", "mode": "NULLABLE"},
+      |  {"name": "score", "type": "FLOAT"},
+      |  {"name": "active", "type": "BOOLEAN"},
+      |  {"name": "tags", "type": "STRING", "mode": "REPEATED"},
+      |  {"name": "meta", "type": "RECORD", "mode": "NULLABLE", "fields": [
+      |     {"name": "created", "type": "DATE"},
+      |     {"name": "coords", "type": "RECORD", "mode": "REPEATED", "fields": [
+      |        {"name": "lat", "type": "FLOAT", "mode": "REQUIRED"}
+      |     ]}
+      |  ]}
+      |]""".stripMargin
+
+  test("type, mode and nesting mapping") {
+    val s = BqSchema.fromJson(json)
+    assert(s("id").dataType == StringType && !s("id").nullable)
+    assert(s("id").getComment().contains("the key"))
+    assert(s("established").dataType == LongType && s("established").nullable)
+    assert(s("score").dataType == DoubleType)
+    assert(s("active").dataType == BooleanType)
+    assert(s("tags").dataType == ArrayType(StringType, containsNull = false))
+    val meta = s("meta").dataType.asInstanceOf[StructType]
+    assert(meta("created").dataType == DateType)
+    val coords = meta("coords").dataType.asInstanceOf[ArrayType]
+    val coordSt = coords.elementType.asInstanceOf[StructType]
+    assert(coordSt("lat").dataType == DoubleType && !coordSt("lat").nullable)
+  }
+
+  test("unsupported type rejected") {
+    intercept[IllegalArgumentException] {
+      BqSchema.fromJson("""[{"name": "x", "type": "GEOGRAPHY"}]""")
+    }
+  }
+
+  test("comment sidecar carries descriptions") {
+    val sidecar = BqSchema.commentSidecar(BqSchema.fromJson(json))
+    assert(sidecar.contains(""""id": "the key""""))
+  }
+
+  test("ror enriched schema has required ultimate_parent with comment") {
+    val f = RorSchema.enrichedSchema("ultimate_parent")
+    assert(!f.nullable && f.getComment().nonEmpty)
+  }
+}
