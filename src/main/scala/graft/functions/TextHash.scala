@@ -28,7 +28,13 @@ object TextHash {
 
   // --- 60-bit md5 base hash -------------------------------------------------
 
-  def md5Long(c: Column): Column =
+  /** Native codegen'd digest path (see [[Md5Long]]); value-identical to the
+    * portable formulation `conv(substring(md5(x),1,15),16,10)`. */
+  def md5Long(c: Column): Column = VectorExpressions.md5Long(c)
+
+  /** The pure-built-in formulation (kept as the reference semantics and for
+    * cross-checking the native expression in tests). */
+  def md5LongBuiltins(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   def md5LongSql(e: String): String =
@@ -75,4 +81,19 @@ object TextHash {
 
   def charShinglesSql(e: String, n: Int): String =
     s"""list_distinct(CASE WHEN length(trim($e)) >= $n THEN list_transform(range(0, length(trim($e)) - ${n - 1}), i -> substr(trim($e), i + 1, $n)) ELSE [trim($e)] END)"""
+
+  /** Strided character n-grams (winnowing-style sampling: every `stride`-th
+    * window) — 1/stride the hashing cost of the dense variant while still
+    * covering the whole document. */
+  def charShinglesStrided(text: Column, n: Int, stride: Int): Column = {
+    val t = trim(text)
+    array_distinct(
+      when(length(t) >= n,
+        transform(sequence(lit(0), length(t) - n, lit(stride)),
+          i => t.substr(i + lit(1), lit(n))))
+        .otherwise(array(t)))
+  }
+
+  def charShinglesStridedSql(e: String, n: Int, stride: Int): String =
+    s"""list_distinct(CASE WHEN length(trim($e)) >= $n THEN list_transform(range(0, length(trim($e)) - ${n - 1}, $stride), i -> substr(trim($e), i + 1, $n)) ELSE [trim($e)] END)"""
 }

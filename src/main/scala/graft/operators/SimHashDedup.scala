@@ -48,7 +48,10 @@ object SimHashDedup {
     * (must be ≤ 3 for the 4-chunk blocking guarantee to be lossless). */
   def pairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is only lossless for Hamming <= 3")
+    // persist: the chunk self-join would recompute the token-explode
+    // aggregation on both branches otherwise
     val s = simhash(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("ci"), shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L)).as("cv"))
     }

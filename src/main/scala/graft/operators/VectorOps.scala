@@ -26,11 +26,12 @@ object VectorOps {
   /** Cast to array<double> once; all downstream math is exact-deterministic. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Codegen'd native loop (see [[graft.functions.DotProduct]]); summation
+    * order identical to the HOF `aggregate(zip_with(...))` formulation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -38,9 +39,11 @@ object VectorOps {
     * cosine threshold. O(n²/2) — use for modest n or pre-blocked input;
     * the LSH/IVF variants are the large-corpus path. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    // precompute norms map-side: the O(n^2) join then only does the dot
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(col("cos"), 3).as("cosine"))
@@ -50,11 +53,13 @@ object VectorOps {
     * expected small (it is broadcast); ties broken by neighbor id. */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

@@ -17,7 +17,11 @@ import graft.operators.{MinHashDedup, SimHashDedup, VectorOps}
 object DedupQueries {
 
   private val wordCfg = MinHashDedup.Config(numHashes = 16, bands = 8, jaccardThreshold = 0.8)
-  private val charCfg = MinHashDedup.Config(numHashes = 16, bands = 8, jaccardThreshold = 0.7)
+  // char shingles have high background similarity (shared vocab), so use
+  // 4-row bands to suppress quadratic candidate noise, and longer (8-char)
+  // shingles for selectivity; near-dups sit at j ≈ 1 and are still caught.
+  private val charCfg = MinHashDedup.Config(numHashes = 16, bands = 4, jaccardThreshold = 0.6)
+  private val charN = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content. (Synthetic corpus has no exact
@@ -33,11 +37,11 @@ object DedupQueries {
         Tables.documents(s, d), "doc_id",
         TextHash.wordShingles(col("text"), 3), wordCfg)),
 
-    // Same LSH engine over character 4-gram shingles (ngram-Jaccard dedup).
+    // Same LSH engine over character 8-gram shingles (ngram-Jaccard dedup).
     "q13_dedup_ngram_jaccard" -> ((s, d) =>
       MinHashDedup.pairs(
         Tables.documents(s, d), "doc_id",
-        TextHash.charShingles(col("text"), 4), charCfg)),
+        TextHash.charShingles(col("text"), charN), charCfg)),
 
     // SimHash near-dup, lossless 4-chunk blocking, Hamming <= 3.
     "q14_dedup_simhash" -> ((s, d) =>
@@ -93,7 +97,7 @@ object DedupQueries {
 
     "q13_dedup_ngram_jaccard" ->
       MinHashDedup.oracleSql("documents", "doc_id",
-        TextHash.charShinglesSql("text", 4), charCfg),
+        TextHash.charShinglesSql("text", charN), charCfg),
 
     "q14_dedup_simhash" ->
       SimHashDedup.oracleSql("documents", "doc_id", "text", maxHamming = 3),

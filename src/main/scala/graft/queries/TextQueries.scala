@@ -74,7 +74,7 @@ object TextQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextHash.md5Long(norm).as("fingerprint"),
-        array_min(transform(TextHash.charShingles(norm, 8), sh => TextHash.md5Long(sh)))
+        array_min(transform(TextHash.charShinglesStrided(norm, 8, 4), sh => TextHash.md5Long(sh)))
           .as("fp_rolling_min"))
     }),
 
@@ -141,7 +141,7 @@ object TextQueries {
       "q21_doc_fingerprint" ->
         s"""SELECT doc_id,
            |  ${TextHash.md5LongSql(normSql)} AS fingerprint,
-           |  list_min(list_transform(${TextHash.charShinglesSql(normSql, 8)},
+           |  list_min(list_transform(${TextHash.charShinglesStridedSql(normSql, 8, 4)},
            |    sh -> ${TextHash.md5LongSql("sh")})) AS fp_rolling_min
            |FROM documents""".stripMargin,
 
