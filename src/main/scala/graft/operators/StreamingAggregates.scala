@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Watermarked windowed aggregation over an event stream — the standard
+  * Structured Streaming shape: `readStream → withWatermark → groupBy(window)
+  * → agg → writeStream`. Works identically on batch DataFrames (minus the
+  * watermark), which is how the oracle-checked batch query exercises the
+  * same plan.
+  */
+object StreamingAggregates {
+
+  /** Tumbling-window counts/sums per key. On a streaming input, rows later
+    * than `watermark` behind the max event time are dropped and windows
+    * finalize (append-mode emission) once the watermark passes their end. */
+  def tumbling(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowLength: String = "1 hour",
+      watermark: Option[String] = Some("2 hours")): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    in.groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col(keyCol), col("n_events"), col("sum_value"))
+  }
+
+  /** DuckDB oracle for the batch form of [[tumbling]] (epoch-aligned hourly
+    * buckets — Spark's `window()` aligns to the epoch too). */
+  def tumblingOracleSql(
+      table: String = "events",
+      tsCol: String = "ts",
+      keyCol: String = "event_type",
+      windowMicros: Long = 3600L * 1000000L): String =
+    s"""SELECT (epoch_us($tsCol) // $windowMicros) * $windowMicros AS window_start_us,
+       |  $keyCol, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |FROM $table GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingAggregatesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("tumbling windows finalize past the watermark; late data dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingAggregates
+      .tumbling(stream, windowLength = "1 hour", watermark = Some("30 minutes"))
+      .writeStream.outputMode("append").format("memory").queryName("tumb_out").start()
+    try {
+      mem.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0), (ts(70), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far beyond hour 0 and try to sneak in a LATE click
+      mem.addData((ts(600), "view", 7.0))
+      q.processAllAvailable()
+      mem.addData((ts(6), "click", 100.0)) // late: watermark is way past hour 0
+      q.processAllAvailable()
+      mem.addData((ts(1200), "view", 0.0)) // flush hour-10 window
+      q.processAllAvailable()
+      val rows = spark.table("tumb_out")
+        .collect().map(r => (r.getLong(0) / 3600000000L, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)), s"hour-0 clicks without the late row: $rows")
+      assert(!rows.exists { case (h, t, _, v) => h == 0 && t == "click" && v == 103.0 },
+        "late event must have been dropped")
+    } finally q.stop()
+  }
+}
