@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, RefSurface, ScaleQueries, TextQueries}
+import graft.queries.{DedupQueries, RefSurface, RelationalQueries, ScaleQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,10 @@ object SparkEntry {
     queries("q06_enrich_ultimate_parent")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefSurface.queries ++ DedupQueries.queries ++ TextQueries.queries ++ ScaleQueries.queries
+    RefSurface.queries ++ DedupQueries.queries ++ TextQueries.queries ++
+      ScaleQueries.queries ++ RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    RefSurface.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++ ScaleQueries.oracle
+    RefSurface.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
+      ScaleQueries.oracle ++ RelationalQueries.oracle
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** General relational surface beyond the reference's own ops — semi/anti
+  * joins, grouping sets, window analytics, text normalization — so a user
+  * of the engine has the full query vocabulary at scale. All shapes remain
+  * one-shuffle (or shuffle-per-window-partition) hash operations.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text normalization (cleanup pass of a text pipeline).
+    "q27_text_normalize" -> ((s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      Tables.documents(s, d).select(
+        col("doc_id"), norm.as("norm_text"), length(norm).as("n_norm_chars"))
+    }),
+
+    // Anti join: customers who never ordered (left_anti = NOT EXISTS).
+    "q28_customers_no_orders" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+    }),
+
+    // Rollup grouping sets: revenue at (flag, status), (flag), and () levels.
+    "q29_rollup_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))),
+
+    // Window analytics: top-3 customers per nation by balance, with rank
+    // flavors and the gap to the previous customer.
+    "q30_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("dr", dense_rank().over(w))
+        .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+        .filter(col("rn") <= 3)
+        .select(
+          col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          col("rn"), col("dr"),
+          round(col("c_acctbal") - coalesce(col("prev_bal"), col("c_acctbal")), 2).as("gap_to_prev"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q27_text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        |  length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_norm_chars
+        |FROM documents""".stripMargin,
+
+    "q28_customers_no_orders" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q29_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q30_window_analytics" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  rn::INT AS rn, dr::INT AS dr,
+        |  round(c_acctbal - coalesce(prev_bal, c_acctbal), 2) AS gap_to_prev
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER w AS rn, dense_rank() OVER w AS dr,
+        |    lag(c_acctbal, 1) OVER w AS prev_bal
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+        |WHERE rn <= 3""".stripMargin,
+  )
+}
