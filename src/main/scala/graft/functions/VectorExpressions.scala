@@ -93,6 +93,52 @@ case class Md5Long(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static helper for [[MinHashSignature]], callable from generated code. */
+object MinHashUtil {
+  def sig(arr: ArrayData, as: Array[Long], bs: Array[Long], p: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** All k MinHash permutation-minima in ONE pass over the shingle-hash array.
+  *
+  * The built-in formulation — k × `array_min(transform(hashes, h -> (a*h+b)%p))`
+  * — walks the array k times through interpreted lambdas. This expression
+  * does one native loop; values are identical ((a·h+b) mod p in 64-bit,
+  * h < 2³¹ so no overflow), so the DuckDB oracle stays exact.
+  */
+case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashUtil.sig(v.asInstanceOf[ArrayData], as, bs, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.sig($c, $asRef, $bsRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
 
   /** Register (idempotently) in the active session's function registry and
@@ -111,4 +157,10 @@ object VectorExpressions {
 
   def md5Long(c: Column): Column =
     registered("graft_md5_long", exprs => Md5Long(exprs.head))(c)
+
+  def minhashSignature(hashes: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    // name carries a constants fingerprint: registration is session-global
+    // and the analyzer resolves by name, so distinct configs must not alias
+    registered(s"graft_minhash_sig_${as.length}_${(as.sum ^ bs.sum).toHexString}",
+      exprs => MinHashSignature(exprs.head, as, bs, p))(hashes)
 }
