@@ -52,9 +52,35 @@ object RelationalQueries {
           col("rn"), col("dr"),
           round(col("c_acctbal") - coalesce(col("prev_bal"), col("c_acctbal")), 2).as("gap_to_prev"))
     }),
+    // Exact interpolated percentiles (both engines sort + linearly
+    // interpolate, so results agree to the rounded digit).
+    "q31_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.95)"), 2).as("p95_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))),
+
+    // Sketch surface: HLL++ approximate distinct next to the exact count.
+    // No oracle entry (approx sketches differ across engines by design) —
+    // the driver records a rows-only check for this one.
+    "q32_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
   )
 
   val oracle: Map[String, String] = Map(
+    "q31_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q27_text_normalize" ->
       """SELECT doc_id,
         |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
