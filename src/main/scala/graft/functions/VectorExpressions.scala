@@ -63,13 +63,45 @@ object Md5LongUtil {
 
   /** == `conv(substring(md5(s), 1, 15), 16, 10)` as a long: the top 60 bits
     * of the digest (8 big-endian bytes >>> 4 drops the 16th hex char). */
-  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = hashBytes(s.getBytes)
+
+  def hashBytes(bytes: Array[Byte]): Long = {
     val d = md.get(); d.reset()
-    val digest = d.digest(s.getBytes)
+    val digest = d.digest(bytes)
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
     v >>> 4
+  }
+
+  /** Hash each string element; apply `% p` when p > 0. */
+  def hashArray(arr: ArrayData, p: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = hash(arr.getUTF8String(i))
+      out(i) = if (p > 0) h % p else h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Min md5Long over strided n-CHAR windows (char-correct via UTF8String
+    * substring); whole string when shorter than n. Distinctness of windows
+    * is irrelevant under min, so this equals
+    * `array_min(transform(charShinglesStrided(s, n, stride), md5Long))`. */
+  def minRolling(s: org.apache.spark.unsafe.types.UTF8String, n: Int, stride: Int): Long = {
+    val len = s.numChars()
+    if (len < n) return hash(s)
+    var best = Long.MaxValue
+    var i = 0
+    while (i <= len - n) {
+      val h = hash(s.substringSQL(i + 1, n))
+      if (h < best) best = h
+      i += stride
+    }
+    best
   }
 }
 
@@ -139,6 +171,43 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Hash every element of a string array in one native call:
+  * == `transform(arr, s -> md5Long(s) % p)` without the per-element
+  * interpreted HOF iteration. `p <= 0` skips the modulo. */
+case class Md5LongArray(child: Expression, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = Md5LongUtil.hashArray(v.asInstanceOf[ArrayData], p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5LongUtil.hashArray($c, ${p}L)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Min over the md5Long hashes of strided n-char windows of a string —
+  * the fused form of
+  * `array_min(transform(charShinglesStrided(text, n, stride), md5Long))`:
+  * no intermediate shingle array, no interpreted HOF. A text shorter than
+  * n hashes as a single whole-string window (same fallback as
+  * `TextHash.charShingles*`). */
+case class MinRollingMd5(child: Expression, n: Int, stride: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any =
+    Md5LongUtil.minRolling(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5LongUtil.minRolling($c, $n, $stride)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
 
   /** Register (idempotently) in the active session's function registry and
@@ -157,6 +226,15 @@ object VectorExpressions {
 
   def md5Long(c: Column): Column =
     registered("graft_md5_long", exprs => Md5Long(exprs.head))(c)
+
+  def md5LongArray(arr: Column, p: Long): Column =
+    registered(s"graft_md5_long_array_$p", exprs => Md5LongArray(exprs.head, p))(arr)
+
+  /** Input must already be trimmed (the Column-level shingle helpers trim
+    * internally; this fused form does not). */
+  def minRollingMd5(text: Column, n: Int, stride: Int): Column =
+    registered(s"graft_min_rolling_md5_${n}_$stride",
+      exprs => MinRollingMd5(exprs.head, n, stride))(text)
 
   def minhashSignature(hashes: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     // name carries a constants fingerprint: registration is session-global

@@ -74,8 +74,8 @@ object TextQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         TextHash.md5Long(norm).as("fingerprint"),
-        array_min(transform(TextHash.charShinglesStrided(norm, 8, 4), sh => TextHash.md5Long(sh)))
-          .as("fp_rolling_min"))
+        // fused native form of array_min(transform(charShinglesStrided(..)))
+        graft.functions.VectorExpressions.minRollingMd5(norm, 8, 4).as("fp_rolling_min"))
     }),
 
     // Sessionization: 30-minute inactivity gap per user.

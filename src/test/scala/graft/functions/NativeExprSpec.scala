@@ -34,6 +34,24 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("Md5LongArray equals per-element transform") {
+    val df = Seq(Seq("a", "bb", "hello world", "")).toDF("arr")
+    val out = df.select(
+      VectorExpressions.md5LongArray(col("arr"), TextHash.P).as("native"),
+      transform(col("arr"), s => TextHash.md5LongBuiltins(s) % TextHash.P).as("hof"))
+      .head()
+    assert(out.getSeq[Long](0) == out.getSeq[Long](1))
+  }
+
+  test("MinRollingMd5 equals array_min over strided shingles, incl. short text") {
+    val df = Seq("the quick brown fox jumps over it", "tiny", "exact8ch").toDF("s")
+    val out = df.select(
+      VectorExpressions.minRollingMd5(col("s"), 8, 4).as("native"),
+      array_min(transform(TextHash.charShinglesStrided(col("s"), 8, 4),
+        sh => TextHash.md5LongBuiltins(sh))).as("hof"))
+    out.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("expressions usable from SQL after registration") {
     VectorExpressions.md5Long(lit("warm")) // ensure registered
     val v = spark.sql("SELECT graft_md5_long('abc') AS h").head().getLong(0)
