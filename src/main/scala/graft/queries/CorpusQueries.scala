@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Corpus-preparation operators: chunking for context windows, vocabulary
+  * statistics, TF-IDF term scoring. All single-shuffle shapes (explode +
+  * hash-aggregate with map-side combine).
+  */
+object CorpusQueries {
+
+  private val ChunkLen = 200
+  private val ChunkStride = 150
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Overlapping fixed-size character chunks (stride < size ⇒ overlap),
+    // the standard pre-embedding segmentation.
+    "q33_doc_chunking" -> ((s, d) => {
+      val t = col("text")
+      val starts = sequence(lit(0), greatest(length(t) - 1, lit(0)), lit(ChunkStride))
+      val chunks = transform(starts, st => t.substr(st + 1, lit(ChunkLen)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          length(col("chunk_text")).as("chunk_len"))
+    }),
+
+    // Corpus vocabulary: top-50 tokens by frequency (deterministic ties).
+    "q34_vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextHash.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("token"))
+        .limit(50)),
+
+    // TF-IDF: top-3 terms per document by tf·ln((N+1)/(df+1)).
+    "q35_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(TextHash.tokens(lower(col("text")))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("weight"), asc("token"))
+      tf.join(broadcast(df), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("weight",
+          round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("rank"), col("weight"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q33_doc_chunking" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  list_transform(range(0, greatest(length(text), 1), $ChunkStride),
+         |    st -> substr(text, st + 1, $ChunkLen)) AS chunks FROM documents)
+         |SELECT doc_id,
+         |  unnest(range(0, len(chunks)))::INT AS chunk_idx,
+         |  unnest(chunks) AS chunk_text,
+         |  length(unnest(chunks)) AS chunk_len
+         |FROM c""".stripMargin,
+
+    "q34_vocab_topk" ->
+      s"""SELECT token, count(*) AS freq
+         |FROM (SELECT unnest(${TextHash.tokensSql("lower(text)")}) AS token FROM documents)
+         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+
+    "q35_tfidf_top_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${TextHash.tokensSql("lower(text)")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    round(tf.tf * ln((n.n_docs + 1)::DOUBLE / (df.df + 1)), 4) AS weight
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+         |ranked AS (SELECT doc_id, token, weight,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token) AS rank
+         |  FROM scored)
+         |SELECT doc_id, token, rank::INT AS rank, weight FROM ranked WHERE rank <= 3""".stripMargin,
+  )
+}
