@@ -188,6 +188,89 @@ case class Md5LongArray(child: Expression, p: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Native shingle hashing: distinct hashed n-gram sets straight from the
+  * text, with no intermediate shingle-string arrays. Semantics lock-step
+  * with `TextHash.wordShingles`/`charShingles` (trim = ASCII space only,
+  * whitespace-run tokenization, whole-text fallback below n) so the DuckDB
+  * oracle can replay via `list_distinct(list_transform(<shingles>, md5…))`.
+  */
+object ShingleUtil {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def distinctArray(out: java.util.LinkedHashSet[java.lang.Long]) = {
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  def wordShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long): Any = {
+    val str = s.trim().toString
+    val toks = ws.split(str, -1)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        out.add(Md5LongUtil.hashBytes(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % p)
+        i += 1
+      }
+    } else {
+      out.add(Md5LongUtil.hashBytes(
+        String.join(" ", toks: _*).getBytes(java.nio.charset.StandardCharsets.UTF_8)) % p)
+    }
+    distinctArray(out)
+  }
+
+  def charShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long): Any = {
+    val t = s.trim()
+    val len = t.numChars()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (len >= n) {
+      var i = 0
+      while (i <= len - n) {
+        out.add(Md5LongUtil.hashBytes(t.substringSQL(i + 1, n).getBytes) % p)
+        i += 1
+      }
+    } else {
+      out.add(Md5LongUtil.hashBytes(t.getBytes) % p)
+    }
+    distinctArray(out)
+  }
+}
+
+/** `ShingleUtil.wordShingleHashes` as a codegen'd expression. */
+case class WordShingleHashes(child: Expression, n: Int, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.wordShingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.wordShingleHashes($c, $n, ${p}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `ShingleUtil.charShingleHashes` as a codegen'd expression. */
+case class CharShingleHashes(child: Expression, n: Int, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.charShingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.charShingleHashes($c, $n, ${p}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Min over the md5Long hashes of strided n-char windows of a string —
   * the fused form of
   * `array_min(transform(charShinglesStrided(text, n, stride), md5Long))`:
@@ -229,6 +312,14 @@ object VectorExpressions {
 
   def md5LongArray(arr: Column, p: Long): Column =
     registered(s"graft_md5_long_array_$p", exprs => Md5LongArray(exprs.head, p))(arr)
+
+  def wordShingleHashes(text: Column, n: Int, p: Long): Column =
+    registered(s"graft_word_shingle_hashes_${n}_$p",
+      exprs => WordShingleHashes(exprs.head, n, p))(text)
+
+  def charShingleHashes(text: Column, n: Int, p: Long): Column =
+    registered(s"graft_char_shingle_hashes_${n}_$p",
+      exprs => CharShingleHashes(exprs.head, n, p))(text)
 
   /** Input must already be trimmed (the Column-level shingle helpers trim
     * internally; this fused form does not). */

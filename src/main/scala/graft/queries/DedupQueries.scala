@@ -35,13 +35,15 @@ object DedupQueries {
     "q12_dedup_minhash_lsh" -> ((s, d) =>
       MinHashDedup.pairs(
         Tables.documents(s, d), "doc_id",
-        TextHash.wordShingles(col("text"), 3), wordCfg)),
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)),
 
     // Same LSH engine over character 8-gram shingles (ngram-Jaccard dedup).
     "q13_dedup_ngram_jaccard" -> ((s, d) =>
       MinHashDedup.pairs(
         Tables.documents(s, d), "doc_id",
-        TextHash.charShingles(col("text"), charN), charCfg)),
+        graft.functions.VectorExpressions.charShingleHashes(col("text"), charN, TextHash.P),
+        charCfg)),
 
     // SimHash near-dup, lossless 4-chunk blocking, Hamming <= 3.
     "q14_dedup_simhash" -> ((s, d) =>

@@ -52,6 +52,26 @@ class NativeExprSpec extends AnyFunSuite {
     out.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("fused shingle-hashers equal the string-shingle + hash composition") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b",                 // fewer tokens than n -> whole-text fallback
+      "spaced    out   doc", // whitespace runs
+      "tiny"                 // shorter than char n
+    ).toDF("s")
+    val out = df.select(
+      VectorExpressions.wordShingleHashes(col("s"), 3, TextHash.P).as("w_native"),
+      transform(TextHash.wordShingles(col("s"), 3),
+        x => TextHash.md5LongBuiltins(x) % TextHash.P).as("w_str"),
+      VectorExpressions.charShingleHashes(col("s"), 8, TextHash.P).as("c_native"),
+      transform(TextHash.charShingles(col("s"), 8),
+        x => TextHash.md5LongBuiltins(x) % TextHash.P).as("c_str"))
+    out.collect().foreach { r =>
+      assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet)
+      assert(r.getSeq[Long](2).toSet == r.getSeq[Long](3).toSet)
+    }
+  }
+
   test("expressions usable from SQL after registration") {
     VectorExpressions.md5Long(lit("warm")) // ensure registered
     val v = spark.sql("SELECT graft_md5_long('abc') AS h").head().getLong(0)

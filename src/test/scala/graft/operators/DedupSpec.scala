@@ -35,7 +35,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash LSH finds near-dup and exact-dup pairs, not distinct docs") {
     val pairs = MinHashDedup.pairs(docs, "doc_id",
-        TextHash.wordShingles(col("text"), 3),
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
         MinHashDedup.Config(16, 8, 0.5))
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
