@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{SkewJoin, StreamingAggregates}
+import graft.operators.{AsOfJoin, SkewJoin, StreamingAggregates}
 
 /** Scale-path operators whose results must be IDENTICAL to their naive
   * forms — the oracle runs the naive SQL, the Spark side runs the
@@ -28,6 +28,19 @@ object ScaleQueries {
     // Tumbling-window aggregation (batch form of the streaming plan).
     "q26_tumbling_window" -> ((s, d) =>
       StreamingAggregates.tumbling(Tables.events(s, d), watermark = None)),
+
+    // As-of join: each error event gets the user's latest prior purchase.
+    "q36_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(round(max(col("value")), 2).as("purchase_value"))
+      AsOfJoin.latestPrior(errors, purchases, "user_id", "ts_us", "purchase_value")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_ts"), col("asof_purchase_value"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -38,5 +51,17 @@ object ScaleQueries {
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q26_tumbling_window" -> StreamingAggregates.tumblingOracleSql(),
+
+    "q36_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |errors AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |purchases AS (
+        |  SELECT user_id, ts_us, round(max(value), 2) AS purchase_value
+        |  FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY user_id, ts_us)
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        |  p.ts_us AS asof_ts, p.purchase_value AS asof_purchase_value
+        |FROM errors e ASOF LEFT JOIN purchases p
+        |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us""".stripMargin,
   )
 }
