@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOfJoin, SkewJoin, StreamingAggregates}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin, StreamingAggregates}
 
 /** Scale-path operators whose results must be IDENTICAL to their naive
   * forms — the oracle runs the naive SQL, the Spark side runs the
@@ -41,6 +41,19 @@ object ScaleQueries {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("asof_ts"), col("asof_purchase_value"))
     }),
+
+    // Range join: lineitems falling in each 35-day month-anchored window.
+    "q37_range_join" -> ((s, d) => {
+      val iv = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).as("w_start")).distinct()
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 35 DAYS"))
+        .withColumn("window_label", date_format(col("w_start"), "yyyyMM"))
+      val pts = Tables.lineitem(s, d).select(col("l_shipdate"), col("l_extendedprice"))
+      RangeJoin.pointsInIntervals(pts, iv, "l_shipdate", "w_start", "w_end")
+        .groupBy(col("window_label"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -63,5 +76,15 @@ object ScaleQueries {
         |  p.ts_us AS asof_ts, p.purchase_value AS asof_purchase_value
         |FROM errors e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us""".stripMargin,
+
+    "q37_range_join" ->
+      """WITH iv AS (
+        |  SELECT w_start, w_start + INTERVAL 35 DAY AS w_end,
+        |    strftime(w_start, '%Y%m') AS window_label
+        |  FROM (SELECT DISTINCT date_trunc('month', o_orderdate) AS w_start FROM orders))
+        |SELECT window_label, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM iv JOIN lineitem ON l_shipdate >= w_start AND l_shipdate < w_end
+        |GROUP BY window_label""".stripMargin,
   )
 }
