@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-engineering utility surface: embedding quantization (storage path
+  * for 100 TB of vectors), column statistics, table profiling, and
+  * snapshot diffing (the promote/backup lifecycle's audit view).
+  */
+object ProfileQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Int8 symmetric quantization with a per-vector scale — 4x storage
+    // reduction for embedding corpora; pure portable arithmetic.
+    "q38_embedding_quantize" -> ((s, d) => {
+      val v = col("embedding").cast("array<double>")
+      val maxabs = array_max(transform(v, x => abs(x)))
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(maxabs, 6).as("scale_maxabs"),
+        transform(v, x => round(x * 127.0 / maxabs).cast("int")).as("q_int8"))
+    }),
+
+    // Per-group column statistics (sample stddev/variance, correlation).
+    "q39_column_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_discount")), 4).as("var_disc"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"))),
+
+    // Table profile: per-column null and distinct counts in one pass.
+    "q40_profile_orders" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("nulls_custkey"),
+        sum(col("o_orderstatus").isNull.cast("long")).as("nulls_status"),
+        countDistinct(col("o_custkey")).as("d_custkey"),
+        countDistinct(col("o_orderstatus")).as("d_status"),
+        countDistinct(col("o_orderpriority")).as("d_priority"))),
+
+    // Snapshot diff: previous snapshot (pre-2000 orders) vs current —
+    // added/removed/changed audit, the K2/K3 lifecycle's companion view.
+    "q41_snapshot_diff" -> ((s, d) => {
+      val cur = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), round(col("o_totalprice"), 2).as("cur_price"))
+      val prev = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("2000-01-01"))
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 0.9, 2).as("prev_price")) // drifted values
+      cur.join(prev, Seq("k"), "full_outer")
+        .select(
+          when(col("prev_price").isNull, "added")
+            .when(col("cur_price").isNull, "removed")
+            .when(col("cur_price") =!= col("prev_price"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q38_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
+        |SELECT vec_id, round(maxabs, 6) AS scale_maxabs,
+        |  list_transform(v, x -> round(x * 127.0 / maxabs)::INT) AS q_int8
+        |FROM m""".stripMargin,
+
+    "q39_column_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_discount), 4) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q40_profile_orders" ->
+      """SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_custkey,
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nulls_status,
+        |  count(distinct o_custkey) AS d_custkey,
+        |  count(distinct o_orderstatus) AS d_status,
+        |  count(distinct o_orderpriority) AS d_priority
+        |FROM orders""".stripMargin,
+
+    "q41_snapshot_diff" ->
+      """WITH cur AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS cur_price FROM orders),
+        |prev AS (SELECT o_orderkey AS k, round(o_totalprice * 0.9, 2) AS prev_price
+        |         FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT CASE WHEN prev_price IS NULL THEN 'added'
+        |            WHEN cur_price IS NULL THEN 'removed'
+        |            WHEN cur_price != prev_price THEN 'changed'
+        |            ELSE 'unchanged' END AS status, count(*) AS n
+        |FROM cur FULL OUTER JOIN prev USING (k)
+        |GROUP BY 1""".stripMargin,
+  )
+}
