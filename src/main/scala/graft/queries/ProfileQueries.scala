@@ -60,9 +60,26 @@ object ProfileQueries {
             .otherwise("unchanged").as("status"))
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
     }),
+    // Semi-structured surface: JSON property extraction from the event
+    // payload column + aggregation over the extracted value.
+    "q42_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          round(avg(col("k")), 2).as("avg_k"),
+          max(col("k")).as("max_k"))),
   )
 
   val oracle: Map[String, String] = Map(
+    "q42_json_props" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q38_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
