@@ -62,6 +62,18 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.95)"), 2).as("p95_qty"),
           round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))),
 
+    // Per-group top-k via the custom TypedImperativeAggregate: bounded
+    // k-row buffers combine map-side, so the shuffle carries k rows per
+    // group instead of every row (the window formulation's cost).
+    "q43_topk_per_group" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(graft.functions.TopKAggregate
+          .topK(col("l_extendedprice"), col("l_linenumber").cast("long"), 2).as("top"))
+        .select(col("l_orderkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("l_orderkey"), (col("pos") + 1).as("rank"),
+          round(col("t.score"), 2).as("price"), col("t.payload").as("linenumber"))),
+
     // Sketch surface: HLL++ approximate distinct next to the exact count.
     // No oracle entry (approx sketches differ across engines by design) —
     // the driver records a rows-only check for this one.
@@ -74,6 +86,16 @@ object RelationalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q43_topk_per_group" ->
+      """SELECT l_orderkey, rn::INT AS rank, round(l_extendedprice, 2) AS price,
+        |  l_linenumber::BIGINT AS linenumber
+        |FROM (
+        |  SELECT l_orderkey, l_extendedprice, l_linenumber,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 2""".stripMargin,
+
     "q31_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
