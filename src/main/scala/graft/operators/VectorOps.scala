@@ -50,20 +50,26 @@ object VectorOps {
   }
 
   /** Exact top-k cosine neighbors for each query vector. The query side is
-    * expected small (it is broadcast); ties broken by neighbor id. */
+    * expected small (it is broadcast); ties broken by neighbor id.
+    *
+    * Selection runs through the [[graft.functions.TopKByScore]] aggregate,
+    * not `row_number().over(window)`: the per-query buffer is bounded at k
+    * and combines map-side, so the shuffle carries k rows per query instead
+    * of the full |queries|×|corpus| score matrix — the difference that
+    * matters when the corpus is the 100 TB side. */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 3).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 3).as("cosine"))
   }
 
   /** IVF-style ANN: centroids = per-`bucketCol` mean vector (rounded to 6
@@ -95,15 +101,15 @@ object VectorOps {
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("bucket"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
     broadcast(probed)
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 3).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 3).as("cosine"))
   }
 }
