@@ -49,6 +49,17 @@ object TextHash {
   def permSql(h: String, i: Int): String =
     s"((${permA(i)} * $h + ${permB(i)}) % $P)"
 
+  /** ±1 hyperplane component for random-projection LSH, derived from md5 of
+    * `"p:d"` — reproducible on any engine that has md5. Computed driver-side
+    * here; the SQL generator below emits the equivalent expression. */
+  def planeSign(p: Int, d: Int): Double =
+    if (Md5LongUtil.hashBytes(s"$p:$d".getBytes("UTF-8")) % 2 == 1) 1.0 else -1.0
+
+  /** DuckDB expression for [[planeSign]] given SQL expressions for p and d
+    * (same md5Long-parity definition as the Scala form). */
+  def planeSignSql(p: String, d: String): String =
+    s"(CASE WHEN (${md5LongSql(s"($p || ':' || $d)")} % 2) = 1 THEN 1.0 ELSE -1.0 END)"
+
   // --- tokenization & shingles ---------------------------------------------
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")

@@ -72,6 +72,42 @@ object VectorOps {
         round(col("t.score"), 3).as("cosine"))
   }
 
+  /** Random-hyperplane (sign) LSH near-duplicate pairs — the LSH-bucketed
+    * scale path for embedding dedup: `tables` independent hash tables, each
+    * keyed by `planesPerTable` sign bits of md5-derived ±1 hyperplanes.
+    * Same-bucket candidates are verified with the exact cosine threshold.
+    * Probabilistic recall (more tables → higher); candidates shuffle on the
+    * (table, bucket) key — linear, never O(n²).
+    *
+    * Determinism & portability: hyperplane component (p, d) is
+    * `+1 if md5("p:d") is odd else -1` — reproducible in SQL, so the DuckDB
+    * oracle replays the identical pipeline. The sign test uses
+    * `round(dot, 9) >= 0` so a last-ulp summation difference between
+    * engines cannot flip a bucket bit. */
+  def rpLshNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 6, planesPerTable: Int = 4, dims: Int = 64): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val bucketCols = (0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        val plane = array((0 until dims).map(d =>
+          lit(graft.functions.TextHash.planeSign(t * planesPerTable + p, d))): _*)
+        when(round(dot(col("v"), plane), 9) >= 0, lit(1 << p)).otherwise(lit(0))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bkt"))
+    }
+    val bucketed = e.select(col("id"), col("v"), col("nrm"),
+      explode(array(bucketCols: _*)).as("b"))
+    bucketed.as("x")
+      .join(bucketed.as("y"), col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cosine"))
+  }
+
   /** IVF-style ANN: centroids = per-`bucketCol` mean vector (rounded to 6
     * decimals so the centroid doubles are reproducible across engines);
     * each query probes the `nprobe` nearest centroids and brute-forces only

@@ -78,6 +78,13 @@ object DedupQueries {
     "q15_dedup_embedding" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)),
 
+    // Embedding near-dup via random-hyperplane LSH (the bucketed scale
+    // path; q15 is the brute-force baseline). Probabilistic recall by
+    // design — the oracle replays the identical md5-derived hyperplanes.
+    "q45_dedup_embedding_lsh" -> ((s, d) =>
+      VectorOps.rpLshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, tables = 6, planesPerTable = 4, dims = 64)),
+
     // Exact cosine top-k: 10 query vectors against the full corpus.
     "q16_sim_topk_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -149,6 +156,24 @@ object DedupQueries {
         |  round(list_cosine_similarity(a.v, b.v), 3) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
+
+    "q45_dedup_embedding_lsh" -> {
+      val tables = 6; val planes = 4
+      val bucketExpr = (t: Int) => (0 until planes).map { p =>
+        val idx = t * planes + p
+        val plane = s"list_transform(range(0, 64), d -> ${TextHash.planeSignSql(idx.toString, "d")})"
+        s"(CASE WHEN round(list_dot_product(v, $plane), 9) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      val tableSelects = (0 until tables).map(t =>
+        s"SELECT id, v, nrm, $t AS tbl, (${bucketExpr(t)}) AS bkt FROM en").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |bk AS ($tableSelects),
+         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+         |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id)
+         |SELECT id_a, id_b, round(cos, 3) AS cosine FROM cand WHERE cos >= 0.4""".stripMargin
+    },
 
     "q16_sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
