@@ -60,6 +60,24 @@ object ProfileQueries {
             .otherwise("unchanged").as("status"))
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
     }),
+    // Deterministic hash sampling: a reproducible ~10% sample selected by
+    // the portable content hash — the scale-safe alternative to rand()
+    // (same rows on every engine, every run, any partitioning).
+    "q46_deterministic_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(graft.functions.TextHash.md5Long(col("doc_id").cast("string")) % 100 < 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    // Pivot: events fanned out to one column per type, counts per user
+    // (top 20 users by id for a bounded result).
+    "q47_event_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id") < 20)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // Semi-structured surface: JSON property extraction from the event
     // payload column + aggregation over the extracted value.
     "q42_json_props" -> ((s, d) =>
@@ -73,6 +91,20 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q46_deterministic_sample" -> {
+      val h = graft.functions.TextHash.md5LongSql("doc_id::VARCHAR")
+      s"""SELECT doc_id, lang, n_chars FROM documents WHERE $h % 100 < 10"""
+    },
+
+    "q47_event_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
+
     "q42_json_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
