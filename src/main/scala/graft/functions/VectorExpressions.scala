@@ -230,7 +230,7 @@ object ShingleUtil {
     distinctArray(out)
   }
 
-  def charShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long): Any = {
+  def charShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long, stride: Int): Any = {
     val t = s.trim()
     val len = t.numChars()
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -238,7 +238,7 @@ object ShingleUtil {
       var i = 0
       while (i <= len - n) {
         out.add(Md5LongUtil.hashBytes(t.substringSQL(i + 1, n).getBytes) % p)
-        i += 1
+        i += stride
       }
     } else {
       out.add(Md5LongUtil.hashBytes(t.getBytes) % p)
@@ -260,14 +260,14 @@ case class WordShingleHashes(child: Expression, n: Int, p: Long)
 }
 
 /** `ShingleUtil.charShingleHashes` as a codegen'd expression. */
-case class CharShingleHashes(child: Expression, n: Int, p: Long)
+case class CharShingleHashes(child: Expression, n: Int, p: Long, stride: Int = 1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    ShingleUtil.charShingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, p)
+    ShingleUtil.charShingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, p, stride)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.charShingleHashes($c, $n, ${p}L)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.charShingleHashes($c, $n, ${p}L, $stride)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -317,9 +317,9 @@ object VectorExpressions {
     registered(s"graft_word_shingle_hashes_${n}_$p",
       exprs => WordShingleHashes(exprs.head, n, p))(text)
 
-  def charShingleHashes(text: Column, n: Int, p: Long): Column =
-    registered(s"graft_char_shingle_hashes_${n}_$p",
-      exprs => CharShingleHashes(exprs.head, n, p))(text)
+  def charShingleHashes(text: Column, n: Int, p: Long, stride: Int = 1): Column =
+    registered(s"graft_char_shingle_hashes_${n}_${p}_$stride",
+      exprs => CharShingleHashes(exprs.head, n, p, stride))(text)
 
   /** Input must already be trimmed (the Column-level shingle helpers trim
     * internally; this fused form does not). */

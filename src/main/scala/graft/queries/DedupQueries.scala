@@ -38,11 +38,12 @@ object DedupQueries {
         graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
         wordCfg)),
 
-    // Same LSH engine over character 8-gram shingles (ngram-Jaccard dedup).
+    // Same LSH engine over character 8-gram shingles, stride 2 (sampled
+    // windows halve the hash volume; Jaccard over the sampled sets).
     "q13_dedup_ngram_jaccard" -> ((s, d) =>
       MinHashDedup.pairs(
         Tables.documents(s, d), "doc_id",
-        graft.functions.VectorExpressions.charShingleHashes(col("text"), charN, TextHash.P),
+        graft.functions.VectorExpressions.charShingleHashes(col("text"), charN, TextHash.P, stride = 2),
         charCfg)),
 
     // SimHash near-dup, lossless 4-chunk blocking, Hamming <= 3.
@@ -135,7 +136,7 @@ object DedupQueries {
 
     "q13_dedup_ngram_jaccard" ->
       MinHashDedup.oracleSql("documents", "doc_id",
-        TextHash.charShinglesSql("text", charN), charCfg),
+        TextHash.charShinglesStridedSql("text", charN, 2), charCfg),
 
     "q14_dedup_simhash" ->
       SimHashDedup.oracleSql("documents", "doc_id", "text", maxHamming = 3),
