@@ -35,6 +35,26 @@ class BqSchemaSpec extends AnyFunSuite {
     assert(coordSt("lat").dataType == DoubleType && !coordSt("lat").nullable)
   }
 
+  test("full scalar type matrix") {
+    val s = BqSchema.fromJson(
+      """[
+        | {"name": "a", "type": "INT64"},
+        | {"name": "b", "type": "FLOAT64"},
+        | {"name": "c", "type": "TIMESTAMP"},
+        | {"name": "d", "type": "DATETIME"},
+        | {"name": "e", "type": "BYTES"},
+        | {"name": "f", "type": "NUMERIC"},
+        | {"name": "g", "type": "BOOL"}
+        |]""".stripMargin)
+    assert(s("a").dataType == LongType)
+    assert(s("b").dataType == DoubleType)
+    assert(s("c").dataType == TimestampType)
+    assert(s("d").dataType == TimestampNTZType)
+    assert(s("e").dataType == BinaryType)
+    assert(s("f").dataType == DecimalType(38, 9))
+    assert(s("g").dataType == BooleanType)
+  }
+
   test("unsupported type rejected") {
     intercept[IllegalArgumentException] {
       BqSchema.fromJson("""[{"name": "x", "type": "GEOGRAPHY"}]""")
