@@ -46,12 +46,13 @@ object Bench {
       else sfDir
     names.foreach(runOnce(_, warmDir))
 
-    // two measured passes, keep the per-query minimum: single-shot numbers
-    // on a shared box carry ±20% scheduler/GC noise
-    val pass1 = names.map(n => n -> runOnce(n, sfDir)).toMap
+    // several measured passes, keep the per-query minimum: single-shot
+    // numbers on a shared box carry up to 2x scheduler/GC noise
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val measured = (1 to passes).map(_ => names.map(n => n -> runOnce(n, sfDir)).toMap)
     val results = names.map { n =>
-      val a = pass1(n); val b = runOnce(n, sfDir)
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val ok = measured.map(_(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
