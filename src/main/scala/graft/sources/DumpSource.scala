@@ -54,6 +54,31 @@ final class LocalDumpSource(dumpPath: String) extends DumpSource {
   }
 }
 
+/** S1's selection rule as data (SURVEY.md §2.5): the reference asks the
+  * catalog API for `sort=mostrecent` and takes the head record's first file
+  * (`fetch.py:19-23`) — a remote-side ORDER BY + LIMIT 1. When the catalog
+  * is modeled as a DataFrame, the same semantics are one declarative plan.
+  */
+object CatalogSelect {
+
+  /** `catalog(published: orderable, files: array<string>)` → the newest
+    * record's first file. Deterministic tie-break on the file name. */
+  def newestFile(
+      catalog: org.apache.spark.sql.DataFrame,
+      publishedCol: String = "published",
+      filesCol: String = "files"): String = {
+    val rows = catalog
+      .orderBy(org.apache.spark.sql.functions.desc(publishedCol),
+        org.apache.spark.sql.functions.asc(filesCol))
+      .limit(1)
+      .select(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.col(filesCol), 1))
+      .collect()
+    require(rows.nonEmpty, "empty dump catalog")
+    rows.head.getString(0)
+  }
+}
+
 object Jsonl {
 
   /** S4: JSON-array dump → JSONL — a top-level array exploded into one

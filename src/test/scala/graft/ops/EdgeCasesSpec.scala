@@ -54,6 +54,18 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(x2names.getString(0) == "N" && x2names.isNullAt(1))
   }
 
+  test("catalog select: newest record's first file (S1 semantics)") {
+    val catalog = Seq(
+      ("2026-01-01", Seq("old.zip")),
+      ("2026-08-01", Seq("newest.zip", "schema.json")),
+      ("2026-05-01", Seq("mid.zip"))
+    ).toDF("published", "files")
+    assert(graft.sources.CatalogSelect.newestFile(catalog) == "newest.zip")
+    intercept[IllegalArgumentException] {
+      graft.sources.CatalogSelect.newestFile(catalog.limit(0))
+    }
+  }
+
   test("exact dedup on composite keys") {
     val df = Seq(
       (1L, "en", "src0", "t"), (2L, "en", "src0", "t"),
