@@ -29,6 +29,15 @@ object ScaleQueries {
     "q26_tumbling_window" -> ((s, d) =>
       StreamingAggregates.tumbling(Tables.events(s, d), watermark = None)),
 
+    // Sliding-window aggregation: 1-hour windows every 30 minutes (each
+    // event contributes to 2 overlapping windows).
+    "q48_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n_events"))),
+
     // As-of join: each error event gets the user's latest prior purchase.
     "q36_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
@@ -64,6 +73,15 @@ object ScaleQueries {
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q26_tumbling_window" -> StreamingAggregates.tumblingOracleSql(),
+
+    "q48_sliding_window" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest([(epoch_us(ts) // 1800000000) * 1800000000,
+        |            (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000]) AS window_start_us
+        |  FROM events)
+        |SELECT window_start_us, event_type, count(*) AS n_events
+        |FROM w GROUP BY window_start_us, event_type""".stripMargin,
 
     "q36_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
