@@ -27,6 +27,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(3L).isNullAt(byId(3L).fieldIndex("media_meta")))
   }
 
+  test("decoder seam: a custom decoder swaps in without touching the plumbing") {
+    object FixedDecoder extends Multimodal.MediaDecoder {
+      def decode(payload: Array[Byte]): Multimodal.MediaMeta =
+        Multimodal.MediaMeta(payload.length, 1920, 1080, 24)
+    }
+    val out = Multimodal.withMediaMeta(docs.filter(col("payload").isNotNull), "payload", FixedDecoder)
+      .select(col("media_meta.width"), col("media_meta.height"), col("media_meta.frames"))
+      .collect()
+    assert(out.forall(r => r.getInt(0) == 1920 && r.getInt(1) == 1080 && r.getInt(2) == 24))
+  }
+
   test("column stub path agrees with mapPartitions decoder path") {
     val viaMap = Multimodal.withMediaMeta(docs.filter(col("payload").isNotNull), "payload")
       .select(col("doc_id"), col("media_meta.byte_len"), col("media_meta.width"),

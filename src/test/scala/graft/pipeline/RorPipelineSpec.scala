@@ -94,6 +94,33 @@ class RorPipelineSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$wh/prod/ror")))
   }
 
+  test("zip dump: expansion, schema-file exclusion, ambiguity abort (S2/S3)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    def writeZip(path: String, members: (String, String)*): String = {
+      Files.createDirectories(Paths.get(path).getParent)
+      val zos = new ZipOutputStream(java.nio.file.Files.newOutputStream(Paths.get(path)))
+      members.foreach { case (name, content) =>
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+      }
+      zos.close(); path
+    }
+    val wh = Files.createTempDirectory("ror_zip").toString
+    val body = fullRecs.take(3).mkString("[\n", ",\n", "\n]")
+    val good = writeZip(s"$wh/in/dump.zip",
+      "v1.55-data.json" -> body, "v1.55-schema.json" -> "{}", "README.txt" -> "x")
+    val report = RorPipeline.run(spark, RorPipeline.Config(good, wh))
+    assert(report.records == 3)
+
+    val wh2 = Files.createTempDirectory("ror_zip2").toString
+    val ambiguous = writeZip(s"$wh2/in/dump.zip",
+      "a-data.json" -> body, "b-data.json" -> body)
+    val ex = intercept[IllegalArgumentException] {
+      RorPipeline.run(spark, RorPipeline.Config(ambiguous, wh2))
+    }
+    assert(ex.getMessage.contains("exactly one data file"))
+  }
+
   test("small-graph (collected) mode produces identical results") {
     val wh = Files.createTempDirectory("ror_wh4").toString
     val dump = writeDump(s"$wh/in", fullRecs)
