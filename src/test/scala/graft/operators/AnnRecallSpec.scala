@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Measures ANN quality against exact ground truth on the harness
+  * embeddings. These vectors are weakly clustered (max pairwise cosine
+  * ~0.5), so label-bucket IVF at nprobe=2 keeps only ~30% of true
+  * neighbors — a real measurement worth pinning. The load-bearing
+  * invariants: recall is monotone in nprobe, and probing every bucket
+  * degenerates to the exact scan (recall exactly 1.0).
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF recall grows with nprobe and is exact at full probe") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.topK(q, e, "vec_id", "embedding", k = 3))
+    val recalls = Seq(2, 5, 10).map { np =>
+      val ivf = pairs(VectorOps.ivfTopK(q, e, "vec_id", "embedding", "label", k = 3, nprobe = np))
+      val r = (exact intersect ivf).size.toDouble / exact.size
+      info(f"nprobe=$np%2d -> recall@3 = $r%.3f")
+      np -> r
+    }
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      s"recall must be monotone in nprobe: $recalls")
+    assert(recalls.last._2 == 1.0, "probing all buckets must equal the exact scan")
+    assert(recalls.head._2 > 0.0, "even nprobe=2 must find some true neighbors")
+  }
+}
