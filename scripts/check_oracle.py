@@ -10,6 +10,38 @@ import math
 import sys
 
 import duckdb
+import pyarrow as pa
+
+
+def norm_type(t):
+    """Normalize an arrow type the way the driver's comparer effectively
+    does: integer width is benign (int32 vs int64 both land as int64 in
+    pandas), timestamp unit/tz is benign. Everything else must match
+    exactly — in particular DuckDB HUGEINT (decimal128) vs Spark BIGINT
+    is a REAL driver failure and must fail here too."""
+    if pa.types.is_integer(t) and t.bit_width <= 64:
+        return "int"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    return str(t)
+
+
+def schema_diff(o_schema, g_schema):
+    """Return list of (col, oracle_type, spark_type) mismatches, plus any
+    spark columns the driver's pandas comparer cannot sort (nested types)."""
+    o_types = {f.name: f.type for f in o_schema}
+    g_types = {f.name: f.type for f in g_schema}
+    bad = []
+    for name in o_types:
+        if name not in g_types:
+            continue  # column-set mismatch reported separately
+        ot, gt = o_types[name], g_types[name]
+        if norm_type(ot) != norm_type(gt):
+            bad.append((name, str(ot), str(gt)))
+    for name, gt in g_types.items():
+        if pa.types.is_nested(gt):
+            bad.append((name, "<unsortable-by-driver>", str(gt)))
+    return bad
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -60,6 +92,18 @@ def main(sf_dir, out_dir):
         if sorted(o_cols) != sorted(g_cols):
             print(f"FAIL {name}: columns oracle={sorted(o_cols)} spark={sorted(g_cols)}")
             n_fail += 1
+            continue
+        # dtype gate: the driver hash-compares typed values, so a value-level
+        # match with a type-level mismatch (e.g. HUGEINT vs BIGINT) still
+        # fails there — make it fail here first.
+        o_schema = con.sql(sql).fetch_arrow_table().schema
+        g_schema = con.sql(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table().schema
+        mismatches = schema_diff(o_schema, g_schema)
+        if mismatches:
+            n_fail += 1
+            for colname, ot, gt in mismatches:
+                print(f"FAIL {name}: dtype[{colname}] oracle={ot} spark={gt}")
             continue
         oc2, orows = norm_rows(o_cols, o_rows)
         gc2, grows = norm_rows(g_cols, g_rows)

@@ -56,8 +56,23 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (n, v) if v < 0 => n }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // `failures` makes a failed query impossible to mistake for a faster
+    // total (a -1 entry is excluded from the sum but counted here).
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""failures":${failed.length},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    // stdout (raw line — build.sbt's StdoutOutput keeps it free of sbt's
+    // `[info]` prefix) AND a well-known file, so the harness can pick up
+    // the result even if the process output gets wrapped by a logger.
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -28,7 +28,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // fail loudly on a length mismatch — silently truncating would be a
+    // wrong answer, and the HOF form this is bit-compatible with
+    // (aggregate(zip_with(...))) yields NULL there, not a partial sum
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -41,7 +47,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
@@ -205,7 +215,12 @@ object ShingleUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
-  def wordShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long): Any = {
+  // NOTE: the declared return type must be the concrete ArrayData subclass,
+  // NOT `Any` — codegen assigns this call's result to an `ArrayData`
+  // variable, and an Object-returning signature makes Janino reject the
+  // whole generated class (silent interpreter fallback for the projection).
+  def wordShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val str = s.trim().toString
     val toks = ws.split(str, -1)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
@@ -230,7 +245,8 @@ object ShingleUtil {
     distinctArray(out)
   }
 
-  def charShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long, stride: Int): Any = {
+  def charShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long, stride: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val t = s.trim()
     val len = t.numChars()
     val out = new java.util.LinkedHashSet[java.lang.Long]()

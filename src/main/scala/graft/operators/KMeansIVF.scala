@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** IVF ANN with a LEARNED coarse quantizer: k-means centroids fitted with
+  * driver-side Lloyd iterations on a deterministic hash-sample, replacing
+  * the pre-existing-bucket variant ([[VectorOps.ivfTopK]]) whose quantizer
+  * is whatever partition key the data already carries.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - the FIT touches only a bounded sample: `md5(vec_id) % sampleMod == 0`
+  *     rows are collected to the driver (choose `sampleMod` so this is ≲10^6
+  *     rows — k-means quality needs a sample, not the corpus);
+  *   - corpus bucket ASSIGNMENT is a pure map-side codegen'd expression —
+  *     the k centroids are baked into the plan as literal arrays, so the
+  *     corpus is never shuffled, never joined, never collected;
+  *   - each query probes the `nprobe` nearest centroids and scans only
+  *     those buckets, via the bounded [[graft.functions.TopKByScore]]
+  *     aggregate (shuffle carries k rows per query).
+  *
+  * Determinism & oracle parity (every step replayable in DuckDB SQL):
+  *   - sample membership via the portable md5 hash;
+  *   - init = the `nClusters` sample vectors with the smallest ids;
+  *   - assignment = argmax cosine, ties to the smallest centroid id;
+  *   - update = per-dimension mean rounded to 6 decimals (HALF_UP), empty
+  *     clusters keep their previous centroid;
+  *   - a FIXED number of Lloyd iterations (no data-dependent convergence
+  *     test, which could diverge across engines at the last ulp).
+  */
+object KMeansIVF {
+
+  /** Left-to-right double fold — the summation order every other engine
+    * path (DotProduct codegen, DuckDB list_cosine_similarity) uses. */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def cosineSeq(a: Array[Double], b: Array[Double]): Double =
+    dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
+
+  /** round-half-away-from-zero at 6 decimals — what both Spark's and
+    * DuckDB's `round(x, 6)` compute. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Lloyd iterations over an id-sorted sample. Returns `nClusters`
+    * centroid vectors (cid = array index). */
+  def fit(sample: Array[(Long, Array[Double])], nClusters: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= nClusters,
+      s"k-means sample (${sample.length}) smaller than nClusters ($nClusters)")
+    val sorted = sample.sortBy(_._1)
+    var centroids = sorted.take(nClusters).map(_._2)
+    for (_ <- 1 to iters) {
+      val assign = sorted.map { case (_, v) =>
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nClusters) {
+          val sim = cosineSeq(v, centroids(c))
+          if (sim > bestSim) { bestSim = sim; best = c } // ties keep smaller cid
+          c += 1
+        }
+        (best, v)
+      }
+      centroids = Array.tabulate(nClusters) { c =>
+        val members = assign.collect { case (`c`, v) => v }
+        if (members.isEmpty) centroids(c)
+        else {
+          val dims = members.head.length
+          Array.tabulate(dims) { d =>
+            round6(members.map(_(d)).sum / members.length)
+          }
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Fit on the hash-sample of `corpus`, then ANN top-k for each query.
+    * Output `(query_id, neighbor_id, rank, cosine)` — same shape as
+    * [[VectorOps.topK]], recall < 1.0 by design. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, nprobe: Int,
+      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
+
+    // 1. FIT — bounded driver-side collect of the deterministic sample.
+    val sample = c
+      .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids = fit(sample, nClusters, iters)
+
+    // 2. ASSIGN the corpus map-side: cosines to all centroids as one
+    // literal-array expression; bucket = first argmax (smallest cid wins).
+    val centroidCos: Seq[Column] = centroids.toSeq.map { cv =>
+      val litArr = array(cv.map(lit).toSeq: _*)
+      val normC = math.sqrt(dotSeq(cv, cv))
+      VectorOps.dot(col("cv"), litArr) / (sqrt(VectorOps.dot(col("cv"), col("cv"))) * lit(normC))
+    }
+    val assigned = c
+      .withColumn("sims", array(centroidCos: _*))
+      .withColumn("bucket", (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
+      .select(col("neighbor_id"), col("cv"), col("bucket"))
+
+    // 3. PROBE — queries × (tiny) centroid table, top nprobe by cosine.
+    val centroidDf = spark.createDataFrame(
+      centroids.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) })
+      .toDF("cid", "centroid")
+      .select(col("cid"), col("centroid").cast("array<double>").as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), VectorOps.asDouble(col(vecCol)).as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val probed = q.join(broadcast(centroidDf))
+      .withColumn("ccos", VectorOps.cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("bucket"))
+
+    // 4. SCAN only the probed buckets; bounded top-k aggregate.
+    broadcast(probed)
+      .join(assigned, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 3).as("cosine"))
+  }
+
+  /** DuckDB replay of the FULL pipeline — sample, init, each unrolled Lloyd
+    * iteration, corpus assignment, probe, scan — over the same parquet. */
+  def oracleSql(
+      table: String, idCol: String, vecCol: String, queryPred: String,
+      k: Int, nprobe: Int,
+      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): String = {
+    // `e` renames $idCol to `id`, so the sample predicate hashes `id`
+    val sampleH = TextHash.md5LongSql("id::VARCHAR")
+    // explicit dot/(norm*norm) instead of list_cosine_similarity: matches
+    // the Scala fit's operation sequence exactly (dot, two sqrts, one
+    // multiply, one divide — left-to-right folds), so an engine's internal
+    // cosine variant can't flip an assignment at the last ulp mid-fit
+    def cos(a: String, b: String): String =
+      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= s"s AS (SELECT id, v FROM e WHERE $sampleH % $sampleMod = 0),\n"
+    sb ++= s"c0 AS (SELECT (row_number() OVER (ORDER BY id))::INT - 1 AS cid, v AS cv\n"
+    sb ++= s"       FROM (SELECT id, v FROM s ORDER BY id LIMIT $nClusters)),\n"
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb ++= s"a$i AS (SELECT id, v, cid FROM (\n"
+      sb ++= s"  SELECT s.id, s.v, c.cid,\n"
+      sb ++= s"    row_number() OVER (PARTITION BY s.id\n"
+      sb ++= s"      ORDER BY ${cos("s.v", "c.cv")} DESC, c.cid) AS rn\n"
+      sb ++= s"  FROM s CROSS JOIN $prev c) WHERE rn = 1),\n"
+      sb ++= s"m$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (\n"
+      sb ++= s"  SELECT cid, pos, round(avg(x), 6) AS m FROM (\n"
+      sb ++= s"    SELECT cid, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a$i)\n"
+      sb ++= s"  GROUP BY cid, pos) GROUP BY cid),\n"
+      sb ++= s"c$i AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv\n"
+      sb ++= s"       FROM $prev c LEFT JOIN m$i m ON c.cid = m.cid),\n"
+    }
+    val fin = s"c$iters"
+    sb ++= s"assigned AS (SELECT id AS neighbor_id, v AS cv2, cid AS bucket FROM (\n"
+    sb ++= s"  SELECT e.id, e.v, c.cid,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY e.id\n"
+    sb ++= s"      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn\n"
+    sb ++= s"  FROM e CROSS JOIN $fin c) WHERE rn = 1),\n"
+    sb ++= s"q AS (SELECT id AS query_id, v AS qv FROM e WHERE $queryPred),\n"
+    sb ++= s"probes AS (SELECT query_id, qv, cid AS bucket FROM (\n"
+    sb ++= s"  SELECT q.query_id, q.qv, c.cid,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY q.query_id\n"
+    sb ++= s"      ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS prank\n"
+    sb ++= s"  FROM q CROSS JOIN $fin c) WHERE prank <= $nprobe),\n"
+    sb ++= s"scored AS (SELECT p.query_id, a.neighbor_id,\n"
+    sb ++= s"    ${cos("p.qv", "a.cv2")} AS cos\n"
+    sb ++= s"  FROM probes p JOIN assigned a ON p.bucket = a.bucket\n"
+    sb ++= s"    AND p.query_id != a.neighbor_id),\n"
+    sb ++= s"ranked AS (SELECT query_id, neighbor_id, cos,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank\n"
+    sb ++= s"  FROM scored)\n"
+    sb ++= s"SELECT query_id, neighbor_id, rank::INT AS rank, round(cos, 3) AS cosine\n"
+    sb ++= s"FROM ranked WHERE rank <= $k"
+    sb.toString
+  }
+}

@@ -64,7 +64,7 @@ object Sessionize {
        |s AS (
        |  SELECT $userCol, us, $valueCol,
        |    sum(new_sess) OVER (PARTITION BY $userCol ORDER BY us
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
        |  FROM g)
        |SELECT $userCol, session_seq, min(us) AS session_start_us, max(us) AS session_end_us,
        |  count(*) AS n_events, round(sum($valueCol), 2) AS sum_value

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * straggler task that dominates the stage at scale. Salting splits each
   * left-side key into `saltFactor` sub-keys and replicates the (smaller)
   * right side once per salt, so the heavy key's rows spread across
-  * `saltFactor` tasks. Result is EXACTLY the plain join (each left row
-  * matches exactly the right replica carrying its salt).
+  * `saltFactor` tasks. For the supported join types (inner/left/semi/anti —
+  * enforced below) the result is EXACTLY the plain join: each left row
+  * matches exactly the right replica carrying its salt. Right/full-outer
+  * are rejected because their unmatched right rows would surface once per
+  * replica.
   *
   * Cost model: right side is materialized `saltFactor`× — use on joins where
   * the right side is much smaller than the skewed left side but too big to
@@ -29,6 +32,14 @@ object SkewJoin {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // Only salt-safe join types: the right side is replicated saltFactor
+    // times, so any type that can emit UNMATCHED right rows ("right",
+    // "full_outer", "right_semi", ...) would surface each of them
+    // saltFactor times — no longer "exactly the plain join".
+    val saltSafe = Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+    require(saltSafe.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left/semi/anti join types only, got '$joinType' " +
+        "(unmatched right rows would be duplicated saltFactor times)")
     // any deterministic per-row value works for correctness; hashing the
     // whole row spreads a heavy key's rows across salts
     val saltedLeft = left.withColumn(

@@ -103,8 +103,11 @@ object VectorOps {
       .join(bucketed.as("y"), col("x.b") === col("y.b") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
-      .distinct()
+      // filter first (per-row, map-side), THEN dedup: only the pairs at/above
+      // threshold pay the distinct shuffle — equivalent because cos is a
+      // deterministic function of the pair, so duplicates agree on it.
       .filter(col("cos") >= threshold)
+      .distinct()
       .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cosine"))
   }
 

@@ -9,9 +9,16 @@ import org.apache.spark.sql.functions._
   * Reference semantics (`/root/reference/ror_scripts/get_ultimate_parent.py`):
   *   - `traverse_parents` recurses until `id == parent` (:13-24);
   *   - a process-wide recursion limit of 200 frames (:10) means a chain deeper
-  *     than the cap — or any cycle — raises, and the node falls back to
-  *     ITSELF as its ultimate parent, with a warning surfaced out-of-band
-  *     (:25-39). "One bad org shouldn't kill the pipeline."
+  *     than the cap — or any cycle — raises; the reference's handler (:25-39)
+  *     returns the ror_id of the FRAME WHERE RECURSION BLEW UP (an arbitrary
+  *     ancestor ~200 hops deep, dependent on the interpreter's frame budget),
+  *     with a warning surfaced out-of-band. "One bad org shouldn't kill the
+  *     pipeline."
+  *   - DELIBERATE DEVIATION: this implementation falls back to the STARTING
+  *     node itself (`capped = true`) instead of reproducing that deep-frame
+  *     return value — the reference's choice is an artifact of CPython's
+  *     recursion depth, not a semantic contract, and fallback-to-self is
+  *     deterministic across engines and cap settings.
   *
   * Spark-first design — two interchangeable implementations:
   *

@@ -15,7 +15,11 @@ import graft.ops.{Enrich, ParentEdges, UltimateParent}
   * driver-side loop over plans (not an incremental streaming aggregation):
   * each batch is a self-contained dump slice, resolved against its own
   * graph. Exactly-once delivery comes from the checkpointed source offsets
-  * + idempotent parquet append per batch id.
+  * + an idempotent write per batch: each micro-batch OVERWRITES its own
+  * `batch_id=<n>` subdirectory, so a batch retried from the checkpoint
+  * after a partial write replaces its earlier attempt instead of appending
+  * duplicates (plain `Append` would be at-least-once). Readers see
+  * `batch_id` as an extra partition column on the staging table.
   */
 object StreamingIngest {
 
@@ -36,7 +40,7 @@ object StreamingIngest {
           ParentEdges.requireUniqueIds(batch, "id")
           val rollup = UltimateParent.resolve(ParentEdges.edges(batch), maxDepth)
           Enrich.withUltimateParent(batch, rollup.select("id", "ultimate_parent"))
-            .write.mode(SaveMode.Append).parquet(stagingDir)
+            .write.mode(SaveMode.Overwrite).parquet(s"$stagingDir/batch_id=$batchId")
         }
         ()
       }

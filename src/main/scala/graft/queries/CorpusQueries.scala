@@ -47,7 +47,11 @@ object CorpusQueries {
       val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
       val n = docs.select(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(desc("weight"), asc("token"))
-      tf.join(broadcast(df), "token")
+      // df (the vocabulary) is NOT broadcast-hinted: a 100 TB corpus has a
+      // vocabulary far past any broadcast threshold, so this must stay an
+      // AQE-adjudicated join — shuffle on `token` at scale, auto-broadcast
+      // at test scale. (n_docs is one row; broadcasting that is always right.)
+      tf.join(df, "token")
         .crossJoin(broadcast(n))
         .withColumn("weight",
           round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 4))

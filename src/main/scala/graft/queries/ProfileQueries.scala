@@ -20,7 +20,9 @@ object ProfileQueries {
       Tables.embeddings(s, d).select(
         col("vec_id"),
         round(maxabs, 6).as("scale_maxabs"),
-        transform(v, x => round(x * 127.0 / maxabs).cast("int")).as("q_int8"))
+        // Emitted as a canonical CSV string (not array<int>) so downstream
+        // comparers that can't sort/hash raw array cells still work.
+        array_join(transform(v, x => round(x * 127.0 / maxabs).cast("int")), ",").as("q_int8"))
     }),
 
     // Per-group column statistics (sample stddev/variance, correlation).
@@ -98,11 +100,11 @@ object ProfileQueries {
 
     "q47_event_pivot" ->
       """SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
         |FROM events WHERE user_id < 20 GROUP BY user_id""".stripMargin,
 
     "q42_json_props" ->
@@ -116,7 +118,7 @@ object ProfileQueries {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e)
         |SELECT vec_id, round(maxabs, 6) AS scale_maxabs,
-        |  list_transform(v, x -> round(x * 127.0 / maxabs)::INT) AS q_int8
+        |  array_to_string(list_transform(v, x -> round(x * 127.0 / maxabs)::INT), ',') AS q_int8
         |FROM m""".stripMargin,
 
     "q39_column_stats" ->
@@ -129,8 +131,8 @@ object ProfileQueries {
 
     "q40_profile_orders" ->
       """SELECT count(*) AS n_rows,
-        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls_custkey,
-        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nulls_status,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_custkey,
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls_status,
         |  count(distinct o_custkey) AS d_custkey,
         |  count(distinct o_orderstatus) AS d_status,
         |  count(distinct o_orderpriority) AS d_priority

@@ -54,6 +54,13 @@ object RelationalQueries {
     }),
     // Exact interpolated percentiles (both engines sort + linearly
     // interpolate, so results agree to the rounded digit).
+    //
+    // SCALE BOUNDARY: Spark's exact `percentile` is an ObjectHashAggregate
+    // that buffers EVERY group value in executor memory — a hot group at
+    // 100 TB OOMs the executor. This exact form exists because the oracle
+    // needs digit-exact agreement; production pipelines at scale should use
+    // `approxPercentiles` below (t-digest sketch, bounded memory, map-side
+    // combinable) — see RelationalQueriesSpec for the accuracy check.
     "q31_percentiles" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -75,17 +82,42 @@ object RelationalQueries {
           round(col("t.score"), 2).as("price"), col("t.payload").as("linenumber"))),
 
     // Sketch surface: HLL++ approximate distinct next to the exact count.
-    // No oracle entry (approx sketches differ across engines by design) —
-    // the driver records a rows-only check for this one.
+    // Sketch estimates differ across engines by design, so the oracle-checked
+    // output is the exact count PLUS a boolean asserting the sketch landed
+    // within 5% of it — the oracle emits the same exact counts and TRUE,
+    // verifying both the values and that the sketch met tolerance.
     "q32_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            < col("exact_parts") * 0.05).as("approx_within_5pct"))),
   )
 
+  /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
+    * group (accuracy parameter trades memory for error) and combines
+    * map-side — the form to use when a group may hold billions of values.
+    * Same output shape as q31 so it is a drop-in swap. */
+  def approxPercentiles(s: SparkSession, d: String, accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr(s"approx_percentile(l_quantity, 0.5, $accuracy)"), 2).as("median_qty"),
+        round(expr(s"approx_percentile(l_quantity, 0.95, $accuracy)"), 2).as("p95_qty"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)"), 2).as("median_price"))
+
   val oracle: Map[String, String] = Map(
+    // The sketch side is engine-specific; the oracle verifies the exact
+    // counts and asserts the tolerance boolean came out TRUE.
+    "q32_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q43_topk_per_group" ->
       """SELECT l_orderkey, rn::INT AS rank, round(l_extendedprice, 2) AS price,
         |  l_linenumber::BIGINT AS linenumber

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenCompile
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Regression guard: projections over the custom array expressions must
+  * COMPILE under codegen. A helper signature returning Object once knocked
+  * every projection containing them back to the interpreter ("Expr codegen
+  * error and falling back to interpreter mode" at WARN — easy to miss). */
+class CodegenCompileSpec extends AnyFunSuite {
+  TestSpark.spark // force session init (SQLConf etc.)
+
+  private val as = (0 until 16).map(TextHash.permA).toArray
+  private val bs = (0 until 16).map(TextHash.permB).toArray
+
+  test("shingle-hash expressions compile in an UnsafeProjection") {
+    val text = BoundReference(0, StringType, nullable = true)
+    CodegenCompile.compileUnsafeProjection(Seq(
+      WordShingleHashes(text, 3, TextHash.P),
+      CharShingleHashes(text, 8, TextHash.P, 2)))
+  }
+
+  test("signature + 16 getItems (subexpr elimination) compiles") {
+    val hashes = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
+    val sig = MinHashSignature(hashes, as, bs, TextHash.P)
+    val exprs: Seq[Expression] =
+      Seq[Expression](hashes) ++ (0 until 16).map(i => GetArrayItem(sig, Literal(i)))
+    CodegenCompile.compileUnsafeProjection(exprs)
+  }
+
+  test("full-text expression set compiles (md5 array, rolling min, dot)") {
+    val text = BoundReference(0, StringType, nullable = true)
+    val arr = BoundReference(1, ArrayType(StringType, containsNull = true), nullable = true)
+    val vec = BoundReference(2, ArrayType(DoubleType, containsNull = false), nullable = true)
+    CodegenCompile.compileUnsafeProjection(Seq(
+      Md5Long(text),
+      Md5LongArray(arr, TextHash.P),
+      MinRollingMd5(text, 8, 4),
+      DotProduct(vec, vec)))
+  }
+}

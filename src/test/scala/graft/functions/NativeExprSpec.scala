@@ -34,6 +34,17 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("DotProduct fails loudly on a vector length mismatch (no silent truncation)") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorExpressions.dot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("length mismatch")))
+  }
+
   test("Md5LongArray equals per-element transform") {
     val df = Seq(Seq("a", "bb", "hello world", "")).toDF("arr")
     val out = df.select(

@@ -34,4 +34,33 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recalls.last._2 == 1.0, "probing all buckets must equal the exact scan")
     assert(recalls.head._2 > 0.0, "even nprobe=2 must find some true neighbors")
   }
+
+  test("learned k-means quantizer: recall monotone in nprobe, exact at full probe") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.topK(q, e, "vec_id", "embedding", k = 3))
+    val recalls = Seq(2, 5, 10).map { np =>
+      val ivf = pairs(KMeansIVF.ivfTopK(q, e, "vec_id", "embedding",
+        k = 3, nprobe = np, nClusters = 10, iters = 4, sampleMod = 5))
+      val r = (exact intersect ivf).size.toDouble / exact.size
+      info(f"kmeans nprobe=$np%2d -> recall@3 = $r%.3f")
+      np -> r
+    }
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      s"recall must be monotone in nprobe: $recalls")
+    assert(recalls.last._2 == 1.0, "probing all buckets must equal the exact scan")
+    assert(recalls.head._2 > 0.0, "even nprobe=2 must find some true neighbors")
+  }
+
+  test("k-means fit is deterministic under input order") {
+    val vecs = Array.tabulate(12)(i => (i.toLong, Array.tabulate(4)(d => (i % 3 + d).toDouble)))
+    val a = KMeansIVF.fit(vecs, nClusters = 3, iters = 4)
+    val b = KMeansIVF.fit(vecs.reverse, nClusters = 3, iters = 4)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "input order must not matter")
+    // 12 points collapse onto 3 distinct directions → no NaNs, 3 centroids
+    assert(a.length == 3 && a.forall(_.forall(x => !x.isNaN)))
+  }
 }

@@ -23,6 +23,17 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(plain.values.sum == 502)
   }
 
+  test("salt-unsafe join types are rejected (right rows would be replicated)") {
+    val left = Seq(("a", 1)).toDF("k", "v")
+    val right = Seq(("a", "A")).toDF("rk", "tag")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(left, right, "k", "rk", 4, jt)
+      }
+      assert(e.getMessage.contains("saltedJoin"), s"joinType=$jt")
+    }
+  }
+
   test("left join type preserved") {
     val left = Seq(("a", 1), ("z", 2)).toDF("k", "v")
     val right = Seq(("a", "A")).toDF("rk", "tag")
