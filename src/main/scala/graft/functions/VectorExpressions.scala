@@ -307,6 +307,86 @@ case class MinRollingMd5(child: Expression, n: Int, stride: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static helpers for [[NearestCentroids]] (callable from generated code). */
+object KMeansNearestUtil {
+
+  /** sqrt(dot(c,c)) per centroid, left-to-right fold. */
+  def norms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  /** Ids of the `nprobe` nearest centroids by cosine, ordered sim DESC with
+    * ties to the smaller id — the exact ORDER BY the DuckDB oracle replays.
+    * Cosine = dot/(sqrt(dot(v,v))·normC), every fold left-to-right, so the
+    * bits match the oracle's `list_dot_product`-based formula. */
+  def nearest(v: ArrayData, cents: Array[Array[Double]], normsC: Array[Double], nprobe: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val varr = new Array[Double](n)
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); varr(i) = x; vv += x * x; i += 1 }
+    val nv = math.sqrt(vv)
+    val k = cents.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cv = cents(c)
+      var s = 0.0; var j = 0
+      while (j < n) { s += varr(j) * cv(j); j += 1 }
+      sims(c) = s / (nv * normsC(c))
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var o = 0
+    while (o < m) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && sims(c2) > bestSim) { bestSim = sims(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true; out(o) = best; o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Top-`nprobe` nearest-centroid ids for an `array<double>` vector, as ONE
+  * codegen'd call with the centroid matrix in the references array.
+  *
+  * The compositional formulation (an `array()` of k inline dot-product
+  * cosines fed through argmax/sort) is semantically identical but, after
+  * `CollapseProject`, inlines the k-dot array into every consumer — the
+  * whole-stage source grows past what Janino compiles in reasonable time
+  * (~2 s PER STAGE at k=10), dominating ANN query latency. One references-
+  * backed loop keeps the generated code O(1) in k. */
+case class NearestCentroids(child: Expression, cents: Array[Array[Double]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private lazy val normsC: Array[Double] = KMeansNearestUtil.norms(cents)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    KMeansNearestUtil.nearest(v.asInstanceOf[ArrayData], cents, normsC, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("norms", normsC, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.KMeansNearestUtil.nearest($c, $centsRef, $normsRef, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
 
   /** Register (idempotently) in the active session's function registry and
@@ -342,6 +422,15 @@ object VectorExpressions {
   def minRollingMd5(text: Column, n: Int, stride: Int): Column =
     registered(s"graft_min_rolling_md5_${n}_$stride",
       exprs => MinRollingMd5(exprs.head, n, stride))(text)
+
+  def nearestCentroids(v: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    // fingerprint the centroid CONTENT into the registered name: the fit
+    // changes between calls and registration is session-global by name
+    val fp = cents.flatten.foldLeft(17L)((h, d) =>
+      h * 31 + java.lang.Double.doubleToLongBits(d)).toHexString
+    registered(s"graft_nearest_cents_${cents.length}_${nprobe}_$fp",
+      exprs => NearestCentroids(exprs.head, cents, nprobe))(v)
+  }
 
   def minhashSignature(hashes: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     // name carries a constants fingerprint: registration is session-global

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextHash
@@ -81,6 +80,16 @@ object KMeansIVF {
     centroids
   }
 
+  /** Map-side centroid assignment via the [[graft.functions.NearestCentroids]]
+    * expression: bucket = argmax cosine (smallest cid on ties), centroids in
+    * the codegen references array. No join, no shuffle: the corpus side
+    * stays embarrassingly parallel, which is the property that matters at
+    * 100 TB. Input must have columns `(neighbor_id, cv: array<double>)`. */
+  def assignBuckets(c: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    c.withColumn("bucket",
+        element_at(graft.functions.VectorExpressions.nearestCentroids(col("cv"), centroids, 1), 1))
+      .select(col("neighbor_id"), col("cv"), col("bucket"))
+
   /** Fit on the hash-sample of `corpus`, then ANN top-k for each query.
     * Output `(query_id, neighbor_id, rank, cosine)` — same shape as
     * [[VectorOps.topK]], recall < 1.0 by design. */
@@ -89,7 +98,6 @@ object KMeansIVF {
       idCol: String, vecCol: String,
       k: Int, nprobe: Int,
       nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): DataFrame = {
-    val spark = corpus.sparkSession
     val c = corpus.select(
       col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
 
@@ -100,31 +108,16 @@ object KMeansIVF {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val centroids = fit(sample, nClusters, iters)
 
-    // 2. ASSIGN the corpus map-side: cosines to all centroids as one
-    // literal-array expression; bucket = first argmax (smallest cid wins).
-    val centroidCos: Seq[Column] = centroids.toSeq.map { cv =>
-      val litArr = array(cv.map(lit).toSeq: _*)
-      val normC = math.sqrt(dotSeq(cv, cv))
-      VectorOps.dot(col("cv"), litArr) / (sqrt(VectorOps.dot(col("cv"), col("cv"))) * lit(normC))
-    }
-    val assigned = c
-      .withColumn("sims", array(centroidCos: _*))
-      .withColumn("bucket", (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int"))
-      .select(col("neighbor_id"), col("cv"), col("bucket"))
+    // 2. ASSIGN the corpus map-side (see assignBuckets).
+    val assigned = assignBuckets(c, centroids)
 
-    // 3. PROBE — queries × (tiny) centroid table, top nprobe by cosine.
-    val centroidDf = spark.createDataFrame(
-      centroids.zipWithIndex.toSeq.map { case (cv, i) => (i, cv.toSeq) })
-      .toDF("cid", "centroid")
-      .select(col("cid"), col("centroid").cast("array<double>").as("centroid"))
+    // 3. PROBE — top-nprobe centroids per query, selected MAP-SIDE by the
+    // same expression (sim desc, cid asc — the oracle's ORDER BY): no join,
+    // no window, no shuffle on the query side.
     val q = queries.select(col(idCol).as("query_id"), VectorOps.asDouble(col(vecCol)).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cid").asc)
-    val probed = q.join(broadcast(centroidDf))
-      .withColumn("ccos", VectorOps.cosine(col("qv"), col("centroid")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid").as("bucket"))
+    val probed = q.select(col("query_id"), col("qv"),
+      explode(graft.functions.VectorExpressions.nearestCentroids(col("qv"), centroids, nprobe))
+        .as("bucket"))
 
     // 4. SCAN only the probed buckets; bounded top-k aggregate.
     broadcast(probed)

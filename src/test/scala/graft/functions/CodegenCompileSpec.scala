@@ -32,14 +32,16 @@ class CodegenCompileSpec extends AnyFunSuite {
     CodegenCompile.compileUnsafeProjection(exprs)
   }
 
-  test("full-text expression set compiles (md5 array, rolling min, dot)") {
+  test("full-text expression set compiles (md5 array, rolling min, dot, centroids)") {
     val text = BoundReference(0, StringType, nullable = true)
     val arr = BoundReference(1, ArrayType(StringType, containsNull = true), nullable = true)
     val vec = BoundReference(2, ArrayType(DoubleType, containsNull = false), nullable = true)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     CodegenCompile.compileUnsafeProjection(Seq(
       Md5Long(text),
       Md5LongArray(arr, TextHash.P),
       MinRollingMd5(text, 8, 4),
-      DotProduct(vec, vec)))
+      DotProduct(vec, vec),
+      NearestCentroids(vec, cents, 2)))
   }
 }
