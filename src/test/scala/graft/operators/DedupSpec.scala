@@ -44,6 +44,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "distinct doc has no pair")
   }
 
+  test("signature-estimate prune keeps every true pair and shrinks the verify set") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P)
+    val cfg = MinHashDedup.Config(numHashes = 16, bands = 8, jaccardThreshold = 0.8)
+    val noPrune = cfg.copy(estimateMargin = 1.0) // cutoff < 0 disables
+    def result(c: MinHashDedup.Config) =
+      MinHashDedup.pairs(docs, "doc_id", sh, c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = result(cfg)
+    spark.catalog.clearCache()
+    val full = result(noPrune)
+    spark.catalog.clearCache()
+    assert(pruned == full, "prune must not change the verified output")
+    // and the prune genuinely reduces the exact-verify input
+    val sig = MinHashDedup.withSignature(
+      MinHashDedup.hashed(docs, "doc_id", sh), cfg)
+    val candAll = MinHashDedup.candidatePairs(sig, cfg).count()
+    val candPruned = MinHashDedup.estimatePruned(
+      MinHashDedup.candidatePairs(sig, cfg), sig, cfg).count()
+    info(s"candidates $candAll -> $candPruned after estimate prune")
+    assert(candPruned <= candAll)
+    spark.catalog.clearCache()
+  }
+
   test("simhash: identical docs have hamming 0; blocking finds them") {
     val pairs = SimHashDedup.pairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
