@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_md5_long"),
       info("graft_md5_long", "graft_md5_long(s) - top 60 bits of md5(s) as bigint"),
       (exprs: Seq[Expression]) => Md5Long(exprs.head)))
+    // the as-of join's custom physical operator (plans/AsOfJoinPlan.scala);
+    // AsOfJoin.latestPriorMerge also installs it per-session for callers
+    // on vanilla sessions
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

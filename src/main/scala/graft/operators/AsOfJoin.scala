@@ -62,4 +62,43 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__side", "__r_ts", "__r_val")
   }
+
+  /** Same contract and output schema as [[latestPrior]], executed by the
+    * custom physical operator ([[graft.plans.AsOfJoinExec]]): both sides
+    * hash-clustered on the key and sorted by (key, ts), then a streaming
+    * per-partition merge with O(1) state — no union row-widening, no window
+    * buffer. The planner strategy is installed idempotently on the session.
+    */
+  def latestPriorMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.LongType
+
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+
+    // fresh aliases give the right side its own exprIds even when both
+    // inputs derive from the same base relation (the common self-ASOF case)
+    val r = right.select(
+      col(keyCol).as("__asof_k"),
+      col(tsCol).cast("long").as("asof_ts"),
+      col(valueCol).as(s"asof_$valueCol"))
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, keyCol), Cast(attr(lPlan, tsCol), LongType),
+      attr(rPlan, "__asof_k"), attr(rPlan, "asof_ts"))
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, node)
+      .drop("__asof_k")
+  }
 }

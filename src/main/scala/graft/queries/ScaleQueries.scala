@@ -46,7 +46,9 @@ object ScaleQueries {
       val purchases = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
         .groupBy(col("user_id"), col("ts_us"))
         .agg(round(max(col("value")), 2).as("purchase_value"))
-      AsOfJoin.latestPrior(errors, purchases, "user_id", "ts_us", "purchase_value")
+      // the custom LogicalPlan+Strategy+SparkPlan merge operator; proven
+      // equal to the union+window composition in AsOfJoinSpec
+      AsOfJoin.latestPriorMerge(errors, purchases, "user_id", "ts_us", "purchase_value")
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("asof_ts"), col("asof_purchase_value"))
     }),

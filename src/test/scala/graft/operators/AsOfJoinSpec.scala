@@ -35,4 +35,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("e3") == ((Some(20L), Some(200.0))))
     assert(out("e4") == ((None, None)))
   }
+
+  test("latestPriorMerge (custom physical operator) matches the composition on the harness events") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn(
+        "ts_us", org.apache.spark.sql.functions.unix_micros(org.apache.spark.sql.functions.col("ts")))
+    val errors = ev.filter($"event_type" === "error").select($"event_id", $"user_id", $"ts_us")
+    val purchases = ev.filter($"event_type" === "purchase" && $"value".isNotNull)
+      .groupBy($"user_id", $"ts_us")
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.max($"value"), 2).as("purchase_value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "ts_us", "asof_ts", "asof_purchase_value")
+        .collect().map(_.toSeq).toSet
+    val composed = rows(AsOfJoin.latestPrior(errors, purchases, "user_id", "ts_us", "purchase_value"))
+    val merged = rows(AsOfJoin.latestPriorMerge(errors, purchases, "user_id", "ts_us", "purchase_value"))
+    assert(merged == composed)
+    assert(merged.nonEmpty)
+  }
+
+  test("latestPriorMerge plans through AsOfJoinExec with exchanges+sorts inserted by Catalyst") {
+    val left = Seq((1L, 5L, "a"), (1L, 12L, "b"), (3L, 9L, "c")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.5), (3L, 20L, 2.5)).toDF("k", "t", "v")
+    val df = AsOfJoin.latestPriorMerge(left, right, "k", "t", "v")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"),
+      s"expected the custom exec in:\n$plan")
+    val out = df.select("tag", "asof_ts", "asof_v").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("a") == ((None, None)))
+    assert(out("b") == ((Some(10L), Some(1.5))))
+    assert(out("c") == ((None, None)))
+  }
+
+  test("latestPriorMerge handles skewed single-key and empty-side partitions") {
+    val left = (1L to 500L).map(i => (42L, i, s"e$i")).toDF("k", "t", "tag")
+    val right = Seq((42L, 100L, 1.0), (42L, 300L, 3.0), (7L, 1L, 9.9)).toDF("k", "t", "v")
+    val out = AsOfJoin.latestPriorMerge(left, right, "k", "t", "v")
+      .groupBy($"asof_v").count().collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Double]) -> r.getLong(1)).toMap
+    assert(out(None) == 99L)        // t in 1..99: no prior
+    assert(out(Some(1.0)) == 200L)  // t in 100..299
+    assert(out(Some(3.0)) == 201L)  // t in 300..500
+  }
 }
