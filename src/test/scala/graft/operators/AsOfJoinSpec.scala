@@ -68,6 +68,26 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("c") == ((None, None)))
   }
 
+  test("latestPriorMerge == latestPrior on randomized inputs (seeded)") {
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 1 to 3) {
+      val nKeys = 1 + rnd.nextInt(8)
+      val left = (1 to 200).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(50).toLong, s"e${round}_$i")
+      }.toDF("k", "t", "tag")
+      // right unique per (k, t) as the operator contract requires
+      val right = (1 to 150).map { _ =>
+        (rnd.nextInt(nKeys + 2).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000) / 10.0)
+      }.toDF("k", "t", "v").groupBy($"k", $"t")
+        .agg(org.apache.spark.sql.functions.max($"v").as("v"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("tag", "asof_ts", "asof_v").collect().map(_.toSeq).toSet
+      val composed = rows(AsOfJoin.latestPrior(left, right, "k", "t", "v"))
+      val merged = rows(AsOfJoin.latestPriorMerge(left, right, "k", "t", "v"))
+      assert(merged == composed, s"round $round diverged")
+    }
+  }
+
   test("latestPriorMerge handles skewed single-key and empty-side partitions") {
     val left = (1L to 500L).map(i => (42L, i, s"e$i")).toDF("k", "t", "tag")
     val right = Seq((42L, 100L, 1.0), (42L, 300L, 3.0), (7L, 1L, 9.9)).toDF("k", "t", "v")
