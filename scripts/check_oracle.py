@@ -75,16 +75,22 @@ def main(sf_dir, out_dir):
     n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
+        # fetch each side ONCE as arrow: rows and schema both derive from
+        # it (re-running the heavy oracle SQL a second time just for the
+        # schema doubled gate runtime)
         try:
-            oc = con.sql(sql)
-            o_cols, o_rows = oc.columns, oc.fetchall()
+            o_tbl = con.sql(sql).fetch_arrow_table()
+            o_cols = o_tbl.column_names
+            o_rows = [tuple(d[c] for c in o_cols) for d in o_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         try:
-            gc = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            g_cols, g_rows = gc.columns, gc.fetchall()
+            g_tbl = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+            g_cols = g_tbl.column_names
+            g_rows = [tuple(d[c] for c in g_cols) for d in g_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
@@ -96,10 +102,7 @@ def main(sf_dir, out_dir):
         # dtype gate: the driver hash-compares typed values, so a value-level
         # match with a type-level mismatch (e.g. HUGEINT vs BIGINT) still
         # fails there — make it fail here first.
-        o_schema = con.sql(sql).fetch_arrow_table().schema
-        g_schema = con.sql(
-            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table().schema
-        mismatches = schema_diff(o_schema, g_schema)
+        mismatches = schema_diff(o_tbl.schema, g_tbl.schema)
         if mismatches:
             n_fail += 1
             for colname, ot, gt in mismatches:

@@ -337,7 +337,11 @@ object KMeansNearestUtil {
       val cv = cents(c)
       var s = 0.0; var j = 0
       while (j < n) { s += varr(j) * cv(j); j += 1 }
-      sims(c) = s / (nv * normsC(c))
+      val sim = s / (nv * normsC(c))
+      // NaN (zero-norm vector or centroid) maps to +inf: DuckDB's ORDER BY
+      // cos DESC sorts NaN above every number, so parity requires NaN to
+      // win here too (ties then break to the smaller cid, as everywhere)
+      sims(c) = if (java.lang.Double.isNaN(sim)) Double.PositiveInfinity else sim
       c += 1
     }
     val m = math.min(nprobe, k)
@@ -345,10 +349,15 @@ object KMeansNearestUtil {
     val taken = new Array[Boolean](k)
     var o = 0
     while (o < m) {
-      var best = -1; var bestSim = Double.NegativeInfinity
+      // seed best with the first untaken cid, NOT -1: all-NaN sims (a
+      // zero-norm vector) must degrade to the smallest cid — matching the
+      // oracle's ORDER BY tie-break — instead of indexing with -1
+      var best = -1; var bestSim = 0.0
       var c2 = 0
       while (c2 < k) {
-        if (!taken(c2) && sims(c2) > bestSim) { bestSim = sims(c2); best = c2 }
+        if (!taken(c2) && (best == -1 || sims(c2) > bestSim)) {
+          bestSim = sims(c2); best = c2
+        }
         c2 += 1
       }
       taken(best) = true; out(o) = best; o += 1

@@ -68,6 +68,12 @@ object AsOfJoin {
     * hash-clustered on the key and sorted by (key, ts), then a streaming
     * per-partition merge with O(1) state — no union row-widening, no window
     * buffer. The planner strategy is installed idempotently on the session.
+    *
+    * Null-key semantics DIFFER from the composition: the merge follows SQL
+    * equi-join rules (a null left key never matches), while [[latestPrior]]'s
+    * `PARTITION BY key` groups null keys together and matches them. The
+    * merge's behavior is the standard one (DuckDB ASOF agrees); avoid null
+    * keys if you need the composition's quirk.
     */
   def latestPriorMerge(
       left: DataFrame,

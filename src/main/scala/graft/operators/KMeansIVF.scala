@@ -26,7 +26,12 @@ import graft.functions.TextHash
   *   - init = the `nClusters` sample vectors with the smallest ids;
   *   - assignment = argmax cosine, ties to the smallest centroid id;
   *   - update = per-dimension mean rounded to 6 decimals (HALF_UP), empty
-  *     clusters keep their previous centroid;
+  *     clusters keep their previous centroid. KNOWN RESIDUAL: the mean is
+  *     the one step whose summation order is not bit-controlled (Scala
+  *     sums id-sorted, DuckDB's avg() accumulates in scan order) — the
+  *     6-decimal rounding absorbs the reorder noise unless a mean lands
+  *     within ~1 ulp of a rounding boundary (DuckDB 1.0 has no ordered
+  *     list fold to close this exactly);
   *   - a FIXED number of Lloyd iterations (no data-dependent convergence
   *     test, which could diverge across engines at the last ulp).
   */
@@ -48,25 +53,30 @@ object KMeansIVF {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Lloyd iterations over an id-sorted sample. Returns `nClusters`
-    * centroid vectors (cid = array index). */
+  /** Lloyd iterations over an id-sorted sample. Returns
+    * `min(nClusters, sample.length)` centroid vectors (cid = array index) —
+    * a sample smaller than nClusters degrades to fewer centroids, exactly
+    * like the oracle replay's `ORDER BY id LIMIT nClusters`. */
   def fit(sample: Array[(Long, Array[Double])], nClusters: Int, iters: Int): Array[Array[Double]] = {
-    require(sample.length >= nClusters,
-      s"k-means sample (${sample.length}) smaller than nClusters ($nClusters)")
+    require(sample.nonEmpty, "k-means sample is empty")
+    val k = math.min(nClusters, sample.length)
     val sorted = sample.sortBy(_._1)
-    var centroids = sorted.take(nClusters).map(_._2)
+    var centroids = sorted.take(k).map(_._2)
     for (_ <- 1 to iters) {
       val assign = sorted.map { case (_, v) =>
         var best = 0; var bestSim = Double.NegativeInfinity
         var c = 0
-        while (c < nClusters) {
-          val sim = cosineSeq(v, centroids(c))
+        while (c < k) {
+          val s = cosineSeq(v, centroids(c))
+          // NaN → +inf, same rule as KMeansNearestUtil.nearest (DuckDB
+          // sorts NaN above every number in the replay's ORDER BY DESC)
+          val sim = if (java.lang.Double.isNaN(s)) Double.PositiveInfinity else s
           if (sim > bestSim) { bestSim = sim; best = c } // ties keep smaller cid
           c += 1
         }
         (best, v)
       }
-      centroids = Array.tabulate(nClusters) { c =>
+      centroids = Array.tabulate(k) { c =>
         val members = assign.collect { case (`c`, v) => v }
         if (members.isEmpty) centroids(c)
         else {

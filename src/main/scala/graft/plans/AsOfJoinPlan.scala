@@ -73,6 +73,14 @@ case class AsOfJoinExec(
     rightTs: Expression)
   extends BinaryExecNode {
 
+  // the merge reads right-key slots through an ordering generated from the
+  // LEFT key type and both ts slots as long — enforce rather than corrupt
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == org.apache.spark.sql.types.LongType &&
+    rightTs.dataType == org.apache.spark.sql.types.LongType,
+    s"as-of ts expressions must be LongType (cast first): ${leftTs.dataType}/${rightTs.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

@@ -86,11 +86,14 @@ object RelationalQueries {
     // output is the exact count PLUS a boolean asserting the sketch landed
     // within 5% of it — the oracle emits the same exact counts and TRUE,
     // verifying both the values and that the sketch met tolerance.
+    // rsd = 0.01 (not the 0.05 default): the gate asserts <5% error, which
+    // must sit several sigma above the sketch's own accuracy or the boolean
+    // is a coin flip on unseen data — 0.01 rsd makes 5% a ~5-sigma bound.
     "q32_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(
           col("l_returnflag"), col("exact_parts"),
