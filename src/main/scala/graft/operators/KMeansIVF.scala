@@ -142,6 +142,64 @@ object KMeansIVF {
         round(col("t.score"), 3).as("cosine"))
   }
 
+  /** Persist an IVF index: the corpus written `partitionBy(bucket)` (one
+    * directory per centroid bucket) plus the centroids as a JSON sidecar.
+    * Repeated query batches against the index then read ONLY the probed
+    * buckets from storage — partition pruning turns nprobe/k into a disk-
+    * level saving, the layout you want under 100 TB of embeddings. */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): Array[Array[Double]] = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
+    val sample = c
+      .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids = fit(sample, nClusters, iters)
+    assignBuckets(c, centroids)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
+    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/centroids.json"), json)
+    centroids
+  }
+
+  def readCentroids(dir: String): Array[Array[Double]] = {
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/centroids.json"))
+    // minimal parser for the [[d,d,...],[...]] layout written above
+    json.trim.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
+      .map(_.split(",").map(_.trim.toDouble))
+  }
+
+  /** ANN top-k against a persisted index. The distinct probe-bucket set is
+    * bounded by nClusters (not by |queries|), so it is collected and pushed
+    * as a STATIC partition filter — `PartitionFilters: [bucket IN (...)]`
+    * in the scan, only those directories read. */
+  def indexTopK(
+      queries: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readCentroids(indexDir)
+    val q = queries.select(col(idCol).as("query_id"), VectorOps.asDouble(col(vecCol)).as("qv"))
+    val probed = q.select(col("query_id"), col("qv"),
+      explode(graft.functions.VectorExpressions.nearestCentroids(col("qv"), centroids, nprobe))
+        .as("bucket"))
+    val buckets = probed.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nClusters values — always tiny
+    val data = spark.read.parquet(s"$indexDir/data")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    broadcast(probed)
+      .join(data, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("t.score"), 3).as("cosine"))
+  }
+
   /** DuckDB replay of the FULL pipeline — sample, init, each unrolled Lloyd
     * iteration, corpus assignment, probe, scan — over the same parquet. */
   def oracleSql(
