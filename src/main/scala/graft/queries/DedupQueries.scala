@@ -110,6 +110,18 @@ object DedupQueries {
         "vec_id", "embedding", k = 3, nprobe = 2,
         nClusters = 10, iters = 4, sampleMod = 5)
     }),
+
+    // Same ANN through the PERSISTED index lifecycle: fit + bucket-
+    // partitioned write + partition-pruned query, different (k, nprobe) to
+    // exercise the oracle generator's parameterization. Measures the whole
+    // index build+query cycle, not just the scan.
+    "q49_sim_ann_ivf_index" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      graft.operators.KMeansIVF.writeIndex(e, "vec_id", "embedding", idx)
+      graft.operators.KMeansIVF.indexTopK(e.filter(col("vec_id") < 10), idx,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+    }),
   )
 
   private val ivfOracle: String =
@@ -184,5 +196,11 @@ object DedupQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "q17_sim_ann_ivf" -> ivfOracle,
+
+    // identical replay with the index path's (k, nprobe) — the persisted
+    // layout cannot change results, only which directories are read
+    "q49_sim_ann_ivf_index" -> graft.operators.KMeansIVF.oracleSql(
+      "embeddings", "vec_id", "embedding", queryPred = "id < 10",
+      k = 5, nprobe = 3, nClusters = 10, iters = 4, sampleMod = 5),
   )
 }
