@@ -86,19 +86,20 @@ object RelationalQueries {
     // output is the exact count PLUS a boolean asserting the sketch landed
     // within 5% of it — the oracle emits the same exact counts and TRUE,
     // verifying both the values and that the sketch met tolerance.
-    // rsd = 0.01 (not the 0.05 default): the gate asserts <5% error, which
-    // must sit several sigma above the sketch's own accuracy or the boolean
-    // is a coin flip on unseen data — 0.01 rsd makes 5% a ~5-sigma bound.
+    // The tolerance gate must sit several sigma above the sketch's own
+    // accuracy or the boolean is a coin flip on unseen data: rsd = 0.02
+    // with a 10% gate is a ~5-sigma bound (rsd 0.01 would allow a 5% gate
+    // but quadruples the register count — measured 5.7 s at sf0.1 vs ~1 s).
     "q32_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(
           col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts"))
-            < col("exact_parts") * 0.05).as("approx_within_5pct"))),
+            < col("exact_parts") * 0.10).as("approx_within_10pct"))),
   )
 
   /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
@@ -118,7 +119,7 @@ object RelationalQueries {
     // counts and asserts the tolerance boolean came out TRUE.
     "q32_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-        |  TRUE AS approx_within_5pct
+        |  TRUE AS approx_within_10pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q43_topk_per_group" ->

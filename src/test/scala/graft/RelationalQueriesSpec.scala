@@ -24,14 +24,14 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q32 tolerance boolean is TRUE on every group (sketch within 5%)") {
+  test("q32 tolerance boolean is TRUE on every group (sketch within 10%)") {
     val rows = RelationalQueries.queries("q32_approx_distinct")(spark, dir).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getBoolean(2)), "HLL++ estimate strayed past 5% of exact")
+    assert(rows.forall(_.getBoolean(2)), "HLL++ estimate strayed past 10% of exact")
   }
 
   test("q32 exposes exact counts, not the sketch value") {
     val df = RelationalQueries.queries("q32_approx_distinct")(spark, dir)
-    assert(df.columns.toSeq == Seq("l_returnflag", "exact_parts", "approx_within_5pct"))
+    assert(df.columns.toSeq == Seq("l_returnflag", "exact_parts", "approx_within_10pct"))
   }
 }
