@@ -97,17 +97,23 @@ object VectorOps {
       }
       struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bkt"))
     }
-    val bucketed = e.select(col("id"), col("v"), col("nrm"),
-      explode(array(bucketCols: _*)).as("b"))
-    bucketed.as("x")
-      .join(bucketed.as("y"), col("x.b") === col("y.b") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
-      // filter first (per-row, map-side), THEN dedup: only the pairs at/above
-      // threshold pay the distinct shuffle — equivalent because cos is a
-      // deterministic function of the pair, so duplicates agree on it.
-      .filter(col("cos") >= threshold)
+    // Bucket rows are NARROW (id, bucket) — the 6-table explode and the
+    // self-join shuffle never carry the 64-double vectors. Candidate pairs
+    // are deduped first (multi-table duplicates collapse before any math),
+    // and only then are the vectors joined back for the exact-cosine
+    // verify — the same candidates-only shape as the MinHash verify, and
+    // the traffic profile that matters when the embedding corpus is the
+    // 100 TB side.
+    val buckets = e.select(col("id"), explode(array(bucketCols: _*)).as("b"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), col("x.b") === col("y.b") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    val va = e.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val vb = e.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cosine"))
   }
 
