@@ -261,6 +261,31 @@ object ShingleUtil {
     distinctArray(out)
   }
 
+  /** Occurrence-weighted 60-bit simhash of whitespace-tokenized text in one
+    * native pass — value-identical to the compositional form
+    * (explode(tokens) → md5Long → 60 conditional sums → majority vote),
+    * which needs a corpus-wide explode + 61-column aggregate; this is a
+    * pure per-document function, so it should cost a map-side expression,
+    * not a shuffle. Tokenization is the same `\s+` split of the
+    * space-trimmed text as [[graft.functions.TextHash.tokens]]. */
+  def simHash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val toks = ws.split(s.trim().toString, -1)
+    val counts = new Array[Int](60)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      val h = Md5LongUtil.hashBytes(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 60) { counts(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      n += 1; i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counts(j) * 2 > n) out |= (1L << j); j += 1 }
+    out
+  }
+
   def charShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int, p: Long, stride: Int)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val t = s.trim()
@@ -300,6 +325,17 @@ case class WordShingleHashes(child: Expression, n: Int, p: Long)
     ShingleUtil.wordShingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, p)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.wordShingleHashes($c, $n, ${p}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `ShingleUtil.simHash60` as a codegen'd expression. */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.simHash60(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.simHash60($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -459,6 +495,9 @@ object VectorExpressions {
   def minRollingMd5(text: Column, n: Int, stride: Int): Column =
     registered(s"graft_min_rolling_md5_${n}_$stride",
       exprs => MinRollingMd5(exprs.head, n, stride))(text)
+
+  def simHash60(text: Column): Column =
+    registered("graft_simhash60", exprs => SimHash60(exprs.head))(text)
 
   def nearestCentroids(v: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
     // fingerprint the centroid CONTENT into the registered name: the fit

@@ -30,8 +30,20 @@ object SimHashDedup {
   private val ChunkBits = 15
   private val ChunkMask = (1L << ChunkBits) - 1
 
-  /** `(id, simhash)` — occurrence-weighted 60-bit simhash of the text. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `(id, simhash)` — occurrence-weighted 60-bit simhash of the text,
+    * computed by the fused native expression
+    * ([[graft.functions.SimHash60]]): a pure per-document function costs a
+    * map-side projection, not a corpus-wide token explode + 61-column
+    * aggregate. [[simhashComposed]] keeps the compositional form as the
+    * value-parity reference (tested equal in DedupSpec). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.VectorExpressions.simHash60(col(textCol)).as("simhash"))
+
+  /** The built-ins-only formulation: explode tokens → hash → majority vote
+    * per bit via 60 conditional sums. One shuffle; kept as the reference
+    * implementation the native expression is proven against. */
+  def simhashComposed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(
       col(idCol).as("id"),
       explode(TextHash.tokens(col(textCol))).as("w"))

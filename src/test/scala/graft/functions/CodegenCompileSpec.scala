@@ -42,6 +42,7 @@ class CodegenCompileSpec extends AnyFunSuite {
       Md5LongArray(arr, TextHash.P),
       MinRollingMd5(text, 8, 4),
       DotProduct(vec, vec),
-      NearestCentroids(vec, cents, 2)))
+      NearestCentroids(vec, cents, 2),
+      SimHash60(text)))
   }
 }

@@ -68,6 +68,16 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("native SimHash60 equals the explode+aggregate composition on real docs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = SimHashDedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = SimHashDedup.simhashComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
   test("simhash: identical docs have hamming 0; blocking finds them") {
     val pairs = SimHashDedup.pairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
