@@ -25,13 +25,11 @@ import graft.functions.TextHash
   *   - sample membership via the portable md5 hash;
   *   - init = the `nClusters` sample vectors with the smallest ids;
   *   - assignment = argmax cosine, ties to the smallest centroid id;
-  *   - update = per-dimension mean rounded to 6 decimals (HALF_UP), empty
-  *     clusters keep their previous centroid. KNOWN RESIDUAL: the mean is
-  *     the one step whose summation order is not bit-controlled (Scala
-  *     sums id-sorted, DuckDB's avg() accumulates in scan order) — the
-  *     6-decimal rounding absorbs the reorder noise unless a mean lands
-  *     within ~1 ulp of a rounding boundary (DuckDB 1.0 has no ordered
-  *     list fold to close this exactly);
+  *   - update = per-dimension mean computed in integer micro-units
+  *     (round(x·1e6) per member — exact long sums — then one correctly-
+  *     rounded division): bit-exact regardless of accumulation order on
+  *     EITHER engine, so no step of the fit depends on scan order. Empty
+  *     clusters keep their previous centroid;
   *   - a FIXED number of Lloyd iterations (no data-dependent convergence
   *     test, which could diverge across engines at the last ulp).
   */
@@ -48,10 +46,10 @@ object KMeansIVF {
   private def cosineSeq(a: Array[Double], b: Array[Double]): Double =
     dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
 
-  /** round-half-away-from-zero at 6 decimals — what both Spark's and
-    * DuckDB's `round(x, 6)` compute. */
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** round-half-away-from-zero to a whole number — what DuckDB's `round(x)`
+    * computes (Scala's math.round differs on negative halves). */
+  private def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
 
   /** Lloyd iterations over an id-sorted sample. Returns
     * `min(nClusters, sample.length)` centroid vectors (cid = array index) —
@@ -80,9 +78,16 @@ object KMeansIVF {
         val members = assign.collect { case (`c`, v) => v }
         if (members.isEmpty) centroids(c)
         else {
+          // ORDER-INDEPENDENT mean: quantize each coordinate to integer
+          // micro-units (round(x·1e6), half away from zero), sum as exact
+          // longs, then one correctly-rounded double division — no
+          // accumulation-order sensitivity anywhere, so DuckDB's avg-scan
+          // order can't diverge from this by even an ulp
           val dims = members.head.length
           Array.tabulate(dims) { d =>
-            round6(members.map(_(d)).sum / members.length)
+            var sumQ = 0L
+            members.foreach(m => sumQ += roundHalfAway(m(d) * 1e6))
+            roundHalfAway(sumQ.toDouble / members.length) / 1e6
           }
         }
       }
@@ -227,7 +232,9 @@ object KMeansIVF {
       sb ++= s"      ORDER BY ${cos("s.v", "c.cv")} DESC, c.cid) AS rn\n"
       sb ++= s"  FROM s CROSS JOIN $prev c) WHERE rn = 1),\n"
       sb ++= s"m$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (\n"
-      sb ++= s"  SELECT cid, pos, round(avg(x), 6) AS m FROM (\n"
+      // integer micro-unit mean (see fit): exact long sum, one correctly-
+      // rounded division — accumulation order cannot matter
+      sb ++= s"  SELECT cid, pos, round(sum(CAST(round(x * 1000000) AS BIGINT))::DOUBLE / count(*)) / 1000000 AS m FROM (\n"
       sb ++= s"    SELECT cid, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a$i)\n"
       sb ++= s"  GROUP BY cid, pos) GROUP BY cid),\n"
       sb ++= s"c$i AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv\n"
