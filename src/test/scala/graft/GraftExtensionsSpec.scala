@@ -29,6 +29,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val h2 = s.sql("SELECT conv(substring(md5('abc'), 1, 15), 16, 10) AS h")
         .head().getString(0).toLong
       assert(h1 == h2)
+
+      // the injected planner strategy resolves the custom as-of node
+      // WITHOUT latestPriorMerge's experimental.extraStrategies fallback
+      import s.implicits._
+      assert(!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      val lPlan = Seq((1L, 10L, "a")).toDF("k", "t", "tag").queryExecution.analyzed
+      val rPlan = Seq((1L, 5L, 2.5)).toDF("k", "t", "v").queryExecution.analyzed
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+        p.output.find(_.name == n).get
+      val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+        attr(lPlan, "k"), attr(lPlan, "t"), attr(rPlan, "k"), attr(rPlan, "t"))
+      val out = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(s, node).collect()
+      assert(out.length == 1 && out.head.getDouble(5) == 2.5,
+        "extensions-injected strategy must plan AsOfJoinNode")
     } finally {
       // do NOT stop (that would kill the JVM-shared SparkContext);
       // restore the suite-shared default session
