@@ -77,6 +77,24 @@ object Md5LongUtil {
 
   def hashBytes(bytes: Array[Byte]): Long = hashRange(bytes, 0, bytes.length)
 
+  /** md5 of `n` byte segments starting at `off`, joined by single 0x20
+    * separators — == hashBytes of the space-joined string's UTF-8 bytes,
+    * without materializing the joined string. */
+  def hashSegments(segs: Array[Array[Byte]], off: Int, n: Int): Long = {
+    val d = md.get(); d.reset()
+    var j = 0
+    while (j < n) {
+      if (j > 0) d.update(' '.toByte)
+      d.update(segs(off + j))
+      j += 1
+    }
+    val digest = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** md5 of `len` bytes at `off` with NO slice copy — the per-window
     * allocation is what dominates rolling/shingle hashing of long texts. */
   def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
@@ -240,23 +258,22 @@ object ShingleUtil {
     val str = s.trim().toString
     val toks = ws.split(str, -1)
     val out = new java.util.LinkedHashSet[java.lang.Long]()
+    // each token's UTF-8 bytes once; shingle digests are fed token-bytes +
+    // single 0x20 separators incrementally — byte-identical to hashing the
+    // space-joined string, with no per-shingle String/array churn
+    val tb = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      tb(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8); t += 1
+    }
     if (toks.length >= n) {
-      val sb = new java.lang.StringBuilder()
       var i = 0
       while (i <= toks.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j)); j += 1
-        }
-        out.add(Md5LongUtil.hashBytes(
-          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % p)
+        out.add(Md5LongUtil.hashSegments(tb, i, n) % p)
         i += 1
       }
     } else {
-      out.add(Md5LongUtil.hashBytes(
-        String.join(" ", toks: _*).getBytes(java.nio.charset.StandardCharsets.UTF_8)) % p)
+      out.add(Md5LongUtil.hashSegments(tb, 0, tb.length) % p)
     }
     distinctArray(out)
   }
