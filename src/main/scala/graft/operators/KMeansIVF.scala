@@ -46,10 +46,20 @@ object KMeansIVF {
   private def cosineSeq(a: Array[Double], b: Array[Double]): Double =
     dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
 
-  /** round-half-away-from-zero to a whole number — what DuckDB's `round(x)`
-    * computes (Scala's math.round differs on negative halves). */
+  /** round-half-away-from-zero to a whole number — what DuckDB's
+    * std::round-based `round(x)` computes. NOT `floor(x + 0.5)`: the
+    * addition itself rounds (e.g. 0.49999999999999994 + 0.5 == 1.0), which
+    * would disagree with the oracle half-ulp below each .5 boundary. The
+    * `x - floor(x)` / `ceil(x) - x` forms are exact (the operands are
+    * within a factor of two, so the subtraction is error-free). */
   private def roundHalfAway(x: Double): Long =
-    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    if (x >= 0) {
+      val f = math.floor(x)
+      (if (x - f >= 0.5) f + 1 else f).toLong
+    } else {
+      val c = math.ceil(x)
+      (if (c - x >= 0.5) c - 1 else c).toLong
+    }
 
   /** Lloyd iterations over an id-sorted sample. Returns
     * `min(nClusters, sample.length)` centroid vectors (cid = array index) —
@@ -186,11 +196,20 @@ object KMeansIVF {
     val spark = queries.sparkSession
     val centroids = readCentroids(indexDir)
     val q = queries.select(col(idCol).as("query_id"), VectorOps.asDouble(col(vecCol)).as("qv"))
-    val probed = q.select(col("query_id"), col("qv"),
+    // evaluate the probe projection ONCE: the rows are bounded by
+    // |queries| × nprobe (the query side is broadcast-small by contract),
+    // so collecting them yields both the bucket set for the static
+    // partition filter and a local relation for the broadcast join —
+    // instead of one job to learn the buckets plus a full re-evaluation
+    // inside the join
+    val probedPlan = q.select(col("query_id"), col("qv"),
       explode(graft.functions.VectorExpressions.nearestCentroids(col("qv"), centroids, nprobe))
         .as("bucket"))
-    val buckets = probed.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ nClusters values — always tiny
+    val probedRows = probedPlan.collect()
+    val buckets = probedRows.map(_.getInt(2)).distinct.sorted // ≤ nClusters values
+    val probed = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(probedRows: _*)),
+      probedPlan.schema)
     val data = spark.read.parquet(s"$indexDir/data")
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
     broadcast(probed)

@@ -37,8 +37,13 @@ object SimHashDedup {
     * aggregate. [[simhashComposed]] keeps the compositional form as the
     * value-parity reference (tested equal in DedupSpec). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-      graft.functions.VectorExpressions.simHash60(col(textCol)).as("simhash"))
+    docs
+      // align the NULL contract with the composed form and the oracle:
+      // explode(tokens(NULL)) yields no rows there, so a NULL text must
+      // drop the document here too (not emit an (id, NULL) row)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.VectorExpressions.simHash60(col(textCol)).as("simhash"))
 
   /** The built-ins-only formulation: explode tokens → hash → majority vote
     * per bit via 60 conditional sums. One shuffle; kept as the reference

@@ -126,7 +126,11 @@ object DedupQueries {
     // index build+query cycle, not just the scan.
     "q49_sim_ann_ivf_index" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      // FIXED path, not createTempDirectory: writeIndex overwrites in
+      // place, so repeated bench/verify passes reuse one directory instead
+      // of leaking a full corpus copy into /tmp per invocation
+      val idx = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_ivf_idx_q49").getPath
       graft.operators.KMeansIVF.writeIndex(e, "vec_id", "embedding", idx)
       graft.operators.KMeansIVF.indexTopK(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", k = 5, nprobe = 3)
