@@ -461,6 +461,23 @@ case class NearestCentroids(child: Expression, cents: Array[Array[Double]], npro
 
   private lazy val normsC: Array[Double] = KMeansNearestUtil.norms(cents)
 
+  // Case-class equality on Array params is reference identity, which would
+  // defeat canonicalization / common-subexpression elimination across
+  // separately-built but identical instances. Compare centroid CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case NearestCentroids(c, cs, np) =>
+      np == nprobe && child == c &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], cs.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(
+      child,
+      Integer.valueOf(nprobe),
+      Integer.valueOf(java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])))
+
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
 

@@ -126,11 +126,15 @@ object DedupQueries {
     // index build+query cycle, not just the scan.
     "q49_sim_ann_ivf_index" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // FIXED path, not createTempDirectory: writeIndex overwrites in
-      // place, so repeated bench/verify passes reuse one directory instead
-      // of leaking a full corpus copy into /tmp per invocation
+      // Stable-per-process path, not createTempDirectory: writeIndex
+      // overwrites in place, so repeated bench/verify passes within one run
+      // reuse one directory instead of leaking a full corpus copy into /tmp
+      // per invocation. Namespaced by PID + sf-dir hash so two concurrent
+      // Verify/Bench/test processes on one box never race on the same index.
       val idx = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_ivf_idx_q49").getPath
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_idx_q49_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath
       graft.operators.KMeansIVF.writeIndex(e, "vec_id", "embedding", idx)
       graft.operators.KMeansIVF.indexTopK(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", k = 5, nprobe = 3)
