@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list by iterative min-label
+  * propagation — the clustering step of fuzzy dedup (near-dup PAIRS become
+  * duplicate CLUSTERS; each cluster keeps one canonical doc).
+  *
+  * Scale design: each round is one shuffle (join edges to current labels +
+  * groupBy min); rounds needed = component diameter, and dup-cluster
+  * diameters are tiny in practice (most clusters are pairs or triangles, so
+  * 2–3 rounds). Labels are `localCheckpoint`ed per round to truncate lineage
+  * exactly like the org-hierarchy fixpoint (`ops/UltimateParent.scala`).
+  * The alternative large-diameter algorithm (pointer-doubling, O(log n)
+  * rounds) is not needed for dedup graphs; `maxIter` bounds pathology.
+  *
+  * Reference analogy: the reference's only graph op is the parent-closure
+  * walk (`ror_scripts/get_ultimate_parent.py:55-90`); this is the undirected
+  * counterpart the LLM-pipeline extension needs.
+  */
+object ConnectedComponents {
+
+  /** `edges`: two-column DataFrame of undirected edges (each pair listed
+    * once, either orientation). Returns `(id, root)` for every vertex that
+    * appears in at least one edge, where `root` is the minimum vertex id in
+    * the component.
+    */
+  def minLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Array(ca, cb) = edges.columns
+    val und = edges.select(col(ca).as("a"), col(cb).as("b"))
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("a"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("root"))
+  }
+}

@@ -52,28 +52,13 @@ object CorpusPipeline {
       VectorExpressions.wordShingleHashes(col("text_norm"), cfg.shingleSize, TextHash.P),
       cfg.minhash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val und = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = exact.select(col("doc_id").as("id"), col("doc_id").as("label"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
-      val nbrMin = sym.join(labels, sym("b") === labels("id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      val next = labels.as("l")
-        .join(nbrMin, col("l.id") === nbrMin("a"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
-      iter += 1
-    }
-    val roots = labels.filter(col("label") === col("id")).select(col("id").as("doc_id"))
-    val deduped = exact.join(roots, Seq("doc_id"), "left_semi")
+    // Docs in no pair are their own cluster; ConnectedComponents only labels
+    // vertices that appear in edges, so non-roots (label < id) identify the
+    // docs to DROP — everything else survives.
+    val comp = graft.operators.ConnectedComponents.minLabel(
+      pairs.select(col("id_a"), col("id_b")))
+    val dropped = comp.filter(col("root") =!= col("id")).select(col("id").as("doc_id"))
+    val deduped = exact.join(dropped, Seq("doc_id"), "left_anti")
 
     // 5. fingerprint the survivors
     val out = deduped.select(

@@ -92,6 +92,24 @@ object DedupQueries {
           round(col("containment"), 3).as("containment"))
     }),
 
+    // Near-dup PAIRS -> duplicate CLUSTERS: connected components over the
+    // verified MinHash pair set by iterative min-label propagation
+    // (O(component-diameter) shuffles; dedup clusters are tiny in practice).
+    // Output one row per clustered doc with its canonical (min-id) root and
+    // the cluster size — the "which doc do we keep" step of fuzzy dedup.
+    "q52_dedup_clusters" -> ((s, d) => {
+      val pairs = MinHashDedup.pairs(
+        Tables.documents(s, d), "doc_id",
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("id_a"), col("id_b")))
+      val sizes = comp.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "root")
+        .select(col("id").as("doc_id"), col("root").as("cluster_root"),
+          col("cluster_size"))
+    }),
+
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)),
@@ -130,11 +148,12 @@ object DedupQueries {
       // overwrites in place, so repeated bench/verify passes within one run
       // reuse one directory instead of leaking a full corpus copy into /tmp
       // per invocation. Namespaced by PID + sf-dir hash so two concurrent
-      // Verify/Bench/test processes on one box never race on the same index.
-      val idx = new java.io.File(
+      // Verify/Bench/test processes on one box never race on the same index;
+      // TempDirs' shutdown hook deletes the tree when this process exits.
+      val idx = graft.TempDirs.register(new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_ivf_idx_q49_${ProcessHandle.current().pid()}_" +
-          java.lang.Integer.toHexString(d.hashCode)).getPath
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
       graft.operators.KMeansIVF.writeIndex(e, "vec_id", "embedding", idx)
       graft.operators.KMeansIVF.indexTopK(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", k = 5, nprobe = 3)
@@ -161,6 +180,27 @@ object DedupQueries {
 
     "q14_dedup_simhash" ->
       SimHashDedup.oracleSql("documents", "doc_id", "text", maxHamming = 3),
+
+    // Recursive-CTE transitive closure over the SAME pair set q12's oracle
+    // produces: min reachable id = component root. count(*) is per-root via
+    // an aggregate join (window count would be fine too; join keeps the
+    // BIGINT type explicit).
+    "q52_dedup_clusters" -> {
+      val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b AS a, id_a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |roots AS (SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_root AS cr, count(*)::BIGINT AS cluster_size
+         |       FROM roots GROUP BY cluster_root)
+         |SELECT doc_id, cluster_root, cluster_size
+         |FROM roots JOIN sz ON roots.cluster_root = sz.cr""".stripMargin
+    },
 
     "q44_decontamination" -> {
       val sh = s"list_distinct(list_transform(${TextHash.charShinglesSql("text", 8)}, x -> ${TextHash.baseHashSql("x")}))"

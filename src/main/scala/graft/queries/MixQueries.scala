@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Extension surface: corpus-statistics + data-mix operators of a training
+  * pipeline — repetition filtering (Gopher-style), composite quality gating,
+  * collocation mining, and per-source token budgeting (waterfill).
+  *
+  * Everything here is plain hash-shuffle aggregation or window math over
+  * small per-group relations; nothing holds unbounded state per key, so each
+  * query scales linearly in corpus size.
+  */
+object MixQueries {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Word 2-gram array (as "w1 w2" strings); empty for docs under 2 tokens.
+    * `sequence` needs the guard: Spark generates a DESCENDING sequence when
+    * start > stop, so `sequence(1, size-1)` on a 1-token doc would yield
+    * [1, 0] instead of []. */
+  private def bigrams(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  // DuckDB twin of `bigrams` (lists are 1-indexed; range has exclusive end,
+  // so range(1, len) = 1..len-1 — same index set as the Spark sequence).
+  private def bigramsSql(toks: String) =
+    s"""CASE WHEN len($toks) >= 2
+       |     THEN list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i+1])
+       |     ELSE [] END""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style repetition metrics: fraction of duplicate tokens,
+    // fraction of duplicate word 2-grams, and the most-frequent-2-gram
+    // share. Two-level hash aggregation — (doc, gram) counts then per-doc
+    // rollup — so no per-row O(n^2) in-array counting; the per-doc stats
+    // (n_tokens, distinct tokens) ride along as functionally-dependent
+    // grouping keys instead of a join back to the docs table.
+    "q50_repetition_stats" -> ((s, d) => {
+      val toks = TextHash.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_dist_tok"),
+          explode(bigrams(toks)).as("gram"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("n_dist_tok"), col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("n_dist_tok"))
+        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_dist_gram"),
+          max(col("n")).as("max_n"))
+        .select(col("doc_id"), col("n_tokens"),
+          round((col("n_tokens") - col("n_dist_tok")).cast("double") / col("n_tokens"), 3)
+            .as("dup_token_frac"),
+          round((col("total") - col("n_dist_gram")).cast("double") / col("total"), 3)
+            .as("dup_2gram_frac"),
+          round(col("max_n").cast("double") / col("total"), 3).as("top_2gram_frac"))
+    }),
+
+    // Composite quality gate (Gopher-rule style): token count, mean token
+    // length, stopword density, symbol density -> pass/fail + the list of
+    // violated rules. Single-pass column math, no shuffle.
+    "q51_quality_filter" -> ((s, d) => {
+      val toks = TextHash.tokens(col("text"))
+      val nTok = size(toks)
+      val nonWs = length(regexp_replace(col("text"), "\\s", ""))
+      val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+      val stopRatio = nStop.cast("double") / nTok
+      val avgLen = nonWs.cast("double") / nTok
+      val nSym = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+      val symRatio = nSym.cast("double") / nonWs
+      val reasons = concat_ws(",", filter(array(
+        when(!(nTok >= 30 && nTok <= 100000), lit("n_tokens")),
+        when(!(avgLen >= 3.0 && avgLen <= 10.0), lit("avg_token_len")),
+        when(stopRatio < 0.05, lit("stopword_ratio")),
+        when(symRatio > 0.1, lit("symbol_ratio"))), x => x.isNotNull))
+      Tables.documents(s, d).select(
+        col("doc_id"), nTok.as("n_tokens"),
+        round(avgLen, 3).as("avg_token_len"),
+        round(stopRatio, 3).as("stopword_ratio"),
+        round(symRatio, 3).as("symbol_ratio"),
+        (reasons === "").as("passes"), reasons.as("fail_reasons"))
+    }),
+
+    // Collocation mining: corpus-wide word-bigram lift, top 20. Lift is the
+    // exact rational (cab * totalU^2) / (cw1 * cw2 * totalB) evaluated in
+    // identically-ordered double arithmetic on both engines (no log, whose
+    // last-ulp differences could flip the round-3 boundary). Unigram and
+    // bigram counts are two linear hash-aggs; the count joins shuffle on the
+    // word key (no broadcast hint — a 100 TB vocabulary outgrows any
+    // broadcast threshold; AQE may still pick one at small scale).
+    "q53_bigram_lift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextHash.tokens(col("text"))
+      val uni = docs.select(explode(toks).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val bi = docs.select(explode(bigrams(toks)).as("gram"))
+        .select(split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val tot = uni.agg(sum(col("cw")).as("total_uni"))
+        .crossJoin(bi.agg(sum(col("cab")).as("total_bi")))
+      val lift = (col("cab").cast("double") * col("total_uni") * col("total_uni")) /
+        (col("cw1").cast("double") * col("cw2") * col("total_bi"))
+      bi.join(uni.select(col("w").as("w1"), col("cw").as("cw1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
+        .crossJoin(broadcast(tot))
+        .filter(col("cab") >= 5)
+        .select(col("w1"), col("w2"), col("cab"), round(lift, 3).as("lift"))
+        .orderBy(desc("lift"), asc("w1"), asc("w2"))
+        .limit(20)
+    }),
+
+    // Data-mix budgeting: share a global token budget (80% of the corpus)
+    // across sources by exact closed-form waterfill — small sources keep all
+    // tokens, large sources are capped at one common fill level — computed
+    // with window functions in ONE pass over the per-source rollup (no
+    // iteration). The windows are global but run over the per-SOURCE
+    // relation, whose cardinality is #domains, not #docs — trivially
+    // driver-scale even at 100 TB.
+    "q54_source_mix" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"), size(TextHash.tokens(col("text"))).as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      val wOrd = Window.orderBy(col("n_tokens"), col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(1))
+      val b = floor(col("total_tokens") * 0.8).cast("long")
+      // sorted ascending, a source is fully funded iff giving IT (and
+      // implicitly everything larger) its own size still fits the budget
+      // left after funding all smaller sources
+      val staged = per.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(Window.orderBy(col("n_tokens"), col("source"))))
+        .withColumn("cum", sum(col("n_tokens")).over(wOrd))
+        .withColumn("b", b)
+        .withColumn("funded",
+          col("n_tokens") * (col("n_sources") - col("i") + 1) <= col("b") - (col("cum") - col("n_tokens")))
+        .withColumn("s", sum(when(col("funded"), col("n_tokens")).otherwise(0L)).over(wAll))
+        .withColumn("nf", sum(when(col("funded"), 1L).otherwise(0L)).over(wAll))
+      val level = (col("b") - col("s")).cast("double") / (col("n_sources") - col("nf"))
+      staged.select(col("source"), col("n_docs"), col("n_tokens"), col("funded"),
+        round(when(col("funded"), col("n_tokens").cast("double")).otherwise(level), 2)
+          .as("alloc_tokens"),
+        round(when(col("funded"), lit(1.0)).otherwise(level / col("n_tokens")), 4)
+          .as("keep_frac"))
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    val toksSql = TextHash.tokensSql("text")
+    Map(
+      "q50_repetition_stats" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |g AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_dist_tok,
+           |        ${bigramsSql("toks")} AS grams FROM t),
+           |x AS (SELECT doc_id, n_tokens, n_dist_tok, unnest(grams) AS gram FROM g),
+           |c AS (SELECT doc_id, n_tokens, n_dist_tok, gram, count(*) AS n
+           |      FROM x GROUP BY 1, 2, 3, 4),
+           |a AS (SELECT doc_id, n_tokens, n_dist_tok, sum(n) AS total,
+           |        count(*) AS n_dist_gram, max(n) AS max_n FROM c GROUP BY 1, 2, 3)
+           |SELECT doc_id, n_tokens,
+           |  round((n_tokens - n_dist_tok)::DOUBLE / n_tokens, 3) AS dup_token_frac,
+           |  round((total - n_dist_gram)::DOUBLE / total, 3) AS dup_2gram_frac,
+           |  round(max_n::DOUBLE / total, 3) AS top_2gram_frac
+           |FROM a""".stripMargin,
+
+      "q51_quality_filter" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+           |  length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+           |  length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS nsym FROM documents),
+           |m AS (SELECT doc_id, len(toks) AS n_tokens, nonws, nsym,
+           |  len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks) AS stop_ratio,
+           |  nonws::DOUBLE / len(toks) AS avg_len,
+           |  nsym::DOUBLE / nonws AS sym_ratio FROM t),
+           |r AS (SELECT *, coalesce(array_to_string(list_filter([
+           |    CASE WHEN NOT (n_tokens >= 30 AND n_tokens <= 100000) THEN 'n_tokens' END,
+           |    CASE WHEN NOT (avg_len >= 3.0 AND avg_len <= 10.0) THEN 'avg_token_len' END,
+           |    CASE WHEN stop_ratio < 0.05 THEN 'stopword_ratio' END,
+           |    CASE WHEN sym_ratio > 0.1 THEN 'symbol_ratio' END],
+           |    x -> x IS NOT NULL), ','), '') AS fail_reasons FROM m)
+           |SELECT doc_id, n_tokens,
+           |  round(avg_len, 3) AS avg_token_len,
+           |  round(stop_ratio, 3) AS stopword_ratio,
+           |  round(sym_ratio, 3) AS symbol_ratio,
+           |  fail_reasons = '' AS passes, fail_reasons
+           |FROM r""".stripMargin,
+
+      "q53_bigram_lift" ->
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |u AS (SELECT unnest(toks) AS w FROM t),
+           |uc AS (SELECT w, count(*)::BIGINT AS cw FROM u GROUP BY w),
+           |g AS (SELECT ${bigramsSql("toks")} AS grams FROM t),
+           |b0 AS (SELECT unnest(grams) AS gram FROM g),
+           |bc AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+           |        count(*)::BIGINT AS cab FROM b0 GROUP BY 1, 2),
+           |tu AS (SELECT sum(cw)::BIGINT AS total_uni FROM uc),
+           |tb AS (SELECT sum(cab)::BIGINT AS total_bi FROM bc),
+           |l AS (SELECT w1, w2, cab,
+           |        (cab::DOUBLE * total_uni * total_uni) /
+           |        (a.cw::DOUBLE * b.cw * total_bi) AS lift
+           |      FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tu, tb
+           |      WHERE cab >= 5)
+           |SELECT w1, w2, cab, round(lift, 3) AS lift FROM l
+           |ORDER BY round(lift, 3) DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      "q54_source_mix" ->
+        """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+          |        sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+          |      FROM documents GROUP BY source),
+          |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens, count(*)::BIGINT AS n_sources FROM per),
+          |w AS (SELECT per.*, total_tokens, n_sources,
+          |        floor(total_tokens * 0.8)::BIGINT AS b,
+          |        row_number() OVER (ORDER BY n_tokens, source) AS i,
+          |        sum(n_tokens) OVER (ORDER BY n_tokens, source ROWS UNBOUNDED PRECEDING) AS cum
+          |      FROM per, tot),
+          |f AS (SELECT *, n_tokens * (n_sources - i + 1) <= b - (cum - n_tokens) AS funded FROM w),
+          |gl AS (SELECT *,
+          |        sum(CASE WHEN funded THEN n_tokens ELSE 0 END) OVER () AS s,
+          |        sum(CASE WHEN funded THEN 1 ELSE 0 END) OVER () AS nf FROM f)
+          |SELECT source, n_docs, n_tokens, funded,
+          |  round(CASE WHEN funded THEN n_tokens::DOUBLE
+          |             ELSE (b - s)::DOUBLE / (n_sources - nf) END, 2) AS alloc_tokens,
+          |  round(CASE WHEN funded THEN 1.0
+          |             ELSE ((b - s)::DOUBLE / (n_sources - nf)) / n_tokens END, 4) AS keep_frac
+          |FROM gl""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class MixQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q50 repetition fractions are consistent with a direct recomputation") {
+    val out = MixQueries.queries("q50_repetition_stats")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    for ((id, text) <- docs) {
+      val toks = text.trim.split("\\s+").toSeq
+      val grams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      def r3(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nTok, dupTok, dupG, topG) = out(id)
+      assert(nTok == toks.size)
+      assert(dupTok == r3((toks.size - toks.distinct.size).toDouble / toks.size))
+      assert(dupG == r3((grams.size - counts.size).toDouble / grams.size))
+      assert(topG == r3(counts.values.max.toDouble / grams.size))
+    }
+  }
+
+  test("q51 quality verdict agrees with its own reported metrics") {
+    val rows = MixQueries.queries("q51_quality_filter")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nTok, avgLen, stopR, symR) =
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val passes = r.getBoolean(5)
+      val reasons = r.getString(6)
+      assert(passes == reasons.isEmpty)
+      assert(reasons.contains("n_tokens") == (nTok < 30 || nTok > 100000))
+      // rounded metrics can sit on the rule boundary; only assert away from it
+      if (math.abs(stopR - 0.05) > 0.002)
+        assert(reasons.contains("stopword_ratio") == (stopR < 0.05))
+      if (math.abs(symR - 0.1) > 0.002)
+        assert(reasons.contains("symbol_ratio") == (symR > 0.1))
+    }
+  }
+
+  test("q52 clusters: every root is the min id of its cluster, sizes add up") {
+    val rows = DedupQueries.queries("q52_dedup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty) // sf0.001 still contains planted near-dup pairs
+    val byRoot = rows.groupBy(_._2)
+    for ((root, members) <- byRoot) {
+      assert(members.map(_._1).min == root)
+      assert(members.forall(_._3 == members.size))
+      assert(members.size >= 2) // only docs in >=1 near-dup pair are clustered
+    }
+  }
+
+  test("q53 bigram lift: sorted by rounded lift desc with (w1, w2) tiebreak") {
+    val rows = MixQueries.queries("q53_bigram_lift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._3 >= 5))
+    assert(rows.forall(_._4 > 0.0))
+    val keys = rows.map(t => (-t._4, t._1, t._2))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("q54 waterfill: allocations exhaust the 80% budget, caps respected") {
+    val rows = MixQueries.queries("q54_source_mix")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    val budget = math.floor(total * 0.8)
+    val allocSum = rows.map(_._5).sum
+    assert(math.abs(allocSum - budget) < 0.01 * rows.length) // round-2 slack
+    for ((_, _, nTokens, funded, alloc, keep) <- rows) {
+      if (funded) { assert(alloc == nTokens.toDouble); assert(keep == 1.0) }
+      else assert(alloc < nTokens.toDouble)
+    }
+    // every unfunded source is capped at one common fill level
+    val levels = rows.filter(!_._4).map(_._5).distinct
+    assert(levels.length <= 1 ||
+      (levels.max - levels.min) < 0.02)
+    // and no funded source is larger than the fill level
+    if (levels.nonEmpty)
+      rows.filter(_._4).foreach { case (_, _, nt, _, _, _) => assert(nt <= levels.max + 0.01) }
+  }
+}
