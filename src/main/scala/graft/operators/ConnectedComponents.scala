@@ -39,14 +39,17 @@ object ConnectedComponents {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      // carry the per-row "label shrank" flag through the checkpoint so the
+      // convergence check is a filter over checkpointed rows, not a second
+      // join of consecutive label generations
       val next = labels.as("l")
         .join(nbrMin, col("l.id") === nbrMin("a"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"),
+          (col("nlabel") < col("l.label")).as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
     sym.unpersist()

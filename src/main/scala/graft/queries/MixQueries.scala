@@ -21,14 +21,20 @@ object MixQueries {
   private def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Word 2-gram array (as "w1 w2" strings); empty for docs under 2 tokens.
-    * `sequence` needs the guard: Spark generates a DESCENDING sequence when
-    * start > stop, so `sequence(1, size-1)` on a 1-token doc would yield
-    * [1, 0] instead of []. */
+    *
+    * Shape matters here: zip the token array against its own 1-shifted
+    * slice, so both arrays are evaluated ONCE per row and the lambda only
+    * touches its two bound elements. The tempting
+    * `transform(sequence(1, n-1), i -> element_at(toks, i) ...)` form
+    * re-evaluates the full `split` per ELEMENT (HOF lambdas inline their
+    * captured expression) — O(tokens²) per doc, measured 13× slower at
+    * sf0.1. zip_with pads the tail pair with null; `concat` (null-strict,
+    * unlike concat_ws) turns it into a null element that `filter` drops. */
   private def bigrams(toks: org.apache.spark.sql.Column) =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
 
   // DuckDB twin of `bigrams` (lists are 1-indexed; range has exclusive end,
   // so range(1, len) = 1..len-1 — same index set as the Spark sequence).
@@ -40,21 +46,30 @@ object MixQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style repetition metrics: fraction of duplicate tokens,
     // fraction of duplicate word 2-grams, and the most-frequent-2-gram
-    // share. Two-level hash aggregation — (doc, gram) counts then per-doc
-    // rollup — so no per-row O(n^2) in-array counting; the per-doc stats
-    // (n_tokens, distinct tokens) ride along as functionally-dependent
-    // grouping keys instead of a join back to the docs table.
+    // share. Entirely MAP-SIDE: per-doc output needs no cross-doc state, so
+    // exploding grams through a (doc, gram) hash-agg would be two pointless
+    // shuffles of the full gram volume. The top-gram count is instead the
+    // longest run in the SORTED gram array — one in-row fold. The oracle
+    // computes the same exact integers via unnest + GROUP BY; only the
+    // algorithm differs, not the values.
     "q50_repetition_stats" -> ((s, d) => {
       val toks = TextHash.tokens(col("text"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), size(toks).as("n_tokens"),
+      val gs = array_sort(bigrams(toks))
+      val total = size(gs)
+      val nDistG = size(array_distinct(gs))
+      // fold: (prev gram, current run length, best run length)
+      val maxRun = aggregate(gs,
+        struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(1)
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      Tables.documents(s, d).select(col("doc_id"), size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_dist_tok"),
-          explode(bigrams(toks)).as("gram"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("n_dist_tok"), col("gram"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id"), col("n_tokens"), col("n_dist_tok"))
-        .agg(sum(col("n")).as("total"), count(lit(1)).as("n_dist_gram"),
-          max(col("n")).as("max_n"))
+          total.as("total"), nDistG.as("n_dist_gram"), maxRun.as("max_n"))
+        .filter(col("total") >= 1) // align with the oracle: no-gram docs drop
         .select(col("doc_id"), col("n_tokens"),
           round((col("n_tokens") - col("n_dist_tok")).cast("double") / col("n_tokens"), 3)
             .as("dup_token_frac"),
