@@ -132,6 +132,25 @@ object MixQueries {
         .limit(20)
     }),
 
+    // Stratified exact-k sampling: the 5 smallest-content-hash docs per
+    // source — deterministic, engine-independent, and SCALABLE: selection
+    // is the bounded TopKByScore aggregate (map-side k-row buffers; the
+    // shuffle carries k rows per source), not row_number over a window
+    // (which shuffles and sorts EVERY row of every group first). The hash
+    // is range-reduced mod 2^40 so its negation is exact in the aggregate's
+    // double score — ordering matches the oracle's exact-integer sort.
+    "q56_stratified_sample" -> ((s, d) => {
+      val h = pmod(TextHash.md5Long(col("doc_id").cast("string")), lit(1099511627776L))
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), h.as("hv"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKAggregate.topK((-col("hv")).cast("double"), col("doc_id"), 5)
+          .as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), col("t.payload").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+    }),
+
     // Data-mix budgeting: share a global token budget (80% of the corpus)
     // across sources by exact closed-form waterfill — small sources keep all
     // tokens, large sources are capped at one common fill level — computed
@@ -168,6 +187,18 @@ object MixQueries {
         round(when(col("funded"), lit(1.0)).otherwise(level / col("n_tokens")), 4)
           .as("keep_frac"))
     }),
+
+    // Embedding second-moment (gram) matrix — the whitening/PCA-prep
+    // primitive — via ONE custom bounded-buffer aggregate: the upper
+    // triangle accumulates map-side in a fixed long[d(d+1)/2] buffer in
+    // exact integer micro-units, so the shuffle is one buffer per
+    // partition (the relational explode+self-join form ships |vectors|·d²/2
+    // product rows). Exact long sums = no accumulation-order dependence.
+    "q57_embedding_gram" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+        .agg(graft.functions.GramMatrixAggregate.gramMicro(col("v"), 64).as("g"))
+        .select(inline(col("g")))),
   )
 
   val oracle: Map[String, String] = {
@@ -226,6 +257,26 @@ object MixQueries {
            |      WHERE cab >= 5)
            |SELECT w1, w2, cab, round(lift, 3) AS lift FROM l
            |ORDER BY round(lift, 3) DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      // parallel unnests zip; products in exact integer micro-units match
+      // the aggregate's long arithmetic bit-for-bit
+      "q57_embedding_gram" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |x AS (SELECT vec_id, CAST(round(unnest(v) * 1000000) AS BIGINT) AS xm,
+          |        unnest(range(0, len(v))) AS i FROM e),
+          |p AS (SELECT a.i::INT AS i, b.i::INT AS j, sum(a.xm * b.xm)::BIGINT AS v_mu
+          |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+          |      GROUP BY 1, 2)
+          |SELECT i, j, v_mu FROM p""".stripMargin,
+
+      "q56_stratified_sample" -> {
+        val h = TextHash.md5LongSql("doc_id::VARCHAR")
+        s"""WITH h AS (SELECT source, doc_id, ($h) % 1099511627776 AS hv FROM documents),
+           |r AS (SELECT source, doc_id,
+           |        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rank
+           |      FROM h)
+           |SELECT source, doc_id, rank::INT AS rank FROM r WHERE rank <= 5""".stripMargin
+      },
 
       "q54_source_mix" ->
         """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,

@@ -81,6 +81,41 @@ class MixQueriesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted))
   }
 
+  test("q56 stratified sample: exactly 5 per source, hash-minimal, ranked") {
+    val rows = MixQueries.queries("q56_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val bySource = rows.groupBy(_._1)
+    for ((_, g) <- bySource) {
+      assert(g.length == 5)
+      assert(g.map(_._3).sorted.sameElements(1 to 5))
+    }
+    // spot-verify against a direct computation of the hash order
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        pmod(graft.functions.TextHash.md5Long(col("doc_id").cast("string")),
+          lit(1099511627776L)).as("hv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((src, g) <- bySource) {
+      val expect = docs.filter(_._1 == src).sortBy(t => (t._3, t._2)).take(5).map(_._2)
+      assert(g.sortBy(_._3).map(_._2).sameElements(expect), s"source $src")
+    }
+  }
+
+  test("q57 gram matrix equals a direct in-JVM micro-unit recomputation") {
+    val out = MixQueries.queries("q57_embedding_gram")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = Tables.embeddings(spark, dir).select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def mu(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong else math.ceil(x * 1e6 - 0.5).toLong
+    val d = 64
+    assert(out.size == d * (d + 1) / 2)
+    val expect = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    for (v <- vecs; i <- 0 until d; j <- i until d)
+      expect((i, j)) += mu(v(i)) * mu(v(j))
+    assert(out == expect.toMap)
+  }
+
   test("q54 waterfill: allocations exhaust the 80% budget, caps respected") {
     val rows = MixQueries.queries("q54_source_mix")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
