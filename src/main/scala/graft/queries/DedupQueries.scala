@@ -121,6 +121,27 @@ object DedupQueries {
       VectorOps.rpLshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4, tables = 6, planesPerTable = 4, dims = 64)),
 
+    // Recall report of the RP-LSH scale path vs the exact pair set at the
+    // SAME threshold — makes the dedup-quality measurement itself an
+    // oracle-checked query (one row: counts + recall). The exact side is
+    // the O(n²) baseline, so this is a small-scale audit query by nature;
+    // at 100 TB recall is estimated on a hash-sample instead.
+    "q58_lsh_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val exact = VectorOps.nearDupPairs(e, "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"))
+      val lsh = VectorOps.rpLshNearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.45, tables = 6, planesPerTable = 4, dims = 64)
+        .select(col("id_a"), col("id_b"))
+      val j = exact.join(lsh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      j.agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"),
+          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 3)
+            .as("recall"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .select(col("n_exact"), col("n_lsh"), col("n_found"), col("recall"))
+    }),
+
     // Exact cosine top-k: 10 query vectors against the full corpus.
     "q16_sim_topk_cosine" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -181,6 +202,26 @@ object DedupQueries {
         "vec_id", "embedding", k = 5, nprobe = 3)
     }),
   )
+
+  /** Shared CTE block replaying the RP-LSH candidate generation (6 tables ×
+    * 4 md5-derived hyperplanes) up to the un-thresholded candidate cosines —
+    * q45 and q58 both select from `cand` (and `en` for exact pairs). */
+  private val rpLshCtes: String = {
+    val tables = 6; val planes = 4
+    val bucketExpr = (t: Int) => (0 until planes).map { p =>
+      val idx = t * planes + p
+      val plane = s"list_transform(range(0, 64), d -> ${TextHash.planeSignSql(idx.toString, "d")})"
+      s"(CASE WHEN round(list_dot_product(v, $plane), 9) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val tableSelects = (0 until tables).map(t =>
+      s"SELECT id, v, nrm, $t AS tbl, (${bucketExpr(t)}) AS bkt FROM en").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |bk AS ($tableSelects),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+       |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id)""".stripMargin
+  }
 
   private val ivfOracle: String =
     graft.operators.KMeansIVF.oracleSql(
@@ -246,23 +287,27 @@ object DedupQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
 
-    "q45_dedup_embedding_lsh" -> {
-      val tables = 6; val planes = 4
-      val bucketExpr = (t: Int) => (0 until planes).map { p =>
-        val idx = t * planes + p
-        val plane = s"list_transform(range(0, 64), d -> ${TextHash.planeSignSql(idx.toString, "d")})"
-        s"(CASE WHEN round(list_dot_product(v, $plane), 9) >= 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + ")
-      val tableSelects = (0 until tables).map(t =>
-        s"SELECT id, v, nrm, $t AS tbl, (${bucketExpr(t)}) AS bkt FROM en").mkString(" UNION ALL ")
-      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-         |en AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |bk AS ($tableSelects),
-         |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-         |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
-         |  FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.id < y.id)
-         |SELECT id_a, id_b, round(cos, 3) AS cosine FROM cand WHERE cos >= 0.4""".stripMargin
-    },
+    "q45_dedup_embedding_lsh" ->
+      s"""$rpLshCtes
+         |SELECT id_a, id_b, round(cos, 3) AS cosine FROM cand WHERE cos >= 0.4""".stripMargin,
+
+    // recall of the LSH scale path against the exact pair set at the SAME
+    // threshold — the quality loop itself is oracle-checked
+    "q58_lsh_recall" ->
+      s"""$rpLshCtes,
+         |lsh AS (SELECT id_a, id_b FROM cand WHERE cos >= 0.45),
+         |exact AS (SELECT a.id AS id_a, b.id AS id_b
+         |          FROM en a JOIN en b ON a.id < b.id
+         |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45),
+         |j AS (SELECT exact.id_a, exact.id_b,
+         |        CASE WHEN lsh.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM exact LEFT JOIN lsh
+         |        ON exact.id_a = lsh.id_a AND exact.id_b = lsh.id_b)
+         |SELECT count(*)::BIGINT AS n_exact,
+         |  (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+         |  sum(hit)::BIGINT AS n_found,
+         |  round(sum(hit)::DOUBLE / count(*), 3) AS recall
+         |FROM j""".stripMargin,
 
     "q16_sim_topk_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -116,6 +116,15 @@ class MixQueriesSpec extends AnyFunSuite {
     assert(out == expect.toMap)
   }
 
+  test("q58 lsh recall: counts consistent, recall = found/exact") {
+    val r = DedupQueries.queries("q58_lsh_recall")(spark, dir).collect().head
+    val (nExact, nLsh, nFound, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nExact > 0)
+    assert(nFound <= math.min(nExact, nLsh))
+    assert(math.abs(recall - nFound.toDouble / nExact) < 0.001)
+  }
+
   test("q54 waterfill: allocations exhaust the 80% budget, caps respected") {
     val rows = MixQueries.queries("q54_source_mix")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
