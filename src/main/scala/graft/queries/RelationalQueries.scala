@@ -69,6 +69,23 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.95)"), 2).as("p95_qty"),
           round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))),
 
+    // The SAME percentiles as q31 through the bounded-memory scale path:
+    // iterative histogram range-narrowing (operators/HistogramPercentile) —
+    // a few full-data conditional-count passes instead of buffering every
+    // group value in one executor. Oracle-identical to q31 by construction
+    // (exact order statistics + the same interpolation).
+    "q59_percentiles_scalable" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = graft.operators.HistogramPercentile
+        .quantiles(li, "l_returnflag", "l_quantity", Seq(0.5, 0.95))
+        .select(col("l_returnflag"), round(col("q0"), 2).as("median_qty"),
+          round(col("q1"), 2).as("p95_qty"))
+      val price = graft.operators.HistogramPercentile
+        .quantiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
+        .select(col("l_returnflag"), round(col("q0"), 2).as("median_price"))
+      qty.join(price, "l_returnflag")
+    }),
+
     // Per-group top-k via the custom TypedImperativeAggregate: bounded
     // k-row buffers combine map-side, so the shuffle carries k rows per
     // group instead of every row (the window formulation's cost).
@@ -133,6 +150,14 @@ object RelationalQueries {
         |WHERE rn <= 2""".stripMargin,
 
     "q31_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // same oracle as q31: the scale path must be value-identical
+    "q59_percentiles_scalable" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
