@@ -74,17 +74,14 @@ object RelationalQueries {
     // a few full-data conditional-count passes instead of buffering every
     // group value in one executor. Oracle-identical to q31 by construction
     // (exact order statistics + the same interpolation).
-    "q59_percentiles_scalable" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val qty = graft.operators.HistogramPercentile
-        .quantiles(li, "l_returnflag", "l_quantity", Seq(0.5, 0.95))
-        .select(col("l_returnflag"), round(col("q0"), 2).as("median_qty"),
-          round(col("q1"), 2).as("p95_qty"))
-      val price = graft.operators.HistogramPercentile
-        .quantiles(li, "l_returnflag", "l_extendedprice", Seq(0.5))
-        .select(col("l_returnflag"), round(col("q0"), 2).as("median_price"))
-      qty.join(price, "l_returnflag")
-    }),
+    "q59_percentiles_scalable" -> ((s, d) =>
+      graft.operators.HistogramPercentile
+        .quantilesMulti(Tables.lineitem(s, d), "l_returnflag",
+          Seq("l_quantity" -> Seq(0.5, 0.95), "l_extendedprice" -> Seq(0.5)))
+        .select(col("l_returnflag"),
+          round(col("l_quantity_q0"), 2).as("median_qty"),
+          round(col("l_quantity_q1"), 2).as("p95_qty"),
+          round(col("l_extendedprice_q0"), 2).as("median_price"))),
 
     // Per-group top-k via the custom TypedImperativeAggregate: bounded
     // k-row buffers combine map-side, so the shuffle carries k rows per
