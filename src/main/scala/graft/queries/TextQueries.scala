@@ -97,6 +97,22 @@ object TextQueries {
           .select(col("doc_id"), col("text").cast("binary").as("payload")),
         "payload")
         .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("frames"))),
+
+    // Multimodal frame sampling: every 4th frame index of each video
+    // payload fans out to its own row (the batch shape a frame-extraction
+    // stage feeds to a vision encoder), tagged with a deterministic
+    // per-frame signature. Pure generate + column math — at scale the
+    // explode multiplies rows ~frames/4× with no shuffle; the real decoder
+    // drops in at the Multimodal.MediaDecoder seam.
+    "q60_frame_sample" -> ((s, d) =>
+      Multimodal.stubMetaColumns(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+        .select(col("doc_id"), col("frames"),
+          explode(sequence(lit(0), col("frames") - 1, lit(4))).as("frame_idx"))
+        .withColumn("frame_sig", TextHash.md5Long(
+          concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))))),
   )
 
   val oracle: Map[String, String] = {
@@ -159,6 +175,14 @@ object TextQueries {
           |  ((octet_length(encode(text)) * 7) % 480)::INT AS height,
           |  (octet_length(encode(text)) % 30 + 1)::INT AS frames
           |FROM documents""".stripMargin,
+
+      "q60_frame_sample" ->
+        s"""WITH m AS (SELECT doc_id,
+           |        (octet_length(encode(text)) % 30 + 1)::INT AS frames FROM documents),
+           |f AS (SELECT doc_id, frames, unnest(range(0, frames, 4))::INT AS frame_idx FROM m)
+           |SELECT doc_id, frames, frame_idx,
+           |  ${TextHash.md5LongSql("doc_id::VARCHAR || ':' || frame_idx::VARCHAR")} AS frame_sig
+           |FROM f""".stripMargin,
     )
   }
 }
