@@ -49,8 +49,11 @@ case class GramMatrixMicro(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
 
+  // KMeansIVF's correctly-rounded half-away (NOT floor(x+0.5), whose
+  // addition itself rounds half-ulp below each .5 boundary — would diverge
+  // from DuckDB round())
   private def roundHalfAway(x: Double): Long =
-    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    graft.operators.KMeansIVF.roundHalfAway(x)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val arr = vec.eval(input)

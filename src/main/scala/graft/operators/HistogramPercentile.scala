@@ -112,13 +112,19 @@ object HistogramPercentile {
     val groups = stats.keys.map(_._1).toSeq.distinct
 
     // the SINGLE definition of bucket index — shared by counting and by the
-    // constraint chain, so membership can never disagree with the count
+    // constraint chain, so membership can never disagree with the count.
+    // Clamped at BOTH ends: a row can satisfy its constraint chain yet sit
+    // an ulp below the narrowed range's arithmetic lo (the division that
+    // admitted it rounded up) — unclamped it would compute bucket -1 and
+    // silently vanish from the cumulative rank count.
     def bucketExpr(ci: Int, c: Constraint): Column =
-      least(floor((v(ci) - lit(c.lo)) / lit(c.width)), lit((bins - 1).toDouble))
+      greatest(least(floor((v(ci) - lit(c.lo)) / lit(c.width)),
+        lit((bins - 1).toDouble)), lit(0.0))
     def constraintCond(ci: Int, c: Constraint): Column =
       bucketExpr(ci, c) === lit(c.b.toDouble)
+    // eqNullSafe: a NULL group key is a legitimate group for percentile()
     def rangeCond(pd: Pending): Column =
-      pd.constraints.foldLeft(col("g") === lit(pd.group) && v(pd.ci).isNotNull)(
+      pd.constraints.foldLeft(col("g") <=> lit(pd.group) && v(pd.ci).isNotNull)(
         (acc, c) => acc && constraintCond(pd.ci, c))
 
     val resolved = scala.collection.mutable.Map.empty[(Any, Int, Long), Double]
@@ -134,7 +140,8 @@ object HistogramPercentile {
       // evaluate each pending's constraint chain driver-side, mirroring
       // bucketExpr exactly
       def inRange(pd: Pending, x: Double): Boolean = pd.constraints.forall { c =>
-        math.min(math.floor((x - c.lo) / c.width), (bins - 1).toDouble) == c.b.toDouble
+        math.max(math.min(math.floor((x - c.lo) / c.width), (bins - 1).toDouble), 0.0) ==
+          c.b.toDouble
       }
       for (pd <- pds) {
         val slice = rows.iterator
@@ -223,7 +230,7 @@ object HistogramPercentile {
 
     // interpolate and assemble one small local DataFrame
     import scala.jdk.CollectionConverters._
-    val rows: java.util.List[Row] = groups.sortBy(_.toString).map { g =>
+    val rows: java.util.List[Row] = groups.sortBy(String.valueOf(_)).map { g =>
       val vals = specs.zipWithIndex.flatMap { case ((_, probs), ci) =>
         val (n, _, _) = stats((g, ci))
         probs.map { p =>

@@ -52,7 +52,7 @@ object KMeansIVF {
     * would disagree with the oracle half-ulp below each .5 boundary. The
     * `x - floor(x)` / `ceil(x) - x` forms are exact (the operands are
     * within a factor of two, so the subtraction is error-free). */
-  private def roundHalfAway(x: Double): Long =
+  private[graft] def roundHalfAway(x: Double): Long =
     if (x >= 0) {
       val f = math.floor(x)
       (if (x - f >= 0.5) f + 1 else f).toLong

@@ -89,7 +89,9 @@ object MixQueries {
       val stopRatio = nStop.cast("double") / nTok
       val avgLen = nonWs.cast("double") / nTok
       val nSym = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
-      val symRatio = nSym.cast("double") / nonWs
+      // guard: a whitespace-only doc has nonWs = 0 — ANSI mode would throw
+      // DIVIDE_BY_ZERO (and DuckDB would emit inf); define its ratio as 0
+      val symRatio = when(nonWs > 0, nSym.cast("double") / nonWs).otherwise(0.0)
       val reasons = concat_ws(",", filter(array(
         when(!(nTok >= 30 && nTok <= 100000), lit("n_tokens")),
         when(!(avgLen >= 3.0 && avgLen <= 10.0), lit("avg_token_len")),
@@ -226,7 +228,7 @@ object MixQueries {
            |m AS (SELECT doc_id, len(toks) AS n_tokens, nonws, nsym,
            |  len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks) AS stop_ratio,
            |  nonws::DOUBLE / len(toks) AS avg_len,
-           |  nsym::DOUBLE / nonws AS sym_ratio FROM t),
+           |  CASE WHEN nonws > 0 THEN nsym::DOUBLE / nonws ELSE 0 END AS sym_ratio FROM t),
            |r AS (SELECT *, coalesce(array_to_string(list_filter([
            |    CASE WHEN NOT (n_tokens >= 30 AND n_tokens <= 100000) THEN 'n_tokens' END,
            |    CASE WHEN NOT (avg_len >= 3.0 AND avg_len <= 10.0) THEN 'avg_token_len' END,

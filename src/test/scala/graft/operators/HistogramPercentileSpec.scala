@@ -48,6 +48,14 @@ class HistogramPercentileSpec extends AnyFunSuite {
     assertParity(rows.toDF("g", "v"))
   }
 
+  test("NULL group key is a real group, like percentile() treats it") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 30.0))
+      .toDF("g", "v")
+    val got = HistogramPercentile.quantiles(df, "g", "v", Seq(0.5))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got == Map(Some("a") -> 2.0, None -> 20.0))
+  }
+
   test("nulls are ignored like percentile() does") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
       .toDF("g", "v")

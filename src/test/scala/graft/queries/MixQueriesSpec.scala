@@ -106,8 +106,7 @@ class MixQueriesSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val vecs = Tables.embeddings(spark, dir).select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    def mu(x: Double): Long =
-      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong else math.ceil(x * 1e6 - 0.5).toLong
+    def mu(x: Double): Long = graft.operators.KMeansIVF.roundHalfAway(x * 1e6)
     val d = 64
     assert(out.size == d * (d + 1) / 2)
     val expect = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
