@@ -36,6 +36,27 @@ object RelationalQueries {
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
           count(lit(1)).as("n_items"))),
 
+    // Set operations: nations that have BOTH customers and suppliers
+    // (INTERSECT) and nations with customers but NO suppliers (EXCEPT),
+    // tagged into one relation. Both rewrite to aggregate + semi/anti
+    // joins under Catalyst — one shuffle each on the nation key.
+    "q61_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).withColumn("tag", lit("both"))
+        .unionByName(c.except(sup).withColumn("tag", lit("cust_only")))
+        .select(col("tag"), col("nationkey"))
+    }),
+
+    // CUBE grouping sets: all four aggregation levels of (returnflag,
+    // linestatus) in one pass — partial aggregation covers every grouping
+    // set map-side, same one-shuffle shape as q29's ROLLUP.
+    "q62_cube_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_items"))),
+
     // Window analytics: top-3 customers per nation by balance, with rank
     // flavors and the gap to the previous customer.
     "q30_window_analytics" -> ((s, d) => {
@@ -171,6 +192,20 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q61_set_ops" ->
+      """SELECT 'both' AS tag, nationkey FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nationkey FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)""".stripMargin,
+
+    "q62_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_items
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q29_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
