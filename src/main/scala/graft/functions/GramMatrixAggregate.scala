@@ -24,9 +24,11 @@ import org.apache.spark.sql.types._
   * (round-half-away(x·1e6), the same convention as [[graft.operators.KMeansIVF]])
   * and products are summed as exact longs — no accumulation-order
   * dependence, so the DuckDB oracle (unnest-zip + self-join + sum) matches
-  * bit-for-bit. Magnitude: |x| ≤ 1 → product ≤ 1e12; long overflows past
-  * ~9.2e6 vectors per final buffer — far beyond any per-aggregation input
-  * this is meant for (document the bound rather than widen to BigInt).
+  * bit-for-bit. Magnitude: |x| ≤ 1 → product ≤ 1e12; a cell could wrap
+  * past ~9.2e6 rows per final buffer, so a row-count cell rides in the
+  * buffer and the aggregate FAILS LOUDLY at `maxRows` instead of silently
+  * wrapping (the oracle side would also error — HUGEINT::BIGINT throws —
+  * so a silent Spark wrap would be the only wrong-answer path).
   *
   * Output: array<struct<i int, j int, v_mu long>> of the i ≤ j triangle,
   * row-major; `inline` it to rows.
@@ -39,6 +41,9 @@ case class GramMatrixMicro(
   extends TypedImperativeAggregate[Array[Long]] {
 
   private val cells = d * (d + 1) / 2
+  // |mu| <= ~1e6 for unit-ish embeddings -> |product| <= ~1e12 per row;
+  // Long.MaxValue / 1e12 ≈ 9.2e6 rows before a cell can wrap
+  private val maxRows = 9_000_000L
 
   override def children: Seq[Expression] = Seq(vec)
   override def nullable: Boolean = false
@@ -47,7 +52,8 @@ case class GramMatrixMicro(
     StructField("j", IntegerType, nullable = false),
     StructField("v_mu", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](cells)
+  // one extra cell carries the row count for the overflow guard
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](cells + 1)
 
   // KMeansIVF's correctly-rounded half-away (NOT floor(x+0.5), whose
   // addition itself rounds half-ulp below each .5 boundary — would diverge
@@ -60,6 +66,11 @@ case class GramMatrixMicro(
     if (arr == null) return buf
     val a = arr.asInstanceOf[ArrayData]
     require(a.numElements() == d, s"expected $d-dim vector, got ${a.numElements()}")
+    buf(cells) += 1
+    require(buf(cells) <= maxRows,
+      s"GramMatrixMicro overflow guard: more than $maxRows rows in one " +
+        "aggregation buffer — a micro-unit product cell could wrap; " +
+        "pre-aggregate per partition-group or widen the unit scale")
     val mu = new Array[Long](d)
     var i = 0
     while (i < d) { mu(i) = roundHalfAway(a.getDouble(i) * 1e6); i += 1 }
@@ -75,7 +86,9 @@ case class GramMatrixMicro(
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < cells) { a(i) += b(i); i += 1 }
+    while (i <= cells) { a(i) += b(i); i += 1 }
+    require(a(cells) <= maxRows,
+      s"GramMatrixMicro overflow guard: merged buffer exceeds $maxRows rows")
     a
   }
 
@@ -92,19 +105,19 @@ case class GramMatrixMicro(
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(cells * 8)
+    val bos = new ByteArrayOutputStream((cells + 1) * 8)
     val out = new DataOutputStream(bos)
     var i = 0
-    while (i < cells) { out.writeLong(buf(i)); i += 1 }
+    while (i <= cells) { out.writeLong(buf(i)); i += 1 }
     out.flush()
     bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new Array[Long](cells)
+    val buf = new Array[Long](cells + 1)
     var i = 0
-    while (i < cells) { buf(i) = in.readLong(); i += 1 }
+    while (i <= cells) { buf(i) = in.readLong(); i += 1 }
     buf
   }
 

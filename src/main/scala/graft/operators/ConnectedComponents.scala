@@ -57,13 +57,13 @@ object ConnectedComponents {
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    sym.unpersist() // before the require: don't leak the cache on failure
     // a silent non-converged return would hand every caller (q52's oracle
     // comparison, CorpusPipeline's keep-set) subtly wrong clusters — fail
     // loudly instead; components deeper than maxIter need pointer doubling
     require(changed == 0,
       s"min-label propagation did not converge in $maxIter rounds " +
         s"($changed labels still shrinking — component diameter exceeds maxIter)")
-    sym.unpersist()
     labels.select(col("id"), col("label").as("root"))
   }
 }

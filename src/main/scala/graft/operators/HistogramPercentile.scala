@@ -157,6 +157,26 @@ object HistogramPercentile {
       }
     }
 
+    /** Bounded resolution for duplicate-heavy point ranges: when a range is
+      * width-exhausted (all remaining values within an ulp span) but still
+      * holds more rows than collectCap, pulling the rows would be O(group)
+      * driver memory. The distinct VALUES in such a range are few — count
+      * per value and walk the cumulative counts driver-side instead. Rank
+      * arithmetic stays in Long (a point range can exceed 2^31 rows). */
+    def resolveByValueCounts(pd: Pending): Unit = {
+      val counts = data.filter(rangeCond(pd))
+        .groupBy(v(pd.ci)).agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      var cum = pd.base
+      var found = false
+      for ((value, c) <- counts if !found) {
+        if (pd.idx < cum + c) { resolved((pd.group, pd.ci, pd.idx)) = value; found = true }
+        cum += c
+      }
+      require(found, s"rank ${pd.idx} not found in value counts of point range " +
+        s"(group=${pd.group}, col=${pd.ci}, base=${pd.base})")
+    }
+
     // the order statistics each (group, column, prob) needs: ⌊r⌋ and, when
     // interpolating, ⌈r⌉
     var pending: Seq[Pending] = (for {
@@ -174,11 +194,14 @@ object HistogramPercentile {
       guard += 1
       val roundCollects = scala.collection.mutable.ArrayBuffer.empty[Pending]
       // exact range sizes are known (group n, then bucket counts), so the
-      // collect trigger is precise; width-exhausted ranges (all remaining
-      // values ulp-identical) also collect — every value is the answer
+      // collect trigger is precise; width-exhausted ranges that are still
+      // over the cap (duplicate-heavy point ranges) resolve by bounded
+      // value counts instead of an O(group) row pull
       val (direct, narrow) = pending.partition(pd =>
         pd.count <= collectCap || (pd.hi - pd.lo) / bins <= 0.0)
-      roundCollects ++= direct
+      val (smallDirect, pointDirect) = direct.partition(_.count <= collectCap)
+      roundCollects ++= smallDirect
+      pointDirect.foreach(resolveByValueCounts)
       pending = narrow
       if (pending.nonEmpty) {
         val rangeList = pending.map(_.rangeKey).distinct

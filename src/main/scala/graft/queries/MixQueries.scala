@@ -281,8 +281,8 @@ object MixQueries {
       },
 
       "q54_source_mix" ->
-        """WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
-          |        sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+        s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+          |        sum(len($toksSql))::BIGINT AS n_tokens
           |      FROM documents GROUP BY source),
           |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens, count(*)::BIGINT AS n_sources FROM per),
           |w AS (SELECT per.*, total_tokens, n_sources,
