@@ -190,6 +190,26 @@ object MixQueries {
           .as("keep_frac"))
     }),
 
+    // Count-Min heavy hitters: every vocabulary token's exact count next to
+    // its sketch estimate. The sketch is ONE bounded 4×1024 matrix combined
+    // map-side (shuffle = one 32 KB buffer per partition); estimates read
+    // min-of-4 cells via the same portable hash arithmetic the aggregate
+    // writes them with, so the DuckDB oracle replays every cell and checks
+    // the estimates EXACTLY — collisions included — not within a tolerance.
+    "q63_count_min" -> ((s, d) => {
+      val depth = 4; val width = 1024
+      val toks = Tables.documents(s, d)
+        .select(explode(TextHash.tokens(col("text"))).as("t"))
+        .withColumn("hp", TextHash.baseHash(col("t")))
+      val sketch = toks.agg(
+        graft.functions.CountMinAggregate.countMin(col("hp"), depth, width).as("cms"))
+      toks.groupBy(col("t"), col("hp")).agg(count(lit(1)).as("exact_n"))
+        .crossJoin(broadcast(sketch))
+        .select(col("t"), col("exact_n"),
+          graft.functions.CountMinAggregate
+            .estimate(col("cms"), col("hp"), depth, width).as("cms_n"))
+    }),
+
     // Embedding second-moment (gram) matrix — the whitening/PCA-prep
     // primitive — via ONE custom bounded-buffer aggregate: the upper
     // triangle accumulates map-side in a fixed long[d(d+1)/2] buffer in
@@ -259,6 +279,24 @@ object MixQueries {
            |      WHERE cab >= 5)
            |SELECT w1, w2, cab, round(lift, 3) AS lift FROM l
            |ORDER BY round(lift, 3) DESC, w1, w2 LIMIT 20""".stripMargin,
+
+      // full sketch replay: per-row cell counts rebuilt with the same
+      // portable permutations; estimates join each token to its 4 cells
+      "q63_count_min" -> {
+        val w = 1024
+        val cellCtes = (0 until 4).map(i =>
+          s"c$i AS (SELECT ${TextHash.permSql("hp", i)} % $w AS cell, count(*)::BIGINT AS n " +
+            "FROM h GROUP BY 1)").mkString(",\n|")
+        val joins = (0 until 4).map(i =>
+          s"JOIN c$i ON ${TextHash.permSql("ex.hp", i)} % $w = c$i.cell").mkString("\n|")
+        s"""WITH tk AS (SELECT unnest(${TextHash.tokensSql("text")}) AS t FROM documents),
+           |h AS (SELECT t, ${TextHash.baseHashSql("t")} AS hp FROM tk),
+           |ex AS (SELECT t, min(hp) AS hp, count(*)::BIGINT AS exact_n FROM h GROUP BY t),
+           |$cellCtes
+           |SELECT ex.t, ex.exact_n, least(c0.n, c1.n, c2.n, c3.n) AS cms_n
+           |FROM ex
+           |$joins""".stripMargin
+      },
 
       // parallel unnests zip; products in exact integer micro-units match
       // the aggregate's long arithmetic bit-for-bit

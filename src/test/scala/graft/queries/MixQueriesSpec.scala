@@ -124,6 +124,36 @@ class MixQueriesSpec extends AnyFunSuite {
     assert(math.abs(recall - nFound.toDouble / nExact) < 0.001)
   }
 
+  test("q63 count-min: estimates upper-bound exact counts, match a direct sketch") {
+    val rows = MixQueries.queries("q63_count_min")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((t, exact, est) <- rows) assert(est >= exact, s"token $t: $est < $exact")
+    // rebuild the sketch directly from the token stream and compare estimates
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("t")).collect().map(_.getString(0))
+    val P = graft.functions.TextHash.P
+    def baseHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map("%02x".format(_)).mkString.take(15), 16) % P
+    }
+    val depth = 4; val width = 1024
+    val cellsArr = Array.fill(depth * width)(0L)
+    for (t <- toks; i <- 0 until depth) {
+      val c = ((graft.functions.TextHash.permA(i) * baseHash(t) +
+        graft.functions.TextHash.permB(i)) % P % width).toInt
+      cellsArr(i * width + c) += 1
+    }
+    for ((t, _, est) <- rows) {
+      val want = (0 until depth).map { i =>
+        val c = ((graft.functions.TextHash.permA(i) * baseHash(t) +
+          graft.functions.TextHash.permB(i)) % P % width).toInt
+        cellsArr(i * width + c)
+      }.min
+      assert(est == want, s"token $t")
+    }
+  }
+
   test("q54 waterfill: allocations exhaust the 80% budget, caps respected") {
     val rows = MixQueries.queries("q54_source_mix")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
