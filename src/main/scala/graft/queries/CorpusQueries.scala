@@ -59,6 +59,29 @@ object CorpusQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("token"), col("rank"), col("weight"))
     }),
+
+    // Inverted-index construction: per token, document frequency + the 10
+    // lowest posting doc_ids (CSV — the driver comparer can't sort raw
+    // array cells). The posting sample rides the bounded TopKByScore
+    // aggregate, NOT collect_list: a stopword's full posting list is the
+    // whole corpus, but the k-row map-side buffer keeps the shuffle at
+    // k·|vocab| regardless. df stays exact (plain count of distinct
+    // (doc, token) pairs). At scale the full index would be written
+    // sharded by token range; this query is its bounded per-token summary.
+    "q69_inverted_index" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TextHash.tokens(lower(col("text"))))).as("token"))
+      tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          graft.functions.TopKAggregate
+            .topK((-col("doc_id")).cast("double"), col("doc_id"), 10).as("top"))
+        .select(col("token"), col("df"),
+          array_join(transform(col("top"), t => t.getField("payload").cast("string")), ",")
+            .as("postings"))
+        .orderBy(desc("df"), asc("token"))
+        .limit(50)
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,5 +113,15 @@ object CorpusQueries {
          |    row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, token) AS rank
          |  FROM scored)
          |SELECT doc_id, token, rank::INT AS rank, weight FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q69_inverted_index" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM
+         |        (SELECT doc_id, unnest(${TextHash.tokensSql("lower(text)")}) AS token
+         |         FROM documents)),
+         |idx AS (SELECT token, count(*) AS df,
+         |        array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings
+         |      FROM tok GROUP BY token)
+         |SELECT token, df, postings FROM idx
+         |ORDER BY df DESC, token LIMIT 50""".stripMargin,
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{BloomFilterAggregate, TextHash}
 import graft.operators.{AsOfJoin, RangeJoin, SkewJoin, StreamingAggregates}
 
 /** Scale-path operators whose results must be IDENTICAL to their naive
@@ -65,6 +66,52 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice")), 2).as("total_price"))
     }),
+    // Bloom-filter semi-join reduction: prune the fact table against the
+    // filtered dimension's 2¹⁶-bit bloom BEFORE the join. The bitset
+    // builds with one 8 KB buffer per partition, broadcasts for free, and
+    // the membership test runs map-side on the lineitem scan — at 100 TB
+    // this sheds ~(1−fpp) of non-matching fact volume before any
+    // exchange, where the dimension subset itself may be far past the
+    // broadcast threshold. No false negatives ⇒ prune→join ≡ plain join,
+    // which is exactly what the oracle checks.
+    "q66_bloom_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bits = 1 << 16; val depth = 4
+      val bloomDf = o.agg(BloomFilterAggregate.bloom(
+        TextHash.baseHash(col("o_orderkey").cast("string")), bits, depth).as("bf"))
+      // hash once in the scan projection — the 4 probe bits reuse it,
+      // instead of re-digesting the key inside each membership conjunct
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"),
+          TextHash.baseHash(col("l_orderkey").cast("string")).as("lh"))
+      li.crossJoin(broadcast(bloomDf))
+        .filter(BloomFilterAggregate.mightContain(col("bf"), col("lh"), bits, depth))
+        .drop("bf", "lh")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+    }),
+
+    // Z-order (Morton) clustering keys — the data-layout primitive behind
+    // multi-dimensional file skipping: interleave the bits of two 16-bit
+    // dimension buckets so range predicates on EITHER dimension touch few
+    // contiguous z-ranges. Pure integer bit-spreading (masks + shifts),
+    // codegen'd map-side; the per-z-bucket min/max summary is what a
+    // layout optimizer would write as file-level column stats. The oracle
+    // replays the identical bit arithmetic in DuckDB.
+    "q67_zorder_layout" -> ((s, d) => {
+      val z = graft.functions.ZOrder.interleave(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), z.as("z"))
+        .groupBy(shiftright(col("z"), 14).as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +143,32 @@ object ScaleQueries {
         |  p.ts_us AS asof_ts, p.purchase_value AS asof_purchase_value
         |FROM errors e ASOF LEFT JOIN purchases p
         |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us""".stripMargin,
+
+    // the bloom prune cannot change the join result — the oracle IS the
+    // plain join
+    "q66_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q67_zorder_layout" ->
+      """WITH s AS (SELECT l_partkey, l_suppkey,
+        |        l_partkey % 65536 AS a, l_suppkey % 65536 AS b FROM lineitem),
+        |x1 AS (SELECT *, (a | (a << 8)) & 16711935 AS a1,
+        |        (b | (b << 8)) & 16711935 AS b1 FROM s),
+        |x2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+        |        (b1 | (b1 << 4)) & 252645135 AS b2 FROM x1),
+        |x3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+        |        (b2 | (b2 << 2)) & 858993459 AS b3 FROM x2),
+        |x4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+        |        (b3 | (b3 << 1)) & 1431655765 AS b4 FROM x3),
+        |z AS (SELECT l_partkey, l_suppkey, (a4 | (b4 << 1)) AS z FROM x4)
+        |SELECT z >> 14 AS z_bucket, count(*) AS n_rows,
+        |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+        |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+        |FROM z GROUP BY z_bucket""".stripMargin,
 
     "q37_range_join" ->
       """WITH iv AS (

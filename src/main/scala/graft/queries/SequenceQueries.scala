@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-sequence analytics over the `events` stream table: funnel
+  * conversion, per-event rolling time windows, and per-entity outlier
+  * detection.
+  *
+  * Everything shuffles on `user_id` only — the natural key a clickstream
+  * is already bucketed by at scale — and every float that crosses the
+  * oracle boundary is first made EXACT (µs timestamps, integer cents), so
+  * no aggregation-order ulp noise can flip a comparison.
+  */
+object SequenceQueries {
+
+  /** `value` has 2 decimal digits — exact in integer cents. Summing longs
+    * is order-independent, unlike summing doubles, which is what makes the
+    * rolling/anomaly aggregates hash-reproducible on both engines. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Funnel: earliest view → first click strictly after it → first
+    // purchase strictly after that, per user. Three co-partitioned
+    // aggregations chained by joins on user_id — each stage is a plain
+    // hash-agg + equi-join on the SAME key, so at scale all three reuse
+    // one hash partitioning of the events relation (no per-user sorted
+    // array state, which a power user with 10⁷ events would blow up).
+    "q64_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("click_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+          (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0)
+            + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
+    }),
+
+    // Rolling 1-hour window per event: how many events (and how much
+    // value) this user generated in the 3600 s ending at this event.
+    // RANGE frame over exact µs — ties are frame-peers on both engines,
+    // so ordering within equal timestamps cannot change the result.
+    "q65_rolling_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), cents(col("value")).as("cents"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("cents")).over(w).as("cents_1h"))
+    }),
+
+    // Per-user outlier flag: |x − μ| > 2σ (sample variance), decided in
+    // EXACT integer arithmetic — (n·x − S)²·(n−1) > 4·n·(n·Q − S²) is the
+    // 2σ test cleared of divisions, so the boolean is bit-reproducible
+    // (no sqrt, no float variance whose accumulation order differs across
+    // engines). One hash-agg for per-user moments, one equi-join back on
+    // user_id. Magnitude bound: |n·x−S| ≤ n·max_cents, so the product
+    // stays under 2⁶³ while n·max_cents² < 2³¹·√n — fine to ~10⁹ events
+    // per user at cents scale; past that, rescale to whole units first.
+    "q68_anomaly_zscore" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("cents"))
+      val stats = ev.filter(col("cents").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+      ev.join(stats, "user_id")
+        .filter(col("n") >= 2)
+        .select(col("event_id"), col("user_id"), col("cents"), col("n"),
+          round(col("s").cast("double") / col("n"), 2).as("mean_cents"),
+          ((col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s"))
+            * (col("n") - 1) > lit(4) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+            .as("is_outlier"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q64_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.us) AS click_us FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.us > v.view_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.us) AS purchase_us FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us > c.click_us GROUP BY e.user_id)
+        |SELECT v.user_id, view_us, click_us, purchase_us,
+        |  1 + (click_us IS NOT NULL)::INT + (purchase_us IS NOT NULL)::INT AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q65_rolling_window" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  (sum(cents) OVER w)::BIGINT AS cents_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q68_anomaly_zscore" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |stats AS (SELECT user_id, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+        |        sum(cents * cents)::BIGINT AS q
+        |      FROM ev WHERE cents IS NOT NULL GROUP BY user_id)
+        |SELECT event_id, ev.user_id, cents, n,
+        |  round(s::DOUBLE / n, 2) AS mean_cents,
+        |  (n * cents - s) * (n * cents - s) * (n - 1) > 4 * n * (n * q - s * s)
+        |    AS is_outlier
+        |FROM ev JOIN stats USING (user_id)
+        |WHERE n >= 2""".stripMargin,
+  )
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Unit-level checks for the event-sequence operators on crafted inputs
+  * (the sf0.01 oracle gate covers them end-to-end on real data). The
+  * queries read from Tables.events, so these specs re-implement the same
+  * column logic on in-memory frames and assert the SEMANTICS: funnel stage
+  * ordering, rolling-window frame bounds, exact-integer outlier algebra.
+  */
+class SequenceQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel stages respect strict event ordering") {
+    // u1: view->click->purchase in order (stage 3)
+    // u2: click before view, purchase after nothing (stage 1: click not after view)
+    // u3: view then click, purchase BEFORE click (stage 2)
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      (2L, "click", ts("2024-01-01 09:00:00")), (2L, "view", ts("2024-01-01 09:30:00")),
+      (3L, "view", ts("2024-01-01 08:00:00")), (3L, "purchase", ts("2024-01-01 08:10:00")),
+      (3L, "click", ts("2024-01-01 08:20:00"))
+    ).toDF("user_id", "event_type", "ts")
+
+    val us = unix_micros(col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(us).as("view_us"))
+    val c = ev.filter(col("event_type") === "click").withColumn("us", us).join(v, "user_id")
+      .filter(col("us") > col("view_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase").withColumn("us", us).join(c, "user_id")
+      .filter(col("us") > col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    val out = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1) + when(col("click_us").isNotNull, 1).otherwise(0)
+          + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
+
+  test("rolling 1h range frame includes the 1-hour boundary and ts peers") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("us")).rangeBetween(-3600000000L, 0L)
+    val rows = Seq(
+      (1L, 0L), (1L, 3600000000L),          // exactly 1h apart: both in frame 2
+      (1L, 7200000000L),                    // exactly 1h after #2: includes #2, excludes #1
+      (2L, 5L), (2L, 5L)                    // equal ts: peers, both frames count 2
+    ).toDF("u", "us")
+    val got = rows.select(col("u"), col("us"), count(lit(1)).over(w).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 1L), (1L, 3600000000L, 2L), (1L, 7200000000L, 2L),
+      (2L, 5L, 2L), (2L, 5L, 2L)))
+  }
+
+  test("exact-integer 2-sigma test agrees with the float formulation away from boundaries") {
+    val xs = Seq(100L, 110L, 90L, 105L, 95L, 400L) // 400 is the obvious outlier
+    val n = xs.length.toLong
+    val s = xs.sum
+    val q = xs.map(x => x * x).sum
+    val mean = s.toDouble / n
+    val varS = (q - s.toDouble * s / n) / (n - 1)
+    def intFlag(x: Long) = (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * q - s * s)
+    def fltFlag(x: Long) = (x - mean) * (x - mean) > 4 * varS
+    xs.foreach(x => assert(intFlag(x) == fltFlag(x), s"x=$x"))
+    assert(intFlag(400L) && !intFlag(100L))
+  }
+}
