@@ -138,6 +138,18 @@ object RefSurface {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
+
+    // Graph shape profiling over the same hierarchy the rollup resolves:
+    // in-degree (children per parent, self-loops excluded) histogram.
+    // Two chained hash-aggs — degree per parent, then node count per
+    // degree; the second input is |parents| rows, tiny at any scale.
+    "q71_degree_histogram" -> ((s, d) =>
+      hierarchyNodes(s, d)
+        .filter(col("id") =!= col("parent"))
+        .groupBy(col("parent"))
+        .agg(count(lit(1)).as("in_degree"))
+        .groupBy(col("in_degree"))
+        .agg(count(lit(1)).as("n_nodes"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -210,5 +222,11 @@ object RefSurface {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    "q71_degree_histogram" -> (nodesCte +
+      """, deg AS (
+        |  SELECT parent, count(*) AS in_degree FROM nodes
+        |  WHERE id <> parent GROUP BY parent)
+        |SELECT in_degree, count(*) AS n_nodes FROM deg GROUP BY in_degree""".stripMargin),
   )
 }

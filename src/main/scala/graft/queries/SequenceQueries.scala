@@ -85,6 +85,24 @@ object SequenceQueries {
             * (col("n") - 1) > lit(4) * col("n") * (col("n") * col("q") - col("s") * col("s")))
             .as("is_outlier"))
     }),
+
+    // Weekly retention cohorts: users grouped by first-activity week;
+    // n_active counts who returns k weeks later. Four key-parallel hops
+    // — distinct (user, week), per-user min week, user-key join, final
+    // (cohort, age) agg — each a plain hash shuffle; exact count
+    // distinct (the cohort matrix is small, its per-cell distinct sets
+    // are not rebuilt anywhere). Weeks are Monday-truncated DATEs on
+    // both engines, so age arithmetic is exact integer days / 7.
+    "q70_retention_cohorts" -> ((s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      uw.join(first, "user_id")
+        .groupBy(col("cohort_wk"),
+          floor(datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("age_wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,5 +140,13 @@ object SequenceQueries {
         |    AS is_outlier
         |FROM ev JOIN stats USING (user_id)
         |WHERE n >= 2""".stripMargin,
+
+    "q70_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        |SELECT cohort_wk, ((wk - cohort_wk) // 7)::INT AS age_wk,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY cohort_wk, age_wk""".stripMargin,
   )
 }
