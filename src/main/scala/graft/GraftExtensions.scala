@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Md5Long}
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg, DotProduct, GramMatrixMicro, Md5Long, TopKByScore}
 
 /** Session-extension installer for the engine's custom Catalyst
   * expressions — the idiomatic deployment path:
@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Size parameters shape the aggregation buffer, so they must be literal
+    * ints at registration time (matching the Column-API wrappers, which
+    * take plain Int). */
+  private def intLit(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -33,6 +42,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_md5_long"),
       info("graft_md5_long", "graft_md5_long(s) - top 60 bits of md5(s) as bigint"),
       (exprs: Seq[Expression]) => Md5Long(exprs.head)))
+    // bounded custom aggregates, SQL-callable with literal size params
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      info("graft_topk", "graft_topk(score, payload, k) - bounded per-group top-k by score desc"),
+      (exprs: Seq[Expression]) => TopKByScore(exprs.head, exprs(1),
+        intLit(exprs(2), "k")).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_min"),
+      info("graft_count_min", "graft_count_min(base_hash, depth, width) - count-min sketch cells"),
+      (exprs: Seq[Expression]) => CountMinSketchAgg(exprs.head,
+        intLit(exprs(1), "depth"), intLit(exprs(2), "width")).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      info("graft_bloom", "graft_bloom(base_hash, num_bits, depth) - bloom filter bitset"),
+      (exprs: Seq[Expression]) => BloomFilterAgg(exprs.head,
+        intLit(exprs(1), "num_bits"), intLit(exprs(2), "depth")).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gram_micro"),
+      info("graft_gram_micro", "graft_gram_micro(vec, dim) - integer-micro gram matrix upper triangle"),
+      (exprs: Seq[Expression]) => GramMatrixMicro(exprs.head,
+        intLit(exprs(1), "dim")).toAggregateExpression()))
     // the as-of join's custom physical operator (plans/AsOfJoinPlan.scala);
     // AsOfJoin.latestPriorMerge also installs it per-session for callers
     // on vanilla sessions

@@ -43,6 +43,32 @@ object MixQueries {
        |     THEN list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i+1])
        |     ELSE [] END""".stripMargin
 
+  /** The Gopher-rule columns over `text`, shared by q51 (per-doc gate) and
+    * q73 (per-source rollup). */
+  private case class Quality(
+      nTok: org.apache.spark.sql.Column, avgLen: org.apache.spark.sql.Column,
+      stopRatio: org.apache.spark.sql.Column, symRatio: org.apache.spark.sql.Column,
+      reasons: org.apache.spark.sql.Column)
+
+  private def qualityCols: Quality = {
+    val toks = TextHash.tokens(col("text"))
+    val nTok = size(toks)
+    val nonWs = length(regexp_replace(col("text"), "\\s", ""))
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
+    val stopRatio = nStop.cast("double") / nTok
+    val avgLen = nonWs.cast("double") / nTok
+    val nSym = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
+    // guard: a whitespace-only doc has nonWs = 0 — ANSI mode would throw
+    // DIVIDE_BY_ZERO (and DuckDB would emit inf); define its ratio as 0
+    val symRatio = when(nonWs > 0, nSym.cast("double") / nonWs).otherwise(0.0)
+    val reasons = concat_ws(",", filter(array(
+      when(!(nTok >= 30 && nTok <= 100000), lit("n_tokens")),
+      when(!(avgLen >= 3.0 && avgLen <= 10.0), lit("avg_token_len")),
+      when(stopRatio < 0.05, lit("stopword_ratio")),
+      when(symRatio > 0.1, lit("symbol_ratio"))), x => x.isNotNull))
+    Quality(nTok, avgLen, stopRatio, symRatio, reasons)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Gopher-style repetition metrics: fraction of duplicate tokens,
     // fraction of duplicate word 2-grams, and the most-frequent-2-gram
@@ -82,27 +108,13 @@ object MixQueries {
     // length, stopword density, symbol density -> pass/fail + the list of
     // violated rules. Single-pass column math, no shuffle.
     "q51_quality_filter" -> ((s, d) => {
-      val toks = TextHash.tokens(col("text"))
-      val nTok = size(toks)
-      val nonWs = length(regexp_replace(col("text"), "\\s", ""))
-      val nStop = size(filter(toks, t => t.isin(stopwords: _*)))
-      val stopRatio = nStop.cast("double") / nTok
-      val avgLen = nonWs.cast("double") / nTok
-      val nSym = length(regexp_replace(col("text"), "[a-z0-9\\s]", ""))
-      // guard: a whitespace-only doc has nonWs = 0 — ANSI mode would throw
-      // DIVIDE_BY_ZERO (and DuckDB would emit inf); define its ratio as 0
-      val symRatio = when(nonWs > 0, nSym.cast("double") / nonWs).otherwise(0.0)
-      val reasons = concat_ws(",", filter(array(
-        when(!(nTok >= 30 && nTok <= 100000), lit("n_tokens")),
-        when(!(avgLen >= 3.0 && avgLen <= 10.0), lit("avg_token_len")),
-        when(stopRatio < 0.05, lit("stopword_ratio")),
-        when(symRatio > 0.1, lit("symbol_ratio"))), x => x.isNotNull))
+      val q = qualityCols
       Tables.documents(s, d).select(
-        col("doc_id"), nTok.as("n_tokens"),
-        round(avgLen, 3).as("avg_token_len"),
-        round(stopRatio, 3).as("stopword_ratio"),
-        round(symRatio, 3).as("symbol_ratio"),
-        (reasons === "").as("passes"), reasons.as("fail_reasons"))
+        col("doc_id"), q.nTok.as("n_tokens"),
+        round(q.avgLen, 3).as("avg_token_len"),
+        round(q.stopRatio, 3).as("stopword_ratio"),
+        round(q.symRatio, 3).as("symbol_ratio"),
+        (q.reasons === "").as("passes"), q.reasons.as("fail_reasons"))
     }),
 
     // Collocation mining: corpus-wide word-bigram lift, top 20. Lift is the
@@ -210,6 +222,23 @@ object MixQueries {
             .estimate(col("cms"), col("hp"), depth, width).as("cms_n"))
     }),
 
+    // Per-source quality panel: the q51 gate rolled up to the mix level —
+    // the summary a curation run reads to decide which sources to keep.
+    // Same single-pass rule math, then one hash-agg on source; the ratios
+    // divide exact longs, so rounding is reproducible.
+    "q73_source_quality_panel" -> ((s, d) => {
+      val q = qualityCols
+      Tables.documents(s, d)
+        .select(col("source"), q.nTok.as("nt"), (q.reasons === "").as("ok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("source"), col("n_docs"), col("total_tokens"), col("n_pass"),
+          round(col("n_pass").cast("double") / col("n_docs"), 4).as("pass_rate"),
+          round(col("total_tokens").cast("double") / col("n_docs"), 2).as("mean_tokens"))
+    }),
+
     // Embedding second-moment (gram) matrix — the whitening/PCA-prep
     // primitive — via ONE custom bounded-buffer aggregate: the upper
     // triangle accumulates map-side in a fixed long[d(d+1)/2] buffer in
@@ -261,6 +290,24 @@ object MixQueries {
            |  round(sym_ratio, 3) AS symbol_ratio,
            |  fail_reasons = '' AS passes, fail_reasons
            |FROM r""".stripMargin,
+
+      // same rule CTEs as q51, rolled up by source
+      "q73_source_quality_panel" ->
+        s"""WITH t AS (SELECT source, $toksSql AS toks,
+           |  length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+           |  length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS nsym FROM documents),
+           |m AS (SELECT source, len(toks) AS n_tokens,
+           |  len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks) AS stop_ratio,
+           |  nonws::DOUBLE / len(toks) AS avg_len,
+           |  CASE WHEN nonws > 0 THEN nsym::DOUBLE / nonws ELSE 0 END AS sym_ratio FROM t),
+           |r AS (SELECT source, n_tokens,
+           |  (n_tokens >= 30 AND n_tokens <= 100000 AND avg_len >= 3.0 AND avg_len <= 10.0
+           |   AND stop_ratio >= 0.05 AND sym_ratio <= 0.1) AS ok FROM m)
+           |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+           |  sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           |  round(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS pass_rate,
+           |  round(sum(n_tokens)::DOUBLE / count(*), 2) AS mean_tokens
+           |FROM r GROUP BY source""".stripMargin,
 
       "q53_bigram_lift" ->
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

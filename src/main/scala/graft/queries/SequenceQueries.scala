@@ -103,6 +103,24 @@ object SequenceQueries {
           floor(datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("age_wk"))
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
+    // Event-type Markov transitions: (from → to) counts + row-normalized
+    // probabilities over each user's event sequence. The lag/lead order is
+    // (ts, event_id) — event_id is unique, so the sequence is a TOTAL
+    // order and the window is deterministic despite duplicate timestamps.
+    // One user-keyed sort-window pass + one tiny (|types|²) aggregate;
+    // the probability divides two exact counts, rounded identically.
+    "q72_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wf = Window.partitionBy(col("from_type"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wf), 4))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -148,5 +166,16 @@ object SequenceQueries {
         |  count(DISTINCT user_id) AS n_active
         |FROM uw JOIN f USING (user_id)
         |GROUP BY cohort_wk, age_wk""".stripMargin,
+
+    "q72_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS to_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
+        |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type)), 4) AS p
+        |FROM c""".stripMargin,
   )
 }

@@ -43,6 +43,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val out = org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(s, node).collect()
       assert(out.length == 1 && out.head.getDouble(5) == 2.5,
         "extensions-injected strategy must plan AsOfJoinNode")
+
+      // bounded custom aggregates, SQL-callable with literal size params
+      val topk = s.sql(
+        """SELECT graft_topk(score, p, 2) AS t FROM VALUES
+          |  (1.0D, 10L), (3.0D, 30L), (2.0D, 20L) AS v(score, p)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+      assert(topk == Seq((3.0, 30L), (2.0, 20L)))
+      val cms = s.sql(
+        "SELECT graft_count_min(h, 4, 1024) AS c FROM VALUES (5L), (5L), (9L) AS v(h)")
+        .head().getSeq[Long](0)
+      assert(cms.length == 4 * 1024 && cms.sum == 3 * 4)
+      val bloomHits = s.sql(
+        "SELECT graft_bloom(h, 64, 2) AS b FROM VALUES (5L) AS v(h)")
+        .head().getSeq[Long](0).map(java.lang.Long.bitCount(_)).sum
+      assert(bloomHits >= 1 && bloomHits <= 2) // 2 probes, possibly colliding
+      val gram = s.sql(
+        "SELECT graft_gram_micro(v, 2) AS g FROM VALUES (array(1.0D, 2.0D)) AS t(v)")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(gram.length == 3) // upper triangle of a 2x2
+      intercept[Exception] {
+        s.sql("SELECT graft_topk(score, p, p) FROM VALUES (1.0D, 1L) AS v(score, p)").collect()
+      }
     } finally {
       // do NOT stop (that would kill the JVM-shared SparkContext);
       // restore the suite-shared default session
