@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global running (prefix) sum in a total order — WITHOUT the
+  * classic scale-killer `Window.orderBy(k)` with no partition key, which
+  * drags every row into ONE task.
+  *
+  * Classic two-phase distributed scan:
+  *   1. `repartitionByRange` on the order key — Spark's RangePartitioner
+  *      gives ascending, non-overlapping key ranges per partition id;
+  *   2. per-PARTITION window cumsum (parallel across partitions);
+  *   3. per-partition totals — at most `numParts` rows — collect to the
+  *      driver, prefix-sum them there, broadcast back as each partition's
+  *      starting offset.
+  *
+  * The only global data movement is the range shuffle; the offset relation
+  * is O(numParts). Result is row-identical to the single-partition window
+  * formulation (proven in PrefixSumSpec), because longs add associatively —
+  * this operator is for EXACT integer running sums; float inputs would
+  * reorder additions.
+  */
+object PrefixSum {
+
+  /** Adds `cumCol` = running sum of `valueCol` (inclusive) in ascending
+    * `orderCol` order. `orderCol` must be unique (a total order — same
+    * requirement the window formulation has for determinism).
+    *
+    * The result holds a persisted intermediate (see below); callers that
+    * keep the session long-lived should `spark.catalog.clearCache()` or
+    * unpersist after consuming (Verify/Bench already clear per query). */
+  def running(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      cumCol: String = "cum",
+      numParts: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(numParts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    // MATERIALIZE the pid-stamped cumsum: the totals pass and the final
+    // join would otherwise re-execute repartitionByRange independently,
+    // and RangePartitioner's sampled boundaries are not stable across
+    // executions — offsets would attach to the wrong partitions
+    // (observed: ~2/3 of rows shifted at 5k rows). The totals collect
+    // below forces the persist before the join reads it.
+    val local = parted.withColumn("__cum_local", sum(col(valueCol)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-partition totals: tiny (≤ numParts rows) — driver prefix-sum.
+    // sum(value), NOT max(cum_local): identical for non-negative values,
+    // but only sum stays correct when values can be negative.
+    val totals = local.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      totals.map { case (pid, tot) => val off = acc; acc += tot; (pid, off) }
+    }
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    local.join(broadcast(offDf), "__pid")
+      .withColumn(cumCol, col("__cum_local") + col("__off"))
+      .drop("__pid", "__cum_local", "__off")
+  }
+}

@@ -239,6 +239,25 @@ object MixQueries {
           round(col("total_tokens").cast("double") / col("n_docs"), 2).as("mean_tokens"))
     }),
 
+    // Systematic size-proportional sampling: walk the corpus in doc_id
+    // order counting tokens; select every doc whose token interval crosses
+    // a multiple of step = total/40 — i.e. inclusion probability
+    // proportional to length, zero floats, exactly reproducible. The
+    // running count uses the PrefixSum operator (range repartition +
+    // per-partition cumsum + broadcast offsets), NOT a partitionless
+    // window that would drag the corpus into one task.
+    "q74_systematic_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextHash.tokens(col("text"))).as("nt"))
+      val cum = graft.operators.PrefixSum.running(docs, "doc_id", "nt")
+      val tot = cum.agg(max(col("cum")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("step", expr("total div 40")) // `/` on longs is double division
+        .filter(col("step") > 0 &&
+          expr("(cum - nt) div step") < expr("cum div step"))
+        .select(col("doc_id"), col("nt"), col("cum"))
+    }),
+
     // Embedding second-moment (gram) matrix — the whitening/PCA-prep
     // primitive — via ONE custom bounded-buffer aggregate: the upper
     // triangle accumulates map-side in a fixed long[d(d+1)/2] buffer in
@@ -290,6 +309,17 @@ object MixQueries {
            |  round(sym_ratio, 3) AS symbol_ratio,
            |  fail_reasons = '' AS passes, fail_reasons
            |FROM r""".stripMargin,
+
+      // DuckDB's global-window cumsum is the naive formulation the
+      // PrefixSum operator must exactly reproduce
+      "q74_systematic_sample" ->
+        s"""WITH c AS (SELECT doc_id, len($toksSql) AS nt,
+           |        sum(len($toksSql)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+           |      FROM documents),
+           |t AS (SELECT max(cum) AS total FROM c)
+           |SELECT doc_id, nt::BIGINT AS nt, cum FROM c, t
+           |WHERE (total // 40) > 0
+           |  AND (cum - nt) // (total // 40) < cum // (total // 40)""".stripMargin,
 
       // same rule CTEs as q51, rolled up by source
       "q73_source_quality_panel" ->
