@@ -201,6 +201,33 @@ object DedupQueries {
       graft.operators.KMeansIVF.indexTopK(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", k = 5, nprobe = 3)
     }),
+
+    // Source-level MinHash overlap matrix: one 16-component signature per
+    // SOURCE (component-wise min over the union of its docs' shingle
+    // hashes — min distributes over union, so the per-doc explode + plain
+    // min agg IS the set-union signature) → pairwise estimated Jaccard
+    // between sources. The shuffle carries 16 longs per source; the pair
+    // join is |sources|², driver-scale. The contamination/provenance
+    // question ("which corpora overlap?") answered without ever comparing
+    // documents cross-source.
+    "q75_source_overlap" -> ((s, d) => {
+      val k = 16
+      val hs = Tables.documents(s, d).select(col("source"),
+        explode(graft.functions.VectorExpressions
+          .wordShingleHashes(col("text"), 3, TextHash.P)).as("h"))
+      val aggs = (0 until k).map(i =>
+        min((col("h") * TextHash.permA(i) + TextHash.permB(i)) % TextHash.P).as(s"m$i"))
+      val sig = hs.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      val a = sig.select(col("source").as("src_a") +:
+        (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+      val b = sig.select(col("source").as("src_b") +:
+        (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+      val nMatch = (0 until k).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      a.join(b, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), nMatch.as("n_match"),
+          round(nMatch.cast("double") / k, 4).as("est_jaccard"))
+    }),
   )
 
   /** Shared CTE block replaying the RP-LSH candidate generation (6 tables ×
@@ -345,5 +372,21 @@ object DedupQueries {
     "q49_sim_ann_ivf_index" -> graft.operators.KMeansIVF.oracleSql(
       "embeddings", "vec_id", "embedding", queryPred = "id < 10",
       k = 5, nprobe = 3, nClusters = 10, iters = 4, sampleMod = 5),
+
+    "q75_source_overlap" -> {
+      val k = 16
+      val sigExprs = (0 until k).map(i =>
+        s"min(${TextHash.permSql("h", i)}) AS m$i").mkString(", ")
+      val matchSql = (0 until k)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS (SELECT source, unnest(${TextHash.wordShinglesSql("text", 3)}) AS s
+         |      FROM documents),
+         |h AS (SELECT source, ${TextHash.baseHashSql("s")} AS h FROM sh),
+         |sig AS (SELECT source, $sigExprs FROM h GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  ($matchSql)::INT AS n_match,
+         |  round(($matchSql)::DOUBLE / $k, 4) AS est_jaccard
+         |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+    },
   )
 }
