@@ -103,6 +103,26 @@ object SequenceQueries {
           floor(datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("age_wk"))
         .agg(countDistinct(col("user_id")).as("n_active"))
     }),
+    // Rolling 7-day active users per day (WAU): each (user, active-day)
+    // pair CONTRIBUTES to the 7 report days it falls inside, turning the
+    // sliding distinct-count — not decomposable over window panes — into
+    // a plain exact distinct on (report_day, user). The explode factor is
+    // the window length (7), applied to the already-deduped (user, day)
+    // relation, not raw events; shuffles ride the report-day key.
+    "q76_rolling_active_users" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val bounds = Tables.events(s, d)
+        .agg(min(col("ts").cast("date")).as("min_day"), max(col("ts").cast("date")).as("max_day"))
+      ud.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("day"), least(date_add(col("day"), 6), col("max_day"))))
+            .as("report_day"))
+        .distinct() // (user, report_day) — count(*) below IS the distinct count
+        .groupBy(col("report_day"))
+        .agg(count(lit(1)).as("wau"))
+    }),
+
     // Event-type Markov transitions: (from → to) counts + row-normalized
     // probabilities over each user's event sequence. The lag/lead order is
     // (ts, event_id) — event_id is unique, so the sequence is a TOTAL
@@ -166,6 +186,15 @@ object SequenceQueries {
         |  count(DISTINCT user_id) AS n_active
         |FROM uw JOIN f USING (user_id)
         |GROUP BY cohort_wk, age_wk""".stripMargin,
+
+    "q76_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |b AS (SELECT max(ts::DATE) AS max_day FROM events),
+        |x AS (SELECT DISTINCT user_id,
+        |        unnest(generate_series(day, least(day + 6, max_day), INTERVAL 1 DAY))::DATE
+        |          AS report_day
+        |      FROM ud, b)
+        |SELECT report_day, count(*) AS wau FROM x GROUP BY report_day""".stripMargin,
 
     "q72_event_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
