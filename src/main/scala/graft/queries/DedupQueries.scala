@@ -228,6 +228,31 @@ object DedupQueries {
         .select(col("src_a"), col("src_b"), nMatch.as("n_match"),
           round(nMatch.cast("double") / k, 4).as("est_jaccard"))
     }),
+
+    // End-to-end curation pipeline as ONE oracle-checked query: Gopher
+    // quality gate → MinHash-LSH near-dup clustering among survivors →
+    // keep the min-id canonical doc per cluster → per-source attrition
+    // report (raw / passed / kept). Composes the verified q51 + q12 + q52
+    // machinery; the funnel-shaped plan filters BEFORE hashing shingles,
+    // so the expensive dedup only touches quality survivors.
+    "q77_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pass = docs.filter(MixQueries.qualityCols.reasons === "")
+        .select(col("doc_id"), col("source"), col("text"))
+      val pairs = MinHashDedup.pairs(pass, "doc_id",
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("id_a"), col("id_b")))
+      val dropped = comp.filter(col("id") =!= col("root")).select(col("id").as("doc_id"))
+      val kept = pass.join(dropped, Seq("doc_id"), "left_anti")
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(pass.groupBy(col("source")).agg(count(lit(1)).as("np")), Seq("source"), "left")
+        .join(kept.groupBy(col("source")).agg(count(lit(1)).as("nk")), Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("np"), lit(0L)).as("n_pass"),
+          coalesce(col("nk"), lit(0L)).as("n_kept"))
+    }),
   )
 
   /** Shared CTE block replaying the RP-LSH candidate generation (6 tables ×
@@ -387,6 +412,42 @@ object DedupQueries {
          |  ($matchSql)::INT AS n_match,
          |  round(($matchSql)::DOUBLE / $k, 4) AS est_jaccard
          |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+    },
+
+    // the q51 predicate inlined as a pass-filter subquery, the q12 pair
+    // generator run over it, the q52 recursive closure on those pairs
+    "q77_curation_pipeline" -> {
+      val toks = TextHash.tokensSql("text")
+      val passSub =
+        s"""(SELECT doc_id, source, text FROM (
+           |   SELECT doc_id, source, text, $toks AS toks,
+           |     length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+           |     length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS nsym
+           |   FROM documents) z
+           | WHERE len(toks) >= 30 AND len(toks) <= 100000
+           |   AND nonws::DOUBLE / len(toks) >= 3.0 AND nonws::DOUBLE / len(toks) <= 10.0
+           |   AND len(list_filter(toks, x -> x IN (${MixQueries.stopSqlList})))::DOUBLE / len(toks) >= 0.05
+           |   AND (CASE WHEN nonws > 0 THEN nsym::DOUBLE / nonws ELSE 0 END) <= 0.1)""".stripMargin
+      val pairsSql = MinHashDedup.oracleSql(passSub, "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      s"""WITH RECURSIVE pass AS (SELECT doc_id, source FROM $passSub pz),
+         |p AS (SELECT id_a, id_b FROM ($pairsSql) q),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b AS a, id_a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |roots AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id),
+         |dropped AS (SELECT doc_id FROM roots WHERE doc_id <> root),
+         |kept AS (SELECT source, doc_id FROM pass
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |a AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+         |b AS (SELECT source, count(*)::BIGINT AS np FROM pass GROUP BY source),
+         |c AS (SELECT source, count(*)::BIGINT AS nk FROM kept GROUP BY source)
+         |SELECT a.source, n_docs,
+         |  coalesce(np, 0)::BIGINT AS n_pass, coalesce(nk, 0)::BIGINT AS n_kept
+         |FROM a LEFT JOIN b USING (source) LEFT JOIN c USING (source)""".stripMargin
     },
   )
 }

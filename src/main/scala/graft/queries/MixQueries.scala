@@ -17,8 +17,8 @@ import graft.functions.TextHash
   */
 object MixQueries {
 
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
-  private def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[queries] val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  private[queries] def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Word 2-gram array (as "w1 w2" strings); empty for docs under 2 tokens.
     *
@@ -43,14 +43,14 @@ object MixQueries {
        |     THEN list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i+1])
        |     ELSE [] END""".stripMargin
 
-  /** The Gopher-rule columns over `text`, shared by q51 (per-doc gate) and
-    * q73 (per-source rollup). */
-  private case class Quality(
+  /** The Gopher-rule columns over `text`, shared by q51 (per-doc gate),
+    * q73 (per-source rollup), and q77 (curation pipeline). */
+  private[queries] case class Quality(
       nTok: org.apache.spark.sql.Column, avgLen: org.apache.spark.sql.Column,
       stopRatio: org.apache.spark.sql.Column, symRatio: org.apache.spark.sql.Column,
       reasons: org.apache.spark.sql.Column)
 
-  private def qualityCols: Quality = {
+  private[queries] def qualityCols: Quality = {
     val toks = TextHash.tokens(col("text"))
     val nTok = size(toks)
     val nonWs = length(regexp_replace(col("text"), "\\s", ""))
