@@ -52,9 +52,12 @@ object PrefixSum {
     // per-partition totals: tiny (≤ numParts rows) — driver prefix-sum.
     // sum(value), NOT max(cum_local): identical for non-negative values,
     // but only sum stays correct when values can be negative.
+    // sum() skips NULL values (so does the window cumsum above — the two
+    // stay consistent); an all-NULL partition sums to NULL → contributes 0
     val totals = local.groupBy(col("__pid"))
       .agg(sum(col(valueCol)).as("__tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     val offsets = {
       var acc = 0L
       totals.map { case (pid, tot) => val off = acc; acc += tot; (pid, off) }

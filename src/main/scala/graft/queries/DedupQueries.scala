@@ -217,7 +217,10 @@ object DedupQueries {
           .wordShingleHashes(col("text"), 3, TextHash.P)).as("h"))
       val aggs = (0 until k).map(i =>
         min((col("h") * TextHash.permA(i) + TextHash.permB(i)) % TextHash.P).as(s"m$i"))
+      // both join sides derive from sig — persist the (|sources| × 16)
+      // relation or the corpus-wide shingle explode may compute twice
       val sig = hs.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = sig.select(col("source").as("src_a") +:
         (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
       val b = sig.select(col("source").as("src_b") +:
@@ -237,8 +240,11 @@ object DedupQueries {
     // so the expensive dedup only touches quality survivors.
     "q77_curation_pipeline" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // three consumers (pair generation, kept anti-join, per-source
+      // counts) — persist or the tokenize+regex gate scan runs three times
       val pass = docs.filter(MixQueries.qualityCols.reasons === "")
         .select(col("doc_id"), col("source"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = MinHashDedup.pairs(pass, "doc_id",
         graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
         wordCfg)

@@ -61,7 +61,11 @@ object MixQueries {
     // guard: a whitespace-only doc has nonWs = 0 — ANSI mode would throw
     // DIVIDE_BY_ZERO (and DuckDB would emit inf); define its ratio as 0
     val symRatio = when(nonWs > 0, nSym.cast("double") / nonWs).otherwise(0.0)
+    // NULL text nulls every metric, which nulls every rule predicate —
+    // without an explicit rule a NULL doc would PASS the gate (and the
+    // q73/q77 oracles would disagree); fail it by name instead
     val reasons = concat_ws(",", filter(array(
+      when(col("text").isNull, lit("null_text")),
       when(!(nTok >= 30 && nTok <= 100000), lit("n_tokens")),
       when(!(avgLen >= 3.0 && avgLen <= 10.0), lit("avg_token_len")),
       when(stopRatio < 0.05, lit("stopword_ratio")),
@@ -290,14 +294,15 @@ object MixQueries {
            |FROM a""".stripMargin,
 
       "q51_quality_filter" ->
-        s"""WITH t AS (SELECT doc_id, $toksSql AS toks,
+        s"""WITH t AS (SELECT doc_id, text IS NULL AS is_null, $toksSql AS toks,
            |  length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
            |  length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS nsym FROM documents),
-           |m AS (SELECT doc_id, len(toks) AS n_tokens, nonws, nsym,
+           |m AS (SELECT doc_id, is_null, len(toks) AS n_tokens, nonws, nsym,
            |  len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks) AS stop_ratio,
            |  nonws::DOUBLE / len(toks) AS avg_len,
            |  CASE WHEN nonws > 0 THEN nsym::DOUBLE / nonws ELSE 0 END AS sym_ratio FROM t),
            |r AS (SELECT *, coalesce(array_to_string(list_filter([
+           |    CASE WHEN is_null THEN 'null_text' END,
            |    CASE WHEN NOT (n_tokens >= 30 AND n_tokens <= 100000) THEN 'n_tokens' END,
            |    CASE WHEN NOT (avg_len >= 3.0 AND avg_len <= 10.0) THEN 'avg_token_len' END,
            |    CASE WHEN stop_ratio < 0.05 THEN 'stopword_ratio' END,

@@ -67,9 +67,11 @@ object SequenceQueries {
     // 2σ test cleared of divisions, so the boolean is bit-reproducible
     // (no sqrt, no float variance whose accumulation order differs across
     // engines). One hash-agg for per-user moments, one equi-join back on
-    // user_id. Magnitude bound: |n·x−S| ≤ n·max_cents, so the product
-    // stays under 2⁶³ while n·max_cents² < 2³¹·√n — fine to ~10⁹ events
-    // per user at cents scale; past that, rescale to whole units first.
+    // user_id. The decision products reach ~n³·max_cents² — past int64 at
+    // only ~10³ events/user at these magnitudes — so the COMPARISON runs
+    // in decimal(38,0) (Spark) vs HUGEINT/int128 (DuckDB): both exact, no
+    // rounding, headroom to ~10⁹ events per user. The int64 moments
+    // themselves (n·Q ≤ n²·max²) stay exact far beyond that.
     "q68_anomaly_zscore" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), cents(col("value")).as("cents"))
@@ -77,12 +79,14 @@ object SequenceQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
           sum(col("cents") * col("cents")).as("q"))
+      def big(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val dev = big(col("n")) * big(col("cents")) - big(col("s"))
       ev.join(stats, "user_id")
         .filter(col("n") >= 2)
         .select(col("event_id"), col("user_id"), col("cents"), col("n"),
           round(col("s").cast("double") / col("n"), 2).as("mean_cents"),
-          ((col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s"))
-            * (col("n") - 1) > lit(4) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+          (dev * dev * (big(col("n")) - 1) >
+            big(lit(4)) * big(col("n")) * (big(col("n")) * big(col("q")) - big(col("s")) * big(col("s"))))
             .as("is_outlier"))
     }),
 
@@ -112,8 +116,8 @@ object SequenceQueries {
     "q76_rolling_active_users" -> ((s, d) => {
       val ud = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
-      val bounds = Tables.events(s, d)
-        .agg(min(col("ts").cast("date")).as("min_day"), max(col("ts").cast("date")).as("max_day"))
+      // bound from the deduped relation — same max, no second events scan
+      val bounds = ud.agg(max(col("day")).as("max_day"))
       ud.crossJoin(broadcast(bounds))
         .select(col("user_id"),
           explode(sequence(col("day"), least(date_add(col("day"), 6), col("max_day"))))
@@ -174,7 +178,8 @@ object SequenceQueries {
         |      FROM ev WHERE cents IS NOT NULL GROUP BY user_id)
         |SELECT event_id, ev.user_id, cents, n,
         |  round(s::DOUBLE / n, 2) AS mean_cents,
-        |  (n * cents - s) * (n * cents - s) * (n - 1) > 4 * n * (n * q - s * s)
+        |  (n::HUGEINT * cents - s) * (n::HUGEINT * cents - s) * (n - 1)
+        |    > 4::HUGEINT * n * (n::HUGEINT * q - s::HUGEINT * s)
         |    AS is_outlier
         |FROM ev JOIN stats USING (user_id)
         |WHERE n >= 2""".stripMargin,

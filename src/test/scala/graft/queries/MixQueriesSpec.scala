@@ -9,6 +9,19 @@ class MixQueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("quality gate fails a NULL-text document by name (oracle-parity guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, Option("the a and of to in is on for with " * 5), "s"),
+      (2L, Option.empty[String], "s")).toDF("doc_id", "text", "source")
+    val out = df.select(col("doc_id"), MixQueries.qualityCols.reasons.as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // without the explicit null_text rule every predicate is NULL and a
+    // NULL doc silently PASSES on Spark while the q73/q77 oracles fail it
+    assert(out(2L) == "null_text")
+    assert(!out(1L).contains("null_text"))
+  }
+
   test("q50 repetition fractions are consistent with a direct recomputation") {
     val out = MixQueries.queries("q50_repetition_stats")(spark, dir)
       .collect().map(r => r.getLong(0) ->
