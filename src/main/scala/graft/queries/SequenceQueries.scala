@@ -127,6 +127,27 @@ object SequenceQueries {
         .agg(count(lit(1)).as("wau"))
     }),
 
+    // Peak session concurrency per day, sweep-line style: sessions (from
+    // the q22 sessionizer) become +1/−1 delta points at start/end+1µs,
+    // deltas collapse per timestamp, and the running total — the live
+    // session count at each change point — rides the distributed
+    // PrefixSum, not a single-task global window. Reported metric: max
+    // concurrency AT CHANGE POINTS within each day (a day's carried-in
+    // level between midnight and its first point is not sampled — same
+    // definition on both engines).
+    "q78_concurrency" -> ((s, d) => {
+      val sess = graft.operators.Sessionize.batch(Tables.events(s, d))
+      val pts = sess.select(explode(array(
+          struct(col("session_start_us").as("us"), lit(1L).as("delta")),
+          struct((col("session_end_us") + 1).as("us"), lit(-1L).as("delta"))))
+          .as("p"))
+        .select(col("p.us").as("us"), col("p.delta").as("delta"))
+        .groupBy(col("us")).agg(sum(col("delta")).as("d")) // unique order key
+      graft.operators.PrefixSum.running(pts, "us", "d", cumCol = "conc")
+        .groupBy(timestamp_micros(col("us")).cast("date").as("day"))
+        .agg(max(col("conc")).as("max_concurrent"))
+    }),
+
     // Event-type Markov transitions: (from → to) counts + row-normalized
     // probabilities over each user's event sequence. The lag/lead order is
     // (ts, event_id) — event_id is unique, so the sequence is a TOTAL
@@ -191,6 +212,19 @@ object SequenceQueries {
         |  count(DISTINCT user_id) AS n_active
         |FROM uw JOIN f USING (user_id)
         |GROUP BY cohort_wk, age_wk""".stripMargin,
+
+    "q78_concurrency" -> {
+      val sessSql = graft.operators.Sessionize.batchOracleSql()
+      s"""WITH sess AS ($sessSql),
+         |p AS (SELECT session_start_us AS us, 1 AS d FROM sess
+         |      UNION ALL SELECT session_end_us + 1, -1 FROM sess),
+         |a AS (SELECT us, sum(d)::BIGINT AS d FROM p GROUP BY us),
+         |c AS (SELECT us,
+         |        (sum(d) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING))::BIGINT AS conc
+         |      FROM a)
+         |SELECT make_timestamp(us)::DATE AS day, max(conc) AS max_concurrent
+         |FROM c GROUP BY day""".stripMargin
+    },
 
     "q76_rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
