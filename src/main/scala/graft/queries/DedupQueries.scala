@@ -110,6 +110,30 @@ object DedupQueries {
           col("cluster_size"))
     }),
 
+    // Exact-substring duplication rate (Lee et al.-style "deduplicating
+    // training data" metric): per doc, the share of its distinct 30-char
+    // windows that appear verbatim in at least one OTHER doc (ndocs >= 2;
+    // a doc's own repeats don't count — hashes are deduped per doc).
+    // Hashes are full 60-bit md5 (identity modulus 2^60) so the DuckDB
+    // replay is collision-lockstep. One explode + a count-over-hash window
+    // (one shuffle on h — the explode is computed once, vs twice for the
+    // self-join formulation) + the per-doc hash-agg. Linear in total window
+    // volume; dense stride-1 windows because a strided sample would miss
+    // shared substrings at misaligned offsets.
+    "q83_substring_dup" -> ((s, d) => {
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.VectorExpressions
+            .charShingleHashes(col("text"), 30, 1L << 60)).as("h"))
+        .withColumn("ndocs", count(lit(1)).over(wh))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_rate",
+          round(col("n_dup").cast("double") / col("n_shingles"), 4))
+    }),
+
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)),
@@ -336,6 +360,17 @@ object DedupQueries {
          |  round(j.n_shared::DOUBLE / bs.bench_sz, 3) AS containment
          |FROM j JOIN bs ON j.bench_id = bs.bench_id
          |WHERE j.n_shared::DOUBLE / bs.bench_sz >= 0.5""".stripMargin
+    },
+
+    "q83_substring_dup" -> {
+      val sh = s"list_distinct(list_transform(${TextHash.charShinglesSql("text", 30)}, x -> ${TextHash.md5LongSql("x")}))"
+      s"""WITH sh AS (SELECT doc_id, unnest($sh) AS h FROM documents),
+         |w AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS ndocs FROM sh),
+         |g AS (SELECT doc_id, count(*) AS n_shingles,
+         |        sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+         |      FROM w GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_dup,
+         |  round(n_dup::DOUBLE / n_shingles, 4) AS dup_rate FROM g""".stripMargin
     },
 
     "q15_dedup_embedding" ->

@@ -139,6 +139,18 @@ object RefSurface {
           count(lit(1)).as("n_items"))
     }),
 
+    // Centrality over the same hierarchy the rollup resolves: 3 iterations
+    // of exact-integer PageRank (micro-units, integer-div transfers — see
+    // operators/PageRank.scala for why floats can't be oracle-hashed).
+    // Rank mass flows customer → nation → region, so the ranking IS the
+    // rollup weighted by subtree population. Roots' self-loops are dropped
+    // (they'd trap mass); roots become dangling sinks, the standard
+    // simplification.
+    "q81_pagerank" -> ((s, d) =>
+      graft.operators.PageRank.ranksMicro(
+        hierarchyNodes(s, d).filter(col("id") =!= col("parent")),
+        srcCol = "id", dstCol = "parent", iters = 3)),
+
     // Graph shape profiling over the same hierarchy the rollup resolves:
     // in-degree (children per parent, self-loops excluded) histogram.
     // Two chained hash-aggs — degree per parent, then node count per
@@ -222,6 +234,14 @@ object RefSurface {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    // Edge set = nodes minus self-loops; only region roots self-loop, so
+    // the edges are exactly the nation + customer rows of the nodes CTE.
+    "q81_pagerank" -> graft.operators.PageRank.oracleSql(
+      """SELECT id AS src, parent AS dst FROM (
+        |    SELECT 'N' || n_nationkey AS id, 'R' || n_regionkey AS parent FROM nation
+        |    UNION ALL SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer) t""".stripMargin,
+      iters = 3),
 
     "q71_degree_histogram" -> (nodesCte +
       """, deg AS (

@@ -116,6 +116,31 @@ object RelationalQueries {
         .select(col("l_orderkey"), (col("pos") + 1).as("rank"),
           round(col("t.score"), 2).as("price"), col("t.payload").as("linenumber"))),
 
+    // Fuzzy record linkage: part-name pairs within edit distance 3, blocked
+    // on the first name token (see operators/FuzzyJoin for the dedup-first
+    // + blocking + banded-levenshtein scale shape). Support counts map the
+    // name-vocabulary matches back to row mass.
+    "q80_fuzzy_linkage" -> ((s, d) =>
+      graft.operators.FuzzyJoin.selfLinkage(
+        Tables.part(s, d), "p_name",
+        name => split(name, " ").getItem(0), maxDist = 3)),
+
+    // Equi-depth deciles of order value WITHIN each priority class — the
+    // binning pass of a stratified analysis. ntile rides the per-class
+    // sort-window (parallel across classes; a global ntile would be a
+    // single-task sort — the wrong plan at any scale). (o_totalprice,
+    // o_orderkey) is a total order, so bin assignment is deterministic.
+    "q85_equidepth_deciles" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+    }),
+
     // Sketch surface: HLL++ approximate distinct next to the exact count.
     // Sketch estimates differ across engines by design, so the oracle-checked
     // output is the exact count PLUS a boolean asserting the sketch landed
@@ -181,6 +206,18 @@ object RelationalQueries {
         |  round(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q80_fuzzy_linkage" -> graft.operators.FuzzyJoin.selfLinkageOracleSql(
+      "part", "p_name", "split_part(name, ' ', 1)", maxDist = 3),
+
+    "q85_equidepth_deciles" ->
+      """SELECT o_orderpriority, decile::INT AS decile, count(*) AS n_orders,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_orderpriority, o_totalprice,
+        |        ntile(10) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice, o_orderkey) AS decile
+        |      FROM orders)
+        |GROUP BY o_orderpriority, decile""".stripMargin,
 
     "q27_text_normalize" ->
       """SELECT doc_id,

@@ -148,6 +148,47 @@ object SequenceQueries {
         .agg(max(col("conc")).as("max_concurrent"))
     }),
 
+    // Trapezoidal time-weighted average of `value` per user — the right
+    // mean for irregularly-sampled series (a gauge sampled on events, not
+    // on a clock). TWA = Σ (vᵢ+vᵢ₊₁)(tᵢ₊₁−tᵢ) / 2(tₙ−t₁); the numerator is
+    // summed EXACTLY in cents·µs longs (order-independent), floats appear
+    // only in the final rounded division. One user-keyed sort-window pass
+    // (lead) + one hash-agg on the same key. (event_id breaks ts ties →
+    // total order; zero-width segments contribute 0 either way.)
+    "q82_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), cents(col("value")).as("cents"))
+        .withColumn("us2", lead(col("us"), 1).over(w))
+        .withColumn("c2", lead(col("cents"), 1).over(w))
+        .filter(col("us2").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_seg"),
+          sum((col("cents") + col("c2")) * (col("us2") - col("us"))).as("num_cents_us"),
+          (max(col("us2")) - min(col("us"))).as("span_us"))
+        .filter(col("span_us") > 0)
+        .withColumn("twa_cents",
+          round(col("num_cents_us").cast("double") / (col("span_us") * 2), 4))
+    }),
+
+    // Incremental-rollup invariance: the weekly report computed FROM the
+    // daily partial aggregates (count/sum are monoids, so re-aggregating
+    // partials is exact — the pattern behind incremental materialized
+    // views: the 100 TB history is never rescanned, only the new day's
+    // partial is merged). The oracle recomputes weekly from raw events —
+    // the hash match IS the invariance proof.
+    "q84_incremental_reagg" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("cents"))
+      daily
+        .groupBy(date_trunc("week", col("day")).cast("date").as("wk"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("cents"),
+          count(lit(1)).as("n_days"))
+    }),
+
     // Event-type Markov transitions: (from → to) counts + row-normalized
     // probabilities over each user's event sequence. The lag/lead order is
     // (ts, event_id) — event_id is unique, so the sequence is a TOTAL
@@ -234,6 +275,30 @@ object SequenceQueries {
         |          AS report_day
         |      FROM ud, b)
         |SELECT report_day, count(*) AS wau FROM x GROUP BY report_day""".stripMargin,
+
+    "q82_time_weighted_avg" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE value IS NOT NULL),
+        |l AS (SELECT user_id, us, cents,
+        |        lead(us) OVER w AS us2, lead(cents) OVER w AS c2
+        |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |g AS (SELECT user_id, count(*) AS n_seg,
+        |        sum((cents + c2) * (us2 - us))::BIGINT AS num_cents_us,
+        |        (max(us2) - min(us))::BIGINT AS span_us
+        |      FROM l WHERE us2 IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_seg, num_cents_us, span_us,
+        |  round(num_cents_us::DOUBLE / (span_us * 2), 4) AS twa_cents
+        |FROM g WHERE span_us > 0""".stripMargin,
+
+    "q84_incremental_reagg" ->
+      """WITH daily AS (SELECT ts::DATE AS day, event_type, count(*) AS n,
+        |        sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |      FROM events GROUP BY 1, 2)
+        |SELECT date_trunc('week', day)::DATE AS wk, event_type,
+        |  sum(n)::BIGINT AS n_events, sum(cents)::BIGINT AS cents,
+        |  count(*) AS n_days
+        |FROM daily GROUP BY 1, 2""".stripMargin,
 
     "q72_event_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,

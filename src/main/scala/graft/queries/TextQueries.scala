@@ -78,6 +78,20 @@ object TextQueries {
         graft.functions.VectorExpressions.minRollingMd5(norm, 8, 4).as("fp_rolling_min"))
     }),
 
+    // Dictionary PII scrub: word-boundary blocklist detection + redaction.
+    // (The corpus has no pattern-shaped PII — emails/phones — so the
+    // dictionary form is exercised; a production blocklist drops in as the
+    // same alternation, and pattern classes are just more branches.) Pure
+    // map-side regex — one pass, no shuffle, trivially partition-parallel.
+    "q79_pii_redaction" -> ((s, d) => {
+      val pat = "\\b(customer|key|value)\\b"
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_pii"),
+        regexp_replace(col("text"), pat, "[PII]").as("redacted"))
+        .withColumn("red_len", length(col("redacted")))
+    }),
+
     // Sessionization: 30-minute inactivity gap per user.
     "q22_sessionize" -> ((s, d) => Sessionize.batch(Tables.events(s, d))),
 
@@ -160,6 +174,13 @@ object TextQueries {
            |  list_min(list_transform(${TextHash.charShinglesStridedSql(normSql, 8, 4)},
            |    sh -> ${TextHash.md5LongSql("sh")})) AS fp_rolling_min
            |FROM documents""".stripMargin,
+
+      "q79_pii_redaction" ->
+        """WITH r AS (SELECT doc_id,
+          |    len(regexp_extract_all(text, '\b(customer|key|value)\b'))::INT AS n_pii,
+          |    regexp_replace(text, '\b(customer|key|value)\b', '[PII]', 'g') AS redacted
+          |  FROM documents)
+          |SELECT doc_id, n_pii, redacted, length(redacted)::INT AS red_len FROM r""".stripMargin,
 
       "q22_sessionize" -> Sessionize.batchOracleSql(),
 
