@@ -67,5 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AsOfJoin.latestPriorMerge also installs it per-session for callers
     // on vanilla sessions
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer rule: naive levenshtein-threshold predicates -> banded form
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
   }
 }

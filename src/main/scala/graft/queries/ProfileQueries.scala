@@ -25,6 +25,34 @@ object ProfileQueries {
         array_join(transform(v, x => round(x * 127.0 / maxabs).cast("int")), ",").as("q_int8"))
     }),
 
+    // Cross-table reconciliation: does the order header total equal the
+    // recomputed sum over its items? The classic ETL audit, as a FULL OUTER
+    // join so orphans on EITHER side surface (no_order / no_items). All
+    // arithmetic in exact integer micro-cents — cents × pct × pct — so the
+    // diff is bit-reproducible (a float recompute would make `diff = 0`
+    // depend on summation order). One shuffle each side on the order key.
+    // (On this synthetic data the header totals deliberately DON'T match
+    // the recompute — the report is all-nonzero diffs, which is the point.)
+    "q86_total_reconciliation" -> ((s, d) => {
+      def c(x: org.apache.spark.sql.Column) = round(x * 100).cast("long")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (c(col("l_extendedprice")) * (lit(100L) - c(col("l_discount")))
+            * (lit(100L) + c(col("l_tax")))).as("item_micro"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("item_micro")).as("recomputed_micro"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), (c(col("o_totalprice")) * 10000L).as("total_micro"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("l_orderkey")).as("orderkey"),
+          when(col("o_orderkey").isNull, "no_order")
+            .when(col("l_orderkey").isNull, "no_items")
+            .otherwise("both").as("status"),
+          col("total_micro"), col("recomputed_micro"),
+          (col("total_micro") - col("recomputed_micro")).as("diff_micro"))
+    }),
+
     // Per-group column statistics (sample stddev/variance, correlation).
     "q39_column_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -93,6 +121,21 @@ object ProfileQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_total_reconciliation" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |        * (100 + CAST(round(l_tax*100) AS BIGINT)))::BIGINT AS recomputed_micro
+        |  FROM lineitem GROUP BY l_orderkey),
+        |o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) * 10000 AS total_micro FROM orders)
+        |SELECT coalesce(o_orderkey, l_orderkey) AS orderkey,
+        |  CASE WHEN o_orderkey IS NULL THEN 'no_order'
+        |       WHEN l_orderkey IS NULL THEN 'no_items' ELSE 'both' END AS status,
+        |  total_micro, recomputed_micro,
+        |  (total_micro - recomputed_micro)::BIGINT AS diff_micro
+        |FROM o FULL JOIN li ON o_orderkey = l_orderkey""".stripMargin,
+
     "q46_deterministic_sample" -> {
       val h = graft.functions.TextHash.md5LongSql("doc_id::VARCHAR")
       s"""SELECT doc_id, lang, n_chars FROM documents WHERE $h % 100 < 10"""

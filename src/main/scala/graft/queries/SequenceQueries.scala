@@ -189,6 +189,29 @@ object SequenceQueries {
           count(lit(1)).as("n_days"))
     }),
 
+    // Calendar gap-fill + LOCF: each user's daily spend series densified to
+    // a contiguous day spine (min..max active day), missing days filled by
+    // last-observation-carried-forward. The spine explode is bounded by the
+    // per-user span (never a global calendar cross join); the daily agg's
+    // first shuffle subtree is shared between the spine-bounds branch and
+    // the join branch (ReusedExchange). LOCF is `last(ignoreNulls)` over a
+    // running row frame — day keys are unique per user after the daily agg,
+    // so the frame is a total order and the fill is deterministic.
+    "q87_gap_fill_locf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("cents"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("cents"),
+          last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"),
+          col("cents").isNull.as("is_gap"))
+    }),
+
     // Event-type Markov transitions: (from → to) counts + row-normalized
     // probabilities over each user's event sequence. The lag/lead order is
     // (ts, event_id) — event_id is unique, so the sequence is a TOTAL
@@ -299,6 +322,21 @@ object SequenceQueries {
         |  sum(n)::BIGINT AS n_events, sum(cents)::BIGINT AS cents,
         |  count(*) AS n_days
         |FROM daily GROUP BY 1, 2""".stripMargin,
+
+    "q87_gap_fill_locf" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |      FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |        unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |j AS (SELECT s.user_id, s.day, d.cents
+        |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day)
+        |SELECT user_id, day, cents,
+        |  last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
+        |  (cents IS NULL) AS is_gap
+        |FROM j""".stripMargin,
 
     "q72_event_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
