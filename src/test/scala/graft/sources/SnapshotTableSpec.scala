@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_snap").toString
+
+  test("append commits accumulate; read sees the union") {
+    val t = tmpTable()
+    val v1 = SnapshotTable.commitAppend(Seq(1, 2).toDF("x"), t)
+    val v2 = SnapshotTable.commitAppend(Seq(3).toDF("x"), t)
+    assert((v1, v2) === (1L, 2L))
+    assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === Array(1, 2, 3))
+  }
+
+  test("replace supersedes; time travel still reads every old version") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq(1, 2).toDF("x"), t)
+    SnapshotTable.commitAppend(Seq(3).toDF("x"), t)
+    val v3 = SnapshotTable.commitReplace(Seq(9).toDF("x"), t)
+    assert(v3 === 3L)
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(9))
+    assert(SnapshotTable.readVersion(spark, t, 1).as[Int].collect().sorted === Array(1, 2))
+    assert(SnapshotTable.readVersion(spark, t, 2).as[Int].collect().sorted === Array(1, 2, 3))
+    assert(SnapshotTable.versions(t) === Seq(1L, 2L, 3L))
+  }
+
+  test("commit CAS: a concurrently-taken version is retried, not clobbered") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), t)
+    // simulate a concurrent committer landing v2 between base-read and link
+    val phantom = Paths.get(t, "_snapshots", "v00000002.manifest")
+    Files.write(phantom, "version=2\nop=append\n".getBytes)
+    val v = SnapshotTable.commitAppend(Seq(2).toDF("x"), t)
+    assert(v === 3L) // lost the race at v2, landed at v3
+    // the retry recomputed its base from the NEW latest (v2: zero files),
+    // so v3 = v2's files + staged — here just the staged file's rows
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(2))
+    // v1 untouched by the whole episode
+    assert(SnapshotTable.readVersion(spark, t, 1).as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("orphan data files (died-mid-commit writer) are invisible to readers") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), t)
+    // a writer that staged data but never published a manifest
+    Seq(42).toDF("x").write.parquet(Paths.get(t, "data-orphan").toString)
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(1))
+    assert(SnapshotTable.versions(t) === Seq(1L))
+  }
+
+  test("compaction preserves rows, reduces files, keeps old versions readable") {
+    val t = tmpTable()
+    (1 to 4).foreach(i => SnapshotTable.commitAppend(Seq(i).toDF("x"), t))
+    val before = SnapshotTable.snapshot(t, 4).files.length
+    val v = SnapshotTable.compact(spark, t, numFiles = 1)
+    assert(SnapshotTable.snapshot(t, v).files.length === 1)
+    assert(before > 1)
+    assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === Array(1, 2, 3, 4))
+    // snapshot isolation: the pre-compaction version still reads (no deletes)
+    assert(SnapshotTable.readVersion(spark, t, 4).as[Int].collect().sorted === Array(1, 2, 3, 4))
+  }
+
+  test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
+    val t = tmpTable()
+    intercept[IllegalStateException](SnapshotTable.read(spark, t))
+    SnapshotTable.commitAppend(Seq.empty[Int].toDF("x"), t)
+    assert(SnapshotTable.read(spark, t).count() === 0L)
+  }
+}
