@@ -192,9 +192,11 @@ object SequenceQueries {
     // Calendar gap-fill + LOCF: each user's daily spend series densified to
     // a contiguous day spine (min..max active day), missing days filled by
     // last-observation-carried-forward. The spine explode is bounded by the
-    // per-user span (never a global calendar cross join); the daily agg's
-    // first shuffle subtree is shared between the spine-bounds branch and
-    // the join branch (ReusedExchange). LOCF is `last(ignoreNulls)` over a
+    // per-user span (never a global calendar cross join); Catalyst
+    // collapses the spine-bounds branch into a direct per-user min/max scan
+    // of events (min over daily groups = min over raw rows — verified in
+    // the plan), so neither branch waits on the other's aggregate. LOCF is
+    // `last(ignoreNulls)` over a
     // running row frame — day keys are unique per user after the daily agg,
     // so the frame is a total order and the fill is deterministic.
     "q87_gap_fill_locf" -> ((s, d) => {
