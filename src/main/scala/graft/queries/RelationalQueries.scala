@@ -125,6 +125,26 @@ object RelationalQueries {
         Tables.part(s, d), "p_name",
         name => split(name, " ").getItem(0), maxDist = 3)),
 
+    // End-to-end entity resolution: q80's fuzzy pairs → connected
+    // components → one canonical entity per variant cluster, with variant
+    // and row mass rolled up. The full record-linkage lifecycle (block →
+    // match → cluster → survivorship) as one oracle-checked query;
+    // singleton names (no fuzzy match) become their own entity via the
+    // left join + coalesce, not a second pass.
+    "q88_entity_resolution" -> ((s, d) => {
+      val pairs = graft.operators.FuzzyJoin.selfLinkage(
+        Tables.part(s, d), "p_name",
+        name => split(name, " ").getItem(0), maxDist = 3)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("name_a"), col("name_b")))
+      val names = Tables.part(s, d)
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("nr"))
+      names.join(comp.withColumnRenamed("id", "name"), Seq("name"), "left")
+        .select(col("name"), coalesce(col("root"), col("name")).as("entity_id"), col("nr"))
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_variants"), sum(col("nr")).as("n_rows"))
+    }),
+
     // Equi-depth deciles of order value WITHIN each priority class — the
     // binning pass of a stratified analysis. ntile rides the per-class
     // sort-window (parallel across classes; a global ntile would be a
@@ -209,6 +229,24 @@ object RelationalQueries {
 
     "q80_fuzzy_linkage" -> graft.operators.FuzzyJoin.selfLinkageOracleSql(
       "part", "p_name", "split_part(name, ' ', 1)", maxDist = 3),
+
+    "q88_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT p_name AS name, count(*) AS nr FROM part GROUP BY p_name),
+        |b AS (SELECT name, nr, split_part(name, ' ', 1) AS blk FROM n),
+        |p AS (SELECT a.name AS id_a, c.name AS id_b
+        |      FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        |      WHERE levenshtein(a.name, c.name) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b AS a, id_a AS b FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+        |roots AS (SELECT id AS name, min(r) AS root FROM reach GROUP BY id),
+        |ent AS (SELECT n.name, coalesce(root, n.name) AS entity_id, nr
+        |        FROM n LEFT JOIN roots USING (name))
+        |SELECT entity_id, count(*) AS n_variants, sum(nr)::BIGINT AS n_rows
+        |FROM ent GROUP BY entity_id""".stripMargin,
 
     "q85_equidepth_deciles" ->
       """SELECT o_orderpriority, decile::INT AS decile, count(*) AS n_orders,

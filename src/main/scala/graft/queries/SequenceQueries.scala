@@ -214,6 +214,29 @@ object SequenceQueries {
           col("cents").isNull.as("is_gap"))
     }),
 
+    // Inter-arrival latency histogram on power-of-2 buckets: per event
+    // type, the distribution of per-user gaps between consecutive events.
+    // The bucket is length(bin(gap)) — the MSB position, i.e. ⌊log2⌋+1 for
+    // gap ≥ 1 — computed in pure integer/string ops because float log2 is
+    // NOT cross-engine-exact at bucket boundaries (Spark's log2 is
+    // ln(x)/ln(2); a 2^k input can land a hair under k and floor into the
+    // wrong bucket). Zero gaps (duplicate timestamps) share bucket 1 with
+    // gap=1 by this definition — documented, identical on both engines.
+    // One user-keyed sort-window pass + a tiny (types × ~45 buckets) agg.
+    "q89_interarrival_histogram" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("bucket_log2", length(bin(col("gap"))))
+        .groupBy(col("event_type"), col("bucket_log2"))
+        .agg(count(lit(1)).as("n"),
+          min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+    }),
+
     // Event-type Markov transitions: (from → to) counts + row-normalized
     // probabilities over each user's event sequence. The lag/lead order is
     // (ts, event_id) — event_id is unique, so the sequence is a TOTAL
@@ -339,6 +362,18 @@ object SequenceQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled,
         |  (cents IS NULL) AS is_gap
         |FROM j""".stripMargin,
+
+    "q89_interarrival_histogram" ->
+      """WITH ev AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_type,
+        |        us - lag(us) OVER (PARTITION BY event_type, user_id
+        |                           ORDER BY us, event_id) AS gap
+        |      FROM ev),
+        |g AS (SELECT event_type, gap, length(bin(gap))::INT AS bucket_log2
+        |      FROM l WHERE gap IS NOT NULL)
+        |SELECT event_type, bucket_log2, count(*) AS n,
+        |  min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        |FROM g GROUP BY event_type, bucket_log2""".stripMargin,
 
     "q72_event_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,

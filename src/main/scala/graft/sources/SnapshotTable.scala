@@ -44,8 +44,10 @@ object SnapshotTable {
   private val SnapDirName = "_snapshots"
   private val ManifestRe = "v(\\d{8})\\.manifest".r
 
-  /** One table version: the exact set of data files visible at `version`. */
-  final case class Snapshot(version: Long, op: String, files: Seq[String])
+  /** One table version: the exact set of data files visible at `version`.
+    * `meta` carries the key=value header lines (op, stream watermarks). */
+  final case class Snapshot(
+      version: Long, op: String, files: Seq[String], meta: Map[String, String])
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -74,11 +76,13 @@ object SnapshotTable {
   def latestVersion(tableDir: String): Option[Long] = versions(tableDir).lastOption
 
   def snapshot(tableDir: String, v: Long): Snapshot = {
+    // header lines are key=value; staged data paths (data-<uuid>/part-*)
+    // never contain '=', so the split is unambiguous
     val lines = Files.readAllLines(manifestPath(tableDir, v)).asScala.toSeq
     val meta = lines.takeWhile(_.contains("=")).map { l =>
       val Array(k, value) = l.split("=", 2); k -> value
     }.toMap
-    Snapshot(v, meta.getOrElse("op", "?"), lines.dropWhile(_.contains("=")))
+    Snapshot(v, meta.getOrElse("op", "?"), lines.dropWhile(_.contains("=")), meta)
   }
 
   /** Append `df` as a new snapshot; returns the committed version. */
@@ -94,6 +98,48 @@ object SnapshotTable {
   def compact(spark: SparkSession, tableDir: String, numFiles: Int): Long =
     commitReplace(read(spark, tableDir).repartition(numFiles), tableDir)
 
+  /** Exactly-once streaming append: commits a micro-batch tagged with its
+    * (streamId, batchId); a batch at-or-below the stream's committed
+    * watermark is a checkpoint replay and is skipped (None) — the previous
+    * attempt's manifest is already durable, so re-running it would
+    * double-append. Check-then-commit is safe here because a Structured
+    * Streaming query has ONE driver per stream id and replays are
+    * sequential; concurrent commits from OTHER writers/streams interleave
+    * through the normal CAS. */
+  def commitStreamBatch(
+      df: DataFrame, tableDir: String, streamId: String, batchId: Long): Option[Long] = {
+    init(tableDir)
+    if (lastStreamBatch(tableDir, streamId).exists(_ >= batchId)) None
+    else Some(commit(df, tableDir, replace = false,
+      extraMeta = Seq(s"stream:$streamId=$batchId")))
+  }
+
+  /** Highest batch id committed by `streamId` (its exactly-once watermark). */
+  def lastStreamBatch(tableDir: String, streamId: String): Option[Long] =
+    versions(tableDir)
+      .flatMap(v => snapshot(tableDir, v).meta.get(s"stream:$streamId"))
+      .map(_.toLong) match {
+      case Seq() => None
+      case ids   => Some(ids.max)
+    }
+
+  /** `foreachBatch` sink: every micro-batch becomes one snapshot commit,
+    * exactly-once via the batch-id watermark + checkpointed source offsets.
+    * Each committed version is an atomically-visible, time-travelable unit
+    * — a reader never sees half a micro-batch. */
+  def startStream(
+      input: DataFrame,
+      tableDir: String,
+      checkpointDir: String,
+      streamId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitStreamBatch(batch, tableDir, streamId, batchId)
+        ()
+      }
+      .start()
+
   /** The latest snapshot as a DataFrame. */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir,
@@ -108,7 +154,9 @@ object SnapshotTable {
     spark.read.parquet(snap.files.map(f => Paths.get(tableDir, f).toString): _*)
   }
 
-  private def commit(df: DataFrame, tableDir: String, replace: Boolean): Long = {
+  private def commit(
+      df: DataFrame, tableDir: String, replace: Boolean,
+      extraMeta: Seq[String] = Seq.empty): Long = {
     init(tableDir)
     // stage immutable data files under a unique dir (never visible until a
     // manifest references them)
@@ -123,7 +171,8 @@ object SnapshotTable {
         else latestVersion(tableDir).map(snapshot(tableDir, _).files).getOrElse(Seq.empty)
       val v = latestVersion(tableDir).getOrElse(0L) + 1
       val body =
-        (Seq(s"version=$v", s"op=${if (replace) "replace" else "append"}") ++ base ++ staged)
+        (Seq(s"version=$v", s"op=${if (replace) "replace" else "append"}")
+          ++ extraMeta ++ base ++ staged)
           .mkString("", "\n", "\n")
       val tmp = Files.createTempFile(snapDir(tableDir), s".v$v-", ".tmp")
       Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -69,6 +69,31 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readVersion(spark, t, 4).as[Int].collect().sorted === Array(1, 2, 3, 4))
   }
 
+  test("streaming sink: each micro-batch is one snapshot; replays are skipped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft_snap_ckpt").toString
+    val mem = MemoryStream[Int]
+    val q = SnapshotTable.startStream(mem.toDF().toDF("x"), t, ckpt, streamId = "s1")
+    try {
+      mem.addData(1, 2); q.processAllAvailable()
+      mem.addData(3); q.processAllAvailable()
+      assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === Array(1, 2, 3))
+      assert(SnapshotTable.lastStreamBatch(t, "s1").exists(_ >= 1L))
+      val versionsBefore = SnapshotTable.versions(t)
+      // checkpoint replay of an already-committed batch: skipped, no dup rows
+      assert(SnapshotTable.commitStreamBatch(
+        Seq(1, 2).toDF("x"), t, "s1", batchId = 0L).isEmpty)
+      assert(SnapshotTable.versions(t) === versionsBefore)
+      assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === Array(1, 2, 3))
+      // a DIFFERENT stream's batch 0 is independent (per-stream watermarks)
+      assert(SnapshotTable.commitStreamBatch(
+        Seq(9).toDF("x"), t, "s2", batchId = 0L).isDefined)
+      assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === Array(1, 2, 3, 9))
+    } finally q.stop()
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
