@@ -154,6 +154,35 @@ object SnapshotTable {
     spark.read.parquet(snap.files.map(f => Paths.get(tableDir, f).toString): _*)
   }
 
+  /** Retention vacuum: drop manifests older than the newest `keepVersions`
+    * and delete data files no retained manifest references. The ONLY
+    * destructive operation in the format — correctness contract: run it
+    * only when no reader is pinned to a dropped version (the operational
+    * gate every lake format documents; snapshots themselves never delete).
+    * Returns (versions dropped, data files deleted). */
+  def vacuum(tableDir: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val all = versions(tableDir)
+    val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
+    val live = keep.flatMap(snapshot(tableDir, _).files).toSet
+    val dead = drop.flatMap(snapshot(tableDir, _).files).toSet -- live
+    // every commit stages into its own data-<uuid>/ dir, so a dir is either
+    // fully live or fully dead — dead dirs go recursively (this also sweeps
+    // the _SUCCESS markers, which manifests never reference)
+    val liveDirs = live.map(f => Paths.get(tableDir, f).getParent)
+    val deadDirs = dead.map(f => Paths.get(tableDir, f).getParent) -- liveDirs
+    deadDirs.foreach { dir =>
+      if (Files.isDirectory(dir)) {
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+    }
+    drop.foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
+    (drop.length, dead.size)
+  }
+
   private def commit(
       df: DataFrame, tableDir: String, replace: Boolean,
       extraMeta: Seq[String] = Seq.empty): Long = {

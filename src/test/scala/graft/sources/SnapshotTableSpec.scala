@@ -69,6 +69,33 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readVersion(spark, t, 4).as[Int].collect().sorted === Array(1, 2, 3, 4))
   }
 
+  test("vacuum drops old versions + their unreferenced files, keeps live data") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), t)
+    SnapshotTable.commitAppend(Seq(2).toDF("x"), t)   // v2 references v1's files too
+    SnapshotTable.commitReplace(Seq(9).toDF("x"), t)  // v3 orphans v1+v2 data
+    val (droppedV, deletedF) = SnapshotTable.vacuum(t, keepVersions = 1)
+    assert(droppedV === 2)
+    assert(deletedF > 0)
+    assert(SnapshotTable.versions(t) === Seq(3L))
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(9))
+    // dead data dirs are gone entirely (incl. _SUCCESS markers)
+    val dataDirs = Files.list(Paths.get(t)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (dataDirs.hasNext) names += dataDirs.next().getFileName.toString
+    assert(names.count(_.startsWith("data-")) === 1)
+  }
+
+  test("vacuum keeps files still referenced by a retained append chain") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), t)
+    SnapshotTable.commitAppend(Seq(2).toDF("x"), t)
+    // keep v2 only: v1's files are still in v2's manifest -> must survive
+    val (droppedV, deletedF) = SnapshotTable.vacuum(t, keepVersions = 1)
+    assert((droppedV, deletedF) === (1, 0))
+    assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === Array(1, 2))
+  }
+
   test("streaming sink: each micro-batch is one snapshot; replays are skipped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
