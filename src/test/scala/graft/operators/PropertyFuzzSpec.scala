@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-based cross-checks: each distributed operator against a
+  * pure-Scala reference implementation on seeded random inputs. The
+  * operators are all EXACT (integer arithmetic / total orders), so every
+  * property is strict equality — no tolerances.
+  */
+class PropertyFuzzSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop, cases: Int = 8): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(cases)
+      .withInitialSeed(Seed(0x5eed + name.hashCode.toLong))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // --- references -----------------------------------------------------------
+
+  private def refLevenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def refPageRank(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((s, t) <- edges) contrib(t) += (r(s) * 85) / (100L * outdeg(s))
+      r = nodes.map(n => n -> (150000L + contrib(n))).toMap
+    }
+    r
+  }
+
+  private def refComponents(edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = scala.collection.mutable.Map.empty[Int, Int]
+    def find(x: Int): Int = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    for ((a, b) <- edges) parent(find(a)) = find(b)
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
+  }
+
+  // --- properties -----------------------------------------------------------
+
+  test("PrefixSum.running == sequential scan (negatives, random key order)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      vals <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+      keys <- Gen.listOfN(n, Gen.choose(-100000L, 100000L)).map(_.distinct)
+      parts <- Gen.choose(1, 8)
+    } yield (keys.zip(vals), parts)
+    check("prefixsum", Prop.forAll(gen) { case (rows, parts) =>
+      rows.isEmpty || {
+        val got = PrefixSum.running(rows.toDF("k", "v"), "k", "v", "cum", numParts = parts)
+          .select("k", "cum").as[(Long, Long)].collect().toMap
+        val want = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+          case ((_, acc), (k, v)) => (k, acc + v)
+        }.drop(1).toMap
+        spark.catalog.clearCache() // PrefixSum persists its pid-stamped relation
+        got == want
+      }
+    })
+  }
+
+  test("FuzzyJoin.selfLinkage == brute force within blocks") {
+    val word = Gen.choose(1, 4).flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val name = for { w1 <- Gen.oneOf("red", "blue"); w2 <- word } yield s"$w1 $w2"
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      names <- Gen.listOfN(n, name)
+      maxDist <- Gen.choose(1, 4)
+    } yield (names, maxDist)
+    check("fuzzyjoin", Prop.forAll(gen) { case (names, maxDist) =>
+      val got = FuzzyJoin.selfLinkage(names.toDF("name"), "name",
+          nm => split(nm, " ").getItem(0), maxDist)
+        .select("name_a", "name_b", "dist").as[(String, String, Int)].collect().toSet
+      val counts = names.groupBy(identity).view.mapValues(_.size).toMap
+      val distinct = counts.keys.toSeq
+      val want = (for {
+        a <- distinct; b <- distinct
+        if a < b && a.split(" ")(0) == b.split(" ")(0)
+        d = refLevenshtein(a, b) if d <= maxDist
+      } yield (a, b, d)).toSet
+      got == want
+    })
+  }
+
+  test("PageRank.ranksMicro == pure-Scala integer reference (exact)") {
+    val node = Gen.choose(0, 9).map(i => s"n$i")
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(n, Gen.zip(node, node)).map(_.filter(e => e._1 != e._2))
+      iters <- Gen.choose(1, 3)
+    } yield (edges, iters)
+    check("pagerank", Prop.forAll(gen) { case (edges, iters) =>
+      edges.isEmpty || {
+        val got = PageRank.ranksMicro(edges.toDF("src", "dst"), "src", "dst", iters)
+          .as[(String, Long)].collect().toMap
+        spark.catalog.clearCache() // PageRank persists its loop invariants
+        got == refPageRank(edges, iters)
+      }
+    }, cases = 6)
+  }
+
+  test("ConnectedComponents.minLabel == union-find reference") {
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 14), Gen.choose(0, 14)))
+    } yield edges.filter(e => e._1 != e._2)
+    check("components", Prop.forAll(gen) { edges =>
+      edges.isEmpty || {
+        val got = ConnectedComponents.minLabel(edges.toDF("id_a", "id_b"))
+          .as[(Int, Int)].collect().toMap
+        got == refComponents(edges)
+      }
+    }, cases = 6)
+  }
+
+  test("TopKByScore == sort-take reference (unique scores)") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.choose(-100000, 100000), Gen.choose(0L, 99L)))
+      k <- Gen.choose(1, 4)
+    } yield (rows.distinctBy(r => (r._1, r._2)), k) // unique score per group
+    check("topk", Prop.forAll(gen) { case (rows, k) =>
+      val got = rows.toDF("g", "s", "p")
+        .groupBy(col("g"))
+        .agg(graft.functions.TopKAggregate.topK(col("s").cast("double"), col("p"), k).as("t"))
+        .select(col("g"), col("t"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.sortBy(-_._2).take(k).map(r => (r._2.toDouble, r._3))
+      }
+      got == want
+    })
+  }
+}
