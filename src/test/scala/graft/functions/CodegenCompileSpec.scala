@@ -45,4 +45,13 @@ class CodegenCompileSpec extends AnyFunSuite {
       NearestCentroids(vec, cents, 2),
       SimHash60(text)))
   }
+
+  test("BPE expressions compile in an UnsafeProjection (incl nested merges)") {
+    val text = BoundReference(0, StringType, nullable = true)
+    val init = BpeInitSymbols(text)
+    // the applyMerges shape: merges nest left-to-right as one projection
+    val nested = (1 to 4).foldLeft(init: Expression)((acc, i) =>
+      BpeMergePair(acc, Literal(s"a$i"), Literal(s"b$i")))
+    CodegenCompile.compileUnsafeProjection(Seq(init, nested))
+  }
 }
