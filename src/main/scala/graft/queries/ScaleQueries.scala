@@ -66,6 +66,28 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice")), 2).as("total_price"))
     }),
+    // Interval-overlap join: cross-user session pairs that overlap in
+    // time (who was online together), via the bucketed interval×interval
+    // equi-join (day buckets ≈ session scale) with first-bucket dedup —
+    // never the BroadcastNestedLoop a raw inequality join plans. Reported
+    // per overlap-start day: pair count + total overlap µs, all exact
+    // integers. Output is inherently quadratic in instantaneous
+    // concurrency — the semantics, not the plan.
+    "q90_session_overlap" -> ((s, d) => {
+      val sess = graft.operators.Sessionize.batch(Tables.events(s, d))
+      val a = sess.select(col("user_id").as("ua"),
+        col("session_start_us").as("sa"), col("session_end_us").as("ea"))
+      val b = sess.select(col("user_id").as("ub"),
+        col("session_start_us").as("sb"), col("session_end_us").as("eb"))
+      RangeJoin.intervalsOverlap(a, b, "sa", "ea", "sb", "eb",
+          bucketWidth = 86400000000L)
+        .filter(col("ua") < col("ub"))
+        .select(greatest(col("sa"), col("sb")).as("os"),
+          (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("dur"))
+        .groupBy(timestamp_micros(col("os")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("dur")).as("total_overlap_us"))
+    }),
+
     // Bloom-filter semi-join reduction: prune the fact table against the
     // filtered dimension's 2¹⁶-bit bloom BEFORE the join. The bitset
     // builds with one 8 KB buffer per partition, broadcasts for free, and
@@ -169,6 +191,21 @@ object ScaleQueries {
         |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
         |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
         |FROM z GROUP BY z_bucket""".stripMargin,
+
+    "q90_session_overlap" -> {
+      val sessSql = graft.operators.Sessionize.batchOracleSql()
+      s"""WITH sess AS ($sessSql),
+         |p AS (SELECT greatest(a.session_start_us, b.session_start_us) AS os,
+         |        least(a.session_end_us, b.session_end_us)
+         |          - greatest(a.session_start_us, b.session_start_us) AS dur
+         |      FROM sess a JOIN sess b
+         |        ON a.user_id < b.user_id
+         |       AND a.session_start_us <= b.session_end_us
+         |       AND b.session_start_us <= a.session_end_us)
+         |SELECT make_timestamp(os)::DATE AS day, count(*) AS n_pairs,
+         |  sum(dur)::BIGINT AS total_overlap_us
+         |FROM p GROUP BY day""".stripMargin
+    },
 
     "q37_range_join" ->
       """WITH iv AS (

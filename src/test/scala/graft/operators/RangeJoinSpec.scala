@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -36,5 +37,29 @@ class RangeJoinSpec extends AnyFunSuite {
       (ts("2024-02-05 00:00:00"), "A"), // in A via second bucket
       (ts("2024-02-05 00:00:00"), "B"), (ts("2024-02-10 00:00:00"), "B"),
       (ts("2024-03-01 00:00:00"), "B")))
+  }
+
+  test("intervalsOverlap == naive inequality join (multi-bucket dedup, touching bounds)") {
+    val day = 86400000000L
+    // (id, start, end) in us; spans chosen to cross several day buckets
+    val left = Seq(
+      ("L1", 0L, 3L * day),            // crosses 4 buckets
+      ("L2", 5L * day, 5L * day + 10L), // tiny
+      ("L3", 10L * day, 11L * day)
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      ("R1", 2L * day, 6L * day),       // overlaps L1 (2 shared buckets) and L2
+      ("R2", 3L * day + 1L, 4L * day),  // misses L1 by 1 us
+      ("R3", 11L * day, 12L * day)      // touches L3 exactly at one point
+    ).toDF("rid", "rs", "re")
+
+    val got = RangeJoin.intervalsOverlap(left, right, "ls", "le", "rs", "re", day)
+      .select("lid", "rid").as[(String, String)].collect().toSeq
+    val naive = left.join(right, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(String, String)].collect().toSeq
+    // sets equal AND no duplicates from multi-bucket matches
+    assert(got.sorted === naive.sorted)
+    assert(got.distinct.length === got.length)
+    assert(got.toSet === Set(("L1", "R1"), ("L2", "R1"), ("L3", "R3")))
   }
 }
