@@ -114,14 +114,14 @@ object SnapshotTable {
       extraMeta = Seq(s"stream:$streamId=$batchId")))
   }
 
-  /** Highest batch id committed by `streamId` (its exactly-once watermark). */
+  /** Highest batch id committed by `streamId` (its exactly-once watermark).
+    * Watermarks carry forward into every manifest, so the LATEST snapshot
+    * alone answers this — O(1), and vacuum-proof (dropping the manifest
+    * that originally recorded a watermark cannot lose it). */
   def lastStreamBatch(tableDir: String, streamId: String): Option[Long] =
-    versions(tableDir)
+    latestVersion(tableDir)
       .flatMap(v => snapshot(tableDir, v).meta.get(s"stream:$streamId"))
-      .map(_.toLong) match {
-      case Seq() => None
-      case ids   => Some(ids.max)
-    }
+      .map(_.toLong)
 
   /** `foreachBatch` sink: every micro-batch becomes one snapshot commit,
     * exactly-once via the batch-id watermark + checkpointed source offsets.
@@ -195,13 +195,20 @@ object SnapshotTable {
 
     var attempt = 0
     while (attempt < 64) {
-      val base =
-        if (replace) Seq.empty
-        else latestVersion(tableDir).map(snapshot(tableDir, _).files).getOrElse(Seq.empty)
+      val prev = latestVersion(tableDir).map(snapshot(tableDir, _))
+      val base = if (replace) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
+      // stream watermarks carry forward into EVERY manifest (replace and
+      // other writers' appends included): the exactly-once guarantee must
+      // survive vacuum dropping the manifest that originally recorded a
+      // watermark. extraMeta (this commit's own stream:batch) wins on key.
+      val carried = prev.map(_.meta).getOrElse(Map.empty)
+        .view.filterKeys(_.startsWith("stream:")).toMap ++
+        extraMeta.map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
       val v = latestVersion(tableDir).getOrElse(0L) + 1
       val body =
         (Seq(s"version=$v", s"op=${if (replace) "replace" else "append"}")
-          ++ extraMeta ++ base ++ staged)
+          ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
+          ++ base ++ staged)
           .mkString("", "\n", "\n")
       val tmp = Files.createTempFile(snapDir(tableDir), s".v$v-", ".tmp")
       Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -121,6 +121,19 @@ class SnapshotTableSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream watermark survives other writers' commits AND vacuum (no double-append)") {
+    val t = tmpTable()
+    assert(SnapshotTable.commitStreamBatch(Seq(1).toDF("x"), t, "s1", 0L).isDefined)
+    // other writers commit, then vacuum drops the watermark's own manifest
+    SnapshotTable.commitAppend(Seq(2).toDF("x"), t)
+    SnapshotTable.commitReplace(Seq(3).toDF("x"), t)
+    SnapshotTable.vacuum(t, keepVersions = 1)
+    assert(SnapshotTable.lastStreamBatch(t, "s1") === Some(0L))
+    // checkpoint replay of batch 0 must STILL be a no-op
+    assert(SnapshotTable.commitStreamBatch(Seq(1).toDF("x"), t, "s1", 0L).isEmpty)
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(3))
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
