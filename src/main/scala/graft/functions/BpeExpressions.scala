@@ -1,10 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,18 +26,12 @@ object BpeExpressions {
 
   val WordEnd = "</w>"
 
-  private def registered(name: String, builder: Seq[Expression] => Expression)(
-      args: Column*): Column = {
-    SparkSession.active.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "built-in")
-    call_function(name, args: _*)
-  }
-
   def initSymbols(text: Column): Column =
-    registered("graft_bpe_init", exprs => BpeInitSymbols(exprs.head))(text)
+    VectorExpressions.registered("graft_bpe_init",
+      exprs => BpeInitSymbols(exprs.head))(text)
 
   def mergePair(syms: Column, a: Column, b: Column): Column =
-    registered("graft_bpe_merge",
+    VectorExpressions.registered("graft_bpe_merge",
       exprs => BpeMergePair(exprs.head, exprs(1), exprs(2)))(syms, a, b)
 }
 
@@ -50,19 +43,24 @@ object BpeUtil {
   // concrete return type — an Object-returning signature makes Janino
   // reject the generated projection (silent interpreter fallback)
   def initSymbols(s: UTF8String): GenericArrayData = {
-    val str = s.trim().toString
+    // String.trim (all ASCII control whitespace), NOT UTF8String.trim
+    // (0x20 only): a leading \n or trailing \t must not survive into the
+    // \s+ split, where an empty token would emit a spurious bare marker
+    val str = s.toString.trim
     if (str.isEmpty) return new GenericArrayData(Array.empty[Any])
     val toks = ws.split(str, -1)
     val out = new java.util.ArrayList[AnyRef]()
     var t = 0
     while (t < toks.length) {
       val tok = toks(t)
-      var i = 0
-      while (i < tok.length) {
-        out.add(UTF8String.fromString(String.valueOf(tok.charAt(i))))
-        i += 1
+      if (!tok.isEmpty) {
+        var i = 0
+        while (i < tok.length) {
+          out.add(UTF8String.fromString(String.valueOf(tok.charAt(i))))
+          i += 1
+        }
+        out.add(wordEnd)
       }
-      out.add(wordEnd)
       t += 1
     }
     new GenericArrayData(out.toArray)

@@ -500,7 +500,7 @@ object VectorExpressions {
     * return a `Column` invocation. Registry-based exposure keeps us off
     * Spark-internal `Column` constructors (stable across the Spark 4 column
     * API split) and also makes the functions available to `spark.sql`. */
-  private def registered(name: String, builder: Seq[Expression] => Expression)(
+  private[functions] def registered(name: String, builder: Seq[Expression] => Expression)(
       args: Column*): Column = {
     SparkSession.active.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")

@@ -79,6 +79,11 @@ object BpeVocab {
   private def pairCounts(syms: Column, rel: DataFrame): DataFrame =
     rel.select(explode(zip_with(syms, slice(syms, lit(2), size(syms) - 1),
         (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      // zip_with pads the shorter slice with null -> every row emits one
+      // (last-symbol, null) struct; unfiltered it can WIN the argmax
+      // (count = #docs, and asc(b) sorts null first) and a null merge
+      // operand nulls the whole symbol relation
+      .filter(col("p.b").isNotNull)
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
 }

@@ -37,8 +37,11 @@ object Pca {
   def fit(df: DataFrame, vecCol: String, dims: Int, k: Int): Model = {
     require(k >= 1 && k <= dims, s"need 1 <= k <= dims, got k=$k dims=$dims")
     val v = col(vecCol).cast("array<double>")
+    // cast BEFORE the sum: the aggregate must accumulate exact longs —
+    // summing integral doubles goes inexact (and order-dependent) past
+    // 2^53, breaking the bit-determinism the driver-side fit relies on
     val sumCols = (0 until dims).map(i =>
-      sum(round(element_at(v, i + 1) * 1000000.0)).cast("long").as(s"s$i"))
+      sum(round(element_at(v, i + 1) * 1000000.0).cast("long")).cast("long").as(s"s$i"))
     val row = df.agg(
       GramMatrixAggregate.gramMicro(v, dims).as("g"),
       (count(lit(1)).as("n") +: sumCols): _*).head()

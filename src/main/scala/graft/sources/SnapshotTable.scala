@@ -204,7 +204,12 @@ object SnapshotTable {
       val carried = prev.map(_.meta).getOrElse(Map.empty)
         .view.filterKeys(_.startsWith("stream:")).toMap ++
         extraMeta.map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
-      val v = latestVersion(tableDir).getOrElse(0L) + 1
+      // v derives from the SAME prev snapshot the base/carried state was
+      // read from — a second latestVersion() read here would let a racer
+      // land in between and this commit take a higher, free version number
+      // with the CAS succeeding while silently dropping the racer's files
+      // and stream watermarks (lost update)
+      val v = prev.map(_.version + 1).getOrElse(1L)
       val body =
         (Seq(s"version=$v", s"op=${if (replace) "replace" else "append"}")
           ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }

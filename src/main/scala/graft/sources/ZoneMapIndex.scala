@@ -50,8 +50,9 @@ object ZoneMapIndex {
     val files = candidateFiles(stats, lo, hi)
     if (files.isEmpty) {
       // preserve schema without touching data: empty limit over any file
-      val all = stats.select(col("file")).collect().map(_.getString(0))
-      spark.read.parquet(all.take(1).toSeq: _*).limit(0)
+      val one = stats.select(col("file")).limit(1).collect().map(_.getString(0))
+      require(one.nonEmpty, "readRange over an empty zone-map stats table")
+      spark.read.parquet(one.toSeq: _*).limit(0)
     } else {
       spark.read.parquet(files: _*)
         .filter(col(statsCol) >= lo && col(statsCol) <= hi)

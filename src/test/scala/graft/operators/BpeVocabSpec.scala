@@ -86,4 +86,22 @@ class BpeVocabSpec extends AnyFunSuite {
     // every pair unique -> nothing reaches minCount=2 -> no merges
     assert(BpeVocab.learnMerges(Seq("abcdefg").toDF("text"), "text", 4).isEmpty)
   }
+
+  test("zip_with null padding cannot win the argmax (no (</w>, null) merge)") {
+    // each doc's last symbol pairs with the null pad: corpus-wide count 3
+    // would beat every real pair if unfiltered (reference finds no merges)
+    val corpus = Seq("ab", "cd", "ef")
+    assert(refLearn(corpus, 4).isEmpty)
+    assert(BpeVocab.learnMerges(corpus.toDF("text"), "text", 4).isEmpty)
+  }
+
+  test("non-space whitespace (tabs/newlines) matches the reference init") {
+    val tricky = Seq("\nlow low\t", "lowlow")
+    val merges = BpeVocab.learnMerges(tricky.toDF("text"), "text", 3)
+    assert(merges.map(m => (m.a, m.b, m.count)) === refLearn(tricky, 3))
+    val got = tricky.toDF("text")
+      .select(BpeVocab.applyMerges(col("text"), merges).as("t")).as[Seq[String]].collect().toSeq
+    val want = tricky.map(t => merges.foldLeft(refInit(t))((s, m) => refMerge(s, m.a, m.b)).toSeq)
+    assert(got === want)
+  }
 }

