@@ -39,7 +39,10 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * Interpolation replicates `percentile()` / DuckDB `quantile_cont` TO THE
   * ULP: rank r = (n-1)·p, result = (⌈r⌉-r)·v⌊r⌋ + (r-⌊r⌋)·v⌈r⌉ — the
   * two-sided weighted form both engines use; the algebraically-equal
-  * `v⌊r⌋ + frac·Δ` differs in the last ulp and fails hash parity.
+  * `v⌊r⌋ + frac·Δ` differs in the last ulp and fails hash parity. When the
+  * two bracketing order statistics are EQUAL (rank inside a run of
+  * duplicates), both engines return the value itself — the weighted form
+  * would add last-ulp noise there, so it is short-circuited.
   */
 object HistogramPercentile {
 
@@ -51,7 +54,8 @@ object HistogramPercentile {
       var constraints: List[Constraint],
       var lo: Double, var hi: Double, // numeric approximation, for widths only
       var count: Long,                // EXACT rows in the range
-      var base: Long) {
+      var base: Long,
+      var stall: Int = 0) {           // consecutive rounds with no count shrink
     def rangeKey: (Any, Int, List[Constraint]) = (group, ci, constraints)
   }
 
@@ -231,12 +235,20 @@ object HistogramPercentile {
           while (b < bins && !placed) {
             val c = counts.getOrElse((ri, b), 0L)
             if (pd.idx < cum + c) {
+              // a range that stops shrinking is duplicate-bound: more than
+              // collectCap COPIES of one value can never split across
+              // buckets, and the width>0 exhaustion test won't fire for
+              // ~350 rounds of 8x decay (found by PropertyFuzzSpec: six
+              // rows, five of them 0.0, collectCap 4 spun all 64 rounds)
+              pd.stall = if (c < pd.count) 0 else pd.stall + 1
               pd.constraints = pd.constraints :+ Constraint(pd.lo, width, b)
               pd.hi = pd.lo + (b + 1) * width
               pd.lo = pd.lo + b * width
               pd.count = c
               pd.base = cum
-              if (c <= collectCap) roundCollects += pd else next += pd
+              if (c <= collectCap) roundCollects += pd
+              else if (pd.stall >= 3) resolveByValueCounts(pd)
+              else next += pd
               placed = true
             }
             cum += c
@@ -265,7 +277,15 @@ object HistogramPercentile {
             val lo = resolved((g, ci, lower))
             java.lang.Double.valueOf(
               if (higher == lower || higher >= n) lo
-              else (higher - r) * lo + (r - lower) * resolved((g, ci, higher)))
+              else {
+                val hi = resolved((g, ci, higher))
+                // equal bracketing values short-circuit WITHOUT arithmetic:
+                // both engines resolve inside a run of duplicates to the
+                // value itself, while (1-f)·v + f·v ≠ v in the last ulp
+                // (found by PropertyFuzzSpec: [1.5, 1.5, 2.0] at p10)
+                if (hi == lo) lo
+                else (higher - r) * lo + (r - lower) * hi
+              })
           }
         }
       }

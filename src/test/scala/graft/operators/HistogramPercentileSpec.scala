@@ -63,4 +63,31 @@ class HistogramPercentileSpec extends AnyFunSuite {
       .collect().head.getDouble(1)
     assert(got == 2.0)
   }
+
+  // PropertyFuzzSpec counterexample: equal bracketing order statistics must
+  // short-circuit — (1-f)·1.5 + f·1.5 = 1.5000000000000002 ulp-noise
+  test("rank inside a duplicate run returns the value exactly (no ulp noise)") {
+    val df = Seq(("x", 1.5), ("x", 2.0), ("x", 1.5)).toDF("g", "v")
+    val got = HistogramPercentile.quantiles(df, "g", "v", Seq(0.1), bins = 8, collectCap = 4)
+      .collect().head.getDouble(1)
+    assert(got == 1.5) // exact — not 1.5000000000000002
+  }
+
+  // PropertyFuzzSpec counterexample: > collectCap COPIES of one value can
+  // never split across buckets; the stalled range must resolve by value
+  // counts instead of spinning all 64 narrowing rounds
+  test("duplicate-heavy range beyond collectCap converges via value counts") {
+    val df = (Seq.fill(5)(0.0) :+ -1.7642974853515625e-5).map(("y", _)).toDF("g", "v")
+    assertParity2(df, Seq(0.1, 0.5, 0.9), bins = 8, collectCap = 4)
+  }
+
+  private def assertParity2(
+      df: org.apache.spark.sql.DataFrame, probs: Seq[Double], bins: Int, collectCap: Int): Unit = {
+    val got = HistogramPercentile.quantiles(df, "g", "v", probs, bins, collectCap)
+      .collect().map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(1 + i))).toMap
+    val aggs = probs.map(p => expr(s"percentile(v, $p)"))
+    val want = df.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) -> probs.indices.map(i => r.getDouble(1 + i))).toMap
+    assert(got == want)
+  }
 }

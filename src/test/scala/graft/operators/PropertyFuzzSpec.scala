@@ -131,6 +131,74 @@ class PropertyFuzzSpec extends AnyFunSuite {
     }, cases = 6)
   }
 
+  test("RangeJoin.intervalsOverlap == naive quadratic join, no duplicate pairs") {
+    val iv = for {
+      s <- Gen.choose(0L, 500L)
+      len <- Gen.choose(0L, 120L)
+    } yield (s, s + len)
+    val gen = for {
+      nl <- Gen.choose(1, 20); nr <- Gen.choose(1, 20)
+      l <- Gen.listOfN(nl, iv); r <- Gen.listOfN(nr, iv)
+      w <- Gen.oneOf(7L, 50L, 1000L) // widths around / below / above interval scale
+    } yield (l, r, w)
+    check("overlap", Prop.forAll(gen) { case (l, r, w) =>
+      val ldf = l.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }.toDF("lid", "ls", "le")
+      val rdf = r.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }.toDF("rid", "rs", "re")
+      val got = RangeJoin.intervalsOverlap(ldf, rdf, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      val want = for {
+        ((ls, le), i) <- l.zipWithIndex
+        ((rs, re), j) <- r.zipWithIndex
+        if ls <= re && rs <= le
+      } yield (i.toLong, j.toLong)
+      got.sorted == want.sorted && got.distinct.length == got.length
+    })
+  }
+
+  test("Sessionize.batch == sequential gap-scan reference") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20000L)))
+    } yield rows.map { case (u, sec) => (u, sec) }.distinct // unique (user, ts)
+    check("sessionize", Prop.forAll(gen) { rows =>
+      val df = rows.map { case (u, sec) =>
+        (u, new java.sql.Timestamp(sec * 1000L), 1.0)
+      }.toDF("user_id", "ts", "value")
+      val got = Sessionize.batch(df, gapSeconds = 1800L)
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val times = rs.map(_._2 * 1000000L).sorted // µs
+        val sessions = times.foldLeft(Vector.empty[Vector[Long]]) { (acc, t) =>
+          if (acc.nonEmpty && t - acc.last.last <= 1800000000L)
+            acc.init :+ (acc.last :+ t)
+          else acc :+ Vector(t)
+        }
+        sessions.map(s => (u, s.head, s.last, s.length.toLong))
+      }.toSet
+      got == want
+    })
+  }
+
+  test("HistogramPercentile == Spark exact percentile (random groups, dups, negatives)") {
+    val gen = for {
+      n <- Gen.choose(4, 80)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("x", "y"),
+        Gen.oneOf(Gen.choose(-50, 50).map(_.toDouble), Gen.oneOf(0.0, 1.5, -2.25))))
+    } yield rows
+    check("percentile", Prop.forAll(gen) { rows =>
+      val df = rows.toDF("g", "v")
+      val got = HistogramPercentile.quantiles(df, "g", "v", Seq(0.1, 0.5, 0.9),
+          bins = 8, collectCap = 4)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val want = df.groupBy(col("g")).agg(
+          expr("percentile(v, 0.1)"), expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      got == want
+    }, cases = 6)
+  }
+
   test("TopKByScore == sort-take reference (unique scores)") {
     val gen = for {
       n <- Gen.choose(1, 50)
