@@ -31,7 +31,12 @@ object RorPipeline {
       warehouseDir: String,
       maxDepth: Int = 200,
       smallGraph: Boolean = false,
-      runDate: LocalDate = LocalDate.now())
+      runDate: LocalDate = LocalDate.now(),
+      // promote through sources/SnapshotTable instead of a plain overwrite:
+      // K2 becomes an atomic versioned commit (readers mid-query keep their
+      // snapshot) and K3's dated backup is subsumed by time travel — the
+      // RunReport's backupPath records the committed version instead
+      snapshotMode: Boolean = false)
 
   final case class RunReport(
       records: Long,
@@ -84,17 +89,28 @@ object RorPipeline {
 
     // A1 + A2 gates — both must pass before promotion (BigQueryCheckOperator
     // semantics: hard fail blocks everything downstream).
+    val prodExists =
+      if (cfg.snapshotMode) graft.sources.SnapshotTable.latestVersion(prod).isDefined
+      else fs.exists(new HPath(prod))
+    def readProd() =
+      if (cfg.snapshotMode) graft.sources.SnapshotTable.read(spark, prod)
+      else spark.read.parquet(prod)
     val gates = Seq(QualityGates.uniqueIds(stagingDf, "id")) ++
-      (if (fs.exists(new HPath(prod)))
-        Seq(QualityGates.monotonicCount(stagingDf, spark.read.parquet(prod)))
-      else Nil)
+      (if (prodExists) Seq(QualityGates.monotonicCount(stagingDf, readProd())) else Nil)
     QualityGates.requireAll(gates)
 
-    // K2: staging → production (atomic-replace-style overwrite).
-    stagingDf.write.mode(SaveMode.Overwrite).parquet(prod)
-
-    // K3: production → dated backup snapshot (idempotent per day).
-    spark.read.parquet(prod).write.mode(SaveMode.Overwrite).parquet(backup)
+    val backupRef = if (cfg.snapshotMode) {
+      // K2 + K3 in one step: the replace commit is atomic AND versioned —
+      // any prior run stays time-travelable, which IS the dated backup
+      val v = graft.sources.SnapshotTable.commitReplace(stagingDf, prod)
+      s"$prod@v$v"
+    } else {
+      // K2: staging → production (atomic-replace-style overwrite).
+      stagingDf.write.mode(SaveMode.Overwrite).parquet(prod)
+      // K3: production → dated backup snapshot (idempotent per day).
+      spark.read.parquet(prod).write.mode(SaveMode.Overwrite).parquet(backup)
+      backup
+    }
 
     // K4: column-description sidecar travels with the table.
     val sidecar = BqSchema.commentSidecar(RorSchema.enrichedSchema)
@@ -102,6 +118,6 @@ object RorPipeline {
     out.write(sidecar.getBytes("UTF-8")); out.close()
 
     // K5: success report (the terminal alert, minus the Slack transport).
-    RunReport(stagingDf.count(), cappedIds, gates, staging, prod, backup)
+    RunReport(stagingDf.count(), cappedIds, gates, staging, prod, backupRef)
   }
 }

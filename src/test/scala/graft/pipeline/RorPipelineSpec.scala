@@ -73,6 +73,31 @@ class RorPipelineSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 1.5)
   }
 
+  test("snapshotMode: versioned promote, time-travelable history, gates against latest") {
+    import graft.sources.SnapshotTable
+    val wh = Files.createTempDirectory("ror_wh_snap").toString
+    val prodDir = s"$wh/prod/ror"
+    // run 1: 6 records -> v1
+    val r1 = RorPipeline.run(spark,
+      RorPipeline.Config(writeDump(s"$wh/in1", fullRecs), wh, snapshotMode = true))
+    assert(r1.backupPath === s"$prodDir@v1")
+    assert(SnapshotTable.read(spark, prodDir).count() === 6)
+    // run 2: same records + one more -> v2; v1 stays readable (the backup)
+    val r2 = RorPipeline.run(spark,
+      RorPipeline.Config(writeDump(s"$wh/in2", fullRecs :+ rec("x1", "", "Extra Org")),
+        wh, snapshotMode = true))
+    assert(r2.backupPath === s"$prodDir@v2")
+    assert(SnapshotTable.read(spark, prodDir).count() === 7)
+    assert(SnapshotTable.readVersion(spark, prodDir, 1).count() === 6)
+    // A2 gate in snapshot mode reads the LATEST version: shrinking blocks
+    val err = intercept[IllegalStateException] {
+      RorPipeline.run(spark,
+        RorPipeline.Config(writeDump(s"$wh/in3", fullRecs.take(2)), wh, snapshotMode = true))
+    }
+    assert(err.getMessage.contains("monotonic"))
+    assert(SnapshotTable.latestVersion(prodDir) === Some(2L)) // prod untouched
+  }
+
   test("shrinking dataset blocks promotion (A2) and leaves prod intact") {
     val wh = Files.createTempDirectory("ror_wh2").toString
     RorPipeline.run(spark, RorPipeline.Config(writeDump(s"$wh/in1", fullRecs), wh))
