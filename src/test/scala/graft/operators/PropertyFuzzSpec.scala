@@ -104,7 +104,7 @@ class PropertyFuzzSpec extends AnyFunSuite {
     val node = Gen.choose(0, 9).map(i => s"n$i")
     val gen = for {
       n <- Gen.choose(1, 25)
-      edges <- Gen.listOfN(n, Gen.zip(node, node)).map(_.filter(e => e._1 != e._2))
+      edges <- Gen.listOfN(n, Gen.zip(node, node)) // self-loops + dup edges allowed
       iters <- Gen.choose(1, 3)
     } yield (edges, iters)
     check("pagerank", Prop.forAll(gen) { case (edges, iters) =>
@@ -121,7 +121,7 @@ class PropertyFuzzSpec extends AnyFunSuite {
     val gen = for {
       n <- Gen.choose(1, 30)
       edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 14), Gen.choose(0, 14)))
-    } yield edges.filter(e => e._1 != e._2)
+    } yield edges // self-loops allowed: a node can pair with itself
     check("components", Prop.forAll(gen) { edges =>
       edges.isEmpty || {
         val got = ConnectedComponents.minLabel(edges.toDF("id_a", "id_b"))
