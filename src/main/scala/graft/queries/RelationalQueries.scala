@@ -161,6 +161,21 @@ object RelationalQueries {
           round(max(col("o_totalprice")), 2).as("hi"))
     }),
 
+    // Ordered string aggregation (LISTAGG): the 5 lexicographically-first
+    // customer names per nation as a CSV. Bounded BEFORE aggregating — the
+    // per-nation row_number window caps each group at 5 rows, so the
+    // collect_list buffer is O(5), never O(group) (the unbounded listagg
+    // trap). sort_array makes the collect order deterministic.
+    "q91_string_agg" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_name"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_top"),
+          concat_ws(",", sort_array(collect_list(col("c_name")))).as("top_names"))
+    }),
+
     // Sketch surface: HLL++ approximate distinct next to the exact count.
     // Sketch estimates differ across engines by design, so the oracle-checked
     // output is the exact count PLUS a boolean asserting the sketch landed
@@ -226,6 +241,14 @@ object RelationalQueries {
         |  round(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q91_string_agg" ->
+      """WITH r AS (SELECT c_nationkey, c_name,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_name) AS rn
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS n_top,
+        |  array_to_string(list(c_name ORDER BY c_name), ',') AS top_names
+        |FROM r WHERE rn <= 5 GROUP BY c_nationkey""".stripMargin,
 
     "q80_fuzzy_linkage" -> graft.operators.FuzzyJoin.selfLinkageOracleSql(
       "part", "p_name", "split_part(name, ' ', 1)", maxDist = 3),
