@@ -5,6 +5,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 
 /** Snapshot-isolated parquet table with optimistic-concurrency commits —
   * the staging→production promote of the reference pipeline
@@ -85,13 +86,57 @@ object SnapshotTable {
     Snapshot(v, meta.getOrElse("op", "?"), lines.dropWhile(_.contains("=")), meta)
   }
 
-  /** Append `df` as a new snapshot; returns the committed version. */
-  def commitAppend(df: DataFrame, tableDir: String): Long =
-    commit(df, tableDir, replace = false)
+  /** Append `df` as a new snapshot; returns the committed version.
+    * With `zoneCol`, per-file min/max zone stats for that column are
+    * computed from the staged files (one tiny scan) and recorded in the
+    * manifest — [[readRange]] then prunes files from metadata alone,
+    * before any footer is opened (the Iceberg-style file-stats idea,
+    * composed with [[ZoneMapIndex]]'s layout caveat: skipping power comes
+    * from range-clustered writes). */
+  def commitAppend(df: DataFrame, tableDir: String, zoneCol: Option[String] = None): Long =
+    commit(df, tableDir, replace = false, zoneCol = zoneCol)
 
   /** Replace the table contents with `df` as a new snapshot. */
-  def commitReplace(df: DataFrame, tableDir: String): Long =
-    commit(df, tableDir, replace = true)
+  def commitReplace(df: DataFrame, tableDir: String, zoneCol: Option[String] = None): Long =
+    commit(df, tableDir, replace = true, zoneCol = zoneCol)
+
+  /** Manifest-pruned range read on the table's zone column: skip every
+    * file whose recorded [min,max] misses [lo,hi] (files without stats are
+    * always candidates — safe overapproximation), then apply the exact
+    * predicate. Value-identical to `read().filter(between)` always. */
+  def readRange(spark: SparkSession, tableDir: String, lo: Double, hi: Double): DataFrame = {
+    val snap = snapshot(tableDir,
+      latestVersion(tableDir).getOrElse(
+        throw new IllegalStateException(s"no snapshots in $tableDir")))
+    val zc = snap.meta.getOrElse("zonecol",
+      throw new IllegalStateException(s"$tableDir has no zone column recorded"))
+    val cand = snap.files.filter { f =>
+      snap.meta.get(s"zone:$f") match {
+        case Some(v) =>
+          val Array(mn, mx) = v.split(",")
+          mx.toDouble >= lo && mn.toDouble <= hi
+        case None => true
+      }
+    }
+    val pred = col(zc).cast("double").between(lo, hi)
+    if (cand.isEmpty)
+      readVersion(spark, tableDir, snap.version).filter(pred).limit(0)
+    else
+      spark.read.parquet(cand.map(f => Paths.get(tableDir, f).toString): _*).filter(pred)
+  }
+
+  /** Candidate files [[readRange]] would scan — exposed for tests/ops. */
+  def rangeCandidates(tableDir: String, lo: Double, hi: Double): Seq[String] = {
+    val snap = snapshot(tableDir, latestVersion(tableDir).get)
+    snap.files.filter { f =>
+      snap.meta.get(s"zone:$f") match {
+        case Some(v) =>
+          val Array(mn, mx) = v.split(",")
+          mx.toDouble >= lo && mn.toDouble <= hi
+        case None => true
+      }
+    }
+  }
 
   /** Rewrite the current rows into `numFiles` files (small-file compaction)
     * and publish as a replace snapshot. Row-preserving by construction. */
@@ -185,13 +230,32 @@ object SnapshotTable {
 
   private def commit(
       df: DataFrame, tableDir: String, replace: Boolean,
-      extraMeta: Seq[String] = Seq.empty): Long = {
+      extraMeta: Seq[String] = Seq.empty,
+      zoneCol: Option[String] = None): Long = {
     init(tableDir)
     // stage immutable data files under a unique dir (never visible until a
     // manifest references them)
     val dataSub = s"data-${java.util.UUID.randomUUID().toString}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(Paths.get(tableDir, dataSub).toString)
     val staged = listParquet(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
+
+    // per-staged-file zone stats: one scan of the just-written (small) data
+    // dir; Double.toString round-trips exactly, so the pruning compare sees
+    // the same values min/max saw. All-null files record nothing (always
+    // candidates — safe).
+    val zoneMeta: Seq[String] = zoneCol.toSeq.flatMap { zc =>
+      val stats = df.sparkSession.read
+        .parquet(Paths.get(tableDir, dataSub).toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(zc).cast("double")).as("mn"), max(col(zc).cast("double")).as("mx"),
+          count(lit(1)).as("n"))
+        .collect()
+      stats.flatMap { r =>
+        val name = r.getString(0).split('/').last
+        if (r.isNullAt(1)) None
+        else Some(s"zone:$dataSub/$name=${r.getDouble(1)},${r.getDouble(2)}")
+      }
+    } ++ zoneCol.map(zc => s"zonecol=$zc")
 
     var attempt = 0
     while (attempt < 64) {
@@ -200,10 +264,16 @@ object SnapshotTable {
       // stream watermarks carry forward into EVERY manifest (replace and
       // other writers' appends included): the exactly-once guarantee must
       // survive vacuum dropping the manifest that originally recorded a
-      // watermark. extraMeta (this commit's own stream:batch) wins on key.
-      val carried = prev.map(_.meta).getOrElse(Map.empty)
-        .view.filterKeys(_.startsWith("stream:")).toMap ++
-        extraMeta.map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
+      // watermark. Zone stats carry only for files that stay visible (an
+      // append keeps the prior files, a replace drops them), plus the
+      // recorded zone column. extraMeta/zoneMeta (this commit's own keys)
+      // win on key.
+      val prevMeta = prev.map(_.meta).getOrElse(Map.empty)
+      val carried = prevMeta.view.filterKeys(k =>
+          k.startsWith("stream:") ||
+            (!replace && (k.startsWith("zone:") || k == "zonecol"))).toMap ++
+        (extraMeta ++ zoneMeta)
+          .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
       // v derives from the SAME prev snapshot the base/carried state was
       // read from — a second latestVersion() read here would let a racer
       // land in between and this commit take a higher, free version number

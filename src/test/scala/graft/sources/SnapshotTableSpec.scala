@@ -158,6 +158,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(3))
   }
 
+  test("zone stats in manifests: range reads prune files from metadata alone") {
+    val t = tmpTable()
+    // two range-clustered appends: [0,99] in 2 files, [100,199] in 2 files
+    def clustered(lo: Int): org.apache.spark.sql.DataFrame =
+      (lo until lo + 100).map(i => (i.toLong, s"r$i")).toDF("k", "payload")
+        .repartitionByRange(2, $"k")
+    SnapshotTable.commitAppend(clustered(0), t, zoneCol = Some("k"))
+    SnapshotTable.commitAppend(clustered(100), t, zoneCol = Some("k"))
+    assert(SnapshotTable.snapshot(t, 2).files.length === 4)
+    // a narrow range hits 1 of 4 files — pruned via the manifest, no footers
+    val cand = SnapshotTable.rangeCandidates(t, 10.0, 20.0)
+    assert(cand.length === 1, s"expected 1 candidate, got $cand")
+    val got = SnapshotTable.readRange(spark, t, 10.0, 20.0)
+      .select("k").as[Long].collect().sorted
+    assert(got === (10L to 20L).toArray)
+    // zone stats from commit 1 carried into commit 2's manifest (append)
+    val zoneKeys = SnapshotTable.snapshot(t, 2).meta.keys.count(_.startsWith("zone:"))
+    assert(zoneKeys === 4)
+    // replace drops the old files' stats and records only its own
+    SnapshotTable.commitReplace(clustered(500), t, zoneCol = Some("k"))
+    val after = SnapshotTable.snapshot(t, 3)
+    assert(after.meta.keys.count(_.startsWith("zone:")) === 2)
+    assert(SnapshotTable.readRange(spark, t, 10.0, 20.0).count() === 0)
+    assert(SnapshotTable.rangeCandidates(t, 510.0, 520.0).length === 1)
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
