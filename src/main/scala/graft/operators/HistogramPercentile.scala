@@ -247,7 +247,19 @@ object HistogramPercentile {
               pd.count = c
               pd.base = cum
               if (c <= collectCap) roundCollects += pd
-              else if (pd.stall >= 3) resolveByValueCounts(pd)
+              else if (pd.stall >= 3) {
+                // a stalled range is not NECESSARILY duplicate-bound — a
+                // tight cluster of many DISTINCT values also refuses to
+                // split for a few rounds while the width decays toward the
+                // cluster span. Gate the value-count resolution on an
+                // exact distinct count (one scalar aggregate, no rows
+                // collected): few distinct values → bounded resolve; many
+                // → keep narrowing, the decaying width WILL split them.
+                val nd = data.filter(rangeCond(pd))
+                  .select(count_distinct(v(pd.ci))).head().getLong(0)
+                if (nd <= collectCap) resolveByValueCounts(pd)
+                else { pd.stall = 0; next += pd }
+              }
               else next += pd
               placed = true
             }

@@ -5,7 +5,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
 /** Snapshot-isolated parquet table with optimistic-concurrency commits —
   * the staging→production promote of the reference pipeline
@@ -105,19 +105,10 @@ object SnapshotTable {
     * always candidates — safe overapproximation), then apply the exact
     * predicate. Value-identical to `read().filter(between)` always. */
   def readRange(spark: SparkSession, tableDir: String, lo: Double, hi: Double): DataFrame = {
-    val snap = snapshot(tableDir,
-      latestVersion(tableDir).getOrElse(
-        throw new IllegalStateException(s"no snapshots in $tableDir")))
+    val snap = latestSnapshot(tableDir)
     val zc = snap.meta.getOrElse("zonecol",
       throw new IllegalStateException(s"$tableDir has no zone column recorded"))
-    val cand = snap.files.filter { f =>
-      snap.meta.get(s"zone:$f") match {
-        case Some(v) =>
-          val Array(mn, mx) = v.split(",")
-          mx.toDouble >= lo && mn.toDouble <= hi
-        case None => true
-      }
-    }
+    val cand = candidatesOf(snap, lo, hi)
     val pred = col(zc).cast("double").between(lo, hi)
     if (cand.isEmpty)
       readVersion(spark, tableDir, snap.version).filter(pred).limit(0)
@@ -126,8 +117,15 @@ object SnapshotTable {
   }
 
   /** Candidate files [[readRange]] would scan — exposed for tests/ops. */
-  def rangeCandidates(tableDir: String, lo: Double, hi: Double): Seq[String] = {
-    val snap = snapshot(tableDir, latestVersion(tableDir).get)
+  def rangeCandidates(tableDir: String, lo: Double, hi: Double): Seq[String] =
+    candidatesOf(latestSnapshot(tableDir), lo, hi)
+
+  private def latestSnapshot(tableDir: String): Snapshot =
+    snapshot(tableDir, latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(s"no snapshots in $tableDir")))
+
+  // the ONE pruning predicate (readRange and rangeCandidates must agree)
+  private def candidatesOf(snap: Snapshot, lo: Double, hi: Double): Seq[String] =
     snap.files.filter { f =>
       snap.meta.get(s"zone:$f") match {
         case Some(v) =>
@@ -136,12 +134,16 @@ object SnapshotTable {
         case None => true
       }
     }
-  }
 
   /** Rewrite the current rows into `numFiles` files (small-file compaction)
-    * and publish as a replace snapshot. Row-preserving by construction. */
-  def compact(spark: SparkSession, tableDir: String, numFiles: Int): Long =
-    commitReplace(read(spark, tableDir).repartition(numFiles), tableDir)
+    * and publish as a replace snapshot. Row-preserving by construction —
+    * including the zone index: a zone-indexed table recomputes its stats
+    * for the compacted files (dropping them would break readRange after a
+    * routine maintenance step). */
+  def compact(spark: SparkSession, tableDir: String, numFiles: Int): Long = {
+    val zc = latestSnapshot(tableDir).meta.get("zonecol")
+    commitReplace(read(spark, tableDir).repartition(numFiles), tableDir, zoneCol = zc)
+  }
 
   /** Exactly-once streaming append: commits a micro-batch tagged with its
     * (streamId, batchId); a batch at-or-below the stream's committed
@@ -247,12 +249,15 @@ object SnapshotTable {
       val stats = df.sparkSession.read
         .parquet(Paths.get(tableDir, dataSub).toString)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col(zc).cast("double")).as("mn"), max(col(zc).cast("double")).as("mx"),
-          count(lit(1)).as("n"))
+        .agg(min(col(zc).cast("double")).as("mn"), max(col(zc).cast("double")).as("mx"))
         .collect()
       stats.flatMap { r =>
         val name = r.getString(0).split('/').last
-        if (r.isNullAt(1)) None
+        // all-null files record nothing; NaN poisons max() (NaN sorts above
+        // every double and NaN-comparisons are all false, so a recorded
+        // NaN bound would wrongly PRUNE the file) — leave such files
+        // stat-less, i.e. always candidates
+        if (r.isNullAt(1) || r.getDouble(1).isNaN || r.getDouble(2).isNaN) None
         else Some(s"zone:$dataSub/$name=${r.getDouble(1)},${r.getDouble(2)}")
       }
     } ++ zoneCol.map(zc => s"zonecol=$zc")
@@ -269,9 +274,14 @@ object SnapshotTable {
       // recorded zone column. extraMeta/zoneMeta (this commit's own keys)
       // win on key.
       val prevMeta = prev.map(_.meta).getOrElse(Map.empty)
+      // appending with a DIFFERENT zone column invalidates the old files'
+      // stats (they describe the wrong column — carrying them would prune
+      // on garbage); those files fall back to always-candidate
+      val zoneColChanged =
+        zoneCol.exists(zc => prevMeta.get("zonecol").exists(_ != zc))
       val carried = prevMeta.view.filterKeys(k =>
           k.startsWith("stream:") ||
-            (!replace && (k.startsWith("zone:") || k == "zonecol"))).toMap ++
+            (!replace && !zoneColChanged && (k.startsWith("zone:") || k == "zonecol"))).toMap ++
         (extraMeta ++ zoneMeta)
           .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
       // v derives from the SAME prev snapshot the base/carried state was

@@ -16,22 +16,30 @@ class StreamingAnomalySpec extends AnyFunSuite {
 
   private case class In(userId: Long, eventId: Long, sec: Long, value: Double)
 
-  // steady values then a spike per user; interleaved users
+  // steady values then a spike per user; interleaved users; u2 carries a
+  // NEGATIVE exact-binary half cent (-0.125 * 100 = -12.5 exactly) to pin
+  // the rounding convention: Spark round is HALF_UP = away from zero
+  // (-12.5 -> -13), scala math.round is half-toward-+inf (-12.5 -> -12) —
+  // a reference using math.round diverges on exactly this value
   private val feed: Seq[In] = {
     val u1 = Seq(10.0, 10.2, 9.8, 10.1, 50.0, 10.0).zipWithIndex.map {
       case (v, i) => In(1L, 100L + i, 10L * i, v)
     }
-    val u2 = Seq(5.0, 5.0, 5.1, 4.9, 5.0).zipWithIndex.map {
+    val u2 = Seq(-0.125, -5.0, -5.015, -4.9, -5.0).zipWithIndex.map {
       case (v, i) => In(2L, 200L + i, 7L * i, v)
     }
     (u1 ++ u2).sortBy(_.sec)
   }
 
+  /** Spark's round(): BigDecimal HALF_UP of the double — away from zero. */
+  private def sparkRoundCents(v: Double): Long =
+    BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   private def refVerdicts(rows: Seq[In]): Map[Long, (Long, Boolean)] =
     rows.groupBy(_.userId).flatMap { case (_, rs) =>
       var m = StreamingAnomaly.Moments(0L, 0L, 0L)
       rs.sortBy(r => (r.sec, r.eventId)).map { r =>
-        val cents = math.round(r.value * 100)
+        val cents = sparkRoundCents(r.value)
         val v = (r.eventId, (m.n, StreamingAnomaly.isOutlier(m, cents)))
         m = StreamingAnomaly.fold(m, cents)
         v

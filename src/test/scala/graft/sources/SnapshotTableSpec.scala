@@ -184,6 +184,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.rangeCandidates(t, 510.0, 520.0).length === 1)
   }
 
+  test("zone edge cases: compact preserves the index; NaN files and zonecol changes stay safe") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(
+      (0 until 100).map(i => (i.toDouble, i * 2L)).toDF("k", "v").repartitionByRange(2, $"k"),
+      t, zoneCol = Some("k"))
+    // compaction is routine maintenance: readRange must keep working after
+    SnapshotTable.compact(spark, t, numFiles = 1)
+    assert(SnapshotTable.readRange(spark, t, 5.0, 9.0).count() === 5)
+    assert(SnapshotTable.snapshot(t, SnapshotTable.latestVersion(t).get)
+      .meta.contains("zonecol"))
+    // a NaN-poisoned file records no stats -> always a candidate, rows kept
+    // (a recorded NaN max would wrongly PRUNE: NaN comparisons are false)
+    SnapshotTable.commitAppend(
+      Seq(Double.NaN, 510.0).map(x => (x, 1L)).toDF("k", "v"), t, zoneCol = Some("k"))
+    assert(SnapshotTable.readRange(spark, t, 505.0, 515.0).count() === 1)
+    // appending under a DIFFERENT zone column invalidates old stats (no
+    // wrong-column pruning) but keeps every row reachable
+    SnapshotTable.commitAppend(Seq((1000.0, 7L)).toDF("k", "v"), t, zoneCol = Some("v"))
+    val snap = SnapshotTable.snapshot(t, SnapshotTable.latestVersion(t).get)
+    assert(snap.meta("zonecol") === "v")
+    // old files' zone:* entries were dropped -> they are always candidates
+    val cand = SnapshotTable.rangeCandidates(t, 7.0, 7.0)
+    assert(cand.toSet === snap.files.toSet)
+    assert(SnapshotTable.readRange(spark, t, 7.0, 7.0).count() === 1)
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
