@@ -84,7 +84,10 @@ object SequenceQueries {
       ev.join(stats, "user_id")
         .filter(col("n") >= 2)
         .select(col("event_id"), col("user_id"), col("cents"), col("n"),
-          round(col("s").cast("double") / col("n"), 2).as("mean_cents"),
+          // portable rounding: engine round()s split at exact .5 decimal
+          // boundaries (a 4563.525 mean diverged at sf0.1); floor + IEEE
+          // multiply/divide are bit-identical cross-engine
+          (floor(col("s").cast("double") / col("n") * 100 + 0.5) / 100).as("mean_cents"),
           (dev * dev * (big(col("n")) - 1) >
             big(lit(4)) * big(col("n")) * (big(col("n")) * big(col("q")) - big(col("s")) * big(col("s"))))
             .as("is_outlier"))
@@ -287,7 +290,7 @@ object SequenceQueries {
         |        sum(cents * cents)::BIGINT AS q
         |      FROM ev WHERE cents IS NOT NULL GROUP BY user_id)
         |SELECT event_id, ev.user_id, cents, n,
-        |  round(s::DOUBLE / n, 2) AS mean_cents,
+        |  floor(s::DOUBLE / n * 100 + 0.5) / 100 AS mean_cents,
         |  (n::HUGEINT * cents - s) * (n::HUGEINT * cents - s) * (n - 1)
         |    > 4::HUGEINT * n * (n::HUGEINT * q - s::HUGEINT * s)
         |    AS is_outlier

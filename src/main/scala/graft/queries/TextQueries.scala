@@ -28,7 +28,13 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: token stats + stopword density -> composite score.
+    // Ratio columns use PORTABLE rounding (floor(x·1000 + 0.5)/1000): the
+    // engines' round() differ at exact .5 decimal boundaries (Spark rounds
+    // the shortest-decimal string, DuckDB the binary double) — at sf0.1 a
+    // quality_score landed on 0.5075 and split 0.508 vs 0.507. floor and
+    // IEEE multiply/divide are bit-identical everywhere.
     "q18_text_stats" -> ((s, d) => {
+      def r3(c: org.apache.spark.sql.Column) = floor(c * 1000 + 0.5) / 1000
       val toks = TextHash.tokens(col("text"))
       val nTok = size(toks)
       val nonWs = length(regexp_replace(col("text"), "\\s", ""))
@@ -40,9 +46,9 @@ object TextQueries {
       Tables.documents(s, d).select(
         col("doc_id"), nTok.as("n_tokens"),
         nonWs.cast("long").as("n_nonws_chars"),
-        round(avgLen, 3).as("avg_token_len"),
-        round(stopRatio, 3).as("stopword_ratio"),
-        round(score, 3).as("quality_score"))
+        r3(avgLen).as("avg_token_len"),
+        r3(stopRatio).as("stopword_ratio"),
+        r3(score).as("quality_score"))
     }),
 
     // Heuristic language ID by marker-word hits, deterministic tie-break.
@@ -144,10 +150,10 @@ object TextQueries {
            |  len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks) AS stop_ratio,
            |  nonws::DOUBLE / len(toks) AS avg_len FROM t)
            |SELECT doc_id, n_tokens, nonws::BIGINT AS n_nonws_chars,
-           |  round(avg_len, 3) AS avg_token_len,
-           |  round(stop_ratio, 3) AS stopword_ratio,
-           |  round(least(1.0, n_tokens::DOUBLE / 100.0) * 0.5 + stop_ratio * 0.3
-           |        + least(1.0, avg_len / 8.0) * 0.2, 3) AS quality_score
+           |  floor(avg_len * 1000 + 0.5) / 1000 AS avg_token_len,
+           |  floor(stop_ratio * 1000 + 0.5) / 1000 AS stopword_ratio,
+           |  floor((least(1.0, n_tokens::DOUBLE / 100.0) * 0.5 + stop_ratio * 0.3
+           |        + least(1.0, avg_len / 8.0) * 0.2) * 1000 + 0.5) / 1000 AS quality_score
            |FROM m""".stripMargin,
 
       "q19_lang_id" ->
