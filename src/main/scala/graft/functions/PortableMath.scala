@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{floor, lit}
+
+/** Cross-engine-deterministic decimal rounding.
+  *
+  * The engines' `round()` DISAGREE when a double lands exactly on a .5
+  * decimal boundary: Spark rounds the shortest-decimal string
+  * (`BigDecimal.valueOf`), DuckDB rounds the binary value — 0.5075 splits
+  * into 0.508 vs 0.507 (observed at sf0.1, 2 of 91 queries). For any
+  * value computed by the SAME scalar formula on both engines (divisions,
+  * products, sqrt — all correctly-rounded IEEE ops), the pre-round double
+  * is bit-identical, so `floor(x·10^k + 0.5)/10^k` — floor and IEEE
+  * multiply/divide being exact on both engines — cannot split.
+  *
+  * NOT a fix for float AGGREGATES (sum/avg of doubles): there the inputs
+  * to the round already differ by summation-order ulps; exact integer
+  * accumulation (cents/micro units) is the remedy for those.
+  */
+object PortableMath {
+
+  def roundPortable(c: Column, k: Int): Column = {
+    val p = math.pow(10, k)
+    floor(c * lit(p) + 0.5) / lit(p)
+  }
+
+  def roundPortableSql(e: String, k: Int): String = {
+    val p = math.pow(10, k).toLong
+    s"(floor(($e) * $p + 0.5) / $p)"
+  }
+}

@@ -89,7 +89,7 @@ object DedupQueries {
         .withColumn("containment", col("n_shared").cast("double") / col("bench_sz"))
         .filter(col("containment") >= 0.5)
         .select(col("doc_id"), col("bench_id"), col("n_shared"),
-          round(col("containment"), 3).as("containment"))
+          graft.functions.PortableMath.roundPortable(col("containment"), 3).as("containment"))
     }),
 
     // Near-dup PAIRS -> duplicate CLUSTERS: connected components over the
@@ -130,8 +130,8 @@ object DedupQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("dup_rate",
-          round(col("n_dup").cast("double") / col("n_shingles"), 4))
+        .withColumn("dup_rate", graft.functions.PortableMath
+          .roundPortable(col("n_dup").cast("double") / col("n_shingles"), 4))
     }),
 
     // Embedding-cosine near-dup (brute-force baseline path).
@@ -160,7 +160,8 @@ object DedupQueries {
       val j = exact.join(lsh.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
       j.agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"),
-          round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 3)
+          graft.functions.PortableMath.roundPortable(
+            sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 3)
             .as("recall"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .select(col("n_exact"), col("n_lsh"), col("n_found"), col("recall"))
@@ -253,7 +254,7 @@ object DedupQueries {
         when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
       a.join(b, col("src_a") < col("src_b"))
         .select(col("src_a"), col("src_b"), nMatch.as("n_match"),
-          round(nMatch.cast("double") / k, 4).as("est_jaccard"))
+          graft.functions.PortableMath.roundPortable(nMatch.cast("double") / k, 4).as("est_jaccard"))
     }),
 
     // End-to-end curation pipeline as ONE oracle-checked query: Gopher
@@ -357,7 +358,7 @@ object DedupQueries {
          |j AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
          |      FROM c JOIN b ON c.hs = b.hs GROUP BY c.doc_id, b.bench_id)
          |SELECT j.doc_id, j.bench_id, j.n_shared,
-         |  round(j.n_shared::DOUBLE / bs.bench_sz, 3) AS containment
+         |  (floor(j.n_shared::DOUBLE / bs.bench_sz * 1000 + 0.5) / 1000) AS containment
          |FROM j JOIN bs ON j.bench_id = bs.bench_id
          |WHERE j.n_shared::DOUBLE / bs.bench_sz >= 0.5""".stripMargin
     },
@@ -370,7 +371,7 @@ object DedupQueries {
          |        sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
          |      FROM w GROUP BY doc_id)
          |SELECT doc_id, n_shingles, n_dup,
-         |  round(n_dup::DOUBLE / n_shingles, 4) AS dup_rate FROM g""".stripMargin
+         |  (floor(n_dup::DOUBLE / n_shingles * 10000 + 0.5) / 10000) AS dup_rate FROM g""".stripMargin
     },
 
     "q15_dedup_embedding" ->
@@ -399,7 +400,7 @@ object DedupQueries {
          |SELECT count(*)::BIGINT AS n_exact,
          |  (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
          |  sum(hit)::BIGINT AS n_found,
-         |  round(sum(hit)::DOUBLE / count(*), 3) AS recall
+         |  (floor(sum(hit)::DOUBLE / count(*) * 1000 + 0.5) / 1000) AS recall
          |FROM j""".stripMargin,
 
     "q16_sim_topk_cosine" ->
@@ -451,7 +452,7 @@ object DedupQueries {
          |sig AS (SELECT source, $sigExprs FROM h GROUP BY source)
          |SELECT a.source AS src_a, b.source AS src_b,
          |  ($matchSql)::INT AS n_match,
-         |  round(($matchSql)::DOUBLE / $k, 4) AS est_jaccard
+         |  (floor(($matchSql)::DOUBLE / $k * 10000 + 0.5) / 10000) AS est_jaccard
          |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
     },
 

@@ -101,11 +101,11 @@ object MixQueries {
           total.as("total"), nDistG.as("n_dist_gram"), maxRun.as("max_n"))
         .filter(col("total") >= 1) // align with the oracle: no-gram docs drop
         .select(col("doc_id"), col("n_tokens"),
-          round((col("n_tokens") - col("n_dist_tok")).cast("double") / col("n_tokens"), 3)
+          graft.functions.PortableMath.roundPortable((col("n_tokens") - col("n_dist_tok")).cast("double") / col("n_tokens"), 3)
             .as("dup_token_frac"),
-          round((col("total") - col("n_dist_gram")).cast("double") / col("total"), 3)
+          graft.functions.PortableMath.roundPortable((col("total") - col("n_dist_gram")).cast("double") / col("total"), 3)
             .as("dup_2gram_frac"),
-          round(col("max_n").cast("double") / col("total"), 3).as("top_2gram_frac"))
+          graft.functions.PortableMath.roundPortable(col("max_n").cast("double") / col("total"), 3).as("top_2gram_frac"))
     }),
 
     // Composite quality gate (Gopher-rule style): token count, mean token
@@ -115,9 +115,9 @@ object MixQueries {
       val q = qualityCols
       Tables.documents(s, d).select(
         col("doc_id"), q.nTok.as("n_tokens"),
-        round(q.avgLen, 3).as("avg_token_len"),
-        round(q.stopRatio, 3).as("stopword_ratio"),
-        round(q.symRatio, 3).as("symbol_ratio"),
+        graft.functions.PortableMath.roundPortable(q.avgLen, 3).as("avg_token_len"),
+        graft.functions.PortableMath.roundPortable(q.stopRatio, 3).as("stopword_ratio"),
+        graft.functions.PortableMath.roundPortable(q.symRatio, 3).as("symbol_ratio"),
         (q.reasons === "").as("passes"), q.reasons.as("fail_reasons"))
     }),
 
@@ -145,7 +145,7 @@ object MixQueries {
         .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), "w2")
         .crossJoin(broadcast(tot))
         .filter(col("cab") >= 5)
-        .select(col("w1"), col("w2"), col("cab"), round(lift, 3).as("lift"))
+        .select(col("w1"), col("w2"), col("cab"), graft.functions.PortableMath.roundPortable(lift, 3).as("lift"))
         .orderBy(desc("lift"), asc("w1"), asc("w2"))
         .limit(20)
     }),
@@ -200,9 +200,9 @@ object MixQueries {
         .withColumn("nf", sum(when(col("funded"), 1L).otherwise(0L)).over(wAll))
       val level = (col("b") - col("s")).cast("double") / (col("n_sources") - col("nf"))
       staged.select(col("source"), col("n_docs"), col("n_tokens"), col("funded"),
-        round(when(col("funded"), col("n_tokens").cast("double")).otherwise(level), 2)
+        graft.functions.PortableMath.roundPortable(when(col("funded"), col("n_tokens").cast("double")).otherwise(level), 2)
           .as("alloc_tokens"),
-        round(when(col("funded"), lit(1.0)).otherwise(level / col("n_tokens")), 4)
+        graft.functions.PortableMath.roundPortable(when(col("funded"), lit(1.0)).otherwise(level / col("n_tokens")), 4)
           .as("keep_frac"))
     }),
 
@@ -239,8 +239,8 @@ object MixQueries {
           sum(col("nt")).as("total_tokens"),
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"))
         .select(col("source"), col("n_docs"), col("total_tokens"), col("n_pass"),
-          round(col("n_pass").cast("double") / col("n_docs"), 4).as("pass_rate"),
-          round(col("total_tokens").cast("double") / col("n_docs"), 2).as("mean_tokens"))
+          graft.functions.PortableMath.roundPortable(col("n_pass").cast("double") / col("n_docs"), 4).as("pass_rate"),
+          graft.functions.PortableMath.roundPortable(col("total_tokens").cast("double") / col("n_docs"), 2).as("mean_tokens"))
     }),
 
     // Systematic size-proportional sampling: walk the corpus in doc_id
@@ -288,9 +288,9 @@ object MixQueries {
            |a AS (SELECT doc_id, n_tokens, n_dist_tok, sum(n) AS total,
            |        count(*) AS n_dist_gram, max(n) AS max_n FROM c GROUP BY 1, 2, 3)
            |SELECT doc_id, n_tokens,
-           |  round((n_tokens - n_dist_tok)::DOUBLE / n_tokens, 3) AS dup_token_frac,
-           |  round((total - n_dist_gram)::DOUBLE / total, 3) AS dup_2gram_frac,
-           |  round(max_n::DOUBLE / total, 3) AS top_2gram_frac
+           |  (floor((n_tokens - n_dist_tok)::DOUBLE / n_tokens * 1000 + 0.5) / 1000) AS dup_token_frac,
+           |  (floor((total - n_dist_gram)::DOUBLE / total * 1000 + 0.5) / 1000) AS dup_2gram_frac,
+           |  (floor(max_n::DOUBLE / total * 1000 + 0.5) / 1000) AS top_2gram_frac
            |FROM a""".stripMargin,
 
       "q51_quality_filter" ->
@@ -309,9 +309,9 @@ object MixQueries {
            |    CASE WHEN sym_ratio > 0.1 THEN 'symbol_ratio' END],
            |    x -> x IS NOT NULL), ','), '') AS fail_reasons FROM m)
            |SELECT doc_id, n_tokens,
-           |  round(avg_len, 3) AS avg_token_len,
-           |  round(stop_ratio, 3) AS stopword_ratio,
-           |  round(sym_ratio, 3) AS symbol_ratio,
+           |  (floor(avg_len * 1000 + 0.5) / 1000) AS avg_token_len,
+           |  (floor(stop_ratio * 1000 + 0.5) / 1000) AS stopword_ratio,
+           |  (floor(sym_ratio * 1000 + 0.5) / 1000) AS symbol_ratio,
            |  fail_reasons = '' AS passes, fail_reasons
            |FROM r""".stripMargin,
 
@@ -340,8 +340,8 @@ object MixQueries {
            |   AND stop_ratio >= 0.05 AND sym_ratio <= 0.1) AS ok FROM m)
            |SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
            |  sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-           |  round(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS pass_rate,
-           |  round(sum(n_tokens)::DOUBLE / count(*), 2) AS mean_tokens
+           |  (floor(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000) AS pass_rate,
+           |  (floor(sum(n_tokens)::DOUBLE / count(*) * 100 + 0.5) / 100) AS mean_tokens
            |FROM r GROUP BY source""".stripMargin,
 
       "q53_bigram_lift" ->
@@ -359,8 +359,8 @@ object MixQueries {
            |        (a.cw::DOUBLE * b.cw * total_bi) AS lift
            |      FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, tu, tb
            |      WHERE cab >= 5)
-           |SELECT w1, w2, cab, round(lift, 3) AS lift FROM l
-           |ORDER BY round(lift, 3) DESC, w1, w2 LIMIT 20""".stripMargin,
+           |SELECT w1, w2, cab, (floor(lift * 1000 + 0.5) / 1000) AS lift FROM l
+           |ORDER BY (floor(lift * 1000 + 0.5) / 1000) DESC, w1, w2 LIMIT 20""".stripMargin,
 
       // full sketch replay: per-row cell counts rebuilt with the same
       // portable permutations; estimates join each token to its 4 cells
@@ -415,10 +415,10 @@ object MixQueries {
           |        sum(CASE WHEN funded THEN n_tokens ELSE 0 END) OVER () AS s,
           |        sum(CASE WHEN funded THEN 1 ELSE 0 END) OVER () AS nf FROM f)
           |SELECT source, n_docs, n_tokens, funded,
-          |  round(CASE WHEN funded THEN n_tokens::DOUBLE
-          |             ELSE (b - s)::DOUBLE / (n_sources - nf) END, 2) AS alloc_tokens,
-          |  round(CASE WHEN funded THEN 1.0
-          |             ELSE ((b - s)::DOUBLE / (n_sources - nf)) / n_tokens END, 4) AS keep_frac
+          |  (floor((CASE WHEN funded THEN n_tokens::DOUBLE
+          |             ELSE (b - s)::DOUBLE / (n_sources - nf) END) * 100 + 0.5) / 100) AS alloc_tokens,
+          |  (floor((CASE WHEN funded THEN 1.0
+          |             ELSE ((b - s)::DOUBLE / (n_sources - nf)) / n_tokens END) * 10000 + 0.5) / 10000) AS keep_frac
           |FROM gl""".stripMargin,
     )
   }

@@ -173,7 +173,7 @@ object SequenceQueries {
           (max(col("us2")) - min(col("us"))).as("span_us"))
         .filter(col("span_us") > 0)
         .withColumn("twa_cents",
-          round(col("num_cents_us").cast("double") / (col("span_us") * 2), 4))
+          graft.functions.PortableMath.roundPortable(col("num_cents_us").cast("double") / (col("span_us") * 2), 4))
     }),
 
     // Incremental-rollup invariance: the weekly report computed FROM the
@@ -256,7 +256,7 @@ object SequenceQueries {
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wf), 4))
+        .withColumn("p", graft.functions.PortableMath.roundPortable(col("n").cast("double") / sum(col("n")).over(wf), 4))
     }),
   )
 
@@ -339,7 +339,7 @@ object SequenceQueries {
         |        (max(us2) - min(us))::BIGINT AS span_us
         |      FROM l WHERE us2 IS NOT NULL GROUP BY user_id)
         |SELECT user_id, n_seg, num_cents_us, span_us,
-        |  round(num_cents_us::DOUBLE / (span_us * 2), 4) AS twa_cents
+        |  (floor(num_cents_us::DOUBLE / (span_us * 2) * 10000 + 0.5) / 10000) AS twa_cents
         |FROM g WHERE span_us > 0""".stripMargin,
 
     "q84_incremental_reagg" ->
@@ -386,7 +386,7 @@ object SequenceQueries {
         |c AS (SELECT event_type AS from_type, to_type, count(*) AS n
         |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        |  round(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type)), 4) AS p
+        |  (floor(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type)) * 10000 + 0.5) / 10000) AS p
         |FROM c""".stripMargin,
   )
 }
