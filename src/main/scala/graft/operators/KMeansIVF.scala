@@ -278,7 +278,7 @@ object KMeansIVF {
     sb ++= s"ranked AS (SELECT query_id, neighbor_id, cos,\n"
     sb ++= s"    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank\n"
     sb ++= s"  FROM scored)\n"
-    sb ++= s"SELECT query_id, neighbor_id, rank::INT AS rank, round(cos, 3) AS cosine\n"
+    sb ++= s"SELECT query_id, neighbor_id, rank::INT AS rank, (floor(cos * 1000 + 0.5) / 1000) AS cosine\n"
     sb ++= s"FROM ranked WHERE rank <= $k"
     sb.toString
   }

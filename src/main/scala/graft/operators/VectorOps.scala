@@ -46,7 +46,7 @@ object VectorOps {
       .withColumn("cos", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("cos"), 3).as("cosine"))
+        graft.functions.PortableMath.roundPortable(col("cos"), 3).as("cosine"))
   }
 
   /** Exact top-k cosine neighbors for each query vector. The query side is
@@ -69,7 +69,7 @@ object VectorOps {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.payload").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        round(col("t.score"), 3).as("cosine"))
+        graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
   /** Random-hyperplane (sign) LSH near-duplicate pairs — the LSH-bucketed
@@ -114,7 +114,7 @@ object VectorOps {
     cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cosine"))
+      .select(col("id_a"), col("id_b"), graft.functions.PortableMath.roundPortable(col("cos"), 3).as("cosine"))
   }
 
   /** IVF-style ANN: centroids = per-`bucketCol` mean vector (rounded to 6
@@ -155,6 +155,6 @@ object VectorOps {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.payload").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        round(col("t.score"), 3).as("cosine"))
+        graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 }

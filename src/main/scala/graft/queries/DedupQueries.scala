@@ -377,13 +377,13 @@ object DedupQueries {
     "q15_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.v, b.v), 3) AS cosine
+        |  (floor(list_cosine_similarity(a.v, b.v) * 1000 + 0.5) / 1000) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.45""".stripMargin,
 
     "q45_dedup_embedding_lsh" ->
       s"""$rpLshCtes
-         |SELECT id_a, id_b, round(cos, 3) AS cosine FROM cand WHERE cos >= 0.4""".stripMargin,
+         |SELECT id_a, id_b, (floor(cos * 1000 + 0.5) / 1000) AS cosine FROM cand WHERE cos >= 0.4""".stripMargin,
 
     // recall of the LSH scale path against the exact pair set at the SAME
     // threshold — the quality loop itself is oracle-checked
@@ -411,7 +411,7 @@ object DedupQueries {
         |r AS (SELECT query_id, neighbor_id, cos,
         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |      FROM c)
-        |SELECT query_id, neighbor_id, rank::INT AS rank, round(cos, 3) AS cosine
+        |SELECT query_id, neighbor_id, rank::INT AS rank, (floor(cos * 1000 + 0.5) / 1000) AS cosine
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "q17_sim_ann_ivf" -> ivfOracle,
