@@ -72,6 +72,16 @@ object Bench {
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    // A second, COMPACT object (no per-query map) as the LAST stdout line:
+    // the harness captures a bounded tail of output, and at 90+ queries the
+    // detailed line above grows past that window, cutting off the
+    // head-positioned "value" field. A short final line is always captured
+    // whole, whatever the query count. Per-query detail stays in $outFile.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""nqueries":${names.length},"failures":${failed.length},""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

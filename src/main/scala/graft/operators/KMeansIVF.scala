@@ -154,7 +154,7 @@ object KMeansIVF {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.payload").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        round(col("t.score"), 3).as("cosine"))
+        graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
   /** Persist an IVF index: the corpus written `partitionBy(bucket)` (one
@@ -221,7 +221,7 @@ object KMeansIVF {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.payload").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
-        round(col("t.score"), 3).as("cosine"))
+        graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
   /** DuckDB replay of the FULL pipeline — sample, init, each unrolled Lloyd

@@ -44,7 +44,11 @@ object Sessionize {
         min(us).as("session_start_us"),
         max(us).as("session_end_us"),
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("sum_value"))
+        // values are 2-decimal: sum EXACT integer cents (order-independent)
+        // and divide once — a double sum's accumulation order differs
+        // between engines and can flip the last ulp before a round()
+        (sum(round(col(valueCol) * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"))
   }
 
   /** DuckDB oracle for [[batch]] — identical gap/numbering logic. */
@@ -67,7 +71,8 @@ object Sessionize {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
        |  FROM g)
        |SELECT $userCol, session_seq, min(us) AS session_start_us, max(us) AS session_end_us,
-       |  count(*) AS n_events, round(sum($valueCol), 2) AS sum_value
+       |  count(*) AS n_events,
+       |  (sum(CAST(round($valueCol * 100) AS BIGINT))::DOUBLE / 100) AS sum_value
        |FROM s GROUP BY $userCol, session_seq""".stripMargin
   }
 }
@@ -90,7 +95,9 @@ object StreamingSessionize {
       .groupBy(session_window(col(tsCol), gap), col(userCol))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col(valueCol)), 2).as("sum_value"))
+        // same exact-cents sum as the batch form (incremental long-add state)
+        (sum(round(col(valueCol) * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"))
       .select(
         col(userCol),
         unix_micros(col("session_window.start")).as("window_start_us"),

@@ -25,7 +25,10 @@ object StatefulSessionize {
 
   private def tsUs(t: java.sql.Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-  final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
+  // sum carried as EXACT integer cents (2-decimal inputs): long adds
+  // commute, so this state matches Sessionize.batch's cents sum exactly
+  // whatever order micro-batches deliver the events in.
+  final case class SessionState(startUs: Long, endUs: Long, n: Long, sumCents: Long)
   final case class SessionOut(
       user_id: Long, session_start_us: Long, session_end_us: Long,
       n_events: Long, sum_value: Double)
@@ -42,8 +45,9 @@ object StatefulSessionize {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          def cents(v: Double): Long = math.rint(v * 100).toLong
           def emit(s: SessionState): SessionOut =
-            SessionOut(user, s.startUs, s.endUs, s.n, math.rint(s.sum * 100) / 100)
+            SessionOut(user, s.startUs, s.endUs, s.n, s.sumCents.toDouble / 100)
 
           if (state.hasTimedOut) {
             val out = state.getOption.map(emit).iterator
@@ -57,12 +61,12 @@ object StatefulSessionize {
               val eUs = tsUs(e.ts)
               cur = cur match {
                 case Some(s) if eUs - s.endUs <= gapUs =>
-                  Some(SessionState(s.startUs, math.max(s.endUs, eUs), s.n + 1, s.sum + e.value))
+                  Some(SessionState(s.startUs, math.max(s.endUs, eUs), s.n + 1, s.sumCents + cents(e.value)))
                 case Some(s) =>
                   closed ::= emit(s)
-                  Some(SessionState(eUs, eUs, 1, e.value))
+                  Some(SessionState(eUs, eUs, 1, cents(e.value)))
                 case None =>
-                  Some(SessionState(eUs, eUs, 1, e.value))
+                  Some(SessionState(eUs, eUs, 1, cents(e.value)))
               }
             }
             cur.foreach { s =>

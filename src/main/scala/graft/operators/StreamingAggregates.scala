@@ -22,7 +22,11 @@ object StreamingAggregates {
       watermark: Option[String] = Some("2 hours")): DataFrame = {
     val in = watermark.fold(events)(w => events.withWatermark(tsCol, w))
     in.groupBy(window(col(tsCol), windowLength), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      // exact-cents sum (2-decimal inputs): long adds commute, so the
+      // incremental streaming state and any batch scan order agree exactly
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"))
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
         col(keyCol), col("n_events"), col("sum_value"))
@@ -36,6 +40,7 @@ object StreamingAggregates {
       keyCol: String = "event_type",
       windowMicros: Long = 3600L * 1000000L): String =
     s"""SELECT (epoch_us($tsCol) // $windowMicros) * $windowMicros AS window_start_us,
-       |  $keyCol, count(*) AS n_events, round(sum(value), 2) AS sum_value
+       |  $keyCol, count(*) AS n_events,
+       |  (sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100) AS sum_value
        |FROM $table GROUP BY 1, 2""".stripMargin
 }

@@ -116,7 +116,11 @@ object ProfileQueries {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
         .agg(count(col("k")).as("n_with_k"),
-          round(avg(col("k")), 2).as("avg_k"),
+          // integer inputs: exact sum/count division + portable floor-round
+          // (an integer avg CAN land exactly on a .005 boundary — engine
+          // round()s split there; see functions/PortableMath)
+          graft.functions.PortableMath.roundPortable(
+            sum(col("k")).cast("double") / count(col("k")), 2).as("avg_k"),
           max(col("k")).as("max_k"))),
   )
 
@@ -153,7 +157,8 @@ object ProfileQueries {
     "q42_json_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
-        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k,
+        |  (floor(sum(CAST(json_extract(props, '$.k') AS BIGINT))::DOUBLE
+        |         / count(CAST(json_extract(props, '$.k') AS BIGINT)) * 100 + 0.5) / 100) AS avg_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
 

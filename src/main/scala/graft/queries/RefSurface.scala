@@ -100,18 +100,35 @@ object RefSurface {
         concat(lit("B"), element_at(split(col("p_brand"), "#"), -1)).as("brand_num"))),
 
     // Headline agg — TPC-H Q1-style pricing summary (partial+final hashagg).
-    "q08_pricing_summary" -> ((s, d) =>
+    // All inputs are 2-decimal, so every aggregate runs in EXACT integer
+    // units (cents; disc_price in 1e-4, charge in 1e-6 after the integer
+    // products) — long sums are order-independent, unlike double sums whose
+    // accumulation order differs between Spark's partial/final hashagg and
+    // DuckDB's scan order. Floats appear only in the final division +
+    // portable floor-round, which are bit-identical cross-engine.
+    "q08_pricing_summary" -> ((s, d) => {
+      def c100(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+      def r2(c: org.apache.spark.sql.Column) =
+        graft.functions.PortableMath.roundPortable(c, 2)
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          c100(col("l_quantity")).as("qty_c"),
+          c100(col("l_extendedprice")).as("ep_c"),
+          c100(col("l_discount")).as("disc_c"),
+          c100(col("l_tax")).as("tax_c"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 2).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 2).as("avg_price"),
-          count(lit(1)).as("count_order"))),
+          (sum(col("qty_c")).cast("double") / 100).as("sum_qty"),
+          (sum(col("ep_c")).cast("double") / 100).as("sum_base_price"),
+          r2(sum(col("ep_c") * (lit(100L) - col("disc_c"))).cast("double") / 10000)
+            .as("sum_disc_price"),
+          r2(sum(col("ep_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c")))
+            .cast("double") / 1000000).as("sum_charge"),
+          r2(sum(col("qty_c")).cast("double") / count(lit(1)) / 100).as("avg_qty"),
+          r2(sum(col("ep_c")).cast("double") / count(lit(1)) / 100).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }),
 
     // Headline sort/limit — top-k with deterministic tie-break + F4 date fmt.
     "q09_topk_orders" -> ((s, d) =>
@@ -135,7 +152,12 @@ object RefSurface {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name").as("nation"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // exact 1e-4 units (cents × pct): the 4-decimal product sum CAN
+          // land exactly on a .005 boundary, so sum longs and floor-round
+          graft.functions.PortableMath.roundPortable(
+            sum(round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .cast("double") / 10000, 2).as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -206,17 +228,21 @@ object RefSurface {
         |FROM part""".stripMargin,
 
     "q08_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  (sum(qty_c)::DOUBLE / 100) AS sum_qty,
+        |  (sum(ep_c)::DOUBLE / 100) AS sum_base_price,
+        |  (floor(sum(ep_c * (100 - disc_c))::DOUBLE / 10000 * 100 + 0.5) / 100) AS sum_disc_price,
+        |  (floor(sum(ep_c * (100 - disc_c) * (100 + tax_c))::DOUBLE / 1000000 * 100 + 0.5) / 100) AS sum_charge,
+        |  (floor(sum(qty_c)::DOUBLE / count(*) / 100 * 100 + 0.5) / 100) AS avg_qty,
+        |  (floor(sum(ep_c)::DOUBLE / count(*) / 100 * 100 + 0.5) / 100) AS avg_price,
         |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+        |FROM c GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q09_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
@@ -225,7 +251,9 @@ object RefSurface {
 
     "q10_revenue_by_nation" ->
       """SELECT n_name AS nation,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  (floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT)))::DOUBLE
+        |         / 10000 * 100 + 0.5) / 100) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

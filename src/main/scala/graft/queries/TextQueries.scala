@@ -102,10 +102,14 @@ object TextQueries {
     "q22_sessionize" -> ((s, d) => Sessionize.batch(Tables.events(s, d))),
 
     // Top-k aggregation over the event stream.
+    // Exact-cents sum (2-decimal inputs): order-independent long sum, one
+    // final division — the top-20 cutoff and the hash both see identical
+    // doubles on either engine.
     "q23_top_users_by_value" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n_events"))
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("total_value"), count(lit(1)).as("n_events"))
         .orderBy(desc("total_value"), asc("user_id"))
         .limit(20)),
 
@@ -191,7 +195,9 @@ object TextQueries {
       "q22_sessionize" -> Sessionize.batchOracleSql(),
 
       "q23_top_users_by_value" ->
-        """SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
+        """SELECT user_id,
+          |  (sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100) AS total_value,
+          |  count(*) AS n_events
           |FROM events GROUP BY user_id
           |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
 
