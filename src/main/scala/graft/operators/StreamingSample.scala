@@ -40,11 +40,15 @@ object StreamingSample {
         GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[Rec], state: GroupState[List[(Long, Long)]]) =>
           var best = state.getOption.getOrElse(Nil) // (hash, id), ascending
+          val ord = Ordering.Tuple2[Long, Long]
           rows.foreach { r =>
-            val h = hash(r.id)
-            // set semantics: a replayed id is a no-op (exactly-once sample)
-            if ((best.length < k || h < best.last._1) && !best.contains((h, r.id))) {
-              best = ((h, r.id) :: best).sortBy(_._1).take(k)
+            val cand = (hash(r.id), r.id)
+            // set semantics: a replayed id is a no-op (exactly-once sample).
+            // Total order is (hash, id) — id breaks 60-bit hash ties, so the
+            // kth-place cutoff agrees with batchBottomK's (__h, id) window
+            // whatever order the colliding ids arrived in
+            if ((best.length < k || ord.lt(cand, best.last)) && !best.contains(cand)) {
+              best = (cand :: best).sorted(ord).take(k)
             }
           }
           state.update(best)
@@ -59,8 +63,10 @@ object StreamingSample {
     * close 60-bit hashes). */
   def batchBottomK(df: DataFrame, keyCol: String, idCol: String, k: Int): DataFrame = {
     val h = graft.functions.VectorExpressions.md5Long(col(idCol).cast("string"))
+    // (__h, id) — same total order as the stream state; __h alone leaves
+    // row_number nondeterministic among 60-bit hash collisions
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("__h"))
+      .partitionBy(col(keyCol)).orderBy(col("__h"), col(idCol))
     df.dropDuplicates(keyCol, idCol) // set semantics, matching the stream
       .withColumn("__h", h)
       .withColumn("__rn", row_number().over(w))

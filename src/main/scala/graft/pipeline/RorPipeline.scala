@@ -38,13 +38,21 @@ object RorPipeline {
       // RunReport's backupPath records the committed version instead
       snapshotMode: Boolean = false)
 
+  /** `cappedIds` is a BOUNDED sample (first [[cappedIdSample]] ids in sort
+    * order) — the warning channel needs examples, not the full set; a
+    * pathological graph (mass cycle) could otherwise materialize millions
+    * of ids on the driver. `cappedCount` carries the full count. */
   final case class RunReport(
       records: Long,
       cappedIds: Seq[String],
+      cappedCount: Long,
       gates: Seq[QualityGates.GateResult],
       stagingPath: String,
       productionPath: String,
       backupPath: String)
+
+  /** Max capped/cyclic ids surfaced verbatim in the K6 warning channel. */
+  val cappedIdSample = 100
 
   def run(spark: SparkSession, cfg: Config, source: DumpSource = null): RunReport = {
     val tmp     = s"${cfg.warehouseDir}/tmp"
@@ -75,8 +83,13 @@ object RorPipeline {
     val rollup = UltimateParent.resolve(edges, cfg.maxDepth, cfg.smallGraph)
 
     // K6 warning channel: depth-capped / cyclic orgs fell back to self.
-    val cappedIds = rollup.filter(col("capped"))
-      .select("id").collect().map(_.getString(0)).toSeq.sorted
+    // Bounded driver materialization: count distributed, sample via
+    // sort+limit (both computed before collect — mirrors the
+    // ParentEdges.requireUniqueIds sample cap).
+    val capped = rollup.filter(col("capped")).select("id")
+    val cappedCount = capped.count()
+    val cappedIds = capped.orderBy("id").limit(cappedIdSample)
+      .collect().map(_.getString(0)).toSeq
 
     // J1: broadcast enrichment; ultimate_parent is REQUIRED — every id must
     // resolve (the reference's dict lookup cannot miss).
@@ -118,6 +131,6 @@ object RorPipeline {
     out.write(sidecar.getBytes("UTF-8")); out.close()
 
     // K5: success report (the terminal alert, minus the Slack transport).
-    RunReport(stagingDf.count(), cappedIds, gates, staging, prod, backupRef)
+    RunReport(stagingDf.count(), cappedIds, cappedCount, gates, staging, prod, backupRef)
   }
 }

@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Snapshot-isolated parquet table with optimistic-concurrency commits —
   * the staging→production promote of the reference pipeline
@@ -193,12 +194,57 @@ object SnapshotTable {
       latestVersion(tableDir).getOrElse(
         throw new IllegalStateException(s"no snapshots in $tableDir")))
 
-  /** Time travel: the table exactly as of `version`. */
+  /** Time travel: the table exactly as of `version`.
+    *
+    * Schema evolution: each manifest records the version's authoritative
+    * schema (`schema=` meta, see [[commit]]); the read resolves files BY
+    * NAME against it — a column added after a file was written comes back
+    * null-filled from that file, a column dropped by a later replace stops
+    * being read even though old files still carry it. Manifests from before
+    * schema recording fall back to the plain parquet-inferred read. */
   def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
     val snap = snapshot(tableDir, version)
+    val paths = snap.files.map(f => Paths.get(tableDir, f).toString)
     // even an empty-DataFrame commit stages one (schema-only) part file,
     // so a manifest always references at least one parquet file
-    spark.read.parquet(snap.files.map(f => Paths.get(tableDir, f).toString): _*)
+    versionSchema(snap) match {
+      // all-nullable: files written before a column existed null-fill it,
+      // so no field the reader resolves by name can promise non-null
+      case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** The authoritative schema recorded at `version` (None for manifests
+    * written before schema tracking). */
+  def schemaOf(tableDir: String, version: Long): Option[StructType] =
+    versionSchema(snapshot(tableDir, version))
+
+  private def versionSchema(snap: Snapshot): Option[StructType] =
+    snap.meta.get("schema").map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  private def asNullable(sc: StructType): StructType =
+    StructType(sc.fields.map(_.copy(nullable = true)))
+
+  /** Append-commit schema policy: the union of the previous version's
+    * schema and the incoming one, resolved by name — existing columns keep
+    * their position, brand-new columns append at the end (old files
+    * null-fill them on read). A same-name column with a DIFFERENT type is
+    * rejected: silent coercion is how lakes corrupt data; widen explicitly
+    * with a replace commit instead. */
+  private def mergeSchemas(prev: StructType, next: StructType): StructType = {
+    val prevByName = prev.fields.map(f => f.name -> f).toMap
+    next.fields.foreach { f =>
+      prevByName.get(f.name).foreach { p =>
+        // catalogString compare = nullability-insensitive type equality
+        // (DataType.sameType is private[sql])
+        require(p.dataType.catalogString == f.dataType.catalogString,
+          s"schema evolution type conflict on '${f.name}': " +
+            s"table has ${p.dataType.simpleString}, append has ${f.dataType.simpleString}")
+      }
+    }
+    val newFields = next.fields.filterNot(f => prevByName.contains(f.name))
+    StructType(prev.fields ++ newFields)
   }
 
   /** Retention vacuum: drop manifests older than the newest `keepVersions`
@@ -207,7 +253,17 @@ object SnapshotTable {
     * only when no reader is pinned to a dropped version (the operational
     * gate every lake format documents; snapshots themselves never delete).
     * Returns (versions dropped, data files deleted). */
-  def vacuum(tableDir: String, keepVersions: Int): (Int, Int) = {
+  def vacuum(tableDir: String, keepVersions: Int): (Int, Int) =
+    vacuum(tableDir, keepVersions, orphanAgeMs = None)
+
+  /** As [[vacuum]], and with `orphanAgeMs` set also sweep ORPHAN staging
+    * dirs: `data-<uuid>/` directories referenced by NO manifest at all — a
+    * writer that crashed after staging (or exhausted its CAS retries)
+    * leaves one behind forever, invisible to manifest-based deletion. The
+    * age gate (last-modified older than now − orphanAgeMs) keeps the sweep
+    * from racing an in-flight commit that has staged but not yet published;
+    * set it comfortably above the longest plausible stage→publish window. */
+  def vacuum(tableDir: String, keepVersions: Int, orphanAgeMs: Option[Long]): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val all = versions(tableDir)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
@@ -218,16 +274,34 @@ object SnapshotTable {
     // the _SUCCESS markers, which manifests never reference)
     val liveDirs = live.map(f => Paths.get(tableDir, f).getParent)
     val deadDirs = dead.map(f => Paths.get(tableDir, f).getParent) -- liveDirs
-    deadDirs.foreach { dir =>
+    def deleteTree(dir: Path): Unit =
       if (Files.isDirectory(dir)) {
         val s = Files.walk(dir)
         try s.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.deleteIfExists(_))
         finally s.close()
       }
-    }
+    deadDirs.foreach(deleteTree)
     drop.foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
-    (drop.length, dead.size)
+    val orphans = orphanAgeMs.fold(0) { age =>
+      // referenced-by-ANY-manifest set AFTER the drop above — what remains
+      // on disk and is reachable; everything else matching data-* is orphan
+      val referenced = versions(tableDir)
+        .flatMap(snapshot(tableDir, _).files)
+        .map(f => Paths.get(tableDir, f).getParent.getFileName.toString).toSet
+      val cutoff = System.currentTimeMillis() - age
+      val s = Files.list(Paths.get(tableDir))
+      val candidates =
+        try s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("data-") && !referenced.contains(n) &&
+            Files.isDirectory(p) && Files.getLastModifiedTime(p).toMillis < cutoff
+        }.toList
+        finally s.close()
+      candidates.foreach(deleteTree)
+      candidates.length
+    }
+    (drop.length, dead.size + orphans)
   }
 
   private def commit(
@@ -279,11 +353,24 @@ object SnapshotTable {
       // on garbage); those files fall back to always-candidate
       val zoneColChanged =
         zoneCol.exists(zc => prevMeta.get("zonecol").exists(_ != zc))
+      // schema policy: replace stamps the incoming schema; append merges it
+      // into the previous version's recorded schema by name (see
+      // mergeSchemas). An append onto a legacy table (no recorded schema)
+      // records nothing — inventing an "authoritative" schema without
+      // knowing the old files' columns would be a lie readers act on.
+      val schemaEntry: Option[(String, String)] =
+        if (replace || prev.isEmpty) Some("schema" -> df.schema.json)
+        else prev.get.meta.get("schema").map { pj =>
+          val merged = mergeSchemas(
+            DataType.fromJson(pj).asInstanceOf[StructType], df.schema)
+          "schema" -> merged.json
+        }
       val carried = prevMeta.view.filterKeys(k =>
           k.startsWith("stream:") ||
             (!replace && !zoneColChanged && (k.startsWith("zone:") || k == "zonecol"))).toMap ++
         (extraMeta ++ zoneMeta)
-          .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap
+          .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap ++
+        schemaEntry
       // v derives from the SAME prev snapshot the base/carried state was
       // read from — a second latestVersion() read here would let a racer
       // land in between and this commit take a higher, free version number

@@ -51,6 +51,7 @@ class RorPipelineSpec extends AnyFunSuite {
 
     assert(report.records == 6)
     assert(report.cappedIds == Seq("cy1", "cy2"))
+    assert(report.cappedCount == 2)
     assert(report.gates.forall(_.passed))
 
     val prod = spark.read.parquet(s"$wh/prod/ror")
@@ -144,6 +145,20 @@ class RorPipelineSpec extends AnyFunSuite {
       RorPipeline.run(spark, RorPipeline.Config(ambiguous, wh2))
     }
     assert(ex.getMessage.contains("exactly one data file"))
+  }
+
+  test("mass-cycle graph: K6 id sample is bounded, count carries the total") {
+    // one giant cycle — every org is capped; the report must NOT pull every
+    // id to the driver, only a sorted bounded sample + the full count
+    val n = RorPipeline.cappedIdSample + 50
+    val ids = (1 to n).map(i => f"z$i%04d")
+    val recs = ids.zipWithIndex.map { case (id, i) =>
+      rec(id, parentRel(ids((i + 1) % n)), s"Org $id")
+    }
+    val wh = Files.createTempDirectory("ror_wh_cycle").toString
+    val report = RorPipeline.run(spark, RorPipeline.Config(writeDump(s"$wh/in", recs), wh))
+    assert(report.cappedCount == n)
+    assert(report.cappedIds == ids.sorted.take(RorPipeline.cappedIdSample))
   }
 
   test("small-graph (collected) mode produces identical results") {

@@ -210,6 +210,69 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readRange(spark, t, 7.0, 7.0).count() === 1)
   }
 
+  test("schema evolution: column added mid-history null-fills old files; time travel keeps each version's shape") {
+    // the reference's own evolution case: ror.json grew `ultimate_parent`
+    // (/root/reference/schemas/ror.json:215-220) — a column added after
+    // data already existed
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
+    SnapshotTable.commitAppend(
+      Seq((3L, "c", "up3")).toDF("id", "name", "ultimate_parent"), t)
+    // v2 read resolves BY NAME: v1's file null-fills the new column
+    val v2 = SnapshotTable.read(spark, t)
+      .select("id", "name", "ultimate_parent")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(v2.toSeq === Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some("up3"))))
+    // v1 time-travels back WITHOUT the later column
+    assert(SnapshotTable.readVersion(spark, t, 1).columns.toSeq === Seq("id", "name"))
+    assert(SnapshotTable.schemaOf(t, 1).get.fieldNames.toSeq === Seq("id", "name"))
+    assert(SnapshotTable.schemaOf(t, 2).get.fieldNames.toSeq ===
+      Seq("id", "name", "ultimate_parent"))
+    // appending a NARROWER df after the evolution keeps the wide schema
+    SnapshotTable.commitAppend(Seq((4L, "d")).toDF("id", "name"), t)
+    assert(SnapshotTable.schemaOf(t, 3).get.fieldNames.toSeq ===
+      Seq("id", "name", "ultimate_parent"))
+    assert(SnapshotTable.read(spark, t).filter($"id" === 3L)
+      .select("ultimate_parent").as[String].head() === "up3")
+    // replace re-stamps exactly the incoming schema (column drop/rename path)
+    SnapshotTable.commitReplace(Seq((9L, "z")).toDF("id", "label"), t)
+    assert(SnapshotTable.schemaOf(t, 4).get.fieldNames.toSeq === Seq("id", "label"))
+    // and the pre-replace version still round-trips its own schema
+    assert(SnapshotTable.readVersion(spark, t, 2).columns.toSeq ===
+      Seq("id", "name", "ultimate_parent"))
+  }
+
+  test("schema evolution: same-name column with a different type is rejected") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("id", "name"), t)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppend(Seq((2L, 42)).toDF("id", "name"), t)
+    }
+    assert(ex.getMessage.contains("type conflict"))
+    // table unharmed: no partial commit became visible
+    assert(SnapshotTable.versions(t) === Seq(1L))
+  }
+
+  test("vacuum orphan sweep: unreferenced staging dirs go once aged; young and referenced dirs stay") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), t)
+    // a writer that crashed after staging: data dir, no manifest
+    Seq(42).toDF("x").write.parquet(Paths.get(t, "data-orphan-old").toString)
+    Seq(43).toDF("x").write.parquet(Paths.get(t, "data-orphan-new").toString)
+    // age the first orphan; the second stays "in-flight"
+    Files.setLastModifiedTime(Paths.get(t, "data-orphan-old"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+    // plain vacuum (no age) never touches orphans
+    SnapshotTable.vacuum(t, keepVersions = 1)
+    assert(Files.isDirectory(Paths.get(t, "data-orphan-old")))
+    val (_, swept) = SnapshotTable.vacuum(t, keepVersions = 1, orphanAgeMs = Some(60000L))
+    assert(swept === 1)
+    assert(!Files.exists(Paths.get(t, "data-orphan-old")))
+    assert(Files.isDirectory(Paths.get(t, "data-orphan-new"))) // age-gated
+    // the committed data survived and still reads
+    assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(1))
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
