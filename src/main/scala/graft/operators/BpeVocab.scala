@@ -76,6 +76,54 @@ object BpeVocab {
     merges.foldLeft(BpeExpressions.initSymbols(text))(
       (acc, m) => BpeExpressions.mergePair(acc, lit(m.a), lit(m.b)))
 
+  /** DuckDB replay of [[learnMerges]] — each round unrolled (the
+    * KMeansIVF-Lloyd / PageRank pattern; DuckDB 1.0 has no `list_reduce`,
+    * so per-round corpus state rides a STRING instead of a list):
+    *
+    * Symbols are kept as one delimiter-framed string per document —
+    * `UaUUbU...` with U = chr(31), every symbol wrapped in U on both
+    * sides — because SQL `replace()` substitutes occurrences LEFT TO
+    * RIGHT, NON-OVERLAPPING, continuing after each replacement: exactly the
+    * greedy merge scan of [[graft.functions.BpeUtil.mergePair]]. The
+    * double-delimiter framing makes a pair occurrence `UaUUbU`
+    * unambiguous (a symbol ending in `a` or starting with `b` cannot
+    * false-match across the frame); chr(31) (ASCII unit separator) never
+    * appears in text. Pair counting re-splits the frame string per round;
+    * the argmax replays (count DESC, a, b) — both engines compare strings
+    * bytewise, so ties break identically. */
+  def oracleSql(
+      table: String = "documents",
+      textCol: String = "text",
+      numMerges: Int = 4,
+      minCount: Long = 2L): String = {
+    val d = "chr(31)"         // symbol frame delimiter
+    val ws = s"' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    val sb = new StringBuilder
+    sb ++= s"WITH r0 AS (\n"
+    sb ++= s"  SELECT $d || array_to_string(\n"
+    sb ++= s"      flatten(list_transform(\n"
+    sb ++= s"        list_filter(string_split_regex(trim($textCol, $ws), '\\s+'), t -> t != ''),\n"
+    sb ++= s"        t -> list_append(string_split(t, ''), '</w>'))),\n"
+    sb ++= s"      $d || $d) || $d AS s\n"
+    sb ++= s"  FROM $table WHERE length(trim($textCol, $ws)) > 0),\n"
+    (1 to numMerges).foreach { i =>
+      val prev = s"r${i - 1}"
+      // adjacent pairs: re-split the frame string, zip via parallel unnest
+      sb ++= s"p$i AS (SELECT unnest(list_slice(y, 1, len(y) - 1)) AS a,\n"
+      sb ++= s"        unnest(list_slice(y, 2, len(y))) AS b FROM (\n"
+      sb ++= s"  SELECT string_split(substr(s, 2, length(s) - 2), $d || $d) AS y FROM $prev)),\n"
+      sb ++= s"t$i AS (SELECT a, b, count(*) AS n FROM p$i GROUP BY a, b\n"
+      sb ++= s"        HAVING count(*) >= $minCount ORDER BY n DESC, a, b LIMIT 1),\n"
+      sb ++= s"r$i AS (SELECT replace(s, $d || a || $d || $d || b || $d,\n"
+      sb ++= s"                       $d || a || b || $d) AS s FROM $prev CROSS JOIN t$i),\n"
+    }
+    sb ++= (1 to numMerges)
+      .map(i => s"SELECT $i AS rank, a, b, n FROM t$i")
+      .mkString("ranked AS (\n", "\nUNION ALL ", ")\n")
+    sb ++= "SELECT rank, a, b, n FROM ranked ORDER BY rank"
+    sb.toString
+  }
+
   private def pairCounts(syms: Column, rel: DataFrame): DataFrame =
     rel.select(explode(zip_with(syms, slice(syms, lit(2), size(syms) - 1),
         (x, y) => struct(x.as("a"), y.as("b")))).as("p"))

@@ -82,6 +82,22 @@ object CorpusQueries {
         .orderBy(desc("df"), asc("token"))
         .limit(50)
     }),
+
+    // BPE tokenizer induction (operators/BpeVocab): the first 4 corpus-wide
+    // greedy merges — each round is one explode-agg shuffle + one map-side
+    // merge pass, and only the single argmax row ever reaches the driver.
+    // The k learned (pair, count) rules ARE the result (a tokenizer is its
+    // merge table); the oracle replays every round in unrolled DuckDB SQL,
+    // so argmax ties, greedy non-overlap scans, and early stopping are all
+    // hash-checked, not just spot-tested.
+    "q92_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.BpeVocab
+        .learnMerges(Tables.documents(s, d), "text", numMerges = 4, minCount = 2L)
+        .zipWithIndex
+        .map { case (m, i) => (i + 1, m.a, m.b, m.count) }
+        .toDF("rank", "a", "b", "n")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -123,5 +139,8 @@ object CorpusQueries {
          |      FROM tok GROUP BY token)
          |SELECT token, df, postings FROM idx
          |ORDER BY df DESC, token LIMIT 50""".stripMargin,
+
+    "q92_bpe_merges" ->
+      graft.operators.BpeVocab.oracleSql("documents", "text", numMerges = 4, minCount = 2L),
   )
 }

@@ -86,9 +86,17 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.95)"), 2).as("p95_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))),
+          // portable floor-round: the interpolated doubles are bit-identical
+          // cross-engine (both use the two-sided weighted form), but an
+          // even-n median of 2-decimal inputs lands ON a .005 boundary,
+          // where the engines' round() split (seen live at sf0.001:
+          // 52724.245 -> .24 vs .25)
+          graft.functions.PortableMath
+            .roundPortable(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+          graft.functions.PortableMath
+            .roundPortable(expr("percentile(l_quantity, 0.95)"), 2).as("p95_qty"),
+          graft.functions.PortableMath
+            .roundPortable(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"))),
 
     // The SAME percentiles as q31 through the bounded-memory scale path:
     // iterative histogram range-narrowing (operators/HistogramPercentile) —
@@ -100,9 +108,13 @@ object RelationalQueries {
         .quantilesMulti(Tables.lineitem(s, d), "l_returnflag",
           Seq("l_quantity" -> Seq(0.5, 0.95), "l_extendedprice" -> Seq(0.5)))
         .select(col("l_returnflag"),
-          round(col("l_quantity_q0"), 2).as("median_qty"),
-          round(col("l_quantity_q1"), 2).as("p95_qty"),
-          round(col("l_extendedprice_q0"), 2).as("median_price"))),
+          // same portable rounding as q31 — shared oracle, shared boundary
+          graft.functions.PortableMath
+            .roundPortable(col("l_quantity_q0"), 2).as("median_qty"),
+          graft.functions.PortableMath
+            .roundPortable(col("l_quantity_q1"), 2).as("p95_qty"),
+          graft.functions.PortableMath
+            .roundPortable(col("l_extendedprice_q0"), 2).as("median_price"))),
 
     // Per-group top-k via the custom TypedImperativeAggregate: bounded
     // k-row buffers combine map-side, so the shuffle carries k rows per
@@ -229,17 +241,17 @@ object RelationalQueries {
 
     "q31_percentiles" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
-        |  round(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+        |  (floor(quantile_cont(l_quantity, 0.5) * 100 + 0.5) / 100) AS median_qty,
+        |  (floor(quantile_cont(l_quantity, 0.95) * 100 + 0.5) / 100) AS p95_qty,
+        |  (floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100) AS median_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // same oracle as q31: the scale path must be value-identical
     "q59_percentiles_scalable" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
-        |  round(quantile_cont(l_quantity, 0.95), 2) AS p95_qty,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price
+        |  (floor(quantile_cont(l_quantity, 0.5) * 100 + 0.5) / 100) AS median_qty,
+        |  (floor(quantile_cont(l_quantity, 0.95) * 100 + 0.5) / 100) AS p95_qty,
+        |  (floor(quantile_cont(l_extendedprice, 0.5) * 100 + 0.5) / 100) AS median_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q91_string_agg" ->
