@@ -273,6 +273,43 @@ object MixQueries {
         .select(transform(col("embedding"), x => x.cast("double")).as("v"))
         .agg(graft.functions.GramMatrixAggregate.gramMicro(col("v"), 64).as("g"))
         .select(inline(col("g")))),
+
+    // PCA fit audit (operators/Pca): the float Jacobi eigensolve is not
+    // DuckDB-replayable, but everything AROUND it is — per-axis variances
+    // n·Σx² − (Σx)² in exact integer micro² units (order-independent long
+    // sums, BigInt driver arithmetic; emitted as strings — int128 has no
+    // common arrow dtype), the covariance trace, and the eigen-OPTIMALITY
+    // property: the top-k eigenvalue mass must dominate the variance of the
+    // best k coordinate axes (q32's tolerance-boolean pattern — the oracle
+    // re-derives the axis side exactly and asserts the boolean came out
+    // TRUE). A broken gram, quantization, or eigensolve flips some column.
+    "q93_pca_variance" -> ((s, d) => {
+      val dims = 64; val k = 4
+      val emb = Tables.embeddings(s, d)
+        .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      val model = graft.operators.Pca.fit(emb, "v", dims, k)
+      def micro(i: Int) =
+        round(element_at(col("v"), i + 1) * 1000000.0).cast("long")
+      val aggs = (0 until dims).flatMap(i =>
+        Seq(sum(micro(i)).as(s"s$i"), sum(micro(i) * micro(i)).as(s"q$i")))
+      val row = emb.agg(count(lit(1)).as("n"), aggs: _*).head()
+      val n = row.getAs[Long]("n")
+      val axisVars = (0 until dims).map { i =>
+        (i, BigInt(n) * BigInt(row.getAs[Long](s"q$i"))
+          - BigInt(row.getAs[Long](s"s$i")).pow(2))
+      }
+      val trace = axisVars.map(_._2).sum
+      val top = axisVars.sortBy { case (i, v) => (-v, BigInt(i)) }.take(k)
+      // population eigenvariance (Jacobi) rescaled to the same n²·micro²
+      // units; ≥ holds with strict slack unless the eigenbasis IS the axis
+      // basis, which real embeddings never hit — 1e-9 relative absorbs the
+      // float eigensolve's residual
+      val pcaTop = model.eigenvalues.sum * n.toDouble * n.toDouble * 1e12
+      val ok = pcaTop >= top.map(_._2).sum.toDouble * (1 - 1e-9)
+      import s.implicits._
+      Seq((n, trace.toString, top.map(_._2.toString).mkString(","), ok))
+        .toDF("n", "trace_var", "top4_axis_var", "pca_captures_ge_axes")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -390,6 +427,22 @@ object MixQueries {
           |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
           |      GROUP BY 1, 2)
           |SELECT i, j, v_mu FROM p""".stripMargin,
+
+      // exact integer replay of the axis-variance side; the boolean is the
+      // q32 pattern — TRUE asserted, engine must agree
+      "q93_pca_variance" ->
+        """WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+          |        x -> CAST(round(x * 1000000) AS BIGINT)) AS v FROM embeddings),
+          |d AS (SELECT unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM e),
+          |s AS (SELECT i, count(*) AS n, sum(x)::HUGEINT AS sm, sum(x * x)::HUGEINT AS q
+          |      FROM d GROUP BY i),
+          |a AS (SELECT i, (n::HUGEINT * q - sm * sm) AS av, n FROM s)
+          |SELECT max(n)::BIGINT AS n,
+          |  sum(av)::VARCHAR AS trace_var,
+          |  array_to_string(list_slice(list(av::VARCHAR ORDER BY av DESC, i), 1, 4), ',')
+          |    AS top4_axis_var,
+          |  TRUE AS pca_captures_ge_axes
+          |FROM a""".stripMargin,
 
       "q56_stratified_sample" -> {
         val h = TextHash.md5LongSql("doc_id::VARCHAR")
