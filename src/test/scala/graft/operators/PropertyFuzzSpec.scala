@@ -55,6 +55,56 @@ class PropertyFuzzSpec extends AnyFunSuite {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
   }
 
+  private def refMd5Long(s: String): Long =
+    graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
+
+  /** Spark `round(c, 3)` semantics: HALF_UP on the shortest-decimal string. */
+  private def refRound3(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(3, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Full MinHash-LSH reference: shingle → hash set → signatures → band
+    * candidacy → estimate prune → exact Jaccard (mirrors MinHashDedup +
+    * TextHash step by step). */
+  private def refMinhashPairs(
+      docs: Seq[(Long, String)],
+      cfg: MinHashDedup.Config): Set[(Long, Long, Double)] = {
+    import graft.functions.TextHash.{P, permA, permB}
+    val n = 3
+    def shingleHashes(text: String): Seq[Long] = {
+      val toks = text.trim.split("\\s+", -1).toSeq
+      val sh = if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+               else Seq(toks.mkString(" "))
+      sh.map(s => refMd5Long(s) % P).distinct
+    }
+    val hs = docs.map { case (id, t) => id -> shingleHashes(t) }.toMap
+    val sig = hs.view.mapValues { h =>
+      (0 until cfg.numHashes).map(i => h.map(v => (v * permA(i) + permB(i)) % P).min)
+    }.toMap
+    val ids = docs.map(_._1)
+    (for {
+      a <- ids; b <- ids if a < b
+      sa = sig(a); sb = sig(b)
+      if (0 until cfg.bands).exists(band =>
+        (0 until cfg.rows).forall(j => sa(band * cfg.rows + j) == sb(band * cfg.rows + j)))
+      matches = (0 until cfg.numHashes).count(i => sa(i) == sb(i))
+      if matches.toDouble / cfg.numHashes >= cfg.estimateCutoff
+      ha = hs(a).toSet; hb = hs(b).toSet
+      inter = (ha intersect hb).size.toDouble
+      jac = inter / (ha.size + hb.size - inter)
+      if jac >= cfg.jaccardThreshold
+    } yield (a, b, refRound3(jac))).toSet
+  }
+
+  /** Occurrence-weighted 60-bit simhash reference (mirrors SimHashDedup /
+    * the fused SimHash60 expression). */
+  private def refSimhash(text: String): Long = {
+    val hs = text.trim.split("\\s+", -1).toSeq.map(refMd5Long)
+    (0 until 60).map { j =>
+      val ones = hs.count(h => ((h >> j) & 1L) == 1L)
+      if (2 * ones > hs.length) 1L << j else 0L
+    }.sum
+  }
+
   // --- properties -----------------------------------------------------------
 
   test("PrefixSum.running == sequential scan (negatives, random key order)") {
@@ -153,6 +203,58 @@ class PropertyFuzzSpec extends AnyFunSuite {
       } yield (i.toLong, j.toLong)
       got.sorted == want.sorted && got.distinct.length == got.length
     })
+  }
+
+  test("MinHashDedup.pairs == pure-Scala LSH reference (near-dups + exact dups)") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val doc = Gen.choose(3, 10).flatMap(l => Gen.listOfN(l, word).map(_.mkString(" ")))
+    val gen = for {
+      nb <- Gen.choose(2, 6)
+      bases <- Gen.listOfN(nb, doc)
+      // variants: verbatim copies (exact dups, jac 1.0) or one-word edits
+      // (exercise candidacy + the estimate prune below the threshold)
+      variants <- Gen.listOfN(nb,
+        Gen.zip(Gen.choose(0, nb - 1), Gen.option(Gen.zip(Gen.choose(0, 20), word))))
+    } yield {
+      val vs = variants.map { case (bi, sub) =>
+        val toks = bases(bi).split(" ")
+        sub match {
+          case Some((pos, w)) => toks.updated(pos % toks.length, w).mkString(" ")
+          case None           => bases(bi)
+        }
+      }
+      (bases ++ vs).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    }
+    val cfg = MinHashDedup.Config(numHashes = 16, bands = 8, jaccardThreshold = 0.8)
+    check("minhash", Prop.forAll(gen) { docs =>
+      val got = MinHashDedup.pairs(docs.toDF("id", "text"), "id",
+          graft.functions.VectorExpressions
+            .wordShingleHashes(col("text"), 3, graft.functions.TextHash.P),
+          cfg)
+        .as[(Long, Long, Double)].collect().toSet
+      spark.catalog.clearCache() // pairs() persists two intermediates
+      got == refMinhashPairs(docs, cfg)
+    }, cases = 5)
+  }
+
+  test("SimHashDedup.pairs == brute-force reference (chunk blocking is lossless)") {
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.choose(1, 6).flatMap(l => Gen.listOfN(l, word).map(_.mkString(" ")))
+    val gen = for {
+      n <- Gen.choose(2, 8)
+      ds <- Gen.listOfN(n, doc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check("simhash", Prop.forAll(gen) { docs =>
+      val got = SimHashDedup.pairs(docs.toDF("id", "text"), "id", "text", maxHamming = 3)
+        .as[(Long, Long, Int)].collect().toSet
+      spark.catalog.clearCache() // pairs() persists the simhash relation
+      val sim = docs.map { case (i, t) => i -> refSimhash(t) }
+      val want = (for {
+        (a, ha) <- sim; (b, hb) <- sim if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (a, b, d)).toSet
+      got == want
+    }, cases = 5)
   }
 
   test("Sessionize.batch == sequential gap-scan reference") {
