@@ -35,17 +35,41 @@ object BpeVocab {
   final case class Merge(a: String, b: String, count: Long)
 
   /** The first `numMerges` BPE merges of the corpus (stops early when no
-    * pair reaches `minCount`). */
+    * pair reaches `minCount`).
+    *
+    * `checkpointEvery` trades recompute for materialization: the symbol
+    * relation is only localCheckpoint'ed every that-many merges, so a round
+    * in between re-derives up to `checkpointEvery − 1` codegen'd merge maps
+    * from the last checkpoint — cheap column work — instead of paying a
+    * full materialization job per round (per-JOB overhead dominates short
+    * iterative operators; the lineage stays bounded either way). The
+    * default re-checkpoints every 8 merges; a 100 TB run learning hundreds
+    * of merges keeps exactly the same cadence. */
   def learnMerges(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
-      minCount: Long = 2L): Seq[Merge] = {
+      minCount: Long = 2L,
+      checkpointEvery: Int = 8): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var syms = docs
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val spark = docs.sparkSession
+    val narrow = docs
       .select(BpeExpressions.initSymbols(col(textCol)).as("syms"))
       .filter(size(col("syms")) >= 2)
-      .localCheckpoint()
+    // every round re-maps and re-aggregates this relation, so a skinny
+    // input (e.g. a single-row-group local file) would serialize ALL k+1
+    // passes on one core — one upfront round-robin shuffle amortizes
+    // across the rounds (the HistogramPercentile precedent); a no-op on
+    // real clusters whose scans already carry >= defaultParallelism splits
+    val par = spark.sparkContext.defaultParallelism
+    var syms =
+      (if (narrow.rdd.getNumPartitions < par) narrow.repartition(par) else narrow)
+        .localCheckpoint()
+    // `syms` may chain un-checkpointed merges off the last checkpoint;
+    // unpersisting the CHAIN would be a no-op, so track the real one
+    var lastCheckpoint = syms
+    var sinceCheckpoint = 0
     val merges = ArrayBuffer.empty[Merge]
     var continue = true
     while (continue && merges.length < numMerges) {
@@ -58,14 +82,19 @@ object BpeVocab {
         case Some(r) =>
           val m = Merge(r.getString(0), r.getString(1), r.getLong(2))
           merges += m
-          val next = syms
+          val merged = syms
             .select(BpeExpressions.mergePair(col("syms"), lit(m.a), lit(m.b)).as("syms"))
-            .localCheckpoint()
-          syms.unpersist()
-          syms = next
+          sinceCheckpoint += 1
+          if (sinceCheckpoint >= checkpointEvery && merges.length < numMerges) {
+            val next = merged.localCheckpoint() // eager: materialized before the unpersist
+            lastCheckpoint.unpersist()
+            lastCheckpoint = next
+            syms = next
+            sinceCheckpoint = 0
+          } else syms = merged
       }
     }
-    syms.unpersist()
+    lastCheckpoint.unpersist()
     merges.toSeq
   }
 
