@@ -33,8 +33,18 @@ object Pca {
       components: Array[Array[Double]], // top-k rows, orthonormal
       eigenvalues: Array[Double])       // descending, matching components
 
+  /** The exact integer moments the ONE fit pass accumulates — exposed so
+    * audits (q93) can derive per-axis variances n·Σx²−(Σx)² without a
+    * second corpus aggregation. `gramDiagMicro(i)` = Σ(round(xᵢ·1e6))²,
+    * `sumMicro(i)` = Σ round(xᵢ·1e6); both order-independent long sums. */
+  final case class Moments(n: Long, sumMicro: Array[Long], gramDiagMicro: Array[Long])
+
   /** One pass over `df` + a driver-side Jacobi eigensolve. */
-  def fit(df: DataFrame, vecCol: String, dims: Int, k: Int): Model = {
+  def fit(df: DataFrame, vecCol: String, dims: Int, k: Int): Model =
+    fitWithMoments(df, vecCol, dims, k)._1
+
+  /** [[fit]], also returning the pass's exact integer moments. */
+  def fitWithMoments(df: DataFrame, vecCol: String, dims: Int, k: Int): (Model, Moments) = {
     require(k >= 1 && k <= dims, s"need 1 <= k <= dims, got k=$k dims=$dims")
     val v = col(vecCol).cast("array<double>")
     // cast BEFORE the sum: the aggregate must accumulate exact longs —
@@ -46,13 +56,17 @@ object Pca {
       GramMatrixAggregate.gramMicro(v, dims).as("g"),
       (count(lit(1)).as("n") +: sumCols): _*).head()
 
-    val n = row.getAs[Long]("n").toDouble
+    val nL = row.getAs[Long]("n")
+    val n = nL.toDouble
     require(n >= 2, s"PCA needs >= 2 rows, got $n")
-    val mean = (0 until dims).map(i => row.getAs[Long](s"s$i") / 1e6 / n).toArray
+    val sums = (0 until dims).map(i => row.getAs[Long](s"s$i")).toArray
+    val mean = (0 until dims).map(i => sums(i) / 1e6 / n).toArray
     // gram entries are micro² (1e-12) scaled
     val cov = Array.ofDim[Double](dims, dims)
+    val gramDiag = Array.ofDim[Long](dims)
     row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("g")).foreach { cell =>
       val i = cell.getInt(0); val j = cell.getInt(1)
+      if (i == j) gramDiag(i) = cell.getLong(2)
       val e = cell.getLong(2) / 1e12 / n - mean(i) * mean(j)
       cov(i)(j) = e; cov(j)(i) = e
     }
@@ -64,7 +78,8 @@ object Pca {
       val m = c.indices.maxBy(i => math.abs(c(i)))
       if (c(m) < 0) c.map(-_) else c
     }
-    Model(dims, mean, comps.toArray, order.map(values).toArray)
+    (Model(dims, mean, comps.toArray, order.map(values).toArray),
+      Moments(nL, sums, gramDiag))
   }
 
   /** Map-side projection onto the model's components: k codegen'd dot

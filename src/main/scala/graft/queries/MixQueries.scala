@@ -287,16 +287,12 @@ object MixQueries {
       val dims = 64; val k = 4
       val emb = Tables.embeddings(s, d)
         .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-      val model = graft.operators.Pca.fit(emb, "v", dims, k)
-      def micro(i: Int) =
-        round(element_at(col("v"), i + 1) * 1000000.0).cast("long")
-      val aggs = (0 until dims).flatMap(i =>
-        Seq(sum(micro(i)).as(s"s$i"), sum(micro(i) * micro(i)).as(s"q$i")))
-      val row = emb.agg(count(lit(1)).as("n"), aggs: _*).head()
-      val n = row.getAs[Long]("n")
+      // ONE distributed pass: the fit's gram diagonal + micro sums ARE the
+      // axis-variance moments — no second corpus aggregation
+      val (model, mom) = graft.operators.Pca.fitWithMoments(emb, "v", dims, k)
+      val n = mom.n
       val axisVars = (0 until dims).map { i =>
-        (i, BigInt(n) * BigInt(row.getAs[Long](s"q$i"))
-          - BigInt(row.getAs[Long](s"s$i")).pow(2))
+        (i, BigInt(n) * BigInt(mom.gramDiagMicro(i)) - BigInt(mom.sumMicro(i)).pow(2))
       }
       val trace = axisVars.map(_._2).sum
       val top = axisVars.sortBy { case (i, v) => (-v, BigInt(i)) }.take(k)
