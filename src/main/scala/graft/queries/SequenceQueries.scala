@@ -93,6 +93,30 @@ object SequenceQueries {
             .as("is_outlier"))
     }),
 
+    // Rolling 7-event median of `value` per user — the robust alternative
+    // to q65's rolling mean. Medians don't decompose over window panes, so
+    // the frame's values ride a BOUNDED collect (7 longs per row, sorted
+    // in-expression) — never a per-group global sort. Fully exact: integer
+    // cents, and the even-n midpoint is emitted as median×2 (the SUM of
+    // the two bracketing order stats) so no float division ever happens —
+    // both engines index the same sorted integer list. (us, event_id) is a
+    // total order: frame contents are identical on both engines.
+    "q94_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(-6, 0)
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), cents(col("value")).as("cents"))
+        .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("event_id"), col("user_id"),
+          size(col("arr")).as("n_window"),
+          // `div` = integer division (`/` on ints resolves to double here)
+          (element_at(col("arr"), expr("(size(arr) + 1) div 2").cast("int"))
+            + element_at(col("arr"), expr("size(arr) div 2 + 1").cast("int")))
+            .as("median_x2_cents"))
+    }),
+
     // Weekly retention cohorts: users grouped by first-activity week;
     // n_active counts who returns k weeks later. Four key-parallel hops
     // — distinct (user, week), per-user min week, user-key join, final
@@ -272,6 +296,18 @@ object SequenceQueries {
         |SELECT v.user_id, view_us, click_us, purchase_us,
         |  1 + (click_us IS NOT NULL)::INT + (purchase_us IS NOT NULL)::INT AS stage
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q94_rolling_median" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT event_id, user_id,
+        |        list_sort(list(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |      FROM e)
+        |SELECT event_id, user_id, len(arr)::INT AS n_window,
+        |  (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])::BIGINT AS median_x2_cents
+        |FROM w""".stripMargin,
 
     "q65_rolling_window" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -74,4 +74,33 @@ class SequenceQueriesSpec extends AnyFunSuite {
     xs.foreach(x => assert(intFlag(x) == fltFlag(x), s"x=$x"))
     assert(intFlag(400L) && !intFlag(100L))
   }
+
+  test("rolling 7-row median_x2 is exact for odd and even frames (q94 index algebra)") {
+    // q94 emits arr[(n+1) div 2] + arr[n div 2 + 1] on the SORTED frame
+    // (1-indexed): for odd n both indices hit the middle (2·median), for
+    // even n they bracket it (sum of the two middle order stats). Check the
+    // algebra against a scala reference over a growing 7-bounded frame.
+    val vals = Seq(500L, 100L, 300L, 900L, 200L, 700L, 400L, 600L, 800L)
+    val got = vals.indices.map { i =>
+      val frame = vals.slice(math.max(0, i - 6), i + 1).sorted
+      val n = frame.length
+      frame((n + 1) / 2 - 1) + frame(n / 2) // 0-indexed forms of the query's 1-indexed picks
+    }
+    val want = vals.indices.map { i =>
+      val frame = vals.slice(math.max(0, i - 6), i + 1).sorted
+      val n = frame.length
+      if (n % 2 == 1) 2 * frame(n / 2) else frame(n / 2 - 1) + frame(n / 2)
+    }
+    assert(got == want)
+    // And the Spark expression itself agrees on a crafted frame.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("u")).orderBy(col("i")).rowsBetween(-6, 0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toDF("u", "i", "cents")
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("i"),
+        (element_at(col("arr"), expr("(size(arr) + 1) div 2").cast("int"))
+          + element_at(col("arr"), expr("size(arr) div 2 + 1").cast("int"))).as("m2"))
+    val sparkGot = df.collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(sparkGot == want.map(_.toLong))
+  }
 }
