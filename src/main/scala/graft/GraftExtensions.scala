@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomFilterAgg, CountMinSketchAgg, DotProduct, GramMatrixMicro, Md5Long, TopKByScore}
+import graft.functions.{BloomFilterAgg, CountMinSketchAgg, DotProduct, GramMatrixMicro, Md5Long, MisraGriesAgg, TopKByScore}
 
 /** Session-extension installer for the engine's custom Catalyst
   * expressions — the idiomatic deployment path:
@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_bloom", "graft_bloom(base_hash, num_bits, depth) - bloom filter bitset"),
       (exprs: Seq[Expression]) => BloomFilterAgg(exprs.head,
         intLit(exprs(1), "num_bits"), intLit(exprs(2), "depth")).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_misra_gries"),
+      info("graft_misra_gries", "graft_misra_gries(key, k) - bounded heavy-hitter summary (est <= count <= est + n/(k+1))"),
+      (exprs: Seq[Expression]) => MisraGriesAgg(exprs.head,
+        intLit(exprs(1), "k")).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_micro"),
       info("graft_gram_micro", "graft_gram_micro(vec, dim) - integer-micro gram matrix upper triangle"),

@@ -98,6 +98,51 @@ object CorpusQueries {
         .map { case (m, i) => (i + 1, m.a, m.b, m.count) }
         .toDF("rank", "a", "b", "n")
     }),
+
+    // Heavy hitters with a DETERMINISTIC guarantee: a Misra–Gries summary
+    // (functions/MisraGriesAggregate, k=256 counters) over the corpus
+    // char-trigram stream (~377 distinct keys — the table really does
+    // overflow and decrement). The summary's exact contents are
+    // execution-order-dependent BY THE ALGORITHM, so the query reports
+    // what is invariant: each truly-heavy trigram (exact count·(k+1) > n,
+    // computed as an exact hash-agg) with `in_summary` — guaranteed true
+    // by the n/(k+1) undercount bound — and a corpus-wide `bounds_ok`
+    // verifying 0 ≤ exact − estimate ≤ n/(k+1) over EVERY summary entry.
+    // The oracle emits the exact heavy set with literal TRUEs: any
+    // violated guarantee hash-mismatches (q32's tolerance-gate pattern,
+    // but with a proof-backed bound instead of a probabilistic one).
+    // Trigrams come from zip_with over a 3-way sliced char array — the
+    // per-element lambda only concats (the HOF-lambda re-evaluation trap
+    // re-runs lower(text) per POSITION if substr is used in transform).
+    "q97_heavy_hitters" -> ((s, d) => {
+      val k = 256
+      val tg = Tables.documents(s, d)
+        .select(split(lower(col("text")), "").as("c"))
+        .select(explode(zip_with(
+          zip_with(
+            slice(col("c"), lit(1), greatest(size(col("c")) - 2, lit(0))),
+            slice(col("c"), lit(2), greatest(size(col("c")) - 2, lit(0))),
+            (x, y) => concat(x, y)),
+          slice(col("c"), lit(3), greatest(size(col("c")) - 2, lit(0))),
+          (xy, z) => concat(xy, z))).as("tg"))
+      val tot = tg.agg(count(lit(1)).as("n"))
+      val exact = tg.groupBy(col("tg")).agg(count(lit(1)).as("cnt"))
+      val mg = tg.agg(graft.functions.MisraGriesAggregate.summary(col("tg"), k).as("s"))
+        .select(explode(col("s")).as("e"))
+        .select(col("e.key").as("tg"), col("e.est").as("est"))
+      val sound = mg.join(exact, "tg").crossJoin(broadcast(tot))
+        .agg(coalesce(
+          bool_and(col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (k + 1) <= col("n")),
+          lit(true)).as("bounds_ok"))
+      exact.crossJoin(broadcast(tot))
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .join(mg.select(col("tg"), lit(true).as("in_summary")), Seq("tg"), "left")
+        .crossJoin(broadcast(sound))
+        .select(col("tg"), col("cnt"),
+          coalesce(col("in_summary"), lit(false)).as("in_summary"),
+          col("bounds_ok"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,5 +187,15 @@ object CorpusQueries {
 
     "q92_bpe_merges" ->
       graft.operators.BpeVocab.oracleSql("documents", "text", numMerges = 4, minCount = 2L),
+
+    // The heavy set is computed EXACTLY here; the guarantee booleans are
+    // literal TRUE — the Spark side must reproduce them from the sketch.
+    "q97_heavy_hitters" ->
+      """WITH g AS (SELECT substr(lower(text), i, 3) AS tg
+        |      FROM documents, unnest(range(1, length(text) - 1)) AS u(i)),
+        |tot AS (SELECT count(*) AS n FROM g),
+        |exact AS (SELECT tg, count(*) AS cnt FROM g GROUP BY tg)
+        |SELECT tg, cnt, TRUE AS in_summary, TRUE AS bounds_ok
+        |FROM exact, tot WHERE cnt * 257 > n""".stripMargin,
   )
 }

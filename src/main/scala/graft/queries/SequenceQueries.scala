@@ -117,6 +117,34 @@ object SequenceQueries {
             .as("median_x2_cents"))
     }),
 
+    // SCD2 history build: each user's event_type stream collapsed into
+    // type-2 slowly-changing-dimension rows — consecutive runs of one
+    // state become [valid_from_us, valid_to_us) validity intervals with a
+    // per-user version number and an is_current flag on the open row. The
+    // classic change-log → dimension-table transform: a change flag from a
+    // null-safe lag compare, a running sum numbering the runs, one
+    // hash-agg per run, and a lead() chaining each interval to the next.
+    // Both sort-windows and the agg ride ONE user-key partitioning; the
+    // (us, event_id) order is total, so run boundaries are deterministic.
+    "q95_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        // change flag: !(lag <=> cur) — null-safe, so the first row (lag
+        // NULL) always opens run 1, matching IS DISTINCT FROM in DuckDB
+        .withColumn("chg",
+          when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+            .otherwise(0L))
+        .withColumn("ver",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("ver"), col("event_type").as("state"))
+        .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+        .withColumn("is_current", col("valid_to_us").isNull)
+    }),
+
     // Weekly retention cohorts: users grouped by first-activity week;
     // n_active counts who returns k weeks later. Four key-parallel hops
     // — distinct (user, week), per-user min week, user-key join, final
@@ -308,6 +336,25 @@ object SequenceQueries {
         |SELECT event_id, user_id, len(arr)::INT AS n_window,
         |  (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1])::BIGINT AS median_x2_cents
         |FROM w""".stripMargin,
+
+    "q95_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |      FROM events),
+        |r AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY us, event_id)
+        |          IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |      FROM e),
+        |v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS ver
+        |      FROM r),
+        |g AS (SELECT user_id, ver::BIGINT AS ver, event_type AS state,
+        |        min(us) AS valid_from_us, count(*) AS n_events
+        |      FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, ver, state, valid_from_us, n_events,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to_us,
+        |  (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL)
+        |    AS is_current
+        |FROM g""".stripMargin,
 
     "q65_rolling_window" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -62,6 +62,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_gram_micro(v, 2) AS g FROM VALUES (array(1.0D, 2.0D)) AS t(v)")
         .head().getSeq[org.apache.spark.sql.Row](0)
       assert(gram.length == 3) // upper triangle of a 2x2
+      val mg = s.sql(
+        "SELECT graft_misra_gries(t, 2) AS m FROM VALUES ('a'),('a'),('b'),('a') AS v(t)")
+        .head().getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
+      assert(mg == Seq(("a", 3L), ("b", 1L))) // k >= distinct: exact counts
       intercept[Exception] {
         s.sql("SELECT graft_topk(score, p, p) FROM VALUES (1.0D, 1L) AS v(score, p)").collect()
       }

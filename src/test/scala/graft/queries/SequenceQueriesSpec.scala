@@ -75,6 +75,40 @@ class SequenceQueriesSpec extends AnyFunSuite {
     assert(intFlag(400L) && !intFlag(100L))
   }
 
+  test("SCD2 run collapse: versions, validity chain, is_current (q95 semantics)") {
+    // user 1: A A B A  → 3 runs; user 2: single event → 1 open run.
+    val rows = Seq(
+      (1L, 10L, "A", 100L), (1L, 11L, "A", 200L), (1L, 12L, "B", 300L),
+      (1L, 13L, "A", 400L), (2L, 20L, "X", 500L))
+    val df = rows.toDF("user_id", "event_id", "event_type", "us")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+    val out = df
+      .withColumn("chg",
+        when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L).otherwise(0L))
+      .withColumn("ver", sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("ver"), col("event_type").as("state"))
+      .agg(min(col("us")).as("valid_from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]),
+        r.getBoolean(6))).toSeq.sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      (1L, 1L, "A", 100L, 2L, Some(300L), false),
+      (1L, 2L, "B", 300L, 1L, Some(400L), false),
+      (1L, 3L, "A", 400L, 1L, None, true),
+      (2L, 1L, "X", 500L, 1L, None, true)))
+    // intervals tile each user's timeline: valid_to of run k == valid_from of k+1
+    val byUser = out.toSeq.groupBy(_._1).values
+    byUser.foreach { runs =>
+      runs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._6.contains(b._4)); case _ =>
+      }
+    }
+  }
+
   test("rolling 7-row median_x2 is exact for odd and even frames (q94 index algebra)") {
     // q94 emits arr[(n+1) div 2] + arr[n div 2 + 1] on the SORTED frame
     // (1-indexed): for odd n both indices hit the middle (2·median), for
