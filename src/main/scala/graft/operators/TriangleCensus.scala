@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle enumeration on an undirected simple graph, via
+  * degree-ordered edge orientation (the node-iterator++ / forward
+  * algorithm): orient every edge from its (degree, id)-smaller endpoint,
+  * pair each source's out-edges into wedges, close the wedge with a
+  * semi-join probe.
+  *
+  * Why this is THE distributed plan: after orientation every out-degree
+  * is ≤ √(2m) (a node of degree d keeps out-edges only to neighbors of
+  * ≥-equal rank), so the wedge fan-out — the only super-linear stage — is
+  * bounded by Σ outdeg² ≤ m·√(2m) instead of Σ deg² (which a hub node
+  * makes quadratic). All three stages are key-partitioned joins; nothing
+  * is ever collected.
+  *
+  * Each triangle {a,b,c} with a ≺ b ≺ c (by (deg, id)) is emitted exactly
+  * once as (ta, tb, tc) = (a, b, c): a is the unique source with
+  * out-edges to both others, and b ≺ c fixes the wedge order. The output
+  * triple set is therefore orientation-INDEPENDENT — any enumeration of
+  * the same graph (e.g. an id-ordered SQL replay) yields the same
+  * normalized set ordered by its own convention, which is what lets q96's
+  * DuckDB oracle use plain a<b<c joins.
+  */
+object TriangleCensus {
+
+  /** Distinct undirected edges in `edges(src, dst)` (either direction,
+    * self-loops ignored) → one row per triangle. Output columns
+    * (ta, tb, tc) are the triangle's vertices ordered by (degree, id). */
+  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // canonicalize: undirected simple graph, a < b by id
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    def rank(dc: String, ic: String) = struct(col(dc).as("d"), col(ic).as("i"))
+    val o = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(rank("da", "a") < rank("db", "b"), col("a")).otherwise(col("b")).as("osrc"),
+        when(rank("da", "a") < rank("db", "b"), col("b")).otherwise(col("a")).as("odst"),
+        when(rank("da", "a") < rank("db", "b"), rank("db", "b"))
+          .otherwise(rank("da", "a")).as("dkey"))
+    o.as("e1").join(o.as("e2"),
+        col("e1.osrc") === col("e2.osrc") && (col("e1.dkey") < col("e2.dkey")))
+      .select(col("e1.osrc").as("ta"), col("e1.odst").as("tb"), col("e2.odst").as("tc"))
+      // tb ≺ tc by construction, so edge {tb,tc} — if present — is
+      // oriented tb→tc; one probe direction closes the wedge
+      .join(o.select(col("osrc").as("tb"), col("odst").as("tc")),
+        Seq("tb", "tc"), "leftsemi")
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextHash
 
 /** General relational surface beyond the reference's own ops — semi/anti
   * joins, grouping sets, window analytics, text normalization — so a user
@@ -188,6 +189,42 @@ object RelationalQueries {
           concat_ws(",", sort_array(collect_list(col("c_name")))).as("top_names"))
     }),
 
+    // Triangle census of the co-purchase graph (parts linked when some
+    // order contains both), DOULION-style: edges are kept by a
+    // deterministic portable-hash coin (md5 % 4 == 0, p = 1/4), triangles
+    // are counted EXACTLY on the sparsified graph, and the unbiased
+    // full-graph estimate is the integer 64·count (1/p³) — no floats
+    // anywhere, so the oracle replays the sampling AND the census
+    // bit-identically. The count itself runs on (deg, id)-oriented edges:
+    // every triangle has exactly one source whose two out-edges hit it,
+    // the wedge join fans out by OUT-degree (bounded by √2m after
+    // orientation — the reason a 100× graph doesn't quadratically blow the
+    // shuffle), and a final semi-join closes the wedge. Sampling first is
+    // what makes the wedge stage affordable: p² of wedges survive (~16×
+    // off), which is the DOULION trade — variance for shuffle volume.
+    "q96_triangle_census" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = items.as("x").join(items.as("y"), "ok")
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        // the coin is a pure function of (a,b): tossing BEFORE the dedup
+        // shrinks the distinct's shuffle 4×, same kept set
+        .filter(TextHash.md5Long(
+          concat(col("a").cast("string"), lit("_"), col("b").cast("string"))) % 4 === 0)
+        .distinct()
+      // two consumers (census totals + per-node rollup) — persist, or the
+      // whole wedge pipeline executes twice (q90's lesson)
+      val tri = graft.operators.TriangleCensus.triangles(edges, "a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = tri.agg(count(lit(1)).as("sparse_triangles"))
+        .withColumn("est_triangles", col("sparse_triangles") * 64)
+      tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+        .orderBy(desc("n_tri"), asc("part")).limit(20)
+        .crossJoin(broadcast(tot))
+    }),
+
     // Sketch surface: HLL++ approximate distinct next to the exact count.
     // Sketch estimates differ across engines by design, so the oracle-checked
     // output is the exact count PLUS a boolean asserting the sketch landed
@@ -228,6 +265,26 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
         |  TRUE AS approx_within_10pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Replays the DOULION hash-coin and counts triangles with the simple
+    // a<b<c orientation — the triangle SET (hence every per-node count and
+    // the totals) is orientation-independent, so the hash must match the
+    // Spark side's degree-oriented plan exactly.
+    "q96_triangle_census" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+         |edges AS (SELECT a, b FROM (
+         |    SELECT DISTINCT x.pk a, y.pk b FROM items x
+         |    JOIN items y ON x.ok = y.ok AND x.pk < y.pk)
+         |  WHERE ${TextHash.md5LongSql("a::VARCHAR || '_' || b::VARCHAR")} % 4 = 0),
+         |tri AS (SELECT e1.a ta, e1.b tb, e2.b tc FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tot AS (SELECT count(*) AS sparse_triangles,
+         |        (count(*) * 64)::BIGINT AS est_triangles FROM tri),
+         |nodes AS (SELECT unnest([ta, tb, tc]) AS part FROM tri),
+         |cnt AS (SELECT part, count(*) AS n_tri FROM nodes GROUP BY part)
+         |SELECT part, n_tri, sparse_triangles, est_triangles FROM cnt, tot
+         |ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
 
     "q43_topk_per_group" ->
       """SELECT l_orderkey, rn::INT AS rank, round(l_extendedprice, 2) AS price,
