@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact all-pairs set-similarity self-join with AllPairs/PPJoin-style
+  * prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+  * Search") — the deterministic-complete counterpart of the MinHash-LSH
+  * path (operators/MinHashDedup): LSH trades recall for volume; this
+  * finds EVERY pair at Jaccard ≥ t, with the candidate space shrunk by a
+  * provable filter instead of a probabilistic one.
+  *
+  * The filter: order every set by ascending global element frequency
+  * (rarest first, ties by value — a total order both engines can replay),
+  * and keep each set's first |x| − ⌈t·|x|⌉ + 1 elements as its PREFIX. If
+  * J(x,y) ≥ t, then |x∩y| ≥ ⌈t·|x|⌉ (union ≥ |x|); were no common element
+  * in x's prefix, the intersection would fit in the remaining
+  * ⌈t·|x|⌉ − 1 slots — contradiction. The same holds for y, and the
+  * FIRST common element in the global order lies in both prefixes, so
+  * joining prefix-to-prefix loses nothing. Rare-first ordering makes
+  * prefixes collide rarely — the candidate volume is driven by the df² of
+  * the RAREST elements, not the stopword mass.
+  *
+  * Scale shape: one df aggregate, one per-set sort (bounded by set size),
+  * a prefix-token equi-join (the only candidate-quadratic stage, bounded
+  * by Σ_prefix-token df²), and an array-intersect verify touching
+  * candidates only. Thresholds are exact rationals (tNum/tDen) — the
+  * accept test `inter·tDen ≥ tNum·union` never computes a float.
+  */
+object PrefixFilterJoin {
+
+  /** `sets(idCol, setCol: array<long>)` (elements assumed distinct per
+    * row) → all unordered pairs with Jaccard ≥ tNum/tDen, as
+    * (id_a, id_b, inter, uni) with id_a < id_b. */
+  def jaccardSelfJoin(sets: DataFrame, idCol: String, setCol: String,
+                      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    // consumed twice (prefix generation + verify); the caller's input may
+    // itself be an expensive shingle scan
+    val s = sets.select(col(idCol).as("__id"), col(setCol).as("__hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tok = s.select(col("__id"), explode(col("__hs")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rare-first canonical order: lexicographic (df, h) struct sort
+    val ranked = tok.join(dfreq, "h")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+    val pfx = ranked
+      .withColumn("n", size(col("sorted")))
+      // p = n − ⌈t·n⌉ + 1, in pure integer arithmetic; keep the 1-based
+      // position of each prefix element for the positional filter below
+      .select(col("__id"), col("n"),
+        posexplode(slice(col("sorted"), lit(1),
+          (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")))
+          .as(Seq("p0", "e")))
+      .select(col("__id"), col("n"), (col("p0") + 1).as("i"), col("e.h").as("h"))
+    val cand = pfx.as("x").join(pfx.as("y"), "h")
+      .filter(col("x.__id") < col("y.__id"))
+      // size filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t
+      .filter(col("x.n") * tNum <= col("y.n") * tDen &&
+        col("y.n") * tNum <= col("x.n") * tDen)
+      // PPJoin positional filter: all common elements rank ≥ this matched
+      // token (rows before it in either prefix are non-common for the
+      // FIRST common token w, which a true pair always matches on), so
+      // inter ≤ 1 + min(nx−i, ny−j); J ≥ t needs inter ≥
+      // tNum(nx+ny)/(tNum+tDen) — compared cross-multiplied, no division
+      .filter((lit(1) + least(col("x.n") - col("x.i"), col("y.n") - col("y.i")))
+        * (tNum + tDen) >= lit(tNum) * (col("x.n") + col("y.n")))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(s.select(col("__id").as("id_a"), col("__hs").as("ha"),
+        size(col("__hs")).as("na")), "id_a")
+      .join(s.select(col("__id").as("id_b"), col("__hs").as("hb"),
+        size(col("__hs")).as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("uni", col("na").cast("long") + col("nb") - col("inter"))
+      .filter(col("inter") * tDen >= lit(tNum) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+}

@@ -284,6 +284,23 @@ object DedupQueries {
           coalesce(col("np"), lit(0L)).as("n_pass"),
           coalesce(col("nk"), lit(0L)).as("n_kept"))
     }),
+
+    // EXACT all-pairs near-dup join (operators/PrefixFilterJoin): every
+    // pair at Jaccard ≥ 4/5 over the q13 shingle sets — no LSH recall
+    // loss, candidates shrunk by the AllPairs rare-first prefix filter
+    // instead of banding. The oracle is the BRUTE-FORCE all-pairs join
+    // (no prefix): result-set equality proves the filter lost nothing.
+    // Threshold and accept test are exact rationals; the reported
+    // jaccard is the portable floor-round of inter/uni.
+    "q98_allpairs_exact" -> ((s, d) => {
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.VectorExpressions
+            .charShingleHashes(col("text"), charN, TextHash.P, stride = 2).as("hs"))
+      graft.operators.PrefixFilterJoin.jaccardSelfJoin(sets, "doc_id", "hs", 4, 5)
+        .withColumn("jaccard", graft.functions.PortableMath
+          .roundPortable(col("inter").cast("double") / col("uni"), 4))
+    }),
   )
 
   /** Shared CTE block replaying the RP-LSH candidate generation (6 tables ×
@@ -490,6 +507,24 @@ object DedupQueries {
          |SELECT a.source, n_docs,
          |  coalesce(np, 0)::BIGINT AS n_pass, coalesce(nk, 0)::BIGINT AS n_kept
          |FROM a LEFT JOIN b USING (source) LEFT JOIN c USING (source)""".stripMargin
+    },
+
+    // Brute-force all-pairs (no prefix filter): equality with the Spark
+    // side's filtered plan proves AllPairs completeness on this corpus.
+    "q98_allpairs_exact" -> {
+      val hs = s"list_distinct(list_transform(${TextHash.charShinglesStridedSql("text", charN, 2)}, x -> ${TextHash.baseHashSql("x")}))"
+      s"""WITH s AS (SELECT doc_id, $hs AS hs FROM documents),
+         |tok AS (SELECT doc_id, unnest(hs) AS h FROM s),
+         |pairs AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) AS inter
+         |      FROM tok x JOIN tok y ON x.h = y.h AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+         |      FROM pairs
+         |      JOIN (SELECT doc_id, len(hs) AS n FROM s) sa ON sa.doc_id = id_a
+         |      JOIN (SELECT doc_id, len(hs) AS n FROM s) sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, inter::BIGINT AS inter, uni::BIGINT AS uni,
+         |  floor(inter::DOUBLE / uni * 10000 + 0.5) / 10000 AS jaccard
+         |FROM j WHERE inter * 5 >= 4 * uni""".stripMargin
     },
   )
 }

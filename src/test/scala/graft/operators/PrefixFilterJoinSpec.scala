@@ -1,0 +1,53 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class PrefixFilterJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def brute(sets: Seq[(Long, Set[Long])], tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * tDen >= tNum * uni
+    } yield (ia, ib, inter, uni)).toSet
+
+  private def viaJoin(sets: Seq[(Long, Set[Long])], tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] = {
+    val df = sets.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("id", "hs")
+    PrefixFilterJoin.jaccardSelfJoin(df, "id", "hs", tNum, tDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+  }
+
+  test("matches brute force on random set families at several thresholds") {
+    val rng = new Random(9000)
+    for (trial <- 1 to 6) {
+      val universe = 1L to (20L + rng.nextInt(30))
+      val sets = (1L to (10L + rng.nextInt(25))).map { id =>
+        id -> universe.filter(_ => rng.nextDouble() < 0.4).toSet
+      }.filter(_._2.nonEmpty)
+      for ((tn, td) <- Seq((1, 2), (4, 5), (9, 10), (1, 1)))
+        assert(viaJoin(sets, tn, td) == brute(sets, tn, td), s"trial $trial t=$tn/$td")
+    }
+  }
+
+  test("identical sets survive t = 1; disjoint sets never pair") {
+    val sets = Seq(1L -> Set(1L, 2L, 3L), 2L -> Set(1L, 2L, 3L), 3L -> Set(7L, 8L))
+    assert(viaJoin(sets, 1, 1) == Set((1L, 2L, 3L, 3L)))
+    assert(viaJoin(Seq(1L -> Set(1L, 2L), 2L -> Set(3L, 4L)), 1, 10).isEmpty)
+  }
+
+  test("boundary: pair exactly AT the threshold is kept") {
+    // J = 3/5 exactly: sets {1,2,3,4} and {2,3,4,5} -> inter 3, union 5
+    val sets = Seq(1L -> Set(1L, 2L, 3L, 4L), 2L -> Set(2L, 3L, 4L, 5L))
+    assert(viaJoin(sets, 3, 5) == Set((1L, 2L, 3L, 5L)))
+    assert(viaJoin(sets, 61, 100).isEmpty) // just above
+  }
+}
