@@ -13,6 +13,37 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The Misra–Gries update/merge core, shared by the batch aggregate below
+  * and the streaming per-bucket state operator
+  * ([[graft.operators.StreamingTopK]]). Pure map mutations — the proofs
+  * live on [[MisraGriesAgg]]. */
+object MisraGries {
+  /** One stream item: hit increments; a miss inserts while there is room,
+    * else decrements every counter (dropping zeros) — each decrement step
+    * burns k+1 stream items, hence the n/(k+1) undercount bound. */
+  def observe(buf: mutable.HashMap[String, Long], key: String, k: Int): Unit =
+    buf.get(key) match {
+      case Some(c) => buf.update(key, c + 1L)
+      case None if buf.size < k => buf.update(key, 1L)
+      case None =>
+        buf.mapValuesInPlace((_, c) => c - 1L)
+        buf.filterInPlace((_, c) => c > 0L)
+    }
+
+  /** Mergeable-summaries combine: sum counters; if > k keys survive,
+    * subtract the (k+1)-th largest from all (keeping positives) — the
+    * error bound telescopes across any merge tree. */
+  def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long], k: Int): mutable.HashMap[String, Long] = {
+    b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+    if (a.size > k) {
+      val kth = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      a.mapValuesInPlace((_, c) => c - kth)
+      a.filterInPlace((_, c) => c > 0L)
+    }
+    a
+  }
+}
+
 /** Misra–Gries heavy-hitters summary as a bounded custom aggregate — the
   * deterministic-guarantee counterpart to the Count-Min sketch (q63): at
   * most `k` (key, counter) pairs per partition buffer, merged with the
@@ -59,34 +90,12 @@ case class MisraGriesAgg(
 
   override def update(buf: mutable.HashMap[String, Long], input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val key = v.asInstanceOf[UTF8String].toString
-      buf.get(key) match {
-        case Some(c) => buf.update(key, c + 1L)
-        case None if buf.size < k => buf.update(key, 1L)
-        case None =>
-          // miss with a full table: the decrement step — k counters and
-          // the incoming item all pay 1, so each step consumes k+1 stream
-          // items and at most n/(k+1) steps can ever run
-          buf.mapValuesInPlace((_, c) => c - 1L)
-          buf.filterInPlace((_, c) => c > 0L)
-      }
-    }
+    if (v != null) MisraGries.observe(buf, v.asInstanceOf[UTF8String].toString, k)
     buf
   }
 
-  override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
-    if (a.size > k) {
-      // subtract the (k+1)-th largest counter from everyone; ≤ k keys
-      // stay strictly positive, and the subtraction is itself a batch of
-      // decrement steps, so the error bound telescopes across the tree
-      val kth = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      a.mapValuesInPlace((_, c) => c - kth)
-      a.filterInPlace((_, c) => c > 0L)
-    }
-    a
-  }
+  override def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGries.merge(a, b, k)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     // deterministic ORDER for a given map content (est desc, key asc);

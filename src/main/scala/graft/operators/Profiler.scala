@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Schema-generic table profiler — the dynamic-schema counterpart of the
+  * hand-written q40 profile: walks `df.schema` at PLAN time and emits one
+  * stats row per column, whatever the table looks like.
+  *
+  * Shape: ONE wide aggregate computes every column's stats in a single
+  * distributed pass (4 aggregates per column, all partial+final hash
+  * aggs), then a map-side explode unpivots the one wide row into
+  * per-column rows — profiling an N-column 100 TB table costs one scan,
+  * not N.
+  *
+  * min/max are reported as truncated string representations so the output
+  * schema is column-type-independent; distinct counts are exact (null
+  * excluded, matching SQL COUNT(DISTINCT)).
+  */
+object Profiler {
+
+  def profile(df: DataFrame, reprLen: Int = 24): DataFrame = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "cannot profile a zero-column relation")
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"__cnt_${f.name}"),
+        countDistinct(c).as(s"__dst_${f.name}"),
+        min(c).cast("string").as(s"__min_${f.name}"),
+        max(c).cast("string").as(s"__max_${f.name}"))
+    } :+ count(lit(1)).as("__n_rows")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        col("__n_rows").as("n_rows"),
+        (col("__n_rows") - col(s"__cnt_${f.name}")).as("n_null"),
+        col(s"__dst_${f.name}").as("n_distinct"),
+        substring(col(s"__min_${f.name}"), 1, reprLen).as("min_repr"),
+        substring(col(s"__max_${f.name}"), 1, reprLen).as("max_repr"))
+    }
+    wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+}

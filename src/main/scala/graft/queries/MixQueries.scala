@@ -306,6 +306,38 @@ object MixQueries {
       Seq((n, trace.toString, top.map(_._2.toString).mkString(","), ok))
         .toDF("n", "trace_var", "top4_axis_var", "pca_captures_ge_axes")
     }),
+
+    // Join-cardinality estimation — the optimizer-statistics primitive at
+    // sketch cost: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k) is the inner product
+    // of the two frequency vectors, and the Count-Min estimate is
+    // min_i Σ_cell cmA[i,cell]·cmB[i,cell] — an UPPER bound by
+    // construction (collisions only add mass), computed from two bounded
+    // 32 KB sketches without ever joining. Both the exact size (hash-agg +
+    // key join on the two count vectors) and the estimate (portable-hash
+    // cells ⇒ deterministic) are hash-checked; `est_is_upper` is the
+    // guarantee surface. A = lineitem partkeys, B = the 'R'-returnflag
+    // subset — both sides carry real multiplicity.
+    "q99_join_size_estimate" -> ((s, d) => {
+      val depth = 4; val width = 1024
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_returnflag"),
+          TextHash.baseHash(col("l_partkey").cast("string")).as("hp"))
+      val a = li
+      val b = li.filter(col("l_returnflag") === "R")
+      val skA = a.agg(graft.functions.CountMinAggregate
+        .countMin(col("hp"), depth, width).as("ca"))
+      val skB = b.agg(graft.functions.CountMinAggregate
+        .countMin(col("hp"), depth, width).as("cb"))
+      val exact = a.groupBy(col("l_partkey")).agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col("l_partkey")).agg(count(lit(1)).as("nb")), "l_partkey")
+        .agg(sum(col("na") * col("nb")).as("exact_join_size"))
+      val rowSums = (0 until depth).map(i =>
+        expr(s"aggregate(slice(zip_with(ca, cb, (x, y) -> x * y), ${i * width + 1}, $width), 0L, (acc, v) -> acc + v)"))
+      exact.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+        .select(col("exact_join_size"),
+          least(rowSums: _*).as("est_join_size"))
+        .withColumn("est_is_upper", col("est_join_size") >= col("exact_join_size"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -439,6 +471,33 @@ object MixQueries {
           |    AS top4_axis_var,
           |  TRUE AS pca_captures_ge_axes
           |FROM a""".stripMargin,
+
+      // both sketches' cells rebuilt with the portable permutations (the
+      // q63 replay, twice); the estimate and even the upper-bound boolean
+      // are COMPUTED on both engines — no tolerance, no literal TRUE
+      "q99_join_size_estimate" -> {
+        val w = 1024
+        val cellA = (0 until 4).map(i =>
+          s"a$i AS (SELECT ${TextHash.permSql("hp", i)} % $w AS cell, count(*)::BIGINT AS n FROM ha GROUP BY 1)")
+          .mkString(",\n|")
+        val cellB = (0 until 4).map(i =>
+          s"b$i AS (SELECT ${TextHash.permSql("hp", i)} % $w AS cell, count(*)::BIGINT AS n FROM hb GROUP BY 1)")
+          .mkString(",\n|")
+        val est = (0 until 4).map(i =>
+          s"(SELECT coalesce(sum(a$i.n * b$i.n), 0)::BIGINT FROM a$i JOIN b$i ON a$i.cell = b$i.cell)")
+          .mkString("least(", ", ", ")")
+        s"""WITH ha AS (SELECT ${TextHash.baseHashSql("l_partkey::VARCHAR")} AS hp FROM lineitem),
+           |hb AS (SELECT ${TextHash.baseHashSql("l_partkey::VARCHAR")} AS hp FROM lineitem
+           |       WHERE l_returnflag = 'R'),
+           |$cellA,
+           |$cellB,
+           |ex AS (SELECT sum(na * nb)::BIGINT AS exact_join_size FROM
+           |    (SELECT l_partkey, count(*) AS na FROM lineitem GROUP BY 1) x
+           |  JOIN (SELECT l_partkey, count(*) AS nb FROM lineitem
+           |        WHERE l_returnflag = 'R' GROUP BY 1) y USING (l_partkey))
+           |SELECT exact_join_size, $est AS est_join_size,
+           |  ($est >= exact_join_size) AS est_is_upper FROM ex""".stripMargin
+      },
 
       "q56_stratified_sample" -> {
         val h = TextHash.md5LongSql("doc_id::VARCHAR")

@@ -73,6 +73,15 @@ object ProfileQueries {
         countDistinct(col("o_orderstatus")).as("d_status"),
         countDistinct(col("o_orderpriority")).as("d_priority"))),
 
+    // Schema-GENERIC profiler (operators/Profiler): per-column stats rows
+    // derived from df.schema at plan time — q40's hand-written profile
+    // generalized to any table. One wide aggregate pass (4 aggs/column,
+    // one scan regardless of column count) + a map-side explode unpivot.
+    // min/max are truncated string reprs (documents has only bigint and
+    // string columns, whose reprs are engine-identical).
+    "q101_profile_generic" -> ((s, d) =>
+      graft.operators.Profiler.profile(Tables.documents(s, d))),
+
     // Snapshot diff: previous snapshot (pre-2000 orders) vs current —
     // added/removed/changed audit, the K2/K3 lifecycle's companion view.
     "q41_snapshot_diff" -> ((s, d) => {
@@ -176,6 +185,22 @@ object ProfileQueries {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // one UNION ALL arm per documents column, mirroring the generic
+    // plan-time expansion (dtype literals = Spark simpleString names)
+    "q101_profile_generic" -> {
+      def arm(cname: String, dtype: String) =
+        s"""SELECT '$cname' AS col_name, '$dtype' AS dtype,
+           |  count(*) AS n_rows,
+           |  (count(*) - count($cname))::BIGINT AS n_null,
+           |  count(DISTINCT $cname) AS n_distinct,
+           |  substr(min($cname)::VARCHAR, 1, 24) AS min_repr,
+           |  substr(max($cname)::VARCHAR, 1, 24) AS max_repr
+           |FROM documents""".stripMargin
+      Seq(("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"))
+        .map { case (c, t) => arm(c, t) }.mkString("\nUNION ALL\n")
+    },
 
     "q40_profile_orders" ->
       """SELECT count(*) AS n_rows,

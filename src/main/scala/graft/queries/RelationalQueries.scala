@@ -225,6 +225,35 @@ object RelationalQueries {
         .crossJoin(broadcast(tot))
     }),
 
+    // Incremental JOIN-view maintenance (q84's pattern lifted from
+    // aggregates to joins): with both sides split into base ∪ delta at a
+    // date cutoff, V = A⋈B decomposes into the four delta terms
+    // A₀⋈B₀ + A₀⋈ΔB + ΔA⋈B₀ + ΔA⋈ΔB — the identity an incremental
+    // materialized join view applies so only delta-sided terms (each one
+    // bounded by the day's increment) run per refresh while the base⋈base
+    // term is never recomputed. The Spark side BUILDS the view from the
+    // four terms; the oracle recomputes the full join flat — the hash
+    // match is the maintenance-identity proof, exact to integer cents.
+    "q100_incremental_join" -> ((s, d) => {
+      val cut = lit("1999-01-01").cast("date")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("sd"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val (ob, od2) = (o.filter(col("od") < cut), o.filter(col("od") >= cut))
+      val (lb, ld) = (l.filter(col("sd") < cut), l.filter(col("sd") >= cut))
+      val joined = Seq((ob, lb), (ob, ld), (od2, lb), (od2, ld))
+        .map { case (x, y) =>
+          x.join(y, col("o_orderkey") === col("l_orderkey"))
+            .select(col("l_returnflag"), col("cents"))
+        }
+        .reduce(_.unionAll(_))
+      joined.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("revenue_cents"))
+    }),
+
     // Sketch surface: HLL++ approximate distinct next to the exact count.
     // Sketch estimates differ across engines by design, so the oracle-checked
     // output is the exact count PLUS a boolean asserting the sketch landed
@@ -270,6 +299,14 @@ object RelationalQueries {
     // a<b<c orientation — the triangle SET (hence every per-node count and
     // the totals) is orientation-independent, so the hash must match the
     // Spark side's degree-oriented plan exactly.
+    // flat full join + agg: equality with the four-term union IS the
+    // incremental-maintenance identity check
+    "q100_incremental_join" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+
     "q96_triangle_census" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
          |edges AS (SELECT a, b FROM (
