@@ -188,6 +188,66 @@ object SnapshotTable {
       }
       .start()
 
+  /** MERGE / upsert by key: rows of `updates` replace same-key rows
+    * anywhere in the table; update keys the table has never seen are
+    * inserts. COPY-ON-WRITE at FILE granularity — one column-pruned scan
+    * of the key columns finds the files that actually contain a matched
+    * key, only those are rewritten (matched rows swapped for their update
+    * row), and every untouched file carries into the new manifest BY
+    * REFERENCE: merging one hot key into a 100 TB table rewrites one
+    * file, not the table.
+    *
+    * Concurrency is OPTIMISTIC with conflict DETECTION, not blind retry:
+    * the commit asserts the version the rewrite was derived from, and a
+    * concurrent commit landing in between aborts with
+    * [[ConcurrentCommitException]] — the rewritten rows would silently
+    * resurrect the racer's replaced data otherwise (the lost-update
+    * anomaly MERGE exists to prevent). Callers re-read and re-merge.
+    *
+    * `updates` must carry the key columns; other columns resolve by name
+    * against the table schema (missing ones null-fill, like any
+    * schema-evolving append). Duplicate keys WITHIN `updates` are the
+    * caller's bug — both rows land.
+    */
+  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+             keys: Seq[String], asOfVersion: Option[Long] = None): Long = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    asOfVersion.orElse(latestVersion(tableDir)) match {
+      case None => commitAppend(updates, tableDir)
+      case Some(v) =>
+        // `asOfVersion` pins the snapshot the merge derives from (defaults
+        // to latest-at-entry) — the commit asserts the table has not moved
+        // past it, so a caller that read at version v gets serializable
+        // read-merge-write or a clean abort
+        val snap = snapshot(tableDir, v)
+        val schemaOpt = versionSchema(snap)
+        def readFiles(rel: Seq[String]): DataFrame = {
+          val paths = rel.map(f => Paths.get(tableDir, f).toString)
+          schemaOpt match {
+            case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
+            case None     => spark.read.parquet(paths: _*)
+          }
+        }
+        // the pruning scan reads ONLY the key columns (columnar projection)
+        val keyCols = keys.map(col)
+        val touchedPaths = readFiles(snap.files)
+          .select(input_file_name().as("__file") +: keyCols: _*)
+          .join(updates.select(keyCols: _*).distinct(), keys, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        // input_file_name yields URIs; manifest entries are
+        // tableDir-relative — match on the path suffix
+        val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith(f)))
+        val newRows =
+          if (touched.isEmpty) updates
+          else readFiles(touched).join(updates.select(keyCols: _*).distinct(),
+              keys, "left_anti")
+            .unionByName(updates, allowMissingColumns = true)
+        commit(newRows, tableDir, replace = false,
+          dropFiles = touched.toSet, expectedVersion = Some(v))
+    }
+  }
+
   /** The latest snapshot as a DataFrame. */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir,
@@ -274,14 +334,7 @@ object SnapshotTable {
     // the _SUCCESS markers, which manifests never reference)
     val liveDirs = live.map(f => Paths.get(tableDir, f).getParent)
     val deadDirs = dead.map(f => Paths.get(tableDir, f).getParent) -- liveDirs
-    def deleteTree(dir: Path): Unit =
-      if (Files.isDirectory(dir)) {
-        val s = Files.walk(dir)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally s.close()
-      }
-    deadDirs.foreach(deleteTree)
+    deadDirs.foreach(deleteRecursively)
     drop.foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
     val orphans = orphanAgeMs.fold(0) { age =>
       // referenced-by-ANY-manifest set AFTER the drop above — what remains
@@ -298,7 +351,7 @@ object SnapshotTable {
             Files.isDirectory(p) && Files.getLastModifiedTime(p).toMillis < cutoff
         }.toList
         finally s.close()
-      candidates.foreach(deleteTree)
+      candidates.foreach(deleteRecursively)
       candidates.length
     }
     (drop.length, dead.size + orphans)
@@ -307,7 +360,9 @@ object SnapshotTable {
   private def commit(
       df: DataFrame, tableDir: String, replace: Boolean,
       extraMeta: Seq[String] = Seq.empty,
-      zoneCol: Option[String] = None): Long = {
+      zoneCol: Option[String] = None,
+      dropFiles: Set[String] = Set.empty,
+      expectedVersion: Option[Long] = None): Long = {
     init(tableDir)
     // stage immutable data files under a unique dir (never visible until a
     // manifest references them)
@@ -339,7 +394,18 @@ object SnapshotTable {
     var attempt = 0
     while (attempt < 64) {
       val prev = latestVersion(tableDir).map(snapshot(tableDir, _))
-      val base = if (replace) Seq.empty else prev.map(_.files).getOrElse(Seq.empty)
+      // copy-on-write commits (upsert) asserted the version their file
+      // rewrite was derived from: a concurrent commit in between means the
+      // rewritten rows are stale — abort, never retry blindly (the caller
+      // re-reads and re-merges). The staged dir is deleted here; a crash
+      // before this line leaves it to vacuum's orphan sweep.
+      if (expectedVersion.exists(ev => prev.map(_.version) != Some(ev))) {
+        deleteRecursively(Paths.get(tableDir, dataSub))
+        throw new ConcurrentCommitException(
+          s"table $tableDir moved past expected version ${expectedVersion.get} during a rewrite commit")
+      }
+      val base = if (replace) Seq.empty
+        else prev.map(_.files.filterNot(dropFiles)).getOrElse(Seq.empty)
       // stream watermarks carry forward into EVERY manifest (replace and
       // other writers' appends included): the exactly-once guarantee must
       // survive vacuum dropping the manifest that originally recorded a
@@ -367,7 +433,10 @@ object SnapshotTable {
         }
       val carried = prevMeta.view.filterKeys(k =>
           k.startsWith("stream:") ||
-            (!replace && !zoneColChanged && (k.startsWith("zone:") || k == "zonecol"))).toMap ++
+            (!replace && !zoneColChanged && (k.startsWith("zone:") || k == "zonecol")))
+        // a rewritten (dropped) file's stats describe rows that just moved
+        .filterKeys(k => !(k.startsWith("zone:") && dropFiles(k.stripPrefix("zone:"))))
+        .toMap ++
         (extraMeta ++ zoneMeta)
           .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap ++
         schemaEntry
@@ -377,8 +446,10 @@ object SnapshotTable {
       // with the CAS succeeding while silently dropping the racer's files
       // and stream watermarks (lost update)
       val v = prev.map(_.version + 1).getOrElse(1L)
+      val op =
+        if (replace) "replace" else if (dropFiles.nonEmpty) "merge" else "append"
       val body =
-        (Seq(s"version=$v", s"op=${if (replace) "replace" else "append"}")
+        (Seq(s"version=$v", s"op=$op")
           ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
           ++ base ++ staged)
           .mkString("", "\n", "\n")
@@ -399,6 +470,14 @@ object SnapshotTable {
     throw new ConcurrentCommitException(
       s"lost the commit race $attempt times in $tableDir — livelocked writers?")
   }
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 
   private def listParquet(dir: Path): Seq[String] = {
     val s = Files.list(dir)

@@ -273,6 +273,65 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, t).as[Int].collect().toSeq === Seq(1))
   }
 
+  test("upsert: matched keys replaced, new keys inserted, untouched files carried by reference") {
+    val t = tmpTable()
+    // three single-file commits so file-level copy-on-write is observable
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(Seq((4L, "d")).toDF("k", "v").coalesce(1), t)
+    val before = SnapshotTable.snapshot(t, 3L).files.toSet
+    val v = SnapshotTable.upsert(spark, t,
+      Seq((2L, "B2"), (5L, "E")).toDF("k", "v"), Seq("k"))
+    assert(v === 4L)
+    val got = SnapshotTable.read(spark, t).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"), (5L, "E")))
+    val after = SnapshotTable.snapshot(t, 4L)
+    assert(after.op === "merge")
+    // only the file containing k=2 was rewritten; the other two carry over
+    val carried = before.intersect(after.files.toSet)
+    assert(carried.size === 2, s"carried=$carried")
+    // time travel still sees the pre-merge row
+    val old = SnapshotTable.readVersion(spark, t, 3L).as[(Long, String)]
+      .collect().toMap
+    assert(old(2L) === "b")
+  }
+
+  test("upsert with no matched keys is a pure insert; empty table bootstraps") {
+    val t = tmpTable()
+    SnapshotTable.upsert(spark, t, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    val files2 = SnapshotTable.snapshot(t, 2L).files.toSet
+    SnapshotTable.upsert(spark, t, Seq((9L, "z")).toDF("k", "v"), Seq("k"))
+    val after = SnapshotTable.snapshot(t, 3L)
+    assert(after.op === "append") // nothing rewritten
+    assert(files2.subsetOf(after.files.toSet))
+    assert(SnapshotTable.read(spark, t).count() === 3L)
+  }
+
+  test("upsert conflict: a commit landing mid-merge aborts instead of losing it") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    // racer lands AFTER the merge's read point (asOfVersion pins it to v1)
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    val updates = Seq((2L, "B2")).toDF("k", "v")
+    val ex = intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.upsert(spark, t, updates, Seq("k"), asOfVersion = Some(1L))
+    }
+    assert(ex.getMessage.contains("expected version 1"))
+    // the aborted attempt leaves no manifest and no staged data dir
+    assert(SnapshotTable.versions(t) === Seq(1L, 2L))
+    val dirs = Files.list(Paths.get(t)).iterator()
+    val dataDirs = new scala.collection.mutable.ArrayBuffer[String]
+    while (dirs.hasNext) { val p = dirs.next().getFileName.toString
+      if (p.startsWith("data-")) dataDirs += p }
+    val referenced = SnapshotTable.snapshot(t, 2L).files.map(_.split('/').head).toSet
+    assert(dataDirs.toSet === referenced)
+    // re-merge from the current version succeeds and loses neither write
+    SnapshotTable.upsert(spark, t, updates, Seq("k"))
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().toMap
+      === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
