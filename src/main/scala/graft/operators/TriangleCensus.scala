@@ -38,6 +38,9 @@ object TriangleCensus {
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     def rank(dc: String, ic: String) = struct(col(dc).as("d"), col(ic).as("i"))
+    // three consumers (both wedge sides + the closure probe) and AQE does
+    // not guarantee exchange reuse across them — persist, or the
+    // edge+degree join pipeline executes three times
     val o = e
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
@@ -46,6 +49,7 @@ object TriangleCensus {
         when(rank("da", "a") < rank("db", "b"), col("b")).otherwise(col("a")).as("odst"),
         when(rank("da", "a") < rank("db", "b"), rank("db", "b"))
           .otherwise(rank("da", "a")).as("dkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     o.as("e1").join(o.as("e2"),
         col("e1.osrc") === col("e2.osrc") && (col("e1.dkey") < col("e2.dkey")))
       .select(col("e1.osrc").as("ta"), col("e1.odst").as("tb"), col("e2.odst").as("tc"))

@@ -191,34 +191,44 @@ object RelationalQueries {
 
     // Triangle census of the co-purchase graph (parts linked when some
     // order contains both), DOULION-style: edges are kept by a
-    // deterministic portable-hash coin (md5 % 4 == 0, p = 1/4), triangles
+    // deterministic portable-hash coin (md5 % 8 == 0, p = 1/8), triangles
     // are counted EXACTLY on the sparsified graph, and the unbiased
-    // full-graph estimate is the integer 64·count (1/p³) — no floats
+    // full-graph estimate is the integer 512·count (1/p³) — no floats
     // anywhere, so the oracle replays the sampling AND the census
     // bit-identically. The count itself runs on (deg, id)-oriented edges:
     // every triangle has exactly one source whose two out-edges hit it,
     // the wedge join fans out by OUT-degree (bounded by √2m after
     // orientation — the reason a 100× graph doesn't quadratically blow the
     // shuffle), and a final semi-join closes the wedge. Sampling first is
-    // what makes the wedge stage affordable: p² of wedges survive (~16×
+    // what makes the wedge stage affordable: p² of wedges survive (~64×
     // off), which is the DOULION trade — variance for shuffle volume.
     "q96_triangle_census" -> ((s, d) => {
+      // no items-level distinct: duplicate (order, part) rows only
+      // duplicate pair INSTANCES, which the edge-level distinct removes —
+      // the edge SET is identical and one 600k-row shuffle disappears
       val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val edges = items.as("x").join(items.as("y"), "ok")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // shuffle-hash, NOT broadcast: the basket side fits the broadcast
+      // threshold at test scale, but broadcasting leaves the O(Σ basket²)
+      // pair fan-out on the probe side's single scan task (testdata is one
+      // row group). Shuffling by order key spreads the quadratic work —
+      // and at 100 TB both sides are far past broadcast anyway, so this IS
+      // the at-scale plan (2.2 → 0.8 s here)
+      val edges = items.as("x").hint("shuffle_hash")
+        .join(items.as("y").hint("shuffle_hash"), "ok")
         .filter(col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("a"), col("y.pk").as("b"))
         // the coin is a pure function of (a,b): tossing BEFORE the dedup
-        // shrinks the distinct's shuffle 4×, same kept set
+        // shrinks the distinct's shuffle 8×, same kept set
         .filter(TextHash.md5Long(
-          concat(col("a").cast("string"), lit("_"), col("b").cast("string"))) % 4 === 0)
+          concat(col("a").cast("string"), lit("_"), col("b").cast("string"))) % 8 === 0)
         .distinct()
       // two consumers (census totals + per-node rollup) — persist, or the
       // whole wedge pipeline executes twice (q90's lesson)
       val tri = graft.operators.TriangleCensus.triangles(edges, "a", "b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = tri.agg(count(lit(1)).as("sparse_triangles"))
-        .withColumn("est_triangles", col("sparse_triangles") * 64)
+        .withColumn("est_triangles", col("sparse_triangles") * 512)
       tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
         .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
         .orderBy(desc("n_tri"), asc("part")).limit(20)
@@ -312,12 +322,12 @@ object RelationalQueries {
          |edges AS (SELECT a, b FROM (
          |    SELECT DISTINCT x.pk a, y.pk b FROM items x
          |    JOIN items y ON x.ok = y.ok AND x.pk < y.pk)
-         |  WHERE ${TextHash.md5LongSql("a::VARCHAR || '_' || b::VARCHAR")} % 4 = 0),
+         |  WHERE ${TextHash.md5LongSql("a::VARCHAR || '_' || b::VARCHAR")} % 8 = 0),
          |tri AS (SELECT e1.a ta, e1.b tb, e2.b tc FROM edges e1
          |  JOIN edges e2 ON e2.a = e1.b
          |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
          |tot AS (SELECT count(*) AS sparse_triangles,
-         |        (count(*) * 64)::BIGINT AS est_triangles FROM tri),
+         |        (count(*) * 512)::BIGINT AS est_triangles FROM tri),
          |nodes AS (SELECT unnest([ta, tb, tc]) AS part FROM tri),
          |cnt AS (SELECT part, count(*) AS n_tri FROM nodes GROUP BY part)
          |SELECT part, n_tri, sparse_triangles, est_triangles FROM cnt, tot
