@@ -14,6 +14,44 @@ import graft.functions.TextHash
   */
 object RelationalQueries {
 
+  /** DOULION-sparsified co-purchase graph (q96/q102's shared input):
+    * parts linked when some order contains both, edges kept by the
+    * deterministic md5 coin at p = 1/8.
+    *
+    * - No items-level distinct: duplicate (order, part) rows only
+    *   duplicate pair INSTANCES, which the edge-level distinct removes —
+    *   the edge SET is identical and one 600k-row shuffle disappears.
+    * - shuffle-hash, NOT broadcast: the basket side fits the broadcast
+    *   threshold at test scale, but broadcasting leaves the O(Σ basket²)
+    *   pair fan-out on the probe side's single scan task (testdata is one
+    *   row group). Shuffling by order key spreads the quadratic work —
+    *   and at 100 TB both sides are far past broadcast anyway, so this IS
+    *   the at-scale plan (2.2 → 0.8 s here).
+    * - The coin is a pure function of (a,b): tossing BEFORE the dedup
+    *   shrinks the distinct's shuffle 8×, same kept set. */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    items.as("x").hint("shuffle_hash")
+      .join(items.as("y").hint("shuffle_hash"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .filter(TextHash.md5Long(
+        concat(col("a").cast("string"), lit("_"), col("b").cast("string"))) % 8 === 0)
+      .distinct()
+  }
+
+  /** The same edge set in DuckDB (lockstep with [[copurchaseEdges]]).
+    * MATERIALIZED: DuckDB inlines multiply-referenced CTEs, and q102's 12
+    * unrolled rounds would re-run the parquet self-join per reference
+    * (which also exhausts file descriptors re-opening the scan). */
+  private val copurchaseEdgesSql: String =
+    s"""items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+       |edges AS MATERIALIZED (SELECT a, b FROM (
+       |    SELECT DISTINCT x.pk a, y.pk b FROM items x
+       |    JOIN items y ON x.ok = y.ok AND x.pk < y.pk)
+       |  WHERE ${TextHash.md5LongSql("a::VARCHAR || '_' || b::VARCHAR")} % 8 = 0)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text normalization (cleanup pass of a text pipeline).
     "q27_text_normalize" -> ((s, d) => {
@@ -203,26 +241,7 @@ object RelationalQueries {
     // what makes the wedge stage affordable: p² of wedges survive (~64×
     // off), which is the DOULION trade — variance for shuffle volume.
     "q96_triangle_census" -> ((s, d) => {
-      // no items-level distinct: duplicate (order, part) rows only
-      // duplicate pair INSTANCES, which the edge-level distinct removes —
-      // the edge SET is identical and one 600k-row shuffle disappears
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      // shuffle-hash, NOT broadcast: the basket side fits the broadcast
-      // threshold at test scale, but broadcasting leaves the O(Σ basket²)
-      // pair fan-out on the probe side's single scan task (testdata is one
-      // row group). Shuffling by order key spreads the quadratic work —
-      // and at 100 TB both sides are far past broadcast anyway, so this IS
-      // the at-scale plan (2.2 → 0.8 s here)
-      val edges = items.as("x").hint("shuffle_hash")
-        .join(items.as("y").hint("shuffle_hash"), "ok")
-        .filter(col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
-        // the coin is a pure function of (a,b): tossing BEFORE the dedup
-        // shrinks the distinct's shuffle 8×, same kept set
-        .filter(TextHash.md5Long(
-          concat(col("a").cast("string"), lit("_"), col("b").cast("string"))) % 8 === 0)
-        .distinct()
+      val edges = copurchaseEdges(s, d)
       // two consumers (census totals + per-node rollup) — persist, or the
       // whole wedge pipeline executes twice (q90's lesson)
       val tri = graft.operators.TriangleCensus.triangles(edges, "a", "b")
@@ -262,6 +281,21 @@ object RelationalQueries {
         .reduce(_.unionAll(_))
       joined.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("revenue_cents"))
+    }),
+
+    // k-core decomposition (operators/KCore): peel the co-purchase graph
+    // to its 8-core. The synchronous peel is ORDER-FREE — each round's
+    // drop set is a pure function of the previous survivor set — so the
+    // whole attrition curve is deterministic: row 0 = final core size,
+    // row r = nodes dropped in round r. The oracle replays every round in
+    // unrolled SQL (the PageRank/k-means unrolled-CTE pattern); the Spark
+    // side iterates to the true fixpoint, so a convergence mismatch with
+    // the unroll bound would hash-fail loudly.
+    "q102_kcore" -> ((s, d) => {
+      import s.implicits._
+      val res = graft.operators.KCore.decompose(copurchaseEdges(s, d), "a", "b", k = 8)
+      ((0 -> res.core.count()) +: res.attrition)
+        .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
     // Sketch surface: HLL++ approximate distinct next to the exact count.
@@ -317,12 +351,38 @@ object RelationalQueries {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY l_returnflag""".stripMargin,
 
+    // 12 unrolled peel rounds (both SFs converge in <= 4; extra rounds are
+    // no-ops past the fixpoint, so the unroll bound is safe slack)
+    "q102_kcore" -> {
+      val k = 8; val rounds = 12
+      // every per-round CTE is MATERIALIZED: each is referenced 2-3 times
+      // by the next round, and DuckDB's default inlining would re-evaluate
+      // the chain exponentially (3^12 expansions of a0)
+      val roundCtes = (1 to rounds).map { r =>
+        s"""er$r AS MATERIALIZED (SELECT a, b FROM edges
+           |  JOIN a${r - 1} x ON edges.a = x.v JOIN a${r - 1} y ON edges.b = y.v),
+           |d$r AS MATERIALIZED (SELECT al.v, coalesce(g.cnt, 0) AS deg FROM a${r - 1} al
+           |  LEFT JOIN (SELECT v, count(*) AS cnt FROM
+           |    (SELECT a AS v FROM er$r UNION ALL SELECT b AS v FROM er$r)
+           |    GROUP BY v) g ON al.v = g.v),
+           |a$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $k)""".stripMargin
+      }.mkString(",\n")
+      val dropSelects = (1 to rounds).map { r =>
+        s"""SELECT * FROM (SELECT $r AS round,
+           |  (SELECT count(*) FROM d$r WHERE deg < $k)::BIGINT AS n_nodes)
+           |WHERE n_nodes > 0""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $copurchaseEdgesSql,
+         |a0 AS MATERIALIZED (SELECT DISTINCT v FROM
+         |  (SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)),
+         |$roundCtes
+         |SELECT 0 AS round, count(*)::BIGINT AS n_nodes FROM a$rounds
+         |UNION ALL
+         |$dropSelects""".stripMargin
+    },
+
     "q96_triangle_census" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
-         |edges AS (SELECT a, b FROM (
-         |    SELECT DISTINCT x.pk a, y.pk b FROM items x
-         |    JOIN items y ON x.ok = y.ok AND x.pk < y.pk)
-         |  WHERE ${TextHash.md5LongSql("a::VARCHAR || '_' || b::VARCHAR")} % 8 = 0),
+      s"""WITH $copurchaseEdgesSql,
          |tri AS (SELECT e1.a ta, e1.b tb, e2.b tc FROM edges e1
          |  JOIN edges e2 ON e2.a = e1.b
          |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
