@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomFilterAgg, CountMinSketchAgg, DotProduct, GramMatrixMicro, Md5Long, MisraGriesAgg, TopKByScore}
+import graft.functions.{BitmapDistinctAgg, BloomFilterAgg, CountMinSketchAgg, DotProduct, GramMatrixMicro, Md5Long, MisraGriesAgg, TopKByScore}
 
 /** Session-extension installer for the engine's custom Catalyst
   * expressions — the idiomatic deployment path:
@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_misra_gries", "graft_misra_gries(key, k) - bounded heavy-hitter summary (est <= count <= est + n/(k+1))"),
       (exprs: Seq[Expression]) => MisraGriesAgg(exprs.head,
         intLit(exprs(1), "k")).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap"),
+      info("graft_bitmap", "graft_bitmap(key, capacity) - exact distinct bitmap over [0, capacity) as array<bigint> words"),
+      (exprs: Seq[Expression]) => BitmapDistinctAgg(exprs.head,
+        intLit(exprs(1), "capacity")).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_micro"),
       info("graft_gram_micro", "graft_gram_micro(vec, dim) - integer-micro gram matrix upper triangle"),

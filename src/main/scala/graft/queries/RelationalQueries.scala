@@ -298,6 +298,59 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Jaro–Winkler similarity audit (functions/JaroWinkler): every pair
+    // of the DEDUPED name vocabulary scored by the codegen'd expression.
+    // The oracle is DuckDB's own jaro_winkler_similarity — a genuinely
+    // INDEPENDENT second implementation (not a replay): the hash match
+    // proves the match-window/transposition/prefix-boost semantics agree
+    // bit-for-bit on every pair. Vocabulary-first is the q80 linkage
+    // insight: 64 distinct names whatever the row count; a large vocab
+    // would add blocking (q80) before the quadratic stage.
+    "q105_jaro_winkler_audit" -> ((s, d) => {
+      val v = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      v.as("x").join(v.as("y"), col("x.name") < col("y.name"))
+        .select(col("x.name").as("name_a"), col("y.name").as("name_b"),
+          graft.functions.PortableMath.roundPortable(
+            graft.functions.JaroWinkler.jaroWinkler(col("x.name"), col("y.name")), 6)
+            .as("jw"))
+    }),
+
+    // Distribution-rank window surface: percent_rank and cume_dist per
+    // priority class, completing the rank family (row_number/dense_rank/
+    // lag in q30, ntile in q85). The order key (price, orderkey) is a
+    // total order, so every rank is deterministic; both ratios divide
+    // exact small ints and get the portable floor-round on both engines.
+    "q104_rank_surface" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          graft.functions.PortableMath.roundPortable(percent_rank().over(w), 6).as("pct_rank"),
+          graft.functions.PortableMath.roundPortable(cume_dist().over(w), 6).as("cume"))
+    }),
+
+    // Bitmap-index distinct (functions/BitmapAggregate): one bit per key
+    // in a bounded dense domain ⇒ the aggregate is EXACT, merges by OR,
+    // and supports exact SET ALGEBRA between groups after aggregation —
+    // the thing no cardinality sketch can do. Per returnflag: the partkey
+    // bitmap; per flag pair: exact |A|, |B|, |A∩B|, |A∪B| via zip_with +
+    // bit_count on the word arrays. The capacity is sized by one tiny
+    // max() probe (a driver-side scalar, like KMeansIVF's sample fit).
+    "q103_bitmap_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("pk"))
+      val cap = (li.agg(max(col("pk"))).head().getLong(0) + 1).toInt
+      val bm = li.groupBy(col("flag"))
+        .agg(graft.functions.BitmapAggregate.bitmap(col("pk"), cap).as("bm"))
+      bm.as("x").join(bm.as("y"), col("x.flag") < col("y.flag"))
+        .select(col("x.flag").as("flag_a"), col("y.flag").as("flag_b"),
+          graft.functions.BitmapAggregate.cardinality(col("x.bm")).as("n_a"),
+          graft.functions.BitmapAggregate.cardinality(col("y.bm")).as("n_b"),
+          graft.functions.BitmapAggregate
+            .intersectCount(col("x.bm"), col("y.bm")).as("n_common"))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+    }),
+
     // Sketch surface: HLL++ approximate distinct next to the exact count.
     // Sketch estimates differ across engines by design, so the oracle-checked
     // output is the exact count PLUS a boolean asserting the sketch landed
@@ -350,6 +403,32 @@ object RelationalQueries {
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q105_jaro_winkler_audit" ->
+      """WITH v AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT x.name AS name_a, y.name AS name_b,
+        |  floor(jaro_winkler_similarity(x.name, y.name) * 1000000 + 0.5) / 1000000 AS jw
+        |FROM v x JOIN v y ON x.name < y.name""".stripMargin,
+
+    "q104_rank_surface" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "q103_bitmap_distinct" ->
+      """WITH s AS (SELECT DISTINCT l_returnflag AS flag, l_partkey AS pk FROM lineitem),
+        |c AS (SELECT flag, count(*) AS n FROM s GROUP BY flag),
+        |i AS (SELECT x.flag fa, y.flag fb, count(*) AS n_common
+        |      FROM s x JOIN s y ON x.pk = y.pk AND x.flag < y.flag
+        |      GROUP BY 1, 2)
+        |SELECT ca.flag AS flag_a, cb.flag AS flag_b, ca.n AS n_a, cb.n AS n_b,
+        |  coalesce(i.n_common, 0)::BIGINT AS n_common,
+        |  (ca.n + cb.n - coalesce(i.n_common, 0))::BIGINT AS n_union
+        |FROM c ca JOIN c cb ON ca.flag < cb.flag
+        |LEFT JOIN i ON i.fa = ca.flag AND i.fb = cb.flag""".stripMargin,
 
     // 12 unrolled peel rounds (both SFs converge in <= 4; extra rounds are
     // no-ops past the fixpoint, so the unroll bound is safe slack)

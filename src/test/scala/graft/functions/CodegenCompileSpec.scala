@@ -46,6 +46,12 @@ class CodegenCompileSpec extends AnyFunSuite {
       SimHash60(text)))
   }
 
+  test("Jaro-Winkler compiles in an UnsafeProjection") {
+    val a = BoundReference(0, StringType, nullable = true)
+    val b = BoundReference(1, StringType, nullable = true)
+    CodegenCompile.compileUnsafeProjection(Seq(JaroWinklerExpr(a, b)))
+  }
+
   test("BPE expressions compile in an UnsafeProjection (incl nested merges)") {
     val text = BoundReference(0, StringType, nullable = true)
     val init = BpeInitSymbols(text)
