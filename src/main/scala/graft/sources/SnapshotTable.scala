@@ -248,6 +248,52 @@ object SnapshotTable {
     }
   }
 
+  /** Change data feed between two versions: row-level (+1 insert /
+    * −1 delete) deltas computed from the MANIFEST DIFF — only files that
+    * entered or left the table between the versions are read, so the CDF
+    * of an append touches just the appended files and the CDF of a
+    * file-granular [[upsert]] touches just the rewritten files, never the
+    * 100 TB of carried-by-reference data. Multiset semantics via
+    * exceptAll: an update appears as one delete (old row) + one insert
+    * (new row); rows that moved files unchanged cancel out.
+    *
+    * Returns the `toVersion` schema plus `_change` ("insert"/"delete").
+    * Both versions must still be retained (not vacuumed). */
+  def changes(spark: SparkSession, tableDir: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val from = snapshot(tableDir, fromVersion)
+    val to = snapshot(tableDir, toVersion)
+    val entered = (to.files.toSet -- from.files.toSet).toSeq.sorted
+    val left = (from.files.toSet -- to.files.toSet).toSeq.sorted
+    // resolve BOTH sides with the destination schema so schema evolution
+    // across the range compares by name (old files null-fill new columns)
+    val sc = versionSchema(to)
+    def readRel(rel: Seq[String]): Option[DataFrame] =
+      if (rel.isEmpty) None
+      else {
+        val paths = rel.map(f => Paths.get(tableDir, f).toString)
+        Some(sc match {
+          case Some(st) => spark.read.schema(asNullable(st)).parquet(paths: _*)
+          case None     => spark.read.parquet(paths: _*)
+        })
+      }
+    (readRel(entered), readRel(left)) match {
+      case (None, None) =>
+        readVersion(spark, tableDir, toVersion).limit(0)
+          .withColumn("_change", org.apache.spark.sql.functions.lit(""))
+      case (Some(n), None) =>
+        n.withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
+      case (None, Some(o)) =>
+        o.withColumn("_change", org.apache.spark.sql.functions.lit("delete"))
+      case (Some(n), Some(o)) =>
+        n.exceptAll(o).withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
+          .unionAll(o.exceptAll(n)
+            .withColumn("_change", org.apache.spark.sql.functions.lit("delete")))
+    }
+  }
+
   /** The latest snapshot as a DataFrame. */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir,

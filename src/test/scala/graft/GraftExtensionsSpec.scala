@@ -66,6 +66,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT graft_misra_gries(t, 2) AS m FROM VALUES ('a'),('a'),('b'),('a') AS v(t)")
         .head().getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getLong(1)))
       assert(mg == Seq(("a", 3L), ("b", 1L))) // k >= distinct: exact counts
+      val bmBits = s.sql(
+        "SELECT graft_bitmap(k, 128) AS b FROM VALUES (0L),(64L),(64L),(127L) AS v(k)")
+        .head().getSeq[Long](0).map(java.lang.Long.bitCount(_)).sum
+      assert(bmBits == 3) // exact distinct of {0, 64, 127}
       intercept[Exception] {
         s.sql("SELECT graft_topk(score, p, p) FROM VALUES (1.0D, 1L) AS v(score, p)").collect()
       }

@@ -49,4 +49,22 @@ class StreamingSketchSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("bitmap accumulates across micro-batches identically to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (1 to 500).map(i => (i * 37) % 400L)
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("k")
+      .agg(BitmapAggregate.bitmap(col("k"), 400).as("bm"))
+      .writeStream.outputMode("complete").format("memory").queryName("bitmap_stream").start()
+    try {
+      keys.grouped(120).foreach { chunk => mem.addData(chunk: _*); q.processAllAvailable() }
+      val streamed = spark.table("bitmap_stream").head().getSeq[Long](0)
+      val batch = keys.toDF("k")
+        .agg(BitmapAggregate.bitmap(col("k"), 400).as("bm"))
+        .head().getSeq[Long](0)
+      assert(streamed == batch)
+      assert(streamed.map(java.lang.Long.bitCount(_).toLong).sum == keys.distinct.size)
+    } finally q.stop()
+  }
 }

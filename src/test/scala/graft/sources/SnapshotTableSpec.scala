@@ -332,6 +332,34 @@ class SnapshotTableSpec extends AnyFunSuite {
       === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
   }
 
+  test("change data feed: append, upsert, and replace produce row-level deltas") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.upsert(spark, t, Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    def cdf(from: Long, to: Long): Set[(Long, String, String)] =
+      SnapshotTable.changes(spark, t, from, to).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // append: pure inserts
+    assert(cdf(1, 2) == Set((3L, "c", "insert")))
+    // upsert: update = delete(old) + insert(new); untouched rows in the
+    // rewritten file cancel via exceptAll; carried files are never read
+    assert(cdf(2, 3) == Set(
+      (2L, "b", "delete"), (2L, "B2", "insert"), (4L, "d", "insert")))
+    // cross-range: composed deltas
+    assert(cdf(1, 3) == Set(
+      (3L, "c", "insert"), (2L, "b", "delete"), (2L, "B2", "insert"),
+      (4L, "d", "insert")))
+    // replace: everything old deleted, everything new inserted, minus
+    // multiset overlap
+    SnapshotTable.commitReplace(Seq((1L, "a"), (9L, "z")).toDF("k", "v").coalesce(1), t)
+    // (1L,"a") survives the replace (same row, different file) — the
+    // multiset diff cancels it, so the CDF reports only real changes
+    assert(cdf(3, 4) == Set(
+      (2L, "B2", "delete"), (3L, "c", "delete"), (4L, "d", "delete"),
+      (9L, "z", "insert")))
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
