@@ -307,6 +307,28 @@ object MixQueries {
         .toDF("n", "trace_var", "top4_axis_var", "pca_captures_ge_axes")
     }),
 
+    // Deterministic train/val/test split + stratification audit — the
+    // last step before data ships to training. The split is a pure
+    // function of the id (portable md5 % 100: <80 train, <90 val, else
+    // test), so membership is reproducible anywhere, rows never move
+    // between splits across reruns, and the oracle replays it exactly.
+    // The audit reports the per-split label distribution with a portable-
+    // rounded within-split fraction — the balance check a stratified
+    // pipeline actually reads.
+    "q107_dataset_split" -> ((s, d) => {
+      val wsplit = Window.partitionBy(col("split"))
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          (TextHash.md5Long(col("vec_id").cast("string")) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_split", graft.functions.PortableMath
+          .roundPortable(col("n").cast("double") / sum(col("n")).over(wsplit), 4))
+    }),
+
     // Join-cardinality estimation — the optimizer-statistics primitive at
     // sketch cost: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k) is the inner product
     // of the two frequency vectors, and the Count-Min estimate is
@@ -471,6 +493,18 @@ object MixQueries {
           |    AS top4_axis_var,
           |  TRUE AS pca_captures_ge_axes
           |FROM a""".stripMargin,
+
+      "q107_dataset_split" -> {
+        val h = TextHash.md5LongSql("vec_id::VARCHAR")
+        s"""WITH b AS (SELECT label, ($h) % 100 AS bucket FROM embeddings),
+           |sp AS (SELECT label, CASE WHEN bucket < 80 THEN 'train'
+           |        WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split FROM b),
+           |g AS (SELECT split, label, count(*) AS n FROM sp GROUP BY 1, 2)
+           |SELECT split, label, n,
+           |  floor(n::DOUBLE / (sum(n) OVER (PARTITION BY split)) * 10000 + 0.5) / 10000
+           |    AS frac_of_split
+           |FROM g""".stripMargin
+      },
 
       // both sketches' cells rebuilt with the portable permutations (the
       // q63 replay, twice); the estimate and even the upper-bound boolean

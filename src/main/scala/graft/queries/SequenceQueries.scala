@@ -145,6 +145,30 @@ object SequenceQueries {
         .withColumn("is_current", col("valid_to_us").isNull)
     }),
 
+    // Null imputation — the standard cleaning pass before model features:
+    // missing `value`s fill with the USER's mean (computed over non-null
+    // rows), falling back to the global mean for all-null users. Means are
+    // integer-cent ratios under the portable floor-round, so the imputed
+    // value is bit-identical cross-engine; one user-key hash-agg + one
+    // broadcast scalar, joined back on the same key.
+    "q106_imputation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("cents"))
+      val userMean = ev.filter(col("cents").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(floor(sum(col("cents")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("user_mean_cents"))
+      val globalMean = ev.filter(col("cents").isNotNull)
+        .agg(floor(sum(col("cents")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("global_mean_cents"))
+      ev.join(userMean, Seq("user_id"), "left")
+        .crossJoin(broadcast(globalMean))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("cents"), col("user_mean_cents"), col("global_mean_cents"))
+            .as("cents_filled"),
+          col("cents").isNull.as("was_imputed"))
+    }),
+
     // Weekly retention cohorts: users grouped by first-activity week;
     // n_active counts who returns k weeks later. Four key-parallel hops
     // — distinct (user, week), per-user min week, user-key join, final
@@ -355,6 +379,21 @@ object SequenceQueries {
         |  (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL)
         |    AS is_current
         |FROM g""".stripMargin,
+
+    "q106_imputation" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |        CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |um AS (SELECT user_id,
+        |        CAST(floor(sum(cents)::DOUBLE / count(*) + 0.5) AS BIGINT)
+        |          AS user_mean_cents
+        |      FROM ev WHERE cents IS NOT NULL GROUP BY user_id),
+        |gm AS (SELECT CAST(floor(sum(cents)::DOUBLE / count(*) + 0.5) AS BIGINT)
+        |          AS global_mean_cents
+        |      FROM ev WHERE cents IS NOT NULL)
+        |SELECT event_id, ev.user_id,
+        |  coalesce(cents, user_mean_cents, global_mean_cents) AS cents_filled,
+        |  (cents IS NULL) AS was_imputed
+        |FROM ev LEFT JOIN um ON ev.user_id = um.user_id CROSS JOIN gm""".stripMargin,
 
     "q65_rolling_window" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
