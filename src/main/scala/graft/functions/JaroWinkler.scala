@@ -22,6 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * BIT-FOR-BIT (verified on 5000 corpus pairs before q105 was wired) —
   * which is what lets the oracle be a genuinely independent second
   * implementation rather than a replay.
+  *
+  * Unit caveat: positions are JVM chars (UTF-16 units), so non-BMP
+  * characters count as two units where a code-point implementation
+  * counts one. Identical to DuckDB on ASCII/BMP text (all corpus data);
+  * supplementary-plane text would need a code-point port on both sides.
   */
 object JaroWinklerUtil {
   def jw(a: UTF8String, b: UTF8String): Double = {

@@ -110,6 +110,8 @@ case class MisraGriesAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
+    // writeUTF caps a key at 64 KB — far beyond any token/trigram; a
+    // pathological key fails loudly here rather than corrupting the buffer
     buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
     out.flush()
     bos.toByteArray
