@@ -321,4 +321,84 @@ class PropertyFuzzSpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("PrefixFilterJoin == brute-force all-pairs at random thresholds") {
+    val gen = for {
+      nSets <- Gen.choose(2, 20)
+      universe <- Gen.choose(8, 40)
+      density <- Gen.choose(2, 7)
+      sets <- Gen.listOfN(nSets, Gen.someOf(1L to universe.toLong))
+      tNum <- Gen.choose(1, 10)
+      tDen <- Gen.choose(10, 12)
+    } yield (sets.map(_.toSet).filter(_.nonEmpty).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }, tNum, tDen, density)
+    check("prefixfilter", Prop.forAll(gen) { case (sets, tNum, tDen, _) =>
+      sets.size < 2 || {
+        val got = PrefixFilterJoin.jaccardSelfJoin(
+            sets.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("id", "hs"),
+            "id", "hs", tNum, tDen)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val want = (for {
+          (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+          inter = (sa & sb).size.toLong
+          uni = (sa | sb).size.toLong
+          if inter * tDen >= tNum * uni
+        } yield (ia, ib, inter, uni)).toSet
+        got == want
+      }
+    }, cases = 6)
+  }
+
+  test("TriangleCensus triple set == brute force on random multigraphs") {
+    val gen = for {
+      n <- Gen.choose(4, 18)
+      m <- Gen.choose(3, 40)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield edges
+    check("triangles", Prop.forAll(gen) { edges =>
+      val got = TriangleCensus.triangles(edges.toDF("s", "d"), "s", "d")
+        .collect().map { r =>
+          val t = Seq(r.getLong(0), r.getLong(1), r.getLong(2)).sorted
+          (t(0), t(1), t(2))
+        }.toSet
+      val e = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        .filter(p => p._1 != p._2).toSet
+      val vs = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+      val want = (for {
+        a <- vs; b <- vs if a < b && e((a, b))
+        c <- vs if b < c && e((b, c)) && e((a, c))
+      } yield (a, b, c)).toSet
+      got == want
+    }, cases = 6)
+  }
+
+  test("KCore attrition == synchronous-peel reference at random k") {
+    val gen = for {
+      n <- Gen.choose(4, 16)
+      m <- Gen.choose(3, 36)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+      k <- Gen.choose(1, 4)
+    } yield (edges, k)
+    check("kcore", Prop.forAll(gen) { case (edges, k) =>
+      val e = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+        .filter(p => p._1 != p._2).toSet
+      e.isEmpty || {
+        val res = KCore.decompose(edges.toDF("s", "d"), "s", "d", k)
+        val gotCore = res.core.collect().map(_.getLong(0)).toSet
+        // reference synchronous peel
+        val adj = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        var alive = adj.keySet
+        val refDrops = Seq.newBuilder[(Int, Long)]
+        var round = 0; var done = false
+        while (!done) {
+          round += 1
+          val drop = alive.filter(v => (adj(v) & alive).size < k)
+          if (drop.isEmpty) done = true
+          else { refDrops += (round -> drop.size.toLong); alive = alive -- drop }
+        }
+        gotCore == alive && res.attrition == refDrops.result()
+      }
+    }, cases = 5)
+  }
 }
