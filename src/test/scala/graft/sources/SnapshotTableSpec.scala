@@ -360,6 +360,29 @@ class SnapshotTableSpec extends AnyFunSuite {
       (9L, "z", "insert")))
   }
 
+  test("streaming commits compose with the change data feed: one CDF delta per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = tmpTable()
+    val ckpt = Files.createTempDirectory("graft_cdf_ckpt").toString
+    val mem = MemoryStream[Long]
+    val q = SnapshotTable.startStream(mem.toDF().withColumnRenamed("value", "x"),
+      t, ckpt, "cdf_stream")
+    try {
+      mem.addData(1L, 2L); q.processAllAvailable()
+      mem.addData(3L); q.processAllAvailable()
+      val Seq(v1, v2) = SnapshotTable.versions(t)
+      // each micro-batch is one snapshot; its CDF is exactly that batch's rows
+      val d = SnapshotTable.changes(spark, t, v1, v2).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(d == Set((3L, "insert")))
+      // downstream incremental consumption: latest = previous + CDF inserts
+      val all = SnapshotTable.read(spark, t).collect().map(_.getLong(0)).toSet
+      val prev = SnapshotTable.readVersion(spark, t, v1).collect().map(_.getLong(0)).toSet
+      assert(all == prev ++ d.map(_._1))
+    } finally q.stop()
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
