@@ -29,4 +29,20 @@ object PortableMath {
     val p = math.pow(10, k).toLong
     s"(floor(($e) * $p + 0.5) / $p)"
   }
+
+  /** Column form of [[graft.operators.KMeansIVF.roundHalfAway]]: integer
+    * micro-units rounding half AWAY FROM ZERO, matching DuckDB's
+    * std::round-based `CAST(round(x * 1000000) AS BIGINT)` exactly. NOT
+    * `floor(y + 0.5)`: that addition itself rounds (0.49999999999999994 +
+    * 0.5 == 1.0), diverging half-ulp below each boundary; `y − floor(y)` /
+    * `ceil(y) − y` are exact (operands within 2×, Sterbenz). */
+  def microHalfAway(c: Column): Column = {
+    import org.apache.spark.sql.functions.{ceil, when}
+    val y = c * lit(1000000L)
+    when(y >= 0,
+      when(y - floor(y) >= 0.5, floor(y) + 1).otherwise(floor(y)))
+      .otherwise(
+        when(ceil(y) - y >= 0.5, ceil(y) - 1).otherwise(ceil(y)))
+      .cast("long")
+  }
 }

@@ -224,12 +224,14 @@ object KMeansIVF {
         graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
-  /** DuckDB replay of the FULL pipeline — sample, init, each unrolled Lloyd
-    * iteration, corpus assignment, probe, scan — over the same parquet. */
-  def oracleSql(
-      table: String, idCol: String, vecCol: String, queryPred: String,
-      k: Int, nprobe: Int,
-      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): String = {
+  /** The replay PREFIX shared by the ANN oracle and the q108 cluster-
+    * quality oracle: sample → init → each unrolled Lloyd round → corpus
+    * assignment. Ends INSIDE the WITH list (trailing comma), with CTEs
+    * `assigned(neighbor_id, cv2, bucket)` and `c$iters(cid, cv)` (the
+    * final centroids) in scope for the caller's continuation. */
+  def fitReplayCtes(
+      table: String, idCol: String, vecCol: String,
+      nClusters: Int, iters: Int, sampleMod: Int): String = {
     // `e` renames $idCol to `id`, so the sample predicate hashes `id`
     val sampleH = TextHash.md5LongSql("id::VARCHAR")
     // explicit dot/(norm*norm) instead of list_cosine_similarity: matches
@@ -265,6 +267,20 @@ object KMeansIVF {
     sb ++= s"    row_number() OVER (PARTITION BY e.id\n"
     sb ++= s"      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn\n"
     sb ++= s"  FROM e CROSS JOIN $fin c) WHERE rn = 1),\n"
+    sb.toString
+  }
+
+  /** DuckDB replay of the FULL pipeline — sample, init, each unrolled Lloyd
+    * iteration, corpus assignment, probe, scan — over the same parquet. */
+  def oracleSql(
+      table: String, idCol: String, vecCol: String, queryPred: String,
+      k: Int, nprobe: Int,
+      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): String = {
+    def cos(a: String, b: String): String =
+      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    val fin = s"c$iters"
+    val sb = new StringBuilder
+    sb ++= fitReplayCtes(table, idCol, vecCol, nClusters, iters, sampleMod)
     sb ++= s"q AS (SELECT id AS query_id, v AS qv FROM e WHERE $queryPred),\n"
     sb ++= s"probes AS (SELECT query_id, qv, cid AS bucket FROM (\n"
     sb ++= s"  SELECT q.query_id, q.qv, c.cid,\n"

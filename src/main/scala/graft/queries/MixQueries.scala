@@ -329,6 +329,45 @@ object MixQueries {
           .roundPortable(col("n").cast("double") / sum(col("n")).over(wsplit), 4))
     }),
 
+    // Cluster-quality audit of the q17 k-means fit: per-cluster member
+    // count and within-cluster sum of squares, EXACT in integer micro²
+    // units. Composes the oracle-replayed Lloyd fit (KMeansIVF — same
+    // sample, same iterations) with a map-side assignment and a per-row
+    // exact distance: micro values via the half-away rounding DuckDB's
+    // round() computes, squared diffs summed as longs per row (≤ 64·(8e6)²
+    // ≈ 4e15, safe), then decimal(38,0) across rows (cluster totals pass
+    // int64) emitted as a string — q93's int128-as-VARCHAR pattern. A
+    // drifted centroid, flipped assignment, or broken quantization moves
+    // some cluster's WCSS and hash-fails.
+    "q108_cluster_quality" -> ((s, d) => {
+      val nClusters = 10; val iters = 4; val sampleMod = 5
+      val c = Tables.embeddings(s, d).select(col("vec_id").as("neighbor_id"),
+        graft.operators.VectorOps.asDouble(col("embedding")).as("cv"))
+      val sample = c
+        .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val centroids = graft.operators.KMeansIVF.fit(sample, nClusters, iters)
+      val assigned = graft.operators.KMeansIVF.assignBuckets(c, centroids)
+      // centroid micro ints are exact by construction (the fit's means are
+      // micro-rounded); per-row WCSS selects the assigned centroid's
+      // literal array via a when-chain — only the matched branch evaluates
+      val xm = transform(col("cv"), x => graft.functions.PortableMath.microHalfAway(x))
+      def wcssFor(b: Int): org.apache.spark.sql.Column = {
+        val cm = array(centroids(b).map(x => lit(math.round(x * 1e6))): _*)
+        aggregate(zip_with(xm, cm, (x, cc) => (x - cc) * (x - cc)),
+          lit(0L), (acc, v) => acc + v)
+      }
+      val perRow = centroids.indices.tail.foldLeft(
+        when(col("bucket") === 0, wcssFor(0))) {
+        case (acc, b) => acc.when(col("bucket") === b, wcssFor(b))
+      }
+      assigned
+        .select(col("bucket"), perRow.cast("decimal(38,0)").as("sq"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("sq")).cast("string").as("wcss_micro2"))
+    }),
+
     // Join-cardinality estimation — the optimizer-statistics primitive at
     // sketch cost: |A ⋈ B on k| = Σ_k cntA(k)·cntB(k) is the inner product
     // of the two frequency vectors, and the Count-Min estimate is
@@ -493,6 +532,24 @@ object MixQueries {
           |    AS top4_axis_var,
           |  TRUE AS pca_captures_ge_axes
           |FROM a""".stripMargin,
+
+      // the shared Lloyd-replay prefix (sample → unrolled fit → assignment)
+      // + exact micro² distance sums; sum(BIGINT) is HUGEINT, emitted as
+      // VARCHAR to match the Spark side's decimal-as-string
+      "q108_cluster_quality" -> {
+        val prefix = graft.operators.KMeansIVF.fitReplayCtes(
+          "embeddings", "vec_id", "embedding", nClusters = 10, iters = 4, sampleMod = 5)
+        s"""${prefix}xm AS (SELECT bucket, CAST(round(unnest(cv2) * 1000000) AS BIGINT) AS x,
+           |        unnest(range(1, len(cv2) + 1)) AS pos FROM assigned),
+           |cm AS (SELECT cid AS bucket, CAST(round(unnest(cv) * 1000000) AS BIGINT) AS cc,
+           |        unnest(range(1, len(cv) + 1)) AS pos FROM c4),
+           |dd AS (SELECT xm.bucket, (x - cc) AS df FROM xm JOIN cm
+           |       ON xm.bucket = cm.bucket AND xm.pos = cm.pos),
+           |nn AS (SELECT bucket, count(*) AS n_members FROM assigned GROUP BY bucket)
+           |SELECT dd.bucket, n_members, sum(df * df)::VARCHAR AS wcss_micro2
+           |FROM dd JOIN nn ON dd.bucket = nn.bucket
+           |GROUP BY dd.bucket, n_members""".stripMargin
+      },
 
       "q107_dataset_split" -> {
         val h = TextHash.md5LongSql("vec_id::VARCHAR")
