@@ -298,6 +298,22 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Explicit GROUPING SETS — the general form behind q29's ROLLUP and
+    // q62's CUBE: an arbitrary set list ((flag,status),(flag),(status))
+    // with grouping_id() disambiguating real NULL keys from subtotal
+    // rows (the lattice a reporting layer actually requests). One pass,
+    // partial aggregation covers every set map-side via Expand.
+    "q109_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q109_lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  grouping_id(l_returnflag, l_linestatus) AS gid,
+              |  count(*) AS n_items,
+              |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+              |FROM graft_q109_lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_returnflag), (l_linestatus))""".stripMargin)
+    }),
+
     // Jaro–Winkler similarity audit (functions/JaroWinkler): every pair
     // of the DEDUPED name vocabulary scored by the codegen'd expression.
     // The oracle is DuckDB's own jaro_winkler_similarity — a genuinely
@@ -403,6 +419,15 @@ object RelationalQueries {
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q109_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        |  count(*) AS n_items,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS price_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
 
     "q105_jaro_winkler_audit" ->
       """WITH v AS (SELECT DISTINCT p_name AS name FROM part)

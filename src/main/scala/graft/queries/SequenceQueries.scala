@@ -169,6 +169,33 @@ object SequenceQueries {
           col("cents").isNull.as("was_imputed"))
     }),
 
+    // Exponentially-decayed activity score (half-life = 1 day) over the
+    // trailing 30 days, EXACT: the weight for a day aged `a` (0 = the
+    // window's oldest day) is the integer 1 << a — recency weighting as
+    // bit shifts, because float pow() is not cross-engine-reproducible.
+    // The score is the exact integer Σ n_day · 2^age (≤ ~2^41 here, far
+    // inside int64); dividing by 2^29 would yield the conventional
+    // decayed count, but the NUMERATOR is what's order-free and portable.
+    // One (user, day) agg + a broadcast max-day scalar + one user agg.
+    "q110_decayed_activity" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts").cast("date").as("day"))
+      val bounds = ev.agg(max(col("day")).as("dmax"))
+      ev.crossJoin(broadcast(bounds))
+        .filter(datediff(col("dmax"), col("day")) < 30)
+        .groupBy(col("user_id"), col("day"), col("dmax"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          // the Scala shiftleft() overload takes a literal shift; the SQL
+          // form accepts a column one
+          expr("n * shiftleft(CAST(1 AS BIGINT), CAST(29 - datediff(dmax, day) AS INT))")
+            .as("w"), col("n"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("w")).as("decay_score_x2e29"),
+          sum(col("n")).as("n_events_30d"),
+          count(lit(1)).as("n_active_days"))
+        .orderBy(desc("decay_score_x2e29"), asc("user_id")).limit(20)
+    }),
+
     // Weekly retention cohorts: users grouped by first-activity week;
     // n_active counts who returns k weeks later. Four key-parallel hops
     // — distinct (user, week), per-user min week, user-key join, final
@@ -379,6 +406,19 @@ object SequenceQueries {
         |  (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver) IS NULL)
         |    AS is_current
         |FROM g""".stripMargin,
+
+    "q110_decayed_activity" ->
+      """WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+        |b AS (SELECT max(day) AS dmax FROM ev),
+        |g AS (SELECT user_id, day, dmax, count(*) AS n
+        |      FROM ev CROSS JOIN b WHERE (dmax - day) < 30
+        |      GROUP BY user_id, day, dmax),
+        |w AS (SELECT user_id, n,
+        |        n * (1::BIGINT << (29 - (dmax - day))) AS w FROM g)
+        |SELECT user_id, sum(w)::BIGINT AS decay_score_x2e29,
+        |  sum(n)::BIGINT AS n_events_30d, count(*) AS n_active_days
+        |FROM w GROUP BY user_id
+        |ORDER BY decay_score_x2e29 DESC, user_id LIMIT 20""".stripMargin,
 
     "q106_imputation" ->
       """WITH ev AS (SELECT event_id, user_id,
