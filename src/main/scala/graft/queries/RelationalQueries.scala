@@ -298,6 +298,26 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // UNPIVOT / melt — the inverse of q47's pivot: the four lineitem
+    // measures turned into (measure, value) rows via Dataset.unpivot (an
+    // Expand, map-side, no shuffle until the summary agg), then a
+    // per-measure exact-cents profile. The wide→long reshape every
+    // metrics store ingests.
+    "q111_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_quantity") * 100).cast("long").as("quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+          round(col("l_discount") * 100).cast("long").as("discount"),
+          round(col("l_tax") * 100).cast("long").as("tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "cents")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    }),
+
     // Explicit GROUPING SETS — the general form behind q29's ROLLUP and
     // q62's CUBE: an arbitrary set list ((flag,status),(flag),(status))
     // with grouping_id() disambiguating real NULL keys from subtotal
@@ -419,6 +439,21 @@ object RelationalQueries {
         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS revenue_cents
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY l_returnflag""".stripMargin,
+
+    // DuckDB replays the melt with a lateral unnest zip (its UNPIVOT
+    // sugar desugars to the same shape)
+    "q111_unpivot" ->
+      """WITH w AS (SELECT l_orderkey,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS discount,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+        |l AS (SELECT l_orderkey,
+        |    unnest(['quantity', 'extendedprice', 'discount', 'tax']) AS measure,
+        |    unnest([quantity, extendedprice, discount, tax]) AS cents FROM w)
+        |SELECT measure, count(*) AS n, sum(cents)::BIGINT AS total_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM l GROUP BY measure""".stripMargin,
 
     "q109_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
