@@ -54,6 +54,29 @@ object ScaleQueries {
           col("asof_ts"), col("asof_purchase_value"))
     }),
 
+    // Last-touch attribution: every purchase credits the user's latest
+    // prior click (the custom AsOfJoinPlan merge again — left side
+    // purchases this time), unattributed purchases fall into the organic
+    // bucket (click_id −1). Revenue rides exact integer cents; the top-20
+    // report orders on a (revenue, user, click) total order. The standard
+    // marketing-attribution shape: two event-type filters, one as-of
+    // merge on the user key, one hash-agg.
+    "q112_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(col("user_id"), col("us"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.latestPriorMerge(purchases, clicks, "user_id", "us", "click_id")
+        .groupBy(col("user_id"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("click_id"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), asc("user_id"), asc("click_id"))
+        .limit(20)
+    }),
+
     // Range join: lineitems falling in each 35-day month-anchored window.
     "q37_range_join" -> ((s, d) => {
       val iv = Tables.orders(s, d)
@@ -159,6 +182,21 @@ object ScaleQueries {
         |  FROM events)
         |SELECT window_start_us, event_type, count(*) AS n_events
         |FROM w GROUP BY window_start_us, event_type""".stripMargin,
+
+    "q112_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, us, sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+        |      GROUP BY user_id, us),
+        |c AS (SELECT user_id, us, max(event_id) AS click_id
+        |      FROM ev WHERE event_type = 'click' GROUP BY user_id, us),
+        |a AS (SELECT p.user_id, p.cents, c.click_id
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.us >= c.us)
+        |SELECT user_id, coalesce(click_id, -1) AS click_id,
+        |  count(*) AS n_purchases, sum(cents)::BIGINT AS revenue_cents
+        |FROM a GROUP BY user_id, coalesce(click_id, -1)
+        |ORDER BY revenue_cents DESC, user_id, click_id LIMIT 20""".stripMargin,
 
     "q36_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
