@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 
 import graft.functions.{BitmapDistinctAgg, BloomFilterAgg, CountMinSketchAgg, DotProduct, GramMatrixMicro, Md5Long, MisraGriesAgg, TopKByScore}
 
@@ -33,6 +34,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be an integer literal, got $other")
   }
 
+  /** The TypedImperativeAggregates eval their key child and cast the result
+    * (`v.asInstanceOf[Long]` etc.) — ExpectsInputTypes is private[sql], so
+    * an INT-typed SQL argument would otherwise surface as a runtime
+    * ClassCastException deep in the aggregate. Coerce at the function
+    * boundary instead: wrap in Cast unless the type already matches. */
+  private def coerce(e: Expression, to: DataType): Expression =
+    if (e.resolved && e.dataType == to) e else Cast(e, to)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -46,27 +55,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       info("graft_topk", "graft_topk(score, payload, k) - bounded per-group top-k by score desc"),
-      (exprs: Seq[Expression]) => TopKByScore(exprs.head, exprs(1),
-        intLit(exprs(2), "k")).toAggregateExpression()))
+      (exprs: Seq[Expression]) => TopKByScore(coerce(exprs.head, DoubleType),
+        coerce(exprs(1), LongType), intLit(exprs(2), "k")).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_count_min"),
       info("graft_count_min", "graft_count_min(base_hash, depth, width) - count-min sketch cells"),
-      (exprs: Seq[Expression]) => CountMinSketchAgg(exprs.head,
+      (exprs: Seq[Expression]) => CountMinSketchAgg(coerce(exprs.head, LongType),
         intLit(exprs(1), "depth"), intLit(exprs(2), "width")).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom"),
       info("graft_bloom", "graft_bloom(base_hash, num_bits, depth) - bloom filter bitset"),
-      (exprs: Seq[Expression]) => BloomFilterAgg(exprs.head,
+      (exprs: Seq[Expression]) => BloomFilterAgg(coerce(exprs.head, LongType),
         intLit(exprs(1), "num_bits"), intLit(exprs(2), "depth")).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),
       info("graft_misra_gries", "graft_misra_gries(key, k) - bounded heavy-hitter summary (est <= count <= est + n/(k+1))"),
-      (exprs: Seq[Expression]) => MisraGriesAgg(exprs.head,
+      (exprs: Seq[Expression]) => MisraGriesAgg(coerce(exprs.head, StringType),
         intLit(exprs(1), "k")).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_bitmap"),
       info("graft_bitmap", "graft_bitmap(key, capacity) - exact distinct bitmap over [0, capacity) as array<bigint> words"),
-      (exprs: Seq[Expression]) => BitmapDistinctAgg(exprs.head,
+      (exprs: Seq[Expression]) => BitmapDistinctAgg(coerce(exprs.head, LongType),
         intLit(exprs(1), "capacity")).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_gram_micro"),

@@ -61,12 +61,16 @@ object KCore {
       // without lineage truncation round r's aggregate re-executes every
       // prior round's chain (measured 3.0 → 8.6 s at only 4 rounds)
       val survivors = withDeg.filter(col("deg") >= k).select(col("v")).localCheckpoint()
-      val nAfter = survivors.count()
-      if (nAfter == nAlive) return Result(survivors, drops.result())
+      val nAfter = survivors.count() // eager: materialized before the unpersist below
+      // free the PREVIOUS round's checkpoint blocks once the new node set is
+      // materialized (BpeVocab's lastCheckpoint pattern) — without this,
+      // block-manager memory accumulates one node-set per round per query
+      if (nAfter == nAlive) { alive.unpersist(); e0.unpersist(); return Result(survivors, drops.result()) }
       drops += (round -> (nAlive - nAfter))
+      alive.unpersist()
       alive = survivors
       nAlive = nAfter
-      if (nAfter == 0) return Result(survivors, drops.result())
+      if (nAfter == 0) { e0.unpersist(); return Result(survivors, drops.result()) }
     }
     throw new IllegalStateException(
       s"k-core peel did not converge within $maxRounds rounds — " +

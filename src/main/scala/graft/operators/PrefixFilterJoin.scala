@@ -32,7 +32,15 @@ object PrefixFilterJoin {
 
   /** `sets(idCol, setCol: array<long>)` (elements assumed distinct per
     * row) → all unordered pairs with Jaccard ≥ tNum/tDen, as
-    * (id_a, id_b, inter, uni) with id_a < id_b. */
+    * (id_a, id_b, inter, uni) with id_a < id_b.
+    *
+    * Caching contract (same as [[MinHashDedup.pairs]]): the returned plan
+    * references the persisted input relation (consumed by prefix
+    * generation and both verify branches); it stays cached after
+    * evaluation. Long-lived applications should
+    * `spark.catalog.clearCache()` (or unpersist via
+    * `spark.sharedState.cacheManager`) once the result is consumed; Bench
+    * does exactly this between queries. */
   def jaccardSelfJoin(sets: DataFrame, idCol: String, setCol: String,
                       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")

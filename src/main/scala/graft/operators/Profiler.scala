@@ -22,8 +22,12 @@ object Profiler {
   def profile(df: DataFrame, reprLen: Int = 24): DataFrame = {
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column relation")
+    // col("a.b") parses the dot as a struct access — backtick-quote every
+    // name built from the schema (field names may contain dots; embedded
+    // backticks use the standard `` escape) or "schema-generic" is a lie
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
     val aggs = fields.flatMap { f =>
-      val c = col(f.name)
+      val c = q(f.name)
       Seq(
         count(c).as(s"__cnt_${f.name}"),
         countDistinct(c).as(s"__dst_${f.name}"),
@@ -36,10 +40,10 @@ object Profiler {
         lit(f.name).as("col_name"),
         lit(f.dataType.simpleString).as("dtype"),
         col("__n_rows").as("n_rows"),
-        (col("__n_rows") - col(s"__cnt_${f.name}")).as("n_null"),
-        col(s"__dst_${f.name}").as("n_distinct"),
-        substring(col(s"__min_${f.name}"), 1, reprLen).as("min_repr"),
-        substring(col(s"__max_${f.name}"), 1, reprLen).as("max_repr"))
+        (col("__n_rows") - q(s"__cnt_${f.name}")).as("n_null"),
+        q(s"__dst_${f.name}").as("n_distinct"),
+        substring(q(s"__min_${f.name}"), 1, reprLen).as("min_repr"),
+        substring(q(s"__max_${f.name}"), 1, reprLen).as("max_repr"))
     }
     wide.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }

@@ -28,7 +28,14 @@ object TriangleCensus {
 
   /** Distinct undirected edges in `edges(src, dst)` (either direction,
     * self-loops ignored) → one row per triangle. Output columns
-    * (ta, tb, tc) are the triangle's vertices ordered by (degree, id). */
+    * (ta, tb, tc) are the triangle's vertices ordered by (degree, id).
+    *
+    * Caching contract (same as [[MinHashDedup.pairs]]): the returned plan
+    * references a persisted oriented-edge intermediate consumed by three
+    * branches; it stays cached after evaluation. Long-lived applications
+    * should `spark.catalog.clearCache()` (or unpersist via
+    * `spark.sharedState.cacheManager`) once the result is consumed; Bench
+    * does exactly this between queries. */
   def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
     // canonicalize: undirected simple graph, a < b by id
     val e = edges

@@ -123,7 +123,14 @@ object RefSurface {
           (sum(col("ep_c")).cast("double") / 100).as("sum_base_price"),
           r2(sum(col("ep_c") * (lit(100L) - col("disc_c"))).cast("double") / 10000)
             .as("sum_disc_price"),
-          r2(sum(col("ep_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c")))
+          // charge's per-row product is ~2e11 (1e-6 units): a plain long sum
+          // overflows int64 near sf 13. Sum as decimal(38,0) — int128-class,
+          // matching DuckDB's BIGINT-sum → HUGEINT promotion — then one
+          // correctly-rounded cast to double (same as HUGEINT → double).
+          // The other sums' per-row magnitudes (≤1e9) stay in int64 to
+          // sf ≫ 1000, so they keep the cheaper long path.
+          r2(sum((col("ep_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c")))
+            .cast("decimal(38,0)"))
             .cast("double") / 1000000).as("sum_charge"),
           r2(sum(col("qty_c")).cast("double") / count(lit(1)) / 100).as("avg_qty"),
           r2(sum(col("ep_c")).cast("double") / count(lit(1)) / 100).as("avg_price"),

@@ -236,8 +236,11 @@ object SnapshotTable {
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSet
         // input_file_name yields URIs; manifest entries are
-        // tableDir-relative — match on the path suffix
-        val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith(f)))
+        // tableDir-relative — match on the path suffix, anchored at a
+        // path-segment boundary so one file's relative path can never
+        // suffix-match a DIFFERENT file's URI (e.g. "1/x.parquet" vs
+        // ".../11/x.parquet")
+        val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
         val newRows =
           if (touched.isEmpty) updates
           else readFiles(touched).join(updates.select(keyCols: _*).distinct(),

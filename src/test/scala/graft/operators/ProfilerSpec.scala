@@ -32,6 +32,16 @@ class ProfilerSpec extends AnyFunSuite {
     assert(r.getAs[String]("min_repr") == "x" * 8)
   }
 
+  test("schema-generic means HOSTILE names too: dots and backticks resolve") {
+    val df = Seq((1L, "a"), (2L, "b"), (2L, null))
+      .toDF("user.id", "weird`col")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(p.keySet == Set("user.id", "weird`col"))
+    assert(p("user.id") == ((0L, 2L)))
+    assert(p("weird`col") == ((1L, 2L)))
+  }
+
   test("single pass: the N-column profile reads its input once") {
     // the generic profiler must not plan one scan per column — the
     // optimized plan has exactly ONE leaf (multi-distinct rewrites to
