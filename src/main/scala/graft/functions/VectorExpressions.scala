@@ -388,6 +388,60 @@ case class MinRollingMd5(child: Expression, n: Int, stride: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection SIZE of two ascending-sorted `array<long>` SETS (distinct
+  * elements), as one codegen'd two-pointer merge — the exact-verify
+  * kernel of [[graft.operators.PrefixFilterJoin]].
+  *
+  * Why not `size(array_intersect(a, b))`? The built-in materializes an
+  * OpenHashSet of one side plus the intersection ARRAY per candidate pair,
+  * only to take its length — allocation-bound on a verify join that runs
+  * it ~0.4M times on ~140-element arrays. The merge does zero allocation
+  * and O(na+nb) primitive compares; on sorted distinct inputs the count is
+  * identical (proved on fuzzed inputs in SortedIntersectCountSpec).
+  *
+  * Callers MUST pre-sort (`sort_array`) and de-duplicate; this is not
+  * checked row-wise (a check would cost what the merge saves). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectUtil.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // A one-line CALL, not an inlined loop: Catalyst duplicates this
+  // expression wherever `inter` is referenced (the accept filter is pushed
+  // into the join CONDITION, so 3 copies land in one generated join
+  // method). Inlining the loop 3x pushed the method past HotSpot's
+  // huge-method JIT limit and the whole join stage ran interpreted —
+  // measured 6.7 s vs 2.1 s on q98 at sf0.1. The static helper keeps the
+  // generated method tiny and JITs once (KMeansNearestUtil pattern; note
+  // the CONCRETE `long` return type — see the CODEGEN TRAP in CLAUDE.md).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectUtil.count($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static helper for [[SortedIntersectCount]] (callable from generated
+  * code; concrete `long` return — never `Any`). */
+object SortedIntersectUtil {
+
+  def count(x: ArrayData, y: ArrayData): Long = {
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val va = x.getLong(i); val vb = y.getLong(j)
+      if (va == vb) { c += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Static helpers for [[NearestCentroids]] (callable from generated code). */
 object KMeansNearestUtil {
 
@@ -512,6 +566,10 @@ object VectorExpressions {
 
   def md5Long(c: Column): Column =
     registered("graft_md5_long", exprs => Md5Long(exprs.head))(c)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    registered("graft_sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)))(a, b)
 
   def md5LongArray(arr: Column, p: Long): Column =
     registered(s"graft_md5_long_array_$p", exprs => Md5LongArray(exprs.head, p))(arr)

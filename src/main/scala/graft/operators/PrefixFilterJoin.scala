@@ -24,8 +24,9 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: one df aggregate, one per-set sort (bounded by set size),
   * a prefix-token equi-join (the only candidate-quadratic stage, bounded
-  * by Σ_prefix-token df²), and an array-intersect verify touching
-  * candidates only. Thresholds are exact rationals (tNum/tDen) — the
+  * by Σ_prefix-token df²), and an allocation-free sorted-merge
+  * intersect-count verify ([[graft.functions.SortedIntersectCount]])
+  * touching candidates only. Thresholds are exact rationals (tNum/tDen) — the
   * accept test `inter·tDen ≥ tNum·union` never computes a float.
   */
 object PrefixFilterJoin {
@@ -45,8 +46,10 @@ object PrefixFilterJoin {
                       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     // consumed twice (prefix generation + verify); the caller's input may
-    // itself be an expensive shingle scan
-    val s = sets.select(col(idCol).as("__id"), col(setCol).as("__hs"))
+    // itself be an expensive shingle scan. Sorting here costs one
+    // O(n log n) per SET; it buys the verify join an allocation-free
+    // two-pointer intersect per CANDIDATE PAIR (the query's floor).
+    val s = sets.select(col(idCol).as("__id"), sort_array(col(setCol)).as("__hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tok = s.select(col("__id"), explode(col("__hs")).as("h"))
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -82,7 +85,8 @@ object PrefixFilterJoin {
         size(col("__hs")).as("na")), "id_a")
       .join(s.select(col("__id").as("id_b"), col("__hs").as("hb"),
         size(col("__hs")).as("nb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("uni", col("na").cast("long") + col("nb") - col("inter"))
       .filter(col("inter") * tDen >= lit(tNum) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))

@@ -46,6 +46,12 @@ class CodegenCompileSpec extends AnyFunSuite {
       SimHash60(text)))
   }
 
+  test("SortedIntersectCount compiles in an UnsafeProjection") {
+    val a = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
+    val b = BoundReference(1, ArrayType(LongType, containsNull = false), nullable = true)
+    CodegenCompile.compileUnsafeProjection(Seq(SortedIntersectCount(a, b)))
+  }
+
   test("Jaro-Winkler compiles in an UnsafeProjection") {
     val a = BoundReference(0, StringType, nullable = true)
     val b = BoundReference(1, StringType, nullable = true)
