@@ -82,6 +82,27 @@ object ProfileQueries {
     "q101_profile_generic" -> ((s, d) =>
       graft.operators.Profiler.profile(Tables.documents(s, d))),
 
+    // SCALE DUAL of q101 (the q31/q59 duality pattern): the sketch-based
+    // profiler replaces N exact countDistincts — whose multi-distinct
+    // rewrite Expands every row (N+1)× into the shuffle — with per-column
+    // HLL++ buffers: one ordinary partial+final agg, shuffle = one row per
+    // partition regardless of column count (no-Expand proven in
+    // ProfilerSpec). Sketch estimates are engine-specific, so the
+    // oracle-checked output is the EXACT distinct count next to a boolean
+    // gating the estimate within 10% (rsd 0.02 ⇒ ~5 sigma, q32 pattern);
+    // the audit join against the exact profile is 5 rows a side.
+    "q113_profile_sketch" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sk = graft.operators.Profiler.profileSketch(docs)
+      val exact = graft.operators.Profiler.profile(docs)
+        .select(col("col_name"), col("n_distinct").as("n_distinct_exact"))
+      sk.join(exact, Seq("col_name"))
+        .select(col("col_name"), col("dtype"), col("n_rows"), col("n_null"),
+          col("n_distinct_exact"), col("min_repr"), col("max_repr"),
+          (abs(col("n_distinct_est") - col("n_distinct_exact"))
+            <= col("n_distinct_exact") * 0.10).as("est_within_10pct"))
+    }),
+
     // Snapshot diff: previous snapshot (pre-2000 orders) vs current —
     // added/removed/changed audit, the K2/K3 lifecycle's companion view.
     "q41_snapshot_diff" -> ((s, d) => {
@@ -185,6 +206,24 @@ object ProfileQueries {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // same arms as q101 with the exact-count alias + TRUE for the sketch
+    // gate: the oracle verifies every portable value and that the HLL
+    // estimate met tolerance (q32 pattern)
+    "q113_profile_sketch" -> {
+      def arm(cname: String, dtype: String) =
+        s"""SELECT '$cname' AS col_name, '$dtype' AS dtype,
+           |  count(*) AS n_rows,
+           |  (count(*) - count($cname))::BIGINT AS n_null,
+           |  count(DISTINCT $cname) AS n_distinct_exact,
+           |  substr(min($cname)::VARCHAR, 1, 24) AS min_repr,
+           |  substr(max($cname)::VARCHAR, 1, 24) AS max_repr,
+           |  TRUE AS est_within_10pct
+           |FROM documents""".stripMargin
+      Seq(("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+        ("source", "string"), ("n_chars", "bigint"))
+        .map { case (c, t) => arm(c, t) }.mkString("\nUNION ALL\n")
+    },
 
     // one UNION ALL arm per documents column, mirroring the generic
     // plan-time expansion (dtype literals = Spark simpleString names)

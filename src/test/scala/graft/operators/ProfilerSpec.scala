@@ -51,4 +51,40 @@ class ProfilerSpec extends AnyFunSuite {
     val leaves = plan.collectLeaves()
     assert(leaves.size == 1, s"expected 1 leaf scan, got ${leaves.size}:\n$plan")
   }
+
+  test("sketch profile plans NO Expand; exact profile does (the scale contrast)") {
+    // N exact countDistincts in one agg rewrite to Expand — (N+1)× the rows
+    // into the shuffle. The HLL form must keep a plain partial+final agg.
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    val df = Seq((1L, "a", 2.0, true)).toDF("a", "b", "c", "d")
+    val exactPlan = Profiler.profile(df).queryExecution.optimizedPlan
+    assert(exactPlan.collect { case e: Expand => e }.nonEmpty,
+      s"expected the exact profile's multi-distinct Expand:\n$exactPlan")
+    val sketchPlan = Profiler.profileSketch(df).queryExecution.optimizedPlan
+    assert(sketchPlan.collect { case e: Expand => e }.isEmpty,
+      s"sketch profile must not Expand:\n$sketchPlan")
+    assert(sketchPlan.collectLeaves().size == 1)
+  }
+
+  test("sketch profile matches the exact profile on everything but the estimate") {
+    val df = Seq(
+      (1L, Some("aa"), Some(1.5)),
+      (2L, None, Some(2.5)),
+      (2L, Some("bb"), None),
+      (3L, Some("aa"), Some(1.5))
+    ).toDF("id", "s", "v")
+    val exact = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    val sk = Profiler.profileSketch(df).collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    assert(sk.keySet == exact.keySet)
+    for (k <- exact.keySet) {
+      // identical except position 4: exact n_distinct vs HLL estimate
+      assert(sk(k).patch(4, Nil, 1) == exact(k).patch(4, Nil, 1))
+      val est = sk(k)(4).asInstanceOf[Long]
+      val ex = exact(k)(4).asInstanceOf[Long]
+      assert(math.abs(est - ex) <= math.max(1L, (ex * 0.10).toLong),
+        s"col $k: estimate $est vs exact $ex")
+    }
+  }
 }
