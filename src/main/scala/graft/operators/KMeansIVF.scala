@@ -11,9 +11,11 @@ import graft.functions.TextHash
   * is whatever partition key the data already carries.
   *
   * Scale shape (the part that matters at 100 TB):
-  *   - the FIT touches only a bounded sample: `md5(vec_id) % sampleMod == 0`
-  *     rows are collected to the driver (choose `sampleMod` so this is ≲10^6
-  *     rows — k-means quality needs a sample, not the corpus);
+  *   - the FIT touches only a bounded sample: `md5(vec_id) % mod == 0`
+  *     rows are collected to the driver, with the modulus derived from a
+  *     cheap count so the expected sample is ≤ `sampleCap` rows at ANY
+  *     corpus size ([[sampleModFor]]) — k-means quality needs a sample,
+  *     not the corpus, and a fixed-size sample can't OOM the driver;
   *   - corpus bucket ASSIGNMENT is a pure map-side codegen'd expression —
   *     the k centroids are baked into the plan as literal arrays, so the
   *     corpus is never shuffled, never joined, never collected;
@@ -34,6 +36,20 @@ import graft.functions.TextHash
   *     test, which could diverge across engines at the last ulp).
   */
 object KMeansIVF {
+
+  /** The fit-sample modulus for a corpus of `n` rows under a fixed-SIZE
+    * cap: `ceil(n / cap)`, so the expected `md5 % mod == 0` sample is
+    * ≤ `cap` rows whatever `n` is. A fixed mod would make the collect a
+    * fixed FRACTION — 100× data ⇒ 100× driver memory ⇒ OOM; deriving the
+    * mod from a cheap `count()` keeps the driver bounded at any scale
+    * while staying deterministic and DuckDB-replayable (the same ceil
+    * division is emitted as a scalar subquery in [[fitReplayCtes]]).
+    * Pure integer arithmetic — `(n + cap - 1) / cap` — so both engines
+    * compute the identical modulus. */
+  def sampleModFor(n: Long, cap: Long): Int = {
+    require(cap > 0, s"sample cap must be positive, got $cap")
+    math.max(1L, (n + cap - 1) / cap).toInt
+  }
 
   /** Left-to-right double fold — the summation order every other engine
     * path (DotProduct codegen, DuckDB list_cosine_similarity) uses. */
@@ -122,11 +138,14 @@ object KMeansIVF {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       k: Int, nprobe: Int,
-      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): DataFrame = {
+      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
 
     // 1. FIT — bounded driver-side collect of the deterministic sample.
+    // The modulus derives from a cheap count (parquet metadata) so the
+    // collect stays ≤ sampleCap rows at ANY corpus size.
+    val sampleMod = sampleModFor(c.count(), sampleCap)
     val sample = c
       .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
       .collect()
@@ -164,9 +183,10 @@ object KMeansIVF {
     * level saving, the layout you want under 100 TB of embeddings. */
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): Array[Array[Double]] = {
+      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): Array[Array[Double]] = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
+    val sampleMod = sampleModFor(c.count(), sampleCap)
     val sample = c
       .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
       .collect()
@@ -231,9 +251,13 @@ object KMeansIVF {
     * final centroids) in scope for the caller's continuation. */
   def fitReplayCtes(
       table: String, idCol: String, vecCol: String,
-      nClusters: Int, iters: Int, sampleMod: Int): String = {
-    // `e` renames $idCol to `id`, so the sample predicate hashes `id`
+      nClusters: Int, iters: Int, sampleCap: Long): String = {
+    // `e` renames $idCol to `id`, so the sample predicate hashes `id`;
+    // the modulus replays [[sampleModFor]]'s integer ceil division as a
+    // scalar subquery over the same relation the Scala side counts
     val sampleH = TextHash.md5LongSql("id::VARCHAR")
+    val sampleMod =
+      s"(SELECT greatest(1, (count(*) + ${sampleCap - 1}) // $sampleCap) FROM e)"
     // explicit dot/(norm*norm) instead of list_cosine_similarity: matches
     // the Scala fit's operation sequence exactly (dot, two sqrts, one
     // multiply, one divide — left-to-right folds), so an engine's internal
@@ -275,12 +299,12 @@ object KMeansIVF {
   def oracleSql(
       table: String, idCol: String, vecCol: String, queryPred: String,
       k: Int, nprobe: Int,
-      nClusters: Int = 10, iters: Int = 4, sampleMod: Int = 5): String = {
+      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): String = {
     def cos(a: String, b: String): String =
       s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
     val fin = s"c$iters"
     val sb = new StringBuilder
-    sb ++= fitReplayCtes(table, idCol, vecCol, nClusters, iters, sampleMod)
+    sb ++= fitReplayCtes(table, idCol, vecCol, nClusters, iters, sampleCap)
     sb ++= s"q AS (SELECT id AS query_id, v AS qv FROM e WHERE $queryPred),\n"
     sb ++= s"probes AS (SELECT query_id, qv, cid AS bucket FROM (\n"
     sb ++= s"  SELECT q.query_id, q.qv, c.cid,\n"

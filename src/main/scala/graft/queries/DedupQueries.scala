@@ -181,7 +181,7 @@ object DedupQueries {
       val e = Tables.embeddings(s, d)
       graft.operators.KMeansIVF.ivfTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 3, nprobe = 2,
-        nClusters = 10, iters = 4, sampleMod = 5)
+        nClusters = 10, iters = 4, sampleCap = 100)
     }),
 
     // kNN classification: majority label among the 5 exact nearest
@@ -222,7 +222,8 @@ object DedupQueries {
         System.getProperty("java.io.tmpdir"),
         s"graft_ivf_idx_q49_${ProcessHandle.current().pid()}_" +
           java.lang.Integer.toHexString(d.hashCode)).getPath)
-      graft.operators.KMeansIVF.writeIndex(e, "vec_id", "embedding", idx)
+      graft.operators.KMeansIVF.writeIndex(e, "vec_id", "embedding", idx,
+        sampleCap = 100)
       graft.operators.KMeansIVF.indexTopK(e.filter(col("vec_id") < 10), idx,
         "vec_id", "embedding", k = 5, nprobe = 3)
     }),
@@ -326,7 +327,7 @@ object DedupQueries {
   private val ivfOracle: String =
     graft.operators.KMeansIVF.oracleSql(
       "embeddings", "vec_id", "embedding", queryPred = "id < 10",
-      k = 3, nprobe = 2, nClusters = 10, iters = 4, sampleMod = 5)
+      k = 3, nprobe = 2, nClusters = 10, iters = 4, sampleCap = 100)
 
   val oracle: Map[String, String] = Map(
     "q11_dedup_exact" ->
@@ -455,7 +456,7 @@ object DedupQueries {
     // layout cannot change results, only which directories are read
     "q49_sim_ann_ivf_index" -> graft.operators.KMeansIVF.oracleSql(
       "embeddings", "vec_id", "embedding", queryPred = "id < 10",
-      k = 5, nprobe = 3, nClusters = 10, iters = 4, sampleMod = 5),
+      k = 5, nprobe = 3, nClusters = 10, iters = 4, sampleCap = 100),
 
     "q75_source_overlap" -> {
       val k = 16

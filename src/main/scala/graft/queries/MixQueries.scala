@@ -340,9 +340,12 @@ object MixQueries {
     // drifted centroid, flipped assignment, or broken quantization moves
     // some cluster's WCSS and hash-fails.
     "q108_cluster_quality" -> ((s, d) => {
-      val nClusters = 10; val iters = 4; val sampleMod = 5
+      val nClusters = 10; val iters = 4
       val c = Tables.embeddings(s, d).select(col("vec_id").as("neighbor_id"),
         graft.operators.VectorOps.asDouble(col("embedding")).as("cv"))
+      // count-derived modulus (KMeansIVF.sampleModFor): the driver collect
+      // stays ≤ 100 rows per corpus whatever the scale factor
+      val sampleMod = graft.operators.KMeansIVF.sampleModFor(c.count(), 100L)
       val sample = c
         .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -538,7 +541,7 @@ object MixQueries {
       // VARCHAR to match the Spark side's decimal-as-string
       "q108_cluster_quality" -> {
         val prefix = graft.operators.KMeansIVF.fitReplayCtes(
-          "embeddings", "vec_id", "embedding", nClusters = 10, iters = 4, sampleMod = 5)
+          "embeddings", "vec_id", "embedding", nClusters = 10, iters = 4, sampleCap = 100)
         s"""${prefix}xm AS (SELECT bucket, CAST(round(unnest(cv2) * 1000000) AS BIGINT) AS x,
            |        unnest(range(1, len(cv2) + 1)) AS pos FROM assigned),
            |cm AS (SELECT cid AS bucket, CAST(round(unnest(cv) * 1000000) AS BIGINT) AS cc,

@@ -44,7 +44,7 @@ class AnnRecallSpec extends AnyFunSuite {
     val exact = pairs(VectorOps.topK(q, e, "vec_id", "embedding", k = 3))
     val recalls = Seq(2, 5, 10).map { np =>
       val ivf = pairs(KMeansIVF.ivfTopK(q, e, "vec_id", "embedding",
-        k = 3, nprobe = np, nClusters = 10, iters = 4, sampleMod = 5))
+        k = 3, nprobe = np, nClusters = 10, iters = 4, sampleCap = 100))
       val r = (exact intersect ivf).size.toDouble / exact.size
       info(f"kmeans nprobe=$np%2d -> recall@3 = $r%.3f")
       np -> r
@@ -53,6 +53,19 @@ class AnnRecallSpec extends AnyFunSuite {
       s"recall must be monotone in nprobe: $recalls")
     assert(recalls.last._2 == 1.0, "probing all buckets must equal the exact scan")
     assert(recalls.head._2 > 0.0, "even nprobe=2 must find some true neighbors")
+  }
+
+  test("fit-sample modulus bounds the expected driver collect at any scale") {
+    // ceil division: expected sample n/mod is <= cap for every n — the
+    // property that makes the fit collect fixed-SIZE, not fixed-fraction
+    for (cap <- Seq(1L, 7L, 100L, 10000L); n <- Seq(0L, 1L, cap - 1, cap, cap + 1,
+        10 * cap + 3, 1000000007L)) {
+      val mod = KMeansIVF.sampleModFor(n, cap)
+      assert(mod >= 1)
+      assert(n.toDouble / mod <= cap, s"n=$n cap=$cap mod=$mod")
+      // and it never over-shrinks: one fewer stratum would exceed the cap
+      if (mod > 1) assert(n.toDouble / (mod - 1) > cap, s"n=$n cap=$cap mod=$mod")
+    }
   }
 
   test("k-means fit is deterministic under input order") {
