@@ -95,6 +95,33 @@ object Md5LongUtil {
     v >>> 4
   }
 
+  /** min over trials `1..w` of `hash(id || "#" || j) % mod` — the integer
+    * race key for weighted sampling ([[graft.operators.WeightedSample]]):
+    * the minimum of w iid uniforms ranks items EXACTLY as the
+    * Efraimidis–Spirakis `u^(1/w)` keys do, with no float pow anywhere.
+    * O(w) digests per row; w is clamped to ≥ 1 (the generated call sits on
+    * a primitive `long`, so the empty-trials case must not be null). */
+  def minTrial(s: org.apache.spark.unsafe.types.UTF8String, w: Long, mod: Long): Long = {
+    val d = md.get()
+    val base = s.getBytes
+    var best = Long.MaxValue
+    var j = 1L
+    val n = if (w < 1L) 1L else w
+    while (j <= n) {
+      d.reset()
+      d.update(base)
+      d.update(("#" + j).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val digest = d.digest()
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+      v = (v >>> 4) % mod
+      if (v < best) best = v
+      j += 1
+    }
+    best
+  }
+
   /** md5 of `len` bytes at `off` with NO slice copy — the per-window
     * allocation is what dominates rolling/shingle hashing of long texts. */
   def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
@@ -388,6 +415,30 @@ case class MinRollingMd5(child: Expression, n: Int, stride: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The weighted-sampling race key: min over trials `1..weight` of
+  * `md5Long(id || "#" || j) % mod`, codegen'd as one static call
+  * ([[Md5LongUtil.minTrial]]). `mod` keeps the key below 2^53 so it is
+  * exact as the `double` score of [[TopKByScore]] (the q56 precedent:
+  * 2^40). Weight must be a positive integer — values < 1 are clamped to 1
+  * on both engines. */
+case class MinTrialHash(left: Expression, right: Expression, mod: Long)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(id: Any, w: Any): Any =
+    Md5LongUtil.minTrial(
+      id.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      w.asInstanceOf[Long], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, w) =>
+      s"graft.functions.Md5LongUtil.minTrial($id, $w, ${mod}L)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Intersection SIZE of two ascending-sorted `array<long>` SETS (distinct
   * elements), as one codegen'd two-pointer merge — the exact-verify
   * kernel of [[graft.operators.PrefixFilterJoin]].
@@ -570,6 +621,10 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     registered("graft_sorted_intersect_count",
       exprs => SortedIntersectCount(exprs.head, exprs(1)))(a, b)
+
+  def minTrialHash(id: Column, weight: Column, mod: Long): Column =
+    registered(s"graft_min_trial_hash_$mod",
+      exprs => MinTrialHash(exprs.head, exprs(1), mod))(id, weight)
 
   def md5LongArray(arr: Column, p: Long): Column =
     registered(s"graft_md5_long_array_$p", exprs => Md5LongArray(exprs.head, p))(arr)

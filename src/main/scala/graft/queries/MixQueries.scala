@@ -169,6 +169,21 @@ object MixQueries {
           (col("pos") + 1).cast("int").as("rank"))
     }),
 
+    // Weighted sampling WITHOUT replacement (operators/WeightedSample):
+    // the Efraimidis–Spirakis draw with pure-integer keys — each doc runs
+    // `weight` md5 trials and keeps its min; ascending-key order IS the ES
+    // u^(1/w) order (min-of-uniforms ≡ exponential race under one shared
+    // monotone transform), so no float pow exists to diverge between
+    // engines. Weight = 1 + n_chars div 64 (quantized length-proportional
+    // draw, w ∈ 1..9 on this corpus). DuckDB replays the trials with
+    // list_min over range.
+    "q114_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), (lit(1L) + expr("n_chars div 64")).as("weight"))
+      graft.operators.WeightedSample.sampleK(docs, "doc_id", "weight", 50)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Data-mix budgeting: share a global token budget (80% of the corpus)
     // across sources by exact closed-form waterfill — small sources keep all
     // tokens, large sources are capped at one common fill level — computed
@@ -407,6 +422,19 @@ object MixQueries {
   val oracle: Map[String, String] = {
     val toksSql = TextHash.tokensSql("text")
     Map(
+      // lockstep trial replay: list_min over the same md5 trials, then the
+      // deterministic (key, id) order — row_number is the oracle's luxury,
+      // the Spark side keeps the bounded TopKByScore shape
+      "q114_weighted_sample" -> {
+        val rk = graft.operators.WeightedSample.raceKeySql("doc_id::VARCHAR", "weight")
+        s"""WITH w AS (SELECT doc_id, 1 + n_chars // 64 AS weight FROM documents),
+           |k AS (SELECT doc_id, weight, $rk AS rk FROM w),
+           |r AS (SELECT doc_id, weight,
+           |        row_number() OVER (ORDER BY rk, doc_id) AS rank FROM k)
+           |SELECT doc_id, weight::BIGINT AS weight, rank::INT AS rank
+           |FROM r WHERE rank <= 50""".stripMargin
+      },
+
       "q50_repetition_stats" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |g AS (SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_dist_tok,

@@ -52,6 +52,12 @@ class CodegenCompileSpec extends AnyFunSuite {
     CodegenCompile.compileUnsafeProjection(Seq(SortedIntersectCount(a, b)))
   }
 
+  test("MinTrialHash compiles in an UnsafeProjection") {
+    val id = BoundReference(0, StringType, nullable = true)
+    val w = BoundReference(1, LongType, nullable = true)
+    CodegenCompile.compileUnsafeProjection(Seq(MinTrialHash(id, w, 1L << 40)))
+  }
+
   test("Jaro-Winkler compiles in an UnsafeProjection") {
     val a = BoundReference(0, StringType, nullable = true)
     val b = BoundReference(1, StringType, nullable = true)
