@@ -120,6 +120,39 @@ object ProfileQueries {
             .otherwise("unchanged").as("status"))
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
     }),
+    // Change data feed under the hash gate: build a real SnapshotTable
+    // (v1 = pre-1999 orders), run a file-granular UPSERT against it
+    // ([1998,1999) keys drift +7 cents = updates; [1999,2000) keys are new
+    // = inserts), then read `SnapshotTable.changes(v1, v2)`. The CDF reads
+    // only rewritten files, but its multiset is LAYOUT-INDEPENDENT —
+    // untouched files contribute identical rows to both versions and
+    // exceptAll cancels them — so the oracle is the flat state diff
+    // (state2 EXCEPT ALL state1 = inserts, state1 EXCEPT ALL state2 =
+    // deletes), computed by DuckDB with no knowledge of files or
+    // manifests. Equality proves the manifest-diff CDF emits exactly the
+    // semantic row deltas (q41's diff pattern, upgraded from a synthetic
+    // "previous snapshot" to the real table layer).
+    "q115_cdf_window" -> ((s, d) => {
+      val dir = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_snap_q115_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      // rebuild from scratch each invocation so versions are always (1, 2)
+      graft.TempDirs.deleteRecursively(new java.io.File(dir))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1999-01-01"))
+        .select(col("o_orderkey").as("k"), cents.as("price_cents"))
+      val v1 = graft.sources.SnapshotTable.commitAppend(base, dir)
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1998-01-01") &&
+          col("o_orderdate") < lit("2000-01-01"))
+        .select(col("o_orderkey").as("k"), (cents + 7).as("price_cents"))
+      val v2 = graft.sources.SnapshotTable.upsert(s, dir, updates, Seq("k"))
+      graft.sources.SnapshotTable.changes(s, dir, v1, v2)
+        .select(col("k"), col("price_cents"), col("_change"))
+    }),
+
     // Deterministic hash sampling: a reproducible ~10% sample selected by
     // the portable content hash — the scale-safe alternative to rand()
     // (same rows on every engine, every run, any partitioning).
@@ -249,6 +282,25 @@ object ProfileQueries {
         |  count(distinct o_orderstatus) AS d_status,
         |  count(distinct o_orderpriority) AS d_priority
         |FROM orders""".stripMargin,
+
+    // the flat multiset state diff — no files, no manifests: if the
+    // manifest-diff CDF is correct they are the same multiset
+    "q115_cdf_window" ->
+      """WITH s1 AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+        |upd AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS price_cents
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+        |s2 AS (SELECT * FROM upd
+        |       UNION ALL
+        |       SELECT * FROM s1 WHERE k NOT IN (SELECT k FROM upd)),
+        |ins AS (SELECT k, price_cents FROM s2 EXCEPT ALL SELECT k, price_cents FROM s1),
+        |del AS (SELECT k, price_cents FROM s1 EXCEPT ALL SELECT k, price_cents FROM s2)
+        |SELECT k, price_cents, 'insert' AS _change FROM ins
+        |UNION ALL
+        |SELECT k, price_cents, 'delete' AS _change FROM del""".stripMargin,
 
     "q41_snapshot_diff" ->
       """WITH cur AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS cur_price FROM orders),
