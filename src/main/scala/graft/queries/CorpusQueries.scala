@@ -143,6 +143,41 @@ object CorpusQueries {
           coalesce(col("in_summary"), lit(false)).as("in_summary"),
           col("bounds_ok"))
     }),
+
+    // CCNet-style duplicated-passage removal: split every document into
+    // consecutive 10-token chunks (the corpus has no newlines, so fixed
+    // token windows stand in for paragraphs), count each chunk string's
+    // GLOBAL frequency, drop chunks that appear anywhere else in the
+    // corpus, and reassemble what's left in document order. Emitted per
+    // doc: chunk/drop counts + an md5 of the reassembled text, so the
+    // oracle hashes the exact surviving CONTENT, not just its size.
+    // Shape at scale: explode → two chunk-keyed hash-aggs → one join back
+    // on the chunk string — all linear in token volume, the same
+    // inverted-index shuffle every corpus query here uses; per-doc state
+    // is bounded by chunks/doc. (The per-group collect_list is one doc's
+    // chunks, not the corpus.)
+    "q116_chunk_dedup" -> ((s, d) => {
+      val W = 10
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextHash.tokens(col("text"))).as(Seq("pos", "tok")))
+      val chunks = toks
+        .groupBy(col("doc_id"), expr(s"pos div $W").as("chunk_idx"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok")), " ").as("chunk"))
+      val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("freq"))
+      chunks.join(freq, "chunk")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum((col("freq") >= 2).cast("long")).as("n_dropped"),
+          md5(array_join(transform(filter(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk"),
+              (col("freq") < 2).as("keep")))),
+            p => p.getField("keep")), p => p.getField("chunk")), "|"))
+            .as("kept_md5"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -197,5 +232,22 @@ object CorpusQueries {
         |exact AS (SELECT tg, count(*) AS cnt FROM g GROUP BY tg)
         |SELECT tg, cnt, TRUE AS in_summary, TRUE AS bounds_ok
         |FROM exact, tot WHERE cnt * 257 > n""".stripMargin,
+
+    // parallel unnests zip token with its position; list(ORDER BY) replays
+    // the document-order reassembly; FILTER keeps only unique chunks.
+    // array_to_string of an empty filtered list is NULL in DuckDB, so the
+    // all-dropped case coalesces to '' (Spark's array_join emits '').
+    "q116_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${TextHash.tokensSql("text")}) AS tok,
+         |       unnest(range(0, len(${TextHash.tokensSql("text")}))) AS pos FROM documents),
+         |chunks AS (SELECT doc_id, pos // 10 AS chunk_idx,
+         |       array_to_string(list(tok ORDER BY pos), ' ') AS chunk
+         |     FROM t GROUP BY doc_id, pos // 10),
+         |freq AS (SELECT chunk, count(*) AS freq FROM chunks GROUP BY chunk)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum((freq >= 2)::BIGINT)::BIGINT AS n_dropped,
+         |  md5(coalesce(array_to_string(
+         |    list(chunk ORDER BY chunk_idx) FILTER (freq < 2), '|'), '')) AS kept_md5
+         |FROM chunks JOIN freq USING (chunk) GROUP BY doc_id""".stripMargin,
   )
 }

@@ -417,6 +417,42 @@ object MixQueries {
           least(rowSums: _*).as("est_join_size"))
         .withColumn("est_is_upper", col("est_join_size") >= col("exact_join_size"))
     }),
+
+    // Embedding label-quality audit — the "are my labels coherent in
+    // embedding space" check run before training on weak labels. Each
+    // label's centroid DIRECTION is the component-wise SUM of
+    // micro-quantized vectors (cosine is scale-invariant, so the sum IS
+    // the mean direction — no division, the sums are exact int64); every
+    // vector is scored against all 10 directions via the codegen'd
+    // left-to-right double dot (bit-identical to DuckDB's
+    // list_cosine_similarity, the q15 precedent), and the per-label
+    // report aggregates own-vs-best-foreign margins in exact micro ints.
+    // Shape at scale: centroid build is one posexplode + (label,pos)
+    // hash-agg (640 output rows); scoring is a broadcast of 10 tiny
+    // centroid rows against a linear scan — no shuffle of the corpus.
+    "q120_label_margin" -> ((s, d) => {
+      val xm = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        graft.operators.VectorOps.asDouble(col("embedding")).as("v"),
+        transform(graft.operators.VectorOps.asDouble(col("embedding")),
+          x => graft.functions.PortableMath.microHalfAway(x)).as("vm"))
+      val cent = xm
+        .select(col("label").as("clabel"), posexplode(col("vm")).as(Seq("pos", "x")))
+        .groupBy(col("clabel"), col("pos")).agg(sum(col("x")).as("cx"))
+        .groupBy(col("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx").cast("double")).as("cv"))
+      val scored = xm.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          graft.operators.VectorOps.cosine(col("v"), col("cv")).as("cos"))
+      val per = scored.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("clabel") === col("label"), col("cos"))).as("cos_own"),
+          max(when(col("clabel") =!= col("label"), col("cos"))).as("max_foreign"))
+      per.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum((col("max_foreign") > col("cos_own")).cast("long")).as("n_confused"),
+          sum(floor((col("cos_own") - col("max_foreign")) * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("sum_margin_micro"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -581,6 +617,31 @@ object MixQueries {
            |FROM dd JOIN nn ON dd.bucket = nn.bucket
            |GROUP BY dd.bucket, n_members""".stripMargin
       },
+
+      // centroid sums replayed with parallel unnests (exact int64), then
+      // DuckDB's own list_cosine_similarity — bit-identical to the
+      // Spark-side dot/norm fold (q15 precedent); margins floor-rounded
+      // to micro ints so the per-label sums hash-compare exactly
+      "q120_label_margin" ->
+        """WITH xm AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+          |        list_transform(embedding::DOUBLE[],
+          |          x -> CAST(round(x * 1000000) AS BIGINT)) AS vm
+          |      FROM embeddings),
+          |px AS (SELECT label AS clabel, unnest(vm) AS x,
+          |        unnest(range(0, len(vm))) AS pos FROM xm),
+          |cs AS (SELECT clabel, pos, sum(x)::BIGINT AS cx FROM px GROUP BY clabel, pos),
+          |cent AS (SELECT clabel, list(cx::DOUBLE ORDER BY pos) AS cv FROM cs GROUP BY clabel),
+          |scored AS (SELECT vec_id, label, clabel,
+          |        list_cosine_similarity(v, cv) AS cos FROM xm, cent),
+          |per AS (SELECT vec_id, label,
+          |         max(CASE WHEN clabel = label THEN cos END) AS cos_own,
+          |         max(CASE WHEN clabel <> label THEN cos END) AS max_foreign
+          |        FROM scored GROUP BY vec_id, label)
+          |SELECT label, count(*)::BIGINT AS n_vecs,
+          |  sum((max_foreign > cos_own)::BIGINT)::BIGINT AS n_confused,
+          |  sum(CAST(floor((cos_own - max_foreign) * 1000000 + 0.5) AS BIGINT))::BIGINT
+          |    AS sum_margin_micro
+          |FROM per GROUP BY label""".stripMargin,
 
       "q107_dataset_split" -> {
         val h = TextHash.md5LongSql("vec_id::VARCHAR")

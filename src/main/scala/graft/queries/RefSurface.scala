@@ -191,6 +191,18 @@ object RefSurface {
         .agg(count(lit(1)).as("in_degree"))
         .groupBy(col("in_degree"))
         .agg(count(lit(1)).as("n_nodes"))),
+
+    // HITS hubs/authorities over the same hierarchy as q81's PageRank —
+    // the OTHER classic link-analysis fixpoint: child→parent edges make
+    // parents the authorities (score ∝ weighted subtree mass) and
+    // mid-level nodes the hubs. Exact integer micro-units with
+    // max-rescaled rounds (see operators/Hits.scala for why L2
+    // normalization can't be oracle-hashed); the DuckDB oracle replays
+    // the unrolled half-steps bit-for-bit.
+    "q117_hits" -> ((s, d) =>
+      graft.operators.Hits.hitsMicro(
+        hierarchyNodes(s, d).filter(col("id") =!= col("parent")),
+        srcCol = "id", dstCol = "parent", iters = 2)),
   )
 
   val oracle: Map[String, String] = Map(
@@ -277,6 +289,12 @@ object RefSurface {
         |    SELECT 'N' || n_nationkey AS id, 'R' || n_regionkey AS parent FROM nation
         |    UNION ALL SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer) t""".stripMargin,
       iters = 3),
+
+    "q117_hits" -> graft.operators.Hits.oracleSql(
+      """SELECT id AS src, parent AS dst FROM (
+        |    SELECT 'N' || n_nationkey AS id, 'R' || n_regionkey AS parent FROM nation
+        |    UNION ALL SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer) t""".stripMargin,
+      iters = 2),
 
     "q71_degree_histogram" -> (nodesCte +
       """, deg AS (

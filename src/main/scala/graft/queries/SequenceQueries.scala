@@ -196,6 +196,52 @@ object SequenceQueries {
         .orderBy(desc("decay_score_x2e29"), asc("user_id")).limit(20)
     }),
 
+    // Key-skew audit — the diagnostic you run BEFORE picking a shuffle
+    // key at scale: per-key event counts reduced to one row of skew
+    // measures (max, top-decile share, Gini), all exact integers. The
+    // ranking window runs over the per-KEY relation (already reduced from
+    // rows to keys by the first hash-agg), and Gini's Σ(2·rank−n−1)·cnt
+    // needs every key's rank — a global sort of |keys| rows, audit-class
+    // by nature (operators/PrefixSum is the distributed-rank path when
+    // |keys| itself is huge). Shares are integer-div micro-ratios, so the
+    // single output row hash-compares exactly.
+    "q118_key_skew" -> ((s, d) => {
+      val cnt = Tables.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      // ascending rank, deterministic tiebreak: Gini wants c_(1) <= ... <= c_(n)
+      val ranked = cnt.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt"), col("user_id"))))
+      val tot = cnt.agg(count(lit(1)).as("n_all"))
+      ranked.crossJoin(broadcast(tot))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_events"),
+          max(col("cnt")).as("max_cnt"),
+          sum(expr("CASE WHEN rk > n_all - (n_all + 9) div 10 THEN cnt ELSE 0 END"))
+            .as("top_decile_cnt"),
+          sum(expr("(2 * rk - n_all - 1) * cnt")).as("gini_num"))
+        .select(col("n_keys"), col("n_events"), col("max_cnt"),
+          expr("top_decile_cnt * 1000000 div n_events").as("top_decile_micro"),
+          expr("gini_num * 1000000 div (n_keys * n_events)").as("gini_micro"))
+    }),
+
+    // Calendar seasonality profile: events bucketed by (day-of-week,
+    // hour-of-day), value summed in exact cents. Both axes are PURE
+    // INTEGER arithmetic on the epoch-µs value (day 0 = Thursday ⇒
+    // Monday-based dow = (epoch_day+3) mod 7) — no engine/locale calendar
+    // functions whose week conventions could disagree. One map-side
+    // projection + one 168-group hash-agg: the minimal at-scale shape.
+    "q119_seasonality" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(expr("CAST((unix_micros(ts) div 86400000000 + 3) % 7 AS INT)").as("dow"),
+          expr("CAST((unix_micros(ts) div 3600000000) % 24 AS INT)").as("hour"),
+          cents(col("value")).as("v"), col("user_id"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v")).as("sum_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Weekly retention cohorts: users grouped by first-activity week;
     // n_active counts who returns k weeks later. Four key-parallel hops
     // — distinct (user, week), per-user min week, user-key join, final
@@ -419,6 +465,26 @@ object SequenceQueries {
         |  sum(n)::BIGINT AS n_events_30d, count(*) AS n_active_days
         |FROM w GROUP BY user_id
         |ORDER BY decay_score_x2e29 DESC, user_id LIMIT 20""".stripMargin,
+
+    "q118_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk FROM c),
+        |t AS (SELECT count(*) AS n_all FROM c)
+        |SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_events,
+        |  max(cnt)::BIGINT AS max_cnt,
+        |  (sum(CASE WHEN rk > n_all - (n_all + 9) // 10 THEN cnt ELSE 0 END)::BIGINT
+        |     * 1000000 // sum(cnt)::BIGINT)::BIGINT AS top_decile_micro,
+        |  (sum((2 * rk - n_all - 1) * cnt)::BIGINT
+        |     * 1000000 // (count(*) * sum(cnt)::BIGINT))::BIGINT AS gini_micro
+        |FROM r, t""".stripMargin,
+
+    "q119_seasonality" ->
+      """SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
+        |  CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour,
+        |  count(*)::BIGINT AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q106_imputation" ->
       """WITH ev AS (SELECT event_id, user_id,
