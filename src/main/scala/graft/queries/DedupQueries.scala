@@ -32,6 +32,29 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
 
     // MinHash-LSH near-dup over word 3-gram shingles, exact-Jaccard verified.
+    // Incremental ingest dedup: q12's LSH pipeline split into an indexed
+    // corpus (doc_id >= 50, persisted once via sources/LshIndex: band rows
+    // bucket-partitioned by band-key hash, shingle sets by id hash) and an
+    // incoming batch (doc_id < 50) probed against it — band partitions and
+    // candidate doc buckets are PARTITION-pruned before any file opens, so
+    // probe I/O is ∝ batch + candidates, never corpus. The oracle replays
+    // the flat all-pairs pipeline restricted to batch×corpus pairs:
+    // equality proves the index path loses nothing.
+    "q121_index_probe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = graft.functions.VectorExpressions
+        .wordShingleHashes(col("text"), 3, TextHash.P)
+      // stable per-process dir, same rationale as q49's IVF index
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_lsh_idx_q121_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.sources.LshIndex.write(
+        docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, wordCfg)
+      graft.sources.LshIndex.probe(
+        s, docs.filter(col("doc_id") < 50), "doc_id", sh, idx, wordCfg)
+    }),
+
     "q12_dedup_minhash_lsh" -> ((s, d) =>
       MinHashDedup.pairs(
         Tables.documents(s, d), "doc_id",
@@ -337,6 +360,15 @@ object DedupQueries {
     "q12_dedup_minhash_lsh" ->
       MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg),
+
+    // the flat q12 replay filtered to batch×corpus pairs (batch ids sort
+    // first, so id_a is always the batch side)
+    "q121_index_probe" -> {
+      val base = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      s"""SELECT id_a AS query_id, id_b AS corpus_id, jaccard
+         |FROM ($base) WHERE id_a < 50 AND id_b >= 50""".stripMargin
+    },
 
     "q13_dedup_ngram_jaccard" ->
       MinHashDedup.oracleSql("documents", "doc_id",

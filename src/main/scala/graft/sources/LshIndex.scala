@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.operators.MinHashDedup
+
+/** Persisted MinHash-LSH index: near-duplicate lookup of an INCOMING BATCH
+  * against an already-indexed corpus without re-shingling (or even fully
+  * re-reading) the corpus.
+  *
+  * The batch-vs-corpus probe is the shape ingest pipelines actually run —
+  * "dedupe today's crawl against everything we already have" — and at
+  * 100 TB the corpus side must be an INDEX, not a scan: re-running
+  * [[MinHashDedup.pairs]] over corpus+batch re-pays the full corpus
+  * shingle/signature/band cost on every ingest.
+  *
+  * On-disk layout (all plain parquet + one JSON sidecar):
+  * {{{
+  *   dir/meta.json   {numHashes, bands, nParts}   config fingerprint
+  *   dir/bands/      (id, bk, s0..s{k-1})  partitioned by pk = md5(bk) % nParts
+  *   dir/docs/       (id, hashes)          partitioned by hb = md5(id) % nParts
+  * }}}
+  *
+  * Probe cost model (why each partitioning exists):
+  *   1. the batch's band keys determine a set of `pk` values — the bands
+  *      dataset is read with a PARTITION filter on them, so only matching
+  *      band buckets' files open (static pruning, the
+  *      [[graft.operators.KMeansIVF.indexTopK]] pattern);
+  *   2. candidates are estimate-pruned from the signature columns carried
+  *      IN the band rows — no second corpus read for signatures;
+  *   3. only surviving candidates' shingle sets are fetched: their `hb`
+  *      buckets again prune the docs dataset before any file opens.
+  *   So probe I/O is ∝ batch size + candidate volume, never corpus size.
+  *
+  * Both driver-side `collect`s are bounded by `nParts` (they fetch DISTINCT
+  * partition values, never rows). The two probe-side relations that are
+  * consumed twice (batch signatures, pruned candidates) are persisted —
+  * the library caching contract of [[MinHashDedup.pairs]] applies: callers
+  * release with `spark.catalog.clearCache()` once the result is consumed.
+  */
+object LshIndex {
+
+  /** Build (or rebuild) the index at `dir` from the corpus. */
+  def write(corpus: DataFrame, idCol: String, shingleHashes: Column, dir: String,
+      cfg: MinHashDedup.Config = MinHashDedup.Config(), nParts: Int = 64): Unit = {
+    val sh = MinHashDedup.hashed(corpus, idCol, shingleHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = MinHashDedup.withSignature(sh, cfg)
+    MinHashDedup.bandRows(sig, cfg)
+      .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+      .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/bands")
+    sh.select(col("id"), col("hashes"))
+      .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/docs")
+    sh.unpersist()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
+      s"""{"numHashes":${cfg.numHashes},"bands":${cfg.bands},"nParts":$nParts}""")
+  }
+
+  private def metaOf(dir: String): Map[String, Int] = {
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
+    "\"(\\w+)\":(\\d+)".r.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  /** Near-dup pairs `(query_id, corpus_id, jaccard)` of the batch against
+    * the indexed corpus, at/above `cfg.jaccardThreshold`. `cfg` must match
+    * the index's build config (checked against the meta sidecar — a probe
+    * with different band geometry would silently find nothing).
+    */
+  def probe(spark: SparkSession, batch: DataFrame, idCol: String,
+      shingleHashes: Column, dir: String,
+      cfg: MinHashDedup.Config = MinHashDedup.Config()): DataFrame = {
+    val meta = metaOf(dir)
+    require(meta("numHashes") == cfg.numHashes && meta("bands") == cfg.bands,
+      s"probe cfg (${cfg.numHashes}/${cfg.bands}) != index meta " +
+        s"(${meta("numHashes")}/${meta("bands")})")
+    val nParts = meta("nParts")
+
+    val bsh = MinHashDedup.hashed(batch, idCol, shingleHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bsig = MinHashDedup.withSignature(bsh, cfg)
+    val k = cfg.numHashes
+    val qBands = MinHashDedup.bandRows(bsig, cfg).toDF(
+      "qid" +: "bk" +: (0 until k).map(i => s"q_s$i"): _*)
+      .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 1. static partition pruning on the bands dataset (<= nParts values)
+    val pks = qBands.select(col("pk")).distinct().collect().map(_.getLong(0))
+    val cBands = spark.read.parquet(s"$dir/bands")
+      .filter(col("pk").isin(pks: _*))
+      .toDF("cid" +: "bk" +: (0 until k).map(i => s"c_s$i") :+ "pk": _*)
+
+    // 2. band-key join + estimate prune straight off the carried signatures
+    val cand = qBands.join(cBands, "bk")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid") +: col("cid") +:
+        ((0 until k).map(i => col(s"q_s$i")) ++ (0 until k).map(i => col(s"c_s$i"))): _*)
+      .distinct()
+    val matches = (0 until k)
+      .map(i => when(col(s"q_s$i") === col(s"c_s$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pruned =
+      (if (cfg.estimateCutoff <= 0.0) cand
+       else cand.filter(matches.cast("double") / k >= cfg.estimateCutoff))
+        .select(col("qid"), col("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 3. fetch ONLY candidate shingle sets: prune docs by the candidates'
+    //    id buckets (<= nParts values), then exact-Jaccard verify
+    val hbs = pruned
+      .select(pmod(TextHash.md5Long(col("cid").cast("string")), lit(nParts)).as("hb"))
+      .distinct().collect().map(_.getLong(0))
+    val cDocs = spark.read.parquet(s"$dir/docs")
+      .filter(col("hb").isin(hbs: _*))
+      .select(col("id").as("cid"), col("hashes").as("h_c"))
+    val qDocs = bsh.select(col("id").as("qid"), col("hashes").as("h_q"))
+    pruned.join(qDocs, "qid").join(cDocs, "cid")
+      .withColumn("inter", size(array_intersect(col("h_q"), col("h_c"))).cast("double"))
+      .withColumn("jac", col("inter") / (size(col("h_q")) + size(col("h_c")) - col("inter")))
+      .filter(col("jac") >= cfg.jaccardThreshold)
+      .select(col("qid").as("query_id"), col("cid").as("corpus_id"),
+        round(col("jac"), 3).as("jaccard"))
+  }
+}
