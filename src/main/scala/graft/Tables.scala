@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Harness-table access: one parquet dir per table (see /root/repo/TESTDATA.md).
   *
@@ -21,16 +21,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in our sessions). When
-    * it arrives as a long, truncate ns → µs with INTEGER division (`div`) —
-    * float division would lose precision above 2^53 ns — matching DuckDB's
-    * own ns→µs truncation, then restore a proper timestamp column. */
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations, normalized here to a session-TZ TIMESTAMP so every
+    * downstream query sees one type:
+    *  - TIMESTAMP(NANOS): Spark only reads it with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in our sessions);
+    *    it arrives as a long and we truncate ns → µs with INTEGER division
+    *    (`div`) — float division would lose precision above 2^53 ns —
+    *    matching DuckDB's own ns→µs truncation.
+    *  - TIMESTAMP_MICROS without isAdjustedToUTC: Spark reads TIMESTAMP_NTZ,
+    *    which `unix_micros`/window ranges reject. The cast to TIMESTAMP
+    *    interprets the wall-clock value in the session time zone — UTC in
+    *    every graft session — so it is numerically a no-op and matches
+    *    DuckDB, which reads the same file as a plain TIMESTAMP. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      case LongType           => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                  => df
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
