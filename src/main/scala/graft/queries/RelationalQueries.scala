@@ -298,6 +298,24 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Multi-source BFS (operators/Bfs): exact hop-distance level
+    // structure from the mod-500 seed parts over the co-purchase graph —
+    // "how far is every product from the promoted set". Synchronous
+    // frontier expansion makes every level a pure function of the
+    // previous settled set, so the whole (dist, n_nodes) histogram is
+    // deterministic; nodes beyond 10 hops report dist = -1, keeping the
+    // Spark fixpoint and the fixed-depth oracle unroll exactly aligned
+    // whatever the graph's eccentricity.
+    "q122_bfs_levels" -> ((s, d) => {
+      val e = copurchaseEdges(s, d).persist()
+      val seeds = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .distinct().filter(col("id") % 500 === 0)
+      val dists = graft.operators.Bfs.distances(
+        e, "a", "b", seeds, "id", maxDepth = 10)
+      e.unpersist() // distances localCheckpoints eagerly; lineage is cut
+      dists.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+    }),
+
     // UNPIVOT / melt — the inverse of q47's pivot: the four lineitem
     // measures turned into (measure, value) rows via Dataset.unpivot (an
     // Expand, map-side, no shuffle until the summary agg), then a
@@ -519,6 +537,11 @@ object RelationalQueries {
          |UNION ALL
          |$dropSelects""".stripMargin
     },
+
+    "q122_bfs_levels" ->
+      s"""WITH $copurchaseEdgesSql,
+         |${graft.operators.Bfs.oracleCtes("v % 500 = 0", maxDepth = 10)}
+         |SELECT dist, count(*)::BIGINT AS n_nodes FROM bfs GROUP BY dist""".stripMargin,
 
     "q96_triangle_census" ->
       s"""WITH $copurchaseEdgesSql,
