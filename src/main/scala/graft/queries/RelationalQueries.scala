@@ -298,6 +298,66 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Reciprocal-rank fusion — combining two independent rankings of the
+    // part catalog (revenue rank, order-frequency rank) into one list,
+    // the standard hybrid-retrieval merge (lexical rank + vector rank).
+    // Scale shape: each ranker is a bounded TopKByScore aggregate (the
+    // shuffle carries 1000 rows total, never a global sort of the
+    // catalog), ranks materialize by position on the 1000-row candidate
+    // lists, and the fusion is a full-outer join of two tiny relations.
+    // RRF contributions are INTEGER: floor(1e12 / (60 + rank)) via long
+    // division on both engines — no float pow/div enters the hash.
+    "q124_rrf_fusion" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rv"),
+          count(lit(1)).as("fr"))
+        .persist() // two ranker branches; harness clears cache per query
+      def ranked(scoreCol: String, rankName: String) =
+        base.agg(graft.functions.TopKAggregate
+            .topK(col(scoreCol).cast("double"), col("pk"), 1000).as("top"))
+          .select(posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("t.payload").as("pk"), (col("pos") + 1).cast("long").as(rankName))
+      ranked("rv", "rank_rev").join(ranked("fr", "rank_freq"), Seq("pk"), "full_outer")
+        .select(col("pk").as("partkey"),
+          (coalesce(expr("1000000000000 DIV (60 + rank_rev)"), lit(0L)) +
+            coalesce(expr("1000000000000 DIV (60 + rank_freq)"), lit(0L))).as("rrf_score"),
+          coalesce(col("rank_rev"), lit(0L)).as("rank_rev"),
+          coalesce(col("rank_freq"), lit(0L)).as("rank_freq"))
+        .orderBy(desc("rrf_score"), asc("partkey")).limit(20)
+    }),
+
+    // Robust dispersion + outlier gate: median / MAD (median absolute
+    // deviation) per return flag — the heavy-tail-safe alternative to
+    // q68's mean/σ z-score. Both medians run through the bounded-memory
+    // HistogramPercentile narrowing loop (q59's scale path), so no group
+    // ever buffers in one executor. Exactness: cents are integers, so
+    // the interpolated median is an exact multiple of 0.5, deviations
+    // are exact multiples of 0.5, the MAD an exact multiple of 0.25, and
+    // `dev > 3·mad` compares exactly-representable doubles — the flag
+    // cannot flake cross-engine.
+    "q125_mad_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val med = graft.operators.HistogramPercentile
+        .quantiles(li, "l_returnflag", "cents", Seq(0.5))
+        .withColumnRenamed("q0", "med")
+      val withDev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+      val mad = graft.operators.HistogramPercentile
+        .quantiles(withDev, "l_returnflag", "dev", Seq(0.5))
+        .withColumnRenamed("q0", "mad")
+      withDev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.PortableMath.roundPortable(min(col("med")) / 100, 2)
+            .as("median_price"),
+          graft.functions.PortableMath.roundPortable(min(col("mad")) / 100, 2)
+            .as("mad_price"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+    }),
+
     // Multi-source BFS (operators/Bfs): exact hop-distance level
     // structure from the mod-500 seed parts over the co-purchase graph —
     // "how far is every product from the promoted set". Synchronous
@@ -537,6 +597,41 @@ object RelationalQueries {
          |UNION ALL
          |$dropSelects""".stripMargin
     },
+
+    "q124_rrf_fusion" ->
+      """WITH base AS (SELECT l_partkey AS pk,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rv,
+        |    count(*) AS fr
+        |  FROM lineitem GROUP BY l_partkey),
+        |r1 AS (SELECT pk, rnk AS rank_rev FROM (
+        |    SELECT pk, row_number() OVER (ORDER BY rv DESC, pk) AS rnk FROM base)
+        |  WHERE rnk <= 1000),
+        |r2 AS (SELECT pk, rnk AS rank_freq FROM (
+        |    SELECT pk, row_number() OVER (ORDER BY fr DESC, pk) AS rnk FROM base)
+        |  WHERE rnk <= 1000)
+        |SELECT coalesce(r1.pk, r2.pk) AS partkey,
+        |  (coalesce(1000000000000 // (60 + rank_rev), 0)
+        |   + coalesce(1000000000000 // (60 + rank_freq), 0))::BIGINT AS rrf_score,
+        |  coalesce(rank_rev, 0)::BIGINT AS rank_rev,
+        |  coalesce(rank_freq, 0)::BIGINT AS rank_freq
+        |FROM r1 FULL JOIN r2 ON r1.pk = r2.pk
+        |ORDER BY rrf_score DESC, partkey LIMIT 20""".stripMargin,
+
+    "q125_mad_outliers" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |m AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+        |  FROM c GROUP BY l_returnflag),
+        |dv AS (SELECT c.l_returnflag, cents, med,
+        |    abs(cents - med) AS dev FROM c JOIN m USING (l_returnflag)),
+        |md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+        |  FROM dv GROUP BY l_returnflag)
+        |SELECT dv.l_returnflag, count(*)::BIGINT AS n_items,
+        |  (floor((min(med) / 100) * 100 + 0.5) / 100) AS median_price,
+        |  (floor((min(mad) / 100) * 100 + 0.5) / 100) AS mad_price,
+        |  sum(CASE WHEN dev > mad * 3 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM dv JOIN md USING (l_returnflag)
+        |GROUP BY dv.l_returnflag""".stripMargin,
 
     "q122_bfs_levels" ->
       s"""WITH $copurchaseEdgesSql,

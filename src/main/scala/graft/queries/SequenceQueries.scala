@@ -231,6 +231,53 @@ object SequenceQueries {
     // Monday-based dow = (epoch_day+3) mod 7) — no engine/locale calendar
     // functions whose week conventions could disagree. One map-side
     // projection + one 168-group hash-agg: the minimal at-scale shape.
+    // Sequential containment patterns — which event type PRECEDES which
+    // within a session (user-day), counted by supporting session. Unlike
+    // q72's adjacent-transition Markov counts, containment asks "some a
+    // before some b anywhere in the session": a ≺ b iff the first
+    // occurrence of a sorts before the last occurrence of b under the
+    // total (ts, event_id) order, so one (session, type) rollup of
+    // first/last positions replaces the naive O(L²) event self-join.
+    // The pair join is per-session keyed and bounded by (#distinct
+    // types)² ≤ 25 per session regardless of session length.
+    "q123_seq_patterns" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("ts"), col("event_id"))
+        .withColumn("ord", row_number().over(w))
+      val ty = ev.groupBy(col("user_id"), col("day"), col("event_type"))
+        .agg(min(col("ord")).as("mn"), max(col("ord")).as("mx"))
+      ty.as("a")
+        .join(ty.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.event_type") =!= col("b.event_type") && col("a.mn") < col("b.mx"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
+
+    // Semi-structured shredding: the events `props` JSON column parsed
+    // ONCE per row with a declared schema (`from_json` — vectorized
+    // Jackson under codegen, never a per-field re-parse) and profiled per
+    // event type. The ubiquitous ingest step for log/telemetry payloads:
+    // JSON stays opaque in storage, the engine projects typed fields.
+    "q126_json_shred" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+    }),
+
     "q119_seasonality" -> ((s, d) => {
       Tables.events(s, d)
         .select(expr("CAST((unix_micros(ts) div 86400000000 + 3) % 7 AS INT)").as("dow"),
@@ -477,6 +524,29 @@ object SequenceQueries {
         |  (sum((2 * rk - n_all - 1) * cnt)::BIGINT
         |     * 1000000 // (count(*) * sum(cnt)::BIGINT))::BIGINT AS gini_micro
         |FROM r, t""".stripMargin,
+
+    "q123_seq_patterns" ->
+      """WITH ev AS (SELECT user_id, ts::DATE AS day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |                       ORDER BY ts, event_id) AS ord
+        |  FROM events),
+        |ty AS (SELECT user_id, day, event_type,
+        |    min(ord) AS mn, max(ord) AS mx
+        |  FROM ev GROUP BY user_id, day, event_type)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  count(*)::BIGINT AS n_sessions
+        |FROM ty a JOIN ty b
+        |  ON a.user_id = b.user_id AND a.day = b.day
+        | AND a.event_type <> b.event_type AND a.mn < b.mx
+        |GROUP BY ta, tb""".stripMargin,
+
+    "q126_json_shred" ->
+      """WITH ev AS (SELECT event_type,
+        |    (props->>'$.k')::BIGINT AS k FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  count(k)::BIGINT AS n_with_k,
+        |  sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM ev GROUP BY event_type""".stripMargin,
 
     "q119_seasonality" ->
       """SELECT CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS INT) AS dow,
