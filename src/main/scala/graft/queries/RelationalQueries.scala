@@ -298,6 +298,69 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Referential-integrity audit — orphan counts for every foreign key
+    // of the star schema in one result (the data-contract check a
+    // warehouse runs before publishing). Each check is ONE left join +
+    // conditional count (never a per-row EXISTS probe); dimension sides
+    // broadcast when small, degrade to shuffled joins past the
+    // threshold — the same plan either way at 100 TB.
+    "q128_fk_audit" -> ((s, d) => {
+      def check(name: String, fact: DataFrame, key: String,
+                dim: DataFrame, dkey: String): DataFrame =
+        fact.select(col(key).as("k"))
+          .join(dim.select(col(dkey).as("dk")).distinct(),
+            col("k") === col("dk"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("dk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_rows"), col("n_orphans"))
+      check("lineitem.partkey", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey")
+        .unionAll(check("lineitem.orderkey", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"))
+        .unionAll(check("orders.custkey", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .unionAll(check("customer.nationkey", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"))
+    }),
+
+    // Market-basket lift — which part PAIRS co-occur in orders beyond
+    // what their individual popularity predicts. Pair generation is the
+    // q96 basket shape (shuffle-hash on the order key so the quadratic
+    // fan-out spreads; that IS the at-scale plan); supports are exact
+    // counts, the lift ratio n_ab·N/(n_a·n_b) is emitted with its exact
+    // integer numerator/denominator beside the portable-rounded double
+    // (the division tree is identical on both engines, so even the
+    // ORDER BY on the unrounded double cannot diverge).
+    "q129_basket_lift" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .persist() // three consumers; harness clears cache per query
+      val nOrders = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val sup = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+      val pairs = items.as("x").hint("shuffle_hash")
+        .join(items.as("y").hint("shuffle_hash"), "ok")
+        .filter(col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(sup.select(col("pk").as("a"), col("n_p").as("n_a")), "a")
+        .join(sup.select(col("pk").as("b"), col("n_p").as("n_b")), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          (col("n_ab") * col("n_orders")).as("lift_num"),
+          (col("n_a") * col("n_b")).as("lift_den"),
+          graft.functions.PortableMath.roundPortable(
+            (col("n_ab") * col("n_orders")).cast("double") /
+              (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+        .orderBy(
+          ((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).desc,
+          col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Reciprocal-rank fusion — combining two independent rankings of the
     // part catalog (revenue rank, order-frequency rank) into one list,
     // the standard hybrid-retrieval merge (lexical rank + vector rank).
@@ -597,6 +660,42 @@ object RelationalQueries {
          |UNION ALL
          |$dropSelects""".stripMargin
     },
+
+    "q128_fk_audit" ->
+      """SELECT 'lineitem.partkey' AS fk, count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |UNION ALL
+        |SELECT 'lineitem.orderkey', count(*)::BIGINT,
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'orders.custkey', count(*)::BIGINT,
+        |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'customer.nationkey', count(*)::BIGINT,
+        |  sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    "q129_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |tot AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |sup AS (SELECT pk, count(*) AS n_p FROM items GROUP BY pk),
+        |pairs AS (SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY x.pk, y.pk HAVING count(*) >= 3)
+        |SELECT a, b, n_ab::BIGINT AS n_ab, sa.n_p::BIGINT AS n_a, sb.n_p::BIGINT AS n_b,
+        |  (n_ab * n_orders)::BIGINT AS lift_num,
+        |  (sa.n_p * sb.n_p)::BIGINT AS lift_den,
+        |  (floor(((n_ab * n_orders)::DOUBLE / (sa.n_p * sb.n_p)::DOUBLE) * 10000 + 0.5)
+        |    / 10000) AS lift
+        |FROM pairs
+        |JOIN sup sa ON sa.pk = a
+        |JOIN sup sb ON sb.pk = b
+        |CROSS JOIN tot
+        |ORDER BY (n_ab * n_orders)::DOUBLE / (sa.n_p * sb.n_p)::DOUBLE DESC, a, b
+        |LIMIT 20""".stripMargin,
 
     "q124_rrf_fusion" ->
       """WITH base AS (SELECT l_partkey AS pk,

@@ -231,6 +231,36 @@ object SequenceQueries {
     // Monday-based dow = (epoch_day+3) mod 7) — no engine/locale calendar
     // functions whose week conventions could disagree. One map-side
     // projection + one 168-group hash-agg: the minimal at-scale shape.
+    // Funnel latency distribution — q64's view→click→purchase funnel
+    // composed with the bounded-memory percentile loop: time-to-convert
+    // (first view to first qualifying purchase) for fully-converted
+    // users, summarized as p50/p90/p99. Gaps are exact integer µs; the
+    // single-group HistogramPercentile narrowing never buffers the
+    // cohort in one executor (q59's scale argument, applied to a funnel
+    // metric every growth dashboard ships).
+    "q127_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("click_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+      val lat = p.join(v, "user_id")
+        .select(lit("all").as("g"),
+          (col("purchase_us") - col("view_us")).cast("double").as("lat_us"))
+      graft.operators.HistogramPercentile
+        .quantiles(lat, "g", "lat_us", Seq(0.5, 0.9, 0.99))
+        .join(lat.groupBy(col("g")).agg(count(lit(1)).as("n_converted")), "g")
+        .select(col("n_converted"),
+          graft.functions.PortableMath.roundPortable(col("q0") / 1000000L, 3).as("p50_s"),
+          graft.functions.PortableMath.roundPortable(col("q1") / 1000000L, 3).as("p90_s"),
+          graft.functions.PortableMath.roundPortable(col("q2") / 1000000L, 3).as("p99_s"))
+    }),
+
     // Sequential containment patterns — which event type PRECEDES which
     // within a session (user-day), counted by supporting session. Unlike
     // q72's adjacent-transition Markov counts, containment asks "some a
@@ -524,6 +554,22 @@ object SequenceQueries {
         |  (sum((2 * rk - n_all - 1) * cnt)::BIGINT
         |     * 1000000 // (count(*) * sum(cnt)::BIGINT))::BIGINT AS gini_micro
         |FROM r, t""".stripMargin,
+
+    "q127_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.us) AS click_us FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.us > v.view_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.us) AS purchase_us FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us > c.click_us GROUP BY e.user_id),
+        |lat AS (SELECT (purchase_us - view_us)::DOUBLE AS lat_us
+        |  FROM p JOIN v USING (user_id))
+        |SELECT count(*)::BIGINT AS n_converted,
+        |  (floor((quantile_cont(lat_us, 0.5) / 1000000) * 1000 + 0.5) / 1000) AS p50_s,
+        |  (floor((quantile_cont(lat_us, 0.9) / 1000000) * 1000 + 0.5) / 1000) AS p90_s,
+        |  (floor((quantile_cont(lat_us, 0.99) / 1000000) * 1000 + 0.5) / 1000) AS p99_s
+        |FROM lat""".stripMargin,
 
     "q123_seq_patterns" ->
       """WITH ev AS (SELECT user_id, ts::DATE AS day, event_type,
