@@ -297,6 +297,125 @@ object SnapshotTable {
     }
   }
 
+  // ---- incremental CDC consumption: durable per-consumer offsets ----
+
+  private def consumersDir(tableDir: String): Path = Paths.get(tableDir, "_consumers")
+  // greedy id group: the LAST 8-digit field is the ack sequence, so
+  // consumer ids may themselves contain '-'. The consumed-through VERSION
+  // lives INSIDE the file: the CAS must race on the sequence alone — two
+  // workers acking the same poll window at different latest versions must
+  // collide on one filename, not link two files for one sequence.
+  private val OffsetRe = "(.+)-(\\d{8})\\.offset".r
+
+  /** Current durable offset of `consumerId`: (ack sequence, table version
+    * consumed through), None if the consumer has never acked. */
+  def consumerOffset(tableDir: String, consumerId: String): Option[(Long, Long)] = {
+    if (!Files.isDirectory(consumersDir(tableDir))) return None
+    val s = Files.list(consumersDir(tableDir))
+    val latest =
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString match {
+          case OffsetRe(id, seq) if id == consumerId => Some((seq.toLong, p))
+          case _                                     => None
+        })
+        .toSeq.sortBy(_._1).lastOption
+      finally s.close()
+    latest.map { case (seq, p) =>
+      (seq, new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("version=").toLong)
+    }
+  }
+
+  /** One pollable unit of change. `fromVersion` None = bootstrap (the
+    * full snapshot at `toVersion` delivered as inserts). `ack()` durably
+    * advances the consumer offset to `toVersion` — call it AFTER the
+    * batch is processed: a crash before ack redelivers the same batch
+    * (at-least-once; pair with idempotent/transactional downstream
+    * writes for exactly-once). Returns false iff another worker sharing
+    * this consumer id acked first — the batch was (or is being)
+    * processed elsewhere; re-poll instead of retrying. */
+  final case class ChangeBatch(
+      tableDir: String, consumerId: String,
+      fromVersion: Option[Long], toVersion: Long, df: DataFrame,
+      private val ackSeq: Long) {
+    // ackSeq was fixed at POLL time: if a rival worker of the same
+    // consumer id acked after our poll, its file occupies this sequence
+    // and our CAS fails — never a silent double-advance past its work
+    def ack(): Boolean = ackOffset(tableDir, consumerId, ackSeq, toVersion)
+  }
+
+  /** What `consumerId` has not consumed yet, or None if it is caught up.
+    *
+    * First poll bootstraps: the full current snapshot arrives as `insert`
+    * rows (there is no "version 0" to diff against), after which every
+    * poll returns the manifest-diff CDF window (offset, latest] — an
+    * upsert's delta reads only rewritten files, never the carried bulk.
+    * The consumer's read frontier is always a COMMITTED version boundary:
+    * a reader never sees half a commit.
+    *
+    * If retention vacuumed the consumer's offset manifest away, the diff
+    * base is gone — fails loudly with the resync instruction rather than
+    * silently re-delivering the world ([[resetConsumer]] + re-poll is the
+    * explicit resync). Keep `vacuum(keepVersions)` above the slowest
+    * consumer's lag. */
+  def pollChanges(spark: SparkSession, tableDir: String,
+                  consumerId: String): Option[ChangeBatch] = {
+    val to = latestVersion(tableDir).getOrElse(return None)
+    consumerOffset(tableDir, consumerId) match {
+      case None =>
+        Some(ChangeBatch(tableDir, consumerId, None, to,
+          readVersion(spark, tableDir, to)
+            .withColumn("_change", org.apache.spark.sql.functions.lit("insert")),
+          ackSeq = 0L))
+      case Some((_, from)) if from >= to => None
+      case Some((seq, from)) =>
+        if (!Files.exists(manifestPath(tableDir, from)))
+          throw new IllegalStateException(
+            s"consumer '$consumerId' offset v$from was vacuumed from $tableDir — " +
+              "the incremental base is gone; resetConsumer() and re-poll to resync " +
+              "(full snapshot), and raise vacuum's keepVersions above consumer lag")
+        Some(ChangeBatch(tableDir, consumerId, Some(from), to,
+          changes(spark, tableDir, from, to), ackSeq = seq + 1))
+    }
+  }
+
+  /** Durable offset advance via the same hard-link CAS as commits: the
+    * offset file `<id>-<seq>.offset` either links (we won) or already
+    * exists (a worker sharing the consumer id acked this window first). */
+  private def ackOffset(tableDir: String, consumerId: String,
+                        seq: Long, toVersion: Long): Boolean = {
+    require(!consumerId.contains("/") && consumerId.nonEmpty,
+      s"consumer id must be a non-empty path-safe token, got '$consumerId'")
+    Files.createDirectories(consumersDir(tableDir))
+    val target = consumersDir(tableDir).resolve(f"$consumerId-$seq%08d.offset")
+    val tmp = Files.createTempFile(consumersDir(tableDir), s".$consumerId-", ".tmp")
+    Files.write(tmp, s"version=$toVersion\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Operator intervention: forget `consumerId`'s offsets so its next
+    * poll bootstraps from the full current snapshot. NOT safe against a
+    * concurrently acking worker of the same id — quiesce the consumer
+    * first (the normal path never needs this; it exists for post-vacuum
+    * resync). */
+  def resetConsumer(tableDir: String, consumerId: String): Int = {
+    if (!Files.isDirectory(consumersDir(tableDir))) return 0
+    val s = Files.list(consumersDir(tableDir))
+    val mine =
+      try s.iterator().asScala.filter(p => p.getFileName.toString match {
+        case OffsetRe(id, _) => id == consumerId
+        case _               => false
+      }).toList
+      finally s.close()
+    mine.foreach(Files.deleteIfExists(_))
+    mine.length
+  }
+
   /** The latest snapshot as a DataFrame. */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir,

@@ -383,6 +383,69 @@ class SnapshotTableSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def batchRows(b: SnapshotTable.ChangeBatch): Set[(Long, String, String)] =
+    b.df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("incremental consumer: bootstrap, per-commit windows, redelivery before ack") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    // bootstrap: the full snapshot as inserts
+    val b0 = SnapshotTable.pollChanges(spark, t, "etl").get
+    assert(b0.fromVersion.isEmpty && b0.toVersion == 1L)
+    assert(batchRows(b0) == Set((1L, "a", "insert"), (2L, "b", "insert")))
+    // crash before ack: the same batch redelivers
+    val b0again = SnapshotTable.pollChanges(spark, t, "etl").get
+    assert(b0again.fromVersion.isEmpty && batchRows(b0again) == batchRows(b0))
+    assert(b0.ack())
+    assert(SnapshotTable.pollChanges(spark, t, "etl").isEmpty) // caught up
+    // two commits, one poll: the window composes both
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.upsert(spark, t, Seq((2L, "B2")).toDF("k", "v"), Seq("k"))
+    val b1 = SnapshotTable.pollChanges(spark, t, "etl").get
+    assert(b1.fromVersion.contains(1L) && b1.toVersion == 3L)
+    assert(batchRows(b1) == Set(
+      (3L, "c", "insert"), (2L, "b", "delete"), (2L, "B2", "insert")))
+    assert(b1.ack())
+    assert(SnapshotTable.consumerOffset(t, "etl").map(_._2).contains(3L))
+  }
+
+  test("incremental consumer: independent consumer ids; rival-worker ack CAS") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    val a = SnapshotTable.pollChanges(spark, t, "reporting").get
+    val b = SnapshotTable.pollChanges(spark, t, "indexing").get
+    assert(a.ack() && b.ack()) // separate ids never contend
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    // two workers share one consumer id and poll the same window
+    val w1 = SnapshotTable.pollChanges(spark, t, "reporting").get
+    val w2 = SnapshotTable.pollChanges(spark, t, "reporting").get
+    assert(w1.ack())
+    assert(!w2.ack()) // lost the CAS — w1 already advanced this sequence
+    assert(SnapshotTable.consumerOffset(t, "reporting").map(_._2).contains(2L))
+    // the loser re-polls and finds itself caught up
+    assert(SnapshotTable.pollChanges(spark, t, "reporting").isEmpty)
+  }
+
+  test("incremental consumer: vacuumed offset fails loudly; reset resyncs via bootstrap") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    val b0 = SnapshotTable.pollChanges(spark, t, "slow").get
+    assert(b0.ack()) // offset now v1
+    SnapshotTable.commitReplace(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitReplace(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.vacuum(t, keepVersions = 1) // drops v1 (the offset base) and v2
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable.pollChanges(spark, t, "slow")
+    }
+    assert(ex.getMessage.contains("vacuumed") && ex.getMessage.contains("resetConsumer"))
+    assert(SnapshotTable.resetConsumer(t, "slow") >= 1)
+    val re = SnapshotTable.pollChanges(spark, t, "slow").get
+    assert(re.fromVersion.isEmpty) // explicit full resync
+    assert(batchRows(re) == Set((3L, "c", "insert")))
+    // a consumer that stayed within retention is unaffected by the vacuum
+    assert(SnapshotTable.resetConsumer(t, "never_existed") == 0)
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
