@@ -298,6 +298,75 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Higher-moment profiling — skewness g1 and excess kurtosis g2 per
+    // return flag from EXACT integer power sums. One hash-agg collects
+    // Σx..Σx⁴ as longs (quantity ≤ 50 keeps x⁴ long-safe to ~10¹² rows
+    // per group); the central-moment numerators N2 = nB−A², N3 =
+    // n²C−3nAB+2A³, N4 = n³D−4n²AC+6nA²B−3A⁴ combine in decimal(38,0)
+    // (DuckDB's HUGEINT) and are emitted as exact strings — the n-powers
+    // cancel so g1 = N3/(N2·√N2) and g2 = n·N4/N2² − 3 need only
+    // correctly-rounded casts, one sqrt, and IEEE divisions, all
+    // bit-identical cross-engine.
+    "q130_higher_moments" -> ((s, d) => {
+      val x = round(col("l_quantity")).cast("long")
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val agg = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x.as("x"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("a"),
+          sum(col("x") * col("x")).as("b"),
+          sum(col("x") * col("x") * col("x")).as("c"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("dd"))
+      val n = dec(col("n")); val a = dec(col("a")); val b = dec(col("b"))
+      val c3 = dec(col("c")); val d4 = dec(col("dd"))
+      agg.select(col("l_returnflag"), col("n"),
+          (n * b - a * a).as("n2x"),
+          (n * n * c3 - lit(3) * n * a * b + lit(2) * a * a * a).as("n3x"),
+          (n * n * n * d4 - lit(4) * n * n * a * c3 + lit(6) * n * a * a * b
+            - lit(3) * a * a * a * a).as("n4x"))
+        .select(col("l_returnflag"), col("n"),
+          col("n2x").cast("string").as("m2_num"),
+          col("n3x").cast("string").as("m3_num"),
+          col("n4x").cast("string").as("m4_num"),
+          graft.functions.PortableMath.roundPortable(
+            col("n3x").cast("double") /
+              (col("n2x").cast("double") * sqrt(col("n2x").cast("double"))), 6)
+            .as("skew_g1"),
+          graft.functions.PortableMath.roundPortable(
+            col("n").cast("double") * col("n4x").cast("double") /
+              (col("n2x").cast("double") * col("n2x").cast("double")) - 3, 6)
+            .as("kurt_g2"))
+    }),
+
+    // Chi-square independence cells — observed vs expected count for
+    // every (returnflag, linestatus) cell, the categorical-association
+    // audit behind feature selection. Margins broadcast back onto the
+    // cell relation; the deviation numerator O·N − rowtot·coltot is an
+    // exact long, and each cell's chi² contribution (dev²)/(N·rt·ct) is
+    // a pure IEEE expression of exact integers — per-CELL emission
+    // sidesteps the one float hazard (a sum of contributions would
+    // depend on accumulation order).
+    "q131_chi2_cells" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      val cells = li.groupBy(col("flag"), col("status")).agg(count(lit(1)).as("o"))
+      val rt = li.groupBy(col("flag")).agg(count(lit(1)).as("row_tot"))
+      val ct = li.groupBy(col("status")).agg(count(lit(1)).as("col_tot"))
+      val tot = li.agg(count(lit(1)).as("n_total"))
+      cells.join(broadcast(rt), "flag").join(broadcast(ct), "status")
+        .crossJoin(broadcast(tot))
+        .select(col("flag"), col("status"), col("o"), col("row_tot"), col("col_tot"),
+          (col("o") * col("n_total") - col("row_tot") * col("col_tot")).as("dev_num"),
+          graft.functions.PortableMath.roundPortable(
+            (col("row_tot") * col("col_tot")).cast("double") / col("n_total").cast("double"), 4)
+            .as("expected"),
+          graft.functions.PortableMath.roundPortable(
+            ((col("o") * col("n_total") - col("row_tot") * col("col_tot")).cast("double") *
+              (col("o") * col("n_total") - col("row_tot") * col("col_tot")).cast("double")) /
+              (col("n_total").cast("double") * (col("row_tot") * col("col_tot")).cast("double")), 6)
+            .as("chi2_contrib"))
+    }),
+
     // Referential-integrity audit — orphan counts for every foreign key
     // of the star schema in one result (the data-contract check a
     // warehouse runs before publishing). Each check is ONE left join +
@@ -660,6 +729,42 @@ object RelationalQueries {
          |UNION ALL
          |$dropSelects""".stripMargin
     },
+
+    "q130_higher_moments" ->
+      """WITH s AS (SELECT l_returnflag,
+        |    count(*) AS n,
+        |    sum(x) AS a, sum(x*x) AS b, sum(x*x*x) AS c, sum(x*x*x*x) AS dd
+        |  FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x
+        |        FROM lineitem) GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n,
+        |    (n*b - a*a) AS n2x,
+        |    (n*n*c - 3*n*a*b + 2*a*a*a) AS n3x,
+        |    (n*n*n*dd - 4*n*n*a*c + 6*n*a*a*b - 3*a*a*a*a) AS n4x
+        |  FROM s)
+        |SELECT l_returnflag, n::BIGINT AS n,
+        |  n2x::VARCHAR AS m2_num, n3x::VARCHAR AS m3_num, n4x::VARCHAR AS m4_num,
+        |  (floor((n3x::DOUBLE / (n2x::DOUBLE * sqrt(n2x::DOUBLE))) * 1000000 + 0.5)
+        |    / 1000000) AS skew_g1,
+        |  (floor((n::DOUBLE * n4x::DOUBLE / (n2x::DOUBLE * n2x::DOUBLE) - 3) * 1000000 + 0.5)
+        |    / 1000000) AS kurt_g2
+        |FROM m""".stripMargin,
+
+    "q131_chi2_cells" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_linestatus AS status FROM lineitem),
+        |cells AS (SELECT flag, status, count(*) AS o FROM li GROUP BY flag, status),
+        |rt AS (SELECT flag, count(*) AS row_tot FROM li GROUP BY flag),
+        |ct AS (SELECT status, count(*) AS col_tot FROM li GROUP BY status),
+        |tot AS (SELECT count(*) AS n_total FROM li)
+        |SELECT status, flag, o::BIGINT AS o, row_tot::BIGINT AS row_tot,
+        |  col_tot::BIGINT AS col_tot,
+        |  (o * n_total - row_tot * col_tot)::BIGINT AS dev_num,
+        |  (floor(((row_tot * col_tot)::DOUBLE / n_total::DOUBLE) * 10000 + 0.5)
+        |    / 10000) AS expected,
+        |  (floor((((o * n_total - row_tot * col_tot)::DOUBLE
+        |           * (o * n_total - row_tot * col_tot)::DOUBLE)
+        |          / (n_total::DOUBLE * (row_tot * col_tot)::DOUBLE)) * 1000000 + 0.5)
+        |    / 1000000) AS chi2_contrib
+        |FROM cells JOIN rt USING (flag) JOIN ct USING (status) CROSS JOIN tot""".stripMargin,
 
     "q128_fk_audit" ->
       """SELECT 'lineitem.partkey' AS fk, count(*)::BIGINT AS n_rows,

@@ -231,6 +231,31 @@ object SequenceQueries {
     // Monday-based dow = (epoch_day+3) mod 7) — no engine/locale calendar
     // functions whose week conventions could disagree. One map-side
     // projection + one 168-group hash-agg: the minimal at-scale shape.
+    // Event debounce — telemetry dedup by burst: events of one
+    // (user, type) closer than 24 h to their predecessor collapse into
+    // the burst of that predecessor (classic retry/duplicate-beacon
+    // suppression). Island numbering: a lag gap opens a burst, a running
+    // sum labels it — ONE keyed sort window, no self-join; the per-type
+    // rollup reports how much the debounce suppressed.
+    "q132_debounce" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      val gapUs = lit(86400000000L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_burst",
+          when(col("us") - lag(col("us"), 1).over(w) <= gapUs, 0L).otherwise(1L))
+        .withColumn("burst", sum(col("new_burst")).over(w))
+        .groupBy(col("user_id"), col("event_type"), col("burst"))
+        .agg(count(lit(1)).as("burst_len"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_bursts"),
+          sum(col("burst_len")).as("n_events"),
+          (sum(col("burst_len")) - count(lit(1))).as("n_suppressed"),
+          max(col("burst_len")).as("max_burst"))
+    }),
+
     // Funnel latency distribution — q64's view→click→purchase funnel
     // composed with the bounded-memory percentile loop: time-to-convert
     // (first view to first qualifying purchase) for fully-converted
@@ -554,6 +579,26 @@ object SequenceQueries {
         |  (sum((2 * rk - n_all - 1) * cnt)::BIGINT
         |     * 1000000 // (count(*) * sum(cnt)::BIGINT))::BIGINT AS gini_micro
         |FROM r, t""".stripMargin,
+
+    "q132_debounce" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |fl AS (SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY us, event_id) <= 86400000000
+        |         THEN 0 ELSE 1 END AS new_burst
+        |  FROM ev),
+        |bi AS (SELECT user_id, event_type,
+        |    sum(new_burst) OVER (PARTITION BY user_id, event_type
+        |                         ORDER BY us, event_id) AS burst
+        |  FROM fl),
+        |bl AS (SELECT user_id, event_type, burst, count(*) AS burst_len
+        |  FROM bi GROUP BY user_id, event_type, burst)
+        |SELECT event_type, count(*)::BIGINT AS n_bursts,
+        |  sum(burst_len)::BIGINT AS n_events,
+        |  (sum(burst_len) - count(*))::BIGINT AS n_suppressed,
+        |  max(burst_len)::BIGINT AS max_burst
+        |FROM bl GROUP BY event_type""".stripMargin,
 
     "q127_funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
