@@ -196,6 +196,49 @@ object DedupQueries {
       VectorOps.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
     }),
 
+    // MMR diversified re-ranking — the relevance-vs-redundancy selection
+    // step between retrieval (q16 top-k, q124 RRF) and presentation:
+    // greedily pick 5 of the top-10 cosine candidates maximizing
+    // λ·sim(q,·) − (1−λ)·max-sim-to-picked (λ = 0.7). Candidate
+    // generation is the distributed scan; the greedy runs driver-side on
+    // the BOUNDED 10-row list (the Lloyd's-fit pattern — scale-free).
+    // All similarities are the codegen'd left-to-right double fold, the
+    // penalty is an order-free max, and the DuckDB oracle replays the
+    // whole greedy via list_cosine_similarity (bit-identical fold) in
+    // five unrolled argmax rounds — selection and scores hash-match.
+    "q133_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), VectorOps.cosine(col("v"), col("qv")).as("simq"))
+        .orderBy(desc("simq"), asc("vec_id")).limit(10)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      def dotD(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      def cosD(a: Array[Double], b: Array[Double]): Double =
+        dotD(a, b) / (math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b)))
+      def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+      var picked = Vector.empty[(Long, Array[Double], Double)]
+      val out = Seq.newBuilder[(Int, Long, Double, Double)]
+      for (rank <- 1 to 5) {
+        val scored = cand.filterNot(c => picked.exists(_._1 == c._1)).map { c =>
+          val pen = if (picked.isEmpty) 0.0
+                    else picked.map(p => cosD(c._2, p._2)).max
+          (c, 0.7 * c._3 - 0.3 * pen)
+        }
+        val (best, score) = scored.minBy { case (c, sc) => (-sc, c._1) }
+        picked :+= best
+        out += ((rank, best._1, r4(best._3), r4(score)))
+      }
+      out.result().toDF("rank", "vec_id", "simq", "mmr_score")
+    }),
+
     // IVF ANN with a LEARNED coarse quantizer: k-means centroids (Lloyd on
     // a deterministic hash-sample, fitted driver-side), probe 2 of 10
     // buckets. The pre-bucketed variant (VectorOps.ivfTopK on an existing
@@ -465,6 +508,33 @@ object DedupQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "q17_sim_ann_ivf" -> ivfOracle,
+
+    "q133_mmr_rerank" -> {
+      val rounds = (2 to 5).map { k =>
+        s"""pen$k AS (SELECT c.vec_id, max(list_cosine_similarity(c.v, p.v)) AS pen
+           |  FROM cand c, picked${k - 1} p
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM picked${k - 1})
+           |  GROUP BY c.vec_id),
+           |p$k AS MATERIALIZED (SELECT c.vec_id, c.v, c.simq,
+           |    0.7*c.simq - 0.3*pen AS score, $k AS rank
+           |  FROM cand c JOIN pen$k USING (vec_id)
+           |  ORDER BY score DESC, c.vec_id LIMIT 1),
+           |picked$k AS MATERIALIZED (
+           |  SELECT * FROM picked${k - 1} UNION ALL SELECT * FROM p$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cand AS MATERIALIZED (SELECT vec_id, v, list_cosine_similarity(v, qv) AS simq
+         |  FROM e, q WHERE vec_id <> 0 ORDER BY simq DESC, vec_id LIMIT 10),
+         |p1 AS MATERIALIZED (SELECT vec_id, v, simq, 0.7*simq AS score, 1 AS rank
+         |  FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+         |picked1 AS MATERIALIZED (SELECT * FROM p1),
+         |$rounds
+         |SELECT rank::INT AS rank, vec_id,
+         |  (floor(simq * 10000 + 0.5) / 10000) AS simq,
+         |  (floor(score * 10000 + 0.5) / 10000) AS mmr_score
+         |FROM picked5""".stripMargin
+    },
 
     // exact-kNN replay: same (cos DESC, neighbor_id) ranking as q16, then
     // majority vote with (votes DESC, label) tie-break
