@@ -43,33 +43,34 @@ object Bfs {
       .localCheckpoint()
     val allNodes = adj.select(col("v")).distinct().localCheckpoint()
 
-    var settled = sources.select(col(idCol).as("v")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
-    var frontier = settled.select(col("v")).localCheckpoint()
+    val seed = sources.select(col(idCol).as("v")).distinct().localCheckpoint()
+    // the settled set is the UNION of per-round checkpointed frontiers —
+    // never re-materialized as a whole: checkpointing the union each round
+    // would write O(V) per round = O(V·depth) total, while the frontiers
+    // sum to O(V) exactly once (each node settles in one round)
+    var levels = Vector[(Long, DataFrame)](0L -> seed)
+    var frontier = seed
     var round = 0
     while (round < maxDepth && !frontier.isEmpty) {
       round += 1
+      val settledV = levels.map(_._2).reduce(_ unionAll _)
       val next = adj.join(frontier, Seq("v"), "left_semi")
         .select(col("w").as("v")).distinct()
-        .join(settled.select(col("v")), Seq("v"), "left_anti")
+        .join(settledV, Seq("v"), "left_anti")
         .localCheckpoint()
-      val newSettled = settled
-        .unionAll(next.withColumn("dist", lit(round.toLong)))
-        .localCheckpoint()
-      // free the previous round's blocks once successors are materialized
-      settled.unpersist(); frontier.unpersist()
-      settled = newSettled
+      levels :+= (round.toLong -> next)
       frontier = next
     }
-    frontier.unpersist()
+    val settled = levels
+      .map { case (dd, df) => df.withColumn("dist", lit(dd)) }
+      .reduce(_ unionAll _)
     val out = allNodes.join(settled, Seq("v"), "left")
       .select(col("v"), coalesce(col("dist"), lit(-1L)).as("dist"))
       // seeds outside the graph still belong to the result (dist 0)
       .unionAll(settled.join(allNodes, Seq("v"), "left_anti"))
-    adj.unpersist(); // settled stays referenced by `out`'s lineage? No:
-    // localCheckpoint blocks back `out` — materialize before freeing.
-    val result = out.localCheckpoint()
-    settled.unpersist(); allNodes.unpersist()
+    adj.unpersist()
+    val result = out.localCheckpoint() // materialize before freeing inputs
+    levels.foreach(_._2.unpersist()); allNodes.unpersist()
     result
   }
 
