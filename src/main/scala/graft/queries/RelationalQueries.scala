@@ -298,6 +298,64 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Group-wise OLS regression — slope/intercept/r² of price-on-quantity
+    // per return flag from ONE hash-agg of exact integer sums (n, Σx, Σy,
+    // Σx², Σy², Σxy). The normal-equation numerators combine in
+    // decimal(38,0)/HUGEINT (n·Σxy reaches ~2e19) and ship as exact
+    // strings; slope = N_xy/N_xx, intercept = (Σy − slope·Σx)/n and r² =
+    // N_xy²/(N_xx·N_yy) evaluate in identical IEEE trees (r²'s square
+    // happens in double — squaring the decimal would overflow 38 digits).
+    "q134_group_regression" -> ((s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val agg = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val n = dec(col("n"))
+      val nxy = (n * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+      val nxx = (n * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+      val nyy = (n * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
+      agg.select(col("l_returnflag"), col("n"),
+        nxy.cast("string").as("slope_num"),
+        nxx.cast("string").as("slope_den"),
+        graft.functions.PortableMath.roundPortable(
+          nxy.cast("double") / nxx.cast("double"), 6).as("slope_cents"),
+        graft.functions.PortableMath.roundPortable(
+          (col("sy").cast("double")
+            - (nxy.cast("double") / nxx.cast("double")) * col("sx").cast("double"))
+            / col("n").cast("double"), 4).as("intercept_cents"),
+        graft.functions.PortableMath.roundPortable(
+          (nxy.cast("double") * nxy.cast("double"))
+            / (nxx.cast("double") * nyy.cast("double")), 6).as("r2"))
+    }),
+
+    // Broadcast-cut quantile binning — assign every row its within-group
+    // price quartile from the bounded-memory percentile cuts, then
+    // profile each band. The NO-SORT scale dual of q85's ntile (a
+    // per-class full sort): cuts come from the HistogramPercentile
+    // narrowing loop, broadcast back, and banding is a map-side CASE —
+    // integer cents make the cut comparisons exact cross-engine.
+    "q135_quantile_binning" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val cuts = graft.operators.HistogramPercentile
+        .quantiles(li, "l_returnflag", "cents", Seq(0.25, 0.5, 0.75))
+      li.join(broadcast(cuts), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("cents"),
+          when(col("cents") <= col("q0"), 1)
+            .when(col("cents") <= col("q1"), 2)
+            .when(col("cents") <= col("q2"), 3)
+            .otherwise(4).as("band"))
+        .groupBy(col("l_returnflag"), col("band"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    }),
+
     // Higher-moment profiling — skewness g1 and excess kurtosis g2 per
     // return flag from EXACT integer power sums. One hash-agg collects
     // Σx..Σx⁴ as longs (quantity ≤ 50 keeps x⁴ long-safe to ~10¹² rows
@@ -729,6 +787,41 @@ object RelationalQueries {
          |UNION ALL
          |$dropSelects""".stripMargin
     },
+
+    "q134_group_regression" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n,
+        |    (n*sxy - sx*sy) AS nxy, (n*sxx - sx*sx) AS nxx,
+        |    (n*syy - sy*sy) AS nyy, sx, sy
+        |  FROM s)
+        |SELECT l_returnflag, n::BIGINT AS n,
+        |  nxy::VARCHAR AS slope_num, nxx::VARCHAR AS slope_den,
+        |  (floor((nxy::DOUBLE / nxx::DOUBLE) * 1000000 + 0.5) / 1000000) AS slope_cents,
+        |  (floor(((sy::DOUBLE - (nxy::DOUBLE / nxx::DOUBLE) * sx::DOUBLE) / n::DOUBLE)
+        |    * 10000 + 0.5) / 10000) AS intercept_cents,
+        |  (floor(((nxy::DOUBLE * nxy::DOUBLE) / (nxx::DOUBLE * nyy::DOUBLE))
+        |    * 1000000 + 0.5) / 1000000) AS r2
+        |FROM m""".stripMargin,
+
+    "q135_quantile_binning" ->
+      """WITH c AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |q AS (SELECT l_returnflag,
+        |    quantile_cont(cents, 0.25) AS q0, quantile_cont(cents, 0.5) AS q1,
+        |    quantile_cont(cents, 0.75) AS q2
+        |  FROM c GROUP BY l_returnflag)
+        |SELECT c.l_returnflag,
+        |  CASE WHEN cents <= q0 THEN 1 WHEN cents <= q1 THEN 2
+        |       WHEN cents <= q2 THEN 3 ELSE 4 END AS band,
+        |  count(*)::BIGINT AS n_items, sum(cents)::BIGINT AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM c JOIN q USING (l_returnflag)
+        |GROUP BY c.l_returnflag, band""".stripMargin,
 
     "q130_higher_moments" ->
       """WITH s AS (SELECT l_returnflag,
