@@ -379,6 +379,50 @@ object SnapshotTable {
     }
   }
 
+  /** Apply a change feed (a [[ChangeBatch]].df or [[changes]] output —
+    * rows + `_change` in/out markers) to a DOWNSTREAM table as one atomic
+    * commit — the replication/materialized-replica primitive on top of
+    * [[pollChanges]]. Key-based, same contract as [[upsert]]: `keys` must
+    * uniquely identify rows in the destination. File-granular CoW: only
+    * destination files containing an AFFECTED key (deleted or inserted)
+    * rewrite; inserts append; everything else carries by reference. An
+    * update (delete+insert of one key) lands as the new row; a pure
+    * delete removes the key; a pure insert appends. Returns the committed
+    * destination version (None-change batches commit nothing). */
+  def applyChanges(spark: SparkSession, tableDir: String, changes: DataFrame,
+                   keys: Seq[String]): Option[Long] = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val inserts = changes.filter(col("_change") === "insert").drop("_change")
+    val affected = changes.select(keys.map(col): _*).distinct()
+    if (changes.isEmpty) return None
+    latestVersion(tableDir) match {
+      case None => Some(commitAppend(inserts, tableDir))
+      case Some(v) =>
+        val snap = snapshot(tableDir, v)
+        val schemaOpt = versionSchema(snap)
+        def readFiles(rel: Seq[String]): DataFrame = {
+          val paths = rel.map(f => Paths.get(tableDir, f).toString)
+          schemaOpt match {
+            case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
+            case None     => spark.read.parquet(paths: _*)
+          }
+        }
+        val keyCols = keys.map(col)
+        val touchedPaths = readFiles(snap.files)
+          .select(input_file_name().as("__file") +: keyCols: _*)
+          .join(affected, keys, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
+        val newRows =
+          if (touched.isEmpty) inserts
+          else readFiles(touched).join(affected, keys, "left_anti")
+            .unionByName(inserts, allowMissingColumns = true)
+        Some(commit(newRows, tableDir, replace = false,
+          dropFiles = touched.toSet, expectedVersion = Some(v)))
+    }
+  }
+
   /** Durable offset advance via the same hard-link CAS as commits: the
     * offset file `<id>-<seq>.offset` either links (we won) or already
     * exists (a worker sharing the consumer id acked this window first). */

@@ -446,6 +446,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.resetConsumer(t, "never_existed") == 0)
   }
 
+  test("CDC replication: pollChanges + applyChanges keep a replica identical through append/upsert/replace") {
+    val src = tmpTable(); val dst = tmpTable()
+    def sync(): Unit =
+      SnapshotTable.pollChanges(spark, src, "replica").foreach { b =>
+        SnapshotTable.applyChanges(spark, dst, b.df, Seq("k"))
+        assert(b.ack())
+      }
+    def rowsOf(t: String): Set[(Long, String)] =
+      SnapshotTable.read(spark, t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), src)
+    sync() // bootstrap: full snapshot lands as inserts
+    assert(rowsOf(dst) == rowsOf(src))
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("k", "v").coalesce(1), src)
+    SnapshotTable.upsert(spark, src, Seq((2L, "B2"), (4L, "d")).toDF("k", "v"), Seq("k"))
+    sync() // one composed window: insert + update across two commits
+    assert(rowsOf(dst) == rowsOf(src))
+    assert(rowsOf(dst) == Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // replace shrinks the source; deletes propagate as key drops
+    SnapshotTable.commitReplace(Seq((2L, "B2"), (9L, "z")).toDF("k", "v").coalesce(1), src)
+    sync()
+    assert(rowsOf(dst) == rowsOf(src))
+    assert(rowsOf(dst) == Set((2L, "B2"), (9L, "z")))
+    // caught up: nothing to poll, replica untouched
+    assert(SnapshotTable.pollChanges(spark, src, "replica").isEmpty)
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
