@@ -298,6 +298,33 @@ object RelationalQueries {
         .map { case (r, n) => (r, n) }.toDF("round", "n_nodes")
     }),
 
+    // Pareto / ABC analysis — parts classed by cumulative revenue share
+    // (A ≤ 80%, B ≤ 95%, C rest) in descending revenue order. The
+    // cumulative sum rides operators/PrefixSum (range repartition +
+    // per-partition cumsum + broadcast offsets), NOT a single-task global
+    // window — the 80/20 report stays distributed at catalog scale. The
+    // descending total order packs into one ascending long (bounds
+    // derived from the data, one scalar collect); class cuts compare
+    // cum·100 against tot·{80,95} in exact integers.
+    "q138_abc_analysis" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rv"))
+        .persist() // bounds scan + cumsum; harness clears cache per query
+      val b = rev.agg(max(col("rv")).as("mr"), max(col("pk")).as("mp")).collect()(0)
+      val packPk = { var p = 1L; while (p <= b.getLong(1)) p *= 10; p }
+      val ord = rev.withColumn("__ord",
+        (lit(b.getLong(0)) - col("rv")) * packPk + col("pk"))
+      val cum = graft.operators.PrefixSum.running(ord, "__ord", "rv", cumCol = "cum")
+      cum.crossJoin(broadcast(rev.agg(sum(col("rv")).as("tot"))))
+        .select(col("pk"), col("rv"),
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C").as("abc"))
+        .groupBy(col("abc"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rv")).as("class_cents"))
+    }),
+
     // Group-wise OLS regression — slope/intercept/r² of price-on-quantity
     // per return flag from ONE hash-agg of exact integer sums (n, Σx, Σy,
     // Σx², Σy², Σxy). The normal-equation numerators combine in
@@ -787,6 +814,18 @@ object RelationalQueries {
          |UNION ALL
          |$dropSelects""".stripMargin
     },
+
+    "q138_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey AS pk,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS rv
+        |  FROM lineitem GROUP BY l_partkey),
+        |c AS (SELECT pk, rv,
+        |    sum(rv) OVER (ORDER BY rv DESC, pk)::BIGINT AS cum FROM rev),
+        |tot AS (SELECT sum(rv)::BIGINT AS tot FROM rev)
+        |SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |            WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+        |  count(*)::BIGINT AS n_parts, sum(rv)::BIGINT AS class_cents
+        |FROM c CROSS JOIN tot GROUP BY abc""".stripMargin,
 
     "q134_group_regression" ->
       """WITH s AS (SELECT l_returnflag, count(*) AS n,

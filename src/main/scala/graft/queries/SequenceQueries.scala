@@ -231,6 +231,58 @@ object SequenceQueries {
     // Monday-based dow = (epoch_day+3) mod 7) — no engine/locale calendar
     // functions whose week conventions could disagree. One map-side
     // projection + one 168-group hash-agg: the minimal at-scale shape.
+    // STL-lite time-series decomposition — daily revenue split into
+    // trend + day-of-week seasonal + residual, ALL EXACT: trend is the
+    // centered 7-day rolling median (median×2 bracketing-order-stat
+    // trick ⇒ halves, exactly representable), seasonal the per-dow
+    // median of detrended values (quarters, exact), residual the
+    // difference. The only global window runs over the DAILY series —
+    // |days| rows after aggregation, inherently driver-scale at any SF.
+    "q136_stl_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("cents"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      def med(arr: org.apache.spark.sql.Column) = {
+        val n = size(arr)
+        (element_at(arr, ((n + 1) / 2).cast("int")).cast("double") +
+          element_at(arr, (n / 2 + 1).cast("int")).cast("double")) / 2
+      }
+      val t = daily
+        .withColumn("trend", med(sort_array(collect_list(col("cents")).over(w7))))
+        .withColumn("detr", col("cents").cast("double") - col("trend"))
+        .withColumn("dow",
+          (datediff(col("day"), lit("1970-01-01")) + 3) % 7)
+      val seas = t.groupBy(col("dow"))
+        .agg(med(sort_array(collect_list(col("detr")))).as("seasonal"))
+      t.join(broadcast(seas), "dow")
+        .select(col("day"), col("cents"), col("trend"), col("dow"), col("seasonal"),
+          (col("detr") - col("seasonal")).as("residual"))
+    }),
+
+    // Session journey mining — the top event-type paths (consecutive
+    // repeats collapsed) by session count: which flows actually happen.
+    // One keyed sort window (lag collapse) + an ordered list aggregation
+    // per session + a journey-string count — never a cross join, and the
+    // journey strings are bounded by the collapsed session length.
+    "q137_top_journeys" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      ev.groupBy(col("user_id"), col("day"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          r => r.getField("event_type")), ">").as("journey"))
+        .groupBy(col("journey")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("journey")).limit(10)
+    }),
+
     // Event debounce — telemetry dedup by burst: events of one
     // (user, type) closer than 24 h to their predecessor collapse into
     // the burst of that predecessor (classic retry/duplicate-beacon
@@ -579,6 +631,41 @@ object SequenceQueries {
         |  (sum((2 * rk - n_all - 1) * cnt)::BIGINT
         |     * 1000000 // (count(*) * sum(cnt)::BIGINT))::BIGINT AS gini_micro
         |FROM r, t""".stripMargin,
+
+    "q136_stl_decompose" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY ts::DATE),
+        |tr AS (SELECT day, cents,
+        |    list_sort(list(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        |  FROM daily),
+        |t AS (SELECT day, cents,
+        |    (arr[(len(arr) + 1) // 2]::DOUBLE + arr[len(arr) // 2 + 1]::DOUBLE) / 2
+        |      AS trend,
+        |    ((day - DATE '1970-01-01') + 3) % 7 AS dow
+        |  FROM tr),
+        |dt AS (SELECT day, cents, trend, dow, cents::DOUBLE - trend AS detr FROM t),
+        |se AS (SELECT dow, list_sort(list(detr)) AS sarr FROM dt GROUP BY dow),
+        |sm AS (SELECT dow,
+        |    (sarr[(len(sarr) + 1) // 2] + sarr[len(sarr) // 2 + 1]) / 2 AS seasonal
+        |  FROM se)
+        |SELECT day, cents, trend, dt.dow::INT AS dow, seasonal,
+        |  (detr - seasonal) AS residual
+        |FROM dt JOIN sm ON dt.dow = sm.dow""".stripMargin,
+
+    "q137_top_journeys" ->
+      """WITH ev AS (SELECT user_id, ts::DATE AS day, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id, ts::DATE
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |kept AS (SELECT * FROM ev WHERE prev IS NULL OR event_type <> prev),
+        |j AS (SELECT user_id, day,
+        |    array_to_string(list(event_type ORDER BY ts, event_id), '>') AS journey
+        |  FROM kept GROUP BY user_id, day)
+        |SELECT journey, count(*)::BIGINT AS n_sessions
+        |FROM j GROUP BY journey
+        |ORDER BY n_sessions DESC, journey LIMIT 10""".stripMargin,
 
     "q132_debounce" ->
       """WITH ev AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
