@@ -192,6 +192,32 @@ object RefSurface {
         .groupBy(col("in_degree"))
         .agg(count(lit(1)).as("n_nodes"))),
 
+    // Transitive ancestor ENUMERATION over the same hierarchy q05 rolls
+    // up — every (node, ancestor, depth) pair, not just the root: the
+    // lineage/bill-of-materials closure. Iterated frontier joins against
+    // the (self-loop-free) edge set, one localCheckpoint per level; the
+    // frontier shrinks to empty at the hierarchy depth, and roots stop
+    // naturally because self-loops are excluded from the edge relation.
+    // The oracle is a genuine RECURSIVE CTE — DuckDB's own fixpoint
+    // evaluator must agree with the iterated joins.
+    "q139_ancestor_closure" -> ((s, d) => {
+      val e = hierarchyNodes(s, d)
+        .filter(col("id") =!= col("parent")).localCheckpoint()
+      var frontier = e.select(col("id"), col("parent").as("ancestor"),
+        lit(1).as("depth")).localCheckpoint()
+      var acc = Vector(frontier)
+      var depth = 1
+      while (depth < 50 && !frontier.isEmpty) {
+        depth += 1
+        frontier = frontier
+          .join(e.select(col("id").as("ancestor"), col("parent").as("up")), "ancestor")
+          .select(col("id"), col("up").as("ancestor"), lit(depth).as("depth"))
+          .localCheckpoint()
+        if (!frontier.isEmpty) acc :+= frontier
+      }
+      acc.reduce(_ unionAll _)
+    }),
+
     // HITS hubs/authorities over the same hierarchy as q81's PageRank —
     // the OTHER classic link-analysis fixpoint: child→parent edges make
     // parents the authorities (score ∝ weighted subtree mass) and
@@ -289,6 +315,16 @@ object RefSurface {
         |    SELECT 'N' || n_nationkey AS id, 'R' || n_regionkey AS parent FROM nation
         |    UNION ALL SELECT 'C' || c_custkey, 'N' || c_nationkey FROM customer) t""".stripMargin,
       iters = 3),
+
+    "q139_ancestor_closure" -> (nodesCte +
+      """, anc AS (
+        |  WITH RECURSIVE walk AS (
+        |    SELECT id, parent AS ancestor, 1 AS depth FROM nodes WHERE id <> parent
+        |    UNION ALL
+        |    SELECT w.id, n.parent, w.depth + 1
+        |    FROM walk w JOIN nodes n ON w.ancestor = n.id AND n.id <> n.parent)
+        |  SELECT * FROM walk)
+        |SELECT id, ancestor, depth::INT AS depth FROM anc""".stripMargin),
 
     "q117_hits" -> graft.operators.Hits.oracleSql(
       """SELECT id AS src, parent AS dst FROM (

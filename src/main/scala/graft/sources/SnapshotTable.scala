@@ -389,9 +389,18 @@ object SnapshotTable {
     * update (delete+insert of one key) lands as the new row; a pure
     * delete removes the key; a pure insert appends. Returns the committed
     * destination version (None-change batches commit nothing). */
-  def applyChanges(spark: SparkSession, tableDir: String, changes: DataFrame,
+  def applyChanges(spark: SparkSession, tableDir: String, changes0: DataFrame,
                    keys: Seq[String]): Option[Long] = {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
+    // a CDF batch is itself a multi-file read + exceptAll; it feeds the
+    // pruning scan, the rewrite, and the emptiness check — persist once
+    val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyChangesImpl(spark, tableDir, changes, keys)
+    finally changes.unpersist()
+  }
+
+  private def applyChangesImpl(spark: SparkSession, tableDir: String,
+                               changes: DataFrame, keys: Seq[String]): Option[Long] = {
     val inserts = changes.filter(col("_change") === "insert").drop("_change")
     val affected = changes.select(keys.map(col): _*).distinct()
     if (changes.isEmpty) return None
@@ -436,6 +445,18 @@ object SnapshotTable {
     Files.write(tmp, s"version=$toVersion\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try {
       Files.createLink(target, tmp)
+      // best-effort sweep of this consumer's superseded offsets (keep the
+      // previous one as a safety margin) — readers only take the max seq,
+      // so deleting lower sequences never changes what they resolve; left
+      // alone they accumulate one file per ack forever
+      val s = Files.list(consumersDir(tableDir))
+      val stale =
+        try s.iterator().asScala.filter(p => p.getFileName.toString match {
+          case OffsetRe(id, sq) => id == consumerId && sq.toLong < seq - 1
+          case _                => false
+        }).toList
+        finally s.close()
+      stale.foreach(Files.deleteIfExists(_))
       true
     } catch {
       case _: FileAlreadyExistsException => false
