@@ -156,6 +156,32 @@ object CorpusQueries {
     // inverted-index shuffle every corpus query here uses; per-doc state
     // is bounded by chunks/doc. (The per-group collect_list is one doc's
     // chunks, not the corpus.)
+    // Context-window packing — the sequence-packing step of LLM training
+    // data prep: the corpus token stream (docs concatenated in id order)
+    // is cut into fixed 512-token contexts; each context reports how many
+    // docs it holds, how many start in it, how many straddle a boundary,
+    // and its exact token fill. The running offset rides
+    // operators/PrefixSum (range repartition + broadcast offsets, never
+    // a single-task global window); span→context fan-out is a bounded
+    // sequence explode; every quantity is exact integer arithmetic.
+    "q140_context_packing" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextHash.tokens(col("text"))).cast("long").as("tok"))
+        .filter(col("tok") > 0)
+      graft.operators.PrefixSum.running(toks, "doc_id", "tok", cumCol = "cum")
+        .select(col("doc_id"), col("tok"), col("cum"),
+          expr("(cum - tok) div 512").as("c0"),
+          expr("(cum - 1) div 512").as("c1"))
+        .select(col("doc_id"), col("tok"), col("cum"), col("c0"), col("c1"),
+          explode(sequence(col("c0"), col("c1"))).as("ctx"))
+        .groupBy(col("ctx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ctx") === col("c0"), 1L).otherwise(0L)).as("n_starting"),
+          sum(when(col("c1") > col("c0"), 1L).otherwise(0L)).as("n_split_docs"),
+          sum(least(col("cum"), (col("ctx") + 1) * 512)
+            - greatest(col("cum") - col("tok"), col("ctx") * 512)).as("n_tokens"))
+    }),
+
     "q116_chunk_dedup" -> ((s, d) => {
       val W = 10
       val toks = Tables.documents(s, d)
@@ -181,6 +207,22 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q140_context_packing" ->
+      s"""WITH t AS (SELECT doc_id, len(${TextHash.tokensSql("text")})::BIGINT AS tok
+         |  FROM documents WHERE len(${TextHash.tokensSql("text")}) > 0),
+         |c AS (SELECT doc_id, tok,
+         |    sum(tok) OVER (ORDER BY doc_id)::BIGINT AS cum FROM t),
+         |sp AS (SELECT doc_id, tok, cum,
+         |    (cum - tok) // 512 AS c0, (cum - 1) // 512 AS c1 FROM c),
+         |x AS (SELECT doc_id, tok, cum, c0, c1,
+         |    unnest(range(c0, c1 + 1)) AS ctx FROM sp)
+         |SELECT ctx, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN ctx = c0 THEN 1 ELSE 0 END)::BIGINT AS n_starting,
+         |  sum(CASE WHEN c1 > c0 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+         |  sum(least(cum, (ctx + 1) * 512)
+         |      - greatest(cum - tok, ctx * 512))::BIGINT AS n_tokens
+         |FROM x GROUP BY ctx""".stripMargin,
+
     "q33_doc_chunking" ->
       s"""WITH c AS (SELECT doc_id,
          |  list_transform(range(0, greatest(length(text), 1), $ChunkStride),

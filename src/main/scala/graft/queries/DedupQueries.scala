@@ -196,6 +196,33 @@ object DedupQueries {
       VectorOps.topK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
     }),
 
+    // Train/test split contamination — q107's deterministic md5 split
+    // composed with q83's 30-char window hashing: how many exact text
+    // windows of the test split also occur in train (the leakage audit
+    // run before any benchmark number is trusted). One distinct over
+    // (window, split) then a per-window presence fold — linear, never a
+    // doc×doc comparison; counts are exact, the rate portable-rounded.
+    "q141_split_contamination" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(
+          when(TextHash.md5Long(col("doc_id").cast("string")) % 100 < 80, "train")
+            .when(TextHash.md5Long(col("doc_id").cast("string")) % 100 < 90, "val")
+            .otherwise("test").as("split"),
+          explode(graft.functions.VectorExpressions
+            .charShingleHashes(col("text"), 30, 1L << 60)).as("h"))
+        .distinct()
+      sh.groupBy(col("h"))
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+        .agg(
+          sum(col("in_train")).as("n_train_windows"),
+          sum(col("in_test")).as("n_test_windows"),
+          sum(col("in_train") * col("in_test")).as("n_contaminated"),
+          graft.functions.PortableMath.roundPortable(
+            sum(col("in_train") * col("in_test")).cast("double")
+              / sum(col("in_test")).cast("double"), 6).as("test_contamination_rate"))
+    }),
+
     // MMR diversified re-ranking — the relevance-vs-redundancy selection
     // step between retrieval (q16 top-k, q124 RRF) and presentation:
     // greedily pick 5 of the top-10 cosine candidates maximizing
@@ -465,6 +492,26 @@ object DedupQueries {
          |      FROM w GROUP BY doc_id)
          |SELECT doc_id, n_shingles, n_dup,
          |  (floor(n_dup::DOUBLE / n_shingles * 10000 + 0.5) / 10000) AS dup_rate FROM g""".stripMargin
+    },
+
+    "q141_split_contamination" -> {
+      val h = TextHash.md5LongSql("doc_id::VARCHAR")
+      val sh = s"list_distinct(list_transform(${TextHash.charShinglesSql("text", 30)}, x -> ${TextHash.md5LongSql("x")}))"
+      s"""WITH sh AS (SELECT DISTINCT
+         |    CASE WHEN ($h) % 100 < 80 THEN 'train'
+         |         WHEN ($h) % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         |    unnest($sh) AS hh
+         |  FROM documents),
+         |w AS (SELECT hh,
+         |    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+         |    max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+         |  FROM sh GROUP BY hh)
+         |SELECT sum(in_train)::BIGINT AS n_train_windows,
+         |  sum(in_test)::BIGINT AS n_test_windows,
+         |  sum(in_train * in_test)::BIGINT AS n_contaminated,
+         |  (floor(sum(in_train * in_test)::DOUBLE / sum(in_test)::DOUBLE
+         |    * 1000000 + 0.5) / 1000000) AS test_contamination_rate
+         |FROM w""".stripMargin
     },
 
     "q15_dedup_embedding" ->
