@@ -156,6 +156,36 @@ object CorpusQueries {
     // inverted-index shuffle every corpus query here uses; per-doc state
     // is bounded by chunks/doc. (The per-group collect_list is one doc's
     // chunks, not the corpus.)
+    // Positional phrase search — the corpus's most frequent bigram found
+    // map-side (zip_with adjacency, the q53 shape), then every document
+    // containing that exact phrase located through a POSITIONAL postings
+    // join: term-filtered position lists equi-join on (doc, pos+1) —
+    // the inverted-index phrase semantics (q69 gave AND-of-terms; this
+    // completes the IR surface). The phrase pick is a bounded top-1
+    // collect; the join touches only the two terms' postings.
+    "q142_phrase_search" -> ((s, d) => {
+      val ltoks = TextHash.tokens(lower(col("text")))
+      val docs = Tables.documents(s, d)
+      val pos = docs
+        .select(col("doc_id"), posexplode(ltoks).as(Seq("pos", "token")))
+        .persist() // two term probes; harness clears cache per query
+      val grams = filter(
+        zip_with(ltoks, slice(ltoks, lit(2), greatest(size(ltoks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)
+      val top = docs.select(explode(grams).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("gram")).limit(1).collect()(0).getString(0)
+      val Array(t1, t2) = top.split(" ", 2)
+      val p1 = pos.filter(col("token") === t1).select(col("doc_id"), col("pos"))
+      val p2 = pos.filter(col("token") === t2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+        .select(lit(top).as("phrase"), col("doc_id"), col("n_occurrences"))
+        .orderBy(desc("n_occurrences"), asc("doc_id")).limit(10)
+    }),
+
     // Context-window packing — the sequence-packing step of LLM training
     // data prep: the corpus token stream (docs concatenated in id order)
     // is cut into fixed 512-token contexts; each context reports how many
@@ -207,6 +237,24 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q142_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextHash.tokensSql("lower(text)")} AS t FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |    ELSE [] END) AS gram FROM tk),
+         |top1 AS (SELECT gram, count(*) AS cnt FROM bg
+         |  GROUP BY gram ORDER BY cnt DESC, gram LIMIT 1),
+         |pos AS (SELECT doc_id, unnest(t) AS token,
+         |    unnest(range(0, len(t))) AS pos FROM tk),
+         |m AS (SELECT p1.doc_id, count(*) AS n_occurrences
+         |  FROM pos p1, pos p2, top1
+         |  WHERE p1.token = string_split(gram, ' ')[1]
+         |    AND p2.token = string_split(gram, ' ')[2]
+         |    AND p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+         |  GROUP BY p1.doc_id)
+         |SELECT (SELECT gram FROM top1) AS phrase, doc_id, n_occurrences
+         |FROM m ORDER BY n_occurrences DESC, doc_id LIMIT 10""".stripMargin,
+
     "q140_context_packing" ->
       s"""WITH t AS (SELECT doc_id, len(${TextHash.tokensSql("text")})::BIGINT AS tok
          |  FROM documents WHERE len(${TextHash.tokensSql("text")}) > 0),

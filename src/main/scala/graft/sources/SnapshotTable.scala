@@ -146,6 +146,21 @@ object SnapshotTable {
     commitReplace(read(spark, tableDir).repartition(numFiles), tableDir, zoneCol = zc)
   }
 
+  /** OPTIMIZE-style clustered compaction: rewrite the table range-sorted
+    * by `clusterCol` into `numFiles` files and record that column's zone
+    * stats. Plain [[compact]] preserves arrival order — its per-file
+    * min/max spans stay wide and [[readRange]] prunes nothing; after
+    * clustering, file spans are disjoint, so a range read touches
+    * ~selectivity of the files. The layout-determines-skipping lesson
+    * ([[ZoneMapIndex]]) made into a table maintenance action. */
+  def compactClustered(spark: SparkSession, tableDir: String,
+                       clusterCol: String, numFiles: Int): Long =
+    commitReplace(
+      read(spark, tableDir)
+        .repartitionByRange(numFiles, col(clusterCol))
+        .sortWithinPartitions(clusterCol),
+      tableDir, zoneCol = Some(clusterCol))
+
   /** Exactly-once streaming append: commits a micro-batch tagged with its
     * (streamId, batchId); a batch at-or-below the stream's committed
     * watermark is a checkpoint replay and is skipped (None) — the previous

@@ -383,6 +383,26 @@ class SnapshotTableSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clustered compaction: range reads prune to ~selectivity; values survive; time travel intact") {
+    val t = tmpTable()
+    // random arrival order across 4 files: every file spans ~the full range
+    val rnd = new scala.util.Random(5)
+    val vals = rnd.shuffle((1 to 400).toList)
+    SnapshotTable.commitAppend(vals.toDF("x").repartition(4), t, zoneCol = Some("x"))
+    val before = SnapshotTable.rangeCandidates(t, 10.0, 20.0).size
+    assert(before == 4) // random layout: nothing prunes
+    val v = SnapshotTable.compactClustered(spark, t, "x", numFiles = 4)
+    val after = SnapshotTable.rangeCandidates(t, 10.0, 20.0)
+    assert(after.size == 1) // clustered: disjoint spans, one file matches
+    assert(SnapshotTable.readRange(spark, t, 10.0, 20.0)
+      .filter("x >= 10 and x <= 20").as[Int].collect().sorted
+      === (10 to 20).toArray)
+    assert(SnapshotTable.read(spark, t).as[Int].collect().sorted === (1 to 400).toArray)
+    // the pre-compaction version is still readable (compaction = replace)
+    assert(SnapshotTable.readVersion(spark, t, v - 1).as[Int].collect().sorted
+      === (1 to 400).toArray)
+  }
+
   private def batchRows(b: SnapshotTable.ChangeBatch): Set[(Long, String, String)] =
     b.df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
 
