@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CorpusQueries, DedupQueries, MixQueries, ProfileQueries, RefSurface, RelationalQueries, ScaleQueries, SequenceQueries, TextQueries}
+import graft.queries.{AuditQueries, CorpusQueries, DedupQueries, MixQueries, ProfileQueries, RefSurface, RelationalQueries, ScaleQueries, SequenceQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefSurface.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       ScaleQueries.queries ++ RelationalQueries.queries ++ CorpusQueries.queries ++
-      ProfileQueries.queries ++ MixQueries.queries ++ SequenceQueries.queries
+      ProfileQueries.queries ++ MixQueries.queries ++ SequenceQueries.queries ++
+      AuditQueries.queries
 
   def oracleSql: Map[String, String] =
     RefSurface.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
       ScaleQueries.oracle ++ RelationalQueries.oracle ++ CorpusQueries.oracle ++
-      ProfileQueries.oracle ++ MixQueries.oracle ++ SequenceQueries.oracle
+      ProfileQueries.oracle ++ MixQueries.oracle ++ SequenceQueries.oracle ++
+      AuditQueries.oracle
 }

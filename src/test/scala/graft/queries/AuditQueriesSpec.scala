@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.functions.TextHash
+
+class AuditQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val tiny = "/root/testdata/sf0.001"
+  private val small = "/root/testdata/sf0.01"
+
+  test("q143 KMV: exact regime (n < k) returns the exact count") {
+    val rows = AuditQueries.queries("q143_kmv_distinct")(spark, tiny).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, est) = (r.getLong(1), r.getLong(3))
+      assert(n < 128, "sf0.001 should be in the exact regime")
+      assert(est == n, s"${r.getString(0)}: exact-regime estimate must equal n")
+      assert(r.isNullAt(2), "kth_min must be NULL when the sketch holds all hashes")
+    }
+  }
+
+  test("q143 KMV: estimator regime is close and the merge is lossless") {
+    val rows = AuditQueries.queries("q143_kmv_distinct")(spark, small).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val (nAll, estAll) = rows("ALL")
+    assert(nAll >= 128, "sf0.01 should be in the estimator regime")
+    // k=128 ⇒ stderr ~ 1/sqrt(k-1) ≈ 8.9%; deterministic data, generous gate
+    assert(math.abs(estAll - nAll).toDouble / nAll < 0.3,
+      s"ALL estimate $estAll too far from exact $nAll")
+
+    // Merge losslessness: the k smallest GLOBAL distinct hashes each rank
+    // <= k inside their own type's sketch, so the union of per-type
+    // bottom-k sets contains the global bottom-k and the merged estimate
+    // must EQUAL a single sketch built over all distinct users directly.
+    val direct = Tables.events(spark, small).select(col("user_id")).distinct()
+      .withColumn("h",
+        pmod(TextHash.md5Long(concat(lit("kmv:"), col("user_id").cast("string"))),
+          lit(9007199254740992L)))
+      .orderBy(col("h")).limit(128).collect().map(_.getLong(1))
+    val directEst =
+      if (direct.length < 128) direct.length.toLong
+      else 127L * 9007199254740992L / direct.last
+    assert(estAll == directEst, "merged sketch must equal the direct global sketch")
+  }
+
+  test("q144 SNM finds the planted near-dups and reports exact Jaccard") {
+    val out = AuditQueries.queries("q144_snm_dedup")(spark, tiny).collect()
+    assert(out.length > 10, "planted near-dup pairs should surface at sf0.001")
+    // recompute each reported pair's Jaccard from the raw shingle sets
+    val hs = Tables.documents(spark, tiny).select(col("doc_id"),
+      graft.functions.VectorExpressions
+        .wordShingleHashes(col("text"), 3, TextHash.P).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (r <- out) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a != b)
+      val inter = (hs(a) & hs(b)).size.toLong
+      val uni = (hs(a) | hs(b)).size.toLong
+      assert(r.getLong(2) == inter, s"pair ($a,$b) intersection")
+      assert(r.getLong(3) == uni, s"pair ($a,$b) union")
+      assert(r.getDouble(4) == math.floor(inter.toDouble / uni * 10000 + 0.5) / 10000)
+      assert(r.getDouble(4) >= 0.5)
+    }
+  }
+
+  test("q145 Benford shares are a partition of each priority class") {
+    val rows = AuditQueries.queries("q145_benford")(spark, tiny).collect()
+    assert(rows.nonEmpty)
+    val expected = Map(1 -> 3010L, 2 -> 1761L, 3 -> 1249L, 4 -> 969L,
+      5 -> 792L, 6 -> 669L, 7 -> 580L, 8 -> 512L, 9 -> 458L)
+    for (r <- rows) {
+      val d = r.getInt(1)
+      assert(d >= 1 && d <= 9)
+      assert(r.getLong(4) == expected(d))
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+    }
+    // per priority: floor-div shares sum to within 9 bp of exactly 10^4
+    val byPrio = rows.groupBy(_.getString(0))
+    for ((p, rs) <- byPrio) {
+      val s = rs.map(_.getLong(3)).sum
+      assert(s > 10000 - 9 && s <= 10000, s"priority $p share sum $s")
+    }
+  }
+}
