@@ -124,6 +124,34 @@ object AuditQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Seasonal anomaly detection — q136's STL-lite decomposition composed
+    // with a robust (median/MAD) outlier flag on the residual channel:
+    // the full "decompose, then alert on what's left" monitoring pipeline.
+    // EXACT throughout: residuals are quarter-cents (q136's halves minus
+    // quarters), their median eighths, the MAD sixteenths — all exactly
+    // representable doubles, so the 3-MAD comparison is deterministic on
+    // both engines. The day-level frame is bounded by the calendar
+    // (≤366 rows/year at ANY data scale) — the two single-group medians
+    // are driver-scale by construction, same argument as q136 itself.
+    "q146_stl_anomaly" -> ((s, d) => {
+      val base = SequenceQueries.queries("q136_stl_decompose")(s, d)
+        .persist() // two consumers (median + frame); ≤366 rows, harness clears
+      def med(arr: Column): Column = {
+        val n = size(arr)
+        (element_at(arr, ((n + 1) / 2).cast("int")).cast("double") +
+          element_at(arr, (n / 2 + 1).cast("int")).cast("double")) / 2
+      }
+      val m = base.agg(med(sort_array(collect_list(col("residual")))).as("resid_med"))
+      val withMed = base.crossJoin(broadcast(m))
+        .withColumn("absdev", abs(col("residual") - col("resid_med")))
+        .persist() // two consumers (MAD + final projection)
+      val mad = withMed.agg(med(sort_array(collect_list(col("absdev")))).as("mad"))
+      withMed.crossJoin(broadcast(mad))
+        .select(col("day"), col("cents"), col("trend"), col("seasonal"),
+          col("residual"), col("resid_med"), col("mad"),
+          (col("absdev") > col("mad") * 3).as("is_anomaly"))
+    }),
+
     // Benford leading-digit audit over order totals, per priority class.
     // All-integer: cents, counts, basis points via integer div; the
     // Benford expectation enters as precomputed bp literals. Two hash
@@ -196,6 +224,38 @@ object AuditQueries {
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
     },
+
+    "q146_stl_anomaly" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL GROUP BY ts::DATE),
+        |tr AS (SELECT day, cents,
+        |    list_sort(list(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+        |  FROM daily),
+        |t AS (SELECT day, cents,
+        |    (arr[(len(arr) + 1) // 2]::DOUBLE + arr[len(arr) // 2 + 1]::DOUBLE) / 2
+        |      AS trend,
+        |    ((day - DATE '1970-01-01') + 3) % 7 AS dow
+        |  FROM tr),
+        |dt AS (SELECT day, cents, trend, dow, cents::DOUBLE - trend AS detr FROM t),
+        |se AS (SELECT dow, list_sort(list(detr)) AS sarr FROM dt GROUP BY dow),
+        |sm AS (SELECT dow,
+        |    (sarr[(len(sarr) + 1) // 2] + sarr[len(sarr) // 2 + 1]) / 2 AS seasonal
+        |  FROM se),
+        |res AS (SELECT day, cents, trend, seasonal, (detr - seasonal) AS residual
+        |  FROM dt JOIN sm ON dt.dow = sm.dow),
+        |ma AS (SELECT list_sort(list(residual)) AS sa FROM res),
+        |m AS (SELECT (sa[(len(sa) + 1) // 2] + sa[len(sa) // 2 + 1]) / 2
+        |        AS resid_med FROM ma),
+        |ad AS (SELECT res.*, resid_med, abs(residual - resid_med) AS absdev
+        |  FROM res, m),
+        |mada AS (SELECT list_sort(list(absdev)) AS sa FROM ad),
+        |md AS (SELECT (sa[(len(sa) + 1) // 2] + sa[len(sa) // 2 + 1]) / 2
+        |        AS mad FROM mada)
+        |SELECT day, cents, trend, seasonal, residual, resid_med, mad,
+        |  (absdev > 3 * mad) AS is_anomaly
+        |FROM ad, md""".stripMargin,
 
     "q145_benford" ->
       s"""WITH c AS (SELECT o_orderpriority AS priority,

@@ -515,6 +515,71 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Co-purchase recommendation export — per item, the top-5 co-occurring
+    // items by exact pair support: the "people also bought" table a
+    // recommender ships nightly. The pair fan-out is the q96/q129 basket
+    // shape (shuffle-hash so the quadratic stage spreads); the per-item
+    // top-5 rides TopKByScore, so the shuffle after pair counting carries
+    // FIVE rows per item, never the item×item co-occurrence matrix —
+    // the difference between exporting 5·|items| rows and |items|² at
+    // catalog scale. Counts are exact; ties break by item id.
+    "q147_copurchase_recs" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .persist() // both sides of the self-join; harness clears per query
+      val co = items.as("x").hint("shuffle_hash")
+        .join(items.as("y").hint("shuffle_hash"), "ok")
+        .filter(col("x.pk") =!= col("y.pk"))
+        .groupBy(col("x.pk").as("item"), col("y.pk").as("rec"))
+        .agg(count(lit(1)).as("n_co"))
+      co.groupBy(col("item"))
+        .agg(graft.functions.TopKAggregate
+          .topK(col("n_co").cast("double"), col("rec"), 5).as("top"))
+        .select(col("item"), posexplode(col("top")))
+        .select(col("item"), (col("pos") + 1).as("rank"),
+          col("col").getField("payload").as("rec"),
+          col("col").getField("score").cast("long").as("n_co"))
+    }),
+
+    // Link prediction on the co-purchase graph — for every NON-adjacent
+    // part pair, the number of common neighbors plus the exact
+    // neighborhood-Jaccard in integer basis points; top-20 candidate
+    // links. The wedge stage runs on a CAPPED adjacency: each node keeps
+    // at most 64 neighbors, chosen by a deterministic md5 order statistic
+    // (reduced mod 2^53 so the TopKByScore double score is exact and the
+    // DuckDB replay is lockstep) — the cap never binds below degree 64
+    // (max degree here is 37, so the counts are exact), but it bounds the
+    // wedge fan-out by 64²/node at ANY scale, which is what makes the
+    // plan hub-safe on a 100 TB graph where one viral product would
+    // otherwise square into the shuffle. Degrees in the Jaccard are the
+    // TRUE degrees, not the capped ones.
+    "q148_link_prediction" -> ((s, d) => {
+      val e0 = copurchaseEdges(s, d)
+        .persist() // adjacency build + non-edge anti-join; harness clears
+      val und = e0.select(col("a").as("n"), col("b").as("m"))
+        .unionAll(e0.select(col("b").as("n"), col("a").as("m")))
+      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val hm = pmod(TextHash.md5Long(
+        concat(col("n").cast("string"), lit(":"), col("m").cast("string"))),
+        lit(9007199254740992L))
+      val adj = und.groupBy(col("n"))
+        .agg(graft.functions.TopKAggregate
+          .topK(-hm.cast("double"), col("m"), 64).as("top"))
+        .select(col("n"), explode(col("top").getField("payload")).as("m"))
+        .persist() // both sides of the wedge self-join
+      val wedges = adj.as("p").join(adj.as("q"), "n")
+        .filter(col("p.m") < col("q.m"))
+        .groupBy(col("p.m").as("u"), col("q.m").as("v"))
+        .agg(count(lit(1)).as("common"))
+      wedges
+        .join(e0, col("u") === col("a") && col("v") === col("b"), "left_anti")
+        .join(deg.select(col("n").as("u"), col("deg").as("deg_u")), "u")
+        .join(deg.select(col("n").as("v"), col("deg").as("deg_v")), "v")
+        .select(col("u"), col("v"), col("common"), col("deg_u"), col("deg_v"),
+          expr("(common * 10000) div (deg_u + deg_v - common)").as("jaccard_bp"))
+        .orderBy(desc("common"), asc("u"), asc("v")).limit(20)
+    }),
+
     // Reciprocal-rank fusion — combining two independent rankings of the
     // part catalog (revenue rank, order-frequency rank) into one list,
     // the standard hybrid-retrieval merge (lexical rank + vector rank).
@@ -933,6 +998,39 @@ object RelationalQueries {
         |CROSS JOIN tot
         |ORDER BY (n_ab * n_orders)::DOUBLE / (sa.n_p * sb.n_p)::DOUBLE DESC, a, b
         |LIMIT 20""".stripMargin,
+
+    "q147_copurchase_recs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |co AS (SELECT x.pk AS item, y.pk AS rec, count(*) AS n_co
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk <> y.pk
+        |  GROUP BY 1, 2),
+        |r AS (SELECT item, rec, n_co,
+        |    row_number() OVER (PARTITION BY item ORDER BY n_co DESC, rec) AS rank
+        |  FROM co)
+        |SELECT item, rank::INT AS rank, rec, n_co::BIGINT AS n_co
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    "q148_link_prediction" -> {
+      val h = TextHash.md5LongSql("n::VARCHAR || ':' || m::VARCHAR")
+      s"""WITH $copurchaseEdgesSql,
+         |und AS (SELECT a AS n, b AS m FROM edges
+         |        UNION ALL SELECT b AS n, a AS m FROM edges),
+         |deg AS (SELECT n, count(*) AS deg FROM und GROUP BY n),
+         |rk AS (SELECT n, m,
+         |    row_number() OVER (PARTITION BY n
+         |                       ORDER BY ($h % 9007199254740992), m) AS rn
+         |  FROM und),
+         |adj AS MATERIALIZED (SELECT n, m FROM rk WHERE rn <= 64),
+         |w AS (SELECT p.m AS u, q.m AS v, count(*) AS common
+         |  FROM adj p JOIN adj q ON p.n = q.n AND p.m < q.m GROUP BY 1, 2),
+         |cand AS (SELECT * FROM w WHERE NOT EXISTS (
+         |    SELECT 1 FROM edges e WHERE e.a = w.u AND e.b = w.v))
+         |SELECT u, v, common::BIGINT AS common, du.deg::BIGINT AS deg_u,
+         |  dv.deg::BIGINT AS deg_v,
+         |  ((common * 10000) // (du.deg + dv.deg - common))::BIGINT AS jaccard_bp
+         |FROM cand JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
+         |ORDER BY common DESC, u, v LIMIT 20""".stripMargin
+    },
 
     "q124_rrf_fusion" ->
       """WITH base AS (SELECT l_partkey AS pk,

@@ -34,4 +34,47 @@ class RelationalQueriesSpec extends AnyFunSuite {
     val df = RelationalQueries.queries("q32_approx_distinct")(spark, dir)
     assert(df.columns.toSeq == Seq("l_returnflag", "exact_parts", "approx_within_10pct"))
   }
+
+  test("q147 recommendation lists are bounded, ranked, and support-sorted") {
+    val rows = RelationalQueries.queries("q147_copurchase_recs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byItem = rows.groupBy(_._1)
+    for ((item, rs) <- byItem) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.length <= 5, s"item $item has ${sorted.length} recs")
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"item $item ranks not contiguous")
+      // support non-increasing with rank; ties broken by ascending rec id
+      for (w <- sorted.sliding(2) if w.length == 2) {
+        val (a, b) = (w(0), w(1))
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3),
+          s"item $item rank order violated: $a then $b")
+      }
+      assert(rs.forall(_._3 != item), s"item $item recommends itself")
+    }
+  }
+
+  test("q148 candidates are non-edges with consistent Jaccard arithmetic") {
+    val rows = RelationalQueries.queries("q148_link_prediction")(spark, dir).collect()
+    assert(rows.length == 20)
+    // rebuild the (already 1/8-sampled) co-purchase edge set independently
+    val items = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.as("x").join(items.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .filter(graft.functions.TextHash.md5Long(
+        org.apache.spark.sql.functions.concat(
+          col("a").cast("string"), org.apache.spark.sql.functions.lit("_"),
+          col("b").cast("string"))) % 8 === 0)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (r <- rows) {
+      val (u, v, common, du, dv, jbp) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(u < v)
+      assert(!edges.contains((u, v)), s"($u,$v) is an existing edge")
+      assert(common >= 1 && common <= math.min(du, dv))
+      assert(jbp == common * 10000 / (du + dv - common))
+    }
+  }
 }

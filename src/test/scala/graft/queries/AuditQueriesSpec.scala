@@ -66,6 +66,22 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q146 anomaly flag is consistent with its own reported robust stats") {
+    val rows = AuditQueries.queries("q146_stl_anomaly")(spark, small).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (cents, trend, seasonal, resid) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // exact decomposition: residual = cents - trend - seasonal
+      assert(resid == cents.toDouble - trend - seasonal)
+      val (med, mad, flag) = (r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+      assert(flag == (math.abs(resid - med) > 3 * mad))
+    }
+    // the robust stats are global constants across rows
+    assert(rows.map(_.getDouble(5)).distinct.length == 1)
+    assert(rows.map(_.getDouble(6)).distinct.length == 1)
+  }
+
   test("q145 Benford shares are a partition of each priority class") {
     val rows = AuditQueries.queries("q145_benford")(spark, tiny).collect()
     assert(rows.nonEmpty)
