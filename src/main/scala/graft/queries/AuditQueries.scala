@@ -152,6 +152,60 @@ object AuditQueries {
           (col("absdev") > col("mad") * 3).as("is_anomaly"))
     }),
 
+    // Declarative expectation suite over orders (operators/Expectations —
+    // the Deequ-style generalization of the reference's two SQL gates):
+    // five row-level rules fold into ONE wide aggregate (single scan
+    // regardless of rule count), the uniqueness rule is one exact
+    // count-vs-distinct aggregation. The report is |rules| rows.
+    "q149_expectation_suite" -> ((s, d) => {
+      import graft.operators.Expectations._
+      val o = Tables.orders(s, d)
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("od", col("o_orderdate").cast("date"))
+      check(o, Seq(
+        notNull("not_null_custkey", "o_custkey"),
+        inSet("status_in_set", "o_orderstatus", Seq("O", "F", "P")),
+        matches("priority_pattern", "o_orderpriority", "^[1-5]-"),
+        inRange("totalprice_range", col("cents"), 1L, 1000000000L),
+        RowRule("date_range",
+          !col("od").between(lit("1992-01-01").cast("date"),
+            lit("1998-12-31").cast("date"))),
+        Unique("unique_orderkey", Seq("o_orderkey"))))
+    }),
+
+    // Distribution drift between the q107 md5 train/test splits — exact
+    // total-variation distance over width-500 character-length bins, per
+    // source and pooled. TVD = Σ|p_i − q_i|/2 computed on the COMMON
+    // denominator 2·n_train·n_test so it is pure int64 arithmetic
+    // (numerator ≤ 2·n_train·n_test ≈ 6e8 at sf0.1, ×10^6 well inside
+    // int64) — the drift gate a training pipeline runs before trusting a
+    // held-out split, with none of PSI's float logs. Linear: one
+    // map-side bucket projection + two hash aggregations.
+    "q150_drift_tvd" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("source"),
+          (TextHash.md5Long(col("doc_id").cast("string")) % 100).as("bucket"),
+          expr("n_chars div 500").as("bin"))
+        .filter(col("bucket") < 80 || col("bucket") >= 90)
+        .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+      val all = base.select(lit("ALL").as("source"), col("split"), col("bin"))
+        .unionByName(base.select(col("source"), col("split"), col("bin")))
+      val piv = all.groupBy(col("source"), col("bin"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ctr"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("cte"))
+      val tot = piv.groupBy(col("source"))
+        .agg(sum(col("ctr")).as("n_train"), sum(col("cte")).as("n_test"),
+          count(lit(1)).as("n_bins"))
+      piv.join(tot, "source")
+        .withColumn("term", abs(col("ctr") * col("n_test") - col("cte") * col("n_train")))
+        .groupBy(col("source"))
+        .agg(max(col("n_train")).as("n_train"), max(col("n_test")).as("n_test"),
+          max(col("n_bins")).as("n_bins"), sum(col("term")).as("num"))
+        .select(col("source"), col("n_train"), col("n_test"), col("n_bins"),
+          when(col("n_train") === 0L || col("n_test") === 0L, lit(null))
+            .otherwise(expr("(num * 1000000) div (2 * n_train * n_test)"))
+            .as("tvd_micro"))
+    }),
+
     // Benford leading-digit audit over order totals, per priority class.
     // All-integer: cents, counts, basis points via integer div; the
     // Benford expectation enters as precomputed bp literals. Two hash
@@ -223,6 +277,58 @@ object AuditQueries {
          |  floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 AS jaccard
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
+    },
+
+    "q149_expectation_suite" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders),
+        |r AS (
+        |  SELECT 'not_null_custkey' AS rule,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations
+        |  FROM orders
+        |  UNION ALL SELECT 'status_in_set',
+        |    sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL SELECT 'priority_pattern',
+        |    sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |             THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL SELECT 'totalprice_range',
+        |    sum(CASE WHEN round(o_totalprice * 100)::BIGINT NOT BETWEEN 1 AND 1000000000
+        |             THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL SELECT 'date_range',
+        |    sum(CASE WHEN o_orderdate::DATE NOT BETWEEN DATE '1992-01-01'
+        |                                            AND DATE '1998-12-31'
+        |             THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL SELECT 'unique_orderkey',
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT
+        |  FROM orders)
+        |SELECT rule, violations, n_rows, (violations = 0) AS passed
+        |FROM r, n""".stripMargin,
+
+    "q150_drift_tvd" -> {
+      val h = TextHash.md5LongSql("doc_id::VARCHAR")
+      s"""WITH b AS (SELECT source, ($h % 100) AS bucket, n_chars // 500 AS bin
+         |  FROM documents),
+         |f AS (SELECT source, CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END
+         |        AS split, bin
+         |  FROM b WHERE bucket < 80 OR bucket >= 90),
+         |u AS (SELECT 'ALL' AS source, split, bin FROM f
+         |      UNION ALL SELECT source, split, bin FROM f),
+         |c AS (SELECT source, bin,
+         |        sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS ctr,
+         |        sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS cte
+         |      FROM u GROUP BY 1, 2),
+         |t AS (SELECT source, sum(ctr)::BIGINT AS n_train, sum(cte)::BIGINT AS n_test,
+         |        count(*)::BIGINT AS n_bins
+         |      FROM c GROUP BY 1)
+         |SELECT c.source, n_train, n_test, n_bins,
+         |  (CASE WHEN n_train = 0 OR n_test = 0 THEN NULL
+         |        ELSE (sum(abs(ctr * n_test - cte * n_train))::BIGINT * 1000000)
+         |             // (2 * n_train * n_test) END)::BIGINT AS tvd_micro
+         |FROM c JOIN t USING (source)
+         |GROUP BY c.source, n_train, n_test, n_bins""".stripMargin
     },
 
     "q146_stl_anomaly" ->

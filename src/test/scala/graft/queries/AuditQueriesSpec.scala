@@ -82,6 +82,39 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(6)).distinct.length == 1)
   }
 
+  test("q150 TVD agrees with a direct per-source recomputation") {
+    val out = AuditQueries.queries("q150_drift_tvd")(spark, small).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out.contains("ALL"))
+    // recompute from the raw table with the same split + binning
+    val docs = Tables.documents(spark, small)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def bucket(id: Long) = graft.functions.Md5LongUtil.hashBytes(
+      id.toString.getBytes("UTF-8")) % 100
+    val split = docs.flatMap { case (id, src, nc) =>
+      val b = bucket(id)
+      if (b < 80) Some((src, "train", nc / 500))
+      else if (b >= 90) Some((src, "test", nc / 500))
+      else None
+    }
+    val bySrc = split.groupBy(_._1)
+    for ((src, rows) <- bySrc) {
+      val tr = rows.filter(_._2 == "train").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val te = rows.filter(_._2 == "test").groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val (nTr, nTe) = (tr.values.sum, te.values.sum)
+      val expected =
+        if (nTr == 0 || nTe == 0) None
+        else {
+          val num = (tr.keySet ++ te.keySet).toSeq
+            .map(b => math.abs(tr.getOrElse(b, 0L) * nTe - te.getOrElse(b, 0L) * nTr)).sum
+          Some(num * 1000000L / (2 * nTr * nTe))
+        }
+      assert(out(src) == ((nTr, nTe, expected)), s"source $src")
+    }
+  }
+
   test("q145 Benford shares are a partition of each priority class") {
     val rows = AuditQueries.queries("q145_benford")(spark, tiny).collect()
     assert(rows.nonEmpty)
