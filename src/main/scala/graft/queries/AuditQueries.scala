@@ -152,6 +152,51 @@ object AuditQueries {
           (col("absdev") > col("mad") * 3).as("is_anomaly"))
     }),
 
+    // KMV set ALGEBRA (the theta-sketch trick): pairwise intersection
+    // estimates between event-type user sets from the q143 sketches
+    // alone — theta = k-th min of the merged (union) sketch, the hashes
+    // below theta form a uniform (k-1)-sample of the union, and the count
+    // c of sampled hashes present in BOTH sides estimates the overlap as
+    // c·M div theta (≈ c/(k-1) · |union|). c·M ≤ 128·2^53 < 2^63 keeps it
+    // int64; exact |A∩B| is emitted beside the estimate, and BOTH are
+    // hash-checked. At scale this is the point of sketching: the pairwise
+    // overlap matrix of T sets costs T sketches + T² tiny merges, never
+    // T² set joins (compare q75's MinHash source-overlap — same shape,
+    // Jaccard vs cardinality).
+    "q151_kmv_set_ops" -> ((s, d) => {
+      val dist = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h", kmvHash(col("user_id")))
+        .persist() // sketch build + exact-overlap oracle side by side
+      val sk = dist.groupBy(col("event_type"))
+        .agg(TopKAggregate.topK(-col("h").cast("double"), col("h"), KmvK).as("top"))
+        .select(col("event_type"), col("top").getField("payload").as("hs"))
+      val pairs = sk.as("x").join(sk.as("y"),
+        col("x.event_type") < col("y.event_type"))
+        .select(col("x.event_type").as("ta"), col("y.event_type").as("tb"),
+          col("x.hs").as("ha"), col("y.hs").as("hb"))
+      // union sketch of the pair = bottom-k of the deduped hash union;
+      // per-pair arrays are <= k long, so this is driver-free map work
+      val withTheta = pairs
+        .withColumn("uni", array_sort(array_distinct(concat(col("ha"), col("hb")))))
+        .withColumn("theta",
+          when(size(col("uni")) >= KmvK, element_at(col("uni"), KmvK)))
+        .withColumn("c", size(filter(col("uni"),
+          x => x < coalesce(col("theta"), lit(Long.MaxValue)) &&
+            array_contains(col("ha"), x) && array_contains(col("hb"), x))).cast("long"))
+      val est = withTheta.select(col("ta"), col("tb"),
+        when(col("theta").isNull, col("c"))
+          .otherwise(expr(s"(c * ${KmvM}L) div theta")).as("est_common"))
+      val exact = dist.as("a").join(dist.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_common"))
+      est.join(exact, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"), col("est_common"))
+    }),
+
     // Declarative expectation suite over orders (operators/Expectations —
     // the Deequ-style generalization of the reference's two SQL gates):
     // five row-level rules fold into ONE wide aggregate (single scan
@@ -277,6 +322,36 @@ object AuditQueries {
          |  floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 AS jaccard
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
+    },
+
+    "q151_kmv_set_ops" -> {
+      val h = kmvHashSql("user_id")
+      s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
+         |hs AS (SELECT event_type, $h AS h FROM dist),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM hs),
+         |sk AS (SELECT event_type, list(h ORDER BY h) AS hs
+         |       FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |p AS (SELECT x.event_type AS ta, y.event_type AS tb, x.hs AS ha, y.hs AS hb
+         |      FROM sk x JOIN sk y ON x.event_type < y.event_type),
+         |w AS (SELECT ta, tb, ha, hb,
+         |        list_sort(list_distinct(ha || hb)) AS uni FROM p),
+         |th AS (SELECT ta, tb, ha, hb, uni,
+         |        CASE WHEN len(uni) >= $KmvK THEN uni[$KmvK] END AS theta FROM w),
+         |cc AS (SELECT ta, tb, theta,
+         |        len(list_filter(uni, x ->
+         |          x < coalesce(theta, 9223372036854775807)
+         |          AND list_contains(ha, x) AND list_contains(hb, x)))::BIGINT AS c
+         |       FROM th),
+         |e AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*)::BIGINT AS n_common
+         |      FROM dist a JOIN dist b
+         |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |      GROUP BY 1, 2)
+         |SELECT cc.ta, cc.tb, coalesce(n_common, 0)::BIGINT AS n_common,
+         |  (CASE WHEN theta IS NULL THEN c
+         |        ELSE (c * $KmvM) // theta END)::BIGINT AS est_common
+         |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
 
     "q149_expectation_suite" ->

@@ -82,6 +82,22 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(6)).distinct.length == 1)
   }
 
+  test("q151 KMV intersection: exact regime equals truth, estimator is close") {
+    // sf0.001: every set < k, theta NULL -> estimate must equal exact overlap
+    val exactRegime = AuditQueries.queries("q151_kmv_set_ops")(spark, tiny).collect()
+    assert(exactRegime.nonEmpty)
+    for (r <- exactRegime)
+      assert(r.getLong(3) == r.getLong(2), s"${r.getString(0)}x${r.getString(1)}")
+    // sf0.01: estimator regime, k=128 sample -> generous 35% gate
+    val est = AuditQueries.queries("q151_kmv_set_ops")(spark, small).collect()
+    assert(est.length == 10, "5 event types -> 10 unordered pairs")
+    for (r <- est) {
+      val (n, e) = (r.getLong(2), r.getLong(3))
+      assert(n > 0 && math.abs(e - n).toDouble / n < 0.35,
+        s"${r.getString(0)}x${r.getString(1)}: est $e vs exact $n")
+    }
+  }
+
   test("q150 TVD agrees with a direct per-source recomputation") {
     val out = AuditQueries.queries("q150_drift_tvd")(spark, small).collect()
       .map(r => r.getString(0) ->
