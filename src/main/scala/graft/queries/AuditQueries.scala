@@ -44,6 +44,36 @@ object AuditQueries {
       "WHEN 4 THEN 969 WHEN 5 THEN 792 WHEN 6 THEN 669 WHEN 7 THEN 580 " +
       "WHEN 8 THEN 512 ELSE 458 END"
 
+  /** The SNM candidate stage shared by q144 (dedup report) and q153
+    * (blocking evaluation): window w=4 over (block, sort-key) order,
+    * exact intersections via the codegen'd sorted-merge kernel. Returns
+    * ALL (w−1)·n windowed pairs as (id_a, id_b, inter, uni); id_a is the
+    * rank-earlier doc, not necessarily the smaller id. */
+  private def snmCandidates(s: SparkSession, d: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      substring(norm, 1, 40).as("sk"),
+      sort_array(VectorExpressions
+        .wordShingleHashes(col("text"), 3, TextHash.P)).as("hs"))
+      .withColumn("block", substring(col("sk"), 1, 6))
+    val w = Window.partitionBy(col("block")).orderBy(col("sk"), col("doc_id"))
+    val withLeads = docs.select(col("doc_id"), col("hs"),
+      array((1 to 3).map(o => struct(
+        lead(col("doc_id"), o).over(w).as("id_b"),
+        lead(col("hs"), o).over(w).as("hs_b"))): _*).as("cands"))
+    val pairs = withLeads
+      .select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
+        explode(col("cands")).as("c"))
+      .filter(col("c.id_b").isNotNull)
+      .select(col("id_a"), col("c.id_b").as("id_b"),
+        col("hs_a"), col("c.hs_b").as("hs_b"))
+    val inter = VectorExpressions.sortedIntersectCount(col("hs_a"), col("hs_b"))
+    pairs.select(col("id_a"), col("id_b"), inter.as("inter"),
+      (size(col("hs_a")).cast("long") + size(col("hs_b")).cast("long")
+        - inter).as("uni"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // KMV distinct-user sketch per event type + the MERGED union sketch.
@@ -95,34 +125,11 @@ object AuditQueries {
     // property of SNM blocking (vs LSH's collision-driven and AllPairs'
     // df-driven candidate sets). Block-local windows keep the sort
     // parallel at scale (no global single-partition ordering).
-    "q144_snm_dedup" -> ((s, d) => {
-      val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-      val docs = Tables.documents(s, d).select(
-        col("doc_id"),
-        substring(norm, 1, 40).as("sk"),
-        sort_array(VectorExpressions
-          .wordShingleHashes(col("text"), 3, TextHash.P)).as("hs"))
-        .withColumn("block", substring(col("sk"), 1, 6))
-      val w = Window.partitionBy(col("block")).orderBy(col("sk"), col("doc_id"))
-      val withLeads = docs.select(col("doc_id"), col("hs"),
-        array((1 to 3).map(o => struct(
-          lead(col("doc_id"), o).over(w).as("id_b"),
-          lead(col("hs"), o).over(w).as("hs_b"))): _*).as("cands"))
-      val pairs = withLeads
-        .select(col("doc_id").as("id_a"), col("hs").as("hs_a"),
-          explode(col("cands")).as("c"))
-        .filter(col("c.id_b").isNotNull)
-        .select(col("id_a"), col("c.id_b").as("id_b"),
-          col("hs_a"), col("c.hs_b").as("hs_b"))
-      val inter = VectorExpressions.sortedIntersectCount(col("hs_a"), col("hs_b"))
-      pairs
-        .select(col("id_a"), col("id_b"), inter.as("inter"),
-          (size(col("hs_a")).cast("long") + size(col("hs_b")).cast("long")
-            - inter).as("uni"))
+    "q144_snm_dedup" -> ((s, d) =>
+      snmCandidates(s, d)
         .withColumn("jaccard",
           expr("floor(CAST(inter AS DOUBLE) / uni * 10000 + 0.5) / 10000"))
-        .filter(col("jaccard") >= 0.5)
-    }),
+        .filter(col("jaccard") >= 0.5)),
 
     // Seasonal anomaly detection — q136's STL-lite decomposition composed
     // with a robust (median/MAD) outlier flag on the residual channel:
@@ -150,6 +157,65 @@ object AuditQueries {
         .select(col("day"), col("cents"), col("trend"), col("seasonal"),
           col("residual"), col("resid_med"), col("mad"),
           (col("absdev") > col("mad") * 3).as("is_anomaly"))
+    }),
+
+    // Exact autocorrelation of daily revenue at lags 1–7 — the
+    // "is there weekly structure" diagnostic behind every seasonality
+    // model (q119/q136's quantitative sibling). Per-lag Pearson on the
+    // (x_t, x_{t+lag}) pairs from EXACT integer moment sums; the
+    // normal-equation numerators combine in decimal(38,0)/HUGEINT and
+    // ship as exact strings (q134's idiom), the correlation itself as a
+    // portable-rounded double (sqrt is IEEE correctly-rounded on both
+    // engines). The day-level frame is calendar-bounded at any SF; the
+    // only full-data work is the one daily aggregation.
+    "q152_autocorrelation" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("x"))
+      val w = Window.orderBy(col("day")) // ≤366-row frame: driver-scale
+      val pairs = daily
+        .select(col("x"), array((1 to 7).map(l => lead(col("x"), l).over(w)): _*).as("ys"))
+        .select(col("x"), posexplode(col("ys")))
+        .select((col("pos") + 1).as("lag"), col("x"), col("col").as("y"))
+        .filter(col("y").isNotNull)
+      val agg = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val n = dec(col("n"))
+      val num = n * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+      val dx = n * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+      val dy = n * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+      agg.select(col("lag"), col("n"),
+        num.cast("string").as("acf_num"),
+        dx.cast("string").as("acf_den_x"), dy.cast("string").as("acf_den_y"),
+        graft.functions.PortableMath.roundPortable(
+          num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))),
+          6).as("acf"))
+    }),
+
+    // Blocking-strategy EVALUATION — q58's recall-audit pattern applied
+    // to SNM: ground truth is the EXACT all-pairs Jaccard ≥ 4/5 set
+    // (AllPairs prefix filter, completeness proven by q98's brute-join
+    // oracle), the candidate set is q144's (w−1)·n windowed pairs, and
+    // the report is one row of exact counts with recall/precision in
+    // integer basis points. The rational predicate inter·5 ≥ 4·uni is
+    // shared by both sides, so "found" pairs are a true subset of truth.
+    "q153_snm_evaluation" -> ((s, d) => {
+      val sets = Tables.documents(s, d).select(col("doc_id"),
+        VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P).as("hs"))
+      val truth = graft.operators.PrefixFilterJoin
+        .jaccardSelfJoin(sets, "doc_id", "hs", 4, 5)
+      val cands = snmCandidates(s, d)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val cAgg = cands.agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("inter") * 5 >= col("uni") * 4, 1L).otherwise(0L)).as("n_found"))
+      cAgg.crossJoin(broadcast(nTruth))
+        .select(col("n_truth"), col("n_candidates"), col("n_found"),
+          expr("(n_found * 10000) div n_truth").as("recall_bp"),
+          expr("(n_found * 10000) div n_candidates").as("precision_bp"))
     }),
 
     // KMV set ALGEBRA (the theta-sketch trick): pairwise intersection
@@ -322,6 +388,62 @@ object AuditQueries {
          |  floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 AS jaccard
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
+    },
+
+    "q152_autocorrelation" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY ts::DATE),
+        |r AS (SELECT x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |pairs AS (SELECT lags.lag, a.x AS x, b.x AS y
+        |  FROM lags, r a, r b WHERE b.rn = a.rn + lags.lag),
+        |s AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM pairs GROUP BY lag),
+        |m AS (SELECT lag, n, (n*sxy - sx*sy) AS num,
+        |    (n*sxx - sx*sx) AS dx, (n*syy - sy*sy) AS dy
+        |  FROM s)
+        |SELECT lag::INT AS lag, n::BIGINT AS n,
+        |  num::VARCHAR AS acf_num, dx::VARCHAR AS acf_den_x, dy::VARCHAR AS acf_den_y,
+        |  (floor((num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE))) * 1000000 + 0.5)
+        |    / 1000000) AS acf
+        |FROM m""".stripMargin,
+
+    "q153_snm_evaluation" -> {
+      val hs = s"list_distinct(list_transform(" +
+        s"${TextHash.wordShinglesSql("text", 3)}, x -> ${TextHash.baseHashSql("x")}))"
+      s"""WITH sets AS (SELECT doc_id, $hs AS hs FROM documents),
+         |tok AS (SELECT doc_id, unnest(hs) AS h FROM sets),
+         |bp AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+         |  FROM tok x JOIN tok y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b FROM bp
+         |  JOIN (SELECT doc_id, len(hs) AS n FROM sets) sa ON sa.doc_id = id_a
+         |  JOIN (SELECT doc_id, len(hs) AS n FROM sets) sb ON sb.doc_id = id_b
+         |  WHERE inter * 5 >= 4 * (sa.n + sb.n - inter)),
+         |nrm AS (SELECT doc_id,
+         |    substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 40) AS sk,
+         |    list_sort(hs) AS hs
+         |  FROM documents JOIN sets USING (doc_id)),
+         |rk AS (SELECT doc_id, sk, substr(sk, 1, 6) AS block, hs,
+         |        row_number() OVER (PARTITION BY substr(sk, 1, 6)
+         |                           ORDER BY sk, doc_id) AS rn
+         |      FROM nrm),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS inter,
+         |        len(a.hs) + len(b.hs) AS sz
+         |      FROM rk a JOIN rk b ON a.block = b.block
+         |                         AND b.rn - a.rn BETWEEN 1 AND 3),
+         |c AS (SELECT count(*)::BIGINT AS n_candidates,
+         |        sum(CASE WHEN inter * 5 >= 4 * (sz - inter) THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_found
+         |      FROM cand),
+         |t AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+         |SELECT n_truth, n_candidates, n_found,
+         |  ((n_found * 10000) // n_truth)::BIGINT AS recall_bp,
+         |  ((n_found * 10000) // n_candidates)::BIGINT AS precision_bp
+         |FROM c, t""".stripMargin
     },
 
     "q151_kmv_set_ops" -> {

@@ -131,6 +131,32 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q152 ACF numerators satisfy Cauchy-Schwarz and |acf| <= 1") {
+    val rows = AuditQueries.queries("q152_autocorrelation")(spark, small).collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 7))
+    for (r <- rows) {
+      val (num, dx, dy) =
+        (BigInt(r.getString(2)), BigInt(r.getString(3)), BigInt(r.getString(4)))
+      assert(dx > 0 && dy > 0)
+      assert(num * num <= dx * dy, s"lag ${r.getInt(0)}: Cauchy-Schwarz violated")
+      assert(math.abs(r.getDouble(5)) <= 1.0)
+    }
+    // consecutive lags shrink the pair count by exactly one day
+    val ns = rows.sortBy(_.getInt(0)).map(_.getLong(1))
+    for (i <- 1 until ns.length) assert(ns(i) == ns(i - 1) - 1)
+  }
+
+  test("q153 found pairs are a subset of truth (recall <= 100%)") {
+    for (dir <- Seq(tiny, small)) {
+      val r = AuditQueries.queries("q153_snm_evaluation")(spark, dir).collect().head
+      val (nTruth, nCand, nFound) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nTruth > 0 && nCand > 0)
+      assert(nFound <= nTruth && nFound <= nCand)
+      assert(r.getLong(3) == nFound * 10000 / nTruth)
+      assert(r.getLong(4) == nFound * 10000 / nCand)
+    }
+  }
+
   test("q145 Benford shares are a partition of each priority class") {
     val rows = AuditQueries.queries("q145_benford")(spark, tiny).collect()
     assert(rows.nonEmpty)
