@@ -43,6 +43,19 @@ object Expectations {
   def matches(name: String, column: String, regex: String): RowRule =
     RowRule(name, !col(column).rlike(regex))
 
+  // one scan: count(*) plus one conditional sum per row-level rule, then
+  // an unpivot of the single wide row into (rule, violations) per-rule rows
+  private def rowReport(df: DataFrame, rowRules: Seq[RowRule]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      rowRules.map(r => sum(when(r.violatedWhen, 1L).otherwise(0L)).as(r.name))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"),
+        explode(map(rowRules.flatMap(r => Seq(lit(r.name), col(r.name))): _*))
+          .as(Seq("rule", "violations")))
+      .select(col("rule"), col("violations"), col("n_rows"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
   /** Run the suite: one row per rule —
     * (rule, violations, n_rows, passed = violations == 0). */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
@@ -50,17 +63,9 @@ object Expectations {
     val uniqueRules = rules.collect { case u: Unique => u }
     require(rowRules.nonEmpty || uniqueRules.nonEmpty, "empty rule suite")
 
-    // one scan: count(*) plus one conditional sum per row-level rule
-    val rowReport = if (rowRules.isEmpty) Nil else {
-      val aggs = count(lit(1)).as("n_rows") +:
-        rowRules.map(r => sum(when(r.violatedWhen, 1L).otherwise(0L)).as(r.name))
-      val wide = df.agg(aggs.head, aggs.tail: _*)
-      // unpivot the single wide row into (rule, violations) via a map literal
-      Seq(wide.select(col("n_rows"),
-        explode(map(rowRules.flatMap(r => Seq(lit(r.name), col(r.name))): _*))
-          .as(Seq("rule", "violations")))
-        .select(col("rule"), col("violations"), col("n_rows")))
-    }
+    val rowPart =
+      if (rowRules.isEmpty) Nil
+      else Seq(rowReport(df, rowRules).drop("passed"))
 
     val uniqueReports = uniqueRules.map { u =>
       df.agg(count(lit(1)).as("n_rows"),
@@ -69,8 +74,22 @@ object Expectations {
           (col("n_rows") - col("n_distinct")).as("violations"), col("n_rows"))
     }
 
-    (rowReport ++ uniqueReports)
+    (rowPart ++ uniqueReports)
       .reduce(_.unionByName(_))
       .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Streaming form: the same row-level report, CUMULATIVE over everything
+    * the stream has delivered so far (complete output mode — Spark keeps
+    * the running conditional sums as aggregation state, so the monitor
+    * costs |rules| counters, not retained rows). Uniqueness rules need
+    * per-key state and are rejected here — police duplicates upstream
+    * with [[StreamingDedup]] and feed this monitor its output. */
+  def monitor(stream: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val rowRules = rules.collect { case r: RowRule => r }
+    require(rowRules.length == rules.length,
+      "streaming monitor supports row-level rules only (Unique needs per-key state)")
+    require(rowRules.nonEmpty, "empty rule suite")
+    rowReport(stream, rowRules)
   }
 }

@@ -159,6 +159,44 @@ object AuditQueries {
           (col("absdev") > col("mad") * 3).as("is_anomaly"))
     }),
 
+    // Embedding class-separation audit — the pairwise squared distance
+    // matrix between per-label MEAN vectors, exact: micro-quantized
+    // coordinates (the q108 half-away idiom), per-dimension sums as
+    // longs, and the common-denominator identity
+    //   ‖μ_a − μ_b‖² = Σ_d (n_b·S_a,d − n_a·S_b,d)² / (n_a·n_b)²
+    // evaluated with decimal(38,0) numerators (terms reach ~3e29) shipped
+    // as exact strings; the real-valued distance² is one mirrored IEEE
+    // division tree. This is the "are my classes actually separable"
+    // check before training on a labeled corpus. Shape at scale: one
+    // explode + (label, dim) hash-agg (640 groups), then a 45-pair join
+    // of a TINY relation — the full-data work is a single linear pass.
+    "q154_class_separation" -> ((s, d) => {
+      val sums = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(
+          graft.operators.VectorOps.asDouble(col("embedding"))))
+        .select(col("label"), col("pos").as("dim"),
+          graft.functions.PortableMath.microHalfAway(col("col")).as("micro"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("micro")).as("sv"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val pairs = sums.as("a").join(sums.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          col("a.n").as("na"), col("b.n").as("nb"),
+          (dec(col("b.n")) * dec(col("a.sv"))
+            - dec(col("a.n")) * dec(col("b.sv"))).as("t"))
+      pairs.groupBy(col("la"), col("lb"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(col("t") * col("t")).as("num"))
+        .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+          col("num").cast("string").as("dist2_num"),
+          graft.functions.PortableMath.roundPortable(
+            col("num").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double")
+                * col("n_a").cast("double") * col("n_b").cast("double")
+                * lit(1000000000000.0)), 8).as("dist2"))
+    }),
+
     // Exact autocorrelation of daily revenue at lags 1–7 — the
     // "is there weekly structure" diagnostic behind every seasonality
     // model (q119/q136's quantitative sibling). Per-lag Pearson on the
@@ -389,6 +427,24 @@ object AuditQueries {
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
     },
+
+    "q154_class_separation" ->
+      """WITH ex AS (SELECT label,
+        |    unnest(range(0, len(embedding)))::INT AS dim,
+        |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS micro
+        |  FROM embeddings),
+        |s AS (SELECT label, dim, count(*)::BIGINT AS n, sum(micro)::BIGINT AS sv
+        |  FROM ex GROUP BY 1, 2),
+        |p AS (SELECT a.label AS la, b.label AS lb, a.n AS na, b.n AS nb,
+        |    (b.n::HUGEINT * a.sv::HUGEINT - a.n::HUGEINT * b.sv::HUGEINT) AS t
+        |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label),
+        |g AS (SELECT la, lb, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+        |    sum(t * t) AS num
+        |  FROM p GROUP BY 1, 2)
+        |SELECT la, lb, n_a, n_b, num::VARCHAR AS dist2_num,
+        |  (floor((num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE * n_a::DOUBLE * n_b::DOUBLE
+        |    * 1000000000000.0)) * 100000000 + 0.5) / 100000000) AS dist2
+        |FROM g""".stripMargin,
 
     "q152_autocorrelation" ->
       """WITH daily AS (SELECT ts::DATE AS day,

@@ -48,6 +48,37 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming monitor accumulates violations and matches batch check") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val rules = Seq(
+      Expectations.notNull("v_not_null", "v"),
+      Expectations.inSet("v_in_set", "v", Seq("a", "b")))
+    val q = Expectations.monitor(mem.toDF().toDF("id", "v"), rules)
+      .writeStream.outputMode("complete").format("memory").queryName("exp_mon").start()
+    try {
+      mem.addData((1L, "a"), (2L, "zzz"))
+      q.processAllAvailable()
+      val r1 = report(spark.table("exp_mon").collect())
+      assert(r1("v_in_set") == ((1L, 2L, false)))
+      assert(r1("v_not_null") == ((0L, 2L, true)))
+      // second batch ACCUMULATES into the same counters
+      mem.addData((3L, "b"), (4L, "zzz"))
+      q.processAllAvailable()
+      val r2 = report(spark.table("exp_mon").collect())
+      val batch = report(Expectations.check(
+        Seq((1L, "a"), (2L, "zzz"), (3L, "b"), (4L, "zzz")).toDF("id", "v"),
+        rules).collect())
+      assert(r2 == batch, s"streaming $r2 vs batch $batch")
+    } finally q.stop()
+
+    intercept[IllegalArgumentException] {
+      Expectations.monitor(mem.toDF().toDF("id", "v"),
+        Seq(Expectations.Unique("u", Seq("id"))))
+    }
+  }
+
   test("all row-level rules share ONE aggregate scan") {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

@@ -131,6 +131,29 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q154 centroid distances match a pure-Scala recomputation") {
+    val out = AuditQueries.queries("q154_class_separation")(spark, tiny).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), BigInt(r.getString(4))))).toMap
+    assert(out.size == 45, "10 labels -> 45 unordered pairs")
+    val vecs = Tables.embeddings(spark, tiny)
+      .select(col("label"), graft.operators.VectorOps.asDouble(col("embedding")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (((la, lb), (na, nb, num)) <- out) {
+      val (va, vb) = (byLabel(la), byLabel(lb))
+      assert(na == va.length && nb == vb.length)
+      val dims = va.head.length
+      val expected = (0 until dims).map { d =>
+        val sa = va.map(v => BigInt(graft.operators.KMeansIVF.roundHalfAway(v(d) * 1e6))).sum
+        val sb = vb.map(v => BigInt(graft.operators.KMeansIVF.roundHalfAway(v(d) * 1e6))).sum
+        val t = BigInt(nb) * sa - BigInt(na) * sb
+        t * t
+      }.sum
+      assert(num == expected, s"pair ($la,$lb)")
+    }
+  }
+
   test("q152 ACF numerators satisfy Cauchy-Schwarz and |acf| <= 1") {
     val rows = AuditQueries.queries("q152_autocorrelation")(spark, small).collect()
     assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 7))
