@@ -1,0 +1,125 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EXACT weighted median over INTEGER values in bounded memory, with ZERO
+  * driver value-collects — the weighted sibling of
+  * [[HistogramPercentile]], specialized to long-valued domains (cents,
+  * micros, counts — every exact-arithmetic column in this suite).
+  *
+  * Definition: the LOWER weighted median — the smallest value v whose
+  * running weight (over values sorted ascending) reaches
+  * T = (W + 1) div 2. It is always an ELEMENT of the input, so no
+  * interpolation and none of the float-boundary discipline the
+  * double-valued percentile loop needs: ranges are integer intervals
+  * [lo, hi], the bucket index is pure integer division, and every
+  * boundary is exact.
+  *
+  * Each round is ONE scan: rows join a broadcast of the live per-group
+  * ranges, bucket = (v − lo) div width with width = (hi − lo) div bins + 1,
+  * and a (group, bucket) aggregation sums weights. The driver walks the
+  * ≤ bins cumulative weights, re-bases the target into the owning bucket,
+  * and narrows. The range shrinks ×bins per round, so a 10^9-wide cents
+  * domain resolves to width 1 in ≤ 5 rounds with 128 bins — the answer
+  * falls out as the range's single remaining value, never a collected
+  * row. Memory: O(groups × bins) driver-side counters; executor state is
+  * a hash aggregate over ≤ groups×bins keys.
+  *
+  * Weights must be POSITIVE (zero/negative weights make the running-sum
+  * definition ill-posed); enforced with a loud failure, not a silent
+  * filter.
+  */
+object WeightedMedian {
+
+  private final case class Range(var lo: Long, var hi: Long, var target: Long)
+
+  /** df(groupCol: any, valueCol: long, weightCol: long) →
+    * (groupCol, total_weight, wmedian). */
+  def exact(spark: SparkSession, df: DataFrame, groupCol: String,
+            valueCol: String, weightCol: String, bins: Int = 128,
+            maxRounds: Int = 64): DataFrame = {
+    require(bins >= 2, s"bins=$bins")
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"), col(weightCol).cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBad = base.filter(col("w") <= 0 || col("w").isNull ||
+        col("v").isNull).limit(1).count()
+      require(nBad == 0, "WeightedMedian: NULL value or non-positive weight")
+
+      val stats = base.groupBy(col("g"))
+        .agg(sum(col("w")).as("tw"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .collect() // one row per GROUP — bounded by the group domain
+      val totals = stats.map(r => r.get(0) -> r.getLong(1)).toMap
+      val live = mutable.Map[Any, Range]()
+      val resolved = mutable.Map[Any, Long]()
+      stats.foreach { r =>
+        val (g, tw, lo, hi) = (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        if (lo == hi) resolved(g) = lo
+        else live(g) = Range(lo, hi, (tw + 1) / 2)
+      }
+
+      var round = 0
+      while (live.nonEmpty) {
+        round += 1
+        require(round <= maxRounds,
+          s"WeightedMedian failed to converge in $maxRounds rounds (live=${live.size})")
+        val ranges = live.toSeq.map { case (g, r) =>
+          (g, r.lo, r.hi, (r.hi - r.lo) / bins + 1)
+        }
+        val rangesDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(ranges.map(t => org.apache.spark.sql.Row(
+            t._1, t._2, t._3, t._4)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("g",
+              base.schema("g").dataType),
+            org.apache.spark.sql.types.StructField("lo",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("hi",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("wd",
+              org.apache.spark.sql.types.LongType))))
+        val counts = base.join(broadcast(rangesDf), "g")
+          .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+          .groupBy(col("g"), expr("(v - lo) div wd").as("b")) // INTEGER div —
+          // long/long with `/` is DOUBLE division and loses exactness past 2^53
+          .agg(sum(col("w")).as("bw"))
+          .collect()
+          .groupBy(r => r.get(0))
+          .map { case (g, rs) =>
+            g -> rs.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)
+          }
+        for ((g, r) <- live.toSeq) {
+          val width = (r.hi - r.lo) / bins + 1
+          var t = r.target
+          var owner = -1L
+          val it = counts(g).iterator
+          while (owner < 0 && it.hasNext) {
+            val (b, bw) = it.next()
+            if (bw >= t) owner = b else t -= bw
+          }
+          require(owner >= 0, s"WeightedMedian: target outside histogram for $g")
+          val lo2 = r.lo + owner * width
+          val hi2 = math.min(r.hi, lo2 + width - 1)
+          if (lo2 == hi2) { resolved(g) = lo2; live.remove(g) }
+          else { r.lo = lo2; r.hi = hi2; r.target = t }
+        }
+      }
+
+      val out = resolved.toSeq.map { case (g, v) => (g, totals(g), v) }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g", base.schema("g").dataType),
+          org.apache.spark.sql.types.StructField("total_weight",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("wmedian",
+            org.apache.spark.sql.types.LongType))))
+        .withColumnRenamed("g", groupCol)
+    } finally base.unpersist()
+  }
+}

@@ -159,6 +159,44 @@ object AuditQueries {
           (col("absdev") > col("mad") * 3).as("is_anomaly"))
     }),
 
+    // Exact weighted median (operators/WeightedMedian): the price cents
+    // at which half the shipped QUANTITY sits below, per return flag —
+    // the inventory-weighted "typical price" no unweighted median gives.
+    // Pure-integer histogram narrowing, zero driver value-collects: a
+    // 10^7-wide cents domain resolves to width 1 in ≤ 4 rounds of one
+    // scan each; driver state is groups×bins counters. The lower-median
+    // definition (smallest v with running weight ≥ (W+1) div 2) is an
+    // ELEMENT of the data, so no interpolation ulp risk exists at all.
+    "q155_weighted_median" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      graft.operators.WeightedMedian
+        .exact(s, li, "l_returnflag", "cents", "qty")
+        .withColumnRenamed("wmedian", "wmedian_cents")
+    }),
+
+    // Group-wise MODE with a deterministic tie-break (smallest value
+    // wins) — the categorical central-tendency primitive: most common
+    // order quantity per (flag, status). Two hash aggregations; the
+    // argmax runs on the tiny (group, value, count) relation via a
+    // keyed window, never a global sort of the data.
+    "q156_group_mode" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("cnt").desc, col("qty").asc)
+      counts
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(max(when(col("rn") === 1, col("qty"))).as("mode_qty"),
+          max(when(col("rn") === 1, col("cnt"))).as("mode_cnt"),
+          count(lit(1)).as("n_distinct_values"))
+    }),
+
     // Embedding class-separation audit — the pairwise squared distance
     // matrix between per-label MEAN vectors, exact: micro-quantized
     // coordinates (the q108 half-away idiom), per-dimension sums as
@@ -427,6 +465,36 @@ object AuditQueries {
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
     },
+
+    "q155_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, cents,
+        |    sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum
+        |  FROM li),
+        |t AS (SELECT l_returnflag, sum(qty)::BIGINT AS total_weight FROM li
+        |      GROUP BY l_returnflag)
+        |SELECT c.l_returnflag, total_weight,
+        |  min(cents)::BIGINT AS wmedian_cents
+        |FROM c JOIN t USING (l_returnflag)
+        |WHERE cum >= (total_weight + 1) // 2
+        |GROUP BY c.l_returnflag, total_weight""".stripMargin,
+
+    "q156_group_mode" ->
+      """WITH counts AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |r AS (SELECT l_returnflag, l_linestatus, qty, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |                       ORDER BY cnt DESC, qty ASC) AS rn
+        |  FROM counts)
+        |SELECT l_returnflag, l_linestatus,
+        |  max(CASE WHEN rn = 1 THEN qty END)::BIGINT AS mode_qty,
+        |  max(CASE WHEN rn = 1 THEN cnt END)::BIGINT AS mode_cnt,
+        |  count(*)::BIGINT AS n_distinct_values
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q154_class_separation" ->
       """WITH ex AS (SELECT label,

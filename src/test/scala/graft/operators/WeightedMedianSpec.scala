@@ -1,0 +1,72 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class WeightedMedianSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Reference: smallest v whose running weight (values ascending)
+    * reaches (W+1)/2. */
+  private def ref(rows: Seq[(Long, Long)]): Long = {
+    val w = rows.map(_._2).sum
+    val t = (w + 1) / 2
+    var cum = 0L
+    for ((v, wt) <- rows.sortBy(_._1)) {
+      cum += wt
+      if (cum >= t) return v
+    }
+    sys.error("unreachable: target past total weight")
+  }
+
+  test("seeded fuzz against the pure-Scala reference, many shapes") {
+    import spark.implicits._
+    val rnd = new Random(20260814L)
+    for (trial <- 1 to 8) {
+      val data = for {
+        g <- Seq("a", "b", "c")
+        _ <- 1 to (1 + rnd.nextInt(200))
+      } yield {
+        // mix wide and narrow domains, heavy ties, big weights
+        val v = trial match {
+          case t if t % 3 == 0 => rnd.nextInt(5).toLong          // heavy ties
+          case t if t % 3 == 1 => rnd.nextLong() % 1000000000L   // wide, signed
+          case _               => 1000000L + rnd.nextInt(100)    // narrow band
+        }
+        (g, v, 1L + rnd.nextInt(50))
+      }
+      val out = WeightedMedian
+        .exact(spark, data.toDF("g", "v", "w"), "g", "v", "w", bins = 8)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val byG = data.groupBy(_._1)
+      for ((g, rows) <- byG) {
+        val pairs = rows.map(t => (t._2, t._3))
+        assert(out(g)._1 == pairs.map(_._2).sum, s"trial $trial group $g weight")
+        assert(out(g)._2 == ref(pairs), s"trial $trial group $g median")
+      }
+    }
+  }
+
+  test("median of a single-value group and the weight-crossing boundary") {
+    import spark.implicits._
+    // weights engineered so the target lands exactly ON a boundary:
+    // W=10, T=5; cum(1)=4, cum(2)=5 -> lower weighted median is 2
+    val df = Seq(("x", 1L, 4L), ("x", 2L, 1L), ("x", 3L, 5L),
+      ("solo", 42L, 7L)).toDF("g", "v", "w")
+    val out = WeightedMedian.exact(spark, df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("x") == 2L)
+    assert(out("solo") == 42L)
+  }
+
+  test("non-positive weights fail loudly") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 0L)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      WeightedMedian.exact(spark, df, "g", "v", "w")
+    }
+  }
+}
