@@ -46,13 +46,14 @@ object WeightedMedian {
       col(valueCol).cast("long").as("v"), col(weightCol).cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nBad = base.filter(col("w") <= 0 || col("w").isNull ||
-        col("v").isNull).limit(1).count()
-      require(nBad == 0, "WeightedMedian: NULL value or non-positive weight")
-
+      // validation folds into the SAME stats aggregate — no separate scan
       val stats = base.groupBy(col("g"))
-        .agg(sum(col("w")).as("tw"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .agg(sum(col("w")).as("tw"), min(col("v")).as("lo"), max(col("v")).as("hi"),
+          sum(when(col("w") <= 0 || col("w").isNull || col("v").isNull, 1L)
+            .otherwise(0L)).as("bad"))
         .collect() // one row per GROUP — bounded by the group domain
+      val nBad = stats.map(_.getLong(4)).sum
+      require(nBad == 0, s"WeightedMedian: $nBad NULL values or non-positive weights")
       val totals = stats.map(r => r.get(0) -> r.getLong(1)).toMap
       val live = mutable.Map[Any, Range]()
       val resolved = mutable.Map[Any, Long]()
