@@ -515,6 +515,64 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Regional revenue rollup — the classic 6-relation star join (TPC-H
+    // Q5's shape): lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    // region with the local-supplier predicate (customer and supplier in
+    // the SAME nation), one region + one order-year selected. The big
+    // fact tables shuffle on their join keys once each; supplier,
+    // nation, region (and at test scale customer) ride broadcasts —
+    // Catalyst picks that from sizes, which IS the at-scale plan when
+    // the dims stay dimension-sized. Revenue is exact integer micro:
+    // cents·(100 − discount_cents).
+    "q157_regional_revenue" -> ((s, d) => {
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), micro)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >= lit("1995-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("micro")).as("revenue_micro"), count(lit(1)).as("n_items"))
+    }),
+
+    // Cheapest-supplier-per-part — TPC-H Q2's correlated-subquery shape
+    // decorrelated the way every engine rewrites it: the per-part MIN
+    // over (part, supplier) aggregates, joined back to recover the
+    // achieving supplier (ties broken by smallest suppkey, so the row is
+    // unique and deterministic). Exact integer cents make "cheapest"
+    // portable; the argmin rides a keyed window over the already-reduced
+    // (part, supplier) relation, never the raw fact table.
+    "q158_cheapest_supplier" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("min_cents"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("min_cents").asc, col("l_suppkey").asc)
+      val best = ps.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
+          col("min_cents"))
+      best
+        .join(Tables.supplier(s, d), col("suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("partkey"), col("suppkey"), col("min_cents"),
+          col("s_name").as("supplier_name"), col("n_name").as("nation_name"))
+    }),
+
     // Co-purchase recommendation export — per item, the top-5 co-occurring
     // items by exact pair support: the "people also bought" table a
     // recommender ships nightly. The pair fan-out is the q96/q129 basket
@@ -998,6 +1056,38 @@ object RelationalQueries {
         |CROSS JOIN tot
         |ORDER BY (n_ab * n_orders)::DOUBLE / (sa.n_p * sb.n_p)::DOUBLE DESC, a, b
         |LIMIT 20""".stripMargin,
+
+    "q157_regional_revenue" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS revenue_micro,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate::DATE >= DATE '1995-01-01'
+        |  AND o_orderdate::DATE < DATE '1996-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q158_cheapest_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_partkey, l_suppkey, min_cents,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |                       ORDER BY min_cents ASC, l_suppkey ASC) AS rn
+        |  FROM ps)
+        |SELECT l_partkey AS partkey, l_suppkey AS suppkey, min_cents,
+        |  s_name AS supplier_name, n_name AS nation_name
+        |FROM r
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1""".stripMargin,
 
     "q147_copurchase_recs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
