@@ -605,6 +605,47 @@ object SnapshotTable {
     (drop.length, dead.size + orphans)
   }
 
+  /** Zero-copy CLONE: materialize `version` of `srcDir` as a brand-new,
+    * fully independent SnapshotTable at `destDir` without copying a byte
+    * of data. Every data file is HARD-LINKED, so the clone shares inodes
+    * with the source but owns its own directory entries: `vacuum` on
+    * either table unlinks only its OWN names and can never pull data out
+    * from under the other — the POSIX answer to the shallow-clone/vacuum
+    * hazard path-referencing clones carry (where vacuuming the source
+    * breaks every clone pointing into it). O(files) metadata work, same
+    * filesystem required — the constraint the commit CAS already relies
+    * on (`Files.createLink`).
+    *
+    * Carried into the clone's v1 manifest: schema, zone column and
+    * per-file zone stats (same files ⇒ same stats). NOT carried: stream
+    * watermarks — the clone is a different table, and inheriting the
+    * source's exactly-once dedupe history would silently DROP the first
+    * re-delivered batches of any stream re-pointed at it. */
+  def cloneAt(srcDir: String, version: Long, destDir: String): Long = {
+    val snap = snapshot(srcDir, version)
+    init(destDir)
+    require(versions(destDir).isEmpty, s"clone target $destDir is not an empty table")
+    for (f <- snap.files) {
+      val dst = Paths.get(destDir, f)
+      Files.createDirectories(dst.getParent)
+      Files.createLink(dst, Paths.get(srcDir, f)) // throws if dst exists: loud
+    }
+    val carried = snap.meta.view
+      .filterKeys(k => k == "schema" || k == "zonecol" || k.startsWith("zone:"))
+      .toMap + ("cloned_from" ->
+        s"${Paths.get(srcDir).toAbsolutePath}@v$version")
+    val body =
+      (Seq("version=1", "op=clone")
+        ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
+        ++ snap.files)
+        .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(snapDir(destDir), ".v1-", ".tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.createLink(manifestPath(destDir, 1L), tmp) // CAS: racer loses loudly
+    Files.deleteIfExists(tmp)
+    1L
+  }
+
   private def commit(
       df: DataFrame, tableDir: String, replace: Boolean,
       extraMeta: Seq[String] = Seq.empty,
