@@ -133,6 +133,29 @@ object DedupQueries {
           col("cluster_size"))
     }),
 
+    // Dedup cluster-size DISTRIBUTION — the corpus-health report after
+    // clustering: how many clusters of each size, plus the singleton mass
+    // (docs in no near-dup pair at all). Composes q52's components; the
+    // histogram is a two-level aggregation of the tiny (root, size)
+    // relation, and singletons = corpus count − clustered count — one
+    // extra scalar aggregate, never a join against the full corpus.
+    "q159_cluster_sizes" -> ((s, d) => {
+      val pairs = MinHashDedup.pairs(
+        Tables.documents(s, d), "doc_id",
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("id_a"), col("id_b")))
+      val hist = comp.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val nClustered = comp.agg(count(lit(1)).as("n_clustered"))
+      val singletons = nDocs.crossJoin(nClustered)
+        .select(lit(1L).as("cluster_size"),
+          (col("n_docs") - col("n_clustered")).as("n_clusters"))
+      hist.unionByName(singletons)
+    }),
+
     // Exact-substring duplication rate (Lee et al.-style "deduplicating
     // training data" metric): per doc, the share of its distinct 30-char
     // windows that appear verbatim in at least one OTHER doc (ndocs >= 2;
@@ -466,6 +489,26 @@ object DedupQueries {
          |       FROM roots GROUP BY cluster_root)
          |SELECT doc_id, cluster_root, cluster_size
          |FROM roots JOIN sz ON roots.cluster_root = sz.cr""".stripMargin
+    },
+
+    "q159_cluster_sizes" -> {
+      val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b AS a, id_a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         |sz AS (SELECT root, count(*)::BIGINT AS cluster_size FROM roots GROUP BY root),
+         |h AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |      FROM sz GROUP BY cluster_size),
+         |single AS (SELECT 1::BIGINT AS cluster_size,
+         |    ((SELECT count(*) FROM documents) - (SELECT count(*) FROM roots))::BIGINT
+         |      AS n_clusters)
+         |SELECT * FROM h UNION ALL SELECT * FROM single""".stripMargin
     },
 
     "q44_decontamination" -> {

@@ -77,6 +77,40 @@ object ScaleQueries {
         .limit(20)
     }),
 
+    // First-touch vs last-touch attribution, reconciled per user — the
+    // report a marketing team argues over: for each user's purchases, how
+    // often do the two models credit the SAME click, and how much revenue
+    // is organic (no prior click) under either. Last-touch rides the
+    // custom as-of merge (q112's machinery); first-touch needs no as-of
+    // at all — a user's first-prior click is their globally FIRST click
+    // whenever it precedes the purchase (one min-struct aggregate), which
+    // is the cheap-plan insight this query demonstrates. Exact cents.
+    "q160_attribution_compare" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(col("user_id"), col("us"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("click_id"))
+      val last = AsOfJoin.latestPriorMerge(purchases, clicks, "user_id", "us", "click_id")
+      val first = clicks.groupBy(col("user_id"))
+        .agg(min(struct(col("us"), col("click_id"))).as("f"))
+        .select(col("user_id"), col("f.us").as("first_us"),
+          col("f.click_id").as("first_click_id"))
+      last.join(first, Seq("user_id"), "left")
+        .select(col("user_id"), col("cents"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("last_click"),
+          when(col("first_us") <= col("us"), col("first_click_id"))
+            .otherwise(lit(-1L)).as("first_click"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"),
+          sum(when(col("last_click") === col("first_click"), 1L).otherwise(0L))
+            .as("n_same_click"),
+          sum(when(col("first_click") === -1L, 1L).otherwise(0L)).as("n_organic"))
+    }),
+
     // Range join: lineitems falling in each 35-day month-anchored window.
     "q37_range_join" -> ((s, d) => {
       val iv = Tables.orders(s, d)
@@ -197,6 +231,32 @@ object ScaleQueries {
         |  count(*) AS n_purchases, sum(cents)::BIGINT AS revenue_cents
         |FROM a GROUP BY user_id, coalesce(click_id, -1)
         |ORDER BY revenue_cents DESC, user_id, click_id LIMIT 20""".stripMargin,
+
+    "q160_attribution_compare" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (SELECT user_id, us, sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |      FROM ev WHERE event_type = 'purchase' AND value IS NOT NULL
+        |      GROUP BY user_id, us),
+        |c AS (SELECT user_id, us, max(event_id) AS click_id
+        |      FROM ev WHERE event_type = 'click' GROUP BY user_id, us),
+        |l AS (SELECT p.user_id, p.us, p.cents, c.click_id
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.us >= c.us),
+        |f AS (SELECT user_id, min(us) AS first_us,
+        |        min_by(click_id, us) AS first_click_id
+        |      FROM c GROUP BY user_id),
+        |j AS (SELECT l.user_id, l.cents,
+        |        coalesce(l.click_id, -1) AS last_click,
+        |        CASE WHEN f.first_us <= l.us THEN f.first_click_id
+        |             ELSE -1 END AS first_click
+        |      FROM l LEFT JOIN f ON l.user_id = f.user_id)
+        |SELECT user_id, count(*)::BIGINT AS n_purchases,
+        |  sum(cents)::BIGINT AS revenue_cents,
+        |  sum(CASE WHEN last_click = first_click THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_same_click,
+        |  sum(CASE WHEN first_click = -1 THEN 1 ELSE 0 END)::BIGINT AS n_organic
+        |FROM j GROUP BY user_id""".stripMargin,
 
     "q36_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
