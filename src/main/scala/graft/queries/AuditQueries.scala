@@ -159,6 +159,33 @@ object AuditQueries {
           (col("absdev") > col("mad") * 3).as("is_anomaly"))
     }),
 
+    // Quantization-error audit — the exact companion to q38's int8
+    // embedding quantizer: reconstruct each coordinate with the INTEGER
+    // dequantizer (q·scale_micro div 127 — both engines truncate integer
+    // division toward zero, verified) and report per-label SSE and max
+    // absolute error in exact micro units. This is the "is 4× storage
+    // compression safe for my similarity search" gate, with the error
+    // measured in arithmetic the hash gate can check. Linear: one
+    // explode, two hash aggregations; zero-vectors quantize to zero
+    // exactly (guarded, no NaN path).
+    "q161_quantization_error" -> ((s, d) => {
+      val v = graft.operators.VectorOps.asDouble(col("embedding"))
+      val base = Tables.embeddings(s, d).select(col("label"), col("vec_id"),
+        array_max(transform(v, x => abs(x))).as("maxabs"), posexplode(v))
+      val xm = graft.functions.PortableMath.microHalfAway(col("col"))
+      val q = when(col("maxabs") === 0.0, 0L)
+        .otherwise(round(col("col") * 127.0 / col("maxabs")).cast("long"))
+      val sm = graft.functions.PortableMath.microHalfAway(col("maxabs"))
+      base
+        .select(col("label"), col("vec_id"), q.as("q"), sm.as("sm"), xm.as("xm"))
+        .withColumn("err", col("xm") - expr("(q * sm) div 127"))
+        .groupBy(col("label"), col("vec_id"))
+        .agg(sum(col("err") * col("err")).as("sse"), max(abs(col("err"))).as("mx"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("sse")).as("sse_micro2"),
+          max(col("mx")).as("max_abs_err_micro"))
+    }),
+
     // Exact weighted median (operators/WeightedMedian): the price cents
     // at which half the shipped QUANTITY sits below, per return flag —
     // the inventory-weighted "typical price" no unweighted median gives.
@@ -465,6 +492,26 @@ object AuditQueries {
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
     },
+
+    "q161_quantization_error" ->
+      """WITH b AS (SELECT label, vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT label, vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs FROM b),
+        |e AS (SELECT label, vec_id, maxabs, unnest(v) AS x FROM m),
+        |t AS (SELECT label, vec_id,
+        |    CAST(round(x * 1000000) AS BIGINT) AS xm,
+        |    CASE WHEN maxabs = 0 THEN 0
+        |         ELSE CAST(round(x * 127 / maxabs) AS BIGINT) END AS q,
+        |    CAST(round(maxabs * 1000000) AS BIGINT) AS sm
+        |  FROM e),
+        |r AS (SELECT label, vec_id, (xm - (q * sm) // 127) AS err FROM t),
+        |pv AS (SELECT label, vec_id, sum(err * err)::BIGINT AS sse,
+        |    max(abs(err))::BIGINT AS mx
+        |  FROM r GROUP BY 1, 2)
+        |SELECT label, count(*)::BIGINT AS n_vecs, sum(sse)::BIGINT AS sse_micro2,
+        |  max(mx)::BIGINT AS max_abs_err_micro
+        |FROM pv GROUP BY label""".stripMargin,
 
     "q155_weighted_median" ->
       """WITH li AS (SELECT l_returnflag,

@@ -131,6 +131,25 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q161 quantization error respects the half-step theoretical bound") {
+    val rows = AuditQueries.queries("q161_quantization_error")(spark, small).collect()
+    assert(rows.length == 10)
+    // per-coordinate error of a symmetric int8 quantizer is at most half a
+    // quantization step (scale/127/2 = scale/254) plus one micro of
+    // round-off on each of the two integer roundings
+    val maxScaleMicro = Tables.embeddings(spark, small)
+      .select(graft.functions.PortableMath.microHalfAway(
+        array_max(transform(graft.operators.VectorOps.asDouble(col("embedding")),
+          x => abs(x)))).as("sm"))
+      .agg(max(col("sm"))).collect().head.getLong(0)
+    val bound = maxScaleMicro / 254 + 2
+    for (r <- rows) {
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getLong(3) <= bound,
+        s"label ${r.getInt(0)}: max err ${r.getLong(3)} > bound $bound")
+    }
+  }
+
   test("q154 centroid distances match a pure-Scala recomputation") {
     val out = AuditQueries.queries("q154_class_separation")(spark, tiny).collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
