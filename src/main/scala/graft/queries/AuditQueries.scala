@@ -159,6 +159,85 @@ object AuditQueries {
           (col("absdev") > col("mad") * 3).as("is_anomaly"))
     }),
 
+    // Embedding drift between the md5 train/test splits — q150's TVD
+    // asked "do the text lengths drift"; this asks "does the EMBEDDING
+    // SPACE drift": per label, the exact squared distance between the
+    // train-split centroid and the test-split centroid, using q154's
+    // common-denominator identity on per-(label, split, dim) integer
+    // micro sums. A label whose two split centroids sit far apart is a
+    // label the held-out evaluation will misjudge. Same linear shape:
+    // one explode + hash-agg, then a |labels|·dims tiny join.
+    "q162_split_drift" -> ((s, d) => {
+      val sums = Tables.embeddings(s, d)
+        .withColumn("bucket",
+          TextHash.md5Long(col("vec_id").cast("string")) % 100)
+        .filter(col("bucket") < 80 || col("bucket") >= 90)
+        .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+        .select(col("label"), col("split"), posexplode(
+          graft.operators.VectorOps.asDouble(col("embedding"))))
+        .select(col("label"), col("split"), col("pos").as("dim"),
+          graft.functions.PortableMath.microHalfAway(col("col")).as("micro"))
+        .groupBy(col("label"), col("split"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("micro")).as("sv"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val tr = sums.filter(col("split") === "train")
+        .select(col("label"), col("dim"), col("n").as("na"), col("sv").as("sa"))
+      val te = sums.filter(col("split") === "test")
+        .select(col("label"), col("dim"), col("n").as("nb"), col("sv").as("sb"))
+      tr.join(te, Seq("label", "dim"))
+        .select(col("label"), col("na"), col("nb"),
+          (dec(col("nb")) * dec(col("sa")) - dec(col("na")) * dec(col("sb"))).as("t"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_train"), max(col("nb")).as("n_test"),
+          sum(col("t") * col("t")).as("num"))
+        .select(col("label"), col("n_train"), col("n_test"),
+          col("num").cast("string").as("drift2_num"),
+          graft.functions.PortableMath.roundPortable(
+            col("num").cast("double") /
+              (col("n_train").cast("double") * col("n_test").cast("double")
+                * col("n_train").cast("double") * col("n_test").cast("double")
+                * lit(1000000000000.0)), 8).as("drift2"))
+    }),
+
+    // Degree assortativity of the co-purchase graph — "do popular parts
+    // co-occur with popular parts": the exact Pearson correlation of the
+    // endpoint degrees over every undirected edge counted in BOTH
+    // directions (the standard definition). Degrees are integers, so the
+    // moment sums are exact; the decimal(38,0) numerators ship as
+    // strings and the coefficient as a portable-rounded double — q152's
+    // idiom on a graph-science metric. Shape: the one basket self-join
+    // plus two broadcast-ish degree joins and one scalar aggregate.
+    "q163_assortativity" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        .persist() // self-join both sides; harness clears per query
+      val e0 = items.as("x").hint("shuffle_hash")
+        .join(items.as("y").hint("shuffle_hash"), "ok")
+        .filter(col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        .persist() // degree agg + edge-moment agg
+      val und = e0.select(col("a").as("n"), col("b").as("m"))
+        .unionByName(e0.select(col("b").as("n"), col("a").as("m")))
+      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val agg = und
+        .join(deg.select(col("n"), col("dg").as("dx")), "n")
+        .join(deg.select(col("n").as("m"), col("dg").as("dy")), "m")
+        .agg(count(lit(1)).as("n_ends"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val n = dec(col("n_ends"))
+      val num = n * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+      val dx = n * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+      val dy = n * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+      agg.select(col("n_ends"),
+        num.cast("string").as("r_num"),
+        dx.cast("string").as("r_den_x"), dy.cast("string").as("r_den_y"),
+        graft.functions.PortableMath.roundPortable(
+          num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))),
+          6).as("assortativity"))
+    }),
+
     // Quantization-error audit — the exact companion to q38's int8
     // embedding quantizer: reconstruct each coordinate with the INTEGER
     // dequantizer (q·scale_micro div 127 — both engines truncate integer
@@ -492,6 +571,50 @@ object AuditQueries {
          |FROM j
          |WHERE floor(inter::DOUBLE / (sz - inter) * 10000 + 0.5) / 10000 >= 0.5""".stripMargin
     },
+
+    "q162_split_drift" -> {
+      val h = TextHash.md5LongSql("vec_id::VARCHAR")
+      s"""WITH f AS (SELECT label, vec_id, embedding, ($h % 100) AS bucket
+         |  FROM embeddings),
+         |s0 AS (SELECT label,
+         |    CASE WHEN bucket < 80 THEN 'train' ELSE 'test' END AS split,
+         |    unnest(range(0, len(embedding)))::INT AS dim,
+         |    CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS micro
+         |  FROM f WHERE bucket < 80 OR bucket >= 90),
+         |s AS (SELECT label, split, dim, count(*)::BIGINT AS n,
+         |    sum(micro)::BIGINT AS sv FROM s0 GROUP BY 1, 2, 3),
+         |tr AS (SELECT label, dim, n AS na, sv AS sa FROM s WHERE split = 'train'),
+         |te AS (SELECT label, dim, n AS nb, sv AS sb FROM s WHERE split = 'test'),
+         |p AS (SELECT label, na, nb,
+         |    (nb::HUGEINT * sa::HUGEINT - na::HUGEINT * sb::HUGEINT) AS t
+         |  FROM tr JOIN te USING (label, dim)),
+         |g AS (SELECT label, max(na)::BIGINT AS n_train, max(nb)::BIGINT AS n_test,
+         |    sum(t * t) AS num FROM p GROUP BY 1)
+         |SELECT label, n_train, n_test, num::VARCHAR AS drift2_num,
+         |  (floor((num::DOUBLE / (n_train::DOUBLE * n_test::DOUBLE
+         |    * n_train::DOUBLE * n_test::DOUBLE * 1000000000000.0))
+         |    * 100000000 + 0.5) / 100000000) AS drift2
+         |FROM g""".stripMargin
+    },
+
+    "q163_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.pk a, y.pk b
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |und AS (SELECT a AS n, b AS m FROM e0
+        |        UNION ALL SELECT b AS n, a AS m FROM e0),
+        |deg AS (SELECT n, count(*) AS dg FROM und GROUP BY n),
+        |j AS (SELECT dx.dg AS dx, dy.dg AS dy
+        |  FROM und JOIN deg dx ON und.n = dx.n JOIN deg dy ON und.m = dy.n),
+        |s AS (SELECT count(*) AS n_ends, sum(dx) AS sx, sum(dy) AS sy,
+        |    sum(dx*dx) AS sxx, sum(dy*dy) AS syy, sum(dx*dy) AS sxy FROM j),
+        |m AS (SELECT n_ends, (n_ends*sxy - sx*sy) AS num,
+        |    (n_ends*sxx - sx*sx) AS dnx, (n_ends*syy - sy*sy) AS dny FROM s)
+        |SELECT n_ends::BIGINT AS n_ends, num::VARCHAR AS r_num,
+        |  dnx::VARCHAR AS r_den_x, dny::VARCHAR AS r_den_y,
+        |  (floor((num::DOUBLE / (sqrt(dnx::DOUBLE) * sqrt(dny::DOUBLE)))
+        |    * 1000000 + 0.5) / 1000000) AS assortativity
+        |FROM m""".stripMargin,
 
     "q161_quantization_error" ->
       """WITH b AS (SELECT label, vec_id,

@@ -131,6 +131,23 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q162/q163 structural laws: drift >= 0, assortativity symmetric and bounded") {
+    val drift = AuditQueries.queries("q162_split_drift")(spark, small).collect()
+    assert(drift.length == 10)
+    for (r <- drift) {
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(BigInt(r.getString(3)) >= 0)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    val a = AuditQueries.queries("q163_assortativity")(spark, small).collect().head
+    // doubled-edge formulation: both endpoint-degree marginals are the
+    // SAME multiset, so the two denominators must be identical and the
+    // edge-end count even
+    assert(a.getLong(0) % 2 == 0)
+    assert(a.getString(2) == a.getString(3), "denominators must be symmetric")
+    assert(math.abs(a.getDouble(4)) <= 1.0)
+  }
+
   test("q161 quantization error respects the half-step theoretical bound") {
     val rows = AuditQueries.queries("q161_quantization_error")(spark, small).collect()
     assert(rows.length == 10)
