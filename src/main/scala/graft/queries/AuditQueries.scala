@@ -378,6 +378,40 @@ object AuditQueries {
           6).as("acf"))
     }),
 
+    // Rolling 14-day cross-correlation between the click and purchase
+    // daily revenue series — "are clicks still tracking purchases" as a
+    // time-varying signal (q152's exact-moment machinery inside a
+    // trailing window). All sums are exact integer window aggregates;
+    // the decimal numerators and the mirrored IEEE sqrt tree follow the
+    // q152 idiom. Windows with fewer than 5 days or a degenerate
+    // (zero-variance) side yield NULL, identically on both engines.
+    "q164_rolling_xcorr" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "click", col("c")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-13, 0) // day frame: driver-scale
+      val agg = daily.select(col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"),
+        sum(col("x") * col("y")).over(w).as("sxy"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val n = dec(col("n"))
+      val num = n * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+      val dx = n * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+      val dy = n * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+      agg.select(col("day"), col("n"),
+        num.cast("string").as("xc_num"),
+        when(col("n") < 5 || dx === 0 || dy === 0, lit(null))
+          .otherwise(graft.functions.PortableMath.roundPortable(
+            num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))),
+            6)).as("xcorr"))
+    }),
+
     // Blocking-strategy EVALUATION — q58's recall-audit pattern applied
     // to SNM: ground truth is the EXACT all-pairs Jaccard ≥ 4/5 set
     // (AllPairs prefix filter, completeness proven by q98's brute-join
@@ -702,6 +736,29 @@ object AuditQueries {
         |  num::VARCHAR AS acf_num, dx::VARCHAR AS acf_den_x, dy::VARCHAR AS acf_den_y,
         |  (floor((num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE))) * 1000000 + 0.5)
         |    / 1000000) AS acf
+        |FROM m""".stripMargin,
+
+    "q164_rolling_xcorr" ->
+      """WITH ev AS (SELECT ts::DATE AS day, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |daily AS (SELECT day,
+        |    sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)::BIGINT AS y
+        |  FROM ev GROUP BY day),
+        |r AS (SELECT day,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy,
+        |    sum(x*y) OVER w AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT day, n, (n*sxy - sx*sy) AS num,
+        |    (n*sxx - sx*sx) AS dx, (n*syy - sy*sy) AS dy FROM r)
+        |SELECT day, n::BIGINT AS n, num::VARCHAR AS xc_num,
+        |  CASE WHEN n < 5 OR dx = 0 OR dy = 0 THEN NULL
+        |       ELSE floor((num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE)))
+        |              * 1000000 + 0.5) / 1000000 END AS xcorr
         |FROM m""".stripMargin,
 
     "q153_snm_evaluation" -> {
