@@ -40,8 +40,20 @@ object WeightedMedian {
     * (groupCol, total_weight, wmedian). */
   def exact(spark: SparkSession, df: DataFrame, groupCol: String,
             valueCol: String, weightCol: String, bins: Int = 128,
-            maxRounds: Int = 64): DataFrame = {
+            maxRounds: Int = 64): DataFrame =
+    quantile(spark, df, groupCol, valueCol, weightCol, 1, 2, bins, maxRounds)
+      .withColumnRenamed("wquantile", "wmedian")
+
+  /** The lower weighted p-quantile (p = pNum/pDen): smallest v whose
+    * running weight reaches ceil(p·W). p = 1/2 is [[exact]]'s median;
+    * p = 9/10 the weighted p90, etc. Same integer narrowing, same
+    * zero-collect guarantee. */
+  def quantile(spark: SparkSession, df: DataFrame, groupCol: String,
+               valueCol: String, weightCol: String,
+               pNum: Long, pDen: Long, bins: Int = 128,
+               maxRounds: Int = 64): DataFrame = {
     require(bins >= 2, s"bins=$bins")
+    require(pNum > 0 && pNum <= pDen, s"quantile $pNum/$pDen not in (0,1]")
     val base = df.select(col(groupCol).as("g"),
       col(valueCol).cast("long").as("v"), col(weightCol).cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -60,7 +72,7 @@ object WeightedMedian {
       stats.foreach { r =>
         val (g, tw, lo, hi) = (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3))
         if (lo == hi) resolved(g) = lo
-        else live(g) = Range(lo, hi, (tw + 1) / 2)
+        else live(g) = Range(lo, hi, (tw * pNum + pDen - 1) / pDen) // ceil(p*W)
       }
 
       var round = 0
@@ -118,7 +130,7 @@ object WeightedMedian {
           org.apache.spark.sql.types.StructField("g", base.schema("g").dataType),
           org.apache.spark.sql.types.StructField("total_weight",
             org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("wmedian",
+          org.apache.spark.sql.types.StructField("wquantile",
             org.apache.spark.sql.types.LongType))))
         .withColumnRenamed("g", groupCol)
     } finally base.unpersist()

@@ -62,6 +62,30 @@ class WeightedMedianSpec extends AnyFunSuite {
     assert(out("solo") == 42L)
   }
 
+  test("arbitrary weighted quantiles track the reference (p10/p90, fuzzed)") {
+    import spark.implicits._
+    def refQ(rows: Seq[(Long, Long)], pn: Long, pd: Long): Long = {
+      val w = rows.map(_._2).sum
+      val t = (w * pn + pd - 1) / pd
+      var cum = 0L
+      for ((v, wt) <- rows.sortBy(_._1)) {
+        cum += wt
+        if (cum >= t) return v
+      }
+      sys.error("unreachable")
+    }
+    val rnd = new Random(99L)
+    val data = for (g <- Seq("a", "b"); _ <- 1 to 300)
+      yield (g, rnd.nextLong() % 100000L, 1L + rnd.nextInt(9))
+    for ((pn, pd) <- Seq((1L, 10L), (9L, 10L), (1L, 1L))) {
+      val out = WeightedMedian
+        .quantile(spark, data.toDF("g", "v", "w"), "g", "v", "w", pn, pd, bins = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      for ((g, rows) <- data.groupBy(_._1))
+        assert(out(g) == refQ(rows.map(t => (t._2, t._3)), pn, pd), s"p=$pn/$pd g=$g")
+    }
+  }
+
   test("non-positive weights fail loudly") {
     import spark.implicits._
     val df = Seq(("g", 1L, 0L)).toDF("g", "v", "w")
