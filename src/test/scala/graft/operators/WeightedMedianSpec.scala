@@ -86,6 +86,34 @@ class WeightedMedianSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-quantile shared-scan form equals per-quantile calls") {
+    import spark.implicits._
+    val rnd = new Random(777L)
+    val data = for (g <- Seq("a", "b", "c"); _ <- 1 to 250)
+      yield (g, rnd.nextLong() % 5000000L, 1L + rnd.nextInt(20))
+    val df = data.toDF("g", "v", "w")
+    val ps = Seq(("p10", 1L, 10L), ("p50", 1L, 2L), ("p90", 9L, 10L), ("p100", 1L, 1L))
+    val multi = WeightedMedian.quantiles(spark, df, "g", "v", "w", ps, bins = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    for ((label, pn, pd) <- ps) {
+      val single = WeightedMedian.quantile(spark, df, "g", "v", "w", pn, pd, bins = 8)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for (g <- Seq("a", "b", "c"))
+        assert(multi((g, label)) == single(g), s"label=$label g=$g")
+    }
+  }
+
+  test("quantile labels must be unique") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, 1L)).toDF("g", "v", "w")
+    intercept[IllegalArgumentException] {
+      WeightedMedian.quantiles(spark, df, "g", "v", "w",
+        Seq(("p", 1L, 2L), ("p", 9L, 10L)))
+    }
+  }
+
   test("non-positive weights fail loudly") {
     import spark.implicits._
     val df = Seq(("g", 1L, 0L)).toDF("g", "v", "w")
