@@ -106,6 +106,112 @@ object StatQueries {
           col("est_jaccard_bp"))
     }),
 
+    // Decision-stump induction over an embedding feature — the ML split
+    // primitive behind tree learners, EXACT: feature = micro-quantized
+    // dim-0 value, 64 equal-width integer bins (broadcast min/max cut,
+    // q135's no-sort idiom), and for every split boundary the weighted
+    // Gini objective as an exact RATIONAL — maximizing
+    //   Σ_c l_c²/n_L + Σ_c r_c²/n_R  ⇔  minimizing impurity, emitted as
+    // score_num = (Σl²)·n_R + (Σr²)·n_L over score_den = n_L·n_R (int64:
+    // ≤ N²·N at any tested SF). Every boundary row is hash-checked — no
+    // argmax float compare anywhere. Shape at scale: one linear scan into
+    // (bin, label) counts (≤ 64·|labels| rows); the boundary sweep is a
+    // tiny non-equi join on that relation, never on data.
+    "q168_gini_stump" -> ((s, d) => {
+      val f = Tables.embeddings(s, d).select(col("label"),
+        graft.functions.PortableMath.microHalfAway(
+          graft.operators.VectorOps.asDouble(col("embedding"))(0)).as("micro"))
+      val mm = f.agg(min(col("micro")).as("mn"), max(col("micro")).as("mx"))
+      val bins = f.crossJoin(broadcast(mm))
+        .select(col("label"),
+          expr("(micro - mn) div ((mx - mn) div 64 + 1)").as("bin"))
+      val per = bins.groupBy(col("bin"), col("label"))
+        .agg(count(lit(1)).as("n")).persist() // tiny (≤ 64·|labels|), 4 consumers
+      val tot = per.groupBy(col("label")).agg(sum(col("n")).as("nt"))
+      val grand = per.agg(sum(col("n")).as("nn"))
+      val bounds = per.select(col("bin").as("b")).distinct()
+        .crossJoin(broadcast(per.agg(max(col("bin")).as("mxb"))))
+        .filter(col("b") < col("mxb")).select(col("b"))
+      val lcounts = bounds.join(per, per("bin") <= bounds("b"))
+        .groupBy(col("b"), col("label")).agg(sum(col("n")).as("nl"))
+      val cells = bounds.crossJoin(tot)
+        .join(lcounts, Seq("b", "label"), "left")
+        .withColumn("nl", coalesce(col("nl"), lit(0L)))
+      cells.groupBy(col("b"))
+        .agg(sum(col("nl")).as("n_left"), sum(col("nl") * col("nl")).as("sl2"),
+          sum((col("nt") - col("nl")) * (col("nt") - col("nl"))).as("sr2"))
+        .crossJoin(broadcast(grand))
+        .select(col("b").as("boundary_bin"), col("n_left"),
+          (col("nn") - col("n_left")).as("n_right"),
+          (col("sl2") * (col("nn") - col("n_left"))
+            + col("sr2") * col("n_left")).as("score_num"),
+          (col("n_left") * (col("nn") - col("n_left"))).as("score_den"))
+    }),
+
+    // Consecutive event-type trigrams per user (ordered by ts, event_id —
+    // the deterministic sort key the testdata's ts ties require), counted
+    // globally: the length-3 extension of q72's Markov transitions, the
+    // classic sequential-pattern primitive. One user-keyed window, then a
+    // hash aggregate over ≤ |types|³ keys.
+    "q169_event_trigrams" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Winsorized mean of order cents per priority class — the robust
+    // mean a quality pipeline uses when tails are suspect: clamp to the
+    // [p05, p95] lower order statistics (WeightedMedian.quantiles at
+    // weight 1 — exact ELEMENT quantiles, both points in shared scans),
+    // then an integer clamped sum. No interpolation, no float mean: the
+    // mean ships as (100·Σ) div n centi-cents beside the exact sum.
+    "q170_winsorized_mean" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("one", lit(1L))
+      val qs = graft.operators.WeightedMedian
+        .quantiles(s, o, "priority", "cents", "one",
+          Seq(("p05", 1L, 20L), ("p95", 19L, 20L)))
+        .groupBy(col("priority"))
+        .agg(max(when(col("p_label") === "p05", col("wquantile"))).as("q05"),
+          max(when(col("p_label") === "p95", col("wquantile"))).as("q95"))
+      o.join(broadcast(qs), "priority")
+        .withColumn("cl", greatest(col("q05"), least(col("q95"), col("cents"))))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"), max(col("q05")).as("q05_cents"),
+          max(col("q95")).as("q95_cents"), sum(col("cl")).as("wsum_cents"))
+        .withColumn("wmean_centicents", expr("(wsum_cents * 100) div n"))
+    }),
+
+    // Leave-one-out out-of-vocabulary rate per source: the share of a
+    // source's token OCCURRENCES whose (lowercased) token appears in no
+    // OTHER source — the "how much does this source depend on its own
+    // vocabulary" corpus-mixing audit. Exact integer counts and basis
+    // points. Linear: one token explode, one (token, source) aggregate,
+    // then token-keyed joins on the aggregated (small) relation.
+    "q171_loo_oov" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(TextHash.tokens(lower(col("text")))).as("t"))
+        .filter(col("t") =!= "")
+      val perTokSrc = tok.groupBy(col("t"), col("source"))
+        .agg(count(lit(1)).as("n")).persist() // two consumers below
+      val srcSpan = perTokSrc.groupBy(col("t"))
+        .agg(countDistinct(col("source")).as("nsrc"))
+      perTokSrc.join(srcSpan, "t")
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(when(col("nsrc") === 1, col("n")).otherwise(0L)).as("n_oov"),
+          countDistinct(when(col("nsrc") === 1, col("t"))).as("n_oov_types"))
+        .withColumn("oov_bp", expr("(n_oov * 10000) div n_tokens"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -181,6 +287,74 @@ object StatQueries {
          |    // (na + nb - coalesce(n_common, 0)))::BIGINT AS jaccard_bp,
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
+    },
+
+    "q168_gini_stump" ->
+      """WITH f AS (SELECT label,
+        |    CAST(round(embedding[1]::DOUBLE * 1000000) AS BIGINT) AS micro
+        |  FROM embeddings),
+        |mm AS (SELECT min(micro) AS mn, max(micro) AS mx FROM f),
+        |b AS (SELECT label, (micro - mn) // ((mx - mn) // 64 + 1) AS bin
+        |      FROM f, mm),
+        |per AS (SELECT bin, label, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+        |tot AS (SELECT label, sum(n)::BIGINT AS nt FROM per GROUP BY 1),
+        |grand AS (SELECT sum(n)::BIGINT AS nn FROM per),
+        |bounds AS (SELECT DISTINCT bin AS bnd FROM per
+        |           WHERE bin < (SELECT max(bin) FROM per)),
+        |l AS (SELECT bnd, label, sum(n)::BIGINT AS nl
+        |      FROM bounds JOIN per ON per.bin <= bnd GROUP BY 1, 2),
+        |cells AS (SELECT bounds.bnd, tot.label, nt, coalesce(nl, 0) AS nl
+        |          FROM bounds CROSS JOIN tot
+        |          LEFT JOIN l ON l.bnd = bounds.bnd AND l.label = tot.label),
+        |a AS (SELECT bnd, sum(nl)::BIGINT AS n_left,
+        |        sum(nl * nl)::BIGINT AS sl2,
+        |        sum((nt - nl) * (nt - nl))::BIGINT AS sr2
+        |      FROM cells GROUP BY 1)
+        |SELECT bnd AS boundary_bin, n_left, (nn - n_left)::BIGINT AS n_right,
+        |  (sl2 * (nn - n_left) + sr2 * n_left)::BIGINT AS score_num,
+        |  (n_left * (nn - n_left))::BIGINT AS score_den
+        |FROM a, grand""".stripMargin,
+
+    "q169_event_trigrams" ->
+      """WITH o AS (SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, count(*)::BIGINT AS n
+        |FROM o WHERE t3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+
+    "q170_winsorized_mean" ->
+      """WITH o AS (SELECT o_orderpriority AS priority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |c AS (SELECT priority, cents,
+        |    count(*) OVER (PARTITION BY priority ORDER BY cents) AS cum,
+        |    count(*) OVER (PARTITION BY priority) AS n
+        |  FROM o),
+        |q AS (SELECT priority,
+        |    min(CASE WHEN cum >= (n + 19) // 20 THEN cents END)::BIGINT AS q05,
+        |    min(CASE WHEN cum >= (19 * n + 19) // 20 THEN cents END)::BIGINT AS q95
+        |  FROM c GROUP BY priority),
+        |w AS (SELECT o.priority, count(*)::BIGINT AS n,
+        |    max(q05)::BIGINT AS q05_cents, max(q95)::BIGINT AS q95_cents,
+        |    sum(greatest(q05, least(q95, cents)))::BIGINT AS wsum_cents
+        |  FROM o JOIN q USING (priority) GROUP BY o.priority)
+        |SELECT priority, n, q05_cents, q95_cents, wsum_cents,
+        |  ((wsum_cents * 100) // n)::BIGINT AS wmean_centicents
+        |FROM w""".stripMargin,
+
+    "q171_loo_oov" -> {
+      val toks = TextHash.tokensSql("lower(text)")
+      s"""WITH tok AS (SELECT source, unnest($toks) AS t FROM documents),
+         |f AS (SELECT source, t FROM tok WHERE t <> ''),
+         |pts AS (SELECT t, source, count(*)::BIGINT AS n FROM f GROUP BY 1, 2),
+         |span AS (SELECT t, count(DISTINCT source)::BIGINT AS nsrc
+         |         FROM pts GROUP BY 1)
+         |SELECT source, sum(n)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN nsrc = 1 THEN n ELSE 0 END)::BIGINT AS n_oov,
+         |  count(DISTINCT CASE WHEN nsrc = 1 THEN t END)::BIGINT AS n_oov_types,
+         |  ((sum(CASE WHEN nsrc = 1 THEN n ELSE 0 END) * 10000)
+         |    // sum(n))::BIGINT AS oov_bp
+         |FROM pts JOIN span USING (t) GROUP BY source""".stripMargin
     },
 
     "q167_session_window" ->
