@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -30,6 +31,16 @@ object StatQueries {
 
   private def kmvHashSql(e: String): String =
     s"(${TextHash.md5LongSql(s"'kmv:' || ($e)::VARCHAR")} % $KmvM)"
+
+  /** Poisson(1) CDF as integer millionth thresholds — constants, not
+    * runtime float exp: P(X ≤ k)·10^6 floored, weights capped at 9
+    * (P(X > 8) < 1.2e-6). Identical literals on both engines. */
+  private val poissonCaseSql =
+    "CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 " +
+      "WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3 " +
+      "WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5 " +
+      "WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7 " +
+      "WHEN u < 999998 THEN 8 ELSE 9 END"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -212,6 +223,98 @@ object StatQueries {
         .withColumn("oov_bp", expr("(n_oov * 10000) div n_tokens"))
     }),
 
+    // Theil–Sen robust trend of the daily event-revenue series — median
+    // of all pairwise slopes, EXACT: slopes stay rational pairs
+    // (Δcents, Δdays) and the median element is selected under the total
+    // order (num·2^20 div den, num, den, d1, d2) — an integer key that
+    // REFINES the true rational order (trunc of a monotone map never
+    // inverts it; sub-2^-20 ties break lexicographically, then by the
+    // unique day pair). |num|·2^20 needs |Δcents| < 2^43 ≈ $88B/day —
+    // loudly out of reach. The pair set is CALENDAR-bounded (≤366 days ⇒
+    // ≤67k pairs at ANY data scale), so the O(P log P) single-partition
+    // rank is driver-scale by construction — the same argument as q136's
+    // day frame. The full-data work is one linear day-rollup.
+    "q172_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long").as("di"), col("cents"))
+      val pairs = daily.as("a").join(daily.as("b"), col("a.di") < col("b.di"))
+        .select(col("a.di").as("d1"), col("b.di").as("d2"),
+          (col("b.cents") - col("a.cents")).as("num"),
+          (col("b.di") - col("a.di")).as("den"))
+        .withColumn("key", expr("(num * 1048576L) div den"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("key"), col("num"), col("den"), col("d1"), col("d2"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_pairs"), col("num").as("med_num"), col("den").as("med_den"),
+          expr("(num * 1000) div den").as("slope_millicents_per_day"))
+    }),
+
+    // Poisson bootstrap over order totals — THE at-scale resampling
+    // scheme (per-row-independent Poisson(1) weights, no global
+    // multinomial draw): B=32 deterministic replicates, each row's weight
+    // read off the md5-uniform through the Poisson(1) CDF as integer
+    // literal thresholds (no runtime float exp). The replicate means ship
+    // as integer centi-cents, so every replicate row is hash-checked —
+    // deterministic error bars with zero tolerance gate. Shape at scale:
+    // a map-side 32× explode feeding a 32-group partial-agged sum — the
+    // shuffle carries B rows per partition, never the data.
+    "q173_poisson_bootstrap" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      o.select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u", pmod(TextHash.md5Long(
+          concat(lit("pb:"), col("b").cast("string"), lit(":"),
+            col("o_orderkey").cast("string"))), lit(1000000L)))
+        .withColumn("w", expr(poissonCaseSql))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("cents")).as("sum_cents"))
+        .withColumn("mean_centicents", expr("(sum_cents * 100) div n_eff"))
+    }),
+
+    // Linear gap imputation — the interpolation dual of q87's LOCF: a
+    // missing day between two observed days gets
+    //   prev + (Δcents · days_since_prev) div gap_days
+    // (integer trunc division, portable both engines). Same per-user
+    // calendar spine and single user-keyed sort-window pass as q87; the
+    // two bracketing values come from one backward ignore-nulls window
+    // and one forward ignore-nulls window over the same sort.
+    "q174_linear_impute" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val di = datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("di", di)
+        .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wb))
+        .withColumn("pd", last(when(col("cents").isNotNull, col("di")),
+          ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wf))
+        .withColumn("nd", first(when(col("cents").isNotNull, col("di")),
+          ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("day"), col("cents"),
+          when(col("cents").isNotNull, col("cents"))
+            .otherwise(col("pv") + expr("((nv - pv) * (di - pd)) div (nd - pd)"))
+            .as("imputed_cents"),
+          col("cents").isNull.as("is_gap"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -288,6 +391,67 @@ object StatQueries {
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
+
+    "q172_theil_sen" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1),
+        |di AS (SELECT datediff('day', DATE '1970-01-01', day)::BIGINT AS di,
+        |         cents FROM daily),
+        |p AS (SELECT a.di AS d1, b.di AS d2,
+        |        (b.cents - a.cents)::BIGINT AS num, (b.di - a.di)::BIGINT AS den
+        |      FROM di a JOIN di b ON a.di < b.di),
+        |k AS (SELECT d1, d2, num, den, ((num * 1048576) // den) AS key FROM p),
+        |r AS (SELECT *, row_number() OVER (ORDER BY key, num, den, d1, d2) AS rn,
+        |        count(*) OVER () AS np FROM k)
+        |SELECT np::BIGINT AS n_pairs, num::BIGINT AS med_num,
+        |  den::BIGINT AS med_den,
+        |  ((num * 1000) // den)::BIGINT AS slope_millicents_per_day
+        |FROM r WHERE rn = (np + 1) // 2""".stripMargin,
+
+    "q173_poisson_bootstrap" -> {
+      val h = TextHash.md5LongSql("'pb:' || b::VARCHAR || ':' || o_orderkey::VARCHAR")
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |e AS (SELECT o_orderkey, cents, unnest(range(0, 32)) AS b FROM o),
+         |u0 AS (SELECT b, cents, ($h % 1000000) AS u FROM e),
+         |w AS (SELECT b, cents, ($poissonCaseSql) AS w FROM u0),
+         |g AS (SELECT b::BIGINT AS b, sum(w)::BIGINT AS n_eff,
+         |        sum(w * cents)::BIGINT AS sum_cents FROM w GROUP BY 1)
+         |SELECT b, n_eff, sum_cents,
+         |  ((sum_cents * 100) // n_eff)::BIGINT AS mean_centicents
+         |FROM g""".stripMargin
+    },
+
+    "q174_linear_impute" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |      FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |        unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |j AS (SELECT s.user_id, s.day,
+        |        datediff('day', DATE '1970-01-01', s.day)::BIGINT AS di, d.cents
+        |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        |f AS (SELECT user_id, day, cents,
+        |    last_value(cents IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN di END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    first_value(cents IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN di END IGNORE NULLS)
+        |      OVER wf AS nd,
+        |    di
+        |  FROM j WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, cents,
+        |  (CASE WHEN cents IS NOT NULL THEN cents
+        |        ELSE pv + ((nv - pv) * (di - pd)) // (nd - pd) END)::BIGINT
+        |    AS imputed_cents,
+        |  (cents IS NULL) AS is_gap
+        |FROM f""".stripMargin,
 
     "q168_gini_stump" ->
       """WITH f AS (SELECT label,
