@@ -36,7 +36,21 @@ object PrefixSum {
       orderCol: String,
       valueCol: String,
       cumCol: String = "cum",
+      numParts: Int = 32): DataFrame =
+    runningMulti(df, orderCol, Seq(valueCol -> cumCol), numParts)
+
+  /** Several running sums over the SAME total order in ONE range shuffle:
+    * `cols` is (valueCol → cumCol) per requested sum. The per-partition
+    * windows share the one sort, and the totals pass collects all columns
+    * in a single ≤ numParts-row aggregate — k prefix sums cost the same
+    * data movement as one. */
+  def runningMulti(
+      df: DataFrame,
+      orderCol: String,
+      cols: Seq[(String, String)],
       numParts: Int = 32): DataFrame = {
+    require(cols.nonEmpty && cols.map(_._2).distinct.size == cols.size,
+      s"cum column names must be unique: ${cols.map(_._2)}")
     val parted = df.repartitionByRange(numParts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
@@ -46,28 +60,47 @@ object PrefixSum {
     // executions — offsets would attach to the wrong partitions
     // (observed: ~2/3 of rows shifted at 5k rows). The totals collect
     // below forces the persist before the join reads it.
-    val local = parted.withColumn("__cum_local", sum(col(valueCol)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = cols.zipWithIndex.foldLeft(parted) { case (acc, ((v, _), i)) =>
+      acc.withColumn(s"__cl$i", sum(col(v)).over(w))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-partition totals: tiny (≤ numParts rows) — driver prefix-sum.
     // sum(value), NOT max(cum_local): identical for non-negative values,
     // but only sum stays correct when values can be negative.
     // sum() skips NULL values (so does the window cumsum above — the two
     // stay consistent); an all-NULL partition sums to NULL → contributes 0
+    val aggs = cols.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__t$i") }
     val totals = local.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__tot"))
-      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        r.getInt(0) -> cols.indices.map(i =>
+          if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
+      }
       .sortBy(_._1)
     val offsets = {
-      var acc = 0L
-      totals.map { case (pid, tot) => val off = acc; acc += tot; (pid, off) }
+      val acc = Array.fill(cols.size)(0L)
+      totals.map { case (pid, tots) =>
+        val off = acc.toSeq
+        cols.indices.foreach(i => acc(i) += tots(i))
+        (pid, off)
+      }
     }
 
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    local.join(broadcast(offDf), "__pid")
-      .withColumn(cumCol, col("__cum_local") + col("__off"))
-      .drop("__pid", "__cum_local", "__off")
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq.map { case (pid, offs) =>
+        org.apache.spark.sql.Row.fromSeq(pid +: offs) }, 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__pid",
+          org.apache.spark.sql.types.IntegerType) +:
+        cols.indices.map(i => org.apache.spark.sql.types.StructField(s"__off$i",
+          org.apache.spark.sql.types.LongType))))
+    val joined = local.join(broadcast(offDf), "__pid")
+    val withCums = cols.zipWithIndex.foldLeft(joined) { case (acc, ((_, c), i)) =>
+      acc.withColumn(c, col(s"__cl$i") + col(s"__off$i"))
+    }
+    val drops = Seq("__pid") ++
+      cols.indices.flatMap(i => Seq(s"__cl$i", s"__off$i"))
+    withCums.drop(drops: _*)
   }
 }

@@ -315,6 +315,92 @@ object StatQueries {
           col("cents").isNull.as("is_gap"))
     }),
 
+    // Rendezvous (highest-random-weight) hashing audit — the
+    // consistent-placement primitive for sharded state: each key goes to
+    // argmax_s md5("rv:s:key"), and growing 8 → 9 shards moves EXACTLY
+    // the keys whose new-shard score beats their old max (rendezvous
+    // guarantees moves only INTO the new shard, ≈ 1/9 of keys). Reported
+    // per old shard: key count (balance) and moved fraction in basis
+    // points — both exact integers. Fully map-side: the 9 scores are an
+    // array-of-structs max per key, no explode, one tiny aggregate.
+    "q175_rendezvous" -> ((s, d) => {
+      def score(i: Int) = TextHash.md5Long(
+        concat(lit(s"rv:$i:"), col("user_id").cast("string")))
+      val arr8 = array((0 until 8).map(i =>
+        struct(score(i).as("sc"), lit(i).as("sh"))): _*)
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .withColumn("a8", array_max(arr8)) // struct order = (sc, sh) lexicographic
+        .withColumn("s8", score(8))
+        .withColumn("moved", col("s8") > col("a8.sc"))
+        .groupBy(col("a8.sh").as("shard"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+        .withColumn("moved_bp", expr("(n_moved * 10000) div n_keys"))
+    }),
+
+    // HDR-histogram percentile BOUNDS from q89's power-of-2 latency
+    // buckets: for p50/p90/p99 of per-user inter-arrival gaps, the owning
+    // bucket's [2^(b−1), 2^b−1] range brackets the true percentile —
+    // rank-exact bounds (the target rank is exact; only the VALUE is
+    // bucketed), the standard way to read latency percentiles off a
+    // bounded histogram without touching the data again. Integer end to
+    // end: ceil targets, cumulative counts, bit-shift bucket edges. One
+    // linear windowed pass builds the histogram; the sweep runs on the
+    // tiny (types × ~45 bins) relation.
+    "q176_hdr_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val hist = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("b", length(bin(col("gap"))))
+        .groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("n"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("n")).over(wc))
+      val tot = hist.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+      cum.join(tot, "event_type")
+        .withColumn("p", explode(array(lit(50), lit(90), lit(99))))
+        .filter(col("cum") >= expr("(p * nt + 99) div 100"))
+        .groupBy(col("event_type"), col("p"))
+        .agg(max(col("nt")).as("n"), min(col("b")).as("bucket"))
+        .select(col("event_type"), col("p"), col("n"), col("bucket"),
+          when(col("bucket") === 1, 0L)
+            .otherwise(expr("shiftleft(1L, cast(bucket AS int) - 1)"))
+            .as("lb_us"),
+          expr("shiftleft(1L, cast(bucket AS int)) - 1").as("ub_us"))
+    }),
+
+    // Heaps-law vocabulary growth curve: cumulative distinct token TYPES
+    // vs cumulative token OCCURRENCES at each corpus decile (doc_id
+    // order). "New type" attributes each token to its min-doc_id first
+    // occurrence — an exact formulation that needs no ordered scan of
+    // token events. The three prefix sums (tokens, new types, row index)
+    // ride ONE operators/PrefixSum.runningMulti range shuffle — the
+    // scale-safe dual of a single-partition ORDER BY window — and the
+    // decile probe is a 10-row broadcast join.
+    "q177_heaps_law" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextHash.tokens(lower(col("text")))).as("t"))
+        .filter(col("t") =!= "").persist() // n_tok + first-seen consumers
+      val nt = tf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val nn = tf.groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .join(nt, Seq("doc_id"), "left").join(nn, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"), lit(1L).as("one"))
+      val cum = graft.operators.PrefixSum.runningMulti(docs, "doc_id",
+        Seq("n_tok" -> "cum_tokens", "n_new" -> "cum_types", "one" -> "rn"))
+      val pos = s.range(1, 11).toDF("decile")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("nd"))))
+        .select(col("decile"), expr("(decile * nd) div 10").as("rn"))
+      cum.join(broadcast(pos), "rn")
+        .select(col("decile"), col("doc_id"), col("cum_tokens"), col("cum_types"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -390,6 +476,73 @@ object StatQueries {
          |    // (na + nb - coalesce(n_common, 0)))::BIGINT AS jaccard_bp,
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
+    },
+
+    "q175_rendezvous" -> {
+      val h = TextHash.md5LongSql("'rv:' || sh::VARCHAR || ':' || user_id::VARCHAR")
+      s"""WITH k AS (SELECT DISTINCT user_id FROM events),
+         |e AS (SELECT user_id, unnest(range(0, 9)) AS sh FROM k),
+         |sc AS (SELECT user_id, sh, $h AS sc FROM e),
+         |a8 AS (SELECT user_id, sh, sc,
+         |        row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY sc DESC, sh DESC) AS rn
+         |       FROM sc WHERE sh < 8),
+         |pick AS (SELECT user_id, sh AS shard, sc AS msc FROM a8 WHERE rn = 1),
+         |s8 AS (SELECT user_id, sc AS s8 FROM sc WHERE sh = 8),
+         |g AS (SELECT shard::INT AS shard, count(*)::BIGINT AS n_keys,
+         |        sum(CASE WHEN s8 > msc THEN 1 ELSE 0 END)::BIGINT AS n_moved
+         |      FROM pick JOIN s8 USING (user_id) GROUP BY 1)
+         |SELECT shard, n_keys, n_moved,
+         |  ((n_moved * 10000) // n_keys)::BIGINT AS moved_bp
+         |FROM g""".stripMargin
+    },
+
+    "q176_hdr_percentiles" ->
+      """WITH ev AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |        us - lag(us) OVER (PARTITION BY event_type, user_id
+        |                           ORDER BY us, event_id) AS gap
+        |      FROM ev),
+        |h AS (SELECT event_type, length(bin(gap))::INT AS b, count(*)::BIGINT AS n
+        |      FROM l WHERE gap IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, b, n,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY b
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM h),
+        |t AS (SELECT event_type, sum(n)::BIGINT AS nt FROM h GROUP BY 1),
+        |x AS (SELECT c.event_type, p, nt, b, cum
+        |      FROM c JOIN t USING (event_type), (SELECT unnest([50, 90, 99]) AS p)),
+        |f AS (SELECT event_type, p, max(nt)::BIGINT AS n, min(b) AS bucket
+        |      FROM x WHERE cum >= (p * nt + 99) // 100 GROUP BY 1, 2)
+        |SELECT event_type, p::INT AS p, n, bucket,
+        |  (CASE WHEN bucket = 1 THEN 0
+        |        ELSE (1::BIGINT << (bucket - 1)) END)::BIGINT AS lb_us,
+        |  ((1::BIGINT << bucket) - 1)::BIGINT AS ub_us
+        |FROM f""".stripMargin,
+
+    "q177_heaps_law" -> {
+      val toks = TextHash.tokensSql("lower(text)")
+      s"""WITH t0 AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+         |tf AS (SELECT doc_id, t FROM t0 WHERE t <> ''),
+         |nt AS (SELECT doc_id, count(*)::BIGINT AS n_tok FROM tf GROUP BY 1),
+         |fs AS (SELECT t, min(doc_id) AS doc_id FROM tf GROUP BY 1),
+         |nn AS (SELECT doc_id, count(*)::BIGINT AS n_new FROM fs GROUP BY 1),
+         |d AS (SELECT dd.doc_id, coalesce(n_tok, 0) AS n_tok,
+         |        coalesce(n_new, 0) AS n_new
+         |      FROM (SELECT doc_id FROM documents) dd
+         |      LEFT JOIN nt USING (doc_id) LEFT JOIN nn USING (doc_id)),
+         |c AS (SELECT doc_id,
+         |        sum(n_tok) OVER w AS cum_tokens, sum(n_new) OVER w AS cum_types,
+         |        row_number() OVER (ORDER BY doc_id) AS rn,
+         |        count(*) OVER () AS nd
+         |      FROM d WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))
+         |SELECT k::BIGINT AS decile, c.doc_id,
+         |  cum_tokens::BIGINT AS cum_tokens, cum_types::BIGINT AS cum_types
+         |FROM c JOIN (SELECT k, (k * nd) // 10 AS pos
+         |             FROM (SELECT unnest(range(1, 11)) AS k),
+         |                  (SELECT max(nd) AS nd FROM c)) p
+         |  ON rn = pos""".stripMargin
     },
 
     "q172_theil_sen" ->

@@ -127,6 +127,31 @@ class PropertyFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("PrefixSum.runningMulti == independent running calls per column") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      va <- Gen.listOfN(n, Gen.choose(-500L, 500L))
+      vb <- Gen.listOfN(n, Gen.choose(0L, 9L))
+      keys <- Gen.listOfN(n, Gen.choose(-100000L, 100000L)).map(_.distinct)
+      parts <- Gen.choose(1, 8)
+    } yield (keys.lazyZip(va).lazyZip(vb).toList, parts)
+    check("prefixsummulti", Prop.forAll(gen) { case (rows, parts) =>
+      rows.isEmpty || {
+        val df = rows.toDF("k", "a", "b")
+        val got = PrefixSum
+          .runningMulti(df, "k", Seq("a" -> "ca", "b" -> "cb"), numParts = parts)
+          .select("k", "ca", "cb").as[(Long, Long, Long)].collect()
+          .map(t => t._1 -> (t._2, t._3)).toMap
+        val wantA = PrefixSum.running(df, "k", "a", "ca", numParts = parts)
+          .select("k", "ca").as[(Long, Long)].collect().toMap
+        val wantB = PrefixSum.running(df, "k", "b", "cb", numParts = parts)
+          .select("k", "cb").as[(Long, Long)].collect().toMap
+        spark.catalog.clearCache() // PrefixSum persists its pid-stamped relation
+        got == rows.map(_._1).map(k => k -> (wantA(k), wantB(k))).toMap
+      }
+    })
+  }
+
   test("FuzzyJoin.selfLinkage == brute force within blocks") {
     val word = Gen.choose(1, 4).flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
     val name = for { w1 <- Gen.oneOf("red", "blue"); w2 <- word } yield s"$w1 $w2"
