@@ -125,11 +125,56 @@ object BpeVocab {
       textCol: String = "text",
       numMerges: Int = 4,
       minCount: Long = 2L): String = {
+    val sb = chainSql(table, textCol, Nil, numMerges, minCount)
+    sb ++= (1 to numMerges)
+      .map(i => s"SELECT $i AS rank, a, b, n FROM t$i")
+      .mkString("ranked AS (\n", "\nUNION ALL ", ")\n")
+    sb ++= "SELECT rank, a, b, n FROM ranked ORDER BY rank"
+    sb.toString
+  }
+
+  /** DuckDB replay of learn-then-ENCODE: the same unrolled merge chain,
+    * with `idCol`/`groupCol` carried through every round so the final
+    * per-document symbol counts can be joined back to round 0 and rolled
+    * up per group — the compression readout of [[applyMerges]]. */
+  def encodeOracleSql(
+      table: String = "documents",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "source",
+      numMerges: Int = 4,
+      minCount: Long = 2L): String = {
+    val d = "chr(31)"
+    val sb = chainSql(table, textCol, Seq(idCol, groupCol), numMerges, minCount)
+    def nsyms(rel: String) =
+      s"len(string_split(substr($rel.s, 2, length($rel.s) - 2), $d || $d))"
+    sb ++= s"f AS (SELECT r0.$idCol, r0.$groupCol,\n"
+    sb ++= s"        ${nsyms("r0")}::BIGINT AS len0,\n"
+    sb ++= s"        ${nsyms("rk")}::BIGINT AS lenk\n"
+    sb ++= s"      FROM r0 JOIN r$numMerges rk ON r0.$idCol = rk.$idCol)\n"
+    sb ++= s"SELECT $groupCol, count(*)::BIGINT AS n_docs,\n"
+    sb ++= s"  sum(len0)::BIGINT AS initial_symbols,\n"
+    sb ++= s"  sum(lenk)::BIGINT AS merged_symbols,\n"
+    sb ++= s"  ((sum(lenk) * 10000) // sum(len0))::BIGINT AS ratio_bp\n"
+    sb ++= s"FROM f GROUP BY $groupCol"
+    sb.toString
+  }
+
+  /** The shared unrolled chain: r0 (framed symbol string per doc, plus
+    * `carry` columns), and per round i: pair counts p_i, argmax t_i,
+    * merged corpus r_i. Returns the open WITH prefix ending in a comma. */
+  private def chainSql(
+      table: String,
+      textCol: String,
+      carry: Seq[String],
+      numMerges: Int,
+      minCount: Long): StringBuilder = {
     val d = "chr(31)"         // symbol frame delimiter
     val ws = s"' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+    val carrySel = carry.map(c => s"$c, ").mkString
     val sb = new StringBuilder
     sb ++= s"WITH r0 AS (\n"
-    sb ++= s"  SELECT $d || array_to_string(\n"
+    sb ++= s"  SELECT $carrySel$d || array_to_string(\n"
     sb ++= s"      flatten(list_transform(\n"
     sb ++= s"        list_filter(string_split_regex(trim($textCol, $ws), '\\s+'), t -> t != ''),\n"
     sb ++= s"        t -> list_append(string_split(t, ''), '</w>'))),\n"
@@ -143,14 +188,10 @@ object BpeVocab {
       sb ++= s"  SELECT string_split(substr(s, 2, length(s) - 2), $d || $d) AS y FROM $prev)),\n"
       sb ++= s"t$i AS (SELECT a, b, count(*) AS n FROM p$i GROUP BY a, b\n"
       sb ++= s"        HAVING count(*) >= $minCount ORDER BY n DESC, a, b LIMIT 1),\n"
-      sb ++= s"r$i AS (SELECT replace(s, $d || a || $d || $d || b || $d,\n"
+      sb ++= s"r$i AS (SELECT ${carrySel}replace(s, $d || a || $d || $d || b || $d,\n"
       sb ++= s"                       $d || a || b || $d) AS s FROM $prev CROSS JOIN t$i),\n"
     }
-    sb ++= (1 to numMerges)
-      .map(i => s"SELECT $i AS rank, a, b, n FROM t$i")
-      .mkString("ranked AS (\n", "\nUNION ALL ", ")\n")
-    sb ++= "SELECT rank, a, b, n FROM ranked ORDER BY rank"
-    sb.toString
+    sb
   }
 
   private def pairCounts(syms: Column, rel: DataFrame): DataFrame =

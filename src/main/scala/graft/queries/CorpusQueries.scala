@@ -99,6 +99,34 @@ object CorpusQueries {
         .toDF("rank", "a", "b", "n")
     }),
 
+    // BPE ENCODE — the apply half of the tokenizer loop q92 learns: the 4
+    // learned merges run over every document as one fused map-side column
+    // expression (k nested codegen'd merge calls, no shuffles), and the
+    // per-source rollup reports exactly how much the subword vocabulary
+    // compresses each slice (merged/initial symbol counts, integer basis
+    // points). The oracle replays the whole learn-then-encode chain —
+    // greedy non-overlap scans included — so the ENCODING itself is
+    // hash-checked, not just the merge table. At 100 TB: learning cost is
+    // q92's; encoding is a single linear pass.
+    "q178_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeVocab
+        .learnMerges(docs, "text", numMerges = 4, minCount = 2L)
+      docs
+        .select(col("doc_id"), col("source"),
+          graft.functions.BpeExpressions.initSymbols(col("text")).as("syms0"))
+        .filter(size(col("syms0")) >= 1) // nonempty text ⇔ ≥2 symbols
+        .withColumn("len0", size(col("syms0")).cast("long"))
+        .withColumn("lenk", size(merges.foldLeft(col("syms0"))((acc, m) =>
+          graft.functions.BpeExpressions.mergePair(acc, lit(m.a), lit(m.b))))
+          .cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len0")).as("initial_symbols"),
+          sum(col("lenk")).as("merged_symbols"))
+        .withColumn("ratio_bp",
+          expr("(merged_symbols * 10000) div initial_symbols"))
+    }),
+
     // Heavy hitters with a DETERMINISTIC guarantee: a Misra–Gries summary
     // (functions/MisraGriesAggregate, k=256 counters) over the corpus
     // char-trigram stream (~377 distinct keys — the table really does
@@ -312,6 +340,10 @@ object CorpusQueries {
 
     "q92_bpe_merges" ->
       graft.operators.BpeVocab.oracleSql("documents", "text", numMerges = 4, minCount = 2L),
+
+    "q178_bpe_encode" ->
+      graft.operators.BpeVocab.encodeOracleSql("documents", "text",
+        "doc_id", "source", numMerges = 4, minCount = 2L),
 
     // The heavy set is computed EXACTLY here; the guarantee booleans are
     // literal TRUE — the Spark side must reproduce them from the sketch.
