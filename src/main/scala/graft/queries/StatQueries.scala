@@ -401,6 +401,84 @@ object StatQueries {
         .select(col("decile"), col("doc_id"), col("cum_tokens"), col("cum_types"))
     }),
 
+    // Exact A/B conversion test — the two-proportion 2σ decision with NO
+    // float anywhere: variant = md5 split of users, conversion = any
+    // purchase event, and the z²>4 comparison
+    //   (p̂_a − p̂_b)² > 4·p̂(1−p̂)(1/n_a + 1/n_b)
+    // cross-multiplied to N·(c_a·n_b − c_b·n_a)² > 4·C·(N−C)·n_a·n_b —
+    // decimal(38,0)/HUGEINT integers, so the SIGNIFICANT boolean itself is
+    // hash-checked (the q68 exact-variance idiom applied to inference).
+    // Shape: one user-keyed aggregate, then a 2-row rollup.
+    "q179_ab_test" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("variant", when(TextHash.md5Long(
+          concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0, "A")
+          .otherwise("B"))
+      val agg = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      agg.filter(col("variant") === "A").select(col("n").as("n_a"), col("c").as("c_a"))
+        .crossJoin(agg.filter(col("variant") === "B")
+          .select(col("n").as("n_b"), col("c").as("c_b")))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          expr("(c_a * 10000) div n_a").as("rate_a_bp"),
+          expr("(c_b * 10000) div n_b").as("rate_b_bp"),
+          (dec(col("n_a") + col("n_b")) *
+            dec(col("c_a") * col("n_b") - col("c_b") * col("n_a")) *
+            dec(col("c_a") * col("n_b") - col("c_b") * col("n_a"))).as("lhs"),
+          (dec(lit(4)) * dec(col("c_a") + col("c_b")) *
+            dec(col("n_a") + col("n_b") - col("c_a") - col("c_b")) *
+            dec(col("n_a")) * dec(col("n_b"))).as("rhs"))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          col("rate_a_bp"), col("rate_b_bp"),
+          col("lhs").cast("string").as("lhs_num"),
+          col("rhs").cast("string").as("rhs_num"),
+          (col("lhs") > col("rhs")).as("significant"))
+    }),
+
+    // Weekly p10/p50/p90 revenue bands — WeightedMedian.quantiles with
+    // the CALENDAR as the group domain (~52 live groups, three targets
+    // each, all narrowed in shared scans): the operational "is this
+    // week's distribution drifting" panel. Element quantiles of integer
+    // cents — zero interpolation, zero driver value-collects.
+    "q180_weekly_bands" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        date_trunc("week", col("ts")).cast("date").as("wk"),
+        round(col("value") * 100).cast("long").as("cents"), lit(1L).as("one"))
+      graft.operators.WeightedMedian
+        .quantiles(s, ev, "wk", "cents", "one",
+          Seq(("p10", 1L, 10L), ("p50", 1L, 2L), ("p90", 9L, 10L)))
+        .groupBy(col("wk"))
+        .agg(max(col("total_weight")).as("n_events"),
+          max(when(col("p_label") === "p10", col("wquantile"))).as("p10_cents"),
+          max(when(col("p_label") === "p50", col("wquantile"))).as("p50_cents"),
+          max(when(col("p_label") === "p90", col("wquantile"))).as("p90_cents"))
+    }),
+
+    // Week-over-week top movers: the 10 largest absolute count swings
+    // across (event_type, week) — the triage view on q84-style weekly
+    // rollups. Counts are exact; |Δ| ranks on the TINY (types × weeks)
+    // relation under a fully deterministic total order (|Δ| desc, type,
+    // week), so LIMIT-style selection cannot flap between engines.
+    "q181_top_movers" -> ((s, d) => {
+      val weekly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      val delta = weekly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .filter(col("prev_n").isNotNull)
+        .withColumn("delta", col("n") - col("prev_n"))
+      val rw = Window.orderBy(abs(col("delta")).desc, col("event_type"), col("wk"))
+      delta.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("event_type"), col("wk"),
+          col("prev_n"), col("n"), col("delta"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -477,6 +555,60 @@ object StatQueries {
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
+
+    "q179_ab_test" -> {
+      val h = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")
+      s"""WITH pu AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         |      AS conv
+         |  FROM events GROUP BY 1),
+         |v AS (SELECT CASE WHEN ($h % 2) = 0 THEN 'A' ELSE 'B' END AS variant,
+         |        conv FROM pu),
+         |a AS (SELECT count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+         |      FROM v WHERE variant = 'A'),
+         |b AS (SELECT count(*)::BIGINT AS n, sum(conv)::BIGINT AS c
+         |      FROM v WHERE variant = 'B'),
+         |z AS (SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b,
+         |        ((a.n + b.n)::HUGEINT
+         |          * (a.c * b.n - b.c * a.n)::HUGEINT
+         |          * (a.c * b.n - b.c * a.n)::HUGEINT) AS lhs,
+         |        (4::HUGEINT * (a.c + b.c)::HUGEINT
+         |          * (a.n + b.n - a.c - b.c)::HUGEINT
+         |          * a.n::HUGEINT * b.n::HUGEINT) AS rhs
+         |      FROM a, b)
+         |SELECT n_a, c_a, n_b, c_b,
+         |  ((c_a * 10000) // n_a)::BIGINT AS rate_a_bp,
+         |  ((c_b * 10000) // n_b)::BIGINT AS rate_b_bp,
+         |  lhs::VARCHAR AS lhs_num, rhs::VARCHAR AS rhs_num,
+         |  (lhs > rhs) AS significant
+         |FROM z""".stripMargin
+    },
+
+    "q180_weekly_bands" ->
+      """WITH e AS (SELECT date_trunc('week', ts)::DATE AS wk,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT wk, cents,
+        |    count(*) OVER (PARTITION BY wk ORDER BY cents) AS cum,
+        |    count(*) OVER (PARTITION BY wk) AS n
+        |  FROM e)
+        |SELECT wk, max(n)::BIGINT AS n_events,
+        |  min(CASE WHEN cum >= (n + 9) // 10 THEN cents END)::BIGINT AS p10_cents,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)::BIGINT AS p50_cents,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN cents END)::BIGINT AS p90_cents
+        |FROM c GROUP BY wk""".stripMargin,
+
+    "q181_top_movers" ->
+      """WITH weekly AS (SELECT event_type, date_trunc('week', ts)::DATE AS wk,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, wk, n,
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+        |  FROM weekly),
+        |f AS (SELECT event_type, wk, prev_n, n, (n - prev_n)::BIGINT AS delta
+        |      FROM d WHERE prev_n IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER
+        |        (ORDER BY abs(delta) DESC, event_type, wk) AS rank FROM f)
+        |SELECT rank::INT AS rank, event_type, wk, prev_n, n, delta
+        |FROM r WHERE rank <= 10""".stripMargin,
 
     "q175_rendezvous" -> {
       val h = TextHash.md5LongSql("'rv:' || sh::VARCHAR || ':' || user_id::VARCHAR")
