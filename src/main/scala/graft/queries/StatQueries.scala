@@ -479,6 +479,103 @@ object StatQueries {
           col("prev_n"), col("n"), col("delta"))
     }),
 
+    // Greedy SET COVER over the rare-shingle tail: which 3 sources cover
+    // the most of the 200 rarest word-3-shingles — the "what do I lose
+    // if I drop a source" curation question (rare phrasing is exactly
+    // what subsetting destroys; the flat 31-token synthetic vocabulary
+    // makes single TOKENS degenerate, shingles are the combinatorial
+    // space). Greedy is the classic (1−1/e) approximation; each round is
+    // fully distributed (one anti-join + count-per-source aggregate on
+    // the BOUNDED source×universe relation) with only the argmax row and
+    // its ≤200 newly-covered shingles reaching the driver — the BPE-loop
+    // shape. Deterministic tiebreaks everywhere ((df asc, shingle) for
+    // the universe, (gain desc, source) for the pick); rounds that cover
+    // nothing new emit nothing on either engine.
+    "q182_set_cover" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(TextHash.wordShingles(col("text"), 3)).as("t"))
+      val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val uw = Window.orderBy(col("cnt").asc, col("t").asc)
+      val universe = counts.withColumn("rn", row_number().over(uw))
+        .filter(col("rn") <= 200).select(col("t"))
+      val ts = tok.join(universe, "t").select(col("source"), col("t"))
+        .distinct().persist() // 3 greedy rounds re-read it
+      var covered = Set.empty[String]
+      def uncovered = if (covered.isEmpty) lit(true)
+        else !col("t").isInCollection(covered.toSeq)
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+      var done = false
+      for (r <- 1 to 3 if !done) {
+        val cand = ts.filter(uncovered)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("source").asc).limit(1).collect()
+        if (cand.isEmpty) done = true
+        else {
+          val (src, n) = (cand(0).getString(0), cand(0).getLong(1))
+          val newToks = ts.filter(col("source") === src && uncovered)
+            .select(col("t")).collect().map(_.getString(0)) // ≤ 200 by universe bound
+          covered ++= newToks
+          picks += ((r, src, n, covered.size.toLong))
+        }
+      }
+      ts.unpersist()
+      import s.implicits._
+      picks.toSeq.toDF("rank", "source", "n_new", "n_cum")
+    }),
+
+    // Session bounce-rate panel by entry event type: sessions are q22's
+    // strict-gap islands (gap > 30 min), the entry type is the session's
+    // (ts, event_id)-first event read off ONE min-struct aggregate (the
+    // q160 cheap-plan idiom — no second window pass), and a bounce is a
+    // single-event session. One user-keyed sort-window pass + two tiny
+    // aggregates; exact integer basis points.
+    "q183_bounce_rate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("us"), col("event_id"), col("event_type")))
+            .getField("event_type").as("entry_type"))
+      sess.groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .withColumn("bounce_bp", expr("(n_bounces * 10000) div n_sessions"))
+    }),
+
+    // Revenue concentration ("whale share"): the exact p99 ELEMENT
+    // quantile of per-user purchase spend (WeightedMedian at weight 1 —
+    // bounded narrowing, no sort, no collect), then one broadcast-
+    // threshold pass: how many users sit at/above p99 and what share of
+    // total revenue they carry, in integer basis points. The whole
+    // readout is two linear passes + the quantile loop.
+    "q184_whale_share" -> ((s, d) => {
+      val spend = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
+        .withColumn("g", lit("ALL")).withColumn("one", lit(1L))
+        .persist() // quantile loop + final rollup
+      val thr = graft.operators.WeightedMedian
+        .quantile(s, spend, "g", "spend", "one", 99L, 100L)
+        .select(col("wquantile").as("thr"))
+      // harness clears the cache per query; thr is already driver-backed
+      // (the quantile loop runs eagerly), so only the rollup reads spend
+      spend.crossJoin(broadcast(thr))
+        .agg(count(lit(1)).as("n_users"), sum(col("spend")).as("total_cents"),
+          max(col("thr")).as("p99_spend_cents"),
+          sum(when(col("spend") >= col("thr"), 1L).otherwise(0L)).as("n_whales"),
+          sum(when(col("spend") >= col("thr"), col("spend")).otherwise(0L))
+            .as("whale_cents"))
+        .withColumn("share_bp", expr("(whale_cents * 10000) div total_cents"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -555,6 +652,79 @@ object StatQueries {
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
+
+    "q182_set_cover" -> {
+      val toks = TextHash.wordShinglesSql("text", 3)
+      s"""WITH f AS (SELECT source, unnest($toks) AS t FROM documents),
+         |counts AS (SELECT t, count(*) AS cnt FROM f GROUP BY 1),
+         |u AS (SELECT t FROM (SELECT t,
+         |        row_number() OVER (ORDER BY cnt ASC, t ASC) AS rn FROM counts)
+         |      WHERE rn <= 200),
+         |ts AS MATERIALIZED (SELECT DISTINCT source, t FROM f JOIN u USING (t)),
+         |t1 AS (SELECT source, count(*) AS n FROM ts GROUP BY 1
+         |       ORDER BY n DESC, source LIMIT 1),
+         |c1 AS MATERIALIZED (SELECT t FROM ts
+         |       WHERE source = (SELECT source FROM t1)),
+         |t2 AS (SELECT source, count(*) AS n FROM ts
+         |       WHERE t NOT IN (SELECT t FROM c1) GROUP BY 1
+         |       ORDER BY n DESC, source LIMIT 1),
+         |c2 AS MATERIALIZED (SELECT t FROM c1 UNION SELECT t FROM ts
+         |       WHERE source = (SELECT source FROM t2)),
+         |t3 AS (SELECT source, count(*) AS n FROM ts
+         |       WHERE t NOT IN (SELECT t FROM c2) GROUP BY 1
+         |       ORDER BY n DESC, source LIMIT 1),
+         |c3 AS MATERIALIZED (SELECT t FROM c2 UNION SELECT t FROM ts
+         |       WHERE source = (SELECT source FROM t3))
+         |SELECT 1 AS rank, source, n::BIGINT AS n_new,
+         |  (SELECT count(*) FROM c1)::BIGINT AS n_cum FROM t1
+         |UNION ALL SELECT 2, source, n::BIGINT,
+         |  (SELECT count(*) FROM c2)::BIGINT FROM t2
+         |UNION ALL SELECT 3, source, n::BIGINT,
+         |  (SELECT count(*) FROM c3)::BIGINT FROM t3""".stripMargin
+    },
+
+    "q183_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, count(*)::BIGINT AS n_events
+        |         FROM s GROUP BY 1, 2),
+        |fe AS (SELECT user_id, sid, event_type AS entry_type FROM (
+        |         SELECT user_id, sid, event_type,
+        |           row_number() OVER (PARTITION BY user_id, sid
+        |                              ORDER BY us, event_id) AS rn
+        |         FROM s) WHERE rn = 1),
+        |p AS (SELECT entry_type, count(*)::BIGINT AS n_sessions,
+        |        sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces
+        |      FROM sess JOIN fe USING (user_id, sid) GROUP BY 1)
+        |SELECT entry_type, n_sessions, n_bounces,
+        |  ((n_bounces * 10000) // n_sessions)::BIGINT AS bounce_bp
+        |FROM p""".stripMargin,
+
+    "q184_whale_share" ->
+      """WITH spend AS (SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT spend, count(*) OVER (ORDER BY spend) AS cum,
+        |        count(*) OVER () AS n FROM spend),
+        |thr AS (SELECT min(spend) AS thr FROM c WHERE cum >= (99 * n + 99) // 100),
+        |a AS (SELECT count(*)::BIGINT AS n_users, sum(spend)::BIGINT AS total_cents,
+        |        max(thr)::BIGINT AS p99_spend_cents,
+        |        sum(CASE WHEN spend >= thr THEN 1 ELSE 0 END)::BIGINT AS n_whales,
+        |        sum(CASE WHEN spend >= thr THEN spend ELSE 0 END)::BIGINT
+        |          AS whale_cents
+        |      FROM spend, thr)
+        |SELECT n_users, total_cents, p99_spend_cents, n_whales, whale_cents,
+        |  ((whale_cents * 10000) // total_cents)::BIGINT AS share_bp
+        |FROM a""".stripMargin,
 
     "q179_ab_test" -> {
       val h = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")
