@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,9 +48,26 @@ object PrefixSum {
       df: DataFrame,
       orderCol: String,
       cols: Seq[(String, String)],
+      numParts: Int = 32): DataFrame =
+    runningScans(df, orderCol,
+      cols.map { case (v, c) => (v, c, "sum") }, numParts)
+
+  /** The general distributed prefix SCAN: running `sum`, `min`, or `max`
+    * per requested column, all over one range shuffle — any associative
+    * combine with an identity fits the same two-phase shape (per-partition
+    * window fold + driver prefix-fold of ≤ numParts partition aggregates
+    * broadcast back as starting offsets). `cols` is
+    * (valueCol, cumCol, kind) with kind ∈ {sum, min, max}. */
+  def runningScans(
+      df: DataFrame,
+      orderCol: String,
+      cols: Seq[(String, String, String)],
       numParts: Int = 32): DataFrame = {
     require(cols.nonEmpty && cols.map(_._2).distinct.size == cols.size,
       s"cum column names must be unique: ${cols.map(_._2)}")
+    val kinds = cols.map(_._3)
+    require(kinds.forall(Set("sum", "min", "max")),
+      s"kind must be sum|min|max: $kinds")
     val parted = df.repartitionByRange(numParts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
@@ -60,28 +77,42 @@ object PrefixSum {
     // executions — offsets would attach to the wrong partitions
     // (observed: ~2/3 of rows shifted at 5k rows). The totals collect
     // below forces the persist before the join reads it.
-    val local = cols.zipWithIndex.foldLeft(parted) { case (acc, ((v, _), i)) =>
-      acc.withColumn(s"__cl$i", sum(col(v)).over(w))
+    def winFn(kind: String, c: Column): Column = kind match {
+      case "sum" => sum(c); case "min" => min(c); case _ => max(c)
+    }
+    // identity of each combine — what an empty/all-NULL partition
+    // contributes and what partition 0's offset is
+    def ident(kind: String): Long = kind match {
+      case "sum" => 0L
+      case "min" => Long.MaxValue
+      case _     => Long.MinValue
+    }
+    def combine(kind: String, a: Long, b: Long): Long = kind match {
+      case "sum" => a + b; case "min" => math.min(a, b); case _ => math.max(a, b)
+    }
+    val local = cols.zipWithIndex.foldLeft(parted) { case (acc, ((v, _, k), i)) =>
+      acc.withColumn(s"__cl$i", winFn(k, col(v)).over(w))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-partition totals: tiny (≤ numParts rows) — driver prefix-sum.
-    // sum(value), NOT max(cum_local): identical for non-negative values,
-    // but only sum stays correct when values can be negative.
-    // sum() skips NULL values (so does the window cumsum above — the two
-    // stay consistent); an all-NULL partition sums to NULL → contributes 0
-    val aggs = cols.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__t$i") }
+    // per-partition totals: tiny (≤ numParts rows) — driver prefix-fold.
+    // For sum: sum(value), NOT max(cum_local) — identical for non-negative
+    // values, but only sum stays correct when values can be negative.
+    // Aggregates skip NULL values (so do the window folds above — the two
+    // stay consistent); an all-NULL partition contributes the identity.
+    val aggs = cols.zipWithIndex.map { case ((v, _, k), i) =>
+      winFn(k, col(v)).as(s"__t$i") }
     val totals = local.groupBy(col("__pid"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         r.getInt(0) -> cols.indices.map(i =>
-          if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
+          if (r.isNullAt(i + 1)) ident(cols(i)._3) else r.getLong(i + 1))
       }
       .sortBy(_._1)
     val offsets = {
-      val acc = Array.fill(cols.size)(0L)
+      val acc = cols.map(c => ident(c._3)).toArray
       totals.map { case (pid, tots) =>
         val off = acc.toSeq
-        cols.indices.foreach(i => acc(i) += tots(i))
+        cols.indices.foreach(i => acc(i) = combine(cols(i)._3, acc(i), tots(i)))
         (pid, off)
       }
     }
@@ -96,8 +127,13 @@ object PrefixSum {
         cols.indices.map(i => org.apache.spark.sql.types.StructField(s"__off$i",
           org.apache.spark.sql.types.LongType))))
     val joined = local.join(broadcast(offDf), "__pid")
-    val withCums = cols.zipWithIndex.foldLeft(joined) { case (acc, ((_, c), i)) =>
-      acc.withColumn(c, col(s"__cl$i") + col(s"__off$i"))
+    val withCums = cols.zipWithIndex.foldLeft(joined) { case (acc, ((_, c, k), i)) =>
+      val merged = k match {
+        case "sum" => col(s"__cl$i") + col(s"__off$i")
+        case "min" => least(col(s"__cl$i"), col(s"__off$i"))
+        case _     => greatest(col(s"__cl$i"), col(s"__off$i"))
+      }
+      acc.withColumn(c, merged)
     }
     val drops = Seq("__pid") ++
       cols.indices.flatMap(i => Seq(s"__cl$i", s"__off$i"))

@@ -576,6 +576,69 @@ object StatQueries {
         .withColumn("share_bp", expr("(whale_cents * 10000) div total_cents"))
     }),
 
+    // U-shaped (position-based) multi-touch attribution — the 40/20/40
+    // industry model made EXACT: each purchase distributes 10000 basis
+    // points over its prior clicks (first 4000, last 4000, middles share
+    // 2000 by integer division with the remainder going to the EARLIEST
+    // middles — so every purchase's credits sum to exactly 10000; 1 touch
+    // → 10000, 2 → 5000/5000). Complements q112 (last-touch as-of) and
+    // q160 (first-vs-last): the path-aware model between them. Shape: a
+    // user-keyed purchase×click join (per-user bounded fan-out), one
+    // per-purchase window, one tiny weekly rollup.
+    "q185_u_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tp"),
+          col("event_id").as("pid"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tc"),
+          col("event_id").as("cid"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("tc") < col("tp"))
+      val w = Window.partitionBy(col("pid"))
+      val wo = w.orderBy(col("tc"), col("cid"))
+      touches
+        .withColumn("m", count(lit(1)).over(w))
+        .withColumn("pos", row_number().over(wo))
+        .withColumn("credit_bp", expr(
+          """CASE WHEN m = 1 THEN 10000
+            |     WHEN m = 2 THEN 5000
+            |     WHEN pos = 1 OR pos = m THEN 4000
+            |     ELSE 2000 div (m - 2)
+            |          + (CASE WHEN pos - 1 <= 2000 % (m - 2) THEN 1 ELSE 0 END)
+            |END""".stripMargin))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_bp")).cast("long").as("credit_bp_total"))
+    }),
+
+    // 2-D SKYLINE (Pareto front) of orders on (price, date): the points
+    // no other order beats on both dimensions — the classic
+    // preference-query operator. After the distinct-pair reduction, the
+    // dominance test is ONE distributed prefix-min over the (cents, day)
+    // lexicographic order (PrefixSum.runningScans — range shuffle +
+    // per-partition fold, never a single-partition window): a point
+    // survives iff its day index beats the strict-prefix minimum.
+    // key = cents·2^20 + dayindex is exact while cents < 2^42 and the
+    // date sits before year ~4840 — both loudly out of range here.
+    "q186_skyline" -> ((s, d) => {
+      val pairs = Tables.orders(s, d).select(
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate").cast("date").as("od"))
+        .distinct()
+        .withColumn("odi", datediff(col("od"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("key", expr("cents * 1048576 + odi"))
+        .withColumn("one", lit(1L))
+      val cum = graft.operators.PrefixSum.runningScans(pairs, "key",
+        Seq(("odi", "m", "min"), ("one", "rn", "sum")))
+      val prev = cum.select((col("rn") + 1).as("rn"), col("m").as("m_prev"))
+      cum.join(prev, Seq("rn"), "left")
+        .filter(col("m_prev").isNull || col("odi") < col("m_prev"))
+        .select(col("cents"), col("od"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -652,6 +715,40 @@ object StatQueries {
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
+
+    "q185_u_attribution" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS tp, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS tc, event_id AS cid,
+        |        date_trunc('week', ts)::DATE AS wk
+        |      FROM events WHERE event_type = 'click'),
+        |t AS (SELECT pid, wk, tc, cid FROM p JOIN c USING (user_id)
+        |      WHERE tc < tp),
+        |x AS (SELECT wk, count(*) OVER (PARTITION BY pid) AS m,
+        |        row_number() OVER (PARTITION BY pid ORDER BY tc, cid) AS pos
+        |      FROM t),
+        |y AS (SELECT wk,
+        |        CASE WHEN m = 1 THEN 10000
+        |             WHEN m = 2 THEN 5000
+        |             WHEN pos = 1 OR pos = m THEN 4000
+        |             ELSE 2000 // (m - 2)
+        |                  + (CASE WHEN pos - 1 <= 2000 % (m - 2)
+        |                          THEN 1 ELSE 0 END)
+        |        END AS credit_bp
+        |      FROM x)
+        |SELECT wk, count(*)::BIGINT AS n_touches,
+        |  sum(credit_bp)::BIGINT AS credit_bp_total
+        |FROM y GROUP BY wk""".stripMargin,
+
+    "q186_skyline" ->
+      """WITH p AS (SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents, o_orderdate::DATE AS od FROM orders),
+        |o AS (SELECT cents, od,
+        |    min(od) OVER (ORDER BY cents, od
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS m_prev
+        |  FROM p)
+        |SELECT cents, od FROM o WHERE m_prev IS NULL OR od < m_prev""".stripMargin,
 
     "q182_set_cover" -> {
       val toks = TextHash.wordShinglesSql("text", 3)

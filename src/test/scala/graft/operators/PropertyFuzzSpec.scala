@@ -152,6 +152,30 @@ class PropertyFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("PrefixSum.runningScans min/max == sequential scan") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      vals <- Gen.listOfN(n, Gen.choose(-10000L, 10000L))
+      keys <- Gen.listOfN(n, Gen.choose(-100000L, 100000L)).map(_.distinct)
+      parts <- Gen.choose(1, 8)
+    } yield (keys.zip(vals), parts)
+    check("prefixscanminmax", Prop.forAll(gen) { case (rows, parts) =>
+      rows.isEmpty || {
+        val got = PrefixSum.runningScans(rows.toDF("k", "v"),
+          "k", Seq(("v", "mn", "min"), ("v", "mx", "max")), numParts = parts)
+          .select("k", "mn", "mx").as[(Long, Long, Long)].collect()
+          .map(t => t._1 -> (t._2, t._3)).toMap
+        val sorted = rows.sortBy(_._1)
+        val wantMn = sorted.scanLeft((0L, Long.MaxValue)) {
+          case ((_, acc), (k, v)) => (k, math.min(acc, v)) }.drop(1).toMap
+        val wantMx = sorted.scanLeft((0L, Long.MinValue)) {
+          case ((_, acc), (k, v)) => (k, math.max(acc, v)) }.drop(1).toMap
+        spark.catalog.clearCache()
+        got == rows.map(_._1).map(k => k -> (wantMn(k), wantMx(k))).toMap
+      }
+    })
+  }
+
   test("FuzzyJoin.selfLinkage == brute force within blocks") {
     val word = Gen.choose(1, 4).flatMap(l => Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
     val name = for { w1 <- Gen.oneOf("red", "blue"); w2 <- word } yield s"$w1 $w2"
