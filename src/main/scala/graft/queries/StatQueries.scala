@@ -639,6 +639,70 @@ object StatQueries {
         .select(col("cents"), col("od"))
     }),
 
+    // SCD2 temporal join — the warehouse pattern q95's history exists
+    // for: facts (purchases) joined to the dimension VERSION valid at
+    // fact time (valid_from ≤ t < valid_to, open current version). The
+    // dimension is the user's NON-purchase activity-state history (runs
+    // of click/view/signup/error — building it from all events would
+    // make every purchase trivially match its own run). Implementation
+    // is a user-keyed equi-join with the interval predicate applied
+    // inside the co-partitioned match — per-user version lists are
+    // bounded, so no interval-bucketing machinery is needed (contrast
+    // q90, where neither side is keyed). Rolled up per concurrent
+    // state: purchases, exact cents, versions touched.
+    "q187_scd2_join" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+      val hist = Tables.events(s, d)
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("chg",
+          when(!(lag(col("event_type"), 1).over(w) <=> col("event_type")), 1L)
+            .otherwise(0L))
+        .withColumn("ver",
+          sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("ver"), col("event_type").as("state"))
+        .agg(min(col("us")).as("vf"))
+        .withColumn("vt", lead(col("vf"), 1).over(wv))
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pus"),
+          round(col("value") * 100).cast("long").as("cents"))
+      purchases.join(hist, Seq("user_id"))
+        .filter(col("pus") >= col("vf") &&
+          (col("vt").isNull || col("pus") < col("vt")))
+        .groupBy(col("state"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("sum_cents"),
+          countDistinct(col("user_id"), col("ver")).as("n_versions"))
+    }),
+
+    // Embedding pair-distance histogram under BUCKET sampling — the
+    // scale-safe way to read a distance distribution: an md5 coin drops
+    // every vector into one of 32 buckets and only WITHIN-bucket pairs
+    // are formed (a uniform pair sample at ~1/32 the quadratic cost,
+    // the blocking idea LSH uses, here for diagnostics). Distances are
+    // exact integer micro² (zip-fold over pre-quantized arrays, bounded
+    // 64-dim work per pair); buckets are the power-of-2 length(bin(x))
+    // idiom — float log2 is not cross-engine-exact at boundaries (q89).
+    "q188_pair_distance_hist" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(graft.operators.VectorOps.asDouble(col("embedding")),
+            x => graft.functions.PortableMath.microHalfAway(x)).as("mv"))
+        .withColumn("bkt", pmod(TextHash.md5Long(
+          concat(lit("pd:"), col("vec_id").cast("string"))), lit(32L)))
+      val pairs = vecs.as("a").join(vecs.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") < col("b.vec_id"))
+      pairs
+        .select(aggregate(
+          zip_with(col("a.mv"), col("b.mv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+        .withColumn("bucket_log2", length(bin(col("d2"))))
+        .groupBy(col("bucket_log2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -714,6 +778,50 @@ object StatQueries {
          |    // (na + nb - coalesce(n_common, 0)))::BIGINT AS jaccard_bp,
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
+    },
+
+    "q187_scd2_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events WHERE event_type <> 'purchase'),
+        |g AS (SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (SELECT user_id, event_type, us,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS ver
+        |  FROM g),
+        |h AS (SELECT user_id, ver, event_type AS state, min(us) AS vf
+        |      FROM v GROUP BY 1, 2, 3),
+        |h2 AS (SELECT user_id, ver, state, vf,
+        |        lead(vf) OVER (PARTITION BY user_id ORDER BY ver) AS vt
+        |      FROM h),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT state, user_id, ver, cents FROM p JOIN h2 USING (user_id)
+        |      WHERE pus >= vf AND (vt IS NULL OR pus < vt))
+        |SELECT state, count(*)::BIGINT AS n_purchases,
+        |  sum(cents)::BIGINT AS sum_cents,
+        |  count(DISTINCT user_id::VARCHAR || ':' || ver::VARCHAR)::BIGINT
+        |    AS n_versions
+        |FROM j GROUP BY 1""".stripMargin,
+
+    "q188_pair_distance_hist" -> {
+      val h = TextHash.md5LongSql("'pd:' || vec_id::VARCHAR")
+      s"""WITH v AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS mv,
+         |    ($h % 32) AS bkt
+         |  FROM embeddings),
+         |p AS (SELECT a.mv AS ma, b.mv AS mb FROM v a JOIN v b
+         |      ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |dd AS (SELECT list_sum(list_transform(range(1, len(ma) + 1),
+         |         i -> (ma[i] - mb[i]) * (ma[i] - mb[i])))::BIGINT AS d2
+         |       FROM p)
+         |SELECT length(bin(d2))::INT AS bucket_log2, count(*)::BIGINT AS n_pairs,
+         |  min(d2)::BIGINT AS min_d2, max(d2)::BIGINT AS max_d2
+         |FROM dd GROUP BY 1""".stripMargin
     },
 
     "q185_u_attribution" ->
