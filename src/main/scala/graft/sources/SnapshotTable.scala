@@ -4,8 +4,8 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max, min, when}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Snapshot-isolated parquet table with optimistic-concurrency commits —
@@ -160,6 +160,75 @@ object SnapshotTable {
         .repartitionByRange(numFiles, col(clusterCol))
         .sortWithinPartitions(clusterCol),
       tableDir, zoneCol = Some(clusterCol))
+
+  /** OPTIMIZE ZORDER BY (a, b): rewrite the table Morton-ordered on the
+    * two columns' 16-bit min/max-scaled ranks and record BOTH columns'
+    * per-file zone stats. Single-column clustering ([[compactClustered]])
+    * serves only its own column — a range read on the other dimension
+    * prunes nothing; after z-ordering, file bounding boxes tile the 2-D
+    * space, so range reads on EITHER column (and boxes on both, via
+    * [[readRangeMulti]]) skip ~√selectivity of the files. The scaling is
+    * layout-only (stats come from the real values), and `colA` doubles as
+    * the legacy single zone column so [[readRange]] keeps working. */
+  def compactZOrder(spark: SparkSession, tableDir: String,
+                    colA: String, colB: String, numFiles: Int): Long = {
+    val df = read(spark, tableDir)
+    val mm = df.agg(
+      min(col(colA).cast("double")).as("__mna"),
+      max(col(colA).cast("double")).as("__mxa"),
+      min(col(colB).cast("double")).as("__mnb"),
+      max(col(colB).cast("double")).as("__mxb"))
+    def scale(c: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        ((c.cast("double") - mn) / (mx - mn) * 65535.0).cast("long"))
+    val laid = df.crossJoin(broadcast(mm))
+      .withColumn("__z", graft.functions.ZOrder.interleave(
+        scale(col(colA), col("__mna"), col("__mxa")),
+        scale(col(colB), col("__mnb"), col("__mxb"))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__mna", "__mxa", "__mnb", "__mxb")
+    commit(laid, tableDir, replace = true,
+      zoneCol = Some(colA), multiZoneCols = Seq(colA, colB))
+  }
+
+  /** Manifest-pruned BOX read: skip every file whose recorded per-column
+    * [min,max] misses any of the requested `bounds` (col, lo, hi); files
+    * without stats for a bounded column stay candidates — safe
+    * overapproximation. Value-identical to `read().filter(AND of
+    * betweens)` always. Requires a [[compactZOrder]]-style commit that
+    * recorded multi-column stats. */
+  def readRangeMulti(spark: SparkSession, tableDir: String,
+                     bounds: Seq[(String, Double, Double)]): DataFrame = {
+    require(bounds.nonEmpty, "readRangeMulti needs at least one bound")
+    val snap = latestSnapshot(tableDir)
+    val cand = candidatesMulti(snap, bounds)
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(c).cast("double").between(lo, hi) }.reduce(_ && _)
+    if (cand.isEmpty)
+      readVersion(spark, tableDir, snap.version).filter(pred).limit(0)
+    else
+      spark.read.parquet(cand.map(f => Paths.get(tableDir, f).toString): _*)
+        .filter(pred)
+  }
+
+  /** Candidate files [[readRangeMulti]] would scan — exposed for tests. */
+  def rangeCandidatesMulti(tableDir: String,
+                           bounds: Seq[(String, Double, Double)]): Seq[String] =
+    candidatesMulti(latestSnapshot(tableDir), bounds)
+
+  private def candidatesMulti(
+      snap: Snapshot, bounds: Seq[(String, Double, Double)]): Seq[String] =
+    snap.files.filter { f =>
+      bounds.forall { case (c, lo, hi) =>
+        snap.meta.get(s"zone:$c:$f") match {
+          case Some(v) =>
+            val Array(mn, mx) = v.split(",")
+            mx.toDouble >= lo && mn.toDouble <= hi
+          case None => true
+        }
+      }
+    }
 
   /** Exactly-once streaming append: commits a micro-batch tagged with its
     * (streamId, batchId); a batch at-or-below the stream's committed
@@ -631,7 +700,8 @@ object SnapshotTable {
       Files.createLink(dst, Paths.get(srcDir, f)) // throws if dst exists: loud
     }
     val carried = snap.meta.view
-      .filterKeys(k => k == "schema" || k == "zonecol" || k.startsWith("zone:"))
+      .filterKeys(k => k == "schema" || k == "zonecol" || k == "zonecols" ||
+        k.startsWith("zone:"))
       .toMap + ("cloned_from" ->
         s"${Paths.get(srcDir).toAbsolutePath}@v$version")
     val body =
@@ -650,6 +720,7 @@ object SnapshotTable {
       df: DataFrame, tableDir: String, replace: Boolean,
       extraMeta: Seq[String] = Seq.empty,
       zoneCol: Option[String] = None,
+      multiZoneCols: Seq[String] = Seq.empty,
       dropFiles: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None): Long = {
     init(tableDir)
@@ -660,25 +731,44 @@ object SnapshotTable {
     val staged = listParquet(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
 
     // per-staged-file zone stats: one scan of the just-written (small) data
-    // dir; Double.toString round-trips exactly, so the pruning compare sees
-    // the same values min/max saw. All-null files record nothing (always
-    // candidates — safe).
-    val zoneMeta: Seq[String] = zoneCol.toSeq.flatMap { zc =>
+    // dir covering the legacy single column and every multi-zone column at
+    // once; Double.toString round-trips exactly, so the pruning compare
+    // sees the same values min/max saw. All-null files record nothing
+    // (always candidates — safe). Legacy single-col keys stay "zone:<f>";
+    // multi-dim stats ride "zone:<col>:<f>" (file names contain '/', a
+    // column name cannot, so the two key spaces never collide).
+    val statCols = (zoneCol.toSeq ++ multiZoneCols).distinct
+    val zoneMeta: Seq[String] = (if (statCols.isEmpty) Seq.empty[String] else {
+      val aggs = statCols.zipWithIndex.flatMap { case (zc, i) =>
+        Seq(min(col(zc).cast("double")).as(s"mn$i"),
+          max(col(zc).cast("double")).as(s"mx$i")) }
       val stats = df.sparkSession.read
         .parquet(Paths.get(tableDir, dataSub).toString)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col(zc).cast("double")).as("mn"), max(col(zc).cast("double")).as("mx"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       stats.flatMap { r =>
         val name = r.getString(0).split('/').last
-        // all-null files record nothing; NaN poisons max() (NaN sorts above
-        // every double and NaN-comparisons are all false, so a recorded
-        // NaN bound would wrongly PRUNE the file) — leave such files
-        // stat-less, i.e. always candidates
-        if (r.isNullAt(1) || r.getDouble(1).isNaN || r.getDouble(2).isNaN) None
-        else Some(s"zone:$dataSub/$name=${r.getDouble(1)},${r.getDouble(2)}")
-      }
-    } ++ zoneCol.map(zc => s"zonecol=$zc")
+        statCols.zipWithIndex.flatMap { case (zc, i) =>
+          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+          // all-null files record nothing; NaN poisons max() (NaN sorts
+          // above every double and NaN-comparisons are all false, so a
+          // recorded NaN bound would wrongly PRUNE the file) — leave such
+          // files stat-less, i.e. always candidates
+          if (r.isNullAt(mnI) || r.getDouble(mnI).isNaN || r.getDouble(mxI).isNaN)
+            Seq.empty[String]
+          else {
+            val v = s"${r.getDouble(mnI)},${r.getDouble(mxI)}"
+            (if (zoneCol.contains(zc)) Seq(s"zone:$dataSub/$name=$v")
+             else Seq.empty) ++
+              (if (multiZoneCols.contains(zc))
+                Seq(s"zone:$zc:$dataSub/$name=$v") else Seq.empty)
+          }
+        }
+      }.toSeq
+    }) ++ zoneCol.map(zc => s"zonecol=$zc") ++
+      (if (multiZoneCols.nonEmpty)
+        Seq(s"zonecols=${multiZoneCols.mkString(",")}") else Seq.empty)
 
     var attempt = 0
     while (attempt < 64) {
@@ -707,7 +797,9 @@ object SnapshotTable {
       // stats (they describe the wrong column — carrying them would prune
       // on garbage); those files fall back to always-candidate
       val zoneColChanged =
-        zoneCol.exists(zc => prevMeta.get("zonecol").exists(_ != zc))
+        zoneCol.exists(zc => prevMeta.get("zonecol").exists(_ != zc)) ||
+          (multiZoneCols.nonEmpty && prevMeta.get("zonecols")
+            .exists(_ != multiZoneCols.mkString(",")))
       // schema policy: replace stamps the incoming schema; append merges it
       // into the previous version's recorded schema by name (see
       // mergeSchemas). An append onto a legacy table (no recorded schema)
@@ -722,9 +814,14 @@ object SnapshotTable {
         }
       val carried = prevMeta.view.filterKeys(k =>
           k.startsWith("stream:") ||
-            (!replace && !zoneColChanged && (k.startsWith("zone:") || k == "zonecol")))
+            (!replace && !zoneColChanged &&
+              (k.startsWith("zone:") || k == "zonecol" || k == "zonecols")))
         // a rewritten (dropped) file's stats describe rows that just moved
-        .filterKeys(k => !(k.startsWith("zone:") && dropFiles(k.stripPrefix("zone:"))))
+        // (the multi-zone "zone:<col>:<f>" form strips to "<col>:<f>" —
+        // never a file name, so only exact per-file keys match dropFiles)
+        .filterKeys(k => !(k.startsWith("zone:") &&
+          (dropFiles(k.stripPrefix("zone:")) ||
+            dropFiles(k.stripPrefix("zone:").dropWhile(_ != ':').drop(1)))))
         .toMap ++
         (extraMeta ++ zoneMeta)
           .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap ++

@@ -403,6 +403,40 @@ class SnapshotTableSpec extends AnyFunSuite {
       === (1 to 400).toArray)
   }
 
+  test("z-order compaction: box reads prune on BOTH dims; 1-D clustering only on its own") {
+    val t = tmpTable()
+    // 64×64 grid in random arrival order across 16 files
+    val rnd = new scala.util.Random(7)
+    val grid = rnd.shuffle(for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+    SnapshotTable.commitAppend(grid.toDF("x", "y").repartition(16), t)
+    SnapshotTable.compactClustered(spark, t, "x", numFiles = 16)
+    val nFiles = SnapshotTable.rangeCandidates(t, Double.MinValue, Double.MaxValue).size
+    // x-clustered layout: a y-only box prunes NOTHING (every file spans all y)
+    assert(SnapshotTable.rangeCandidatesMulti(t,
+      Seq(("y", 0.0, 7.0))).size == nFiles)
+
+    SnapshotTable.compactZOrder(spark, t, "x", "y", numFiles = 16)
+    val zFiles = SnapshotTable.rangeCandidatesMulti(t,
+      Seq(("x", -1e9, 1e9))).size
+    val xCand = SnapshotTable.rangeCandidatesMulti(t, Seq(("x", 0.0, 7.0)))
+    val yCand = SnapshotTable.rangeCandidatesMulti(t, Seq(("y", 0.0, 7.0)))
+    val boxCand = SnapshotTable.rangeCandidatesMulti(t,
+      Seq(("x", 0.0, 7.0), ("y", 0.0, 7.0)))
+    // z-order tiles the plane: BOTH single-dim ranges prune, the box most
+    assert(xCand.size < zFiles && yCand.size < zFiles,
+      s"x=${xCand.size} y=${yCand.size} of $zFiles")
+    assert(boxCand.size <= math.min(xCand.size, yCand.size))
+    // the legacy single-column path still works (colA doubles as zonecol)
+    assert(SnapshotTable.rangeCandidates(t, 0.0, 7.0).size < zFiles)
+    // pruning is an overapproximation, never a filter: box read is exact
+    val got = SnapshotTable.readRangeMulti(spark, t,
+        Seq(("x", 0.0, 7.0), ("y", 0.0, 7.0)))
+      .as[(Int, Int)].collect().toSet
+    assert(got == (for (x <- 0 to 7; y <- 0 to 7) yield (x, y)).toSet)
+    // row-preserving: full content intact after both rewrites
+    assert(SnapshotTable.read(spark, t).as[(Int, Int)].collect().toSet == grid.toSet)
+  }
+
   private def batchRows(b: SnapshotTable.ChangeBatch): Set[(Long, String, String)] =
     b.df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
 
