@@ -703,6 +703,69 @@ object StatQueries {
           min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"))
     }),
 
+    // Bootstrap CONFIDENCE for the A/B lift — q173's Poisson resampling
+    // composed with q179's conversion test: 32 deterministic replicates
+    // of the per-variant conversion rates and their difference, all
+    // integer basis points (per-user Poisson(1) weights from md5
+    // uniforms, rates as weighted-count ratios under integer div). The
+    // spread of diff_bp across replicates IS the sampling uncertainty of
+    // the lift — error bars the z-formula (q179) only approximates, and
+    // every replicate row is hash-checked. Same shape as q173: map-side
+    // 32× explode into a 32-group aggregate.
+    "q189_ab_bootstrap" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("va", TextHash.md5Long(
+          concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0)
+      perUser.select(col("user_id"), col("va"), col("conv"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u", pmod(TextHash.md5Long(
+          concat(lit("pb2:"), col("b").cast("string"), lit(":"),
+            col("user_id").cast("string"))), lit(1000000L)))
+        .withColumn("w", expr(poissonCaseSql))
+        .groupBy(col("b"))
+        .agg(sum(when(col("va"), col("w")).otherwise(0L)).as("n_a_eff"),
+          sum(when(col("va"), col("w") * col("conv")).otherwise(0L)).as("c_a_eff"),
+          sum(when(!col("va"), col("w")).otherwise(0L)).as("n_b_eff"),
+          sum(when(!col("va"), col("w") * col("conv")).otherwise(0L)).as("c_b_eff"))
+        .withColumn("rate_a_bp",
+          when(col("n_a_eff") > 0, expr("(c_a_eff * 10000) div n_a_eff")))
+        .withColumn("rate_b_bp",
+          when(col("n_b_eff") > 0, expr("(c_b_eff * 10000) div n_b_eff")))
+        .withColumn("diff_bp", col("rate_a_bp") - col("rate_b_bp"))
+    }),
+
+    // Frequent ITEMSET mining, order 3 — the family member above q129's
+    // pairs: top-20 brand triples by basket support (exact counts,
+    // relative support in basis points, fully deterministic
+    // (support desc, brands lexicographic) order). Candidate volume is
+    // Σ C(basket_brands, 3) ≤ 35·baskets — LINEAR because baskets are
+    // small, the same argument as q129; shuffle-hash hints keep the
+    // self-joins off the 1-task scan side (the q96 broadcast trap).
+    "q190_frequent_triples" -> ((s, d) => {
+      val b = Tables.lineitem(s, d).join(
+          Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("br"))
+        .distinct().persist() // three self-join consumers
+      val nb = b.select(col("ok")).distinct().count()
+      val triples = b.as("x")
+        .join(b.as("y").hint("shuffle_hash"),
+          col("x.ok") === col("y.ok") && col("x.br") < col("y.br"))
+        .join(b.as("z").hint("shuffle_hash"),
+          col("x.ok") === col("z.ok") && col("y.br") < col("z.br"))
+        .groupBy(col("x.br").as("b1"), col("y.br").as("b2"), col("z.br").as("b3"))
+        .agg(count(lit(1)).as("n"))
+      // rank runs on the ≤ C(|brands|,3) support relation — tiny by
+      // construction; harness clears b's cache per query
+      val w = Window.orderBy(col("n").desc, col("b1"), col("b2"), col("b3"))
+      triples.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("b1"), col("b2"), col("b3"), col("n"),
+          expr(s"(n * 10000) div ${nb}L").as("support_bp"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -779,6 +842,48 @@ object StatQueries {
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
+
+    "q189_ab_bootstrap" -> {
+      val hab = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")
+      val hpb = TextHash.md5LongSql("'pb2:' || b::VARCHAR || ':' || user_id::VARCHAR")
+      s"""WITH pu AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         |      AS conv
+         |  FROM events GROUP BY 1),
+         |v AS (SELECT user_id, (($hab % 2) = 0) AS va, conv FROM pu),
+         |e AS (SELECT user_id, va, conv, unnest(range(0, 32)) AS b FROM v),
+         |u0 AS (SELECT b, va, conv, ($hpb % 1000000) AS u FROM e),
+         |w AS (SELECT b, va, conv, ($poissonCaseSql) AS w FROM u0),
+         |g AS (SELECT b::BIGINT AS b,
+         |        sum(CASE WHEN va THEN w ELSE 0 END)::BIGINT AS n_a_eff,
+         |        sum(CASE WHEN va THEN w * conv ELSE 0 END)::BIGINT AS c_a_eff,
+         |        sum(CASE WHEN NOT va THEN w ELSE 0 END)::BIGINT AS n_b_eff,
+         |        sum(CASE WHEN NOT va THEN w * conv ELSE 0 END)::BIGINT AS c_b_eff
+         |      FROM w GROUP BY 1),
+         |r AS (SELECT b, n_a_eff, c_a_eff, n_b_eff, c_b_eff,
+         |        (CASE WHEN n_a_eff > 0
+         |              THEN (c_a_eff * 10000) // n_a_eff END)::BIGINT AS rate_a_bp,
+         |        (CASE WHEN n_b_eff > 0
+         |              THEN (c_b_eff * 10000) // n_b_eff END)::BIGINT AS rate_b_bp
+         |      FROM g)
+         |SELECT b, n_a_eff, c_a_eff, n_b_eff, c_b_eff, rate_a_bp, rate_b_bp,
+         |  (rate_a_bp - rate_b_bp)::BIGINT AS diff_bp
+         |FROM r""".stripMargin
+    },
+
+    "q190_frequent_triples" ->
+      """WITH b AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS br
+        |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT count(DISTINCT ok) AS nb FROM b),
+        |t AS (SELECT x.br AS b1, y.br AS b2, z.br AS b3, count(*) AS n
+        |      FROM b x JOIN b y ON x.ok = y.ok AND x.br < y.br
+        |               JOIN b z ON x.ok = z.ok AND y.br < z.br
+        |      GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, b1, b2, b3) AS rank
+        |      FROM t)
+        |SELECT rank::INT AS rank, b1, b2, b3, n::BIGINT AS n,
+        |  ((n * 10000) // nb)::BIGINT AS support_bp
+        |FROM r, nb WHERE rank <= 20""".stripMargin,
 
     "q187_scd2_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
