@@ -766,6 +766,36 @@ object StatQueries {
           expr(s"(n * 10000) div ${nb}L").as("support_bp"))
     }),
 
+    // Lorenz curve at user deciles — the inequality readout behind q184's
+    // single whale point and q118's Gini scalar: walking users by
+    // ascending purchase spend, the cumulative share of users vs the
+    // cumulative share of revenue, both in exact basis points. This is
+    // the DISTRIBUTED-rank path q118's audit-class window defers to:
+    // rank and running revenue ride one PrefixSum.runningMulti range
+    // shuffle over the unique (spend·2^24 + user_id) order key (exact
+    // while spend < 2^39 cents and user_id < 2^24 — loudly out of range
+    // here), and the decile probe is a 10-row broadcast join.
+    "q191_lorenz_deciles" -> ((s, d) => {
+      val spend = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("spend"))
+        .withColumn("key", expr("spend * 16777216 + user_id"))
+        .withColumn("one", lit(1L))
+      val cum = graft.operators.PrefixSum.runningMulti(spend, "key",
+        Seq("spend" -> "cum_cents", "one" -> "rn"))
+      val tot = spend.agg(count(lit(1)).as("nu"), sum(col("spend")).as("tc"))
+      val pos = s.range(1, 11).toDF("decile")
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), expr("(decile * nu) div 10").as("rn"),
+          col("nu"), col("tc"))
+      cum.join(broadcast(pos), "rn")
+        .select(col("decile"),
+          expr("(rn * 10000) div nu").as("user_share_bp"),
+          col("cum_cents"),
+          expr("(cum_cents * 10000) div tc").as("revenue_share_bp"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -842,6 +872,24 @@ object StatQueries {
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
+
+    "q191_lorenz_deciles" ->
+      """WITH spend AS (SELECT user_id,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT spend,
+        |    row_number() OVER (ORDER BY spend, user_id) AS rn,
+        |    sum(spend) OVER (ORDER BY spend, user_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |  FROM spend),
+        |t AS (SELECT count(*)::BIGINT AS nu, sum(spend)::BIGINT AS tc FROM spend),
+        |p AS (SELECT k AS decile, (k * nu) // 10 AS pos, nu, tc
+        |      FROM (SELECT unnest(range(1, 11)) AS k), t)
+        |SELECT decile::BIGINT AS decile,
+        |  ((pos * 10000) // nu)::BIGINT AS user_share_bp,
+        |  cum_cents::BIGINT AS cum_cents,
+        |  ((cum_cents * 10000) // tc)::BIGINT AS revenue_share_bp
+        |FROM c JOIN p ON rn = pos""".stripMargin,
 
     "q189_ab_bootstrap" -> {
       val hab = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")
