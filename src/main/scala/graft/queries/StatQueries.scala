@@ -796,6 +796,55 @@ object StatQueries {
           expr("(cum_cents * 10000) div tc").as("revenue_share_bp"))
     }),
 
+    // Cohort LTV triangle — revenue by (first-seen week, weeks since):
+    // the companion to q70's retention triangle with MONEY on the cells,
+    // plus the running (cumulative) LTV per cohort. Cohorts come from
+    // one min-aggregate per user; the cumulative window runs over the
+    // calendar-bounded (cohorts × ages) relation, never the data. All
+    // exact integer cents.
+    "q192_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts")).cast("date")).as("cohort_wk"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val cells = weekly.join(cohort, "user_id")
+        .withColumn("age_weeks", expr("datediff(wk, cohort_wk) div 7"))
+        .groupBy(col("cohort_wk"), col("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_buyers"),
+          sum(col("cents")).as("revenue_cents"))
+      val sizes = cohort.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val wcum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_weeks"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(sizes, "cohort_wk")
+        .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(wcum))
+        .select(col("cohort_wk"), col("age_weeks"), col("cohort_size"),
+          col("n_buyers"), col("revenue_cents"), col("cum_revenue_cents"))
+    }),
+
+    // DAU/WAU stickiness — daily actives over trailing-7-day actives in
+    // exact basis points, q76's contribution-day explode reused for the
+    // WAU denominator (each (user, day) pair contributes to 7 trailing
+    // windows — a map-side explode into a hash-agg, no windowed
+    // count-distinct). Days outside the observed span are not emitted.
+    "q193_stickiness" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+        .persist() // DAU + WAU contribution explode
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(sequence(col("day"),
+          date_add(col("day"), 6))).as("wday"))
+        .select(col("user_id"), col("wday").as("day")).distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(dau * 10000) div wau").as("stickiness_bp"))
+    }),
+
     // Built-in session_window batch parity: Spark's native session
     // primitive (the same operator Structured Streaming uses for
     // streaming sessionization) over 30-minute gaps, per user — count,
@@ -872,6 +921,33 @@ object StatQueries {
          |  ((c * 10000) // samp)::BIGINT AS est_jaccard_bp
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
     },
+
+    "q192_cohort_ltv" ->
+      """WITH cohort AS (SELECT user_id,
+        |    min(date_trunc('week', ts)::DATE) AS cohort_wk FROM events GROUP BY 1),
+        |weekly AS (SELECT user_id, date_trunc('week', ts)::DATE AS wk,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cells AS (SELECT cohort_wk,
+        |    (datediff('day', cohort_wk, wk) // 7)::BIGINT AS age_weeks,
+        |    count(DISTINCT user_id)::BIGINT AS n_buyers,
+        |    sum(cents)::BIGINT AS revenue_cents
+        |  FROM weekly JOIN cohort USING (user_id) GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_wk, count(*)::BIGINT AS cohort_size
+        |          FROM cohort GROUP BY 1)
+        |SELECT c.cohort_wk, age_weeks, cohort_size, n_buyers, revenue_cents,
+        |  sum(revenue_cents) OVER (PARTITION BY c.cohort_wk ORDER BY age_weeks
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_revenue_cents
+        |FROM cells c JOIN sizes USING (cohort_wk)""".stripMargin,
+
+    "q193_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+        |w AS (SELECT DISTINCT user_id, (day + x::INT)::DATE AS day
+        |      FROM ud, unnest(range(0, 7)) AS u(x)),
+        |wau AS (SELECT day, count(*)::BIGINT AS wau FROM w GROUP BY 1)
+        |SELECT day, dau, wau, ((dau * 10000) // wau)::BIGINT AS stickiness_bp
+        |FROM dau JOIN wau USING (day)""".stripMargin,
 
     "q191_lorenz_deciles" ->
       """WITH spend AS (SELECT user_id,
