@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AuditQueries, CorpusQueries, DedupQueries, MixQueries, ProfileQueries, RefSurface, RelationalQueries, ScaleQueries, SequenceQueries, StatQueries, TextQueries}
+import graft.queries.{AuditQueries, CorpusQueries, DedupQueries, EngineQueries, MixQueries, ProfileQueries, RefSurface, RelationalQueries, ScaleQueries, SequenceQueries, StatQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,11 +24,11 @@ object SparkEntry {
     RefSurface.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       ScaleQueries.queries ++ RelationalQueries.queries ++ CorpusQueries.queries ++
       ProfileQueries.queries ++ MixQueries.queries ++ SequenceQueries.queries ++
-      AuditQueries.queries ++ StatQueries.queries
+      AuditQueries.queries ++ StatQueries.queries ++ EngineQueries.queries
 
   def oracleSql: Map[String, String] =
     RefSurface.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
       ScaleQueries.oracle ++ RelationalQueries.oracle ++ CorpusQueries.oracle ++
       ProfileQueries.oracle ++ MixQueries.oracle ++ SequenceQueries.oracle ++
-      AuditQueries.oracle ++ StatQueries.oracle
+      AuditQueries.oracle ++ StatQueries.oracle ++ EngineQueries.oracle
 }

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextHash, TopKAggregate}
+
+/** Engine-surface additions, round 6 (fifth session):
+  *
+  *  - q194: materialized-view MIN maintenance under inserts AND deletes —
+  *    the hard incremental case (min is not delta-mergeable under delete).
+  *    The industrial pattern: recompute ONLY the delete-touched groups,
+  *    merge everything else from the existing MV + the insert deltas. The
+  *    oracle recomputes flat — the hash match is the maintenance proof.
+  *  - q195: local clustering coefficient per node (exact rational), the
+  *    per-node readout of q96's triangle census.
+  *  - q196: bottom-k-hash sample quantiles with an in-oracle DKW proof
+  *    gate — the sampling dual of q31/q59's exact percentiles.
+  */
+object EngineQueries {
+
+  /** 2^53: hash scores stay double-exact for TopKByScore (q143's bound). */
+  private val HashM = 9007199254740992L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Incremental MIN-view maintenance with deletes. Base = orders before
+    // the cutoff, delta = inserts (orders ≥ cutoff) plus deletes (base
+    // orderkeys ≡ 0 mod 7). MIN is delta-mergeable under INSERT
+    // (new_min = least(old_min, insert_min)) but NOT under DELETE — if the
+    // deleted row WAS the min, the true new min is unknowable from the MV
+    // alone. The maintenance plan therefore recomputes only the
+    // delete-touched groups from surviving base rows (a semi-join against
+    // the delete-group set — work bounded by |touched groups|, never a
+    // base rescan) and merges every other group from the existing MV and
+    // the insert mins without touching base at all. At 100 TB the delete
+    // set is the day's CDC batch: this plan reads |ΔG| groups of the base,
+    // the flat oracle reads all of it. The hash match against the flat
+    // recompute (plus per-group provenance labels replayed via EXISTS
+    // tests) is the correctness proof of the whole decomposition.
+    "q194_mv_min_maintenance" -> ((s, d) => {
+      val cut = lit("1998-01-01").cast("date")
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        col("o_orderdate").cast("date").as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.filter(col("od") < cut)
+      val ins = o.filter(col("od") >= cut)
+      val survivors = base.filter(col("ok") % 7 =!= 0)
+      val delG = base.filter(col("ok") % 7 === 0).select(col("ck")).distinct()
+      // the MV as it stood before the delta batch
+      val mv0 = base.groupBy(col("ck")).agg(min(col("cents")).as("m0"))
+      // recompute ONLY delete-touched groups, from surviving rows
+      val rec = survivors.join(delG, Seq("ck"), "leftsemi")
+        .groupBy(col("ck")).agg(min(col("cents")).as("rm"))
+      val insMv = ins.groupBy(col("ck")).agg(min(col("cents")).as("im"))
+      val big = lit(Long.MaxValue)
+      mv0.join(insMv, Seq("ck"), "full")
+        .join(delG.withColumn("is_del", lit(true)), Seq("ck"), "left")
+        .join(rec, Seq("ck"), "left")
+        .withColumn("min_cents",
+          when(col("is_del"),
+            least(coalesce(col("rm"), big), coalesce(col("im"), big)))
+            .otherwise(least(coalesce(col("m0"), big), coalesce(col("im"), big))))
+        // a fully-deleted group with no inserts vanishes from the view
+        .filter(col("min_cents") =!= big)
+        .withColumn("src",
+          when(col("is_del"), lit("recomputed"))
+            .when(col("m0").isNotNull && col("im").isNotNull, lit("merged"))
+            .when(col("m0").isNotNull, lit("unchanged"))
+            .otherwise(lit("insert_only")))
+        .select(col("ck"), col("min_cents"), col("src"))
+    }),
+
+    // Local clustering coefficient — per node v, the fraction of its
+    // neighbor pairs that are themselves connected: 2·T(v) / deg(v)·
+    // (deg(v)−1), in exact basis points (integer div — no float ratio).
+    // T(v) comes from exploding q96's oriented triangle enumeration to
+    // its three corners (each triangle counts once per corner by
+    // construction); degrees come from the same canonical edge set. The
+    // wedge stage stays bounded by m·√2m (orientation), the rollups are
+    // plain hash-aggs, and the global mean over eligible nodes is an
+    // integer div of two counters — distributed end to end, the top-20
+    // probe is the only driver-bound result.
+    "q195_clustering_coeff" -> ((s, d) => {
+      val edges = RelationalQueries.copurchaseEdges(s, d)
+        .persist() // degree rollup + triangle census both consume it
+      val tri = graft.operators.TriangleCensus.triangles(edges, "a", "b")
+      val triPerNode = tri
+        .select(explode(array(col("ta"), col("tb"), col("tc"))).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      val deg = edges.select(explode(array(col("a"), col("b"))).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("deg"))
+      val lcc = deg.filter(col("deg") >= 2)
+        .join(triPerNode, Seq("part"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        .withColumn("lcc_bp",
+          expr("(n_tri * 2 * 10000) div (deg * (deg - 1))"))
+        .persist() // top-20 probe + global mean
+      val avg = lcc.agg(
+        expr("(sum(lcc_bp) div count(1))").as("mean_lcc_bp"),
+        count(lit(1)).as("n_eligible"))
+      lcc.orderBy(desc("lcc_bp"), desc("deg"), asc("part")).limit(20)
+        .crossJoin(broadcast(avg))
+    }),
+
+    // Sampled quantiles with a DKW proof gate: a deterministic bottom-k
+    // (k = 1024) md5-hash sample of lineitem price cents — TopKByScore on
+    // the NEGATED 53-bit hash keeps the k smallest hashes with a bounded
+    // map-side buffer, so the "sample" never shuffles more than k rows per
+    // partition — then the p50/p90 sample order statistics as the
+    // estimates. The Dvoretzky–Kiefer–Wolfowitz bound says the empirical
+    // CDF of a uniform k-sample stays within ε of the true CDF
+    // (ε = 750 bp ≈ 4.8σ at k = 1024, failure odds ~2e-5), so the gate
+    // computes each estimate's EXACT rank over the full table and asserts
+    // |rank_bp − target_bp| ≤ 750 — the q97 discipline: the guarantee
+    // itself is a hash-checked boolean, and the estimates are
+    // hash-checked VALUES because the hash sample is portable (no
+    // tolerance anywhere). The scale story vs q31/q59: one bounded
+    // aggregate + one broadcast count-rank pass, no histogram iteration.
+    "q196_dkw_quantile" -> ((s, d) => {
+      val k = 1024
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+        .withColumn("h", pmod(TextHash.md5Long(
+          concat_ws("_", lit("dkw"), col("l_orderkey"), col("l_linenumber"),
+            col("cents"))), lit(HashM)))
+        .persist() // sample build + exact-rank probe
+      val n = li.agg(count(lit(1)).as("n_rows"))
+      val sample = li.agg(TopKAggregate
+        .topK(-col("h").cast("double"), col("cents"), k).as("top"))
+        .select(array_sort(col("top.payload")).as("vals"))
+      val est = sample.select(
+        explode(array(
+          struct(lit("p50").as("p_label"), lit(5000L).as("target_bp"),
+            element_at(col("vals"), k / 2).as("est_cents")),
+          struct(lit("p90").as("p_label"), lit(9000L).as("target_bp"),
+            element_at(col("vals"), (k * 9 + 9) / 10).as("est_cents")))).as("e"))
+        .select(col("e.*"))
+      est.crossJoin(broadcast(n))
+        .join(li.crossJoin(broadcast(est.select(col("p_label").as("pl"),
+          col("est_cents").as("ec"))))
+          .groupBy(col("pl")).agg(
+            sum(when(col("cents") <= col("ec"), 1L).otherwise(0L)).as("n_le")),
+          col("p_label") === col("pl"))
+        .withColumn("rank_bp", expr("(n_le * 10000) div n_rows"))
+        .withColumn("within_dkw",
+          abs(col("rank_bp") - col("target_bp")) <= 750)
+        .select(col("p_label"), col("target_bp"), col("est_cents"),
+          col("rank_bp"), col("within_dkw"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "q194_mv_min_maintenance" ->
+      """WITH o AS (SELECT o_custkey ck, o_orderkey ok, o_orderdate::DATE od,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |base AS (SELECT * FROM o WHERE od < DATE '1998-01-01'),
+        |ins AS (SELECT * FROM o WHERE od >= DATE '1998-01-01'),
+        |surv AS (SELECT * FROM base WHERE ok % 7 <> 0),
+        |delg AS (SELECT DISTINCT ck FROM base WHERE ok % 7 = 0),
+        |flat AS (SELECT ck, min(cents)::BIGINT AS min_cents FROM (
+        |    SELECT ck, cents FROM surv UNION ALL SELECT ck, cents FROM ins)
+        |  GROUP BY ck)
+        |SELECT f.ck, f.min_cents,
+        |  CASE WHEN EXISTS (SELECT 1 FROM delg g WHERE g.ck = f.ck)
+        |         THEN 'recomputed'
+        |       WHEN EXISTS (SELECT 1 FROM base b WHERE b.ck = f.ck)
+        |        AND EXISTS (SELECT 1 FROM ins i WHERE i.ck = f.ck)
+        |         THEN 'merged'
+        |       WHEN EXISTS (SELECT 1 FROM base b WHERE b.ck = f.ck)
+        |         THEN 'unchanged'
+        |       ELSE 'insert_only' END AS src
+        |FROM flat f""".stripMargin,
+
+    "q195_clustering_coeff" ->
+      s"""WITH ${RelationalQueries.copurchaseEdgesSql},
+         |tri AS (SELECT e1.a ta, e1.b tb, e2.b tc FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tpn AS (SELECT part, count(*)::BIGINT AS n_tri FROM
+         |    (SELECT unnest([ta, tb, tc]) AS part FROM tri) GROUP BY part),
+         |deg AS (SELECT part, count(*)::BIGINT AS deg FROM
+         |    (SELECT unnest([a, b]) AS part FROM edges) GROUP BY part),
+         |lcc AS (SELECT d.part, d.deg, coalesce(n_tri, 0)::BIGINT AS n_tri,
+         |    ((coalesce(n_tri, 0) * 2 * 10000)
+         |      // (d.deg * (d.deg - 1)))::BIGINT AS lcc_bp
+         |  FROM deg d LEFT JOIN tpn USING (part) WHERE d.deg >= 2),
+         |avg AS (SELECT (sum(lcc_bp) // count(*))::BIGINT AS mean_lcc_bp,
+         |    count(*)::BIGINT AS n_eligible FROM lcc)
+         |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
+         |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q196_dkw_quantile" -> {
+      val h = TextHash.md5LongSql(
+        "'dkw' || '_' || l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR" +
+          " || '_' || cents::VARCHAR")
+      s"""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         |    l_orderkey, l_linenumber FROM lineitem),
+         |hs AS (SELECT cents, ($h % $HashM) AS h FROM li),
+         |r AS (SELECT cents, row_number() OVER (ORDER BY h, cents) AS rn FROM hs),
+         |vals AS (SELECT list(cents ORDER BY cents) AS vals FROM r WHERE rn <= 1024),
+         |n AS (SELECT count(*)::BIGINT AS n_rows FROM li),
+         |est AS (SELECT 'p50' AS p_label, 5000::BIGINT AS target_bp,
+         |          vals[512] AS est_cents FROM vals
+         |        UNION ALL
+         |        SELECT 'p90', 9000::BIGINT, vals[922] FROM vals),
+         |rk AS (SELECT p_label, count(*) FILTER (WHERE li.cents <= est_cents)
+         |         ::BIGINT AS n_le
+         |       FROM est, li GROUP BY p_label)
+         |SELECT e.p_label, target_bp, est_cents::BIGINT AS est_cents,
+         |  ((n_le * 10000) // n_rows)::BIGINT AS rank_bp,
+         |  (abs((n_le * 10000) // n_rows - target_bp) <= 750) AS within_dkw
+         |FROM est e JOIN rk USING (p_label), n""".stripMargin
+    },
+  )
+}

@@ -29,7 +29,7 @@ object RelationalQueries {
     *   the at-scale plan (2.2 → 0.8 s here).
     * - The coin is a pure function of (a,b): tossing BEFORE the dedup
     *   shrinks the distinct's shuffle 8×, same kept set. */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     items.as("x").hint("shuffle_hash")
@@ -45,7 +45,7 @@ object RelationalQueries {
     * MATERIALIZED: DuckDB inlines multiply-referenced CTEs, and q102's 12
     * unrolled rounds would re-run the parquet self-join per reference
     * (which also exhausts file descriptors re-opening the scan). */
-  private val copurchaseEdgesSql: String =
+  private[queries] val copurchaseEdgesSql: String =
     s"""items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
        |edges AS MATERIALIZED (SELECT a, b FROM (
        |    SELECT DISTINCT x.pk a, y.pk b FROM items x
