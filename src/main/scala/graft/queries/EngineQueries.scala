@@ -151,7 +151,72 @@ object EngineQueries {
         .select(col("p_label"), col("target_bp"), col("est_cents"),
           col("rank_bp"), col("within_dkw"))
     }),
+    // RAKE keyword extraction — candidate phrases are maximal runs of
+    // non-stopword tokens (the gaps-and-islands trick on the token index:
+    // island id = token position − rank among non-stop tokens), word
+    // degree = Σ phrase length over the word's occurrences, score =
+    // degree/frequency as an exact rational (millis via integer div).
+    // Everything until the corpus-wide word rollup is map-side or
+    // doc-partitioned (the per-doc window sorts a bounded token list);
+    // the only global shuffle carries one row per distinct word. Top 25
+    // under a fully deterministic (score, freq, word) order.
+    "q197_rake_keywords" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
+        .filter(!col("tok").isin(RakeStop: _*))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("idx"))
+      val grouped = occ
+        .withColumn("grp", col("idx") - row_number().over(w))
+      val plen = grouped.groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("plen"))
+      grouped.join(plen, Seq("doc_id", "grp"))
+        .groupBy(col("tok"))
+        .agg(sum(col("plen")).as("degree"), count(lit(1)).as("freq"))
+        .withColumn("score_millis", expr("(degree * 1000) div freq"))
+        .orderBy(desc("score_millis"), desc("freq"), asc("tok")).limit(25)
+    }),
+
+    // CUSUM drift detection over the per-type daily event counts — the
+    // classic change-point chart in closed form: S_t = max(0, S_{t−1} +
+    // (x_t − µ − κ)) equals cum_t − min(0, running-min of cum), so the
+    // recursive statistic becomes two plain prefix windows. Everything
+    // rides integers scaled by den = n_days (deviation = x·den − num;
+    // slack κ = num/10 ≈ mean/10; alarm at 3 mean-days of excess), so the
+    // whole chart is exact — no float mean anywhere. Days with no events
+    // count as x = 0 via a calendar fill (broadcast span × type). One
+    // type-keyed shuffle; windows sort one year per type.
+    "q198_cusum" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val cal = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val filled = cal.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("x", coalesce(col("x"), lit(0L)))
+      val tot = filled.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("num"), count(lit(1)).as("den"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      filled.join(tot, "event_type")
+        .withColumn("z", expr("x * den - num - (num div 10)"))
+        .withColumn("cum", sum(col("z")).over(w))
+        .withColumn("s_scaled", col("cum") - least(min(col("cum")).over(w), lit(0L)))
+        .withColumn("alarm", col("s_scaled") > col("num") * 3)
+        .select(col("event_type"), col("day"), col("x"), col("s_scaled"),
+          col("alarm"))
+    }),
   )
+
+  private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
+    "on", "for", "with", "as", "by", "at", "an", "be", "this", "that",
+    "it", "from", "or")
 
   val oracle: Map[String, String] = Map(
 
@@ -193,6 +258,57 @@ object EngineQueries {
          |    count(*)::BIGINT AS n_eligible FROM lcc)
          |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
          |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q197_rake_keywords" -> {
+      val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(toks) AS tok,
+         |        unnest(range(0, len(toks))) AS idx FROM t),
+         |o AS (SELECT doc_id, tok, idx FROM e WHERE tok NOT IN ($stopList)),
+         |g AS (SELECT doc_id, tok,
+         |        idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+         |          AS grp
+         |      FROM o),
+         |p AS (SELECT doc_id, grp, count(*) AS plen FROM g GROUP BY 1, 2),
+         |w AS (SELECT tok, sum(plen)::BIGINT AS degree,
+         |        count(*)::BIGINT AS freq
+         |      FROM g JOIN p USING (doc_id, grp) GROUP BY tok)
+         |SELECT tok, degree, freq,
+         |  ((degree * 1000) // freq)::BIGINT AS score_millis
+         |FROM w ORDER BY score_millis DESC, freq DESC, tok LIMIT 25""".stripMargin
+    },
+
+    "q198_cusum" ->
+      """WITH ev AS (SELECT event_type, ts::DATE AS day FROM events),
+        |daily AS (SELECT event_type, day, count(*)::BIGINT AS x
+        |          FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |cal AS (SELECT event_type, (d0 + x::INT)::DATE AS day
+        |        FROM (SELECT DISTINCT event_type FROM ev), span,
+        |             unnest(range(0, datediff('day', d0, d1) + 1)) AS u(x)),
+        |filled AS (SELECT c.event_type, c.day, coalesce(x, 0)::BIGINT AS x
+        |           FROM cal c LEFT JOIN daily d
+        |             ON d.event_type = c.event_type AND d.day = c.day),
+        |tot AS (SELECT event_type, sum(x)::BIGINT AS num,
+        |          count(*)::BIGINT AS den FROM filled GROUP BY 1),
+        |z AS (SELECT f.event_type, day, x, num, den,
+        |        (x * den - num - (num // 10))::BIGINT AS z
+        |      FROM filled f JOIN tot USING (event_type)),
+        |c1 AS (SELECT event_type, day, x, num,
+        |        sum(z) OVER (PARTITION BY event_type ORDER BY day
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM z),
+        |c AS (SELECT event_type, day, x, num, cum,
+        |        min(cum) OVER (PARTITION BY event_type ORDER BY day
+        |                       ROWS UNBOUNDED PRECEDING) AS runmin
+        |      FROM c1)
+        |SELECT event_type, day, x,
+        |  (cum - least(runmin, 0))::BIGINT AS s_scaled,
+        |  ((cum - least(runmin, 0)) > num * 3) AS alarm
+        |FROM c""".stripMargin,
 
     "q196_dkw_quantile" -> {
       val h = TextHash.md5LongSql(
