@@ -212,6 +212,27 @@ object EngineQueries {
         .select(col("event_type"), col("day"), col("x"), col("s_scaled"),
           col("alarm"))
     }),
+    // Weighted shortest paths (operators/Sssp): Bellman–Ford with frontier
+    // pruning over the co-purchase graph, edge weights a portable md5
+    // function of the edge (1..9) so the oracle replays the weighting
+    // bit-identically. dist here = minimum total weight within ≤ 12
+    // relaxation rounds from the q122 seed set; the unrolled oracle
+    // relaxes from ALL nodes per round while Spark relaxes only from the
+    // improving frontier — the hash match is the proof that pruning loses
+    // nothing (see the operator's equivalence argument). Histogram output
+    // keeps the result driver-bounded.
+    "q199_sssp" -> ((s, d) => {
+      val e = RelationalQueries.copurchaseEdges(s, d)
+        .withColumn("wt", TextHash.md5Long(concat(lit("w:"),
+          col("a").cast("string"), lit("_"), col("b").cast("string"))) % 9 + 1)
+        .persist()
+      val seeds = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .distinct().filter(col("id") % 500 === 0)
+      val dists = graft.operators.Sssp.distances(
+        e, "a", "b", "wt", seeds, "id", maxRounds = 12)
+      e.unpersist() // distances localCheckpoints eagerly; lineage is cut
+      dists.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -258,6 +279,14 @@ object EngineQueries {
          |    count(*)::BIGINT AS n_eligible FROM lcc)
          |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
          |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q199_sssp" ->
+      s"""WITH ${RelationalQueries.copurchaseEdgesSql},
+         |wedges AS MATERIALIZED (SELECT a, b,
+         |    (${TextHash.md5LongSql("'w:' || a::VARCHAR || '_' || b::VARCHAR")} % 9 + 1)
+         |      AS wt FROM edges),
+         |${graft.operators.Sssp.oracleCtes("v % 500 = 0", maxRounds = 12)}
+         |SELECT dist, count(*)::BIGINT AS n_nodes FROM sssp GROUP BY dist""".stripMargin,
 
     "q197_rake_keywords" -> {
       val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
