@@ -233,6 +233,25 @@ object EngineQueries {
       e.unpersist() // distances localCheckpoints eagerly; lineage is cut
       dists.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     }),
+    // Product quantization (operators/ProductQuantizer): 64-dim embeddings
+    // compressed to 8 four-bit codes (8 subspaces × 16 centroids), the
+    // memory half of billion-scale ANN. The fit runs on a bounded
+    // hash-sample in exact integer micro-units; corpus encoding is ONE
+    // map-side codegen'd expression (codes + exact quantization error per
+    // row, codebooks as plan reference objects — no join, no shuffle).
+    // The oracle replays micro-quantize → sample → 3 unrolled Lloyd
+    // rounds (per subspace, flattened) → full encode, and the per-label
+    // error rollup is hash-checked to the last micro² — the q92/q93
+    // discipline applied to PQ.
+    "q200_pq_error" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val enc = graft.operators.ProductQuantizer.encodeAll(
+        emb, "vec_id", "embedding", m = 8, k = 16, iters = 3, sampleCap = 500)
+      enc.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("pq.err")).as("total_err_micro2"),
+          expr("sum(pq.err) div count(1)").as("avg_err_micro2"))
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -279,6 +298,18 @@ object EngineQueries {
          |    count(*)::BIGINT AS n_eligible FROM lcc)
          |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
          |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q200_pq_error" -> {
+      val ctes = graft.operators.ProductQuantizer.oracleCtes(
+        "embeddings", "vec_id", "embedding", m = 8, k = 16, iters = 3, sampleCap = 500)
+      s"""WITH $ctes
+         |lab AS (SELECT label, count(*)::BIGINT AS n_vecs,
+         |    sum(err)::BIGINT AS total_err_micro2,
+         |    (sum(err) // count(*))::BIGINT AS avg_err_micro2
+         |  FROM enc JOIN embeddings ON enc.id = embeddings.vec_id
+         |  GROUP BY label)
+         |SELECT * FROM lab""".stripMargin
+    },
 
     "q199_sssp" ->
       s"""WITH ${RelationalQueries.copurchaseEdgesSql},

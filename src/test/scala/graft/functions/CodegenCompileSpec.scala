@@ -64,6 +64,12 @@ class CodegenCompileSpec extends AnyFunSuite {
     CodegenCompile.compileUnsafeProjection(Seq(JaroWinklerExpr(a, b)))
   }
 
+  test("PqEncodeMicro compiles in an UnsafeProjection") {
+    val vq = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
+    val cb = Array.fill(2, 3, 4)(1L)
+    CodegenCompile.compileUnsafeProjection(Seq(PqEncodeMicro(vq, cb)))
+  }
+
   test("BPE expressions compile in an UnsafeProjection (incl nested merges)") {
     val text = BoundReference(0, StringType, nullable = true)
     val init = BpeInitSymbols(text)
