@@ -76,11 +76,12 @@ object ProductQuantizer {
     }
   }
 
-  /** Fit on the bounded hash-sample of `corpus(idCol, vecCol)`, then
-    * encode every row map-side. Output: the corpus plus
-    * `pq: struct<codes: array<int>, err: bigint>` (exact micro² error). */
-  def encodeAll(corpus: DataFrame, idCol: String, vecCol: String,
-                m: Int, k: Int, iters: Int, sampleCap: Long): DataFrame = {
+  /** Micro-quantize the corpus and fit codebooks on its bounded
+    * hash-sample. Returns the quantized corpus (original columns + `vq`)
+    * and the codebooks. */
+  def fitAndQuantize(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, iters: Int, sampleCap: Long):
+      (DataFrame, Array[Array[Array[Long]]]) = {
     val em = corpus.withColumn("vq", micro(col(vecCol)))
     val sampleMod = KMeansIVF.sampleModFor(em.count(), sampleCap)
     val sample = em
@@ -88,8 +89,31 @@ object ProductQuantizer {
       .select(col(idCol), col("vq"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    val cb = fit(sample, m, k, iters)
+    (em, fit(sample, m, k, iters))
+  }
+
+  /** Fit on the bounded hash-sample of `corpus(idCol, vecCol)`, then
+    * encode every row map-side. Output: the corpus plus
+    * `pq: struct<codes: array<int>, err: bigint>` (exact micro² error). */
+  def encodeAll(corpus: DataFrame, idCol: String, vecCol: String,
+                m: Int, k: Int, iters: Int, sampleCap: Long): DataFrame = {
+    val (em, cb) = fitAndQuantize(corpus, idCol, vecCol, m, k, iters, sampleCap)
     em.withColumn("pq", PqExpressions.pqEncodeMicro(col("vq"), cb))
+  }
+
+  /** ADC lookup table for one query: `lut(sub)(cid)` = exact integer L2²
+    * between the query's subvector and that centroid — the table an ADC
+    * scan adds up per corpus code word. */
+  def adcLut(qv: Array[Long], cb: Array[Array[Array[Long]]]): Array[Array[Long]] = {
+    val sd = cb(0)(0).length
+    Array.tabulate(cb.length) { s =>
+      val base = s * sd
+      cb(s).map { cent =>
+        var d = 0L; var i = 0
+        while (i < sd) { val df = qv(base + i) - cent(i); d += df * df; i += 1 }
+        d
+      }
+    }
   }
 
   /** DuckDB replay: micro-quantize, hash-sample, per-subspace init, each
@@ -138,8 +162,12 @@ object ProductQuantizer {
     sb ++= s"ed AS (SELECT id, sub, cid, sum((x - y) * (x - y)) AS d FROM (\n"
     sb ++= s"  SELECT e.id, e.sub, c.cid, unnest(e.sv) AS x, unnest(c.cv) AS y\n"
     sb ++= s"  FROM esub e JOIN pc$iters c USING (sub)) GROUP BY 1, 2, 3),\n"
-    sb ++= s"enc AS MATERIALIZED (SELECT id, sum(dmin)::BIGINT AS err FROM (\n"
-    sb ++= s"  SELECT id, sub, min(d) AS dmin FROM ed GROUP BY 1, 2) GROUP BY 1),\n"
+    // per-(id, sub) argmin WITH the code — enc for error rollups, easg for
+    // ADC joins (min(d) of a sub == the argmin row's d)
+    sb ++= s"easg AS MATERIALIZED (SELECT id, sub, cid, d FROM (\n"
+    sb ++= s"  SELECT id, sub, cid, d, row_number() OVER (PARTITION BY id, sub\n"
+    sb ++= s"    ORDER BY d, cid) AS rn FROM ed) WHERE rn = 1),\n"
+    sb ++= s"enc AS MATERIALIZED (SELECT id, sum(d)::BIGINT AS err FROM easg GROUP BY id),\n"
     sb.toString
   }
 }

@@ -252,6 +252,55 @@ object EngineQueries {
           sum(col("pq.err")).as("total_err_micro2"),
           expr("sum(pq.err) div count(1)").as("avg_err_micro2"))
     }),
+    // PQ asymmetric-distance search (ADC) + recall audit — the payoff of
+    // q200's codebooks: each query precomputes an 8×16 lookup table of
+    // exact integer subspace distances (driver-side — queries are bounded
+    // by contract, the KMeansIVF.indexTopK posture), and the corpus scan
+    // approximates L2² as Σ lut[sub][code] over the 4-bit CODES ONLY —
+    // the vectors themselves are never touched, which is why PQ search
+    // reads 32× less data at 100 TB. Top-5 per query via the bounded
+    // TopKByScore (ADC longs < 2^53 are double-exact scores); next to it
+    // the BRUTE exact-integer top-5 and the per-query overlap count —
+    // recall measured, q58-style, but here every number including the
+    // ADC distances is hash-checked (no tolerance).
+    "q201_pq_adc" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val (em0, cb) = graft.operators.ProductQuantizer.fitAndQuantize(
+        emb, "vec_id", "embedding", m = 8, k = 16, iters = 3, sampleCap = 500)
+      val enc = em0
+        .withColumn("pq", graft.functions.PqExpressions.pqEncodeMicro(col("vq"), cb))
+        .select(col("vec_id"), col("vq"), col("pq.codes").as("codes"))
+        .persist() // ADC scan + exact-recall scan + query collect
+      val qDf = enc.filter(col("vec_id") % 250 === 0)
+        .select(col("vec_id"), col("vq")).collect().toSeq
+        .map { r =>
+          val qv = r.getSeq[Long](1).toArray
+          (r.getLong(0), qv.toSeq,
+            graft.operators.ProductQuantizer.adcLut(qv, cb).map(_.toSeq).toSeq)
+        }.toDF("qid", "qv", "lut")
+      val paired = enc.crossJoin(broadcast(qDf))
+        .filter(col("vec_id") =!= col("qid"))
+      def top5(scored: DataFrame, scoreCol: String): DataFrame = scored
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAggregate
+          .topK(-col(scoreCol).cast("double"), col("vec_id"), 5).as("top"))
+      val adcTop = top5(paired.withColumn("adc", expr(
+          "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x)")), "adc")
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+          col("t.payload").as("neighbor_id"),
+          (-col("t.score")).cast("long").as("adc_micro2"))
+      val exTop = top5(paired.withColumn("d2", expr(
+          "aggregate(zip_with(vq, qv, (a, b) -> (a - b) * (a - b)), " +
+            "CAST(0 AS BIGINT), (a, x) -> a + x)")), "d2")
+        .select(col("qid"), explode(col("top").getField("payload")).as("neighbor_id"))
+      val hits = adcTop.join(exTop, Seq("qid", "neighbor_id"), "leftsemi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+      adcTop.join(hits, Seq("qid"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -298,6 +347,36 @@ object EngineQueries {
          |    count(*)::BIGINT AS n_eligible FROM lcc)
          |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
          |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q201_pq_adc" -> {
+      val ctes = graft.operators.ProductQuantizer.oracleCtes(
+        "embeddings", "vec_id", "embedding", m = 8, k = 16, iters = 3, sampleCap = 500)
+      s"""WITH $ctes
+         |q AS (SELECT id AS qid, vq AS qv FROM em WHERE id % 250 = 0),
+         |qsub AS (SELECT qid, sub,
+         |    qv[(sub * (len(qv) // 8) + 1):((sub + 1) * (len(qv) // 8))] AS qsv
+         |  FROM q, (SELECT unnest(range(0, 8)) AS sub)),
+         |qlut AS (SELECT qid, sub, cid, sum((x - y) * (x - y)) AS qd FROM (
+         |    SELECT s.qid, s.sub, c.cid, unnest(s.qsv) AS x, unnest(c.cv) AS y
+         |    FROM qsub s JOIN pc3 c USING (sub)) GROUP BY 1, 2, 3),
+         |adc AS (SELECT l.qid, a.id, sum(l.qd)::BIGINT AS adc
+         |  FROM easg a JOIN qlut l ON a.sub = l.sub AND a.cid = l.cid
+         |  WHERE a.id <> l.qid GROUP BY 1, 2),
+         |atop AS (SELECT qid, id, adc, rn FROM (
+         |    SELECT qid, id, adc, row_number() OVER (PARTITION BY qid
+         |      ORDER BY adc, id) AS rn FROM adc) WHERE rn <= 5),
+         |ex AS (SELECT qid, id, sum((x - y) * (x - y)) AS d2 FROM (
+         |    SELECT q.qid, e.id, unnest(q.qv) AS x, unnest(e.vq) AS y
+         |    FROM q, em e WHERE e.id <> q.qid) GROUP BY 1, 2),
+         |ext AS (SELECT qid, id FROM (
+         |    SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, id) AS rn FROM ex) WHERE rn <= 5),
+         |hits AS (SELECT a.qid, count(*)::BIGINT AS n_hits
+         |  FROM atop a JOIN ext e ON a.qid = e.qid AND a.id = e.id GROUP BY 1)
+         |SELECT a.qid, a.rn::INT AS rank, a.id AS neighbor_id,
+         |  a.adc AS adc_micro2, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+         |FROM atop a LEFT JOIN hits h USING (qid)""".stripMargin
+    },
 
     "q200_pq_error" -> {
       val ctes = graft.operators.ProductQuantizer.oracleCtes(
