@@ -301,6 +301,29 @@ object EngineQueries {
       adcTop.join(hits, Seq("qid"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
     }),
+    // TextRank keywords — PageRank over the word co-occurrence graph
+    // (consecutive non-stopword tokens per doc, both directions, distinct
+    // pairs), the graph-centrality dual of q197's RAKE statistics, run on
+    // operators/PageRank's exact integer micro-unit ranks so the oracle
+    // replays all 3 damped iterations bit-for-bit. The co-occurrence
+    // build is one doc-partitioned lead() window; the rank loop is the
+    // operator's two key-parallel shuffles per iteration.
+    "q202_textrank" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
+      val occ = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
+        .filter(!col("tok").isin(RakeStop: _*))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("idx"))
+      val p = occ.withColumn("y", lead(col("tok"), 1).over(w))
+        .filter(col("y").isNotNull && col("tok") =!= col("y"))
+      val edges = p.select(col("tok").as("src"), col("y").as("dst"))
+        .unionAll(p.select(col("y").as("src"), col("tok").as("dst")))
+        .distinct()
+      graft.operators.PageRank.ranksMicro(edges, "src", "dst", iters = 3)
+        .orderBy(desc("rank_micro"), asc("id")).limit(20)
+        .withColumnRenamed("id", "word")
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -347,6 +370,30 @@ object EngineQueries {
          |    count(*)::BIGINT AS n_eligible FROM lcc)
          |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
          |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q202_textrank" -> {
+      val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
+      val edgesSql =
+        s"""SELECT DISTINCT CASE WHEN flip = 0 THEN x ELSE y END AS src,
+           |    CASE WHEN flip = 0 THEN y ELSE x END AS dst
+           |  FROM (
+           |    SELECT tok AS x,
+           |      lead(tok) OVER (PARTITION BY doc_id ORDER BY idx) AS y
+           |    FROM (
+           |      SELECT doc_id, tok, idx FROM (
+           |        SELECT doc_id, unnest(toks) AS tok,
+           |          unnest(range(0, len(toks))) AS idx FROM (
+           |          SELECT doc_id,
+           |            list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           |                        w -> w <> '') AS toks
+           |          FROM documents))
+           |      WHERE tok NOT IN ($stopList))),
+           |    (VALUES (0), (1)) AS dd(flip)
+           |  WHERE y IS NOT NULL AND x <> y""".stripMargin
+      s"""WITH pr AS (${graft.operators.PageRank.oracleSql(edgesSql, iters = 3)})
+         |SELECT id AS word, rank_micro FROM pr
+         |ORDER BY rank_micro DESC, word LIMIT 20""".stripMargin
+    },
 
     "q201_pq_adc" -> {
       val ctes = graft.operators.ProductQuantizer.oracleCtes(
