@@ -324,6 +324,18 @@ object EngineQueries {
         .orderBy(desc("rank_micro"), asc("id")).limit(20)
         .withColumnRenamed("id", "word")
     }),
+    // Label-propagation communities (operators/LabelPropagation): 4
+    // synchronous LPA rounds over the co-purchase graph with the total
+    // deterministic tie rule (count DESC, label ASC), community-size
+    // histogram out. The hash gate proves the Spark min-struct argmax
+    // and the oracle's window argmax agree node-for-node through every
+    // round — the whole community structure, not a summary statistic.
+    "q203_lpa_communities" -> ((s, d) => {
+      val lab = graft.operators.LabelPropagation.labels(
+        RelationalQueries.copurchaseEdges(s, d), "a", "b", rounds = 4)
+      lab.groupBy(col("label")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -370,6 +382,13 @@ object EngineQueries {
          |    count(*)::BIGINT AS n_eligible FROM lcc)
          |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
          |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q203_lpa_communities" ->
+      s"""WITH ${RelationalQueries.copurchaseEdgesSql},
+         |${graft.operators.LabelPropagation.oracleCtes(rounds = 4)}
+         |SELECT size, count(*)::BIGINT AS n_communities FROM (
+         |  SELECT label, count(*)::BIGINT AS size FROM lpa GROUP BY label)
+         |GROUP BY size""".stripMargin,
 
     "q202_textrank" -> {
       val stopList = RakeStop.map(w => s"'$w'").mkString(", ")
