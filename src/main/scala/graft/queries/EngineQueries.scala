@@ -336,6 +336,54 @@ object EngineQueries {
       lab.groupBy(col("label")).agg(count(lit(1)).as("size"))
         .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
     }),
+    // Offline recommender evaluation on a temporal split — train co-
+    // purchase top-5 recs on orders before the cutoff, score them on the
+    // orders after it: hit-rate@5 and MRR, both exact integers (rank ∈
+    // 1..5 divides 60, so reciprocal ranks ride ×60 — no float division
+    // anywhere). A test case is (order, part) with ≥1 other part in the
+    // order; unseen-in-train parts count as misses, as deployment would.
+    // Rec building is the bounded TopKByScore (count DESC, item ASC ties
+    // = the oracle's window order); the eval is two key-partitioned
+    // joins. The at-scale story: candidate gen shuffles (part-pair,
+    // count) rows, never per-user histories.
+    "q204_rec_eval" -> ((s, d) => {
+      val cut = lit("1998-01-01").cast("date")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val od = Tables.orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_orderdate").cast("date").as("odt"))
+      val items = li.join(od, "ok")
+        .select(col("ok"), col("pk"), (col("odt") < cut).as("is_train"))
+        .distinct().persist() // train pair-gen + test case-gen
+      val train = items.filter(col("is_train")).select("ok", "pk")
+      val test = items.filter(!col("is_train")).select("ok", "pk")
+      val pairs = train.as("x").hint("shuffle_hash")
+        .join(train.as("y").hint("shuffle_hash"), "ok")
+        .filter(col("x.pk") =!= col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val recs = pairs.groupBy(col("a"))
+        .agg(graft.functions.TopKAggregate
+          .topK(col("cnt").cast("double"), col("b"), 5).as("top"))
+        .select(col("a"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("a"), col("t.payload").as("b"), (col("pos") + 1).as("rank"))
+      val cases = test.as("x").join(test.as("y"), "ok")
+        .filter(col("x.pk") =!= col("y.pk"))
+        .select(col("ok"), col("x.pk").as("a"), col("y.pk").as("b"))
+        .persist() // hit join + case-set distinct
+      val hits = cases.join(recs, Seq("a", "b"))
+        .groupBy(col("ok"), col("a")).agg(min(col("rank")).as("minrank"))
+      cases.select("ok", "a").distinct()
+        .join(hits, Seq("ok", "a"), "left")
+        .agg(count(lit(1)).as("n_cases"),
+          sum(when(col("minrank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          sum(when(col("minrank").isNotNull, expr("60 div minrank"))
+            .otherwise(lit(0L))).as("sum_rr_x60"))
+        .select(col("n_cases"), col("n_hits"),
+          expr("(n_hits * 10000) div n_cases").as("hit_rate_bp"),
+          col("sum_rr_x60"),
+          expr("(sum_rr_x60 * 1000) div (60 * n_cases)").as("mrr_milli"))
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -382,6 +430,33 @@ object EngineQueries {
          |    count(*)::BIGINT AS n_eligible FROM lcc)
          |SELECT part, deg, n_tri, lcc_bp, mean_lcc_bp, n_eligible
          |FROM lcc, avg ORDER BY lcc_bp DESC, deg DESC, part LIMIT 20""".stripMargin,
+
+    "q204_rec_eval" ->
+      """WITH li AS (SELECT DISTINCT l.l_orderkey ok, l.l_partkey pk,
+        |    (o.o_orderdate < DATE '1998-01-01') AS is_train
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |train AS (SELECT ok, pk FROM li WHERE is_train),
+        |test AS (SELECT ok, pk FROM li WHERE NOT is_train),
+        |p AS (SELECT x.pk a, y.pk b, count(*) AS cnt
+        |      FROM train x JOIN train y ON x.ok = y.ok AND x.pk <> y.pk
+        |      GROUP BY 1, 2),
+        |recs AS (SELECT a, b, rn AS rank FROM (
+        |    SELECT a, b, row_number() OVER (PARTITION BY a
+        |      ORDER BY cnt DESC, b) AS rn FROM p) WHERE rn <= 5),
+        |cases AS (SELECT x.ok, x.pk a, y.pk b
+        |          FROM test x JOIN test y ON x.ok = y.ok AND x.pk <> y.pk),
+        |hits AS (SELECT ok, a, min(rank) AS minrank
+        |         FROM cases JOIN recs USING (a, b) GROUP BY 1, 2),
+        |cs AS (SELECT DISTINCT ok, a FROM cases),
+        |agg AS (SELECT count(*)::BIGINT AS n_cases,
+        |    count(minrank)::BIGINT AS n_hits,
+        |    sum(CASE WHEN minrank IS NOT NULL THEN 60 // minrank
+        |             ELSE 0 END)::BIGINT AS sum_rr_x60
+        |  FROM cs LEFT JOIN hits USING (ok, a))
+        |SELECT n_cases, n_hits,
+        |  ((n_hits * 10000) // n_cases)::BIGINT AS hit_rate_bp, sum_rr_x60,
+        |  ((sum_rr_x60 * 1000) // (60 * n_cases))::BIGINT AS mrr_milli
+        |FROM agg""".stripMargin,
 
     "q203_lpa_communities" ->
       s"""WITH ${RelationalQueries.copurchaseEdgesSql},
