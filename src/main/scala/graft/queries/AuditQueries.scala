@@ -206,7 +206,7 @@ object AuditQueries {
     // moment sums are exact; the decimal(38,0) numerators ship as
     // strings and the coefficient as a portable-rounded double — q152's
     // idiom on a graph-science metric. Shape: the one basket self-join
-    // plus two broadcast-ish degree joins and one scalar aggregate.
+    // plus two shuffled degree joins and one scalar aggregate.
     "q163_assortativity" -> ((s, d) => {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -224,12 +224,14 @@ object AuditQueries {
       // appears as an endpoint exactly dg_n times with dx = dg_n, so
       // sx = sy = Σ dg², sxx = syy = Σ dg³, n_ends = Σ dg; only the cross
       // term Σ dg(x)·dg(y) needs edges, and it factors through per-node
-      // neighbor-degree sums t_n = Σ_{m∈N(n)} dg_m — ONE broadcast join
-      // over the edge list instead of two shuffled ones (was the whole
-      // cost of this query: 4.9 → ~2 s at sf0.1)
-      val t = und.join(broadcast(deg.select(col("n").as("m"), col("dg").as("dy"))), "m")
+      // neighbor-degree sums t_n = Σ_{m∈N(n)} dg_m — one join over the
+      // edge list instead of two. Both degree joins are PLAIN shuffled
+      // equi-joins: deg has one row per graph NODE, a relation that grows
+      // with the data, so a forced broadcast would OOM the driver at
+      // scale — let AQE pick broadcast only when the runtime size fits.
+      val t = und.join(deg.select(col("n").as("m"), col("dg").as("dy")), "m")
         .groupBy(col("n")).agg(sum(col("dy")).as("tn"))
-      val sxyDf = t.join(broadcast(deg), "n")
+      val sxyDf = t.join(deg, "n")
         .agg(sum(col("dg") * col("tn")).as("sxy"))
       val agg = deg.agg(sum(col("dg")).as("n_ends"),
           sum(col("dg") * col("dg")).as("sx"),

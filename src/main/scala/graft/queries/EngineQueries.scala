@@ -272,7 +272,13 @@ object EngineQueries {
         .withColumn("pq", graft.functions.PqExpressions.pqEncodeMicro(col("vq"), cb))
         .select(col("vec_id"), col("vq"), col("pq.codes").as("codes"))
         .persist() // ADC scan + exact-recall scan + query collect
-      val qDf = enc.filter(col("vec_id") % 250 === 0)
+      // BOUNDED query-set collect: the modulus derives from a count
+      // (KMeansIVF.sampleModFor), so the driver materializes ~24 query
+      // vectors at ANY corpus size — a fixed-mod fraction would grow the
+      // collect (and the per-query LUT work) linearly with the data.
+      val qMod = graft.operators.KMeansIVF.sampleModFor(enc.count(), 24L)
+      val qDf = enc
+        .filter(pmod(TextHash.md5Long(col("vec_id").cast("string")), lit(qMod)) === 0)
         .select(col("vec_id"), col("vq")).collect().toSeq
         .map { r =>
           val qv = r.getSeq[Long](1).toArray
@@ -493,7 +499,9 @@ object EngineQueries {
       val ctes = graft.operators.ProductQuantizer.oracleCtes(
         "embeddings", "vec_id", "embedding", m = 8, k = 16, iters = 3, sampleCap = 500)
       s"""WITH $ctes
-         |q AS (SELECT id AS qid, vq AS qv FROM em WHERE id % 250 = 0),
+         |q AS (SELECT id AS qid, vq AS qv FROM em
+         |  WHERE (${TextHash.md5LongSql("id::VARCHAR")} %
+         |         (SELECT greatest(1, (count(*) + 23) // 24) FROM em)) = 0),
          |qsub AS (SELECT qid, sub,
          |    qv[(sub * (len(qv) // 8) + 1):((sub + 1) * (len(qv) // 8))] AS qsv
          |  FROM q, (SELECT unnest(range(0, 8)) AS sub)),

@@ -42,6 +42,33 @@ object StatQueries {
       "WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7 " +
       "WHEN u < 999998 THEN 8 ELSE 9 END"
 
+  /** q182's one-explode pair relation and k-rarest-shingle universe,
+    * factored so the plan spec can assert the universe selection contains
+    * NO Window node: the k-rarest pick is the bounded map-side-combined
+    * [[TopKAggregate.topK]] (score = −doc-frequency, tie key = the
+    * portable md5-long of the shingle), never an unpartitioned
+    * `row_number` window — a global single-task sort of a relation that
+    * grows with the corpus. Returns (pairs, universe); `pairs` is
+    * persisted (consumed by both the global counts and the caller's
+    * universe join) — the caller unpersists. */
+  private[graft] def setCoverRelations(
+      s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
+    val pairs = Tables.documents(s, d)
+      .select(col("source"), explode(TextHash.wordShingles(col("text"), 3)).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("pn"))
+      .persist()
+    val counts = pairs.groupBy(col("t")).agg(sum(col("pn")).as("cnt"))
+      .withColumn("h", TextHash.md5Long(col("t")))
+    val universe = counts
+      .groupBy()
+      .agg(TopKAggregate.topK((-col("cnt")).cast("double"), col("h"), k).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.payload").as("h"))
+      .join(counts.select(col("t"), col("h")), "h")
+      .select(col("t"))
+    (pairs, universe)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Weighted p10/p50/p90 of price cents, weighted by shipped quantity,
@@ -488,18 +515,20 @@ object StatQueries {
     // fully distributed (one anti-join + count-per-source aggregate on
     // the BOUNDED source×universe relation) with only the argmax row and
     // its ≤200 newly-covered shingles reaching the driver — the BPE-loop
-    // shape. Deterministic tiebreaks everywhere ((df asc, shingle) for
-    // the universe, (gain desc, source) for the pick); rounds that cover
-    // nothing new emit nothing on either engine.
+    // shape. The shingle explode runs ONCE: it reduces immediately to the
+    // distinct (source, shingle) pair relation, global doc frequencies
+    // derive from that, and the 200-rarest universe is a bounded
+    // TopKByScore aggregate (score = −cnt, map-side-combined k-buffers —
+    // never an unpartitioned row_number window, whose single-task global
+    // sort grows with the corpus). Deterministic tiebreaks everywhere
+    // ((df asc, md5-long of the shingle) for the universe — the hash is
+    // the portable 60-bit tie key both engines replay — and
+    // (gain desc, source) for the pick); rounds that cover nothing new
+    // emit nothing on either engine.
     "q182_set_cover" -> ((s, d) => {
-      val tok = Tables.documents(s, d)
-        .select(col("source"), explode(TextHash.wordShingles(col("text"), 3)).as("t"))
-      val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
-      val uw = Window.orderBy(col("cnt").asc, col("t").asc)
-      val universe = counts.withColumn("rn", row_number().over(uw))
-        .filter(col("rn") <= 200).select(col("t"))
-      val ts = tok.join(universe, "t").select(col("source"), col("t"))
-        .distinct().persist() // 3 greedy rounds re-read it
+      val (pairs, universe) = setCoverRelations(s, d, 200)
+      val ts = pairs.join(universe, "t").select(col("source"), col("t"))
+        .persist() // 3 greedy rounds re-read it; distinct by construction
       var covered = Set.empty[String]
       def uncovered = if (covered.isEmpty) lit(true)
         else !col("t").isInCollection(covered.toSeq)
@@ -519,6 +548,7 @@ object StatQueries {
         }
       }
       ts.unpersist()
+      pairs.unpersist()
       import s.implicits._
       picks.toSeq.toDF("rank", "source", "n_new", "n_cum")
     }),
@@ -1092,7 +1122,8 @@ object StatQueries {
       s"""WITH f AS (SELECT source, unnest($toks) AS t FROM documents),
          |counts AS (SELECT t, count(*) AS cnt FROM f GROUP BY 1),
          |u AS (SELECT t FROM (SELECT t,
-         |        row_number() OVER (ORDER BY cnt ASC, t ASC) AS rn FROM counts)
+         |        row_number() OVER (ORDER BY cnt ASC, ${TextHash.md5LongSql("t")} ASC)
+         |          AS rn FROM counts)
          |      WHERE rn <= 200),
          |ts AS MATERIALIZED (SELECT DISTINCT source, t FROM f JOIN u USING (t)),
          |t1 AS (SELECT source, count(*) AS n FROM ts GROUP BY 1
