@@ -390,6 +390,31 @@ object EngineQueries {
           col("sum_rr_x60"),
           expr("(sum_rr_x60 * 1000) div (60 * n_cases)").as("mrr_milli"))
     }),
+    // The composed at-scale ANN stack (operators/IvfPq): a persisted
+    // IVF-partitioned index of PQ CODES — route (nprobe coarse centroids)
+    // → partition-pruned ADC scan over 4-bit codes (the raw vector never
+    // exists in the index) → exact integer re-rank of the bounded short
+    // list against the primary store. Every stage hash-checked: the
+    // oracle replays BOTH fits (the KMeansIVF and ProductQuantizer CTE
+    // generators compose — disjoint namespaces), the routing, the ADC
+    // arithmetic, and the re-rank, all in exact integer micro². Query
+    // set bounded by a count-derived modulus (sampleModFor).
+    "q205_ivfpq_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      // stable per-process dir, q49's rationale (overwrite-in-place reuse
+      // across verify/bench passes; TempDirs hook deletes on JVM exit)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_idx_q205_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.IvfPq.writeIndex(e, "vec_id", "embedding", idx,
+        ivfSampleCap = 100, pqSampleCap = 500)
+      val qMod = graft.operators.KMeansIVF.sampleModFor(e.count(), 16L)
+      val q = e.filter(
+        pmod(TextHash.md5Long(col("vec_id").cast("string")), lit(qMod)) === 0)
+      graft.operators.IvfPq.probeTopK(q, e, idx, "vec_id", "embedding",
+        k = 5, nprobe = 3, shortlist = 20)
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -397,6 +422,13 @@ object EngineQueries {
     "it", "from", "or")
 
   val oracle: Map[String, String] = Map(
+
+    "q205_ivfpq_search" -> graft.operators.IvfPq.oracleSql(
+      "embeddings", "vec_id", "embedding",
+      queryPred = s"${TextHash.md5LongSql("id::VARCHAR")} % " +
+        "(SELECT greatest(1, (count(*) + 15) // 16) FROM e) = 0",
+      k = 5, nprobe = 3, shortlist = 20,
+      ivfSampleCap = 100, pqSampleCap = 500),
 
     "q194_mv_min_maintenance" ->
       """WITH o AS (SELECT o_custkey ck, o_orderkey ok, o_orderdate::DATE od,
