@@ -11,16 +11,23 @@ import org.apache.spark.sql.types._
   * payload bytes never pass through the driver, partitions bound memory, and
   * the decode stage pipelines with the scan).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libs): [[StubDecoder]] derives deterministic fake metadata from the
-  * payload bytes. The seam to swap in a real decoder is the single
-  * [[MediaDecoder]] function; everything around it — schema, batching,
-  * partitioning, null handling — is real and tested.
+  * Two decoders ship behind the single [[MediaDecoder]] seam:
+  * [[PpmDecoder]] is a REAL byte-level parser (P6 PPM header: magic,
+  * `#` comments, dimensions, maxval, then raw pixel data; trailing
+  * complete w·h frames count as an animation), and [[StubDecoder]] is the
+  * deterministic length-derived stand-in kept for arbitrary non-media
+  * payloads. A malformed payload yields a NULL `media_meta` struct (the
+  * row survives — at 100 TB one corrupt object must not kill the job);
+  * decoder bugs other than [[MediaFormatException]] still propagate.
   */
 object Multimodal {
 
   /** Decoded media metadata (what a real image/audio probe would return). */
   final case class MediaMeta(byteLen: Int, width: Int, height: Int, frames: Int)
+
+  /** A payload that is not valid media — mapped to a null meta struct by
+    * [[withMediaMeta]], never to a job failure. */
+  final class MediaFormatException(msg: String) extends RuntimeException(msg)
 
   trait MediaDecoder extends Serializable {
     def decode(payload: Array[Byte]): MediaMeta
@@ -33,6 +40,74 @@ object Multimodal {
       val n = payload.length
       MediaMeta(n, n % 640, (n * 7) % 480, n % 30 + 1)
     }
+  }
+
+  /** Real binary P6 PPM parser: validates the magic, skips whitespace and
+    * `#` comments, reads width/height/maxval, requires the single
+    * whitespace separator before pixel data, and counts the COMPLETE
+    * w·h·bytesPerPixel frames in the remaining bytes (≥ 2 frames = our
+    * concatenated-animation convention; plain PPM has exactly one).
+    * Throws [[MediaFormatException]] on anything malformed: bad magic,
+    * non-positive or overflowing dimensions, maxval outside 1..65535,
+    * missing separator, or pixel data shorter than one frame. */
+  object PpmDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): MediaMeta = {
+      def fail(msg: String): Nothing = throw new MediaFormatException(msg)
+      if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+        fail("not a P6 PPM: bad magic")
+      var i = 2
+      def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      def skipWsAndComments(): Unit = {
+        var done = false
+        while (!done) {
+          while (i < payload.length && isWs(payload(i))) i += 1
+          if (i < payload.length && payload(i) == '#') {
+            while (i < payload.length && payload(i) != '\n') i += 1
+          } else done = true
+        }
+      }
+      def readInt(what: String): Int = {
+        skipWsAndComments()
+        val start = i
+        var v = 0L
+        while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
+          v = v * 10 + (payload(i) - '0')
+          if (v > Int.MaxValue) fail(s"$what overflows int")
+          i += 1
+        }
+        if (i == start) fail(s"missing $what")
+        v.toInt
+      }
+      val w = readInt("width")
+      val h = readInt("height")
+      val maxval = readInt("maxval")
+      if (w <= 0 || h <= 0) fail("non-positive dimensions")
+      if (maxval <= 0 || maxval > 65535) fail("maxval out of 1..65535")
+      if (i >= payload.length || !isWs(payload(i))) fail("missing header/data separator")
+      i += 1 // the spec mandates exactly ONE whitespace byte before pixels
+      val bytesPerPx = if (maxval < 256) 3 else 6
+      val frameBytes = w.toLong * h * bytesPerPx
+      val frames = ((payload.length - i) / frameBytes).toInt
+      if (frames < 1) fail("truncated pixel data: no complete frame")
+      MediaMeta(payload.length, w, h, frames)
+    }
+  }
+
+  /** Construct a REAL P6 PPM payload column whose header values derive
+    * deterministically from `n` (any non-negative int column): width
+    * `n%8+1`, height `n*7%6+1`, maxval 255, and `n%5+1` concatenated
+    * frames of filler pixels. The bytes are genuinely parseable — the
+    * oracle-checked queries build payloads with this, PARSE them with
+    * [[PpmDecoder]], and let DuckDB replay only the construction
+    * arithmetic, so the hash gate proves the parser recovers the header
+    * from the actual bytes. Dimensions stay single-digit by construction
+    * (header is always 11 bytes). */
+  def ppmPayload(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = n % 8 + 1
+    val h = (n * 7) % 6 + 1
+    val f = n % 5 + 1
+    concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
+      call_function("repeat", lit("x"), (w * h * 3 * f).cast("int"))).cast("binary")
   }
 
   val metaSchema: StructType = StructType(Seq(
@@ -57,9 +132,13 @@ object Multimodal {
         val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
         val meta =
           if (payload == null) null
-          else {
+          else try {
             val m = d.decode(payload)
             Row(m.byteLen, m.width, m.height, m.frames)
+          } catch {
+            // malformed media → null meta, row survives; any OTHER
+            // exception is a decoder bug and still fails the task
+            case _: MediaFormatException => null
           }
         Row.fromSeq(r.toSeq :+ meta)
       }

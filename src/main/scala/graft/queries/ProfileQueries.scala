@@ -153,6 +153,55 @@ object ProfileQueries {
         .select(col("k"), col("price_cents"), col("_change"))
     }),
 
+    // Durable CDC consumer protocol under the hash gate (extends q115,
+    // round-6 verdict item 5): a REAL 3-step offset walk against a live
+    // SnapshotTable — poll 1 bootstraps (the full snapshot as inserts,
+    // there is no version 0 to diff), ack advances the durable offset,
+    // then each subsequent poll returns exactly the manifest-diff CDF of
+    // the window (offset, latest]. Two upserts between polls produce
+    // update+insert mixes; the oracle replays the three windows as flat
+    // multiset state diffs with no knowledge of files, manifests, or
+    // offsets — hash equality proves (a) the bootstrap is the full state,
+    // (b) acks never re-deliver a consumed window, (c) each window is
+    // the exact semantic delta. The caught-up poll returning None and
+    // every ack's CAS success are asserted in-query (a violation throws
+    // and fails the gate).
+    "q206_cdc_offset_walk" -> ((s, d) => {
+      val dir = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_snap_q206_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      // rebuild from scratch each invocation: versions are always (1,2,3)
+      graft.TempDirs.deleteRecursively(new java.io.File(dir))
+      val st = graft.sources.SnapshotTable
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      def slice(lo: String, hi: String, drift: Long) = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+        .select(col("o_orderkey").as("k"), (cents + drift).as("price_cents"))
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey").as("k"), cents.as("price_cents"))
+      st.commitAppend(base, dir)
+      def poll(batch: Int): DataFrame = {
+        val b = st.pollChanges(s, dir, "walker").getOrElse(
+          throw new IllegalStateException(s"expected change batch $batch"))
+        // the df is pinned to committed version boundaries at poll time,
+        // so later commits cannot bleed into an earlier batch
+        val out = b.df.select(lit(batch).as("batch"),
+          col("k"), col("price_cents"), col("_change"))
+        require(b.ack(), s"ack of batch $batch lost its CAS (no rival exists here)")
+        out
+      }
+      val b1 = poll(1) // bootstrap: full v1 state as inserts
+      st.upsert(s, dir, slice("1997-01-01", "1999-01-01", 7), Seq("k"))
+      val b2 = poll(2) // window (v1, v2]
+      st.upsert(s, dir, slice("1998-06-01", "2000-01-01", 13), Seq("k"))
+      val b3 = poll(3) // window (v2, v3]
+      require(st.pollChanges(s, dir, "walker").isEmpty,
+        "acked consumer must be caught up")
+      b1.unionByName(b2).unionByName(b3)
+    }),
+
     // Deterministic hash sampling: a reproducible ~10% sample selected by
     // the portable content hash — the scale-safe alternative to rand()
     // (same rows on every engine, every run, any partitioning).
@@ -301,6 +350,34 @@ object ProfileQueries {
         |SELECT k, price_cents, 'insert' AS _change FROM ins
         |UNION ALL
         |SELECT k, price_cents, 'delete' AS _change FROM del""".stripMargin,
+
+    // the three consumer windows replayed as flat multiset state diffs —
+    // no files, manifests, or offsets on the oracle side
+    "q206_cdc_offset_walk" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderdate AS od FROM orders),
+        |s1 AS MATERIALIZED (SELECT k, cents AS price_cents FROM o
+        |  WHERE od < TIMESTAMP '1998-01-01 00:00:00'),
+        |u2 AS MATERIALIZED (SELECT k, cents + 7 AS price_cents FROM o
+        |  WHERE od >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND od < TIMESTAMP '1999-01-01 00:00:00'),
+        |s2 AS MATERIALIZED (SELECT * FROM u2
+        |  UNION ALL SELECT * FROM s1 WHERE k NOT IN (SELECT k FROM u2)),
+        |u3 AS MATERIALIZED (SELECT k, cents + 13 AS price_cents FROM o
+        |  WHERE od >= TIMESTAMP '1998-06-01 00:00:00'
+        |    AND od < TIMESTAMP '2000-01-01 00:00:00'),
+        |s3 AS MATERIALIZED (SELECT * FROM u3
+        |  UNION ALL SELECT * FROM s2 WHERE k NOT IN (SELECT k FROM u3)),
+        |b2i AS (SELECT k, price_cents FROM s2 EXCEPT ALL SELECT k, price_cents FROM s1),
+        |b2d AS (SELECT k, price_cents FROM s1 EXCEPT ALL SELECT k, price_cents FROM s2),
+        |b3i AS (SELECT k, price_cents FROM s3 EXCEPT ALL SELECT k, price_cents FROM s2),
+        |b3d AS (SELECT k, price_cents FROM s2 EXCEPT ALL SELECT k, price_cents FROM s3)
+        |SELECT 1 AS batch, k, price_cents, 'insert' AS _change FROM s1
+        |UNION ALL SELECT 2, k, price_cents, 'insert' FROM b2i
+        |UNION ALL SELECT 2, k, price_cents, 'delete' FROM b2d
+        |UNION ALL SELECT 3, k, price_cents, 'insert' FROM b3i
+        |UNION ALL SELECT 3, k, price_cents, 'delete' FROM b3d""".stripMargin,
 
     "q41_snapshot_diff" ->
       """WITH cur AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS cur_price FROM orders),

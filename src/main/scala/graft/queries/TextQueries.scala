@@ -113,26 +113,38 @@ object TextQueries {
         .orderBy(desc("total_value"), asc("user_id"))
         .limit(20)),
 
-    // Multimodal: binary payload column -> deterministic stub metadata
-    // (column path; the mapPartitions decoder path is tested separately).
+    // Multimodal with a REAL decoder (round-7): construct genuine binary
+    // P6 PPM payloads (header values derived from the text length), then
+    // PARSE them byte-by-byte with Multimodal.PpmDecoder inside the
+    // batched mapPartitions seam. The oracle replays only the payload
+    // CONSTRUCTION arithmetic — it never sees the bytes — so the hash
+    // match proves the parser recovers width/height/frames/byte-count
+    // from the actual payload.
     "q24_media_meta" -> ((s, d) =>
-      Multimodal.stubMetaColumns(
+      Multimodal.withMediaMeta(
         Tables.documents(s, d)
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "payload")
-        .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("frames"))),
+          .select(col("doc_id"),
+            Multimodal.ppmPayload(octet_length(col("text"))).as("payload")),
+        "payload", Multimodal.PpmDecoder)
+        .select(col("doc_id"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.frames").as("frames"))),
 
-    // Multimodal frame sampling: every 4th frame index of each video
-    // payload fans out to its own row (the batch shape a frame-extraction
-    // stage feeds to a vision encoder), tagged with a deterministic
-    // per-frame signature. Pure generate + column math — at scale the
-    // explode multiplies rows ~frames/4× with no shuffle; the real decoder
-    // drops in at the Multimodal.MediaDecoder seam.
+    // Multimodal frame sampling: every 4th frame index of each decoded
+    // video payload fans out to its own row (the batch shape a frame-
+    // extraction stage feeds to a vision encoder), tagged with a
+    // deterministic per-frame signature. The frame count comes from the
+    // REAL PpmDecoder parse of the constructed payload (q24's setup); the
+    // explode multiplies rows ~frames/4× with no shuffle.
     "q60_frame_sample" -> ((s, d) =>
-      Multimodal.stubMetaColumns(
+      Multimodal.withMediaMeta(
         Tables.documents(s, d)
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
-        "payload")
+          .select(col("doc_id"),
+            Multimodal.ppmPayload(octet_length(col("text"))).as("payload")),
+        "payload", Multimodal.PpmDecoder)
+        .select(col("doc_id"), col("media_meta.frames").as("frames"))
         .select(col("doc_id"), col("frames"),
           explode(sequence(lit(0), col("frames") - 1, lit(4))).as("frame_idx"))
         .withColumn("frame_sig", TextHash.md5Long(
@@ -201,17 +213,20 @@ object TextQueries {
           |FROM events GROUP BY user_id
           |ORDER BY total_value DESC, user_id LIMIT 20""".stripMargin,
 
+      // the payload-construction arithmetic only (w/h single-digit by
+      // construction ⇒ the P6 header is always 11 bytes); Spark's answer
+      // came from byte-level PARSING of the constructed payload
       "q24_media_meta" ->
-        """SELECT doc_id,
-          |  octet_length(encode(text))::INT AS byte_len,
-          |  (octet_length(encode(text)) % 640)::INT AS width,
-          |  ((octet_length(encode(text)) * 7) % 480)::INT AS height,
-          |  (octet_length(encode(text)) % 30 + 1)::INT AS frames
-          |FROM documents""".stripMargin,
+        """WITH n AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+          |d AS (SELECT doc_id, (n % 8 + 1) AS w, ((n * 7) % 6 + 1) AS h,
+          |        (n % 5 + 1) AS f FROM n)
+          |SELECT doc_id, (11 + w * h * 3 * f)::INT AS byte_len,
+          |  w::INT AS width, h::INT AS height, f::INT AS frames
+          |FROM d""".stripMargin,
 
       "q60_frame_sample" ->
         s"""WITH m AS (SELECT doc_id,
-           |        (octet_length(encode(text)) % 30 + 1)::INT AS frames FROM documents),
+           |        (octet_length(encode(text)) % 5 + 1)::INT AS frames FROM documents),
            |f AS (SELECT doc_id, frames, unnest(range(0, frames, 4))::INT AS frame_idx FROM m)
            |SELECT doc_id, frames, frame_idx,
            |  ${TextHash.md5LongSql("doc_id::VARCHAR || ':' || frame_idx::VARCHAR")} AS frame_sig
