@@ -90,9 +90,15 @@ object PqExpressions {
 
   /** Registered-function exposure (the [[VectorExpressions.registered]]
     * pattern); the name carries a codebook fingerprint — registration is
-    * session-global by name and the fit changes between calls. */
+    * session-global by name and the fit changes between calls, so the
+    * fingerprint must not collide across codebooks (a collision would
+    * silently rebind the name under a lazily-analyzed earlier plan):
+    * md5 over the fully-serialized codebook, not a weak 31-fold. */
   def pqEncodeMicro(v: Column, cb: Array[Array[Array[Long]]]): Column = {
-    val fp = cb.flatten.flatten.foldLeft(17L)((h, x) => h * 31 + x).toHexString
+    val ser = cb.iterator.map(_.iterator.map(_.mkString(",")).mkString(";")).mkString("|")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(ser.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     VectorExpressions.registered(s"graft_pq_encode_${cb.length}_${cb(0).length}_$fp",
       exprs => PqEncodeMicro(exprs.head, cb))(v)
   }

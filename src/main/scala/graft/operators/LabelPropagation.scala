@@ -65,9 +65,12 @@ object LabelPropagation {
     * MATERIALIZED (the q102 inlining lesson). */
   def oracleCtes(rounds: Int): String = {
     val base =
-      s"""lund AS MATERIALIZED (
-         |  SELECT a AS v, b AS w FROM edges WHERE a <> b
-         |  UNION ALL SELECT b, a FROM edges WHERE a <> b),
+      s"""lcanon AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+         |  FROM edges WHERE a <> b),
+         |lund AS MATERIALIZED (
+         |  SELECT a AS v, b AS w FROM lcanon
+         |  UNION ALL SELECT b, a FROM lcanon),
          |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS label FROM lund)""".stripMargin
     val iter = (1 to rounds).map { r =>
       s"""n$r AS (SELECT u.v, l.label, count(*) AS cnt

@@ -85,9 +85,12 @@ object Sssp {
     * Emits `sssp(v, dist)`. */
   def oracleCtes(sourcesPredicate: String, maxRounds: Int): String = {
     val base =
-      s"""wund AS MATERIALIZED (
-         |  SELECT a AS v, b AS w, wt FROM wedges WHERE a <> b
-         |  UNION ALL SELECT b, a, wt FROM wedges WHERE a <> b),
+      s"""wcanon AS MATERIALIZED (
+         |  SELECT least(a, b) AS a, greatest(a, b) AS b, min(wt) AS wt
+         |  FROM wedges WHERE a <> b GROUP BY 1, 2),
+         |wund AS MATERIALIZED (
+         |  SELECT a AS v, b AS w, wt FROM wcanon
+         |  UNION ALL SELECT b, a, wt FROM wcanon),
          |wnodes AS MATERIALIZED (SELECT DISTINCT v FROM wund),
          |d0 AS MATERIALIZED (
          |  SELECT v, 0::BIGINT AS dist FROM wnodes WHERE $sourcesPredicate)""".stripMargin

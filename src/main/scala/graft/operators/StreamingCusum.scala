@@ -17,10 +17,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * within a batch rows fold in (ts, eventId) order, so any micro-batch
   * slicing of an event-time-ordered stream yields identical emissions
   * (the spec pins slicing invariance and the recursion equivalence).
+  *
+  * Late data and state growth: in streaming mode rows below the current
+  * watermark are DROPPED before folding (fMGWS does not drop them itself
+  * — the [[StreamingFunnel]] lesson; folding one out of order would
+  * perturb every subsequent emission for the key). State is 2 longs/key
+  * retained forever by default — fine for bounded key domains (event
+  * types, device classes); for unbounded keys pass `expireAfterUs` to
+  * expire idle keys via event-time timeout (a key re-appearing after
+  * expiry restarts its CUSUM from zero — a documented reset, not a bug).
   */
 object StreamingCusum {
 
-  final case class Ev(key: String, eventId: Long, tsUs: Long, x: Long)
+  // `ts` rides along only to keep the caller's watermark attribute alive
+  // through the projection into fMGWS (dropping it would unset the
+  // watermark); the fold itself uses the exact-µs `tsUs`.
+  final case class Ev(key: String, eventId: Long, ts: java.sql.Timestamp,
+                      tsUs: Long, x: Long)
   final case class St(cum: Long, runmin: Long)
   final case class Out(key: String, eventId: Long, s: Long, alarm: Boolean)
 
@@ -37,25 +50,48 @@ object StreamingCusum {
     * Emits one row per event with the post-event statistic and the alarm
     * flag (S > threshold). */
   def stats(events: DataFrame, target: Long, slack: Long,
-            threshold: Long): Dataset[Out] = {
+            threshold: Long, expireAfterUs: Option[Long] = None): Dataset[Out] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val streaming = events.isStreaming
+    // GroupState.getCurrentWatermarkMs THROWS on a stream with no
+    // watermark — only consult it when the input plan carries one
+    val useWm = streaming && events.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
+      case _ => false
+    }
+    val timeout =
+      if (useWm && expireAfterUs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
-      .select(col("key"), col("event_id").as("eventId"),
+      .select(col("key"), col("event_id").as("eventId"), col("ts"),
         unix_micros(col("ts")).as("tsUs"), col("x"))
       .as[Ev]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[St, Out](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[St, Out](OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[Ev], state: GroupState[St]) =>
-          var st = state.getOption.getOrElse(St(0L, 0L))
-          val out = rows.toSeq.sortBy(e => (e.tsUs, e.eventId)).map { e =>
-            st = fold(st, e.x - target - slack)
-            val s = statOf(st)
-            Out(key, e.eventId, s, s > threshold)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(St(0L, 0L))
+            val wmUs = if (useWm) state.getCurrentWatermarkMs() * 1000L else 0L
+            // drop sub-watermark late rows: folding one would be out of
+            // order and corrupt every later emission for this key
+            val live = rows.filter(e => !useWm || e.tsUs >= wmUs)
+            val sorted = live.toSeq.sortBy(e => (e.tsUs, e.eventId))
+            val out = sorted.map { e =>
+              st = fold(st, e.x - target - slack)
+              val s = statOf(st)
+              Out(key, e.eventId, s, s > threshold)
+            }
+            state.update(st)
+            if (useWm) expireAfterUs.foreach { ttl =>
+              val lastUs = if (sorted.nonEmpty) sorted.last.tsUs else wmUs
+              // must land strictly past the current watermark or fMGWS throws
+              state.setTimeoutTimestamp(
+                math.max((lastUs + ttl) / 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -73,4 +73,53 @@ class StreamingCusumSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("streaming: sub-watermark late rows are dropped, not folded out of order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp, Long)]
+    val q = StreamingCusum.stats(
+        mem.toDF().toDF("key", "event_id", "ts", "x")
+          .withWatermark("ts", "10 seconds"), target, slack, threshold)
+      .writeStream.format("memory").queryName("cusum_late")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      mem.addData(("a", 1L, ts(100), 20L), ("a", 2L, ts(110), 20L))
+      q.processAllAvailable() // watermark now 110 - 10 = 100 s
+      // event 3 is 50 s old (< wm): must be dropped; event 4 is on time
+      mem.addData(("a", 3L, ts(50), 999L), ("a", 4L, ts(120), 20L))
+      q.processAllAvailable()
+      val got = spark.table("cusum_late").as[StreamingCusum.Out]
+        .collect().map(o => o.eventId -> o.s).toMap
+      // fold over events 1,2,4 only: dev = 20-10-2 = 8 each
+      assert(got === Map(1L -> 8L, 2L -> 16L, 4L -> 24L),
+        "the late row must neither emit nor perturb later emissions")
+    } finally q.stop()
+  }
+
+  test("streaming: expireAfterUs expires idle keys; a re-appearing key restarts at zero") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Timestamp, Long)]
+    val q = StreamingCusum.stats(
+        mem.toDF().toDF("key", "event_id", "ts", "x")
+          .withWatermark("ts", "10 seconds"), target, slack, threshold,
+        expireAfterUs = Some(5L * 1000L * 1000L))
+      .writeStream.format("memory").queryName("cusum_ttl")
+      .outputMode("append").start()
+    try {
+      def ts(sec: Long) = new Timestamp(sec * 1000L)
+      mem.addData(("a", 1L, ts(100), 50L)) // s = 38; timeout at 105 s
+      q.processAllAvailable()
+      mem.addData(("b", 2L, ts(200), 10L)) // advances wm to 190 s
+      q.processAllAvailable()
+      mem.addData(("b", 3L, ts(210), 10L)) // wm 190 > 105: "a" times out
+      q.processAllAvailable()
+      mem.addData(("a", 4L, ts(220), 50L)) // fresh state: s = 38, not 76
+      q.processAllAvailable()
+      val got = spark.table("cusum_ttl").as[StreamingCusum.Out]
+        .collect().map(o => o.eventId -> o.s).toMap
+      assert(got(1L) === 38L)
+      assert(got(4L) === 38L, "expired key must restart its CUSUM from zero")
+    } finally q.stop()
+  }
 }
