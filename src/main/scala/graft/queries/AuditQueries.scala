@@ -491,6 +491,82 @@ object AuditQueries {
           coalesce(col("n_common"), lit(0L)).as("n_common"), col("est_common"))
     }),
 
+    // k-ANONYMITY audit with one generalization step — the privacy gate a
+    // training-data release runs before publishing quasi-identifiers.
+    // QI = (nation, market segment, $1000 balance band). Groups of size
+    // >= k publish as-is; rows in smaller groups generalize the band away,
+    // so their anonymity set is the union of ALL small groups sharing
+    // (nation, segment) — that union's size, not the original group's, is
+    // what meets_k tests. Two exact hash aggregations on successively
+    // coarser keys; the balance-cents div keeps the banding integer (both
+    // engines truncate integer division toward zero — the q161 fact).
+    "q212_k_anonymity" -> ((s, d) => {
+      val k = 5L
+      val qi = Tables.customer(s, d).select(
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("bal_band"))
+      val g0 = qi.groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("n"))
+      val gen = g0.filter(col("n") < k)
+        .groupBy(col("nation"), col("segment"))
+        .agg(sum(col("n")).as("n_generalized"))
+      g0.join(gen, Seq("nation", "segment"), "left")
+        .select(col("nation"), col("segment"), col("bal_band"), col("n"),
+          (col("n") < k).as("generalized"),
+          when(col("n") >= k, col("n"))
+            .otherwise(coalesce(col("n_generalized"), lit(0L))).as("anon_set"),
+          (when(col("n") >= k, col("n"))
+            .otherwise(coalesce(col("n_generalized"), lit(0L))) >= k).as("meets_k"))
+    }),
+
+    // KMV pairwise JACCARD between document sources over word-3-shingle
+    // sets — the c/(k−1) estimator (q151's cardinality trick aimed at
+    // similarity): theta = k-th min of the merged pair sketch, the
+    // below-theta union hashes are a uniform (k−1)-sample of the union,
+    // and the fraction present in BOTH sketches estimates J. Unsaturated
+    // pairs degrade to the EXACT Jaccard (the sketch holds the full set).
+    // Everything is integer basis points; the exact Jaccard (one shingle
+    // equi-join) ships beside the estimate and BOTH are hash-checked.
+    // At scale: T sketches + T² tiny array merges replace T² shingle
+    // joins (the exact side here doubles as the audit, q58's stance).
+    "q207_kmv_jaccard" -> ((s, d) => {
+      val dist = Tables.documents(s, d)
+        .select(col("source"),
+          explode(VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P)).as("sv"))
+        .distinct()
+        .withColumn("h", kmvHash(col("sv")))
+        .persist() // sketch build + exact-Jaccard audit read it twice
+      val sk = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          TopKAggregate.topK(-col("h").cast("double"), col("h"), KmvK).as("top"))
+        .select(col("source"), col("n"), col("top").getField("payload").as("hs"))
+      val pairs = sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("sa"), col("y.source").as("sb"),
+          col("x.n").as("na"), col("y.n").as("nb"),
+          col("x.hs").as("ha"), col("y.hs").as("hb"))
+      val est = pairs
+        .withColumn("uni", array_sort(array_distinct(concat(col("ha"), col("hb")))))
+        .withColumn("theta", when(size(col("uni")) >= KmvK, element_at(col("uni"), KmvK)))
+        .withColumn("samp", when(col("theta").isNull, size(col("uni")).cast("long"))
+          .otherwise(lit((KmvK - 1).toLong)))
+        .withColumn("c", size(filter(col("uni"),
+          x => x < coalesce(col("theta"), lit(Long.MaxValue)) &&
+            array_contains(col("ha"), x) && array_contains(col("hb"), x))).cast("long"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          expr("(c * 10000) div samp").as("est_j_bp"))
+      val inter = dist.as("a").join(dist.as("b"),
+        col("a.sv") === col("b.sv") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      est.join(inter, Seq("sa", "sb"), "left")
+        .select(col("sa"), col("sb"),
+          coalesce(col("inter"), lit(0L)).as("n_inter"),
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("n_union"),
+          expr("(coalesce(inter, 0L) * 10000) div (na + nb - coalesce(inter, 0L))")
+            .as("exact_j_bp"),
+          col("est_j_bp"))
+    }),
+
     // Declarative expectation suite over orders (operators/Expectations —
     // the Deequ-style generalization of the reference's two SQL gates):
     // five row-level rules fold into ONE wide aggregate (single scan
@@ -837,6 +913,64 @@ object AuditQueries {
          |  (CASE WHEN theta IS NULL THEN c
          |        ELSE (c * $KmvM) // theta END)::BIGINT AS est_common
          |FROM cc LEFT JOIN e ON e.ta = cc.ta AND e.tb = cc.tb""".stripMargin
+    },
+
+    "q212_k_anonymity" ->
+      """WITH qi AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |        (CAST(round(c_acctbal * 100) AS BIGINT) // 100000) AS bal_band
+        |      FROM customer),
+        |g0 AS (SELECT nation, segment, bal_band, count(*)::BIGINT AS n
+        |       FROM qi GROUP BY 1, 2, 3),
+        |gen AS (SELECT nation, segment, sum(n)::BIGINT AS n_generalized
+        |        FROM g0 WHERE n < 5 GROUP BY 1, 2)
+        |SELECT g0.nation, g0.segment, g0.bal_band, g0.n,
+        |  (g0.n < 5) AS generalized,
+        |  (CASE WHEN g0.n >= 5 THEN g0.n
+        |        ELSE coalesce(n_generalized, 0) END)::BIGINT AS anon_set,
+        |  (CASE WHEN g0.n >= 5 THEN g0.n
+        |        ELSE coalesce(n_generalized, 0) END) >= 5 AS meets_k
+        |FROM g0 LEFT JOIN gen ON gen.nation = g0.nation
+        |                     AND gen.segment = g0.segment""".stripMargin,
+
+    "q207_kmv_jaccard" -> {
+      val hs = s"list_distinct(list_transform(" +
+        s"${TextHash.wordShinglesSql("text", 3)}, x -> ${TextHash.baseHashSql("x")}))"
+      val h = kmvHashSql("sv")
+      s"""WITH sets AS (SELECT source, $hs AS hs FROM documents),
+         |sh AS (SELECT DISTINCT source, unnest(hs) AS sv FROM sets),
+         |hs0 AS (SELECT source, $h AS h FROM sh),
+         |nn AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+         |r AS (SELECT source, h,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM hs0),
+         |sk AS (SELECT source, list(h ORDER BY h) AS hs
+         |       FROM r WHERE rn <= $KmvK GROUP BY source),
+         |p AS (SELECT x.source AS sa, y.source AS sb, x.hs AS ha, y.hs AS hb
+         |      FROM sk x JOIN sk y ON x.source < y.source),
+         |w AS (SELECT sa, sb, ha, hb,
+         |        list_sort(list_distinct(ha || hb)) AS uni FROM p),
+         |th AS (SELECT sa, sb, ha, hb, uni,
+         |        CASE WHEN len(uni) >= $KmvK THEN uni[$KmvK] END AS theta FROM w),
+         |cc AS (SELECT sa, sb,
+         |        CASE WHEN theta IS NULL THEN len(uni)
+         |             ELSE ${KmvK - 1} END AS samp,
+         |        len(list_filter(uni, x ->
+         |          x < coalesce(theta, 9223372036854775807)
+         |          AND list_contains(ha, x) AND list_contains(hb, x)))::BIGINT AS c
+         |       FROM th),
+         |i AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS inter
+         |      FROM sh a JOIN sh b ON a.sv = b.sv AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT cc.sa, cc.sb,
+         |  coalesce(inter, 0)::BIGINT AS n_inter,
+         |  (na.n + nb.n - coalesce(inter, 0))::BIGINT AS n_union,
+         |  ((coalesce(inter, 0) * 10000) // (na.n + nb.n - coalesce(inter, 0)))::BIGINT
+         |    AS exact_j_bp,
+         |  ((c * 10000) // samp)::BIGINT AS est_j_bp
+         |FROM cc
+         |JOIN nn na ON na.source = cc.sa
+         |JOIN nn nb ON nb.source = cc.sb
+         |LEFT JOIN i ON i.sa = cc.sa AND i.sb = cc.sb""".stripMargin
     },
 
     "q149_expectation_suite" ->

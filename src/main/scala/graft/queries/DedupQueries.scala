@@ -418,6 +418,31 @@ object DedupQueries {
         .withColumn("jaccard", graft.functions.PortableMath
           .roundPortable(col("inter").cast("double") / col("uni"), 4))
     }),
+
+    // Benchmark DECONTAMINATION — the n-gram collision check every LLM
+    // training pipeline runs before a corpus ships: an "eval set" (the
+    // deterministic md5 10% of doc_ids, q150's split idiom) is shingled
+    // into 13-gram hashes, and any train doc sharing at least one 13-gram
+    // is flagged with its collision counts. Hash-based (collisions at the
+    // 2^31 modulus are accepted — that IS the production shortcut), docs
+    // shorter than 13 words contribute their whole text as one shingle so
+    // short exact dups are still caught. Scale shape: one shuffle join on
+    // the shingle hash; the eval side shrinks with the sample rate, never
+    // a driver collect or an all-pairs product.
+    "q213_decontamination" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        (TextHash.md5Long(col("doc_id").cast("string")) % 100).as("bucket"),
+        graft.functions.VectorExpressions
+          .wordShingleHashes(col("text"), 13, TextHash.P).as("hs"))
+      val ev = base.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+      val tr = base.filter(col("bucket") < 90)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      tr.join(ev, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("h")).as("n_shared_13grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+    }),
   )
 
   /** Shared CTE block replaying the RP-LSH candidate generation (6 tables ×
@@ -718,6 +743,22 @@ object DedupQueries {
          |SELECT id_a, id_b, inter::BIGINT AS inter, uni::BIGINT AS uni,
          |  floor(inter::DOUBLE / uni * 10000 + 0.5) / 10000 AS jaccard
          |FROM j WHERE inter * 5 >= 4 * uni""".stripMargin
+    },
+
+    "q213_decontamination" -> {
+      val hs = s"list_distinct(list_transform(" +
+        s"${TextHash.wordShinglesSql("text", 13)}, x -> ${TextHash.baseHashSql("x")}))"
+      s"""WITH base AS (SELECT doc_id,
+         |        (${TextHash.md5LongSql("doc_id::VARCHAR")} % 100) AS bucket,
+         |        $hs AS hs
+         |      FROM documents),
+         |ev AS (SELECT doc_id AS eval_id, unnest(hs) AS h FROM base WHERE bucket >= 90),
+         |tr AS (SELECT doc_id, unnest(hs) AS h FROM base WHERE bucket < 90)
+         |SELECT t.doc_id,
+         |  count(DISTINCT t.h)::BIGINT AS n_shared_13grams,
+         |  count(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
+         |FROM tr t JOIN ev e ON t.h = e.h
+         |GROUP BY 1""".stripMargin
     },
   )
 }

@@ -561,6 +561,26 @@ object SequenceQueries {
         .agg(count(lit(1)).as("n"))
         .withColumn("p", graft.functions.PortableMath.roundPortable(col("n").cast("double") / sum(col("n")).over(wf), 4))
     }),
+
+    // Spark's BUILT-IN session_window aggregation — the declarative dual
+    // of operators/Sessionize (one groupBy the engine can also run
+    // incrementally under a watermark in streaming mode). Its boundary
+    // semantics differ from Sessionize's and are pinned under the hash
+    // gate: session_window merges an event only when its gap is STRICTLY
+    // below the 30 min duration (an event landing exactly on the previous
+    // window's end starts a NEW session), while Sessionize merges on <=.
+    // The oracle replays the strict form as gap islands in exact µs.
+    // session_end is the built-in's last-event-ts + gap; value sums in
+    // integer cents.
+    "q208_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(coalesce(cents(col("value")), lit(0L))).as("value_cents"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("value_cents"))),
   )
 
   val oracle: Map[String, String] = Map(
@@ -864,5 +884,21 @@ object SequenceQueries {
         |SELECT from_type, to_type, n,
         |  (floor(n::DOUBLE / (sum(n) OVER (PARTITION BY from_type)) * 10000 + 0.5) / 10000) AS p
         |FROM c""".stripMargin,
+
+    "q208_session_window" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |        coalesce(CAST(round(value * 100) AS BIGINT), 0) AS cents FROM events),
+        |l AS (SELECT user_id, ts, us, cents,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                  < 1800000000 THEN 0 ELSE 1 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, ts, cents,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS value_cents
+        |FROM g GROUP BY user_id, sid""".stripMargin,
   )
 }

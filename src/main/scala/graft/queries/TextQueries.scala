@@ -149,6 +149,26 @@ object TextQueries {
           explode(sequence(lit(0), col("frames") - 1, lit(4))).as("frame_idx"))
         .withColumn("frame_sig", TextHash.md5Long(
           concat(col("doc_id").cast("string"), lit(":"), col("frame_idx").cast("string"))))),
+
+    // Hashed-bag-of-words LINEAR quality classifier — the fastText-style
+    // scorer the real pipelines run per document, with deterministic
+    // integer weights so the score is exact: token → md5 bucket (4096),
+    // bucket → weight in [-1000, 1000] derived from md5("w:" + bucket).
+    // The whole score is ONE map-side higher-order fold (no explode, no
+    // shuffle — at 100 TB this is a pure scan stage); DuckDB replays the
+    // identical hash chain per token.
+    "q214_hashed_classifier" -> ((s, d) => {
+      val D = 4096
+      val toks = TextHash.tokens(col("text"))
+      def weight(t: org.apache.spark.sql.Column) = {
+        val bucket = TextHash.md5Long(t) % D
+        TextHash.md5Long(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
+      }
+      Tables.documents(s, d).select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x).as("score"))
+        .withColumn("keep", col("score") > 0)
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -231,6 +251,16 @@ object TextQueries {
            |SELECT doc_id, frames, frame_idx,
            |  ${TextHash.md5LongSql("doc_id::VARCHAR || ':' || frame_idx::VARCHAR")} AS frame_sig
            |FROM f""".stripMargin,
+
+      "q214_hashed_classifier" -> {
+        val wSql = "(" + TextHash.md5LongSql(
+          s"'w:' || (${TextHash.md5LongSql("t")} % 4096)::VARCHAR") + " % 2001 - 1000)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id, len(toks)::INT AS n_tokens,
+           |        coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score
+           |      FROM t)
+           |SELECT doc_id, n_tokens, score, (score > 0) AS keep FROM s""".stripMargin
+      },
     )
   }
 }
