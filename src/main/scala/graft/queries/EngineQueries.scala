@@ -233,6 +233,41 @@ object EngineQueries {
       e.unpersist() // distances localCheckpoints eagerly; lineage is cut
       dists.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
     }),
+    // Two-round FEATURE PROPAGATION over the co-purchase graph — the
+    // message-passing step at the heart of GraphSAGE/GCN feature
+    // pipelines, in exact integers: node features (retail cents, size),
+    // hop = mean over neighbors as a ×10^6-scaled integer div, so the
+    // second hop composes on the first's integers with zero float drift
+    // and the whole 2-layer embedding is hash-checkable. Scale shape:
+    // each hop is ONE shuffled join + hash agg on the node key (the
+    // at-scale message-passing plan — no adjacency lists collected, no
+    // per-node history; deg·maxfeat·10^6 ~ 2e17 stays inside int64 even
+    // at 1e6-degree hubs).
+    "q211_feature_propagation" -> ((s, d) => {
+      val e = RelationalQueries.copurchaseEdges(s, d)
+      val und = e.select(col("a").as("v"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("v"), col("a").as("w")))
+        .persist() // consumed by both hops
+      val feat = Tables.part(s, d).select(col("p_partkey").as("w"),
+        round(col("p_retailprice") * 100).cast("long").as("pc"),
+        col("p_size").cast("long").as("sz"))
+      val h1 = und.join(feat, Seq("w"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("deg"), sum(col("pc")).as("sp"), sum(col("sz")).as("ss"))
+        .select(col("v"), col("deg"),
+          expr("(sp * 1000000) div deg").as("h1_price_micro"),
+          expr("(ss * 1000000) div deg").as("h1_size_micro"))
+      val h2 = und.join(h1.select(col("v").as("w"),
+          col("h1_price_micro").as("p1"), col("h1_size_micro").as("s1")), Seq("w"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("deg2"), sum(col("p1")).as("sp2"), sum(col("s1")).as("ss2"))
+        .select(col("v"), expr("sp2 div deg2").as("h2_price_micro"),
+          expr("ss2 div deg2").as("h2_size_micro"))
+      h1.join(h2, Seq("v"))
+        .select(col("v").as("part"), col("deg"), col("h1_price_micro"),
+          col("h1_size_micro"), col("h2_price_micro"), col("h2_size_micro"))
+    }),
+
     // Product quantization (operators/ProductQuantizer): 64-dim embeddings
     // compressed to 8 four-bit codes (8 subspaces × 16 centroids), the
     // memory half of billion-scale ANN. The fit runs on a bounded
@@ -578,6 +613,25 @@ object EngineQueries {
          |      AS wt FROM edges),
          |${graft.operators.Sssp.oracleCtes("v % 500 = 0", maxRounds = 12)}
          |SELECT dist, count(*)::BIGINT AS n_nodes FROM sssp GROUP BY dist""".stripMargin,
+
+    "q211_feature_propagation" ->
+      s"""WITH ${RelationalQueries.copurchaseEdgesSql},
+         |und AS MATERIALIZED (SELECT a AS v, b AS w FROM edges
+         |  UNION ALL SELECT b, a FROM edges),
+         |feat AS (SELECT p_partkey AS w,
+         |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+         |    p_size::BIGINT AS sz FROM part),
+         |h1 AS MATERIALIZED (SELECT v, count(*)::BIGINT AS deg,
+         |    ((sum(pc) * 1000000) // count(*))::BIGINT AS h1_price_micro,
+         |    ((sum(sz) * 1000000) // count(*))::BIGINT AS h1_size_micro
+         |  FROM und JOIN feat USING (w) GROUP BY v),
+         |h2 AS (SELECT u.v,
+         |    (sum(h.h1_price_micro) // count(*))::BIGINT AS h2_price_micro,
+         |    (sum(h.h1_size_micro) // count(*))::BIGINT AS h2_size_micro
+         |  FROM und u JOIN h1 h ON h.v = u.w GROUP BY u.v)
+         |SELECT h1.v AS part, deg, h1_price_micro, h1_size_micro,
+         |  h2_price_micro, h2_size_micro
+         |FROM h1 JOIN h2 ON h2.v = h1.v""".stripMargin,
 
     "q197_rake_keywords" -> {
       val stopList = RakeStop.map(w => s"'$w'").mkString(", ")

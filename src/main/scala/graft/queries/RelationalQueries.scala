@@ -827,6 +827,23 @@ object RelationalQueries {
           col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts"))
             < col("exact_parts") * 0.10).as("approx_within_10pct"))),
+
+    // SKYLINE (Pareto frontier): the parts no other part beats on BOTH
+    // price and size — minimize retail cents, maximize size (negated).
+    // operators/Skyline decomposes dominance into three bounded minima
+    // (bucket prefix-min broadcast + RANGE-frame cummin + x-group min);
+    // the $20 bucket width keeps the bucket relation ~bounded by the
+    // TPC-H price domain, independent of row count. The oracle is the
+    // declarative NOT EXISTS dominance definition — agreement proves the
+    // decomposition exact, duplicates and ties included.
+    "q210_skyline" -> ((s, d) => {
+      val pts = Tables.part(s, d).select(
+        round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        (-col("p_size")).cast("long").as("negsize"))
+      graft.operators.Skyline.frontier2Min(pts, "price_cents", "negsize", 2000L)
+        .select(col("x").as("price_cents"), (-col("y")).cast("int").as("size"),
+          col("n").as("n_parts"))
+    }),
   )
 
   /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
@@ -1282,5 +1299,16 @@ object RelationalQueries {
         |  FROM customer
         |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
         |WHERE rn <= 3""".stripMargin,
+
+    // the textbook dominance definition — agreement with the bucketed
+    // three-minima decomposition proves the operator exact
+    "q210_skyline" ->
+      """WITH p AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS x,
+        |        -p_size AS y FROM part),
+        |pts AS (SELECT x, y, count(*)::BIGINT AS n_parts FROM p GROUP BY 1, 2)
+        |SELECT q.x AS price_cents, (-q.y)::INT AS size, q.n_parts
+        |FROM pts q
+        |WHERE NOT EXISTS (SELECT 1 FROM pts p
+        |  WHERE p.x <= q.x AND p.y <= q.y AND (p.x < q.x OR p.y < q.y))""".stripMargin,
   )
 }
