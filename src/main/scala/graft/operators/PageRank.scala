@@ -82,6 +82,85 @@ object PageRank {
     r.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Personalized PageRank: restart mass teleports to the `seeds` node set
+    * instead of uniformly — the random-walk-with-restart relevance measure
+    * behind graph-based recommendation ("parts a walker starting at this
+    * brand keeps returning to"). Same exact-integer transfers as
+    * [[ranksMicro]]; each seed carries unit restart mass (Micro), so ranks
+    * are comparable across seed sets of different sizes. Seeds not present
+    * in the edge set contribute nothing (they have no incident walk).
+    *
+    * Scale shape is identical to ranksMicro — the seed flag rides the
+    * persisted node relation (one extra left-join at build time); the
+    * per-iteration work is unchanged.
+    */
+  def personalizedMicro(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iters: Int = 3,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val base = (Micro * (dampDen - dampNum)) / dampDen
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sd = seeds.select(seeds.columns.head).toDF("sid").distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .join(sd, col("id") === col("sid"), "left")
+      .select(col("id"), col("sid").isNotNull.as("is_seed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var r = nodes.select(col("id"),
+      when(col("is_seed"), lit(Micro)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(r, edgesDeg("src") === r("id"))
+        .select(col("dst"), expr(s"(r * $dampNum) div ($dampDen * outdeg)").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("c"))
+      r = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L))
+            + coalesce(col("c"), lit(0L))).as("r"))
+    }
+    r.select(col("id"), col("is_seed"), col("r").as("rank_micro"))
+  }
+
+  /** DuckDB replay of [[personalizedMicro]]. `seedsSql` must select a
+    * single column `sid`. */
+  def personalizedOracleSql(
+      edgesSql: String,
+      seedsSql: String,
+      iters: Int = 3,
+      dampNum: Long = 85,
+      dampDen: Long = 100): String = {
+    val base = (Micro * (dampDen - dampNum)) / dampDen
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst, sum((r * $dampNum) // ($dampDen * outdeg))::BIGINT AS c
+         |  FROM e JOIN dg USING (src) JOIN r${k - 1} ON e.src = r${k - 1}.id GROUP BY dst),
+         |r$k AS (SELECT nd.id, nd.is_seed,
+         |    ((CASE WHEN nd.is_seed THEN $base ELSE 0 END) + coalesce(c, 0))::BIGINT AS r
+         |  FROM nd LEFT JOIN c$k ON nd.id = c$k.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS ($edgesSql),
+       |sd AS (SELECT DISTINCT sid FROM ($seedsSql)),
+       |nd AS (SELECT id, (sid IS NOT NULL) AS is_seed FROM
+       |  (SELECT DISTINCT id FROM
+       |    (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
+       |  LEFT JOIN sd ON id = sid),
+       |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, is_seed,
+       |  (CASE WHEN is_seed THEN ${Micro} ELSE 0 END)::BIGINT AS r FROM nd),
+       |$iterCtes""".stripMargin
+  }
+
   /** DuckDB replay: the same unrolled iterations with `//` floor division.
     * `edgesSql` must select columns `src, dst`. */
   def oracleSql(

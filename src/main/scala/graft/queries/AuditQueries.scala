@@ -519,6 +519,28 @@ object AuditQueries {
             .otherwise(coalesce(col("n_generalized"), lit(0L))) >= k).as("meets_k"))
     }),
 
+    // l-DIVERSITY — q212's companion privacy audit: a k-anonymous group
+    // still leaks if everyone in it shares the sensitive value. Per
+    // quasi-identifier group (nation, segment): distinct sensitive values
+    // (balance band), the dominant value's share in basis points, and the
+    // distinct-l gate. Two hash aggregations on the same key prefix (the
+    // second reuses the first's partitioning — no extra shuffle), exact
+    // integers throughout.
+    "q219_l_diversity" -> ((s, d) => {
+      val l = 3L
+      val sv = Tables.customer(s, d).select(
+        col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+        expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("band"))
+      sv.groupBy(col("nation"), col("segment"), col("band"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("nation"), col("segment"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("nation"), col("segment"), col("n"), col("l_distinct"),
+          expr("(top_c * 10000) div n").as("top_share_bp"),
+          (col("l_distinct") >= l).as("meets_l"))
+    }),
+
     // KMV pairwise JACCARD between document sources over word-3-shingle
     // sets — the c/(k−1) estimator (q151's cardinality trick aimed at
     // similarity): theta = k-th min of the merged pair sketch, the
@@ -931,6 +953,18 @@ object AuditQueries {
         |        ELSE coalesce(n_generalized, 0) END) >= 5 AS meets_k
         |FROM g0 LEFT JOIN gen ON gen.nation = g0.nation
         |                     AND gen.segment = g0.segment""".stripMargin,
+
+    "q219_l_diversity" ->
+      """WITH sv AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |        (CAST(round(c_acctbal * 100) AS BIGINT) // 100000) AS band
+        |      FROM customer),
+        |g AS (SELECT nation, segment, band, count(*)::BIGINT AS c
+        |      FROM sv GROUP BY 1, 2, 3)
+        |SELECT nation, segment, sum(c)::BIGINT AS n,
+        |  count(*)::BIGINT AS l_distinct,
+        |  ((max(c) * 10000) // sum(c))::BIGINT AS top_share_bp,
+        |  (count(*) >= 3) AS meets_l
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "q207_kmv_jaccard" -> {
       val hs = s"list_distinct(list_transform(" +

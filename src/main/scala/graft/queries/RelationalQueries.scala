@@ -844,6 +844,30 @@ object RelationalQueries {
         .select(col("x").as("price_cents"), (-col("y")).cast("int").as("size"),
           col("n").as("n_parts"))
     }),
+
+    // Personalized PageRank recommendations: random-walk-with-restart from
+    // one brand's parts over the co-purchase graph, top-20 non-seed parts
+    // by stationary relevance — graph-based "customers who bought this
+    // brand also gravitate to" recs. Integer micro-unit transfers make the
+    // whole walk hash-exact (operators/PageRank discipline); the top-20 is
+    // the bounded TopKByScore aggregate (k rows per map task, never a
+    // global sort), and rank_micro < 2^53 keeps the double score lossless.
+    "q217_ppr_recs" -> ((s, d) => {
+      val e = copurchaseEdges(s, d)
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#11")
+        .select(col("p_partkey").as("sid"))
+      val pr = graft.operators.PageRank.personalizedMicro(und, "src", "dst", seeds)
+      val top = pr.filter(!col("is_seed"))
+        .agg(graft.functions.TopKAggregate.topK(
+          col("rank_micro").cast("double"), col("id"), 20).as("top"))
+        .select(posexplode(col("top")))
+      top.select((col("pos") + 1).as("rec_rank"),
+        col("col.payload").as("part"),
+        col("col.score").cast("long").as("rank_micro"))
+    }),
   )
 
   /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
@@ -1310,5 +1334,15 @@ object RelationalQueries {
         |FROM pts q
         |WHERE NOT EXISTS (SELECT 1 FROM pts p
         |  WHERE p.x <= q.x AND p.y <= q.y AND (p.x < q.x OR p.y < q.y))""".stripMargin,
+
+    "q217_ppr_recs" ->
+      s"""WITH $copurchaseEdgesSql,
+         |${graft.operators.PageRank.personalizedOracleSql(
+             "SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges",
+             "SELECT p_partkey AS sid FROM part WHERE p_brand = 'Brand#11'")}
+         |SELECT row_number() OVER (ORDER BY r DESC, id) AS rec_rank,
+         |  id AS part, r AS rank_micro
+         |FROM r3 WHERE NOT is_seed
+         |ORDER BY r DESC, id LIMIT 20""".stripMargin,
   )
 }

@@ -891,6 +891,66 @@ object StatQueries {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"), col("sum_cents"))
     }),
+
+    // Truncated-geometric EWMA trend smoothing, EXACT: the classic
+    // recursive EWMA needs x·αᵏ float powers, but with α = 1/2 truncated
+    // at 8 terms the weights are 2⁷..2⁰ — pure shifts — and normalizing
+    // by the PRESENT weights (den) makes the series warmup exact too.
+    // Row-wise (observed-day) smoothing per event type: one co-partitioned
+    // window, 8 lags, integer div — the whole smoothed series is
+    // hash-checked with zero float surface.
+    "q220_ewma_smoothing" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val num = (0 to 7).map(k =>
+        coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
+        .reduce(_ + _)
+      val den = (0 to 7).map(k =>
+        when(lag(col("cents"), k).over(w).isNotNull, lit(1L << (7 - k)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      daily.withColumn("num", num).withColumn("den", den)
+        .select(col("event_type"), col("day"), col("cents"),
+          expr("(num * 100) div den").as("ewma_cents_x100"))
+    }),
+
+    // Single changepoint detection: the split of the daily revenue series
+    // with the largest mean shift |μ_l − μ_r| — binary segmentation's
+    // first step, in EXACT integers: with prefix sums (S_l, n_l),
+    // μ_l − μ_r = (n_r·S_l − n_l·S_r)/(n_l·n_r), truncated to whole cents
+    // by integer division (decimal(38,0) ⇔ HUGEINT — the numerator is
+    // O(n·S) and its square O((n·S)²), past int64 at warehouse scale);
+    // the argmax runs on the truncated shift² with the earlier day as the
+    // deterministic tie-break, so both engines pick the identical split.
+    // The candidate relation is calendar-days — bounded at any SF — so
+    // the one unpartitioned window is driver-scale (q152's documented
+    // stance); the only full-data work is the daily aggregation.
+    "q221_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val w = Window.orderBy(col("day")) // ≤366 rows: driver-scale
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val scored = daily
+        .select(col("day"), sum(col("x")).over(w).as("sl"),
+          count(lit(1)).over(w).as("nl"))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n")) // a split needs a nonempty right side
+        .select(col("day"), col("nl"), (col("n") - col("nl")).as("nr"),
+          col("sl"), (col("s") - col("sl")).as("sr"))
+        .withColumn("t", dec(col("nr")) * dec(col("sl")) - dec(col("nl")) * dec(col("sr")))
+        .withColumn("shift_cents", expr("t div cast(nl * nr as decimal(38,0))"))
+      scored
+        .select(max(struct(
+          (dec(col("shift_cents")) * dec(col("shift_cents"))).as("sc2"),
+          (lit(0L) - datediff(col("day"), lit("1970-01-01").cast("date"))).as("tb"),
+          col("day"), col("nl"), col("nr"), col("shift_cents"))).as("m"))
+        .select(col("m.day").as("split_day"), col("m.nl").as("n_before"),
+          col("m.nr").as("n_after"), col("m.shift_cents").as("mean_shift_cents"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1457,5 +1517,39 @@ object StatQueries {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q220_ewma_smoothing" -> {
+      val num = (0 to 7).map(k =>
+        s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (7 - k)}").mkString(" + ")
+      val den = (0 to 7).map(k =>
+        s"(CASE WHEN lag(cents, $k) OVER w IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH daily AS (SELECT event_type, ts::DATE AS day,
+         |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |sm AS (SELECT event_type, day, cents,
+         |    ($num)::BIGINT AS num, ($den)::BIGINT AS den
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, cents,
+         |  ((num * 100) // den)::BIGINT AS ewma_cents_x100
+         |FROM sm""".stripMargin
+    },
+
+    "q221_changepoint" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS x
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS s FROM daily),
+        |pre AS (SELECT day,
+        |    sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS sl,
+        |    row_number() OVER (ORDER BY day)::BIGINT AS nl
+        |  FROM daily),
+        |sc AS (SELECT day, nl, n - nl AS nr,
+        |    ((nr::HUGEINT * sl - nl::HUGEINT * (s - sl))
+        |      // (nl::HUGEINT * (n - nl)))::BIGINT AS m
+        |  FROM pre, tot WHERE nl < n)
+        |SELECT day AS split_day, nl AS n_before, nr AS n_after,
+        |  m AS mean_shift_cents
+        |FROM sc ORDER BY m::HUGEINT * m DESC, day LIMIT 1""".stripMargin,
   )
 }

@@ -169,6 +169,107 @@ object TextQueries {
           aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x).as("score"))
         .withColumn("keep", col("score") > 0)
     }),
+
+    // Exact tie-corrected Mann–Whitney AUC of the q214 classifier score
+    // against a deterministic relevance label (≥ 60 ws-tokens) — THE
+    // ranking metric of a filtering pipeline. The textbook sort-based
+    // formulation needs a global rank of every document; here ranks live
+    // on the distinct-SCORE relation instead (bounded by the score
+    // DOMAIN — per-token weights in [-1000,1000] — independent of corpus
+    // size): groupBy(score) counts, distributed PrefixSum for the
+    // exclusive prefix C, then the midrank identity
+    // 2·Σ_pos rank = Σ_g p_g·(2C_g + m_g + 1). Sums ride decimal(38,0)
+    // (rank-sums are O(n²) — int64 dies near 3e9 docs), so 2U is exact
+    // at any scale and hash-checked as a string next to the
+    // portable-rounded AUC ratio (q154's HUGEINT⇔decimal discipline).
+    "q215_auc_exact" -> ((s, d) => {
+      val D = 4096
+      val toks = TextHash.tokens(col("text"))
+      def weight(t: org.apache.spark.sql.Column) = {
+        val bucket = TextHash.md5Long(t) % D
+        TextHash.md5Long(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
+      }
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val scored = Tables.documents(s, d).select(
+        aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x).as("score"),
+        (size(toks) >= 60).cast("long").as("pos"))
+      val grp = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("m"), sum(col("pos")).as("p"))
+      val cum = graft.operators.PrefixSum.running(grp, "score", "m", "cm")
+      cum.select(col("p"), col("m"), (col("cm") - col("m")).as("c"))
+        .agg(sum(col("p")).as("n_pos"), sum(col("m")).as("n_all"),
+          sum(dec(col("p")) * dec(lit(2L) * col("c") + col("m") + 1)).as("r2"))
+        .select(col("n_pos"), (col("n_all") - col("n_pos")).as("n_neg"),
+          (col("r2") - dec(col("n_pos")) * (dec(col("n_pos")) + 1)).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2").cast("string").as("u2_str"),
+          graft.functions.PortableMath.roundPortable(
+            col("u2").cast("double") /
+              (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+            4).as("auc"))
+    }),
+
+    // Reliability (calibration) curve for the q214 score against the q215
+    // label: fixed-width score bins → observed positive rate per bin.
+    // The at-scale shape is ONE map-side bin assignment + hash agg (bin
+    // count is bounded by the score domain / width, not the corpus);
+    // rates are integer basis points (div truncates toward zero
+    // identically in both engines — q161 precedent), so the whole curve
+    // is hash-checked with no float surface.
+    "q216_calibration_bins" -> ((s, d) => {
+      val D = 4096
+      val toks = TextHash.tokens(col("text"))
+      def weight(t: org.apache.spark.sql.Column) = {
+        val bucket = TextHash.md5Long(t) % D
+        TextHash.md5Long(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
+      }
+      Tables.documents(s, d).select(
+          aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x).as("score"),
+          (size(toks) >= 60).cast("long").as("pos"))
+        .withColumn("bin", expr("score div 2000L"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("score")).as("ssum"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("(n_pos * 10000) div n").as("pos_rate_bp"),
+          expr("(ssum * 100) div n").as("mean_score_x100"))
+    }),
+
+    // BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term query,
+    // in EXACT integer arithmetic: the length-normalized saturating TF is
+    // the exact rational 44·tf·L / (20·tf·L + 6·L + 18·dl·N) (k1, b
+    // cleared to the common denominator 20·L), and the IDF is the
+    // rational Robertson–Sparck-Jones weight (N−df+1)/(df+1) WITHOUT the
+    // log — a deliberate deviation that keeps the whole score a single
+    // integer division (numerator ≈ 44·tf·L·N·10^6 rides decimal(38,0);
+    // a log IDF would put an unportable libm call inside the ranking).
+    // Per-term micro-scores are exact longs, the doc score is their sum
+    // (order-free), and the top-10 is the bounded TopKByScore aggregate —
+    // ONE scan + one k-row-per-task agg, the at-scale retrieval plan.
+    "q218_bm25_topk" -> ((s, d) => {
+      val terms = Seq("hash", "merge", "spark")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        TextHash.tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val withTf = terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("toks"), x => x === t)).cast("long"))
+      }.drop("toks").persist() // corpus stats + scoring read it twice
+      val aggs = count(lit(1)).cast("long").as("n") +:
+        sum(col("dl")).as("l") +:
+        terms.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+      val stats = withTf.agg(aggs.head, aggs.tail: _*)
+      val scored = withTf.crossJoin(broadcast(stats))
+      val scoreCols = terms.indices.map { i =>
+        expr(s"""cast(44 * tf$i * l * (n - df$i + 1) as decimal(38,0)) * 1000000
+                 div (cast(20 * tf$i * l + 6 * l + 18 * dl * n as decimal(38,0)) * (df$i + 1))""")
+      }
+      scored.withColumn("score_micro", scoreCols.reduce(_ + _))
+        .agg(graft.functions.TopKAggregate.topK(
+          col("score_micro").cast("double"), col("doc_id"), 10).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).as("rank"), col("col.payload").as("doc_id"),
+          col("col.score").cast("long").as("score_micro"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -260,6 +361,61 @@ object TextQueries {
            |        coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score
            |      FROM t)
            |SELECT doc_id, n_tokens, score, (score > 0) AS keep FROM s""".stripMargin
+      },
+
+      "q215_auc_exact" -> {
+        val wSql = "(" + TextHash.md5LongSql(
+          s"'w:' || (${TextHash.md5LongSql("t")} % 4096)::VARCHAR") + " % 2001 - 1000)"
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |s AS (SELECT coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score,
+           |        (CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pos FROM t),
+           |g AS (SELECT score, count(*)::BIGINT AS m, sum(pos)::BIGINT AS p
+           |      FROM s GROUP BY score),
+           |c AS (SELECT m, p, coalesce(sum(m) OVER (ORDER BY score
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cexc
+           |      FROM g),
+           |a AS (SELECT sum(p)::HUGEINT AS np, sum(m)::HUGEINT AS nall,
+           |        sum(p::HUGEINT * (2 * cexc::HUGEINT + m + 1)) AS r2 FROM c),
+           |u AS (SELECT np, nall - np AS nn, r2 - np * (np + 1) AS u2 FROM a)
+           |SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg, u2::VARCHAR AS u2_str,
+           |  ${graft.functions.PortableMath.roundPortableSql(
+                 "u2::DOUBLE / (2.0 * np::DOUBLE * nn::DOUBLE)", 4)} AS auc
+           |FROM u""".stripMargin
+      },
+
+      "q216_calibration_bins" -> {
+        val wSql = "(" + TextHash.md5LongSql(
+          s"'w:' || (${TextHash.md5LongSql("t")} % 4096)::VARCHAR") + " % 2001 - 1000)"
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |s AS (SELECT coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score,
+           |        (CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pos FROM t)
+           |SELECT (score // 2000)::BIGINT AS bin, count(*)::BIGINT AS n,
+           |  sum(pos)::BIGINT AS n_pos,
+           |  ((sum(pos) * 10000) // count(*))::BIGINT AS pos_rate_bp,
+           |  ((sum(score) * 100) // count(*))::BIGINT AS mean_score_x100
+           |FROM s GROUP BY 1""".stripMargin
+      },
+
+      "q218_bm25_topk" -> {
+        val terms = Seq("hash", "merge", "spark")
+        val tfCols = terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(toks, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n           |    ")
+        val dfCols = terms.indices.map(i =>
+          s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i").mkString(", ")
+        val scoreTerms = terms.indices.map(i =>
+          s"((44::HUGEINT * tf$i * l * (n - df$i + 1) * 1000000) // ((20::HUGEINT * tf$i * l + 6 * l + 18 * dl * n) * (df$i + 1)))")
+          .mkString("\n           |    + ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |d AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+           |    $tfCols
+           |  FROM t),
+           |g AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS l, $dfCols FROM d),
+           |sc AS (SELECT doc_id,
+           |    ($scoreTerms)::BIGINT AS score_micro
+           |  FROM d, g)
+           |SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
+           |  doc_id, score_micro
+           |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
       },
     )
   }

@@ -58,4 +58,30 @@ class PageRankSpec extends AnyFunSuite {
     val edges = (1 to 40).map(i => (s"n$i", s"n${i % 7}"))
     assert(ranks(edges, 3) === ranks(edges, 3))
   }
+
+  private def ppr(edges: Seq[(String, String)], seeds: Seq[String],
+                  iters: Int): Map[String, (Boolean, Long)] =
+    PageRank.personalizedMicro(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("sid"), iters)
+      .as[(String, Boolean, Long)].collect()
+      .map { case (id, f, r) => id -> (f, r) }.toMap
+
+  test("personalized: restart mass flows only from the seed") {
+    // a -> b -> c chain, seed {a}: non-seeds get no base, only walk mass
+    val r = ppr(Seq("a" -> "b", "b" -> "c"), Seq("a"), iters = 2)
+    assert(r("a") === (true, 150000L)) // base only; nothing points at a
+    // iter1: b = 0 + (1_000_000*85) div 100 = 850_000 (r0(a) = Micro)
+    // iter2: b = 0 + (150_000*85) div 100 = 127_500 (r1(a) = base)
+    assert(r("b") === (false, 127500L))
+    // iter2: c = 0 + (850_000*85) div 100 = 722_500
+    assert(r("c") === (false, 722500L))
+  }
+
+  test("personalized: non-graph seeds are inert; all-seed == uniform") {
+    val edges = Seq("a" -> "b", "b" -> "a")
+    val withGhost = ppr(edges, Seq("a", "b", "ghost"), iters = 3)
+    assert(!withGhost.contains("ghost"))
+    val uniform = ranks(edges, iters = 3)
+    assert(withGhost.map { case (k, (_, r)) => k -> r } === uniform)
+  }
 }
