@@ -868,6 +868,64 @@ object RelationalQueries {
         col("col.payload").as("part"),
         col("col.score").cast("long").as("rank_micro"))
     }),
+
+    // TPC-H Q4 shape — the EXISTS decorrelation benchmark: order-priority
+    // census over one quarter, counting only orders with at least one
+    // late-shipped line (shipdate after orderdate + 30 days). The
+    // LEFT SEMI join is the plan this must compile to: lineitem is
+    // filtered to the probe keys and each order counts ONCE no matter how
+    // many lines match — no fan-out, no distinct needed.
+    "q222_priority_check" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").between("1996-01-01", "1996-03-31"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > date_add(col("o_orderdate"), 30), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q13 shape — customer distribution by order count INCLUDING
+    // the zero-order long tail (the famous null-heavy LEFT OUTER +
+    // double-aggregate plan): left join orders (minus filled 'F' status),
+    // count per customer (count(col) skips the null-extended rows), then
+    // the distribution over counts. The first agg rides the join's
+    // c_custkey partitioning; the second is a tiny shuffle on c_count.
+    "q223_custdist" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "F")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q22 shape — anti-join plus scalar subquery, in EXACT
+    // integers: "well-funded but inactive" customers of 7 nations whose
+    // balance beats their cohort's positive-balance average, with no
+    // orders since 2000 (every customer has SOME order in this data). The average never materializes as a float:
+    // bal > S/n  ⟺  bal_cents·n > S (cross-multiplication against the
+    // one-row broadcast aggregate), so the boundary rows are decided
+    // identically on both engines. Anti join stays key-parallel.
+    "q224_inactive_funded" -> ((s, d) => {
+      val nations = Seq(1, 3, 5, 7, 9, 11, 13).map(lit(_))
+      val c = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(nations: _*))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      val avgRel = c.filter(col("bal_cents") > 0)
+        .agg(count(lit(1)).as("n"), sum(col("bal_cents")).as("s"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "2000-01-01").select(col("o_custkey"))
+      c.crossJoin(broadcast(avgRel))
+        .filter(col("bal_cents") * col("n") > col("s"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
+    }),
   )
 
   /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
@@ -1334,6 +1392,37 @@ object RelationalQueries {
         |FROM pts q
         |WHERE NOT EXISTS (SELECT 1 FROM pts p
         |  WHERE p.x <= q.x AND p.y <= q.y AND (p.x < q.x OR p.y < q.y))""".stripMargin,
+
+    "q222_priority_check" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-03-31'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q223_custdist" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q224_inactive_funded" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(bal_cents)::BIGINT AS s
+        |  FROM c WHERE bal_cents > 0)
+        |SELECT c_nationkey, count(*)::BIGINT AS numcust,
+        |  sum(bal_cents)::BIGINT AS totacctbal_cents
+        |FROM c, a
+        |WHERE bal_cents * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q217_ppr_recs" ->
       s"""WITH $copurchaseEdgesSql,

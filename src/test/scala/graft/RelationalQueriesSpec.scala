@@ -119,4 +119,17 @@ class RelationalQueriesSpec extends AnyFunSuite {
       assert(jbp == common * 10000 / (du + dv - common))
     }
   }
+
+  test("q222/q224 compile to semi/anti joins (no fan-out, no distinct)") {
+    val semi = RelationalQueries.queries("q222_priority_check")(spark, dir)
+    val semiPlan = semi.queryExecution.sparkPlan.toString
+    assert(semiPlan.contains("LeftSemi"),
+      s"Q4 shape must plan a LEFT SEMI join:\n$semiPlan")
+    val anti = RelationalQueries.queries("q224_inactive_funded")(spark, dir)
+    val antiPlan = anti.queryExecution.sparkPlan.toString
+    assert(antiPlan.contains("LeftAnti"),
+      s"Q22 shape must plan a LEFT ANTI join:\n$antiPlan")
+    // no Expand/Distinct nodes: EXISTS must not dedup a fanned-out join
+    assert(!semiPlan.contains("Distinct"), semiPlan)
+  }
 }
