@@ -91,4 +91,66 @@ object PrefixFilterJoin {
       .filter(col("inter") * tDen >= lit(tNum) * col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
+
+  /** Directed CONTAINMENT self-join: all ordered pairs (a, b), a ≠ b, with
+    * |a∩b| / |a| ≥ tNum/tDen — "a is (nearly) contained in b": excerpt and
+    * quote detection, near-subset dedup, template-instance linking. The
+    * asymmetric dual of [[jaccardSelfJoin]]:
+    *
+    *  - the prefix lives on the CONTAINED side only (p = n_a − ⌈t·n_a⌉ + 1,
+    *    same pigeonhole: a miss leaves at most ⌈t·n_a⌉ − 1 slots for the
+    *    required ⌈t·n_a⌉ common elements);
+    *  - the container side joins with its FULL ranked token list — there is
+    *    no y-prefix bound because |b| does not appear in the threshold.
+    *    Candidate volume is Σ_h df_prefix(h)·df_all(h); rare-first ordering
+    *    keeps the prefix tokens' full postings short, which is what makes
+    *    the asymmetric join tractable (for Jaccard this asymmetry was tried
+    *    and reverted — here the relation itself is asymmetric, so the
+    *    index-probe shape is forced);
+    *  - positional filter: both sides rank in the SAME global (df, h)
+    *    order, so for the first common token (position i in a, j in b)
+    *    inter ≤ 1 + min(n_a − i, n_b − j), compared cross-multiplied
+    *    against ⌈t·n_a⌉.
+    *
+    * Returns (id_a, id_b, inter, na); containment = inter/na, exact
+    * rational — callers emit it in integer basis points.
+    */
+  def containmentSelfJoin(sets: DataFrame, idCol: String, setCol: String,
+                          tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    val s = sets.select(col(idCol).as("__id"), sort_array(col(setCol)).as("__hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tok = s.select(col("__id"), explode(col("__hs")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "h")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+      .withColumn("n", size(col("sorted")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // prefix AND full-list sides
+    val pfx = ranked
+      .select(col("__id"), col("n"),
+        posexplode(slice(col("sorted"), lit(1),
+          (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")))
+          .as(Seq("p0", "e")))
+      .select(col("__id"), col("n"), (col("p0") + 1).as("i"), col("e.h").as("h"))
+    val all = ranked
+      .select(col("__id"), col("n"), posexplode(col("sorted")).as(Seq("p0", "e")))
+      .select(col("__id"), col("n"), (col("p0") + 1).as("j"), col("e.h").as("h"))
+    val cand = pfx.as("x").join(all.as("y"), "h")
+      .filter(col("x.__id") =!= col("y.__id"))
+      // size filter: inter ≤ |b| and inter ≥ ⌈t·|a|⌉ force t·|a| ≤ |b|
+      .filter(lit(tNum) * col("x.n") <= lit(tDen) * col("y.n"))
+      .filter((lit(1) + least(col("x.n") - col("x.i"), col("y.n") - col("y.j")))
+        * tDen >= lit(tNum) * col("x.n"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(s.select(col("__id").as("id_a"), col("__hs").as("ha"),
+        size(col("__hs")).as("na")), "id_a")
+      .join(s.select(col("__id").as("id_b"), col("__hs").as("hb")), "id_b")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("ha"), col("hb")))
+      .filter(col("inter") * tDen >= lit(tNum) * col("na"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("na").cast("long").as("na"))
+  }
 }

@@ -443,6 +443,22 @@ object DedupQueries {
         .agg(countDistinct(col("h")).as("n_shared_13grams"),
           countDistinct(col("eval_id")).as("n_eval_docs"))
     }),
+
+    // Directed CONTAINMENT join (excerpt/near-subset detection): every
+    // ordered pair where ≥ 90% of a's word-3-shingles appear in b —
+    // q98's asymmetric dual (operators/PrefixFilterJoin.containmentSelfJoin:
+    // contained-side-only prefix, full postings on the container side,
+    // shared-order positional filter). The oracle is the flat token
+    // equi-join with NO prefix filter — equality proves the asymmetric
+    // filter lossless. Containment ships as exact integer basis points.
+    "q225_containment_join" -> ((s, d) => {
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.VectorExpressions
+            .wordShingleHashes(col("text"), 3, TextHash.P).as("hs"))
+      graft.operators.PrefixFilterJoin.containmentSelfJoin(sets, "doc_id", "hs", 9, 10)
+        .withColumn("containment_bp", expr("(inter * 10000) div na"))
+    }),
   )
 
   /** Shared CTE block replaying the RP-LSH candidate generation (6 tables ×
@@ -759,6 +775,22 @@ object DedupQueries {
          |  count(DISTINCT e.eval_id)::BIGINT AS n_eval_docs
          |FROM tr t JOIN ev e ON t.h = e.h
          |GROUP BY 1""".stripMargin
+    },
+
+    // Flat directed token join, no prefix filter: equality proves the
+    // asymmetric containment filter lossless.
+    "q225_containment_join" -> {
+      val hs = s"list_distinct(list_transform(" +
+        s"${TextHash.wordShinglesSql("text", 3)}, x -> ${TextHash.baseHashSql("x")}))"
+      s"""WITH s AS (SELECT doc_id, $hs AS hs FROM documents),
+         |tok AS (SELECT doc_id, unnest(hs) AS h FROM s),
+         |pairs AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*)::BIGINT AS inter
+         |      FROM tok x JOIN tok y ON x.h = y.h AND x.doc_id <> y.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter,
+         |  sa.n::BIGINT AS na, ((inter * 10000) // sa.n)::BIGINT AS containment_bp
+         |FROM pairs JOIN (SELECT doc_id, len(hs) AS n FROM s) sa ON sa.doc_id = id_a
+         |WHERE inter * 10 >= 9 * sa.n""".stripMargin
     },
   )
 }

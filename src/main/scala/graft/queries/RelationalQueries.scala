@@ -856,6 +856,10 @@ object RelationalQueries {
       val e = copurchaseEdges(s, d)
       val und = e.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        // the operator materializes its loop invariants but derives BOTH
+        // (node set, degree-annotated edges) from this input — persist or
+        // the lineitem self-join underneath runs twice
+        .persist()
       val seeds = Tables.part(s, d)
         .filter(col("p_brand") === "Brand#11")
         .select(col("p_partkey").as("sid"))

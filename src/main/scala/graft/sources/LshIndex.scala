@@ -59,6 +59,55 @@ object LshIndex {
       s"""{"numHashes":${cfg.numHashes},"bands":${cfg.bands},"nParts":$nParts}""")
   }
 
+  /** Incrementally index a new batch into an existing index — the daily
+    * ingest path: the corpus is never re-shingled, only the batch pays
+    * signature cost, and the new rows land as additional files inside the
+    * existing `pk`/`hb` partition directories (append-mode parquet), so
+    * probe-side partition pruning is unchanged.
+    *
+    * Id collisions with already-indexed docs would silently double rows,
+    * so append ABORTS on any overlap (the G3 duplicate-abort discipline).
+    * The gate's corpus read is partition-pruned to the BATCH's own id
+    * buckets — bounded by batch size, never corpus size.
+    *
+    * Crash ordering: docs are written before bands. A failure between the
+    * two leaves new docs unreachable (no band rows point at them) but
+    * every band row still resolves — probes stay correct, missing only
+    * the half-appended batch. Recovery is a rebuild or a fresh-id retry
+    * (the collision gate flags the partial batch loudly).
+    */
+  def append(spark: SparkSession, batch: DataFrame, idCol: String,
+      shingleHashes: Column, dir: String,
+      cfg: MinHashDedup.Config = MinHashDedup.Config()): Unit = {
+    val meta = metaOf(dir)
+    require(meta("numHashes") == cfg.numHashes && meta("bands") == cfg.bands,
+      s"append cfg (${cfg.numHashes}/${cfg.bands}) != index meta " +
+        s"(${meta("numHashes")}/${meta("bands")})")
+    val nParts = meta("nParts")
+    val sh = MinHashDedup.hashed(batch, idCol, shingleHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newDocs = sh.select(col("id"), col("hashes"))
+      .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
+    val clash = spark.read.parquet(s"$dir/docs")
+      .filter(col("hb").isin(hbs: _*)).select(col("id"))
+      .join(newDocs.select(col("id")), "id", "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(clash.isEmpty,
+      s"append would duplicate already-indexed ids (first ${clash.length}): " +
+        clash.mkString(", "))
+
+    newDocs.write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
+    val sig = MinHashDedup.withSignature(sh, cfg)
+    MinHashDedup.bandRows(sig, cfg)
+      .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+      .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
+    newDocs.unpersist()
+    sh.unpersist()
+  }
+
   private def metaOf(dir: String): Map[String, Int] = {
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
     "\"(\\w+)\":(\\d+)".r.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toMap

@@ -50,4 +50,40 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
     assert(viaJoin(sets, 3, 5) == Set((1L, 2L, 3L, 5L)))
     assert(viaJoin(sets, 61, 100).isEmpty) // just above
   }
+
+  // --- directed containment ------------------------------------------------
+
+  private def bruteContain(sets: Seq[(Long, Set[Long])], tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      inter = (sa & sb).size.toLong
+      if inter * tDen >= tNum * sa.size
+    } yield (ia, ib, inter, sa.size.toLong)).toSet
+
+  private def viaContain(sets: Seq[(Long, Set[Long])], tNum: Int, tDen: Int): Set[(Long, Long, Long, Long)] = {
+    val df = sets.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("id", "hs")
+    PrefixFilterJoin.containmentSelfJoin(df, "id", "hs", tNum, tDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+  }
+
+  test("containment matches brute force on random set families") {
+    val rng = new Random(4100)
+    for (trial <- 1 to 6) {
+      val universe = 1L to (20L + rng.nextInt(30))
+      val sets = (1L to (10L + rng.nextInt(25))).map { id =>
+        id -> universe.filter(_ => rng.nextDouble() < 0.4).toSet
+      }.filter(_._2.nonEmpty)
+      for ((tn, td) <- Seq((1, 2), (4, 5), (9, 10), (1, 1)))
+        assert(viaContain(sets, tn, td) == bruteContain(sets, tn, td),
+          s"trial $trial t=$tn/$td")
+    }
+  }
+
+  test("containment is directed: subset ⊂ superset, never the reverse") {
+    val sets = Seq(1L -> Set(1L, 2L, 3L), 2L -> Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(viaContain(sets, 1, 1) == Set((1L, 2L, 3L, 3L)))
+    // the superset is only 50% covered by the subset
+    assert(viaContain(sets, 1, 2).contains((2L, 1L, 3L, 6L)))
+  }
 }

@@ -57,6 +57,42 @@ class LshIndexSpec extends AnyFunSuite {
     graft.TempDirs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("append then probe == one-shot index over the full corpus") {
+    val dirA = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val dirB = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val first = docs.filter(col("doc_id") >= 14) // split the corpus in two
+    val second = docs.filter(col("doc_id") >= 10 && col("doc_id") < 14)
+    val batch = docs.filter(col("doc_id") < 10)
+    LshIndex.write(first, "doc_id", shingles, dirA, cfg)
+    LshIndex.append(spark, second, "doc_id", shingles, dirA, cfg)
+    LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dirB, cfg)
+    val inc = LshIndex.probe(spark, batch, "doc_id", shingles, dirA, cfg)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = LshIndex.probe(spark, batch, "doc_id", shingles, dirB, cfg)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "cross pairs must span the appended half")
+    // a pair against an APPENDED doc must be present (doc 12 is a template)
+    assert(inc.exists { case (_, cid, _) => cid >= 10 && cid < 14 })
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dirA))
+    graft.TempDirs.deleteRecursively(new java.io.File(dirB))
+  }
+
+  test("append aborts on id collision before writing anything") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(docs, "doc_id", shingles, dir, cfg)
+    val before = spark.read.parquet(s"$dir/docs").count()
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.append(spark, docs.filter(col("doc_id") === 5), "doc_id",
+        shingles, dir, cfg)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(spark.read.parquet(s"$dir/docs").count() === before)
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("probe with mismatched band geometry is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     LshIndex.write(docs, "doc_id", shingles, dir, cfg)
