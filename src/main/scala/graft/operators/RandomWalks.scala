@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Deterministic distributed random walks — the corpus-generation step of
+  * DeepWalk/node2vec graph embeddings: `walksPerNode` walks of `len` steps
+  * from every node, each step choosing a neighbor "uniformly at random".
+  *
+  * The randomness is the portable md5 chain: step t of walk w at node cur
+  * picks neighbor index `md5(cur:w:t) % outdeg(cur)` in the node's
+  * rank-ordered adjacency (rank = dense 0-based position of the neighbor
+  * in ascending order). Pseudo-random in exactly the sense a training
+  * pipeline needs — uniform-ish, decorrelated across (node, walk, step) —
+  * and bit-reproducible on any engine with md5, so the entire walk corpus
+  * is hash-checkable (the same trick as [[WeightedSample]]'s min-trial
+  * race and [[TriangleCensus]]'s edge coins).
+  *
+  * Scale shape: `len` SEQUENTIAL co-partitioned joins on the current node
+  * key — the canonical distributed walk plan. Each round is
+  * (walker-state ⨝ degree) → index arithmetic → (⨝ adjacency on
+  * (node, rank)); walker state is exactly |V|·walksPerNode rows, never a
+  * path blow-up, and the ranked adjacency + degree relations are built
+  * once and persisted (bucketed by node at cluster scale). Walks that
+  * reach a sink (outdeg 0) stop early — their rows simply end.
+  *
+  * Contract: `edges` must be DISTINCT directed pairs (duplicates would
+  * make neighbor ranks nondeterministic and skew the pick); callers with
+  * undirected graphs pass both directions.
+  */
+object RandomWalks {
+
+  /** Walk corpus as flat rows `(start, walk, step, node)`; step 0 is the
+    * start node itself. */
+  def walks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walksPerNode: Int,
+      len: Int): DataFrame = {
+    require(walksPerNode >= 1 && len >= 1, s"need >=1 walks and steps")
+    val e = edges.select(col(srcCol).as("v"), col(dstCol).as("w"))
+    // rank-ordered adjacency + degrees: the loop invariants
+    val adj = e.select(col("v"), col("w"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("v")).orderBy(col("w"))) - 1).cast("long").as("r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("v").as("id"))
+      .unionByName(e.select(col("w").as("id"))).distinct()
+    val starts = nodes.select(col("id").as("start"))
+      .crossJoin(spark_range(walksPerNode).toDF("walk"))
+    // walker state: (start, walk, cur); emit each step's rows as we go
+    var state = starts.select(col("start"), col("walk"), col("start").as("cur"))
+    var out = state.select(col("start"), col("walk"), lit(0).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to len) {
+      val idx = pmod(TextHash.md5Long(concat(
+        col("cur").cast("string"), lit(":"), col("walk").cast("string"),
+        lit(":"), lit(t - 1).cast("string"))), col("deg"))
+      state = state
+        .join(deg, col("cur") === deg("v")).drop("v")
+        .withColumn("i", idx)
+        .join(adj, col("cur") === adj("v") && col("i") === adj("r"))
+        .select(col("start"), col("walk"), col("w").as("cur"))
+      out = out.unionByName(state.select(col("start"), col("walk"),
+        lit(t).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
+  private def spark_range(n: Int) = {
+    val s = org.apache.spark.sql.SparkSession.active
+    s.range(n)
+  }
+
+  /** DuckDB replay: CTE fragments `adj, dg, s0..s<len>, walks` (compose
+    * with a `WITH` holding a `<edgesCte>(v, w)` relation of distinct
+    * directed pairs). `walks` has columns (start, walk, step, node). Every
+    * step CTE is MATERIALIZED: the chain is consumed by both the next step
+    * and the final union, and default inlining would re-evaluate the whole
+    * prefix exponentially (the q102 k-core lesson). */
+  def oracleCtes(walksPerNode: Int, len: Int, edgesCte: String = "edges"): String = {
+    val steps = (1 to len).map { t =>
+      s"""s$t AS MATERIALIZED (SELECT s.start, s.walk, a.w AS cur
+         |  FROM s${t - 1} s
+         |  JOIN dg ON dg.v = s.cur
+         |  JOIN adj a ON a.v = s.cur AND a.r =
+         |    (${TextHash.md5LongSql(s"s.cur::VARCHAR || ':' || s.walk::VARCHAR || ':' || '${t - 1}'")} % dg.deg)
+         |  )""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to len).map(t =>
+      s"SELECT start, walk, $t AS step, cur AS node FROM s$t").mkString("\n  UNION ALL ")
+    s"""adj AS (SELECT v, w,
+       |    (row_number() OVER (PARTITION BY v ORDER BY w) - 1)::BIGINT AS r
+       |  FROM $edgesCte),
+       |dg AS (SELECT v, count(*)::BIGINT AS deg FROM adj GROUP BY v),
+       |nds AS (SELECT DISTINCT id FROM
+       |  (SELECT v AS id FROM $edgesCte UNION ALL SELECT w FROM $edgesCte)),
+       |s0 AS MATERIALIZED (SELECT id AS start, unnest(range(0, $walksPerNode)) AS walk, id AS cur
+       |  FROM nds),
+       |$steps,
+       |walks AS MATERIALIZED (SELECT start, walk, 0 AS step, cur AS node FROM s0
+       |  UNION ALL $unions)""".stripMargin
+  }
+}

@@ -450,6 +450,64 @@ object EngineQueries {
       graft.operators.IvfPq.probeTopK(q, e, idx, "vec_id", "embedding",
         k = 5, nprobe = 3, shortlist = 20)
     }),
+
+    // DeepWalk corpus generation (operators/RandomWalks): 2 deterministic
+    // random walks of 4 steps from every co-purchase node — the skip-gram
+    // training input of graph embeddings. Each step is ONE co-partitioned
+    // join on the current node against the rank-ordered adjacency, with
+    // the neighbor pick decided by the portable md5 chain — the entire
+    // 100k-row walk corpus hash-matches the unrolled DuckDB replay.
+    "q228_random_walks" -> ((s, d) => {
+      val e = RelationalQueries.copurchaseEdges(s, d)
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .persist() // adjacency + degree derivations
+      graft.operators.RandomWalks.walks(und, "src", "dst",
+        walksPerNode = 2, len = 4)
+    }),
+
+    // Skip-gram training pairs + exact-rational PMI over the q228 walk
+    // corpus — the word2vec-style (center, context) extraction that turns
+    // walks into embedding training data. Pair generation is a
+    // co-partitioned self-join on (start, walk) with |Δstep| ≤ 2 (walker
+    // paths are ≤ 5 rows — tiny groups); association strength is the
+    // log-free lift c_ab·N / (c_a·c_b) in integer basis points (q53's
+    // discipline), and the top-30 rides TopKByScore with the pair packed
+    // into the long payload (center·2³¹ + context — sound while node ids
+    // stay under 2²², true for part keys at any plausible SF; at larger
+    // id domains the payload becomes a dictionary code).
+    "q229_skipgram_pmi" -> ((s, d) => {
+      val e = RelationalQueries.copurchaseEdges(s, d)
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+        .persist()
+      val w = graft.operators.RandomWalks.walks(und, "src", "dst", 2, 4)
+        .persist() // both sides of the pair self-join
+      val pairs = w.as("x").join(w.as("y"),
+          col("x.start") === col("y.start") && col("x.walk") === col("y.walk")
+            && col("x.step") =!= col("y.step")
+            && abs(col("x.step") - col("y.step")) <= 2)
+        .select(col("x.node").as("center"), col("y.node").as("context"))
+        .persist() // pair counts + both marginals
+      val cp = pairs.groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("c_ab"))
+      val ca = pairs.groupBy(col("center")).agg(count(lit(1)).as("c_a"))
+      val cb = pairs.groupBy(col("context")).agg(count(lit(1)).as("c_b"))
+      val n = pairs.agg(count(lit(1)).as("n"))
+      val scored = cp.join(ca, "center").join(cb, "context")
+        .crossJoin(broadcast(n))
+        .filter(col("c_ab") >= 5)
+        .select(col("center"), col("context"), col("c_ab"),
+          expr("(c_ab * n * 10000) div (c_a * c_b)").as("lift_bp"))
+      scored
+        .agg(graft.functions.TopKAggregate.topK(
+          col("lift_bp").cast("double"),
+          col("center") * lit(2147483648L) + col("context"), 30).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(expr("t.payload div 2147483648L").as("center"),
+          expr("t.payload % 2147483648L").as("context"),
+          col("t.score").cast("long").as("lift_bp"))
+    }),
   )
 
   private val RakeStop = Seq("the", "a", "and", "of", "to", "in", "is",
@@ -706,5 +764,31 @@ object EngineQueries {
          |  (abs((n_le * 10000) // n_rows - target_bp) <= 750) AS within_dkw
          |FROM est e JOIN rk USING (p_label), n""".stripMargin
     },
+
+    "q228_random_walks" ->
+      s"""WITH ${RelationalQueries.copurchaseEdgesSql},
+         |eund AS (SELECT a AS v, b AS w FROM edges
+         |  UNION ALL SELECT b, a FROM edges),
+         |${graft.operators.RandomWalks.oracleCtes(2, 4, "eund")}
+         |SELECT start, walk::BIGINT AS walk, step, node FROM walks""".stripMargin,
+
+    "q229_skipgram_pmi" ->
+      s"""WITH ${RelationalQueries.copurchaseEdgesSql},
+         |eund AS (SELECT a AS v, b AS w FROM edges
+         |  UNION ALL SELECT b, a FROM edges),
+         |${graft.operators.RandomWalks.oracleCtes(2, 4, "eund")},
+         |p AS MATERIALIZED (SELECT x.node AS center, y.node AS context
+         |  FROM walks x JOIN walks y
+         |    ON x.start = y.start AND x.walk = y.walk
+         |   AND x.step <> y.step AND abs(x.step - y.step) <= 2),
+         |cp AS (SELECT center, context, count(*)::BIGINT AS c_ab FROM p GROUP BY 1, 2),
+         |ca AS (SELECT center, count(*)::BIGINT AS c_a FROM p GROUP BY 1),
+         |cb AS (SELECT context, count(*)::BIGINT AS c_b FROM p GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM p)
+         |SELECT center, context,
+         |  ((c_ab * n * 10000) // (c_a * c_b))::BIGINT AS lift_bp
+         |FROM cp JOIN ca USING (center) JOIN cb USING (context), nn
+         |WHERE c_ab >= 5
+         |ORDER BY lift_bp DESC, center, context LIMIT 30""".stripMargin,
   )
 }

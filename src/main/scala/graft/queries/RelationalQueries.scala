@@ -930,6 +930,32 @@ object RelationalQueries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
     }),
+
+    // NEGATIVE SAMPLING for contrastive training pairs: 5 pseudo-random
+    // non-purchased parts per anchor order. The naive form is a per-anchor
+    // sample of the part CATALOG — an anchors×parts cross join. Instead
+    // each probe is computed: part = md5(anchor:j) mod |parts| (keys are
+    // dense 0..N−1), and accidental positives are removed by one
+    // co-partitioned anti-join against the order's own lines — O(anchors·k)
+    // rows end to end, no cross product, fully deterministic (the replay
+    // IS the oracle). Collisions leave k' ≤ k negatives per anchor —
+    // the standard accept-reject shortcut, documented not hidden.
+    "q227_negative_sampling" -> ((s, d) => {
+      val np = Tables.part(s, d).agg(count(lit(1)).as("np"))
+      val probes = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("orderkey"))
+        .crossJoin(broadcast(np))
+        .select(col("orderkey"), explode(sequence(lit(1), lit(5))).as("j"), col("np"))
+        .select(col("orderkey"), col("j"),
+          (TextHash.md5Long(concat(col("orderkey").cast("string"), lit(":"),
+            col("j").cast("string"))) % col("np")).as("part"))
+      val pos = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("orderkey"), col("l_partkey").as("part"))
+        .distinct()
+      probes.join(pos, Seq("orderkey", "part"), "left_anti")
+        .select(col("orderkey"), col("j").as("neg_rank"), col("part"))
+    }),
   )
 
   /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
@@ -1396,6 +1422,18 @@ object RelationalQueries {
         |FROM pts q
         |WHERE NOT EXISTS (SELECT 1 FROM pts p
         |  WHERE p.x <= q.x AND p.y <= q.y AND (p.x < q.x OR p.y < q.y))""".stripMargin,
+
+    "q227_negative_sampling" ->
+      s"""WITH np AS (SELECT count(*)::BIGINT AS np FROM part),
+         |a AS (SELECT o_orderkey AS orderkey FROM orders WHERE o_orderkey % 50 = 0),
+         |pj AS (SELECT orderkey, unnest(range(1, 6))::INT AS j FROM a),
+         |pr AS (SELECT orderkey, j,
+         |    (${graft.functions.TextHash.md5LongSql("orderkey::VARCHAR || ':' || j::VARCHAR")} % np) AS part
+         |  FROM pj, np),
+         |pos AS (SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS part FROM lineitem)
+         |SELECT orderkey, j AS neg_rank, part FROM pr
+         |WHERE NOT EXISTS (SELECT 1 FROM pos
+         |  WHERE pos.orderkey = pr.orderkey AND pos.part = pr.part)""".stripMargin,
 
     "q222_priority_check" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS order_count

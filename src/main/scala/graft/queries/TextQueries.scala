@@ -270,6 +270,35 @@ object TextQueries {
         .select((col("pos") + 1).as("rank"), col("col.payload").as("doc_id"),
           col("col.score").cast("long").as("score_micro"))
     }),
+
+    // Character-set / gibberish audit: per-doc char collision probability
+    // (Simpson index — the log-free dual of char entropy: repeated-char
+    // pair chance in ppm), distinct-char count, digit mass. Σc² comes
+    // from a MAP-SIDE sorted-run fold (extending a run from l−1 to l adds
+    // 2l−1 — no explode, no shuffle; q50's idiom), so the whole audit is
+    // one scan. Exact integers: (Σc²−n)·10⁶ div n(n−1) stays under int64
+    // for docs to ~10⁶ chars.
+    "q226_charset_audit" -> ((s, d) => {
+      val chars = array_sort(split(col("text"), ""))
+      val sumC2 = aggregate(chars,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(1L)
+          struct(x.as("prev"), run.as("run"),
+            (acc.getField("acc") + lit(2L) * run - 1L).as("acc"))
+        },
+        acc => acc.getField("acc"))
+      Tables.documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(array_distinct(split(col("text"), ""))).as("n_distinct_chars"),
+          sumC2.as("c2"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+          when(col("n_chars") >= 2,
+            expr("((c2 - n_chars) * 1000000) div (n_chars * (n_chars - 1))"))
+            .otherwise(lit(0L)).as("collision_ppm"),
+          col("n_digits"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -417,6 +446,19 @@ object TextQueries {
            |  doc_id, score_micro
            |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
       },
+
+      "q226_charset_audit" ->
+        """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+          |cc AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+          |a AS (SELECT doc_id, sum(n)::BIGINT AS n_chars,
+          |        count(*)::BIGINT AS n_distinct_chars,
+          |        sum(n * n)::BIGINT AS c2 FROM cc GROUP BY 1)
+          |SELECT a.doc_id, a.n_chars AS n_chars, n_distinct_chars,
+          |  (CASE WHEN a.n_chars >= 2
+          |        THEN ((c2 - a.n_chars) * 1000000) // (a.n_chars * (a.n_chars - 1))
+          |        ELSE 0 END)::BIGINT AS collision_ppm,
+          |  length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
+          |FROM a JOIN documents d ON d.doc_id = a.doc_id""".stripMargin,
     )
   }
 }

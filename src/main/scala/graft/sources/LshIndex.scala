@@ -108,6 +108,102 @@ object LshIndex {
     sh.unpersist()
   }
 
+  /** Streaming near-dup ingest: each micro-batch is probed against the
+    * index, near-dups (of the corpus AND of smaller-id batchmates) are
+    * dropped, and the survivors are indexed — the production "dedupe
+    * today's crawl against everything we have, then admit it" loop.
+    *
+    * Exactly-once: checkpointed source offsets + a per-batch marker file
+    * in `dir/commits/` (hard-link create — atomic fail-if-exists). A
+    * replayed, already-marked batch is a no-op. A batch that crashed
+    * mid-append replays in full: its band rows may append twice —
+    * harmless, [[probe]] dedups candidates — and its doc rows are
+    * re-filtered against the docs dataset (the bounded bucket-pruned
+    * read), so docs never duplicate. Between a crash and its replay the
+    * half-appended batch may be invisible to probes; replay converges.
+    *
+    * Batch path vs this path: [[append]] ABORTS on id collisions (a batch
+    * caller duplicating ids is a bug); the stream SKIPS already-indexed
+    * ids (a replay re-offering them is the protocol working).
+    */
+  def startDedupStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      idCol: String,
+      shingleHashes: Column,
+      dir: String,
+      checkpointDir: String,
+      cfg: MinHashDedup.Config = MinHashDedup.Config(),
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDedupBatch(spark, batch, idCol, shingleHashes, dir, cfg, batchId)
+          .foreach(sv => onSurvivors(sv, batchId))
+        ()
+      }
+      .start()
+
+  /** One micro-batch of [[startDedupStream]] — public so replay and crash
+    * semantics are directly testable without stream-restart machinery.
+    * Returns None for an already-committed batch; otherwise the SURVIVOR
+    * rows (persisted — caller releases via `spark.catalog.clearCache()`).
+    */
+  def processDedupBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      shingleHashes: Column,
+      dir: String,
+      cfg: MinHashDedup.Config,
+      batchId: Long): Option[DataFrame] = {
+    val commits = java.nio.file.Paths.get(s"$dir/commits")
+    java.nio.file.Files.createDirectories(commits)
+    val marker = commits.resolve(s"batch-$batchId")
+    if (java.nio.file.Files.exists(marker)) return None
+
+    val meta = metaOf(dir)
+    val nParts = meta("nParts")
+    // near-dups of the already-indexed corpus
+    val corpusDups = probe(spark, batch, idCol, shingleHashes, dir, cfg)
+      .select(col("query_id").as("__dup")).distinct()
+    // near-dups of a SMALLER-id batchmate (deterministic canonical keep —
+    // replay recomputes the identical pair set)
+    val batchDups = MinHashDedup.pairs(batch, idCol, shingleHashes, cfg)
+      .select(greatest(col("id_a"), col("id_b")).as("__dup")).distinct()
+    val survivors = batch
+      .join(corpusDups.unionByName(batchDups).distinct(),
+        col(idCol) === col("__dup"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    if (!survivors.isEmpty) {
+      val sh = MinHashDedup.hashed(survivors, idCol, shingleHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // bands FIRST: replayed duplicates are benign (probe dedups
+      // candidates); docs duplicates would not be, so docs go second,
+      // filtered against what the index already holds
+      val sig = MinHashDedup.withSignature(sh, cfg)
+      MinHashDedup.bandRows(sig, cfg)
+        .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+        .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
+      val newDocs = sh.select(col("id"), col("hashes"))
+        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+      val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
+      val existing = spark.read.parquet(s"$dir/docs")
+        .filter(col("hb").isin(hbs: _*)).select(col("id"))
+      newDocs.join(existing, Seq("id"), "left_anti")
+        .write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
+      sh.unpersist()
+    }
+
+    // atomic commit marker (lost race with a rival worker = already done)
+    val tmp = java.nio.file.Files.createTempFile(commits, ".tmp-", "")
+    try java.nio.file.Files.createLink(marker, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally java.nio.file.Files.deleteIfExists(tmp)
+    Some(survivors)
+  }
+
   private def metaOf(dir: String): Map[String, Int] = {
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
     "\"(\\w+)\":(\\d+)".r.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toMap

@@ -93,6 +93,83 @@ class LshIndexSpec extends AnyFunSuite {
     graft.TempDirs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("dedup batch: corpus near-dups dropped, batchmate canonical kept, replay is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    // corpus holds templates 12, 16; batch offers templates 0, 4 (near-dups
+    // of the corpus AND of each other) plus unique docs 1, 2
+    LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dir, cfg)
+    val batch = docs.filter(col("doc_id") < 5)
+    val sv = LshIndex.processDedupBatch(spark, batch, "doc_id", shingles, dir, cfg, 0L)
+    assert(sv.isDefined)
+    val kept = sv.get.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(0L) && !kept.contains(4L),
+      s"corpus near-dups must be dropped, kept=$kept")
+    assert(kept.contains(1L) && kept.contains(2L) && kept.contains(3L))
+    // survivors are indexed: a fresh unique doc probes clean, a survivor
+    // near-dup (doc 1's exact text) now collides with the index
+    val docsN = spark.read.parquet(s"$dir/docs").count()
+    assert(docsN === 10L + kept.size)
+    // replay of the committed batch: no-op, nothing duplicated
+    assert(LshIndex.processDedupBatch(spark, batch, "doc_id", shingles, dir, cfg, 0L).isEmpty)
+    assert(spark.read.parquet(s"$dir/docs").count() === docsN)
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("re-run after a lost marker converges: docs never duplicate, probes stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dir, cfg)
+    val batch = docs.filter(col("doc_id") < 5)
+    LshIndex.processDedupBatch(spark, batch, "doc_id", shingles, dir, cfg, 7L)
+    val docsN = spark.read.parquet(s"$dir/docs").count()
+    val probeBefore = LshIndex.probe(spark,
+        docs.filter(col("doc_id") === 8), "doc_id", shingles, dir, cfg)
+      .as[(Long, Long, Double)].collect().toSet
+    // simulate the replay of a crash AFTER the appends but BEFORE the
+    // marker: delete the marker and reprocess the same batch
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/commits/batch-7"))
+    val sv2 = LshIndex.processDedupBatch(spark, batch, "doc_id", shingles, dir, cfg, 7L)
+    assert(sv2.isDefined)
+    assert(spark.read.parquet(s"$dir/docs").count() === docsN,
+      "doc rows must not duplicate on replay")
+    // duplicated band rows are benign: the probe result is unchanged
+    val probeAfter = LshIndex.probe(spark,
+        docs.filter(col("doc_id") === 8), "doc_id", shingles, dir, cfg)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probeAfter === probeBefore)
+    assert(probeAfter.nonEmpty, "template doc 8 must match indexed templates")
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("startDedupStream end to end: markers written, survivors reported") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lshidx_ck").toString
+    LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dir, cfg)
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = LshIndex.startDedupStream(spark, mem.toDF().toDF("doc_id", "text"),
+      "doc_id", shingles, dir, ckpt, cfg,
+      (sv, _) => seen ++= sv.select("doc_id").as[Long].collect())
+    try {
+      mem.addData(docs.filter(col("doc_id") < 5)
+        .as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+        .as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!seen.contains(0L) && !seen.contains(4L) && !seen.contains(8L),
+      s"template docs must dedup against the corpus: $seen")
+    assert(Set(1L, 2L, 3L, 5L, 6L, 7L, 9L).subsetOf(seen), s"uniques survive: $seen")
+    assert(new java.io.File(s"$dir/commits").listFiles().nonEmpty)
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+    graft.TempDirs.deleteRecursively(new java.io.File(ckpt))
+  }
+
   test("probe with mismatched band geometry is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     LshIndex.write(docs, "doc_id", shingles, dir, cfg)
