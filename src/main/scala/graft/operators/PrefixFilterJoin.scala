@@ -114,6 +114,10 @@ object PrefixFilterJoin {
     *
     * Returns (id_a, id_b, inter, na); containment = inter/na, exact
     * rational — callers emit it in integer basis points.
+    *
+    * Same input contract as [[jaccardSelfJoin]]: `setCol` elements must be
+    * DISTINCT per row (shingle-hash producers guarantee this; duplicates
+    * would inflate intersect counts and break the prefix bound).
     */
   def containmentSelfJoin(sets: DataFrame, idCol: String, setCol: String,
                           tNum: Int, tDen: Int): DataFrame = {

@@ -42,34 +42,42 @@ object RandomWalks {
       len: Int): DataFrame = {
     require(walksPerNode >= 1 && len >= 1, s"need >=1 walks and steps")
     val e = edges.select(col(srcCol).as("v"), col(dstCol).as("w"))
-    // rank-ordered adjacency + degrees: the loop invariants
+    // the ONE loop invariant: rank-ordered adjacency carrying the degree
+    // on every row, so each walk step is a single equi-join on the node
+    // key (rank match and the md5 pick evaluate inside the join filter)
+    val wdw = org.apache.spark.sql.expressions.Window.partitionBy(col("v"))
     val adj = e.select(col("v"), col("w"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("v")).orderBy(col("w"))) - 1).cast("long").as("r"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        (row_number().over(wdw.orderBy(col("w"))) - 1).cast("long").as("r"),
+        count(lit(1)).over(wdw).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("v").as("id"))
       .unionByName(e.select(col("w").as("id"))).distinct()
     val starts = nodes.select(col("id").as("start"))
       .crossJoin(spark_range(walksPerNode).toDF("walk"))
-    // walker state: (start, walk, cur); emit each step's rows as we go
-    var state = starts.select(col("start"), col("walk"), col("start").as("cur"))
-    var out = state.select(col("start"), col("walk"), lit(0).as("step"),
-      col("cur").as("node"))
+    // walker state carries its whole (bounded, ≤ len+1) path as an array —
+    // ONE join chain, one job, no per-step union: a union of per-step
+    // snapshots would either re-derive each step's join prefix (O(len²)
+    // joins) or need a materialization job per round. Dead walkers (sink
+    // reached) ride along with alive=false: the join condition can never
+    // match them again, and the left join keeps their rows.
+    var state = starts.select(col("start"), col("walk"),
+      col("start").as("cur"), lit(true).as("alive"),
+      array(col("start")).as("path"))
     for (t <- 1 to len) {
       val idx = pmod(TextHash.md5Long(concat(
         col("cur").cast("string"), lit(":"), col("walk").cast("string"),
-        lit(":"), lit(t - 1).cast("string"))), col("deg"))
+        lit(":"), lit(t - 1).cast("string"))), adj("deg"))
       state = state
-        .join(deg, col("cur") === deg("v")).drop("v")
-        .withColumn("i", idx)
-        .join(adj, col("cur") === adj("v") && col("i") === adj("r"))
-        .select(col("start"), col("walk"), col("w").as("cur"))
-      out = out.unionByName(state.select(col("start"), col("walk"),
-        lit(t).as("step"), col("cur").as("node")))
+        .join(adj, col("alive") && col("cur") === adj("v") && adj("r") === idx,
+          "left")
+        .select(col("start"), col("walk"),
+          coalesce(col("w"), col("cur")).as("cur"),
+          (col("alive") && col("w").isNotNull).as("alive"),
+          when(col("w").isNotNull, concat(col("path"), array(col("w"))))
+            .otherwise(col("path")).as("path"))
     }
-    out
+    state.select(col("start"), col("walk"),
+      posexplode(col("path")).as(Seq("step", "node")))
   }
 
   private def spark_range(n: Int) = {

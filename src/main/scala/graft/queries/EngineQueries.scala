@@ -488,12 +488,14 @@ object EngineQueries {
             && col("x.step") =!= col("y.step")
             && abs(col("x.step") - col("y.step")) <= 2)
         .select(col("x.node").as("center"), col("y.node").as("context"))
-        .persist() // pair counts + both marginals
+      // the marginals and N are SUMS over the pair-count relation — derive
+      // all three from cp instead of re-scanning the raw pairs three times
       val cp = pairs.groupBy(col("center"), col("context"))
         .agg(count(lit(1)).as("c_ab"))
-      val ca = pairs.groupBy(col("center")).agg(count(lit(1)).as("c_a"))
-      val cb = pairs.groupBy(col("context")).agg(count(lit(1)).as("c_b"))
-      val n = pairs.agg(count(lit(1)).as("n"))
+        .persist()
+      val ca = cp.groupBy(col("center")).agg(sum(col("c_ab")).as("c_a"))
+      val cb = cp.groupBy(col("context")).agg(sum(col("c_ab")).as("c_b"))
+      val n = cp.agg(sum(col("c_ab")).as("n"))
       val scored = cp.join(ca, "center").join(cb, "context")
         .crossJoin(broadcast(n))
         .filter(col("c_ab") >= 5)

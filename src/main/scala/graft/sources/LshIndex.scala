@@ -140,7 +140,12 @@ object LshIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDedupBatch(spark, batch, idCol, shingleHashes, dir, cfg, batchId)
           .foreach(sv => onSurvivors(sv, batchId))
-        ()
+        // probe/pairs persist intermediates under the library caching
+        // contract (caller releases); in a LONG-RUNNING stream nothing
+        // else ever releases them, so each batch would leak cached
+        // relations. The callback has consumed the survivors by now —
+        // drop the batch's whole cache footprint before the next one.
+        spark.catalog.clearCache()
       }
       .start()
 
