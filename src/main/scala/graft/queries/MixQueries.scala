@@ -221,6 +221,37 @@ object MixQueries {
           .as("keep_frac"))
     }),
 
+    // TEMPERATURE-WEIGHTED source mixing (T = 2 ⇒ p_i ∝ √n_i — the
+    // standard multilingual/multi-source rebalancing that upweights small
+    // sources): weights are floor(√n) — IEEE sqrt is correctly rounded
+    // and floor is exact, so the weights are INTEGERS and every quota is
+    // an integer division (no order-dependent float sum across sources).
+    // The sample itself is the per-source md5-order prefix of length
+    // quota (one source-partitioned window), and the emitted id-SUM
+    // proves the exact sample membership without shipping the rows.
+    "q230_temperature_mix" -> ((s, d) => {
+      val K = 1000L
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .withColumn("h", TextHash.md5Long(col("doc_id").cast("string")))
+        .persist() // counts + ranked sampling
+      val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
+      val tot = per.agg(sum(col("w")).as("tw"))
+      val quota = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("w"),
+          expr(s"($K * w) div tw").as("quota"))
+      val wnd = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      val sm = docs.withColumn("rn", row_number().over(wnd))
+        .join(broadcast(quota.select(col("source"), col("quota"))), "source")
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sample_id_sum"))
+      quota.join(sm, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("w").as("weight"), col("quota"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sample_id_sum"), lit(0L)).as("sample_id_sum"))
+    }),
+
     // Count-Min heavy hitters: every vocabulary token's exact count next to
     // its sketch estimate. The sketch is ONE bounded 4×1024 matrix combined
     // map-side (shuffle = one 32 KB buffer per partition); estimates read
@@ -711,6 +742,25 @@ object MixQueries {
           |  (floor((CASE WHEN funded THEN 1.0
           |             ELSE ((b - s)::DOUBLE / (n_sources - nf)) / n_tokens END) * 10000 + 0.5) / 10000) AS keep_frac
           |FROM gl""".stripMargin,
+
+      "q230_temperature_mix" ->
+        s"""WITH docs AS (SELECT doc_id, source,
+           |    ${TextHash.md5LongSql("doc_id::VARCHAR")} AS h FROM documents),
+           |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM docs GROUP BY source),
+           |tot AS (SELECT sum(w)::BIGINT AS tw FROM per),
+           |q AS (SELECT source, n_docs, w, ((1000 * w) // tw)::BIGINT AS quota
+           |  FROM per, tot),
+           |r AS (SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+           |  FROM docs),
+           |sm AS (SELECT source, count(*)::BIGINT AS n_sampled,
+           |    sum(doc_id)::BIGINT AS sample_id_sum
+           |  FROM r JOIN q USING (source) WHERE rn <= quota GROUP BY source)
+           |SELECT q.source, n_docs, w AS weight, quota,
+           |  coalesce(n_sampled, 0)::BIGINT AS n_sampled,
+           |  coalesce(sample_id_sum, 0)::BIGINT AS sample_id_sum
+           |FROM q LEFT JOIN sm ON sm.source = q.source""".stripMargin,
     )
   }
 }

@@ -335,6 +335,50 @@ object SnapshotTable {
     }
   }
 
+  /** Row-level DELETE by predicate — the right-to-be-forgotten path.
+    * File-granular copy-on-write like [[upsert]]: one scan (predicate
+    * pushed to parquet, columns pruned to the predicate's inputs) finds
+    * the files that actually hold a matching row; only those are
+    * rewritten without their matching rows, everything else carries into
+    * the new manifest BY REFERENCE. Deleting one user from a 100 TB table
+    * rewrites the files that mention them, not the table.
+    *
+    * NULL predicate results keep the row (SQL DELETE semantics: only
+    * rows where the predicate is TRUE are removed). Same optimistic
+    * concurrency as upsert — the commit asserts the derivation version
+    * and aborts with [[ConcurrentCommitException]] if the table moved.
+    * A predicate matching nothing commits nothing and returns the
+    * current version. Note: deleted rows remain readable via time travel
+    * until [[vacuum]] drops the pre-delete versions — a real purge is
+    * deleteWhere + vacuum.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  asOfVersion: Option[Long] = None): Long = {
+    val v = asOfVersion.orElse(latestVersion(tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"deleteWhere on empty table $tableDir"))
+    val snap = snapshot(tableDir, v)
+    val schemaOpt = versionSchema(snap)
+    def readFiles(rel: Seq[String]): DataFrame = {
+      val paths = rel.map(f => Paths.get(tableDir, f).toString)
+      schemaOpt match {
+        case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
+        case None     => spark.read.parquet(paths: _*)
+      }
+    }
+    val touchedPaths = readFiles(snap.files)
+      .filter(predicate)
+      .select(input_file_name().as("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedPaths.isEmpty) return v
+    // path-segment-anchored suffix match (the upsert URI note)
+    val touched = snap.files.filter(f => touchedPaths.exists(_.endsWith("/" + f)))
+    val kept = readFiles(touched)
+      .filter(!org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
+    commit(kept, tableDir, replace = false,
+      dropFiles = touched.toSet, expectedVersion = Some(v))
+  }
+
   /** Change data feed between two versions: row-level (+1 insert /
     * −1 delete) deltas computed from the MANIFEST DIFF — only files that
     * entered or left the table between the versions are read, so the CDF

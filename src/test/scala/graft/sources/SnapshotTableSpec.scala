@@ -121,7 +121,8 @@ class SnapshotTableSpec extends AnyFunSuite {
   }
 
   test("streaming sink: each micro-batch is one snapshot; replays are skipped") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t = tmpTable()
     val ckpt = Files.createTempDirectory("graft_snap_ckpt").toString
@@ -306,6 +307,45 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(after.op === "append") // nothing rewritten
     assert(files2.subsetOf(after.files.toSet))
     assert(SnapshotTable.read(spark, t).count() === 3L)
+  }
+
+  test("deleteWhere: file-granular CoW, time travel keeps pre-delete rows") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(Seq((3L, "c")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(Seq((4L, "d")).toDF("k", "v").coalesce(1), t)
+    val before = SnapshotTable.snapshot(t, 3L).files.toSet
+    val v = SnapshotTable.deleteWhere(spark, t, org.apache.spark.sql.functions.col("k") === 2L || org.apache.spark.sql.functions.col("k") === 4L)
+    assert(v === 4L)
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().sortBy(_._1).toSeq
+      === Seq((1L, "a"), (3L, "c")))
+    val after = SnapshotTable.snapshot(t, 4L)
+    assert(after.op === "merge")
+    // the file holding only k=3 carries by reference; the two others rewrote
+    assert(before.intersect(after.files.toSet).size === 1)
+    // time travel still sees the deleted rows until vacuum
+    assert(SnapshotTable.readVersion(spark, t, 3L).count() === 4L)
+  }
+
+  test("deleteWhere: no matches is a no-op version; null predicate keeps rows") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, null: String)).toDF("k", "v"), t)
+    assert(SnapshotTable.deleteWhere(spark, t, org.apache.spark.sql.functions.col("k") === 99L) === 1L)
+    assert(SnapshotTable.versions(t) === Seq(1L))
+    // v = 'x' is NULL for the null row: SQL DELETE keeps it
+    SnapshotTable.deleteWhere(spark, t, org.apache.spark.sql.functions.col("v") === "a")
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().toSeq
+      === Seq((2L, null)))
+  }
+
+  test("deleteWhere conflict: racer past the pinned version aborts the delete") {
+    val t = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v"), t)
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v"), t)
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.deleteWhere(spark, t, org.apache.spark.sql.functions.col("k") === 1L, asOfVersion = Some(1L))
+    }
+    assert(SnapshotTable.versions(t) === Seq(1L, 2L))
   }
 
   test("upsert conflict: a commit landing mid-merge aborts instead of losing it") {
