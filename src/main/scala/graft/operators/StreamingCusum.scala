@@ -60,6 +60,12 @@ object StreamingCusum {
       case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => true
       case _ => false
     }
+    // a requested TTL CANNOT be honored without a watermark — failing
+    // loudly beats silently retaining unbounded per-key state (the OOM
+    // the parameter exists to prevent)
+    require(!(streaming && expireAfterUs.isDefined && !useWm),
+      "expireAfterUs requires the input stream to carry a watermark " +
+        "(withWatermark on ts) — without one, state would never expire")
     val timeout =
       if (useWm && expireAfterUs.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()

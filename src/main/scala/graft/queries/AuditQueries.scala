@@ -523,9 +523,9 @@ object AuditQueries {
     // still leaks if everyone in it shares the sensitive value. Per
     // quasi-identifier group (nation, segment): distinct sensitive values
     // (balance band), the dominant value's share in basis points, and the
-    // distinct-l gate. Two hash aggregations on the same key prefix (the
-    // second reuses the first's partitioning — no extra shuffle), exact
-    // integers throughout.
+    // distinct-l gate. Two hash aggregations; the second shuffles only the
+    // already-collapsed (QI, band) group relation, exact integers
+    // throughout.
     "q219_l_diversity" -> ((s, d) => {
       val l = 3L
       val sv = Tables.customer(s, d).select(

@@ -934,8 +934,9 @@ object RelationalQueries {
     // NEGATIVE SAMPLING for contrastive training pairs: 5 pseudo-random
     // non-purchased parts per anchor order. The naive form is a per-anchor
     // sample of the part CATALOG — an anchors×parts cross join. Instead
-    // each probe is computed: part = md5(anchor:j) mod |parts| (keys are
-    // dense 0..N−1), and accidental positives are removed by one
+    // each probe is computed: part = md5(anchor:j) mod |parts| (p_partkey
+    // verified dense 0..N−1 in this data — NOT the 1-based TPC-H spec
+    // numbering), and accidental positives are removed by one
     // co-partitioned anti-join against the order's own lines — O(anchors·k)
     // rows end to end, no cross product, fully deterministic (the replay
     // IS the oracle). Collisions leave k' ≤ k negatives per anchor —

@@ -26,6 +26,25 @@ object TextQueries {
   /** BPE-ish pre-tokenizer: letter runs, single digits, single punctuation. */
   private val bpePattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
 
+  /** The q214 hashed-classifier score, shared verbatim by its two audit
+    * queries (q215 AUC, q216 calibration) — one definition so the three
+    * can never drift apart. token → md5 bucket (4096) → integer weight in
+    * [-1000, 1000]; the whole score is one map-side fold. */
+  private def classifierScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = TextHash.tokens(text)
+    def weight(t: org.apache.spark.sql.Column) = {
+      val bucket = TextHash.md5Long(t) % 4096
+      TextHash.md5Long(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
+    }
+    aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x)
+  }
+
+  /** DuckDB replay of the per-token classifier weight (over a lambda
+    * variable named `t`). */
+  private def classifierWSql: String =
+    "(" + TextHash.md5LongSql(
+      s"'w:' || (${TextHash.md5LongSql("t")} % 4096)::VARCHAR") + " % 2001 - 1000)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Quality scoring: token stats + stopword density -> composite score.
     // Ratio columns use PORTABLE rounding (floor(x·1000 + 0.5)/1000): the
@@ -157,18 +176,11 @@ object TextQueries {
     // The whole score is ONE map-side higher-order fold (no explode, no
     // shuffle — at 100 TB this is a pure scan stage); DuckDB replays the
     // identical hash chain per token.
-    "q214_hashed_classifier" -> ((s, d) => {
-      val D = 4096
-      val toks = TextHash.tokens(col("text"))
-      def weight(t: org.apache.spark.sql.Column) = {
-        val bucket = TextHash.md5Long(t) % D
-        TextHash.md5Long(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
-      }
+    "q214_hashed_classifier" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-          size(toks).as("n_tokens"),
-          aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x).as("score"))
-        .withColumn("keep", col("score") > 0)
-    }),
+          size(TextHash.tokens(col("text"))).as("n_tokens"),
+          classifierScore(col("text")).as("score"))
+        .withColumn("keep", col("score") > 0)),
 
     // Exact tie-corrected Mann–Whitney AUC of the q214 classifier score
     // against a deterministic relevance label (≥ 60 ws-tokens) — THE
@@ -183,16 +195,10 @@ object TextQueries {
     // at any scale and hash-checked as a string next to the
     // portable-rounded AUC ratio (q154's HUGEINT⇔decimal discipline).
     "q215_auc_exact" -> ((s, d) => {
-      val D = 4096
-      val toks = TextHash.tokens(col("text"))
-      def weight(t: org.apache.spark.sql.Column) = {
-        val bucket = TextHash.md5Long(t) % D
-        TextHash.md5Long(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
-      }
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val scored = Tables.documents(s, d).select(
-        aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x).as("score"),
-        (size(toks) >= 60).cast("long").as("pos"))
+        classifierScore(col("text")).as("score"),
+        (size(TextHash.tokens(col("text"))) >= 60).cast("long").as("pos"))
       val grp = scored.groupBy(col("score"))
         .agg(count(lit(1)).as("m"), sum(col("pos")).as("p"))
       val cum = graft.operators.PrefixSum.running(grp, "score", "m", "cm")
@@ -216,15 +222,9 @@ object TextQueries {
     // identically in both engines — q161 precedent), so the whole curve
     // is hash-checked with no float surface.
     "q216_calibration_bins" -> ((s, d) => {
-      val D = 4096
-      val toks = TextHash.tokens(col("text"))
-      def weight(t: org.apache.spark.sql.Column) = {
-        val bucket = TextHash.md5Long(t) % D
-        TextHash.md5Long(concat(lit("w:"), bucket.cast("string"))) % 2001 - 1000
-      }
       Tables.documents(s, d).select(
-          aggregate(transform(toks, weight(_)), lit(0L), (acc, x) => acc + x).as("score"),
-          (size(toks) >= 60).cast("long").as("pos"))
+          classifierScore(col("text")).as("score"),
+          (size(TextHash.tokens(col("text"))) >= 60).cast("long").as("pos"))
         .withColumn("bin", expr("score div 2000L"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
@@ -260,8 +260,10 @@ object TextQueries {
       val stats = withTf.agg(aggs.head, aggs.tail: _*)
       val scored = withTf.crossJoin(broadcast(stats))
       val scoreCols = terms.indices.map { i =>
-        expr(s"""cast(44 * tf$i * l * (n - df$i + 1) as decimal(38,0)) * 1000000
-                 div (cast(20 * tf$i * l + 6 * l + 18 * dl * n as decimal(38,0)) * (df$i + 1))""")
+        // decimal from the FIRST multiply: a bigint product inside the cast
+        // would overflow long before the cast protects anything
+        expr(s"""cast(44 as decimal(38,0)) * tf$i * l * (n - df$i + 1) * 1000000
+                 div ((cast(20 as decimal(38,0)) * tf$i * l + 6 * l + 18 * dl * n) * (df$i + 1))""")
       }
       scored.withColumn("score_micro", scoreCols.reduce(_ + _))
         .agg(graft.functions.TopKAggregate.topK(
@@ -279,7 +281,10 @@ object TextQueries {
     // one scan. Exact integers: (Σc²−n)·10⁶ div n(n−1) stays under int64
     // for docs to ~10⁶ chars.
     "q226_charset_audit" -> ((s, d) => {
-      val chars = array_sort(split(col("text"), ""))
+      // split('') yields [""] on EMPTY text in both engines — filter the
+      // empty element so a zero-length doc audits as (0 chars, 0 distinct)
+      // instead of one phantom character (latent oracle divergence)
+      val chars = array_sort(filter(split(col("text"), ""), c => c =!= ""))
       val sumC2 = aggregate(chars,
         struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
         (acc, x) => {
@@ -290,7 +295,8 @@ object TextQueries {
         acc => acc.getField("acc"))
       Tables.documents(s, d).select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
-          size(array_distinct(split(col("text"), ""))).as("n_distinct_chars"),
+          size(array_distinct(filter(split(col("text"), ""), c => c =!= "")))
+            .as("n_distinct_chars"),
           sumC2.as("c2"),
           length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
         .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
@@ -383,8 +389,7 @@ object TextQueries {
            |FROM f""".stripMargin,
 
       "q214_hashed_classifier" -> {
-        val wSql = "(" + TextHash.md5LongSql(
-          s"'w:' || (${TextHash.md5LongSql("t")} % 4096)::VARCHAR") + " % 2001 - 1000)"
+        val wSql = classifierWSql
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
            |s AS (SELECT doc_id, len(toks)::INT AS n_tokens,
            |        coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score
@@ -393,8 +398,7 @@ object TextQueries {
       },
 
       "q215_auc_exact" -> {
-        val wSql = "(" + TextHash.md5LongSql(
-          s"'w:' || (${TextHash.md5LongSql("t")} % 4096)::VARCHAR") + " % 2001 - 1000)"
+        val wSql = classifierWSql
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
            |s AS (SELECT coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score,
            |        (CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pos FROM t),
@@ -413,8 +417,7 @@ object TextQueries {
       },
 
       "q216_calibration_bins" -> {
-        val wSql = "(" + TextHash.md5LongSql(
-          s"'w:' || (${TextHash.md5LongSql("t")} % 4096)::VARCHAR") + " % 2001 - 1000)"
+        val wSql = classifierWSql
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
            |s AS (SELECT coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score,
            |        (CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pos FROM t)
@@ -448,17 +451,20 @@ object TextQueries {
       },
 
       "q226_charset_audit" ->
-        """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        """WITH ch AS (SELECT doc_id,
+          |    unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+          |  FROM documents),
           |cc AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
           |a AS (SELECT doc_id, sum(n)::BIGINT AS n_chars,
           |        count(*)::BIGINT AS n_distinct_chars,
           |        sum(n * n)::BIGINT AS c2 FROM cc GROUP BY 1)
-          |SELECT a.doc_id, a.n_chars AS n_chars, n_distinct_chars,
+          |SELECT d.doc_id, coalesce(a.n_chars, 0)::BIGINT AS n_chars,
+          |  coalesce(n_distinct_chars, 0)::BIGINT AS n_distinct_chars,
           |  (CASE WHEN a.n_chars >= 2
           |        THEN ((c2 - a.n_chars) * 1000000) // (a.n_chars * (a.n_chars - 1))
           |        ELSE 0 END)::BIGINT AS collision_ppm,
           |  length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
-          |FROM a JOIN documents d ON d.doc_id = a.doc_id""".stripMargin,
+          |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
     )
   }
 }

@@ -44,6 +44,11 @@ object BloomFileIndex {
       .agg(BloomFilterAggregate.bloom(keyHash(col(keyCol)), numBits, depth)
           .as("bloom"),
         count(lit(1)).as("n_rows"))
+      // geometry rides the sidecar: probing with mismatched bits/depth
+      // tests the WRONG bit positions — bloom FALSE NEGATIVES, silently
+      // missing rows. Probe-side calls validate against these columns.
+      .withColumn("num_bits", lit(numBits))
+      .withColumn("depth", lit(depth))
 
   /** Files whose bloom accepts `value` — the planner-side skip. May
     * overapproximate (bloom false positives), never misses a file that
@@ -55,9 +60,19 @@ object BloomFileIndex {
       depth: Int = DefaultDepth): Seq[String] = {
     val spark = stats.sparkSession
     import spark.implicits._
+    checkGeometry(stats, numBits, depth)
     stats.filter(BloomFilterAggregate.mightContain(
         col("bloom"), keyHash(value), numBits, depth))
       .select(col("file")).as[String].collect().toSeq
+  }
+
+  /** A probe with the wrong geometry would produce false NEGATIVES —
+    * fail loudly instead (the LshIndex meta-check discipline). */
+  private def checkGeometry(stats: DataFrame, numBits: Int, depth: Int): Unit = {
+    val r = stats.select(col("num_bits"), col("depth")).limit(1).collect()
+    require(r.isEmpty || (r(0).getInt(0) == numBits && r(0).getInt(1) == depth),
+      s"probe geometry ($numBits/$depth) != index geometry " +
+        s"(${r(0).getInt(0)}/${r(0).getInt(1)})")
   }
 
   /** Point lookup through the index: scan only accepting files, then the

@@ -70,11 +70,12 @@ object LshIndex {
     * The gate's corpus read is partition-pruned to the BATCH's own id
     * buckets — bounded by batch size, never corpus size.
     *
-    * Crash ordering: docs are written before bands. A failure between the
-    * two leaves new docs unreachable (no band rows point at them) but
-    * every band row still resolves — probes stay correct, missing only
-    * the half-appended batch. Recovery is a rebuild or a fresh-id retry
-    * (the collision gate flags the partial batch loudly).
+    * Crash ordering: bands are written before docs. A failure between the
+    * two leaves band rows whose docs are missing — probes stay correct
+    * (candidates against absent docs drop at the doc join, and probe
+    * dedups duplicate candidates) — and simply RE-RUNNING the same append
+    * converges: the collision gate still sees no docs, bands append again
+    * (harmless duplicates), docs land exactly once.
     */
   def append(spark: SparkSession, batch: DataFrame, idCol: String,
       shingleHashes: Column, dir: String,
@@ -99,11 +100,17 @@ object LshIndex {
       s"append would duplicate already-indexed ids (first ${clash.length}): " +
         clash.mkString(", "))
 
-    newDocs.write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
+    // bands FIRST (the startDedupStream ordering): a crash between the two
+    // writes leaves extra band rows, which probe provably tolerates (it
+    // dedups candidates), and the RETRY converges — the collision gate
+    // re-checks docs, finds none, and appends both again (band dups
+    // benign, docs exactly once). Docs-first would leave the batch
+    // permanently unretryable: the gate would abort every retry.
     val sig = MinHashDedup.withSignature(sh, cfg)
     MinHashDedup.bandRows(sig, cfg)
       .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
       .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
+    newDocs.write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
     newDocs.unpersist()
     sh.unpersist()
   }

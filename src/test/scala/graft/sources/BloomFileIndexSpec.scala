@@ -52,6 +52,15 @@ class BloomFileIndexSpec extends AnyFunSuite {
     stats.unpersist()
   }
 
+  test("mismatched probe geometry is rejected, never a silent miss") {
+    val dir = writeRandomLayout()
+    val stats = BloomFileIndex.build(spark.read.parquet(dir), "k", numBits = 1 << 17)
+    val e = intercept[IllegalArgumentException] {
+      BloomFileIndex.candidateFiles(stats, lit(1234L)) // default 1 << 16
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
   test("string keys hash consistently between build and probe") {
     val dir = Files.createTempDirectory("graft_bf").toString + "/t"
     (0 until 1000).map(i => (s"id_$i", i)).toDF("k", "v")
