@@ -226,26 +226,37 @@ object MixQueries {
     // sources): weights are floor(√n) — IEEE sqrt is correctly rounded
     // and floor is exact, so the weights are INTEGERS and every quota is
     // an integer division (no order-dependent float sum across sources).
-    // The sample itself is the per-source md5-order prefix of length
-    // quota (one source-partitioned window), and the emitted id-SUM
-    // proves the exact sample membership without shipping the rows.
+    // The sample is the per-source md5-order prefix of length quota,
+    // picked with the q56 idiom: a per-source TopKByScore (k = K ≥ any
+    // quota) keeps a bounded map-side-combinable buffer, so the shuffle
+    // carries ≤ K rows per source — NEVER a source-partitioned window,
+    // which would sort each source's ENTIRE document set in one task
+    // (#sources tasks total at 100 TB). The hash is mod 2^40 so its
+    // negation is double-exact for the aggregate's score, and the
+    // aggregate's (score DESC, payload ASC) tie order == (hv, doc_id).
+    // The emitted id-SUM proves exact sample membership without
+    // shipping the rows.
     "q230_temperature_mix" -> ((s, d) => {
-      val K = 1000L
+      val K = 1000
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
-        .withColumn("h", TextHash.md5Long(col("doc_id").cast("string")))
-        .persist() // counts + ranked sampling
+        .withColumn("hv",
+          pmod(TextHash.md5Long(col("doc_id").cast("string")), lit(1099511627776L)))
+        .persist() // counts + bounded top-K sampling
       val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .withColumn("w", floor(sqrt(col("n_docs"))).cast("long"))
       val tot = per.agg(sum(col("w")).as("tw"))
       val quota = per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("w"),
           expr(s"($K * w) div tw").as("quota"))
-      val wnd = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-      val sm = docs.withColumn("rn", row_number().over(wnd))
-        .join(broadcast(quota.select(col("source"), col("quota"))), "source")
-        .filter(col("rn") <= col("quota"))
+      val sm = docs
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sample_id_sum"))
+        .agg(graft.functions.TopKAggregate
+          .topK((-col("hv")).cast("double"), col("doc_id"), K).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .join(broadcast(quota.select(col("source"), col("quota"))), "source")
+        .filter(col("pos") < col("quota")) // pos 0-based == rank-1
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("t.payload")).as("sample_id_sum"))
       quota.join(sm, Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("w").as("weight"), col("quota"),
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
@@ -745,7 +756,7 @@ object MixQueries {
 
       "q230_temperature_mix" ->
         s"""WITH docs AS (SELECT doc_id, source,
-           |    ${TextHash.md5LongSql("doc_id::VARCHAR")} AS h FROM documents),
+           |    (${TextHash.md5LongSql("doc_id::VARCHAR")}) % 1099511627776 AS h FROM documents),
            |per AS (SELECT source, count(*)::BIGINT AS n_docs,
            |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w FROM docs GROUP BY source),
            |tot AS (SELECT sum(w)::BIGINT AS tw FROM per),

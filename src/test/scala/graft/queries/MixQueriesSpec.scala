@@ -167,6 +167,35 @@ class MixQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q230 temperature mix: windowless plan, sample matches direct hash order") {
+    val df = MixQueries.queries("q230_temperature_mix")(spark, dir)
+    // the r7 verdict's scale-killer: a row_number window partitioned by the
+    // low-cardinality source column sorts whole sources in single tasks —
+    // the bounded TopKByScore pick must leave NO Window node in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q230 must not contain a window:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        pmod(graft.functions.TextHash.md5Long(col("doc_id").cast("string")),
+          lit(1099511627776L)).as("hv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val w = docs.groupBy(_._1).view.mapValues(g => math.floor(math.sqrt(g.size.toDouble)).toLong)
+    val tw = w.values.sum
+    for ((src, nDocs, weight, quota, nSampled, idSum) <- rows) {
+      val g = docs.filter(_._1 == src)
+      assert(nDocs == g.length)
+      assert(weight == w(src))
+      assert(quota == 1000L * weight / tw)
+      val expect = g.sortBy(t => (t._3, t._2)).take(quota.toInt).map(_._2)
+      assert(nSampled == expect.length, s"source $src")
+      assert(idSum == expect.sum, s"source $src")
+    }
+  }
+
   test("q54 waterfill: allocations exhaust the 80% budget, caps respected") {
     val rows = MixQueries.queries("q54_source_mix")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
