@@ -49,6 +49,10 @@ object IvfPq {
       nClusters: Int = 10, ivfIters: Int = 4, m: Int = 8, kCodes: Int = 16,
       pqIters: Int = 3, ivfSampleCap: Long = 10000, pqSampleCap: Long = 500)
       : (Array[Array[Double]], Array[Array[Array[Long]]]) = {
+    // a REBUILD over an existing index first revokes readiness: a crash
+    // anywhere below leaves no `_ready`, and probes fail loudly instead of
+    // pairing fresh data with stale sidecars (or truncated JSON)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_ready"))
     val c = corpus.select(
         col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
       .withColumn("vq", ProductQuantizer.micro(col("cv")))
@@ -78,15 +82,34 @@ object IvfPq {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
     c.unpersist()
 
+    // sidecars land atomically (temp + same-dir atomic move — never a
+    // torn/truncated JSON), and `_ready` is created only after BOTH are in
+    // place, so data and sidecars can never disagree for a reader
     val cjson = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/centroids.json"), cjson)
+    atomicWrite(s"$dir/centroids.json", cjson)
     val bjson = cb.map(_.map(_.mkString("[", ",", "]")).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/codebooks.json"), bjson)
+    atomicWrite(s"$dir/codebooks.json", bjson)
+    atomicWrite(s"$dir/_ready", "1")
     (centroids, cb)
   }
+
+  /** Crash-safe small-file write: temp in the target dir + atomic move. */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, ".tmp-", "")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Probe-side integrity gate: an index dir missing `_ready` was interrupted
+    * mid-(re)build — its data and sidecars may disagree. */
+  def requireReady(dir: String): Unit =
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_ready")),
+      s"IVF+PQ index at $dir has no _ready marker — a (re)build was " +
+        "interrupted before its sidecars were committed; rebuild the index")
 
   def readCodebooks(dir: String): Array[Array[Array[Long]]] = {
     val json = java.nio.file.Files.readString(
@@ -104,6 +127,7 @@ object IvfPq {
       queries: DataFrame, corpus: DataFrame, indexDir: String,
       idCol: String, vecCol: String, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val spark = queries.sparkSession
+    requireReady(indexDir)
     val centroids = KMeansIVF.readCentroids(indexDir)
     val cb = readCodebooks(indexDir)
     val normsC = KMeansNearestUtil.norms(centroids)

@@ -575,7 +575,9 @@ object AuditQueries {
           x => x < coalesce(col("theta"), lit(Long.MaxValue)) &&
             array_contains(col("ha"), x) && array_contains(col("hb"), x))).cast("long"))
         .select(col("sa"), col("sb"), col("na"), col("nb"),
-          expr("(c * 10000) div samp").as("est_j_bp"))
+          // degenerate pair (both sketches empty): audit as 0 bp instead of
+          // an ANSI div-by-zero abort; the oracle CASEs identically
+          expr("if(samp > 0, (c * 10000) div samp, 0L)").as("est_j_bp"))
       val inter = dist.as("a").join(dist.as("b"),
         col("a.sv") === col("b.sv") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
@@ -584,7 +586,8 @@ object AuditQueries {
         .select(col("sa"), col("sb"),
           coalesce(col("inter"), lit(0L)).as("n_inter"),
           (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("n_union"),
-          expr("(coalesce(inter, 0L) * 10000) div (na + nb - coalesce(inter, 0L))")
+          expr("if(na + nb - coalesce(inter, 0L) > 0, " +
+            "(coalesce(inter, 0L) * 10000) div (na + nb - coalesce(inter, 0L)), 0L)")
             .as("exact_j_bp"),
           col("est_j_bp"))
     }),
@@ -998,9 +1001,10 @@ object AuditQueries {
          |SELECT cc.sa, cc.sb,
          |  coalesce(inter, 0)::BIGINT AS n_inter,
          |  (na.n + nb.n - coalesce(inter, 0))::BIGINT AS n_union,
-         |  ((coalesce(inter, 0) * 10000) // (na.n + nb.n - coalesce(inter, 0)))::BIGINT
-         |    AS exact_j_bp,
-         |  ((c * 10000) // samp)::BIGINT AS est_j_bp
+         |  (CASE WHEN na.n + nb.n - coalesce(inter, 0) > 0
+         |    THEN (coalesce(inter, 0) * 10000) // (na.n + nb.n - coalesce(inter, 0))
+         |    ELSE 0 END)::BIGINT AS exact_j_bp,
+         |  (CASE WHEN samp > 0 THEN (c * 10000) // samp ELSE 0 END)::BIGINT AS est_j_bp
          |FROM cc
          |JOIN nn na ON na.source = cc.sa
          |JOIN nn nb ON nb.source = cc.sb

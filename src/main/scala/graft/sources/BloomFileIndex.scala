@@ -67,12 +67,21 @@ object BloomFileIndex {
   }
 
   /** A probe with the wrong geometry would produce false NEGATIVES —
-    * fail loudly instead (the LshIndex meta-check discipline). */
+    * fail loudly instead (the LshIndex meta-check discipline). Validates
+    * EVERY row in one tiny aggregate job: a stats table accidentally
+    * unioned from builds with different geometry would pass a first-row
+    * check while its mismatched rows silently drop matching files. */
   private def checkGeometry(stats: DataFrame, numBits: Int, depth: Int): Unit = {
-    val r = stats.select(col("num_bits"), col("depth")).limit(1).collect()
-    require(r.isEmpty || (r(0).getInt(0) == numBits && r(0).getInt(1) == depth),
+    val r = stats.agg(
+      countDistinct(struct(col("num_bits"), col("depth"))).as("n_geoms"),
+      min(col("num_bits")).as("nb"), min(col("depth")).as("d")).collect()(0)
+    if (r.getLong(0) == 0L) return // empty stats table: nothing to prune
+    require(r.getLong(0) == 1L,
+      s"bloom stats table mixes ${r.getLong(0)} geometries — every row must " +
+        "come from one build config; rebuild instead of unioning sidecars")
+    require(r.getInt(1) == numBits && r.getInt(2) == depth,
       s"probe geometry ($numBits/$depth) != index geometry " +
-        s"(${r(0).getInt(0)}/${r(0).getInt(1)})")
+        s"(${r.getInt(1)}/${r.getInt(2)})")
   }
 
   /** Point lookup through the index: scan only accepting files, then the

@@ -70,6 +70,13 @@ object LshIndex {
     * The gate's corpus read is partition-pruned to the BATCH's own id
     * buckets — bounded by batch size, never corpus size.
     *
+    * Concurrency: the gate is check-then-write, so two CONCURRENT appends
+    * could both pass it before either writes. Appends therefore serialize
+    * on an index-wide `append.lock` (atomic create-new). A lock left by a
+    * crashed append fails the next one LOUDLY — remove `dir/append.lock`
+    * after confirming no rival append is live, then re-run (the retry
+    * convergence below is unchanged).
+    *
     * Crash ordering: bands are written before docs. A failure between the
     * two leaves band rows whose docs are missing — probes stay correct
     * (candidates against absent docs drop at the doc join, and probe
@@ -85,35 +92,48 @@ object LshIndex {
       s"append cfg (${cfg.numHashes}/${cfg.bands}) != index meta " +
         s"(${meta("numHashes")}/${meta("bands")})")
     val nParts = meta("nParts")
-    val sh = MinHashDedup.hashed(batch, idCol, shingleHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newDocs = sh.select(col("id"), col("hashes"))
-      .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!casCreate(lock)) throw new IllegalStateException(
+      s"another append holds $lock (in flight, or crashed while holding it) — " +
+        "concurrent appends would race the collision gate; if no rival is " +
+        "live, remove the lock file and re-run")
+    try {
+      val sh = MinHashDedup.hashed(batch, idCol, shingleHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newDocs = sh.select(col("id"), col("hashes"))
+        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
-    val clash = spark.read.parquet(s"$dir/docs")
-      .filter(col("hb").isin(hbs: _*)).select(col("id"))
-      .join(newDocs.select(col("id")), "id", "left_semi")
-      .limit(5).collect().map(_.get(0))
-    require(clash.isEmpty,
-      s"append would duplicate already-indexed ids (first ${clash.length}): " +
-        clash.mkString(", "))
+      val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
+      val clash = spark.read.parquet(s"$dir/docs")
+        .filter(col("hb").isin(hbs: _*)).select(col("id"))
+        .join(newDocs.select(col("id")), "id", "left_semi")
+        .limit(5).collect().map(_.get(0))
+      require(clash.isEmpty,
+        s"append would duplicate already-indexed ids (first ${clash.length}): " +
+          clash.mkString(", "))
 
-    // bands FIRST (the startDedupStream ordering): a crash between the two
-    // writes leaves extra band rows, which probe provably tolerates (it
-    // dedups candidates), and the RETRY converges — the collision gate
-    // re-checks docs, finds none, and appends both again (band dups
-    // benign, docs exactly once). Docs-first would leave the batch
-    // permanently unretryable: the gate would abort every retry.
-    val sig = MinHashDedup.withSignature(sh, cfg)
-    MinHashDedup.bandRows(sig, cfg)
-      .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
-      .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
-    newDocs.write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
-    newDocs.unpersist()
-    sh.unpersist()
+      // bands FIRST (the startDedupStream ordering): a crash between the two
+      // writes leaves extra band rows, which probe provably tolerates (it
+      // dedups candidates), and the RETRY converges — the collision gate
+      // re-checks docs, finds none, and appends both again (band dups
+      // benign, docs exactly once). Docs-first would leave the batch
+      // permanently unretryable: the gate would abort every retry.
+      val sig = MinHashDedup.withSignature(sh, cfg)
+      MinHashDedup.bandRows(sig, cfg)
+        .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+        .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
+      newDocs.write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
+      newDocs.unpersist()
+      sh.unpersist()
+    } finally java.nio.file.Files.deleteIfExists(lock)
   }
+
+  /** Atomic create-new (the local fail-if-exists primitive): true iff this
+    * caller created the file, false if it already existed. */
+  private def casCreate(p: java.nio.file.Path): Boolean =
+    try { java.nio.file.Files.createFile(p); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
   /** Streaming near-dup ingest: each micro-batch is probed against the
     * index, near-dups (of the corpus AND of smaller-id batchmates) are
@@ -128,6 +148,17 @@ object LshIndex {
     * re-filtered against the docs dataset (the bounded bucket-pruned
     * read), so docs never duplicate. Between a crash and its replay the
     * half-appended batch may be invisible to probes; replay converges.
+    *
+    * Concurrency: the docs re-filter is check-then-write, so two RIVAL
+    * workers running the same batch (two drivers on one checkpoint — a
+    * deployment error the commit marker alone cannot catch in time) could
+    * both anti-join against the pre-write docs and both append. The docs
+    * section therefore runs under a per-batch `claim-<id>` marker (atomic
+    * create-new): the loser waits for the winner's completion marker and
+    * no-ops. A claim left by a CRASH inside the docs write fails the
+    * replay LOUDLY — remove `dir/commits/claim-<id>` after confirming no
+    * rival is live; every crash window BEFORE the claim still replays
+    * automatically as before.
     *
     * Batch path vs this path: [[append]] ABORTS on id collisions (a batch
     * caller duplicating ids is a bug); the stream SKIPS already-indexed
@@ -168,7 +199,8 @@ object LshIndex {
       shingleHashes: Column,
       dir: String,
       cfg: MinHashDedup.Config,
-      batchId: Long): Option[DataFrame] = {
+      batchId: Long,
+      rivalWaitMs: Long = 30000L): Option[DataFrame] = {
     val commits = java.nio.file.Paths.get(s"$dir/commits")
     java.nio.file.Files.createDirectories(commits)
     val marker = commits.resolve(s"batch-$batchId")
@@ -198,22 +230,53 @@ object LshIndex {
       MinHashDedup.bandRows(sig, cfg)
         .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
         .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
-      val newDocs = sh.select(col("id"), col("hashes"))
-        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
-      val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
-      val existing = spark.read.parquet(s"$dir/docs")
-        .filter(col("hb").isin(hbs: _*)).select(col("id"))
-      newDocs.join(existing, Seq("id"), "left_anti")
-        .write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
-      sh.unpersist()
-    }
+      // CLAIM the batch before the docs read-filter-write (the rival-worker
+      // TOCTOU: without it, two workers on this batch both anti-join
+      // against the PRE-write docs and both append). Held only across the
+      // docs section; released after the completion marker lands.
+      val claim = commits.resolve(s"claim-$batchId")
+      if (!casCreate(claim)) {
+        val deadline = System.nanoTime() + rivalWaitMs * 1000000L
+        while (!java.nio.file.Files.exists(marker) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        if (java.nio.file.Files.exists(marker)) {
+          sh.unpersist(); survivors.unpersist()
+          return None // the rival finished this batch — protocol working
+        }
+        throw new IllegalStateException(
+          s"batch $batchId is claimed by a rival worker that has not " +
+            s"completed within ${rivalWaitMs}ms (in flight, or crashed " +
+            "inside its docs write) — remove " + claim +
+            " after confirming no rival is live, then replay")
+      }
+      try {
+        val newDocs = sh.select(col("id"), col("hashes"))
+          .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+        val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
+        val existing = spark.read.parquet(s"$dir/docs")
+          .filter(col("hb").isin(hbs: _*)).select(col("id"))
+        newDocs.join(existing, Seq("id"), "left_anti")
+          .write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
+        sh.unpersist()
+        commitMarker(commits, marker)
+      } catch {
+        // a FAILED (not crashed) docs write releases the claim so the
+        // replay converges unattended; a crash leaves it for the loud path
+        case e: Throwable =>
+          java.nio.file.Files.deleteIfExists(claim); throw e
+      }
+      java.nio.file.Files.deleteIfExists(claim)
+    } else commitMarker(commits, marker)
+    Some(survivors)
+  }
 
-    // atomic commit marker (lost race with a rival worker = already done)
+  /** Atomic commit marker (lost race with a rival worker = already done). */
+  private def commitMarker(
+      commits: java.nio.file.Path, marker: java.nio.file.Path): Unit = {
     val tmp = java.nio.file.Files.createTempFile(commits, ".tmp-", "")
     try java.nio.file.Files.createLink(marker, tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     finally java.nio.file.Files.deleteIfExists(tmp)
-    Some(survivors)
   }
 
   private def metaOf(dir: String): Map[String, Int] = {

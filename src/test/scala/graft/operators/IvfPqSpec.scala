@@ -27,6 +27,24 @@ class IvfPqSpec extends AnyFunSuite {
       s"index schema must be codes-only, got ${schema.fieldNames.toSeq}")
   }
 
+  test("interrupted (re)build leaves no _ready; probes fail loudly, not on stale sidecars") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_ready").toString
+    val e = Tables.embeddings(spark, dir)
+    IvfPq.writeIndex(e, "vec_id", "embedding", idx,
+      ivfSampleCap = 100, pqSampleCap = 500)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/_ready")),
+      "a completed build must commit the readiness marker")
+    // simulate a rebuild that crashed after the data write but before the
+    // sidecars: the marker is revoked first, so the probe must abort
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/_ready"))
+    val q = e.filter(col("vec_id") < 3)
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.probeTopK(q, e, idx, "vec_id", "embedding",
+        k = 3, nprobe = 2, shortlist = 10)
+    }
+    assert(ex.getMessage.contains("_ready"))
+  }
+
   test("probe plan carries a bucket partition filter and scans no vector column") {
     val idx = java.nio.file.Files.createTempDirectory("ivfpq_probe").toString
     val e = Tables.embeddings(spark, dir)

@@ -61,6 +61,19 @@ class BloomFileIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("geometry"))
   }
 
+  test("stats table unioned from two geometries is rejected on every row") {
+    val dir = writeRandomLayout()
+    val full = spark.read.parquet(dir)
+    // a first-row-only check would PASS this union (first row matches the
+    // probe) while the 2^17 rows silently produce bloom false negatives
+    val mixed = BloomFileIndex.build(full, "k")
+      .unionByName(BloomFileIndex.build(full, "k", numBits = 1 << 17))
+    val e = intercept[IllegalArgumentException] {
+      BloomFileIndex.candidateFiles(mixed, lit(1234L))
+    }
+    assert(e.getMessage.contains("mixes"))
+  }
+
   test("string keys hash consistently between build and probe") {
     val dir = Files.createTempDirectory("graft_bf").toString + "/t"
     (0 until 1000).map(i => (s"id_$i", i)).toDF("k", "v")

@@ -170,6 +170,71 @@ class LshIndexSpec extends AnyFunSuite {
     graft.TempDirs.deleteRecursively(new java.io.File(ckpt))
   }
 
+  test("rival-claimed batch: waits for the rival's commit, then no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dir, cfg)
+    val batch = docs.filter(col("doc_id") > 0 && col("doc_id") < 4) // uniques
+    val commits = java.nio.file.Paths.get(s"$dir/commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.createFile(commits.resolve("claim-9")) // rival holds it
+    val docsN = spark.read.parquet(s"$dir/docs").count()
+    val t = new Thread(() => { // the rival commits while we wait
+      Thread.sleep(300)
+      java.nio.file.Files.createFile(commits.resolve("batch-9"))
+    })
+    t.start()
+    val sv = LshIndex.processDedupBatch(spark, batch, "doc_id", shingles, dir,
+      cfg, 9L, rivalWaitMs = 5000L)
+    t.join()
+    assert(sv.isEmpty, "losing the claim must defer to the rival's commit")
+    assert(spark.read.parquet(s"$dir/docs").count() === docsN,
+      "the loser must not append docs")
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("stale claim (crashed rival) fails loudly instead of duplicating docs") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dir, cfg)
+    val batch = docs.filter(col("doc_id") > 0 && col("doc_id") < 4)
+    val commits = java.nio.file.Paths.get(s"$dir/commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.createFile(commits.resolve("claim-11"))
+    val docsN = spark.read.parquet(s"$dir/docs").count()
+    val e = intercept[IllegalStateException] {
+      LshIndex.processDedupBatch(spark, batch, "doc_id", shingles, dir,
+        cfg, 11L, rivalWaitMs = 200L)
+    }
+    assert(e.getMessage.contains("claim"))
+    assert(spark.read.parquet(s"$dir/docs").count() === docsN)
+    // operator removes the stale claim: the replay then converges
+    java.nio.file.Files.delete(commits.resolve("claim-11"))
+    assert(LshIndex.processDedupBatch(spark, batch, "doc_id", shingles, dir,
+      cfg, 11L).isDefined)
+    assert(spark.read.parquet(s"$dir/docs").count() === docsN + 3)
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("append serializes on the index lock; stale lock fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(docs.filter(col("doc_id") >= 14), "doc_id", shingles, dir, cfg)
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    java.nio.file.Files.createFile(lock) // a rival append (or its corpse)
+    val e = intercept[IllegalStateException] {
+      LshIndex.append(spark, docs.filter(col("doc_id") >= 10 && col("doc_id") < 14),
+        "doc_id", shingles, dir, cfg)
+    }
+    assert(e.getMessage.contains("append.lock"))
+    java.nio.file.Files.delete(lock)
+    LshIndex.append(spark, docs.filter(col("doc_id") >= 10 && col("doc_id") < 14),
+      "doc_id", shingles, dir, cfg)
+    assert(!java.nio.file.Files.exists(lock), "append must release the lock")
+    assert(spark.read.parquet(s"$dir/docs").count() === 10L)
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("probe with mismatched band geometry is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     LshIndex.write(docs, "doc_id", shingles, dir, cfg)
