@@ -242,6 +242,61 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static helper for [[MinHash2Signature]], callable from generated code. */
+object MinHash2Util {
+  def sig2(arr: ArrayData, as: Array[Long], bs: Array[Long], p: Long): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = as.length
+    val m1 = Array.fill(k)(Long.MaxValue)
+    val m2 = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        // the affine map mod prime p is injective over distinct inputs
+        // (the hashed-shingle sets are distinct), so v == m1(j) never
+        // recurs for a different element — no equality guard needed
+        if (v < m1(j)) { m2(j) = m1(j); m1(j) = v }
+        else if (v < m2(j)) m2(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < k) { if (m2(j) == Long.MaxValue) m2(j) = m1(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(m2)
+  }
+}
+
+/** The per-permutation SECOND-smallest minhash value — the multi-probe LSH
+  * perturbation source: when a near-duplicate lacks the query's minimum
+  * shingle, its minhash is most likely the query's second minimum, so
+  * probing the band bucket with that one value swapped in recovers the
+  * pair the exact bucket missed. Singleton sets fall back to the minimum
+  * (the perturbed key degenerates to the exact key — a harmless no-op
+  * probe). DuckDB replays it as
+  * `coalesce(list_sort(perm_list)[2], list_sort(perm_list)[1])`.
+  */
+case class MinHash2Signature(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    MinHash2Util.sig2(v.asInstanceOf[ArrayData], as, bs, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash2Util.sig2($c, $asRef, $bsRef, ${p}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hash every element of a string array in one native call:
   * == `transform(arr, s -> md5Long(s) % p)` without the per-element
   * interpreted HOF iteration. `p <= 0` skips the modulo. */
@@ -660,4 +715,8 @@ object VectorExpressions {
     // and the analyzer resolves by name, so distinct configs must not alias
     registered(s"graft_minhash_sig_${as.length}_${(as.sum ^ bs.sum).toHexString}",
       exprs => MinHashSignature(exprs.head, as, bs, p))(hashes)
+
+  def minhash2Signature(hashes: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
+    registered(s"graft_minhash_sig2_${as.length}_${(as.sum ^ bs.sum).toHexString}",
+      exprs => MinHash2Signature(exprs.head, as, bs, p))(hashes)
 }

@@ -22,6 +22,12 @@ object DedupQueries {
   // shingles for selectivity; near-dups sit at j ≈ 1 and are still caught.
   private val charCfg = MinHashDedup.Config(numHashes = 16, bands = 4, jaccardThreshold = 0.6)
   private val charN = 8
+  // q231 multi-probe config: a deliberately SMALL index (2 bands of 8 rows
+  // — a quarter of wordCfg's band tables) whose single-probe recall is
+  // imperfect at j ≈ 0.9 (per-band hit j⁸ ≈ 0.43, both-miss ≈ 0.32), so
+  // the perturbation probes have headroom to buy recall back.
+  private val mpCfg = MinHashDedup.Config(numHashes = 16, bands = 2, jaccardThreshold = 0.8)
+  private val mpProbes = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content. (Synthetic corpus has no exact
@@ -53,6 +59,64 @@ object DedupQueries {
         docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, wordCfg)
       graft.sources.LshIndex.probe(
         s, docs.filter(col("doc_id") < 50), "doc_id", sh, idx, wordCfg)
+    }),
+
+    // MULTI-PROBE LSH recall audit: the q121 index shrunk to a QUARTER of
+    // the band tables (mpCfg: 2 bands × 8 rows), probed single-probe vs
+    // multi-probe (each band's exact bucket + the 3 smallest-gap 2nd-min
+    // perturbations — sources/LshIndex multiProbe). The exact truth set is
+    // the inverted-index batch×corpus Jaccard join (linear in shared
+    // shingles, never doc×doc). One row: both pair counts, both recalls —
+    // the more-probes-for-smaller-index trade, measured and hash-checked
+    // (the oracle replays both probe pipelines including the probe order).
+    "q231_multiprobe_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = graft.functions.VectorExpressions
+        .wordShingleHashes(col("text"), 3, TextHash.P)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_lsh_idx_q231_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.sources.LshIndex.write(
+        docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, mpCfg)
+      val batch = docs.filter(col("doc_id") < 50)
+      val single = graft.sources.LshIndex
+        .probe(s, batch, "doc_id", sh, idx, mpCfg)
+        .select(col("query_id"), col("corpus_id"))
+      val multi = graft.sources.LshIndex
+        .probe(s, batch, "doc_id", sh, idx, mpCfg, multiProbe = mpProbes)
+        .select(col("query_id"), col("corpus_id"))
+      // exact truth: inverted-index join on the shingle hash — pairs with
+      // no shared shingle have jaccard 0 and are correctly absent
+      val hz = docs.select(col("doc_id").as("id"), sh.as("hashes"))
+      val qe = hz.filter(col("id") < 50)
+        .select(col("id").as("query_id"), size(col("hashes")).as("nq"),
+          explode(col("hashes")).as("h"))
+      val ce = hz.filter(col("id") >= 50)
+        .select(col("id").as("corpus_id"), size(col("hashes")).as("nc"),
+          explode(col("hashes")).as("h"))
+      val exact = qe.join(ce, "h")
+        .groupBy(col("query_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("inter"), max(col("nq")).as("nq"), max(col("nc")).as("nc"))
+        .filter(col("inter").cast("double") /
+          (col("nq") + col("nc") - col("inter")) >= mpCfg.jaccardThreshold)
+        .select(col("query_id"), col("corpus_id"))
+      val j = exact
+        .join(single.withColumn("h1", lit(1)), Seq("query_id", "corpus_id"), "left")
+        .join(multi.withColumn("h2", lit(1)), Seq("query_id", "corpus_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("h1")), lit(0)).cast("long").as("found_single"),
+          coalesce(sum(col("h2")), lit(0)).cast("long").as("found_multi"))
+      j.crossJoin(single.agg(count(lit(1)).as("n_single")))
+        .crossJoin(multi.agg(count(lit(1)).as("n_multi")))
+        .select(col("n_exact"), col("n_single"), col("n_multi"),
+          col("found_single"), col("found_multi"),
+          when(col("n_exact") > 0, graft.functions.PortableMath.roundPortable(
+            col("found_single").cast("double") / col("n_exact"), 3)).otherwise(0.0)
+            .as("recall_single"),
+          when(col("n_exact") > 0, graft.functions.PortableMath.roundPortable(
+            col("found_multi").cast("double") / col("n_exact"), 3)).otherwise(0.0)
+            .as("recall_multi"))
     }),
 
     "q12_dedup_minhash_lsh" -> ((s, d) =>
@@ -502,6 +566,47 @@ object DedupQueries {
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""SELECT id_a AS query_id, id_b AS corpus_id, jaccard
          |FROM ($base) WHERE id_a < 50 AND id_b >= 50""".stripMargin
+    },
+
+    // both probe pipelines replayed in full (bands, perturbation probe
+    // order, estimate prune, exact verify) as nested WITH subqueries; the
+    // exact truth set is the same inverted-index join
+    "q231_multiprobe_recall" -> {
+      val shSql = TextHash.wordShinglesSql("text", 3)
+      val singleSql = MinHashDedup.probeOracleSql("documents", "doc_id",
+        shSql, mpCfg, 0, "id < 50", "id >= 50")
+      val multiSql = MinHashDedup.probeOracleSql("documents", "doc_id",
+        shSql, mpCfg, mpProbes, "id < 50", "id >= 50")
+      s"""WITH hs AS (SELECT doc_id AS id,
+         |    list_distinct(list_transform($shSql, x -> ${TextHash.baseHashSql("x")})) AS h
+         |  FROM documents),
+         |qe AS (SELECT id AS query_id, len(h) AS nq, unnest(h) AS v FROM hs WHERE id < 50),
+         |ce AS (SELECT id AS corpus_id, len(h) AS nc, unnest(h) AS v FROM hs WHERE id >= 50),
+         |ex AS (SELECT query_id, corpus_id, count(*)::BIGINT AS inter,
+         |         max(nq) AS nq, max(nc) AS nc
+         |       FROM qe JOIN ce ON qe.v = ce.v GROUP BY 1, 2),
+         |exacts AS (SELECT query_id, corpus_id FROM ex
+         |           WHERE inter::DOUBLE / (nq + nc - inter) >= ${mpCfg.jaccardThreshold}),
+         |single AS (SELECT query_id, corpus_id FROM ($singleSql) s1),
+         |multi AS (SELECT query_id, corpus_id FROM ($multiSql) m1),
+         |counts AS (SELECT
+         |    (SELECT count(*) FROM exacts) AS n_exact,
+         |    (SELECT count(*) FROM single) AS n_single,
+         |    (SELECT count(*) FROM multi) AS n_multi,
+         |    (SELECT count(*) FROM exacts e JOIN single s
+         |       ON e.query_id = s.query_id AND e.corpus_id = s.corpus_id) AS found_single,
+         |    (SELECT count(*) FROM exacts e JOIN multi m
+         |       ON e.query_id = m.query_id AND e.corpus_id = m.corpus_id) AS found_multi)
+         |SELECT n_exact::BIGINT AS n_exact, n_single::BIGINT AS n_single,
+         |  n_multi::BIGINT AS n_multi, found_single::BIGINT AS found_single,
+         |  found_multi::BIGINT AS found_multi,
+         |  (CASE WHEN n_exact > 0
+         |     THEN floor(found_single::DOUBLE / n_exact * 1000 + 0.5) / 1000
+         |     ELSE 0 END) AS recall_single,
+         |  (CASE WHEN n_exact > 0
+         |     THEN floor(found_multi::DOUBLE / n_exact * 1000 + 0.5) / 1000
+         |     ELSE 0 END) AS recall_multi
+         |FROM counts""".stripMargin
     },
 
     "q13_dedup_ngram_jaccard" ->

@@ -288,10 +288,21 @@ object LshIndex {
     * the indexed corpus, at/above `cfg.jaccardThreshold`. `cfg` must match
     * the index's build config (checked against the meta sidecar — a probe
     * with different band geometry would silently find nothing).
+    *
+    * `multiProbe` > 0 enables MULTI-PROBE LSH: besides each band's exact
+    * bucket, the query also probes the `multiProbe` single-position
+    * perturbation buckets with the smallest (2nd-min − min) minhash gap
+    * ([[MinHashDedup.multiProbeBandRows]]) — the standard trade of more
+    * probes for recall at IDENTICAL index size (an index with fewer bands
+    * is smaller; multi-probe buys back the recall those bands provided).
+    * The index layout, partition pruning, estimate prune and exact verify
+    * are all unchanged; candidates from perturbed buckets still verify
+    * exactly, so precision is unaffected.
     */
   def probe(spark: SparkSession, batch: DataFrame, idCol: String,
       shingleHashes: Column, dir: String,
-      cfg: MinHashDedup.Config = MinHashDedup.Config()): DataFrame = {
+      cfg: MinHashDedup.Config = MinHashDedup.Config(),
+      multiProbe: Int = 0): DataFrame = {
     val meta = metaOf(dir)
     require(meta("numHashes") == cfg.numHashes && meta("bands") == cfg.bands,
       s"probe cfg (${cfg.numHashes}/${cfg.bands}) != index meta " +
@@ -302,7 +313,11 @@ object LshIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bsig = MinHashDedup.withSignature(bsh, cfg)
     val k = cfg.numHashes
-    val qBands = MinHashDedup.bandRows(bsig, cfg).toDF(
+    val qbSrc =
+      if (multiProbe == 0) MinHashDedup.bandRows(bsig, cfg)
+      else MinHashDedup.multiProbeBandRows(
+        MinHashDedup.withSignature2(bsig, cfg), cfg, multiProbe)
+    val qBands = qbSrc.toDF(
       "qid" +: "bk" +: (0 until k).map(i => s"q_s$i"): _*)
       .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -32,6 +32,16 @@ class CodegenCompileSpec extends AnyFunSuite {
     CodegenCompile.compileUnsafeProjection(exprs)
   }
 
+  test("second-minimum signature compiles alongside the minimum signature") {
+    val hashes = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
+    val sig = MinHashSignature(hashes, as, bs, TextHash.P)
+    val sig2 = MinHash2Signature(hashes, as, bs, TextHash.P)
+    val exprs: Seq[Expression] = Seq[Expression](hashes) ++
+      (0 until 16).map(i => GetArrayItem(sig, Literal(i))) ++
+      (0 until 16).map(i => GetArrayItem(sig2, Literal(i)))
+    CodegenCompile.compileUnsafeProjection(exprs)
+  }
+
   test("full-text expression set compiles (md5 array, rolling min, dot, centroids)") {
     val text = BoundReference(0, StringType, nullable = true)
     val arr = BoundReference(1, ArrayType(StringType, containsNull = true), nullable = true)

@@ -235,6 +235,44 @@ class LshIndexSpec extends AnyFunSuite {
     graft.TempDirs.deleteRecursively(new java.io.File(dir))
   }
 
+  test("multi-probe pairs are a superset of single-probe pairs, all verified exact") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    // small index (2 bands of 8 rows) so single-probe has room to miss
+    val cfg2 = MinHashDedup.Config(numHashes = 16, bands = 2, jaccardThreshold = 0.8)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val batch = docs.filter(col("doc_id") < 10)
+    LshIndex.write(corpus, "doc_id", shingles, dir, cfg2)
+    val single = LshIndex.probe(spark, batch, "doc_id", shingles, dir, cfg2)
+      .as[(Long, Long, Double)].collect().toSet
+    val multi = LshIndex.probe(spark, batch, "doc_id", shingles, dir, cfg2, multiProbe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(single.subsetOf(multi),
+      s"multi-probe may only ADD pairs: ${single -- multi} missing")
+    // every multi-probe pair is exact-verified at/above the threshold
+    assert(multi.forall(_._3 >= cfg2.jaccardThreshold - 0.0005))
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("second-minimum signature matches a direct per-permutation recompute") {
+    val sh = MinHashDedup.hashed(docs, "doc_id", shingles)
+    val sig2 = MinHashDedup.withSignature2(MinHashDedup.withSignature(sh, cfg), cfg)
+    val rows = sig2.collect()
+    val as = (0 until cfg.numHashes).map(TextHash.permA)
+    val bs = (0 until cfg.numHashes).map(TextHash.permB)
+    for (r <- rows) {
+      val hashes = r.getSeq[Long](r.fieldIndex("hashes"))
+      for (i <- 0 until cfg.numHashes) {
+        val perms = hashes.map(h => (as(i) * h + bs(i)) % TextHash.P).sorted
+        val expectMin = perms.head
+        val expect2 = if (perms.length >= 2) perms(1) else perms.head
+        assert(r.getLong(r.fieldIndex(s"s$i")) == expectMin)
+        assert(r.getLong(r.fieldIndex(s"t$i")) == expect2, s"perm $i")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("probe with mismatched band geometry is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     LshIndex.write(docs, "doc_id", shingles, dir, cfg)
