@@ -476,6 +476,22 @@ object EngineQueries {
     // into the long payload (center·2³¹ + context — sound while node ids
     // stay under 2²², true for part keys at any plausible SF; at larger
     // id domains the payload becomes a dictionary code).
+    // node2vec p/q-BIASED walk corpus (RandomWalks.biasedWalks): weights
+    // (4, 2, 1) = return/in/out realize p = 1/2, q = 2 — the
+    // return-friendly, locally-exploring regime. Each step fans out to the
+    // current node's neighbors (the bias needs the (prev, cur, x) triple),
+    // flags return/in/out via one membership join, and collapses with a
+    // keyed argmin over the min-of-trials md5 race — exact integer-weight
+    // sampling, so the ENTIRE biased corpus hash-matches the DuckDB
+    // replay (trial race included).
+    "q232_node2vec_walks" -> ((s, d) => {
+      val e = RelationalQueries.copurchaseEdges(s, d)
+      val und = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.RandomWalks.biasedWalks(und, "src", "dst",
+        walksPerNode = 1, len = 3, wRet = 4, wIn = 2, wOut = 1)
+    }),
+
     "q229_skipgram_pmi" -> ((s, d) => {
       val e = RelationalQueries.copurchaseEdges(s, d)
       val und = e.select(col("a").as("src"), col("b").as("dst"))
@@ -772,6 +788,13 @@ object EngineQueries {
          |eund AS (SELECT a AS v, b AS w FROM edges
          |  UNION ALL SELECT b, a FROM edges),
          |${graft.operators.RandomWalks.oracleCtes(2, 4, "eund")}
+         |SELECT start, walk::BIGINT AS walk, step, node FROM walks""".stripMargin,
+
+    "q232_node2vec_walks" ->
+      s"""WITH ${RelationalQueries.copurchaseEdgesSql},
+         |eund AS (SELECT a AS v, b AS w FROM edges
+         |  UNION ALL SELECT b, a FROM edges),
+         |${graft.operators.RandomWalks.biasedOracleCtes(1, 3, 4, 2, 1, "eund")}
          |SELECT start, walk::BIGINT AS walk, step, node FROM walks""".stripMargin,
 
     "q229_skipgram_pmi" ->
