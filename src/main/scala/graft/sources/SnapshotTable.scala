@@ -101,6 +101,77 @@ object SnapshotTable {
   def commitReplace(df: DataFrame, tableDir: String, zoneCol: Option[String] = None): Long =
     commit(df, tableDir, replace = true, zoneCol = zoneCol)
 
+  /** Replace the table with a BUCKETED layout: rows are hash-clustered into
+    * `nBuckets` files on `bucketCol` (sorted within each bucket) and the
+    * spec is recorded in the manifest — [[readBucketed]] then exposes the
+    * snapshot as a bucketed scan, so joins/aggregations between co-bucketed
+    * snapshots on that key run with ZERO exchanges (pay the shuffle once at
+    * write time, never again per read — the join-ready layout for
+    * repeatedly-joined 100 TB tables; `BucketedJoinSpec` proves the plan
+    * shape for plain tables, `SnapshotBucketedSpec` across a snapshot
+    * commit/read cycle).
+    *
+    * The bucket spec is valid for exactly the file set this replace
+    * commits, so it deliberately does NOT survive other commit kinds: an
+    * append/upsert/deleteWhere produces a manifest without `bucketcol`,
+    * and [[readBucketed]] fails loudly instead of claiming a clustering
+    * the mixed file set no longer has (re-replace to restore it).
+    * Snapshot semantics are untouched — the staged dir, CAS manifest,
+    * time travel and vacuum behave exactly as any replace commit. */
+  def commitReplaceBucketed(
+      df: DataFrame, tableDir: String, bucketCol: String, nBuckets: Int): Long = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    init(tableDir)
+    val spark = df.sparkSession
+    val dataSub = s"data-${java.util.UUID.randomUUID().toString}"
+    val stagePath = Paths.get(tableDir, dataSub).toString
+    // Spark only writes the bucket-id file naming through the catalog
+    // writer, so stage via a throwaway EXTERNAL table pointed at the data
+    // dir; dropping it keeps the files (catalog entry only)
+    val stageTbl = s"graft_bucket_stage_${java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong())}"
+    df.write.mode(SaveMode.ErrorIfExists)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", stagePath)
+      .saveAsTable(stageTbl)
+    spark.sql(s"DROP TABLE `$stageTbl`")
+    commit(df, tableDir, replace = true,
+      extraMeta = Seq(s"bucketcol=$bucketCol", s"bucketn=$nBuckets"),
+      stagedDataSub = Some(dataSub))
+  }
+
+  /** Deterministic catalog name for a bucketed snapshot scan (one per
+    * table-dir × version — a later version never aliases a stale entry). */
+  private[sources] def bucketTableName(tableDir: String, version: Long): String =
+    s"graft_snap_b_${java.lang.Integer.toHexString(tableDir.hashCode)}_v$version"
+
+  /** The latest snapshot as a BUCKETED scan (requires the latest commit to
+    * be a [[commitReplaceBucketed]]): registers an external catalog table
+    * over the snapshot's staged dir carrying the recorded bucket spec, so
+    * Spark's planner sees the hash-clustering and elides the exchange (and
+    * sort) on joins between co-bucketed snapshots. Data-identical to
+    * [[read]]; only the reported partitioning differs. */
+  def readBucketed(spark: SparkSession, tableDir: String): DataFrame = {
+    val snap = latestSnapshot(tableDir)
+    val bc = snap.meta.getOrElse("bucketcol", throw new IllegalStateException(
+      s"$tableDir@v${snap.version} has no bucket spec — only commitReplaceBucketed " +
+        "records one, and any other commit kind invalidates it (mixed file sets " +
+        "are not hash-clustered); re-replace with a bucketed commit"))
+    val n = snap.meta("bucketn").toInt
+    val dirs = snap.files.map(_.takeWhile(_ != '/')).distinct
+    require(dirs.length == 1,
+      s"bucketed snapshot must reference a single staged dir, got $dirs")
+    val schema = versionSchema(snap).getOrElse(throw new IllegalStateException(
+      s"bucketed read needs the version's recorded schema"))
+    val tbl = bucketTableName(tableDir, snap.version)
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = Paths.get(tableDir, dirs.head).toUri.toString
+      spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING parquet " +
+        s"CLUSTERED BY (`$bc`) SORTED BY (`$bc`) INTO $n BUCKETS LOCATION '$loc'")
+    }
+    spark.table(tbl)
+  }
+
   /** Manifest-pruned range read on the table's zone column: skip every
     * file whose recorded [min,max] misses [lo,hi] (files without stats are
     * always candidates — safe overapproximation), then apply the exact
@@ -766,12 +837,17 @@ object SnapshotTable {
       zoneCol: Option[String] = None,
       multiZoneCols: Seq[String] = Seq.empty,
       dropFiles: Set[String] = Set.empty,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      stagedDataSub: Option[String] = None): Long = {
     init(tableDir)
     // stage immutable data files under a unique dir (never visible until a
-    // manifest references them)
-    val dataSub = s"data-${java.util.UUID.randomUUID().toString}"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(Paths.get(tableDir, dataSub).toString)
+    // manifest references them); commitReplaceBucketed pre-stages through
+    // the catalog writer and passes the dir in
+    val dataSub = stagedDataSub.getOrElse {
+      val ds = s"data-${java.util.UUID.randomUUID().toString}"
+      df.write.mode(SaveMode.ErrorIfExists).parquet(Paths.get(tableDir, ds).toString)
+      ds
+    }
     val staged = listParquet(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
 
     // per-staged-file zone stats: one scan of the just-written (small) data
