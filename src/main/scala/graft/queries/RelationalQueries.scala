@@ -176,6 +176,19 @@ object RelationalQueries {
         Tables.part(s, d), "p_name",
         name => split(name, " ").getItem(0), maxDist = 3)),
 
+    // PHONETIC-blocked fuzzy linkage: q80 with the blocking key swapped
+    // for the portable soundex (functions/Phonetic) of the full name.
+    // First-token blocking misses every pair whose misspelling touches the
+    // first token (ANY edit changes the token, hence the block); soundex
+    // absorbs vowel moves and doubled letters, so those pairs still meet
+    // in one block (FuzzyJoinSpec plants one). The complementary loss —
+    // consonant-sound edits later in the name — is the documented blocking
+    // tradeoff; production linkage runs both keys and unions candidates.
+    "q233_phonetic_linkage" -> ((s, d) =>
+      graft.operators.FuzzyJoin.selfLinkage(
+        Tables.part(s, d), "p_name",
+        name => graft.functions.Phonetic.soundex(name), maxDist = 3)),
+
     // End-to-end entity resolution: q80's fuzzy pairs → connected
     // components → one canonical entity per variant cluster, with variant
     // and row mass rolled up. The full record-linkage lifecycle (block →
@@ -1342,6 +1355,9 @@ object RelationalQueries {
 
     "q80_fuzzy_linkage" -> graft.operators.FuzzyJoin.selfLinkageOracleSql(
       "part", "p_name", "split_part(name, ' ', 1)", maxDist = 3),
+
+    "q233_phonetic_linkage" -> graft.operators.FuzzyJoin.selfLinkageOracleSql(
+      "part", "p_name", graft.functions.Phonetic.soundexSql("name"), maxDist = 3),
 
     "q88_entity_resolution" ->
       """WITH RECURSIVE n AS (SELECT p_name AS name, count(*) AS nr FROM part GROUP BY p_name),

@@ -35,4 +35,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val out = link(Seq.fill(5)("hot gear") ++ Seq.fill(7)("hot gears"))
     assert(out === Set(("hot gear", "hot gears", 1, 5L, 7L)))
   }
+
+  test("soundex blocking finds the first-token misspelling that token blocking misses") {
+    // "goldenrod" vs "goldnerod": a vowel transposition INSIDE the first
+    // token (dist 2). Any edit in the first token changes the token — the
+    // first-token block separates the pair — but soundex absorbs vowel
+    // moves, so the phonetic block reunites it.
+    val rows = Seq("goldenrod lace", "goldnerod lace", "navy bolt")
+    assert(link(rows).isEmpty, "first-token blocking must miss the planted pair")
+    val phonetic = FuzzyJoin.selfLinkage(
+        rows.toDF("p_name"), "p_name",
+        name => graft.functions.Phonetic.soundex(name), maxDist = 3)
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    assert(phonetic === Set(("goldenrod lace", "goldnerod lace", 2, 1L, 1L)))
+  }
 }
