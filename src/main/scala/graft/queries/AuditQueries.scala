@@ -116,6 +116,31 @@ object AuditQueries {
       typed.unionByName(allRow)
     }),
 
+    // SLIDING-WINDOW distinct-user sketches (operators/
+    // StreamingDistinctWindows): 24 h windows sliding 6 h over events,
+    // each window's unique-user cardinality from a k=64 KMV set — the
+    // streaming dashboard primitive whose batch dual this is (the SAME
+    // plan runs under Structured Streaming with one stateful agg; parity
+    // under arbitrary micro-batch slicing is spec-proven). Exact distinct
+    // counts ride alongside, so the estimate quality is itself in the
+    // hash-checked output; everything is integer (q143's estimator).
+    "q234_window_distinct" -> ((s, d) => {
+      val S = 21600000000L // 6 h slide in µs; window = 4 slides = 24 h
+      val k = 64
+      val ev = Tables.events(s, d)
+      val sk = graft.operators.StreamingDistinctWindows
+        .sketchPerWindow(ev, "ts", "user_id", S, 4, k)
+      val ex = ev
+        .select(unix_micros(col("ts")).as("us"), col("user_id"))
+        .select(explode(sequence(lit(0), lit(3))).as("i"), col("us"), col("user_id"))
+        .select(expr(s"(us div $S - i) * $S").as("ws_us"), col("user_id"))
+        .groupBy(col("ws_us"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      ex.join(sk, "ws_us")
+        .select(col("ws_us"), col("n_exact"), col("n_sketch"),
+          col("kth_min"), col("est_distinct"))
+    }),
+
     // Sorted-neighborhood dedup: block on the first 6 chars of the
     // normalized text, sort each block by the 40-char normalized prefix,
     // compare each doc only with its 3 successors (window w=4). Exact
@@ -693,6 +718,27 @@ object AuditQueries {
          |  (CASE WHEN n_for_est < $KmvK THEN n_for_est
          |        ELSE $KmvNum // kth_min END)::BIGINT AS est_distinct
          |FROM u""".stripMargin
+    },
+
+    "q234_window_distinct" -> {
+      val s = 21600000000L
+      val k = 64
+      val num = (k - 1).toLong * 9007199254740992L
+      s"""WITH ev AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+         |ew AS (SELECT ((us // $s) - i) * $s AS ws_us, user_id
+         |       FROM ev, range(0, 4) t(i)),
+         |du AS (SELECT DISTINCT ws_us, user_id FROM ew),
+         |hh AS (SELECT DISTINCT ws_us, ${kmvHashSql("user_id")} AS h FROM du),
+         |rr AS (SELECT ws_us, h,
+         |         row_number() OVER (PARTITION BY ws_us ORDER BY h) AS rn FROM hh),
+         |sk AS (SELECT ws_us, count(*)::BIGINT AS n_sketch,
+         |         max(CASE WHEN rn = $k THEN h END)::BIGINT AS kth_min
+         |       FROM rr WHERE rn <= $k GROUP BY ws_us),
+         |ne AS (SELECT ws_us, count(*)::BIGINT AS n_exact FROM du GROUP BY ws_us)
+         |SELECT ne.ws_us, n_exact, n_sketch, kth_min,
+         |  (CASE WHEN n_sketch < $k THEN n_sketch
+         |        ELSE $num // kth_min END)::BIGINT AS est_distinct
+         |FROM ne JOIN sk ON ne.ws_us = sk.ws_us""".stripMargin
     },
 
     "q144_snm_dedup" -> {
