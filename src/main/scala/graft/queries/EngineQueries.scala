@@ -476,6 +476,36 @@ object EngineQueries {
     // into the long payload (center·2³¹ + context — sound while node ids
     // stay under 2²², true for part keys at any plausible SF; at larger
     // id domains the payload becomes a dictionary code).
+    // OPQ-STYLE rotation ahead of product quantization
+    // (operators/OpqRotation): the signed-Hadamard transform spreads
+    // per-dimension energy evenly across PQ subspaces, and this query
+    // MEASURES what that buys — total exact-integer quantization error of
+    // the rotated pipeline vs the plain one (plain side ×64: the unscaled
+    // transform multiplies all distances by d), plus how many vectors
+    // individually improved. Both full fit→encode pipelines AND the
+    // rotation itself replay exactly in DuckDB, so even the error totals
+    // are hash-checked — no tolerance anywhere.
+    "q236_opq_rotation" -> ((s, d) => {
+      val (m, k, iters, cap) = (8, 16, 3, 500L)
+      val e = Tables.embeddings(s, d)
+      val plain = graft.operators.ProductQuantizer
+        .encodeAll(e, "vec_id", "embedding", m, k, iters, cap)
+        .select(col("vec_id"), col("pq").getField("err").as("e1"))
+      val rotated = e
+        .withColumn("vq", graft.operators.ProductQuantizer.micro(col("embedding")))
+        .withColumn("rot", graft.operators.OpqRotation.rotateMicro(col("vq"), 64))
+        .select(col("vec_id"),
+          transform(col("rot"), x => x.cast("double") / lit(1e6)).as("vrot"))
+      val rotEnc = graft.operators.ProductQuantizer
+        .encodeAll(rotated, "vec_id", "vrot", m, k, iters, cap)
+        .select(col("vec_id"), col("pq").getField("err").as("e2"))
+      plain.join(rotEnc, "vec_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          (sum(col("e1")) * 64).as("total_err_plain_scaled"),
+          sum(col("e2")).as("total_err_rot"),
+          sum(when(col("e2") < col("e1") * 64, 1L).otherwise(0L)).as("n_improved"))
+    }),
+
     // node2vec p/q-BIASED walk corpus (RandomWalks.biasedWalks): weights
     // (4, 2, 1) = return/in/out realize p = 1/2, q = 2 — the
     // return-friendly, locally-exploring regime. Each step fans out to the
@@ -789,6 +819,23 @@ object EngineQueries {
          |  UNION ALL SELECT b, a FROM edges),
          |${graft.operators.RandomWalks.oracleCtes(2, 4, "eund")}
          |SELECT start, walk::BIGINT AS walk, step, node FROM walks""".stripMargin,
+
+    "q236_opq_rotation" -> {
+      val (m, k, iters, cap) = (8, 16, 3, 500L)
+      val plainPipe = "(WITH " + graft.operators.ProductQuantizer.oracleCtes(
+        "embeddings", "vec_id", "embedding", m, k, iters, cap) +
+        " fin AS (SELECT 1) SELECT id, err FROM enc)"
+      val rotTable = graft.operators.OpqRotation.rotatedTableSql(
+        "embeddings", "vec_id", "embedding", 64)
+      val rotPipe = "(WITH " + graft.operators.ProductQuantizer.oracleCtes(
+        s"$rotTable rsub", "vec_id", "vrot", m, k, iters, cap) +
+        " fin AS (SELECT 1) SELECT id, err FROM enc)"
+      s"""SELECT count(*)::BIGINT AS n_vectors,
+         |  (sum(p.err) * 64)::BIGINT AS total_err_plain_scaled,
+         |  sum(r.err)::BIGINT AS total_err_rot,
+         |  sum(CASE WHEN r.err < p.err * 64 THEN 1 ELSE 0 END)::BIGINT AS n_improved
+         |FROM $plainPipe p JOIN $rotPipe r ON p.id = r.id""".stripMargin
+    },
 
     "q232_node2vec_walks" ->
       s"""WITH ${RelationalQueries.copurchaseEdgesSql},

@@ -263,6 +263,28 @@ object MixQueries {
           coalesce(col("sample_id_sum"), lit(0L)).as("sample_id_sum"))
     }),
 
+    // SEQUENCE PACKING — the concat-then-chunk layout every LLM training
+    // run performs: documents concatenate in doc_id order into one token
+    // stream that is cut into fixed 512-token sequences; each doc reports
+    // the sequences it spans and its offset in the first one (the
+    // attention-mask / boundary-loss bookkeeping). The running token count
+    // rides operators/PrefixSum (range shuffle + per-partition cumsum +
+    // broadcast offsets — NEVER a partitionless window), so the layout of
+    // a 100 TB corpus is one linear pass; every output column is integer
+    // division on the prefix sums. Zero-token docs occupy no positions
+    // and are excluded on both engines.
+    "q235_sequence_packing" -> ((s, d) => {
+      val C = 512L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(TextHash.tokens(col("text"))).cast("long").as("nt"))
+      graft.operators.PrefixSum.running(docs, "doc_id", "nt")
+        .filter(col("nt") > 0)
+        .select(col("doc_id"), col("nt").as("n_tokens"),
+          expr(s"(cum - nt) div $C").as("first_seq"),
+          expr(s"(cum - 1) div $C").as("last_seq"),
+          expr(s"(cum - nt) % $C").as("start_off"))
+    }),
+
     // Count-Min heavy hitters: every vocabulary token's exact count next to
     // its sketch estimate. The sketch is ONE bounded 4×1024 matrix combined
     // map-side (shuffle = one 32 KB buffer per partition); estimates read
@@ -753,6 +775,17 @@ object MixQueries {
           |  (floor((CASE WHEN funded THEN 1.0
           |             ELSE ((b - s)::DOUBLE / (n_sources - nf)) / n_tokens END) * 10000 + 0.5) / 10000) AS keep_frac
           |FROM gl""".stripMargin,
+
+      "q235_sequence_packing" ->
+        s"""WITH dd AS (SELECT doc_id, len($toksSql)::BIGINT AS nt FROM documents),
+           |c AS (SELECT doc_id, nt,
+           |        (sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+           |      FROM dd)
+           |SELECT doc_id, nt AS n_tokens,
+           |  ((cum - nt) // 512)::BIGINT AS first_seq,
+           |  ((cum - 1) // 512)::BIGINT AS last_seq,
+           |  ((cum - nt) % 512)::BIGINT AS start_off
+           |FROM c WHERE nt > 0""".stripMargin,
 
       "q230_temperature_mix" ->
         s"""WITH docs AS (SELECT doc_id, source,
