@@ -29,6 +29,29 @@ object DedupQueries {
   private val mpCfg = MinHashDedup.Config(numHashes = 16, bands = 2, jaccardThreshold = 0.8)
   private val mpProbes = 3
 
+  /** q237's span pipeline over any `(doc_id, text)` relation — exposed so
+    * the planted-block spec can drive it directly. See the q237 comment. */
+  private[graft] def duplicateSpans(docs: DataFrame): DataFrame = {
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    docs
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .filter(length(col("t")) >= 30)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1L), (length(col("t")) - 29).cast("long"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        TextHash.md5Long(expr("substring(t, p, 30)")).as("h"))
+      .withColumn("cnt", count(lit(1)).over(wh))
+      .filter(col("cnt") >= 2)
+      .withColumn("island", col("p") - row_number().over(wd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + 29).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content. (Synthetic corpus has no exact
     // dups — every group has n_copies = 1 — but the operator is exercised.)
@@ -243,6 +266,19 @@ object DedupQueries {
         .withColumn("dup_rate", graft.functions.PortableMath
           .roundPortable(col("n_dup").cast("double") / col("n_shingles"), 4))
     }),
+
+    // DUPLICATE-SPAN EXTRACTION — q83's metric turned into the actionable
+    // artifact of Lee et al.-style exact-substring dedup: the character
+    // RANGES to drop (or loss-mask) per document. Every 30-char window
+    // occurring >= 2 times corpus-wide (within-doc repeats count — the
+    // positioned formulation needs no per-doc dedup) is a duplicated
+    // position; consecutive positions merge into maximal spans by the
+    // gap-island trick (p − row_number per doc — the q132 idiom), so an
+    // L-char verbatim duplication reports as ONE [start, end] span, not
+    // L−29 rows. One explode + one count-over-hash shuffle + one per-DOC
+    // window (bounded by doc length, keyed by the high-cardinality
+    // doc_id) + one hash-agg — linear in corpus window volume.
+    "q237_duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
 
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
@@ -681,6 +717,21 @@ object DedupQueries {
          |      FROM w GROUP BY doc_id)
          |SELECT doc_id, n_shingles, n_dup,
          |  (floor(n_dup::DOUBLE / n_shingles * 10000 + 0.5) / 10000) AS dup_rate FROM g""".stripMargin
+    },
+
+    "q237_duplicate_spans" -> {
+      val h = TextHash.md5LongSql("substr(t, p, 30)")
+      s"""WITH tt AS (SELECT doc_id, trim(text) AS t FROM documents
+         |           WHERE length(trim(text)) >= 30),
+         |w AS (SELECT doc_id, p, $h AS h
+         |      FROM tt, LATERAL (SELECT unnest(range(1, length(t) - 28)) AS p) pp),
+         |c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM w),
+         |dup AS (SELECT doc_id, p,
+         |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+         |        FROM c WHERE cnt >= 2)
+         |SELECT doc_id, min(p)::BIGINT AS span_start,
+         |  (max(p) + 29)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+         |FROM dup GROUP BY doc_id, island""".stripMargin
     },
 
     "q141_split_contamination" -> {

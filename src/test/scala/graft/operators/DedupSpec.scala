@@ -105,4 +105,29 @@ class DedupSpec extends AnyFunSuite {
       .head().getSeq[String](0)
     assert(sh == Seq("short doc"))
   }
+
+  test("duplicate spans: a planted verbatim block reports as ONE maximal span") {
+    // doc 11 and 12 share a 60-char block at different offsets inside
+    // otherwise-unique text; every 30-char window of the block duplicates,
+    // and the island merge must collapse them into one span per doc
+    val block = "zz" + ("abcdefghij" * 5) + "qq" // 54 interior + guards = 54? 2+50+2 = 54 chars
+    val d11 = "unique prefix one 111111111 " + block + " unique suffix aaa"
+    val d12 = "totally different beginning 22 " + block + " other ending bbbb"
+    val planted = Seq((11L, d11), (12L, d12),
+      (13L, "no duplication here at all, plain original text with enough length"))
+      .toDF("doc_id", "text")
+    val spans = graft.queries.DedupQueries.duplicateSpans(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.map(_._1).toSet === Set(11L, 12L), s"got ${spans.toSeq}")
+    for ((doc, st, en, nw) <- spans) {
+      val text = (if (doc == 11L) d11 else d12).trim
+      // the reported span must contain the whole planted block
+      val blockStart = text.indexOf(block) + 1 // 1-based
+      assert(st <= blockStart && en >= blockStart + block.length - 1,
+        s"doc $doc span [$st,$en] must cover the block at $blockStart")
+      assert(nw === en - st + 1 - 29, s"doc $doc: contiguous island window count")
+      // maximality: one span per doc, not fragments
+      assert(spans.count(_._1 == doc) === 1)
+    }
+  }
 }
