@@ -29,6 +29,22 @@ object DedupQueries {
   private val mpCfg = MinHashDedup.Config(numHashes = 16, bands = 2, jaccardThreshold = 0.8)
   private val mpProbes = 3
 
+  /** q237's DuckDB replay (shared: q240 rolls the spans up). */
+  private lazy val duplicateSpansSql: String = {
+    val h = TextHash.md5LongSql("substr(t, p, 30)")
+    s"""WITH tt AS (SELECT doc_id, trim(text) AS t FROM documents
+       |           WHERE length(trim(text)) >= 30),
+       |w AS (SELECT doc_id, p, $h AS h
+       |      FROM tt, LATERAL (SELECT unnest(range(1, length(t) - 28)) AS p) pp),
+       |c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM w),
+       |dup AS (SELECT doc_id, p,
+       |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |        FROM c WHERE cnt >= 2)
+       |SELECT doc_id, min(p)::BIGINT AS span_start,
+       |  (max(p) + 29)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+       |FROM dup GROUP BY doc_id, island""".stripMargin
+  }
+
   /** q237's span pipeline over any `(doc_id, text)` relation — exposed so
     * the planted-block spec can drive it directly. See the q237 comment. */
   private[graft] def duplicateSpans(docs: DataFrame): DataFrame = {
@@ -279,6 +295,29 @@ object DedupQueries {
     // window (bounded by doc length, keyed by the high-cardinality
     // doc_id) + one hash-agg — linear in corpus window volume.
     "q237_duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
+
+    // MASKED-CORPUS accounting: q237's spans composed into the per-source
+    // retention report a dedup run hands the training job — how many
+    // characters survive once duplicated spans are masked out. Spans are
+    // disjoint per doc by construction (maximal islands), so their length
+    // sum IS the masked volume; the rollup is one left join + one
+    // hash-agg, with the keep share as exact integer basis points.
+    "q240_masked_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          length(trim(col("text"))).cast("long").as("n_chars"))
+      val perDoc = duplicateSpans(Tables.documents(s, d))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start") + 1).as("masked"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("total_chars"),
+          sum(coalesce(col("masked"), lit(0L))).as("masked_chars"))
+        .select(col("source"), col("n_docs"), col("total_chars"), col("masked_chars"),
+          expr("if(total_chars > 0, " +
+            "((total_chars - masked_chars) * 10000) div total_chars, 0L)").as("keep_bp"))
+    }),
 
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
@@ -719,20 +758,22 @@ object DedupQueries {
          |  (floor(n_dup::DOUBLE / n_shingles * 10000 + 0.5) / 10000) AS dup_rate FROM g""".stripMargin
     },
 
-    "q237_duplicate_spans" -> {
-      val h = TextHash.md5LongSql("substr(t, p, 30)")
-      s"""WITH tt AS (SELECT doc_id, trim(text) AS t FROM documents
-         |           WHERE length(trim(text)) >= 30),
-         |w AS (SELECT doc_id, p, $h AS h
-         |      FROM tt, LATERAL (SELECT unnest(range(1, length(t) - 28)) AS p) pp),
-         |c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM w),
-         |dup AS (SELECT doc_id, p,
-         |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
-         |        FROM c WHERE cnt >= 2)
-         |SELECT doc_id, min(p)::BIGINT AS span_start,
-         |  (max(p) + 29)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
-         |FROM dup GROUP BY doc_id, island""".stripMargin
-    },
+    "q237_duplicate_spans" -> duplicateSpansSql,
+
+    "q240_masked_corpus" ->
+      s"""WITH sp AS ($duplicateSpansSql),
+         |pd AS (SELECT doc_id, sum(span_end - span_start + 1)::BIGINT AS masked
+         |       FROM sp GROUP BY doc_id),
+         |dd AS (SELECT doc_id, source,
+         |         coalesce(length(trim(text)), 0)::BIGINT AS n_chars FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS total_chars,
+         |  sum(coalesce(masked, 0))::BIGINT AS masked_chars,
+         |  (CASE WHEN sum(n_chars) > 0
+         |     THEN ((sum(n_chars) - sum(coalesce(masked, 0))) * 10000) // sum(n_chars)
+         |     ELSE 0 END)::BIGINT AS keep_bp
+         |FROM dd LEFT JOIN pd USING (doc_id)
+         |GROUP BY source""".stripMargin,
 
     "q141_split_contamination" -> {
       val h = TextHash.md5LongSql("doc_id::VARCHAR")

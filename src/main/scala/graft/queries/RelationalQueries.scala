@@ -562,6 +562,57 @@ object RelationalQueries {
         .agg(sum(col("micro")).as("revenue_micro"), count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers ×
+    // unshipped orders × post-cutoff lineitems, top-10 orders by exact
+    // integer micro revenue (cents × (100 − disc_pct) — the q157
+    // discipline). Filters sit on every base table before the joins
+    // (pushdown-visible), and the LIMIT rides a fully deterministic sort
+    // (revenue desc, date, orderkey — orderkey is unique).
+    "q238_shipping_priority" -> ((s, d) => {
+      val cutoff = lit("1995-03-15").cast("date")
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") > cutoff)
+        .select(col("l_orderkey"), micro)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_date"), col("o_orderpriority"))
+        .agg(sum(col("micro")).as("revenue_micro"))
+        .orderBy(desc("revenue_micro"), col("o_date"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape (returned items): one quarter's orders × returned
+    // lineitems rolled up per customer with nation context, top-20 by
+    // exact micro revenue; account balance as integer cents.
+    "q239_returned_items" -> ((s, d) => {
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"), micro)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >= lit("1995-10-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal") * 100).cast("long").as("acct_cents"), col("c_nationkey"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("acct_cents"), col("n_name"))
+        .agg(sum(col("micro")).as("revenue_micro"))
+        .orderBy(desc("revenue_micro"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // Cheapest-supplier-per-part — TPC-H Q2's correlated-subquery shape
     // decorrelated the way every engine rewrites it: the per-part MIN
     // over (part, supplier) aggregates, joined back to recover the
@@ -1219,6 +1270,39 @@ object RelationalQueries {
         |  AND o_orderdate::DATE >= DATE '1995-01-01'
         |  AND o_orderdate::DATE < DATE '1996-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q238_shipping_priority" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS micro
+        |  FROM lineitem WHERE l_shipdate::DATE > DATE '1995-03-15')
+        |SELECT l_orderkey, o_orderdate::DATE AS o_date, o_orderpriority,
+        |  sum(micro)::BIGINT AS revenue_micro
+        |FROM li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate::DATE < DATE '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_micro DESC, o_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q239_returned_items" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS micro
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT c_custkey, c_name,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents, n_name,
+        |  sum(micro)::BIGINT AS revenue_micro
+        |FROM li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate::DATE >= DATE '1995-10-01'
+        |  AND o_orderdate::DATE < DATE '1996-01-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_micro DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q158_cheapest_supplier" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
