@@ -562,6 +562,23 @@ object RelationalQueries {
         .agg(sum(col("micro")).as("revenue_micro"), count(lit(1)).as("n_items"))
     }),
 
+    // PIVOT surface: the source × language document-count matrix via
+    // Spark's relational pivot (explicit value list — no extra
+    // distinct-values job, the at-scale form) with absent cells
+    // zero-filled; the row total derives from the pivoted cells so both
+    // engines agree even if the language domain ever drifts.
+    "q241_lang_pivot" -> ((s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val p = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+      val filled = langs.foldLeft(p)((df, l) =>
+        df.withColumn(s"n_$l", coalesce(col(l), lit(0L))).drop(l))
+      filled.withColumn("n_total",
+        langs.map(l => col(s"n_$l")).reduce(_ + _))
+    }),
+
     // TPC-H Q3 shape (shipping priority): segment-filtered customers ×
     // unshipped orders × post-cutoff lineitems, top-10 orders by exact
     // integer micro revenue (cents × (100 − disc_pct) — the q157
@@ -1270,6 +1287,17 @@ object RelationalQueries {
         |  AND o_orderdate::DATE >= DATE '1995-01-01'
         |  AND o_orderdate::DATE < DATE '1996-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q241_lang_pivot" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cells = langs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END)::BIGINT AS n_$l").mkString(",\n  ")
+      val total = langs.map(l => s"n_$l").mkString(" + ")
+      s"""WITH p AS (SELECT source, $cells
+         |  FROM documents GROUP BY source)
+         |SELECT source, ${langs.map(l => s"n_$l").mkString(", ")},
+         |  ($total)::BIGINT AS n_total FROM p""".stripMargin
+    },
 
     "q238_shipping_priority" ->
       """WITH li AS (SELECT l_orderkey,

@@ -47,6 +47,32 @@ object SequenceQueries {
             + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // OHLC time-series resampling — hourly bars over the event stream:
+    // open/close via ONE min/max-of-struct aggregate each ((us, event_id,
+    // cents) — event_id is unique, so the lexicographic extreme is the
+    // deterministic first/last row; q160's first-touch idiom), high/low/
+    // volume as plain integer aggregates. One hash-agg on the hour
+    // bucket; no window, no sort — the downsampling shape that turns a
+    // 100 TB tick stream into dashboard bars.
+    "q242_ohlc_bars" -> ((s, d) => {
+      val H = 3600000000L
+      Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(unix_micros(col("ts")).as("us"), col("event_id"),
+          cents(col("value")).as("cents"))
+        .withColumn("hour_us", expr(s"(us div $H) * $H"))
+        .groupBy(col("hour_us"))
+        .agg(
+          min(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max(struct(col("us"), col("event_id"), col("cents")))
+            .getField("cents").as("close_cents"),
+          count(lit(1)).as("n_events"),
+          sum(col("cents")).as("vol_cents"))
+    }),
+
     // Rolling 1-hour window per event: how many events (and how much
     // value) this user generated in the 3600 s ending at this event.
     // RANGE frame over exact µs — ties are frame-peers on both engines,
@@ -768,6 +794,26 @@ object SequenceQueries {
         |  coalesce(cents, user_mean_cents, global_mean_cents) AS cents_filled,
         |  (cents IS NULL) AS was_imputed
         |FROM ev LEFT JOIN um ON ev.user_id = um.user_id CROSS JOIN gm""".stripMargin,
+
+    "q242_ohlc_bars" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, event_id,
+        |        CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT (us // 3600000000) * 3600000000 AS hour_us, us, event_id, cents
+        |      FROM ev),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY hour_us ORDER BY us, event_id) AS ro,
+        |        row_number() OVER (PARTITION BY hour_us ORDER BY us DESC, event_id DESC) AS rc
+        |      FROM b),
+        |agg AS (SELECT hour_us, max(cents)::BIGINT AS high_cents,
+        |          min(cents)::BIGINT AS low_cents, count(*)::BIGINT AS n_events,
+        |          sum(cents)::BIGINT AS vol_cents
+        |        FROM b GROUP BY hour_us)
+        |SELECT agg.hour_us, o.cents AS open_cents, high_cents, low_cents,
+        |  c.cents AS close_cents, n_events, vol_cents
+        |FROM agg
+        |JOIN r o ON o.hour_us = agg.hour_us AND o.ro = 1
+        |JOIN r c ON c.hour_us = agg.hour_us AND c.rc = 1""".stripMargin,
 
     "q65_rolling_window" ->
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
