@@ -26,6 +26,22 @@ object TextHash {
   def permA(i: Int): Long = (2654435761L * (i + 1) + 1) % P
   def permB(i: Int): Long = (40503L * (i + 1) * (i + 7) + 97L) % P
 
+  /** KMV sketch hash domain: 2^53 — every hash is double-exact (usable as
+    * a TopKByScore score) and (k−1)·M stays in int64 for k ≤ 1024. THE
+    * single source of truth for every KMV consumer (q143/q151/q207/q234,
+    * StreamingDistinctWindows): the Spark and DuckDB forms below MUST stay
+    * lockstep, and estimator constants must derive from this M. */
+  val KmvM: Long = 9007199254740992L
+
+  /** The KMV id hash: salted md5, reduced mod [[KmvM]]. */
+  def kmvHash(id: Column): Column =
+    pmod(md5Long(concat(lit("kmv:"), id.cast("string"))), lit(KmvM))
+
+  /** DuckDB lockstep of [[kmvHash]] (md5Long is 60-bit non-negative, so
+    * plain `%` equals `pmod`). */
+  def kmvHashSql(e: String): String =
+    s"(${md5LongSql(s"'kmv:' || ($e)::VARCHAR")} % $KmvM)"
+
   // --- 60-bit md5 base hash -------------------------------------------------
 
   /** Native codegen'd digest path (see [[Md5Long]]); value-identical to the

@@ -297,6 +297,55 @@ case class MinHash2Signature(child: Expression, as: Array[Long], bs: Array[Long]
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Static helper for [[HadamardRotate]], callable from generated code. */
+object HadamardUtil {
+  def rotate(arr: ArrayData, signs: Array[Long]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d = signs.length
+    // sign-flip once, then the ±1 fold — never per output element
+    val sv = new Array[Long](d)
+    var j = 0
+    while (j < d) { sv(j) = arr.getLong(j) * signs(j); j += 1 }
+    val out = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      var acc = 0L
+      j = 0
+      while (j < d) {
+        if ((java.lang.Long.bitCount((i & j).toLong) & 1) == 0) acc += sv(j)
+        else acc -= sv(j)
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Signed-Hadamard rotation of a fixed-dimension `array<long>` in ONE
+  * native pass — `rot[i] = Σ_j (−1)^popcount(i AND j) · signs[j] · v[j]`.
+  * The HOF formulation (transform over aggregate over zip_with) would
+  * rebuild the sign-flipped array — and any inlined upstream expression —
+  * once per OUTPUT element (the documented HOF lambda trap); this
+  * expression allocates two d-long arrays per row, total. Semantics are
+  * pinned against a direct Scala H·D computation in OpqRotationSpec. */
+case class HadamardRotate(child: Expression, signs: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HadamardUtil.rotate(v.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("signs", signs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HadamardUtil.rotate($c, $sRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hash every element of a string array in one native call:
   * == `transform(arr, s -> md5Long(s) % p)` without the per-element
   * interpreted HOF iteration. `p <= 0` skips the modulo. */
@@ -719,4 +768,10 @@ object VectorExpressions {
   def minhash2Signature(hashes: Column, as: Array[Long], bs: Array[Long], p: Long): Column =
     registered(s"graft_minhash_sig2_${as.length}_${(as.sum ^ bs.sum).toHexString}",
       exprs => MinHash2Signature(exprs.head, as, bs, p))(hashes)
+
+  def hadamardRotate(vq: Column, signs: Array[Long]): Column = {
+    val fp = signs.foldLeft(17L)((h, s2) => h * 31 + s2).toHexString
+    registered(s"graft_hadamard_${signs.length}_$fp",
+      exprs => HadamardRotate(exprs.head, signs))(vq)
+  }
 }

@@ -37,17 +37,13 @@ object OpqRotation {
     }
 
   /** Rotate a micro-long `array<long>` column of fixed dimension `d`
-    * (power of two). Bind the input to a MATERIALIZED column, not an
-    * inline expression — the outer transform references it d times. */
+    * (power of two) in one native pass
+    * ([[graft.functions.HadamardRotate]] — the HOF formulation would
+    * re-evaluate the sign-flipped input, and any inlined upstream
+    * expression, once per OUTPUT element: the documented lambda trap). */
   def rotateMicro(vq: Column, d: Int): Column = {
     require(d > 0 && (d & (d - 1)) == 0, s"Hadamard needs a power-of-two dim, got $d")
-    val signCol = array(signs(d).map(lit): _*)
-    val sv = zip_with(vq, signCol, (v, s2) => v * s2)
-    transform(sequence(lit(0L), lit((d - 1).toLong)), i =>
-      aggregate(
-        zip_with(sv, sequence(lit(0L), lit((d - 1).toLong)),
-          (x, j) => when(bit_count(i.bitwiseAND(j)) % 2 === 0, x).otherwise(-x)),
-        lit(0L), (acc, x2) => acc + x2))
+    graft.functions.VectorExpressions.hadamardRotate(vq, signs(d).toArray)
   }
 
   /** DuckDB subquery producing `(vec_id, vrot)` — the rotated vectors of

@@ -15,30 +15,33 @@ import graft.functions.TextHash
   * caps state at k longs per live window instead, with the q143 estimator
   * giving exact counts below k and a (k−1)·M/h₍k₎ estimate above.
   *
-  * Streaming-safe by construction: window membership is a STATELESS
-  * explode — each event at time t belongs to the `nSlides` sliding
-  * windows starting at (t div slide − i)·slide, i < nSlides (window
-  * length = nSlides·slide, epoch-aligned) — and the only stateful
-  * operator is ONE grouped aggregation whose buffer is the bounded
-  * [[graft.functions.KmvSketch]] set (dedup INSIDE the aggregate). The
-  * identical plan runs in batch, which is how the q234 oracle checks it;
-  * streaming parity under arbitrary micro-batch slicing is spec-proven
-  * (sketch union + trim is order-insensitive).
+  * Streaming-safe by construction: the grouping key is Spark's own
+  * `window()` column (sliding: length nSlides·slide, epoch-aligned slide
+  * — each event lands in its nSlides covering windows), so the EVENT-TIME
+  * metadata survives into the aggregation: with an upstream watermark
+  * Spark retires window state as event time passes and append mode is
+  * legal. (Grouping on a derived epoch long would strip that metadata and
+  * grow state forever — the exact unbounded-state problem this operator
+  * exists to avoid.) The only stateful operator is that ONE grouped
+  * aggregation, whose buffer is the bounded [[graft.functions.KmvSketch]]
+  * set (dedup INSIDE the aggregate). The identical plan runs in batch,
+  * which is how the q234 oracle checks it — `window()`'s start for slide
+  * s is `(t div s − i)·s`, the replayable integer form; streaming parity
+  * under arbitrary micro-batch slicing is spec-proven (sketch union +
+  * trim is order-insensitive).
   *
-  * At scale: the explode multiplies the input by nSlides (the standard
-  * sliding-window cost — keep nSlides small, e.g. 4–8), the shuffle
-  * carries one ≤k-long buffer per (partition, live window), and with a
-  * watermark Spark retires window state as event time passes.
+  * At scale: the window expansion multiplies the input by nSlides (the
+  * standard sliding-window cost — keep nSlides small, e.g. 4–8) and the
+  * shuffle carries one ≤k-long buffer per (partition, live window).
   */
 object StreamingDistinctWindows {
 
-  /** 2^53 — hash domain: (k−1)·M stays in int64 for k ≤ 1024, and every
-    * hash is double-exact (the q143 constants). */
-  val M: Long = 9007199254740992L
+  /** The shared KMV hash domain ([[TextHash.KmvM]] — single source). */
+  val M: Long = TextHash.KmvM
 
-  /** The q143-compatible KMV hash of an id. */
-  def kmvHash(id: Column): Column =
-    pmod(TextHash.md5Long(concat(lit("kmv:"), id.cast("string"))), lit(M))
+  /** The shared KMV id hash (same salt/domain as every q143-family
+    * sketch, so sketches from this operator merge with theirs). */
+  def kmvHash(id: Column): Column = TextHash.kmvHash(id)
 
   /** Per sliding window `(ws_us, n_sketch, kth_min, est_distinct)`:
     * window start in epoch µs, sketch fill, the k-th minimum hash (null
@@ -56,12 +59,13 @@ object StreamingDistinctWindows {
     val num = (k - 1).toLong * M
     require(num / M == (k - 1).toLong, s"(k-1)*M overflows int64 for k=$k")
     events
-      .select(unix_micros(col(tsCol)).as("us"), kmvHash(col(idCol)).as("h"))
-      .select(explode(sequence(lit(0), lit(nSlides - 1))).as("i"),
-        col("us"), col("h"))
-      .select(expr(s"(us div $slideUs - i) * $slideUs").as("ws_us"), col("h"))
-      .groupBy(col("ws_us"))
+      .select(col(tsCol).as("__ts"), kmvHash(col(idCol)).as("h"))
+      // group on window() itself — the event-time attribute the watermark
+      // machinery recognizes — never on a derived epoch long
+      .groupBy(window(col("__ts"),
+        s"${slideUs * nSlides} microseconds", s"$slideUs microseconds").as("w"))
       .agg(graft.functions.KmvAggregate.kmv(col("h"), k).as("sk"))
+      .select(unix_micros(col("w.start")).as("ws_us"), col("sk"))
       .withColumn("kth_min",
         when(size(col("sk")) >= k, element_at(col("sk"), k)))
       .select(col("ws_us"),

@@ -27,15 +27,13 @@ object AuditQueries {
     * properties at once: (k-1)*M = 127*2^53 stays inside int64 for the
     * estimator numerator, and every hash is exactly representable as a
     * Double, so using -h as the TopKByScore score loses nothing. */
-  private val KmvM = 9007199254740992L
+  private val KmvM = TextHash.KmvM
   private val KmvK = 128
   private val KmvNum = (KmvK - 1).toLong * KmvM // 127 * 2^53, < 2^63
 
-  private def kmvHash(userId: Column): Column =
-    pmod(TextHash.md5Long(concat(lit("kmv:"), userId.cast("string"))), lit(KmvM))
+  private def kmvHash(userId: Column): Column = TextHash.kmvHash(userId)
 
-  private def kmvHashSql(e: String): String =
-    s"(${TextHash.md5LongSql(s"'kmv:' || ($e)::VARCHAR")} % $KmvM)"
+  private def kmvHashSql(e: String): String = TextHash.kmvHashSql(e)
 
   /** Benford expected leading-digit shares in basis points:
     * floor(log10(1+1/d)*10^4 + 0.5). Constants, not runtime float log. */
@@ -723,7 +721,7 @@ object AuditQueries {
     "q234_window_distinct" -> {
       val s = 21600000000L
       val k = 64
-      val num = (k - 1).toLong * 9007199254740992L
+      val num = (k - 1).toLong * TextHash.KmvM
       s"""WITH ev AS (SELECT epoch_us(ts) AS us, user_id FROM events),
          |ew AS (SELECT ((us // $s) - i) * $s AS ws_us, user_id
          |       FROM ev, range(0, 4) t(i)),

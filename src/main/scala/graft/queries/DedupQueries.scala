@@ -37,16 +37,26 @@ object DedupQueries {
        |w AS (SELECT doc_id, p, $h AS h
        |      FROM tt, LATERAL (SELECT unnest(range(1, length(t) - 28)) AS p) pp),
        |c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM w),
-       |dup AS (SELECT doc_id, p,
-       |          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
-       |        FROM c WHERE cnt >= 2)
+       |lg AS (SELECT doc_id, p,
+       |         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+       |       FROM c WHERE cnt >= 2),
+       |ng AS (SELECT doc_id, p,
+       |         CASE WHEN pp IS NULL OR p > pp + 30 THEN 1 ELSE 0 END AS newg
+       |       FROM lg),
+       |gg AS (SELECT doc_id, p, sum(newg) OVER (PARTITION BY doc_id ORDER BY p
+       |         ROWS UNBOUNDED PRECEDING) AS grp FROM ng)
        |SELECT doc_id, min(p)::BIGINT AS span_start,
        |  (max(p) + 29)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
-       |FROM dup GROUP BY doc_id, island""".stripMargin
+       |FROM gg GROUP BY doc_id, grp""".stripMargin
   }
 
   /** q237's span pipeline over any `(doc_id, text)` relation — exposed so
-    * the planted-block spec can drive it directly. See the q237 comment. */
+    * the planted-block spec can drive it directly. Spans are maximal AND
+    * DISJOINT at the character level: duplicated window starts merge into
+    * one span whenever their covered [p, p+29] ranges touch or overlap
+    * (next start ≤ prev start + 30), so Σ span lengths IS the exact
+    * masked-character volume (the q240 contract — a start-run-only island
+    * rule would leave overlapping char ranges for gaps of 2..29). */
   private[graft] def duplicateSpans(docs: DataFrame): DataFrame = {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val wd = org.apache.spark.sql.expressions.Window
@@ -60,8 +70,13 @@ object DedupQueries {
         TextHash.md5Long(expr("substring(t, p, 30)")).as("h"))
       .withColumn("cnt", count(lit(1)).over(wh))
       .filter(col("cnt") >= 2)
-      .withColumn("island", col("p") - row_number().over(wd))
-      .groupBy(col("doc_id"), col("island"))
+      .withColumn("pp", lag(col("p"), 1).over(wd))
+      .withColumn("newg",
+        when(col("pp").isNull || col("p") > col("pp") + 30, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("newg")).over(wd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("p")).as("span_start"),
         (max(col("p")) + 29).as("span_end"),
         count(lit(1)).as("n_windows"))
@@ -119,12 +134,16 @@ object DedupQueries {
       graft.sources.LshIndex.write(
         docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, mpCfg)
       val batch = docs.filter(col("doc_id") < 50)
+      // each probe result feeds TWO consumers (the found-join and its own
+      // count) — persist, or the exact-verify join re-runs per reference
       val single = graft.sources.LshIndex
         .probe(s, batch, "doc_id", sh, idx, mpCfg)
         .select(col("query_id"), col("corpus_id"))
+        .persist()
       val multi = graft.sources.LshIndex
         .probe(s, batch, "doc_id", sh, idx, mpCfg, multiProbe = mpProbes)
         .select(col("query_id"), col("corpus_id"))
+        .persist()
       // exact truth: inverted-index join on the shingle hash — pairs with
       // no shared shingle have jaccard 0 and are correctly absent
       val hz = docs.select(col("doc_id").as("id"), sh.as("hashes"))
@@ -288,20 +307,23 @@ object DedupQueries {
     // RANGES to drop (or loss-mask) per document. Every 30-char window
     // occurring >= 2 times corpus-wide (within-doc repeats count — the
     // positioned formulation needs no per-doc dedup) is a duplicated
-    // position; consecutive positions merge into maximal spans by the
-    // gap-island trick (p − row_number per doc — the q132 idiom), so an
-    // L-char verbatim duplication reports as ONE [start, end] span, not
-    // L−29 rows. One explode + one count-over-hash shuffle + one per-DOC
+    // position; positions whose covered [p, p+29] ranges touch or overlap
+    // (next ≤ prev + 30) merge into maximal DISJOINT spans (lag +
+    // running-flag-sum islands), so an L-char verbatim duplication
+    // reports as ONE [start, end] span — not L−29 rows — and span
+    // lengths sum to the exact masked-char volume (the q240 contract).
+    // One explode + one count-over-hash shuffle + one per-DOC
     // window (bounded by doc length, keyed by the high-cardinality
     // doc_id) + one hash-agg — linear in corpus window volume.
     "q237_duplicate_spans" -> ((s, d) => duplicateSpans(Tables.documents(s, d))),
 
     // MASKED-CORPUS accounting: q237's spans composed into the per-source
     // retention report a dedup run hands the training job — how many
-    // characters survive once duplicated spans are masked out. Spans are
-    // disjoint per doc by construction (maximal islands), so their length
-    // sum IS the masked volume; the rollup is one left join + one
-    // hash-agg, with the keep share as exact integer basis points.
+    // characters survive once duplicated spans are masked out. q237's
+    // spans are disjoint per doc by CONSTRUCTION (char-level interval
+    // merge — see duplicateSpans), so their length sum IS the masked
+    // volume; the rollup is one left join + one hash-agg, with the keep
+    // share as exact integer basis points.
     "q240_masked_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),

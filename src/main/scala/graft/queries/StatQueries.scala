@@ -21,16 +21,13 @@ import graft.functions.{TextHash, TopKAggregate}
   */
 object StatQueries {
 
-  /** Mirrors AuditQueries' KMV constants (2^53 hash space: estimator
-    * numerators stay int64 AND hashes are double-exact for TopKByScore). */
-  private val KmvM = 9007199254740992L
+  /** The shared KMV constants/hash (TextHash is the single source). */
+  private val KmvM = TextHash.KmvM
   private val KmvK = 128
 
-  private def kmvHash(userId: org.apache.spark.sql.Column) =
-    pmod(TextHash.md5Long(concat(lit("kmv:"), userId.cast("string"))), lit(KmvM))
+  private def kmvHash(userId: org.apache.spark.sql.Column) = TextHash.kmvHash(userId)
 
-  private def kmvHashSql(e: String): String =
-    s"(${TextHash.md5LongSql(s"'kmv:' || ($e)::VARCHAR")} % $KmvM)"
+  private def kmvHashSql(e: String): String = TextHash.kmvHashSql(e)
 
   /** Poisson(1) CDF as integer millionth thresholds — constants, not
     * runtime float exp: P(X ≤ k)·10^6 floored, weights capped at 9

@@ -164,8 +164,18 @@ object SnapshotTable {
     val schema = versionSchema(snap).getOrElse(throw new IllegalStateException(
       s"bucketed read needs the version's recorded schema"))
     val tbl = bucketTableName(tableDir, snap.version)
-    if (!spark.catalog.tableExists(tbl)) {
-      val loc = Paths.get(tableDir, dirs.head).toUri.toString
+    val loc = Paths.get(tableDir, dirs.head).toUri.toString
+    // an existing entry is reused ONLY if it points at this snapshot's
+    // staged dir: a re-created table restarts versions at 1 (and 32-bit
+    // dir-hash collisions exist), so a name match alone could silently
+    // serve a stale registration's files
+    val stale = spark.catalog.tableExists(tbl) && {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      meta.location.toString.stripSuffix("/") != loc.stripSuffix("/")
+    }
+    if (stale) spark.sql(s"DROP TABLE `$tbl`")
+    if (stale || !spark.catalog.tableExists(tbl)) {
       spark.sql(s"CREATE TABLE $tbl (${schema.toDDL}) USING parquet " +
         s"CLUSTERED BY (`$bc`) SORTED BY (`$bc`) INTO $n BUCKETS LOCATION '$loc'")
     }

@@ -56,6 +56,12 @@ class CodegenCompileSpec extends AnyFunSuite {
       SimHash60(text)))
   }
 
+  test("HadamardRotate compiles in an UnsafeProjection") {
+    val vq = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
+    CodegenCompile.compileUnsafeProjection(Seq(
+      HadamardRotate(vq, Array(1L, -1L, 1L, 1L))))
+  }
+
   test("SortedIntersectCount compiles in an UnsafeProjection") {
     val a = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
     val b = BoundReference(1, ArrayType(LongType, containsNull = false), nullable = true)

@@ -106,6 +106,23 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == Seq("short doc"))
   }
 
+  test("duplicate spans: overlapping covered ranges merge (no double-counted chars)") {
+    // a 10-periodic 40-char run duplicates exactly the window pair at
+    // (p, p+10) — covered char ranges overlap by 20; a start-run-only
+    // island rule would emit two overlapping spans summing to 60 chars
+    // for a 40-char duplication (the q240 double-count bug)
+    val y = "0123456789" * 4
+    val doc = "unique prefix text " + y + " unique suffix words"
+    val planted = Seq((21L, doc),
+      (22L, "completely unrelated filler content long enough for windows"))
+      .toDF("doc_id", "text")
+    val spans = graft.queries.DedupQueries.duplicateSpans(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pY = doc.trim.indexOf(y) + 1 // 1-based
+    assert(spans.toSeq === Seq((21L, pY.toLong, (pY + 39).toLong, 2L)),
+      s"expected ONE merged 40-char span, got ${spans.toSeq}")
+  }
+
   test("duplicate spans: a planted verbatim block reports as ONE maximal span") {
     // doc 11 and 12 share a 60-char block at different offsets inside
     // otherwise-unique text; every 30-char window of the block duplicates,

@@ -57,6 +57,32 @@ class StreamingDistinctWindowsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked APPEND mode is legal and finalizes passed windows") {
+    // grouping on a derived epoch long (instead of window()) would strip
+    // the event-time attribute: append mode is rejected at start() and
+    // state grows forever — this pins the fixed behavior
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = run(mem.toDF().toDF("ts", "user_id")
+        .withWatermark("ts", "30 minutes"), 32)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kmv_windows_append").start()
+    try {
+      mem.addData((new Timestamp(base / 1000), 1L), (new Timestamp(base / 1000 + 1000), 2L))
+      q.processAllAvailable()
+      // advance event time far past the first windows + watermark, twice
+      // (the watermark computed at batch end applies to the NEXT batch)
+      val far = base + 12L * 3600 * 1000000
+      mem.addData((new Timestamp(far / 1000), 3L))
+      q.processAllAvailable()
+      mem.addData((new Timestamp(far / 1000 + 1000), 4L))
+      q.processAllAvailable()
+      val rows = spark.table("kmv_windows_append").collect()
+      assert(rows.nonEmpty, "passed windows must finalize under append mode")
+      assert(rows.forall(_.getLong(3) >= 1L))
+    } finally q.stop()
+  }
+
   test("below-capacity estimates are the exact distinct counts") {
     val df = events.toDF("ts", "user_id")
     val out = run(df, 1024).collect()
