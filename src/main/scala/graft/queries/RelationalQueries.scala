@@ -630,6 +630,53 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q7 shape (volume shipping): bilateral trade between two
+    // nations — supplier-nation × customer-nation × ship year, both
+    // directions, exact micro revenue. The two nation dims broadcast; the
+    // fact table joins orders/customer/supplier on its own keys.
+    "q243_volume_shipping" -> ((s, d) => {
+      val (na, nb) = ("NATION_1", "NATION_2")
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate").cast("date")).as("ship_year"), micro)
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("ck"))
+        .join(broadcast(n2), col("s_nationkey") === col("sk"))
+        .filter((col("cust_nation") === na && col("supp_nation") === nb) ||
+          (col("cust_nation") === nb && col("supp_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+        .agg(sum(col("micro")).as("revenue_micro"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q14 shape (promotion effect): per ship month, the PROMO-part
+    // revenue share in exact integer basis points — no float division,
+    // both revenue sums ship alongside the ratio.
+    "q244_promo_share" -> ((s, d) => {
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), date_format(col("l_shipdate").cast("date"), "yyyy-MM").as("ship_month"), micro)
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("ship_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("micro")).otherwise(0L)).as("promo_micro"),
+          sum(col("micro")).as("total_micro"))
+        .select(col("ship_month"), col("promo_micro"), col("total_micro"),
+          expr("(promo_micro * 10000) div total_micro").as("promo_bp"))
+    }),
+
     // Cheapest-supplier-per-part — TPC-H Q2's correlated-subquery shape
     // decorrelated the way every engine rewrites it: the per-part MIN
     // over (part, supplier) aggregates, joined back to recover the
@@ -1287,6 +1334,38 @@ object RelationalQueries {
         |  AND o_orderdate::DATE >= DATE '1995-01-01'
         |  AND o_orderdate::DATE < DATE '1996-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q243_volume_shipping" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |    year(l_shipdate::DATE) AS ship_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS micro
+        |  FROM lineitem)
+        |SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation, ship_year,
+        |  sum(micro)::BIGINT AS revenue_micro, count(*)::BIGINT AS n_items
+        |FROM li
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q244_promo_share" ->
+      """WITH li AS (SELECT l_partkey, strftime(l_shipdate::DATE, '%Y-%m') AS ship_month,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS micro
+        |  FROM lineitem),
+        |g AS (SELECT ship_month,
+        |    sum(CASE WHEN p_type = 'PROMO' THEN micro ELSE 0 END)::BIGINT AS promo_micro,
+        |    sum(micro)::BIGINT AS total_micro
+        |  FROM li JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ship_month)
+        |SELECT ship_month, promo_micro, total_micro,
+        |  ((promo_micro * 10000) // total_micro)::BIGINT AS promo_bp
+        |FROM g""".stripMargin,
 
     "q241_lang_pivot" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")
