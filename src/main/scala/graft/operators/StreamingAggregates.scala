@@ -32,6 +32,40 @@ object StreamingAggregates {
         col(keyCol), col("n_events"), col("sum_value"))
   }
 
+  /** OHLC bars per tumbling window — the streaming dual of q242: open and
+    * close ride min/max-of-struct aggregates ((us, id, cents) with a
+    * unique id ⇒ the lexicographic extreme IS the deterministic first/last
+    * row), high/low/volume are plain integer aggregates. All five are
+    * order-insensitive, so a streaming run under ANY micro-batch slicing
+    * equals the batch run exactly (spec-proven); grouping on `window()`
+    * keeps the event-time attribute, so a watermark finalizes bars in
+    * append mode. */
+  def ohlcBars(
+      events: DataFrame,
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      valueCol: String = "value",
+      windowLength: String = "1 hour",
+      watermark: Option[String] = Some("2 hours")): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    in.filter(col(valueCol).isNotNull)
+      .select(col(tsCol).as("__ts"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), round(col(valueCol) * 100).cast("long").as("cents"))
+      .groupBy(window(col("__ts"), windowLength))
+      .agg(
+        min(struct(col("us"), col("id"), col("cents")))
+          .getField("cents").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max(struct(col("us"), col("id"), col("cents")))
+          .getField("cents").as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("vol_cents"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_events"), col("vol_cents"))
+  }
+
   /** DuckDB oracle for the batch form of [[tumbling]] (epoch-aligned hourly
     * buckets — Spark's `window()` aligns to the epoch too). */
   def tumblingOracleSql(

@@ -47,6 +47,44 @@ object SequenceQueries {
             + when(col("purchase_us").isNotNull, 1).otherwise(0)).as("stage"))
     }),
 
+    // SLIDING-WINDOW heavy hitters — q97's Misra–Gries PROOF pattern per
+    // 24 h window (6 h slide): the summary CONTENT is execution-order-
+    // dependent by the algorithm, so the query emits what is INVARIANT —
+    // each window's truly-heavy items (exact cnt·(k+1) > n_w, k = 4, so
+    // the 5-type table genuinely overflows and decrements) with
+    // `in_summary` (guaranteed true by the n/(k+1) undercount bound) and
+    // a per-window `bounds_ok` over every summary entry. The oracle
+    // emits the exact heavy set with literal TRUEs: any violated
+    // guarantee hash-mismatches. One explode + three window-keyed aggs
+    // over the persisted exploded relation.
+    "q245_window_heavy_hitters" -> ((s, d) => {
+      val S = 21600000000L
+      val k = 4
+      val ev = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("us"), col("event_type"))
+        .select(explode(sequence(lit(0), lit(3))).as("i"), col("us"), col("event_type"))
+        .select(expr(s"(us div $S - i) * $S").as("ws_us"), col("event_type"))
+        .persist() // totals + exact counts + MG summaries (3 consumers)
+      val tot = ev.groupBy(col("ws_us")).agg(count(lit(1)).as("n"))
+      val exact = ev.groupBy(col("ws_us"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val mg = ev.groupBy(col("ws_us"))
+        .agg(graft.functions.MisraGriesAggregate.summary(col("event_type"), k).as("s"))
+        .select(col("ws_us"), explode(col("s")).as("e"))
+        .select(col("ws_us"), col("e.key").as("event_type"), col("e.est").as("est"))
+      val sound = mg.join(exact, Seq("ws_us", "event_type")).join(tot, "ws_us")
+        .groupBy(col("ws_us"))
+        .agg(bool_and(col("est") <= col("cnt") &&
+          (col("cnt") - col("est")) * (k + 1) <= col("n")).as("bounds_ok"))
+      exact.join(tot, "ws_us")
+        .filter(col("cnt") * (k + 1) > col("n"))
+        .join(mg.select(col("ws_us"), col("event_type"), lit(true).as("in_summary")),
+          Seq("ws_us", "event_type"), "left")
+        .join(sound, "ws_us")
+        .select(col("ws_us"), col("event_type"), col("cnt"),
+          coalesce(col("in_summary"), lit(false)).as("in_summary"), col("bounds_ok"))
+    }),
+
     // OHLC time-series resampling — hourly bars over the event stream:
     // open/close via ONE min/max-of-struct aggregate each ((us, event_id,
     // cents) — event_id is unique, so the lexicographic extreme is the
@@ -794,6 +832,17 @@ object SequenceQueries {
         |  coalesce(cents, user_mean_cents, global_mean_cents) AS cents_filled,
         |  (cents IS NULL) AS was_imputed
         |FROM ev LEFT JOIN um ON ev.user_id = um.user_id CROSS JOIN gm""".stripMargin,
+
+    "q245_window_heavy_hitters" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+        |ew AS (SELECT ((us // 21600000000) - i) * 21600000000 AS ws_us, event_type
+        |       FROM ev, range(0, 4) t(i)),
+        |tot AS (SELECT ws_us, count(*) AS n FROM ew GROUP BY ws_us),
+        |exact AS (SELECT ws_us, event_type, count(*) AS cnt FROM ew GROUP BY 1, 2)
+        |SELECT exact.ws_us, event_type, cnt::BIGINT AS cnt,
+        |  TRUE AS in_summary, TRUE AS bounds_ok
+        |FROM exact JOIN tot ON exact.ws_us = tot.ws_us
+        |WHERE cnt * 5 > n""".stripMargin,
 
     "q242_ohlc_bars" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us, event_id,

@@ -38,4 +38,38 @@ class StreamingAggregatesSpec extends AnyFunSuite {
         "late event must have been dropped")
     } finally q.stop()
   }
+
+  test("OHLC bars: streaming under random slicing == batch (order-insensitive aggs)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    // shuffled arrival order: within-window order must not matter
+    val events = rnd.shuffle((0 until 400).map { i =>
+      (ts(rnd.nextInt(360)), i.toLong, (rnd.nextInt(40000) - 10000) / 100.0)
+    })
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = StreamingAggregates
+      .ohlcBars(mem.toDF().toDF("ts", "event_id", "value"), watermark = None)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ohlc_stream").start()
+    try {
+      var rest = events
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(90)
+        mem.addData(rest.take(n): _*)
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      val streamed = spark.table("ohlc_stream").collect().map(_.toSeq).toSet
+      val batch = StreamingAggregates
+        .ohlcBars(events.toDF("ts", "event_id", "value"), watermark = None)
+        .collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.size === 6) // 6 hours of data
+      // open/close sanity vs a direct recomputation on one window
+      val h0 = events.filter(_._1.getTime < 3600000L).sortBy(e => (e._1.getTime, e._2))
+      val row0 = batch.find(_.head == 0L).get
+      assert(row0(1) === math.round(h0.head._3 * 100))
+      assert(row0(4) === math.round(h0.last._3 * 100))
+    } finally q.stop()
+  }
 }
