@@ -88,5 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // optimizer rule: naive levenshtein-threshold predicates -> banded form
     ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+    // optimizer rule: size(array_intersect(sorted-distinct, sorted-distinct))
+    // -> the zero-allocation two-pointer merge count
+    ext.injectOptimizerRule(_ => graft.plans.SortedIntersectRule)
   }
 }
