@@ -172,11 +172,13 @@ object LshIndex {
       dir: String,
       checkpointDir: String,
       cfg: MinHashDedup.Config = MinHashDedup.Config(),
-      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => (),
+      multiProbe: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processDedupBatch(spark, batch, idCol, shingleHashes, dir, cfg, batchId)
+        processDedupBatch(spark, batch, idCol, shingleHashes, dir, cfg, batchId,
+          multiProbe = multiProbe)
           .foreach(sv => onSurvivors(sv, batchId))
         // probe/pairs persist intermediates under the library caching
         // contract (caller releases); in a LONG-RUNNING stream nothing
@@ -200,7 +202,8 @@ object LshIndex {
       dir: String,
       cfg: MinHashDedup.Config,
       batchId: Long,
-      rivalWaitMs: Long = 30000L): Option[DataFrame] = {
+      rivalWaitMs: Long = 30000L,
+      multiProbe: Int = 0): Option[DataFrame] = {
     val commits = java.nio.file.Paths.get(s"$dir/commits")
     java.nio.file.Files.createDirectories(commits)
     val marker = commits.resolve(s"batch-$batchId")
@@ -208,8 +211,11 @@ object LshIndex {
 
     val meta = metaOf(dir)
     val nParts = meta("nParts")
-    // near-dups of the already-indexed corpus
-    val corpusDups = probe(spark, batch, idCol, shingleHashes, dir, cfg)
+    // near-dups of the already-indexed corpus — `multiProbe` > 0 buys the
+    // ingest loop the same recall trade as ad-hoc probes (smaller index,
+    // more perturbation buckets per batch); a dup found ONLY by a
+    // perturbed bucket is still exact-verified before it drops a doc
+    val corpusDups = probe(spark, batch, idCol, shingleHashes, dir, cfg, multiProbe)
       .select(col("query_id").as("__dup")).distinct()
     // near-dups of a SMALLER-id batchmate (deterministic canonical keep —
     // replay recomputes the identical pair set)

@@ -140,6 +140,19 @@ object SnapshotTable {
       stagedDataSub = Some(dataSub))
   }
 
+  /** Compact a BUCKETED table without losing its layout: rewrites the
+    * current rows as a fresh bucketed replace carrying the latest
+    * manifest's own bucket spec (a plain [[compact]] stages through the
+    * path writer and would drop both the spec and the bucket-id file
+    * naming). Fails loudly if the latest version has no spec. */
+  def compactBucketed(spark: SparkSession, tableDir: String): Long = {
+    val snap = latestSnapshot(tableDir)
+    val bc = snap.meta.getOrElse("bucketcol", throw new IllegalStateException(
+      s"$tableDir@v${snap.version} has no bucket spec to preserve — use compact()"))
+    val n = snap.meta("bucketn").toInt
+    commitReplaceBucketed(read(spark, tableDir), tableDir, bc, n)
+  }
+
   /** Deterministic catalog name for a bucketed snapshot scan (one per
     * table-dir × version — a later version never aliases a stale entry). */
   private[sources] def bucketTableName(tableDir: String, version: Long): String =

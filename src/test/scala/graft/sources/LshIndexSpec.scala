@@ -170,6 +170,28 @@ class LshIndexSpec extends AnyFunSuite {
     graft.TempDirs.deleteRecursively(new java.io.File(ckpt))
   }
 
+  test("multi-probe ingest finds at least the single-probe dups (survivors subset)") {
+    // small index (2 bands × 8 rows) so multi-probe has recall headroom;
+    // a dup found only via a perturbed bucket still exact-verifies, so
+    // multi-probe survivors are a SUBSET of single-probe survivors
+    val cfg2 = MinHashDedup.Config(numHashes = 16, bands = 2, jaccardThreshold = 0.8)
+    val batch = docs.filter(col("doc_id") < 10)
+    def survivorsWith(mp: Int): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+      LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dir, cfg2)
+      val sv = LshIndex.processDedupBatch(spark, batch, "doc_id", shingles,
+        dir, cfg2, 0L, multiProbe = mp).get
+        .select("doc_id").as[Long].collect().toSet
+      spark.catalog.clearCache()
+      graft.TempDirs.deleteRecursively(new java.io.File(dir))
+      sv
+    }
+    val s0 = survivorsWith(0)
+    val s3 = survivorsWith(3)
+    assert(s3.subsetOf(s0), s"multi-probe may only DROP more: $s3 vs $s0")
+    assert(s3.nonEmpty, "uniques must still survive")
+  }
+
   test("rival-claimed batch: waits for the rival's commit, then no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     LshIndex.write(docs.filter(col("doc_id") >= 10), "doc_id", shingles, dir, cfg)

@@ -57,6 +57,33 @@ class SnapshotBucketedSpec extends AnyFunSuite {
     dropBucketTables(dir)
   }
 
+  test("compactBucketed preserves the bucket spec: the join stays exchange-free") {
+    val (dirA, dirB) = (tmp(), tmp())
+    SnapshotTable.commitReplaceBucketed(
+      (1L to 600L).map(i => (i, s"l$i")).toDF("k", "lv").repartition(6), dirA, "k", 4)
+    SnapshotTable.commitReplaceBucketed(
+      (1L to 600L).filter(_ % 2 == 0).map(i => (i, s"r$i")).toDF("k", "rv"), dirB, "k", 4)
+    val v = SnapshotTable.compactBucketed(spark, dirA)
+    assert(v === 2L)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = SnapshotTable.readBucketed(spark, dirA)
+        .join(SnapshotTable.readBucketed(spark, dirB), "k")
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(joined.count() === 300)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      dropBucketTables(dirA); dropBucketTables(dirB)
+    }
+    // an unbucketed table refuses loudly instead of silently degrading
+    val plain = tmp()
+    SnapshotTable.commitReplace((1L to 10L).map(i => (i, i)).toDF("k", "v"), plain)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.compactBucketed(spark, plain)
+    }
+    assert(e.getMessage.contains("bucket spec"))
+  }
+
   test("vacuum after a bucketed re-replace keeps the live layout readable") {
     val dir = tmp()
     SnapshotTable.commitReplaceBucketed(
