@@ -31,6 +31,17 @@ object AuditQueries {
   private val KmvK = 128
   private val KmvNum = (KmvK - 1).toLong * KmvM // 127 * 2^53, < 2^63
 
+  /** q246 HLL constants. NUM = round(α_64 · 64² · 2^33) with the standard
+    * bias constant α_64 = 0.7213/(1 + 1.079/64); the LUT is the linear-
+    * counting estimate round(64·ln(64/V)) for V = 1..64 — both computed
+    * once offline so no runtime float log/exp touches either engine. */
+  private val HllNum = 24957716092920L
+  private val HllLcLut: Array[Long] = Array(
+    266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97,
+    93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46,
+    44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18,
+    17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0).map(_.toLong)
+
   private def kmvHash(userId: Column): Column = TextHash.kmvHash(userId)
 
   private def kmvHashSql(e: String): String = TextHash.kmvHashSql(e)
@@ -112,6 +123,56 @@ object AuditQueries {
         .select(lit("ALL").as("grp"), col("n_exact"), col("kth_min"),
           est(col("n_sketch"), col("kth_min")).as("est_distinct"))
       typed.unionByName(allRow)
+    }),
+
+    // HyperLogLog with PORTABLE registers. q32/q113 use Spark's internal
+    // HLL++ and can only be tolerance-gated; this is the classic Flajolet
+    // m=64 register / 32-bit stream formulation in exact integer math, so
+    // the register state, the harmonic sum, the raw estimate AND the
+    // linear-counting branch all hash-check against a lockstep DuckDB
+    // replay — the sketch family's last member gets a zero-tolerance
+    // oracle. bucket = h % 64; stream = next 32 bits of the md5;
+    // rho = leading-zero rank = 33 − bitlength(stream) (33 for stream=0,
+    // both engines agree bin() drops leading zeros — the q89 idiom);
+    // register M_j = max rho per bucket. Harmonic sum in units of 2^-33:
+    // S = Σ 2^(33−M_j), empty registers contribute 2^33 — S ≤ 64·2^32
+    // fits int64 with room. raw = NUM div S, NUM = round(α_64·64²·2^33)
+    // precomputed; linear counting 64·ln(64/V) is a 64-entry integer LUT
+    // (constants, never runtime float log). The 'ALL' row merges per-type
+    // sketches register-wise (max) — HLL's defining mergeability — and
+    // exact distinct counts ride alongside so estimate quality is itself
+    // inside the hash-checked output. Shape at scale: one distinct
+    // shuffle, then ≤ types·64 register rows; the merge is free.
+    "q246_hll_registers" -> ((s, d) => {
+      val dist = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .withColumn("h",
+          TextHash.md5Long(concat(lit("hll:"), col("user_id").cast("string"))))
+        .withColumn("bucket", col("h") % 64)
+        .withColumn("stream", expr("(h div 64) % 4294967296"))
+        .withColumn("rho", when(col("stream") === 0, lit(33L))
+          .otherwise(lit(33L) - length(bin(col("stream")))))
+        .persist() // feeds the register agg and both exact-count aggs
+      val regs = dist.groupBy(col("event_type").as("grp"), col("bucket"))
+        .agg(max(col("rho")).as("m"))
+        .persist() // consumed twice: per-type fold + register-wise merge
+      val mergedRegs = regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+        .withColumn("grp", lit("ALL"))
+      def fold(df: DataFrame): DataFrame = df.groupBy(col("grp")).agg(
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"))
+          + (lit(64L) - count(lit(1))) * lit(8589934592L)).as("sum_scaled"),
+        (lit(64L) - count(lit(1))).as("v_zero"))
+      val folded = fold(regs).unionByName(fold(mergedRegs))
+      val nEx = dist.groupBy(col("event_type").as("grp"))
+        .agg(count(lit(1)).as("n_exact"))
+        .unionByName(dist.agg(countDistinct(col("user_id")).as("n_exact"))
+          .withColumn("grp", lit("ALL")))
+      folded.join(nEx, "grp")
+        .withColumn("raw", expr(s"$HllNum div sum_scaled"))
+        .select(col("grp"), col("n_exact"), col("v_zero"), col("sum_scaled"),
+          when(col("v_zero") > 0 && col("raw") <= 160,
+            element_at(lit(HllLcLut), col("v_zero").cast("int")))
+            .otherwise(col("raw")).as("est_hll"))
     }),
 
     // SLIDING-WINDOW distinct-user sketches (operators/
@@ -716,6 +777,40 @@ object AuditQueries {
          |  (CASE WHEN n_for_est < $KmvK THEN n_for_est
          |        ELSE $KmvNum // kth_min END)::BIGINT AS est_distinct
          |FROM u""".stripMargin
+    },
+
+    "q246_hll_registers" -> {
+      val h = TextHash.md5LongSql("'hll:' || user_id::VARCHAR")
+      val lut = HllLcLut.mkString("[", ", ", "]")
+      s"""WITH dist AS (SELECT DISTINCT event_type, user_id FROM events),
+         |hs AS (SELECT event_type, $h AS h FROM dist),
+         |b AS (SELECT event_type, h % 64 AS bucket,
+         |        (h // 64) % 4294967296 AS stream FROM hs),
+         |r AS (SELECT event_type, bucket,
+         |        CASE WHEN stream = 0 THEN 33
+         |             ELSE 33 - length(bin(stream)) END AS rho FROM b),
+         |regs AS (SELECT event_type AS grp, bucket, max(rho) AS m
+         |         FROM r GROUP BY 1, 2),
+         |mregs AS (SELECT 'ALL' AS grp, bucket, max(m) AS m
+         |          FROM regs GROUP BY 2),
+         |allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM mregs),
+         |f AS (SELECT grp,
+         |        (sum((1::BIGINT << (33 - m)::INT))
+         |          + (64 - count(*)) * 8589934592)::BIGINT AS sum_scaled,
+         |        (64 - count(*))::BIGINT AS v_zero
+         |      FROM allregs GROUP BY 1),
+         |ne AS (SELECT event_type AS grp,
+         |         count(DISTINCT user_id)::BIGINT AS n_exact
+         |       FROM events GROUP BY 1
+         |       UNION ALL
+         |       SELECT 'ALL', count(DISTINCT user_id)::BIGINT FROM events),
+         |e AS (SELECT grp, sum_scaled, v_zero,
+         |        ($HllNum // sum_scaled)::BIGINT AS raw FROM f)
+         |SELECT e.grp, ne.n_exact, e.v_zero, e.sum_scaled,
+         |  (CASE WHEN e.v_zero > 0 AND e.raw <= 160
+         |        THEN ($lut)[e.v_zero::INT]
+         |        ELSE e.raw END)::BIGINT AS est_hll
+         |FROM e JOIN ne USING (grp)""".stripMargin
     },
 
     "q234_window_distinct" -> {

@@ -234,4 +234,70 @@ class AuditQueriesSpec extends AnyFunSuite {
       assert(s > 10000 - 9 && s <= 10000, s"priority $p share sum $s")
     }
   }
+
+  test("q246 HLL: estimate within sketch stderr; merge = direct global sketch") {
+    // columns: grp, n_exact, v_zero, sum_scaled, est_hll
+    val rows = AuditQueries.queries("q246_hll_registers")(spark, small).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val (nAll, _, sAll, estAll) = rows("ALL")
+    // m=64 ⇒ stderr ≈ 1.04/√64 = 13%; deterministic data, 4σ gate
+    // (sf0.01 has ~150 users — whichever branch fires must land close)
+    assert(math.abs(estAll - nAll).toDouble / nAll < 0.52,
+      s"ALL estimate $estAll too far from exact $nAll")
+
+    // Raw-estimator branch accuracy on a synthetic 5000-id universe
+    // (well past the 5m/2 = 160 linear-counting cutoff).
+    val syn = spark.range(5000)
+      .withColumn("h",
+        TextHash.md5Long(concat(lit("hll:"), col("id").cast("string"))))
+      .select((col("h") % 64).as("b"), expr("(h div 64) % 4294967296").as("st"))
+      .withColumn("rho", when(col("st") === 0, lit(33L))
+        .otherwise(lit(33L) - length(bin(col("st")))))
+      .groupBy("b").agg(max("rho").as("m"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"))
+        .as("s"), count(lit(1)).as("nb"))
+      .collect().head
+    val sSyn = syn.getLong(0) + (64 - syn.getLong(1)) * 8589934592L
+    val rawSyn = 24957716092920L / sSyn
+    assert(math.abs(rawSyn - 5000).toDouble / 5000 < 0.52,
+      s"raw-branch estimate $rawSyn too far from 5000")
+
+    // Register-wise-max merge must equal the sketch built over all users
+    // directly (same registers ⇒ same harmonic sum).
+    val direct = Tables.events(spark, small).select(col("user_id")).distinct()
+      .withColumn("h",
+        TextHash.md5Long(concat(lit("hll:"), col("user_id").cast("string"))))
+      .select((col("h") % 64).as("b"), expr("(h div 64) % 4294967296").as("st"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val reg = direct.groupBy(_._1).map { case (b, xs) =>
+      b -> xs.map { case (_, st) =>
+        if (st == 0L) 33L else 33L - java.lang.Long.toBinaryString(st).length
+      }.max
+    }
+    val sDirect = (0L until 64L).map(b => 1L << (33L - reg.getOrElse(b, 0L)).toInt).sum
+    assert(sAll == sDirect, "merged harmonic sum must equal the direct sketch's")
+  }
+
+  test("q246 HLL: linear-counting branch fires in the small regime and is exact LUT math") {
+    val rows = AuditQueries.queries("q246_hll_registers")(spark, tiny).collect()
+    val lut = Array(266L, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113,
+      107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53,
+      51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23,
+      21, 20, 18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0)
+    var lcSeen = false
+    for (r <- rows) {
+      val (n, v, sScaled, est) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val raw = 24957716092920L / sScaled
+      if (v > 0 && raw <= 160) {
+        lcSeen = true
+        assert(est == lut(v.toInt - 1), s"${r.getString(0)}: LC LUT mismatch")
+        // linear counting is tight at low occupancy
+        assert(math.abs(est - n).toDouble / math.max(n, 1L) < 0.35,
+          s"${r.getString(0)}: LC estimate $est far from exact $n")
+      }
+    }
+    assert(lcSeen, "sf0.001 should exercise the linear-counting branch")
+  }
 }
