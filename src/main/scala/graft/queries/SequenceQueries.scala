@@ -85,6 +85,36 @@ object SequenceQueries {
           coalesce(col("in_summary"), lit(false)).as("in_summary"), col("bounds_ok"))
     }),
 
+    // SLIDING-WINDOW ranked top-k payloads — the exact ranked dual of
+    // q245's Misra–Gries counts: per 24 h window (6 h slide) the k most
+    // active users WITH their exact activity counts, rank included.
+    // Shape at scale: per-(window, user) count is one hash agg; the
+    // per-window ranking rides TopKByScore so the second shuffle carries
+    // k rows per window — NEVER a row_number window sort over each
+    // window's full user set (window-free plan spec-asserted, the q230
+    // lesson). Count scores are exact in double (counts << 2^53); ties
+    // break on the smaller user_id — the aggregate's payload-ASC
+    // contract, mirrored by the oracle's ORDER BY cnt DESC, user_id.
+    // Streaming note: exact ranked top-k per window needs final counts
+    // (two stacked stateful aggs — illegal in append mode); the
+    // streaming dashboard dual is q245/StreamingTopK's MG summary.
+    "q247_window_top_users" -> ((s, d) => {
+      val S = 21600000000L
+      val k = 5
+      val cnts = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("us"), col("user_id"))
+        .select(explode(sequence(lit(0), lit(3))).as("i"), col("us"), col("user_id"))
+        .select(expr(s"(us div $S - i) * $S").as("ws_us"), col("user_id"))
+        .groupBy(col("ws_us"), col("user_id")).agg(count(lit(1)).as("cnt"))
+      cnts.groupBy(col("ws_us"))
+        .agg(graft.functions.TopKAggregate
+          .topK(col("cnt").cast("double"), col("user_id"), k).as("top"))
+        .select(col("ws_us"), posexplode(col("top")))
+        .select(col("ws_us"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.payload").as("user_id"),
+          col("col.score").cast("long").as("cnt"))
+    }),
+
     // OHLC time-series resampling — hourly bars over the event stream:
     // open/close via ONE min/max-of-struct aggregate each ((us, event_id,
     // cents) — event_id is unique, so the lexicographic extreme is the
@@ -843,6 +873,18 @@ object SequenceQueries {
         |  TRUE AS in_summary, TRUE AS bounds_ok
         |FROM exact JOIN tot ON exact.ws_us = tot.ws_us
         |WHERE cnt * 5 > n""".stripMargin,
+
+    "q247_window_top_users" ->
+      """WITH ew AS (SELECT ((epoch_us(ts) // 21600000000) - i) * 21600000000 AS ws_us,
+        |         user_id
+        |       FROM events, range(0, 4) t(i)),
+        |c AS (SELECT ws_us, user_id, count(*)::BIGINT AS cnt FROM ew GROUP BY 1, 2),
+        |r AS (SELECT ws_us, user_id, cnt,
+        |        row_number() OVER (PARTITION BY ws_us
+        |                           ORDER BY cnt DESC, user_id) AS rank
+        |      FROM c)
+        |SELECT ws_us, rank::BIGINT AS rank, user_id, cnt
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     "q242_ohlc_bars" ->
       """WITH ev AS (SELECT epoch_us(ts) AS us, event_id,

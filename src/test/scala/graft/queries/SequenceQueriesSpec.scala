@@ -137,4 +137,23 @@ class SequenceQueriesSpec extends AnyFunSuite {
     val sparkGot = df.collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
     assert(sparkGot == want.map(_.toLong))
   }
+
+  test("q247 window top-k: windowless plan, ranks dense, counts sorted with id tie-break") {
+    val df = SequenceQueries.queries("q247_window_top_users")(spark, "/root/testdata/sf0.01")
+    // ranking must ride the bounded TopKByScore aggregate — a row_number
+    // window over (ws_us) would sort each window's full user set (q230)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q247 must not contain a window:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((ws, g) <- rows.groupBy(_._1)) {
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq, s"window $ws ranks")
+      // counts non-increasing; equal counts break ties on the smaller id
+      for (Array((_, _, idA, cA), (_, _, idB, cB)) <- byRank.sliding(2).map(_.toArray)) {
+        assert(cA > cB || (cA == cB && idA < idB), s"window $ws order violated")
+      }
+    }
+  }
 }
