@@ -175,6 +175,33 @@ object AuditQueries {
             .otherwise(col("raw")).as("est_hll"))
     }),
 
+    // DIFFERENTIALLY-PRIVATE count release — the publication step the
+    // privacy family (q212 k-anonymity, q219 l-diversity, q79 redaction)
+    // was missing. Mechanism: discrete Laplace with p = 1/2 (ε = ln 2 for
+    // sensitivity-1 counts), drawn EXACTLY as the difference of two
+    // geometric(1/2) variables — and a geometric(1/2) is just the
+    // trailing-zero count of a uniform bit stream, so the draw is pure
+    // integer math on two independent md5 hashes seeded by the group key:
+    // tz(h) = bitlength(h & −h) − 1 (60 for h = 0, the all-zero tail).
+    // No float exp/log ever touches either engine, so the RELEASE itself
+    // is hash-checked — a DP mechanism with a bit-identical oracle.
+    // n_released clamps at 0 (post-processing, DP-legal). Exact counts
+    // ride alongside for the audit (this is the engine test surface, not
+    // the release boundary). Scale shape: one hash agg; the noise is
+    // map-side arithmetic on the tiny aggregated relation.
+    "q248_dp_counts" -> ((s, d) => {
+      def tzNoise(tag: String): Column = {
+        val h = TextHash.md5Long(concat(lit(tag), col("source")))
+        when(h === 0L, lit(60L))
+          .otherwise(length(bin(h.bitwiseAND(-h))).cast("long") - 1L)
+      }
+      Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("noise", tzNoise("dpa:") - tzNoise("dpb:"))
+        .select(col("source"), col("n_exact"), col("noise"),
+          greatest(col("n_exact") + col("noise"), lit(0L)).as("n_released"))
+    }),
+
     // SLIDING-WINDOW distinct-user sketches (operators/
     // StreamingDistinctWindows): 24 h windows sliding 6 h over events,
     // each window's unique-user cardinality from a k=64 KMV set — the
@@ -811,6 +838,22 @@ object AuditQueries {
          |        THEN ($lut)[e.v_zero::INT]
          |        ELSE e.raw END)::BIGINT AS est_hll
          |FROM e JOIN ne USING (grp)""".stripMargin
+    },
+
+    "q248_dp_counts" -> {
+      val ha = TextHash.md5LongSql("'dpa:' || source")
+      val hb = TextHash.md5LongSql("'dpb:' || source")
+      s"""WITH c AS (SELECT source, count(*)::BIGINT AS n_exact
+         |           FROM documents GROUP BY 1),
+         |h AS (SELECT source, n_exact, $ha AS ha, $hb AS hb FROM c),
+         |n AS (SELECT source, n_exact,
+         |        ((CASE WHEN ha = 0 THEN 60
+         |               ELSE length(bin(ha & (-ha))) - 1 END)
+         |       - (CASE WHEN hb = 0 THEN 60
+         |               ELSE length(bin(hb & (-hb))) - 1 END))::BIGINT AS noise
+         |      FROM h)
+         |SELECT source, n_exact, noise,
+         |  greatest(n_exact + noise, 0)::BIGINT AS n_released FROM n""".stripMargin
     },
 
     "q234_window_distinct" -> {

@@ -300,4 +300,28 @@ class AuditQueriesSpec extends AnyFunSuite {
     }
     assert(lcSeen, "sf0.001 should exercise the linear-counting branch")
   }
+
+  test("q248 DP counts: noise replays exactly; distribution is the p=1/2 discrete Laplace") {
+    def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
+    def tz(h: Long) = if (h == 0L) 60L
+      else java.lang.Long.toBinaryString(h & -h).length.toLong - 1L
+    val rows = AuditQueries.queries("q248_dp_counts")(spark, small).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (src, n, noise, rel) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(noise == tz(md5l("dpa:" + src)) - tz(md5l("dpb:" + src)),
+        s"$src noise replay")
+      assert(rel == math.max(n + noise, 0L), s"$src clamp")
+    }
+    // mechanism distribution over 4096 synthetic keys: mean ~0 (E=0,
+    // Var=4 => stderr of the mean = 2/64), P(noise=0) = 1/3
+    val sample = (0 until 4096).map { i =>
+      tz(md5l("dpa:k" + i)) - tz(md5l("dpb:k" + i))
+    }
+    val mean = sample.sum.toDouble / sample.length
+    assert(math.abs(mean) < 0.15, s"noise mean $mean")
+    val p0 = sample.count(_ == 0L).toDouble / sample.length
+    assert(math.abs(p0 - 1.0 / 3.0) < 0.04, s"P(noise=0) = $p0, expect 1/3")
+  }
 }
