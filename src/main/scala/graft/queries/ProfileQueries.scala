@@ -79,6 +79,43 @@ object ProfileQueries {
     // one scan regardless of column count) + a map-side explode unpivot.
     // min/max are truncated string reprs (documents has only bigint and
     // string columns, whose reprs are engine-identical).
+    // FUNCTIONAL-DEPENDENCY discovery audit (Metanome/Deequ territory,
+    // the constraint-mining sibling of q128's FK-orphan audit): for each
+    // candidate FD A → B, the g3 error = minimum rows to delete so the
+    // FD holds exactly = n − Σ_a max_b cnt(a,b). Exact FDs report 0
+    // violations; near-FDs get an exact integer basis-point rate. The
+    // candidate list deliberately mixes a key-FD (o_orderkey → status,
+    // holds), plausible-but-false FDs, and the testdata's own quirk
+    // (duplicate (l_orderkey, l_linenumber) pairs ⇒ even the "key" FD
+    // can violate). Shape at scale: per candidate ONE (A,B) hash agg
+    // then ONE A hash agg — both map-side-partial, linear, no windows;
+    // max-of-counts needs no tie-break (the max is over values, never an
+    // argmax payload).
+    "q249_fd_audit" -> ((s, d) => {
+      def fd(df: DataFrame, tbl: String, a: String, b: String): DataFrame =
+        df.groupBy(col(a).as("a"), col(b).as("b")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("a")).agg(max(col("cnt")).as("mx"), sum(col("cnt")).as("tot"))
+          .agg(sum(col("mx")).as("kept"), sum(col("tot")).as("n"),
+            count(lit(1)).as("n_lhs"))
+          .select(lit(tbl).as("tbl"), lit(s"$a -> $b").as("fd"),
+            col("n"), col("n_lhs"),
+            (col("n") - col("kept")).as("violations"),
+            expr("(n - kept) * 10000 div n").as("violation_bp"),
+            (col("n") === col("kept")).as("holds"))
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val docs = Tables.documents(s, d)
+      fd(li, "lineitem", "l_orderkey", "l_returnflag")
+        .unionByName(fd(li, "lineitem", "l_orderkey", "l_linestatus"))
+        .unionByName(fd(li, "lineitem", "l_partkey", "l_suppkey"))
+        .unionByName(fd(li.select(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")).as("line_key"),
+          col("l_quantity")), "lineitem", "line_key", "l_quantity"))
+        .unionByName(fd(o, "orders", "o_orderkey", "o_orderstatus"))
+        .unionByName(fd(o, "orders", "o_custkey", "o_orderpriority"))
+        .unionByName(fd(docs, "documents", "source", "lang"))
+    }),
+
     "q101_profile_generic" -> ((s, d) =>
       graft.operators.Profiler.profile(Tables.documents(s, d))),
 
@@ -255,6 +292,28 @@ object ProfileQueries {
     "q46_deterministic_sample" -> {
       val h = graft.functions.TextHash.md5LongSql("doc_id::VARCHAR")
       s"""SELECT doc_id, lang, n_chars FROM documents WHERE $h % 100 < 10"""
+    },
+
+    "q249_fd_audit" -> {
+      def fd(tbl: String, aExpr: String, bExpr: String, fdName: String): String =
+        s"""SELECT '$tbl' AS tbl, '$fdName' AS fd,
+           |  sum(tot)::BIGINT AS n, count(*)::BIGINT AS n_lhs,
+           |  (sum(tot) - sum(mx))::BIGINT AS violations,
+           |  ((sum(tot) - sum(mx)) * 10000 // sum(tot))::BIGINT AS violation_bp,
+           |  (sum(tot) = sum(mx)) AS holds
+           |FROM (SELECT a, max(cnt) AS mx, sum(cnt) AS tot
+           |      FROM (SELECT $aExpr AS a, $bExpr AS b, count(*) AS cnt
+           |            FROM $tbl GROUP BY 1, 2) GROUP BY a)""".stripMargin
+      Seq(
+        fd("lineitem", "l_orderkey", "l_returnflag", "l_orderkey -> l_returnflag"),
+        fd("lineitem", "l_orderkey", "l_linestatus", "l_orderkey -> l_linestatus"),
+        fd("lineitem", "l_partkey", "l_suppkey", "l_partkey -> l_suppkey"),
+        fd("lineitem", "l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR",
+          "l_quantity", "line_key -> l_quantity"),
+        fd("orders", "o_orderkey", "o_orderstatus", "o_orderkey -> o_orderstatus"),
+        fd("orders", "o_custkey", "o_orderpriority", "o_custkey -> o_orderpriority"),
+        fd("documents", "source", "lang", "source -> lang"),
+      ).mkString("", "\nUNION ALL\n", "")
     },
 
     "q47_event_pivot" ->
