@@ -606,6 +606,35 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // TPC-H Q18 shape (large-volume customers): orders whose total line
+    // quantity clears a heavy-tail threshold, with customer context,
+    // deterministic top-100 by order value. The classic Q18 text computes
+    // sum(l_quantity) TWICE (HAVING subquery + outer re-aggregate after
+    // re-joining lineitem); this is the standard rewrite — aggregate
+    // lineitem ONCE, filter, and carry total_qty through the joins — a
+    // rewrite the optimizer cannot always derive itself (spec asserts a
+    // single lineitem scan). Shape at scale: one lineitem shuffle; the
+    // HAVING output is the heavy tail (~0.5% of orders), so AQE
+    // broadcasts it against orders/customer; top-100 runs as
+    // TakeOrdered over that filtered relation, never a global sort.
+    // Quantities are integral-valued doubles -> exact longs.
+    "q250_large_volume_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_date"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_date"), col("total_cents"), col("total_qty"))
+        .orderBy(desc("total_cents"), col("o_date"), col("o_orderkey"))
+        .limit(100)
+    }),
+
     // TPC-H Q10 shape (returned items): one quarter's orders × returned
     // lineitems rolled up per customer with nation context, top-20 by
     // exact micro revenue; account balance as integer cents.
@@ -1377,6 +1406,18 @@ object RelationalQueries {
          |SELECT source, ${langs.map(l => s"n_$l").mkString(", ")},
          |  ($total)::BIGINT AS n_total FROM p""".stripMargin
     },
+
+    "q250_large_volume_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate::DATE AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_date, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q238_shipping_priority" ->
       """WITH li AS (SELECT l_orderkey,

@@ -132,4 +132,21 @@ class RelationalQueriesSpec extends AnyFunSuite {
     // no Expand/Distinct nodes: EXISTS must not dedup a fanned-out join
     assert(!semiPlan.contains("Distinct"), semiPlan)
   }
+
+  test("q250 Q18 shape: lineitem aggregated once, top-100 as TakeOrdered") {
+    val df = RelationalQueries.queries("q250_large_volume_orders")(spark, dir)
+    val plan = df.queryExecution.sparkPlan.toString
+    // the Q18 rewrite: ONE lineitem scan (no HAVING-subquery + re-join
+    // re-aggregate double read)
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(lineitemScans == 1, s"expected one lineitem scan, got $lineitemScans:\n$plan")
+    // limit over the filtered heavy tail must be TakeOrdered, not a global Sort
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 should be TakeOrdered:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // every surviving order clears the threshold; ordering is as declared
+    assert(rows.forall(_.getLong(5) > 300))
+    val key = rows.map(r => (-r.getLong(4), r.getDate(3).toString, r.getLong(2)))
+    assert(key.sameElements(key.sorted), "output must follow the declared sort")
+  }
 }
