@@ -79,6 +79,52 @@ object ProfileQueries {
     // one scan regardless of column count) + a map-side explode unpivot.
     // min/max are truncated string reprs (documents has only bigint and
     // string columns, whose reprs are engine-identical).
+    // Pearson CORRELATION MATRIX profiler — the bivariate half q101's
+    // univariate profile is missing. ALL 4 column moments and 6 cross
+    // moments come from ONE global wide aggregate over a single scan
+    // (map-side partials; no per-pair rescans), then the 6 pair rows are
+    // exploded from the 1-row result. Numerators n·Σxy − Σx·Σy and both
+    // variance terms are exact decimal(38,0) (sums of cents² overflow
+    // int64 at sf0.1 — the q215/q221 decimal-from-first-multiply idiom)
+    // emitted as strings ⇔ DuckDB HUGEINT; the coefficient itself is the
+    // mirrored IEEE sqrt tree + portable rounding (the q152 pattern).
+    // Zero-variance sides yield NULL identically on both engines.
+    "q251_correlation_matrix" -> ((s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val li = Tables.lineitem(s, d).select(
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price"),
+        round(col("l_discount") * 100).cast("long").as("disc"),
+        round(col("l_tax") * 100).cast("long").as("tax"))
+      val cols = Seq("qty", "price", "disc", "tax")
+      val prs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        cols.map(c => sum(dec(col(c))).as(s"s_$c")) ++
+        cols.map(c => sum(dec(col(c)) * dec(col(c))).as(s"ss_$c")) ++
+        prs.map { case (a, b) => sum(dec(col(a)) * dec(col(b))).as(s"sp_${a}_$b") }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val pcol = array(prs.map { case (a, b) =>
+        struct(lit(s"$a~$b").as("pair"), col(s"sp_${a}_$b").as("sxy"),
+          col(s"s_$a").as("sx"), col(s"s_$b").as("sy"),
+          col(s"ss_$a").as("sxx"), col(s"ss_$b").as("syy"))
+      }: _*)
+      one.select(col("n"), explode(pcol).as("p"))
+        .select(col("p.pair").as("pair"), col("n"),
+          (dec(col("n")) * col("p.sxy") - col("p.sx") * col("p.sy")).as("num"),
+          (dec(col("n")) * col("p.sxx") - col("p.sx") * col("p.sx")).as("dx"),
+          (dec(col("n")) * col("p.syy") - col("p.sy") * col("p.sy")).as("dy"))
+        .select(col("pair"), col("n"),
+          col("num").cast("string").as("r_num"),
+          col("dx").cast("string").as("r_den_x"),
+          col("dy").cast("string").as("r_den_y"),
+          when(col("dx") === 0 || col("dy") === 0, lit(null))
+            .otherwise(graft.functions.PortableMath.roundPortable(
+              col("num").cast("double") /
+                (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))),
+              6)).as("r"))
+    }),
+
     // FUNCTIONAL-DEPENDENCY discovery audit (Metanome/Deequ territory,
     // the constraint-mining sibling of q128's FK-orphan audit): for each
     // candidate FD A → B, the g3 error = minimum rows to delete so the
@@ -292,6 +338,34 @@ object ProfileQueries {
     "q46_deterministic_sample" -> {
       val h = graft.functions.TextHash.md5LongSql("doc_id::VARCHAR")
       s"""SELECT doc_id, lang, n_chars FROM documents WHERE $h % 100 < 10"""
+    },
+
+    "q251_correlation_matrix" -> {
+      val cols = Seq("qty", "price", "disc", "tax")
+      val prs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val sumCols = (cols.map(c => s"sum($c) AS s_$c") ++
+        cols.map(c => s"sum($c*$c) AS ss_$c") ++
+        prs.map { case (a, b) => s"sum($a*$b) AS sp_${a}_$b" }).mkString(", ")
+      val pairSelects = prs.map { case (a, b) =>
+        s"""SELECT '$a~$b' AS pair, n, sp_${a}_$b AS sxy, s_$a AS sx,
+           |  s_$b AS sy, ss_$a AS sxx, ss_$b AS syy FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val r = graft.functions.PortableMath.roundPortableSql(
+        "num::DOUBLE / (sqrt(dx::DOUBLE) * sqrt(dy::DOUBLE))", 6)
+      s"""WITH li AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+         |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+         |  FROM lineitem),
+         |a AS (SELECT count(*) AS n, $sumCols FROM li),
+         |p AS ($pairSelects),
+         |m AS (SELECT pair, n, (n*sxy - sx*sy) AS num,
+         |    (n*sxx - sx*sx) AS dx, (n*syy - sy*sy) AS dy FROM p)
+         |SELECT pair, n::BIGINT AS n, num::VARCHAR AS r_num,
+         |  dx::VARCHAR AS r_den_x, dy::VARCHAR AS r_den_y,
+         |  CASE WHEN dx = 0 OR dy = 0 THEN NULL ELSE $r END AS r
+         |FROM m""".stripMargin
     },
 
     "q249_fd_audit" -> {
