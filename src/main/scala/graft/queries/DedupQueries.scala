@@ -195,6 +195,34 @@ object DedupQueries {
     "q14_dedup_simhash" -> ((s, d) =>
       SimHashDedup.pairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
 
+    // BIGRAM NOVELTY score — the curation signal dual of the dedup
+    // family: per document, the share of its DISTINCT word bigrams that
+    // appear in no other document (high = novel content worth keeping;
+    // low = boilerplate / near-copy even when no single pair crosses a
+    // dedup threshold). Join-free shape: because a document-frequency-1
+    // bigram has exactly ONE owner, min(doc_id) rides the df aggregate
+    // and the novel counts group straight back — two linear shuffles on
+    // the 60-bit bigram hash, never a (bigram × df) join back to docs.
+    // Every doc has >= 1 shingle (the wordShingles contract) so the bp
+    // division is total.
+    "q252_bigram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.VectorExpressions
+          .wordShingleHashes(col("text"), 2, TextHash.P).as("hs"))
+        .persist() // consumed twice: sizes + the exploded df count
+      val novel = docs.select(col("doc_id"), explode(col("hs")).as("bg"))
+        .groupBy(col("bg"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+        .filter(col("df") === 1)
+        .groupBy(col("only_doc").as("doc_id"))
+        .agg(count(lit(1)).as("novel_cnt"))
+      docs.select(col("doc_id"), size(col("hs")).cast("long").as("n_bigrams"))
+        .join(novel, Seq("doc_id"), "left")
+        .withColumn("novel_bigrams", coalesce(col("novel_cnt"), lit(0L)))
+        .select(col("doc_id"), col("n_bigrams"), col("novel_bigrams"),
+          expr("novel_bigrams * 10000 div n_bigrams").as("novelty_bp"))
+    }),
+
     // Benchmark decontamination: corpus docs whose shingle CONTAINMENT of a
     // "benchmark" doc (share of the benchmark's distinct 8-gram hashes that
     // also appear in the corpus doc; here bench = doc_id < 50) is >= 0.5.
@@ -712,6 +740,22 @@ object DedupQueries {
 
     "q14_dedup_simhash" ->
       SimHashDedup.oracleSql("documents", "doc_id", "text", maxHamming = 3),
+
+    "q252_bigram_novelty" -> {
+      val sh = TextHash.wordShinglesSql("text", 2)
+      val hashed = s"list_distinct(list_transform($sh, x -> ${TextHash.baseHashSql("x")}))"
+      s"""WITH hs AS (SELECT doc_id, $hashed AS h FROM documents),
+         |e AS (SELECT doc_id, unnest(h) AS bg FROM hs),
+         |dfc AS (SELECT bg, count(*) AS df, min(doc_id) AS only_doc
+         |        FROM e GROUP BY 1),
+         |nv AS (SELECT only_doc AS doc_id, count(*)::BIGINT AS novel_bigrams
+         |       FROM dfc WHERE df = 1 GROUP BY 1),
+         |sz AS (SELECT doc_id, len(h)::BIGINT AS n_bigrams FROM hs)
+         |SELECT sz.doc_id, n_bigrams,
+         |  coalesce(novel_bigrams, 0)::BIGINT AS novel_bigrams,
+         |  (coalesce(novel_bigrams, 0) * 10000 // n_bigrams)::BIGINT AS novelty_bp
+         |FROM sz LEFT JOIN nv ON sz.doc_id = nv.doc_id""".stripMargin
+    },
 
     // Recursive-CTE transitive closure over the SAME pair set q12's oracle
     // produces: min reachable id = component root. count(*) is per-root via

@@ -147,4 +147,26 @@ class DedupSpec extends AnyFunSuite {
       assert(spans.count(_._1 == doc) === 1)
     }
   }
+
+  test("q252 bigram novelty matches a direct recompute; dups score 0, unique text 10000") {
+    val rows = graft.queries.DedupQueries
+      .queries("q252_bigram_novelty")(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // direct recompute from the same shingle expression
+    val sets = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), graft.functions.VectorExpressions
+        .wordShingleHashes(col("text"), 2, TextHash.P).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val df = scala.collection.mutable.Map.empty[Long, Int]
+    for ((_, hs) <- sets; h <- hs) df(h) = df.getOrElse(h, 0) + 1
+    for ((id, hs) <- sets) {
+      val novel = hs.count(df(_) == 1).toLong
+      val (nB, nv, bp) = rows(id)
+      assert(nB == hs.size.toLong, s"doc $id size")
+      assert(nv == novel, s"doc $id novel count")
+      assert(bp == novel * 10000 / hs.size, s"doc $id bp")
+    }
+    // structural: novelty is a share in [0, 10000]
+    assert(rows.values.forall { case (_, _, bp) => bp >= 0 && bp <= 10000 })
+  }
 }
