@@ -195,6 +195,54 @@ object DedupQueries {
     "q14_dedup_simhash" -> ((s, d) =>
       SimHashDedup.pairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)),
 
+    // ROUGE-1/ROUGE-2 pair evaluation — the summarization-eval metric
+    // over the corpus's OWN near-dup pairs: candidates come from the q12
+    // LSH pipeline (bounded by banding — never all-pairs), then each
+    // pair gets clipped-multiset n-gram overlap (real ROUGE counts, not
+    // distinct sets) with recall / precision / F1 in exact integer bp —
+    // F1 = 2·ov/(ref+cand) is exactly rational for count overlaps so no
+    // float harmonic mean. Lower id = reference. Shape at scale: gram
+    // counts are one linear explode+agg; the overlap join fans out only
+    // over the LSH-bounded pair set.
+    "q253_rouge_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prs = MinHashDedup.pairs(docs, "doc_id",
+        graft.functions.VectorExpressions
+          .wordShingleHashes(col("text"), 3, TextHash.P), wordCfg)
+        .select(col("id_a"), col("id_b"))
+        .persist() // both the n=1 and n=2 branches consume the pair set
+      def rouge(n: Int): DataFrame = {
+        val t = TextHash.tokens(col("text"))
+        val gs = when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+          .otherwise(array(concat_ws(" ", t)))
+        val gc = docs.select(col("doc_id"), explode(gs).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+          .persist() // ref join side + cand join side + totals
+        val tot = gc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
+        val ov = prs
+          .join(gc.select(col("doc_id").as("id_a"), col("g"),
+            col("cnt").as("c_ref")), Seq("id_a"))
+          .join(gc.select(col("doc_id").as("id_b"), col("g"),
+            col("cnt").as("c_cand")), Seq("id_b", "g"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(sum(least(col("c_ref"), col("c_cand"))).as("ov"))
+        prs.join(ov, Seq("id_a", "id_b"), "left")
+          .join(tot.select(col("doc_id").as("id_a"),
+            col("total").as("ref_total")), Seq("id_a"))
+          .join(tot.select(col("doc_id").as("id_b"),
+            col("total").as("cand_total")), Seq("id_b"))
+          .withColumn("overlap", coalesce(col("ov"), lit(0L)))
+          .select(lit(n).as("n"), col("id_a"), col("id_b"), col("overlap"),
+            col("ref_total"), col("cand_total"),
+            expr("overlap * 10000 div ref_total").as("recall_bp"),
+            expr("overlap * 10000 div cand_total").as("precision_bp"),
+            expr("2 * overlap * 10000 div (ref_total + cand_total)").as("f1_bp"))
+      }
+      rouge(1).unionByName(rouge(2))
+    }),
+
     // BIGRAM NOVELTY score — the curation signal dual of the dedup
     // family: per document, the share of its DISTINCT word bigrams that
     // appear in no other document (high = novel content worth keeping;
@@ -740,6 +788,46 @@ object DedupQueries {
 
     "q14_dedup_simhash" ->
       SimHashDedup.oracleSql("documents", "doc_id", "text", maxHamming = 3),
+
+    "q253_rouge_pairs" -> {
+      val base = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      def gramsSql(n: Int): String = {
+        val t = TextHash.tokensSql("text")
+        s"""CASE WHEN len(t) >= $n
+           |  THEN list_transform(range(0, len(t) - ${n - 1}),
+           |         i -> array_to_string(list_slice(t, i + 1, i + $n), ' '))
+           |  ELSE [array_to_string(t, ' ')] END""".stripMargin
+      }
+      def branch(n: Int): String =
+        s"""SELECT $n AS n, pr.id_a, pr.id_b,
+           |  coalesce(ov.ov, 0)::BIGINT AS overlap,
+           |  ta.total::BIGINT AS ref_total, tb.total::BIGINT AS cand_total,
+           |  (coalesce(ov.ov, 0) * 10000 // ta.total)::BIGINT AS recall_bp,
+           |  (coalesce(ov.ov, 0) * 10000 // tb.total)::BIGINT AS precision_bp,
+           |  (2 * coalesce(ov.ov, 0) * 10000
+           |     // (ta.total + tb.total))::BIGINT AS f1_bp
+           |FROM pr
+           |LEFT JOIN (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             sum(least(a.cnt, b.cnt)) AS ov
+           |           FROM gc$n a JOIN gc$n b ON a.g = b.g
+           |           JOIN pr p ON p.id_a = a.doc_id AND p.id_b = b.doc_id
+           |           GROUP BY 1, 2) ov
+           |  ON pr.id_a = ov.id_a AND pr.id_b = ov.id_b
+           |JOIN tot$n ta ON ta.doc_id = pr.id_a
+           |JOIN tot$n tb ON tb.doc_id = pr.id_b""".stripMargin
+      s"""WITH pr AS (SELECT id_a, id_b FROM ($base)),
+         |tok AS (SELECT doc_id, ${TextHash.tokensSql("text")} AS t FROM documents),
+         |g1 AS (SELECT doc_id, unnest(${gramsSql(1)}) AS g FROM tok),
+         |g2 AS (SELECT doc_id, unnest(${gramsSql(2)}) AS g FROM tok),
+         |gc1 AS (SELECT doc_id, g, count(*) AS cnt FROM g1 GROUP BY 1, 2),
+         |gc2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+         |tot1 AS (SELECT doc_id, sum(cnt) AS total FROM gc1 GROUP BY 1),
+         |tot2 AS (SELECT doc_id, sum(cnt) AS total FROM gc2 GROUP BY 1)
+         |${branch(1)}
+         |UNION ALL
+         |${branch(2)}""".stripMargin
+    },
 
     "q252_bigram_novelty" -> {
       val sh = TextHash.wordShinglesSql("text", 2)

@@ -169,4 +169,35 @@ class DedupSpec extends AnyFunSuite {
     // structural: novelty is a share in [0, 10000]
     assert(rows.values.forall { case (_, _, bp) => bp >= 0 && bp <= 10000 })
   }
+
+  test("q253 ROUGE pairs match a direct clipped-multiset recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.DedupQueries.queries("q253_rouge_pairs")(spark, sf)
+      .collect().map { r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7), r.getLong(8)))
+      }.toMap
+    assert(rows.nonEmpty, "planted near-dup pairs must surface")
+    val texts = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String, n: Int): Seq[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    }
+    for (((n, a, b), (ov, refT, candT, rBp, pBp, fBp)) <- rows) {
+      val (ga, gb) = (grams(texts(a), n), grams(texts(b), n))
+      val ca = ga.groupBy(identity).view.mapValues(_.size).toMap
+      val cb = gb.groupBy(identity).view.mapValues(_.size).toMap
+      val wantOv = ca.keysIterator
+        .map(g => math.min(ca(g), cb.getOrElse(g, 0)).toLong).sum
+      assert(refT == ga.length.toLong && candT == gb.length.toLong, s"($n,$a,$b) totals")
+      assert(ov == wantOv, s"($n,$a,$b) overlap")
+      assert(rBp == ov * 10000 / refT && pBp == ov * 10000 / candT)
+      assert(fBp == 2 * ov * 10000 / (refT + candT))
+      // harmonic mean sits between precision and recall
+      assert(fBp >= math.min(rBp, pBp) - 1 && fBp <= math.max(rBp, pBp) + 1)
+    }
+  }
 }
