@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SpjTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withSpjConf[T](body: => T): T = {
+    val conf = spark.conf
+    val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.getOption("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // plain executedPlan tree for the Exchange asserts (the AQE wrapper
+    // hides exchanges from collect() — the q157 lesson); SPJ itself is
+    // planned by EnsureRequirements and does not depend on AQE
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      prevBucketing.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+      prevBroadcast.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        v => conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      prevAqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+        v => conf.set("spark.sql.adaptive.enabled", v))
+    }
+  }
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("spj_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_spj", classOf[GraftSpjCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_spj.warehouse", w)
+    val fact = (0L until 10000L).map(i => (i % 997L, i, s"p$i", (i % 13).toDouble))
+      .toDF("k", "row_id", "payload", "v")
+    val dim = (0L until 997L).map(i => (i, s"name$i")).toDF("k", "name")
+    SpjTable.write(fact, s"$w/db/fact", "k", 8)
+    SpjTable.write(dim, s"$w/db/dim", "k", 8)
+    w
+  }
+
+  test("co-bucketed SPJ join plans with ZERO exchanges and matches the plain join") {
+    warehouse
+    withSpjConf {
+      val f = spark.table("graft_spj.db.fact")
+      val d = spark.table("graft_spj.db.dim")
+      val joined = f.join(d, "k")
+        .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("row_id")).as("s"))
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      // the join itself must be exchange-free; the groupBy after it is
+      // allowed its own shuffle — so assert no exchange BELOW the join
+      val joinNode = plan.collectFirst {
+        case j if j.nodeName.contains("Join") => j
+      }.getOrElse(fail(s"no join in plan:\n$plan"))
+      val below = joinNode.collect { case e: Exchange => e }
+      assert(below.isEmpty, s"SPJ join must read co-located buckets:\n$plan")
+      assert(exchanges.length <= 1, s"only the post-join agg may shuffle:\n$plan")
+
+      // value parity with a plain DataFrame join over the same data
+      val factDf = (0L until 10000L).map(i => (i % 997L, i, s"p$i", (i % 13).toDouble))
+        .toDF("k", "row_id", "payload", "v")
+      val dimDf = (0L until 997L).map(i => (i, s"name$i")).toDF("k", "name")
+      val want = factDf.join(dimDf, "k")
+        .groupBy(col("name")).agg(count(lit(1)).as("n"), sum(col("row_id")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      val got = joined.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+      assert(got.sameElements(want))
+    }
+  }
+
+  test("column pruning reaches the SPJ scan") {
+    warehouse
+    val two = spark.table("graft_spj.db.fact").select("k", "payload")
+    val scan = two.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("k") && !scan.contains("row_id"),
+      s"pruned scan should not carry row_id:\n$scan")
+    assert(two.count() == 10000)
+  }
+
+  test("mismatched bucket counts fall back to a correct shuffled join") {
+    warehouse
+    val w2 = s"$warehouse/db/dim16"
+    val dim = (0L until 997L).map(i => (i, s"name$i")).toDF("k", "name")
+    SpjTable.write(dim, w2, "k", 16)
+    withSpjConf {
+      val f = spark.table("graft_spj.db.fact")
+      val d16 = spark.table("graft_spj.db.dim16")
+      val joined = f.join(d16, "k")
+      // correctness still holds even though the layouts are incompatible
+      assert(joined.count() == 10000)
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collect { case e: Exchange => e }.nonEmpty,
+        s"incompatible buckets must shuffle:\n$plan")
+    }
+  }
+
+  test("nulls, empty buckets, and the layout contract") {
+    // a key domain of {0, 8} with n=8 leaves buckets 1..7 empty on disk
+    val sparse = Seq((0L, "a"), (8L, "b"), (16L, "c")).toDF("k", "s")
+    val dir = s"$warehouse/db/sparse"
+    SpjTable.write(sparse, dir, "k", 8)
+    val got = spark.table("graft_spj.db.sparse").collect()
+    assert(got.length == 3)
+    assert(SpjTable.bucketOf(-3L, 8) == 5, "pmod semantics for negative keys")
+    // writer refuses non-integral keys
+    intercept[IllegalArgumentException] {
+      SpjTable.write(sparse.select(col("s"), col("k").cast("double").as("k2")),
+        s"$warehouse/db/bad", "k2", 4)
+    }
+  }
+}
