@@ -175,6 +175,78 @@ object AuditQueries {
             .otherwise(col("raw")).as("est_hll"))
     }),
 
+    // ADJUSTED RAND INDEX — partition-agreement audit between two
+    // labelings of the same corpus (here source vs lang; the same code
+    // scores any clustering against ground truth, e.g. q52's dedup
+    // clusters). ARI is EXACTLY RATIONAL in the contingency counts:
+    // with I = ΣC(nij,2), A = ΣC(ai,2), B = ΣC(bj,2), T = C(n,2),
+    //   ARI = (T·I − A·B) / (T·(A+B)/2 − A·B)
+    // cleared of the half: num = 2(T·I − A·B), den = T·(A+B) − 2·A·B —
+    // all integer, emitted as decimal strings (products pass int64) plus
+    // the portable-rounded ratio. One tiny contingency agg (sources ×
+    // langs cells); marginals derive from the CELL relation, never a
+    // second corpus scan.
+    "q255_ari_agreement" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val ct = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .persist() // cells + both marginals + n
+      def c2(name: String) = expr(s"($name * ($name - 1)) div 2")
+      val i = ct.agg(sum(c2("c")).as("index_sum"),
+        sum(col("c")).as("n"))
+      val a = ct.groupBy(col("source")).agg(sum(col("c")).as("ai"))
+        .agg(sum(c2("ai")).as("a_sum"))
+      val b = ct.groupBy(col("lang")).agg(sum(col("c")).as("bj"))
+        .agg(sum(c2("bj")).as("b_sum"))
+      i.crossJoin(a).crossJoin(b)
+        .withColumn("t", expr("(n * (n - 1)) div 2"))
+        .withColumn("num",
+          lit(2) * (dec(col("t")) * dec(col("index_sum"))
+            - dec(col("a_sum")) * dec(col("b_sum"))))
+        .withColumn("den",
+          dec(col("t")) * (dec(col("a_sum")) + dec(col("b_sum")))
+            - lit(2) * dec(col("a_sum")) * dec(col("b_sum")))
+        .select(col("n"), col("index_sum"), col("a_sum"), col("b_sum"),
+          col("num").cast("string").as("ari_num"),
+          col("den").cast("string").as("ari_den"),
+          when(col("den") === 0, lit(null))
+            .otherwise(graft.functions.PortableMath.roundPortable(
+              col("num").cast("double") / col("den").cast("double"), 6)).as("ari"))
+    }),
+
+    // EXACT Kolmogorov–Smirnov distance — per source, the sup-norm
+    // distance between its n_chars distribution and the corpus-wide one
+    // (the order-statistic drift audit next to q150's binned TVD). The
+    // sup over step functions is attained at a jump point, so evaluating
+    // on the spine of ALL distinct values is exact; cross-multiplied
+    // integer cumulative counts (|cum_s·N − cum_g·n_s|) need no float
+    // CDF, and the ppm result hash-checks. Scale shape: the only windows
+    // run over the sources × distinct-VALUE spine — bounded by the value
+    // DOMAIN (≤ ~534 lengths here), never by corpus row count.
+    "q256_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars").as("v"))
+      val sc = docs.groupBy(col("source"), col("v")).agg(count(lit(1)).as("c_s"))
+      val glob = docs.groupBy(col("v")).agg(count(lit(1)).as("c_g")).persist()
+      val srcs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val spine = srcs.crossJoin(glob.select(col("v")))
+      val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      val cum = spine
+        .join(sc, Seq("source", "v"), "left")
+        .join(glob, Seq("v"))
+        .select(col("source"), col("n_s"), col("v"),
+          coalesce(col("c_s"), lit(0L)).as("c_s"), col("c_g"))
+        .select(col("source"), col("n_s"),
+          sum(col("c_s")).over(w).as("cum_s"),
+          sum(col("c_g")).over(w).as("cum_g"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      cum.crossJoin(n)
+        .groupBy(col("source"), col("n_s"), col("n_total"))
+        .agg(max(abs(col("cum_s") * col("n_total") - col("cum_g") * col("n_s")))
+          .as("ks_num"))
+        .select(col("source"), col("n_s"), col("n_total"), col("ks_num"),
+          expr("ks_num * 1000000 div (n_s * n_total)").as("ks_ppm"))
+    }),
+
     // DIFFERENTIALLY-PRIVATE count release — the publication step the
     // privacy family (q212 k-anonymity, q219 l-diversity, q79 redaction)
     // was missing. Mechanism: discrete Laplace with p = 1/2 (ε = ln 2 for
@@ -839,6 +911,56 @@ object AuditQueries {
          |        ELSE e.raw END)::BIGINT AS est_hll
          |FROM e JOIN ne USING (grp)""".stripMargin
     },
+
+    "q255_ari_agreement" -> {
+      val r = graft.functions.PortableMath.roundPortableSql(
+        "num::DOUBLE / den::DOUBLE", 6)
+      s"""WITH ct AS (SELECT source, lang, count(*)::BIGINT AS c
+         |            FROM documents GROUP BY 1, 2),
+         |i AS (SELECT sum((c * (c - 1)) // 2)::BIGINT AS index_sum,
+         |        sum(c)::BIGINT AS n FROM ct),
+         |a AS (SELECT sum((ai * (ai - 1)) // 2)::BIGINT AS a_sum
+         |      FROM (SELECT sum(c)::BIGINT AS ai FROM ct GROUP BY source)),
+         |b AS (SELECT sum((bj * (bj - 1)) // 2)::BIGINT AS b_sum
+         |      FROM (SELECT sum(c)::BIGINT AS bj FROM ct GROUP BY lang)),
+         |m AS (SELECT n, index_sum, a_sum, b_sum,
+         |        ((n * (n - 1)) // 2)::BIGINT AS t FROM i, a, b),
+         |f AS (SELECT n, index_sum, a_sum, b_sum,
+         |        2 * (t::HUGEINT * index_sum - a_sum::HUGEINT * b_sum) AS num,
+         |        (t::HUGEINT * (a_sum + b_sum)
+         |           - 2 * a_sum::HUGEINT * b_sum) AS den
+         |      FROM m)
+         |SELECT n, index_sum, a_sum, b_sum,
+         |  num::VARCHAR AS ari_num, den::VARCHAR AS ari_den,
+         |  CASE WHEN den = 0 THEN NULL ELSE $r END AS ari
+         |FROM f""".stripMargin
+    },
+
+    "q256_ks_drift" ->
+      """WITH docs AS (SELECT source, n_chars AS v FROM documents),
+        |sc AS (SELECT source, v, count(*)::BIGINT AS c_s FROM docs GROUP BY 1, 2),
+        |gt AS (SELECT v, count(*)::BIGINT AS c_g FROM docs GROUP BY 1),
+        |srcs AS (SELECT source, count(*)::BIGINT AS n_s FROM docs GROUP BY 1),
+        |spine AS (SELECT source, n_s, v FROM srcs, (SELECT v FROM gt) gv),
+        |cum AS (SELECT spine.source, n_s,
+        |          sum(coalesce(c_s, 0))
+        |            OVER (PARTITION BY spine.source ORDER BY spine.v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            ::BIGINT AS cum_s,
+        |          sum(c_g)
+        |            OVER (PARTITION BY spine.source ORDER BY spine.v
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            ::BIGINT AS cum_g
+        |        FROM spine
+        |        LEFT JOIN sc ON spine.source = sc.source AND spine.v = sc.v
+        |        JOIN gt ON spine.v = gt.v),
+        |n AS (SELECT count(*)::BIGINT AS n_total FROM docs)
+        |SELECT source, n_s, n_total,
+        |  max(abs(cum_s * n_total - cum_g * n_s))::BIGINT AS ks_num,
+        |  (max(abs(cum_s * n_total - cum_g * n_s)) * 1000000
+        |     // (n_s * n_total))::BIGINT AS ks_ppm
+        |FROM cum, n
+        |GROUP BY source, n_s, n_total""".stripMargin,
 
     "q248_dp_counts" -> {
       val ha = TextHash.md5LongSql("'dpa:' || source")

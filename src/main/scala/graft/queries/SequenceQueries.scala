@@ -614,6 +614,43 @@ object SequenceQueries {
           col("cents").isNull.as("is_gap"))
     }),
 
+    // LINEAR interpolation of gaps — q87's LOCF sibling for signals where
+    // holding the last value flat is wrong (metering, balances). Interior
+    // gaps are always bracketed (the spine spans each user's [min, max]
+    // day, both non-null), so interp = prev + (next−prev)·dd div span is
+    // total; integer `div` truncates toward zero IDENTICALLY in Spark and
+    // DuckDB (the q161 finding) so the fill is hash-checked. prev/next
+    // day and value ride separate ignoreNulls windows — coherent because
+    // both pick the same bracketing row (they are null together). Same
+    // scale shape as q87: user-keyed sort windows, partitions bounded by
+    // one user's history.
+    "q254_linear_interpolation" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(cents(col("value"))).as("cents"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("cents"),
+          last(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+            .over(wPrev).as("d_prev"),
+          last(col("cents"), ignoreNulls = true).over(wPrev).as("c_prev"),
+          first(when(col("cents").isNotNull, col("day")), ignoreNulls = true)
+            .over(wNext).as("d_next"),
+          first(col("cents"), ignoreNulls = true).over(wNext).as("c_next"))
+        .select(col("user_id"), col("day"), col("cents"),
+          when(col("cents").isNotNull, col("cents"))
+            .otherwise(col("c_prev") +
+              expr("((c_next - c_prev) * datediff(day, d_prev)) div datediff(d_next, d_prev)"))
+            .as("interp_cents"),
+          col("cents").isNull.as("is_gap"))
+    }),
+
     // Inter-arrival latency histogram on power-of-2 buckets: per event
     // type, the distribution of per-user gaps between consecutive events.
     // The bucket is length(bin(gap)) — the MSB position, i.e. ⌊log2⌋+1 for
@@ -983,6 +1020,36 @@ object SequenceQueries {
         |  sum(n)::BIGINT AS n_events, sum(cents)::BIGINT AS cents,
         |  count(*) AS n_days
         |FROM daily GROUP BY 1, 2""".stripMargin,
+
+    "q254_linear_interpolation" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day,
+        |        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |      FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id,
+        |        unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |j AS (SELECT s.user_id, s.day, d.cents
+        |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        |w AS (SELECT user_id, day, cents,
+        |        last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+        |        last_value(cents IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_prev,
+        |        first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next,
+        |        first_value(cents IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c_next
+        |      FROM j)
+        |SELECT user_id, day, cents,
+        |  (CASE WHEN cents IS NOT NULL THEN cents
+        |        ELSE c_prev + ((c_next - c_prev) * (day - d_prev))
+        |               // (d_next - d_prev) END)::BIGINT AS interp_cents,
+        |  (cents IS NULL) AS is_gap
+        |FROM w""".stripMargin,
 
     "q87_gap_fill_locf" ->
       """WITH daily AS (SELECT user_id, ts::DATE AS day,

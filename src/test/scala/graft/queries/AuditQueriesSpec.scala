@@ -324,4 +324,49 @@ class AuditQueriesSpec extends AnyFunSuite {
     val p0 = sample.count(_ == 0L).toDouble / sample.length
     assert(math.abs(p0 - 1.0 / 3.0) < 0.04, s"P(noise=0) = $p0, expect 1/3")
   }
+
+  test("q255 ARI matches a direct BigInt recompute; identical partitions give 1") {
+    val r = AuditQueries.queries("q255_ari_agreement")(spark, small).collect().head
+    val labels = Tables.documents(spark, small).select(col("source"), col("lang"))
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    def c2(x: Long) = BigInt(x) * (x - 1) / 2
+    val cells = labels.groupBy(identity).view.mapValues(_.length.toLong)
+    val aM = labels.groupBy(_._1).view.mapValues(_.length.toLong)
+    val bM = labels.groupBy(_._2).view.mapValues(_.length.toLong)
+    val (i, a, b, n) = (cells.values.map(c2).sum, aM.values.map(c2).sum,
+      bM.values.map(c2).sum, labels.length.toLong)
+    val t = c2(n)
+    val num = 2 * (t * i - a * b)
+    val den = t * (a + b) - 2 * a * b
+    assert(BigInt(r.getString(4)) == num && BigInt(r.getString(5)) == den)
+    val ari = r.getDouble(6)
+    assert(math.abs(ari - (num.toDouble / den.toDouble)) < 1e-6)
+    assert(ari > -0.5 && ari < 1.0)
+    // identity law on the cleared formula: X vs X has I = A = B => ARI = 1
+    val (ii, aa, bb) = (a, a, a)
+    assert(2 * (t * ii - aa * bb) == t * (aa + bb) - 2 * aa * bb)
+  }
+
+  test("q256 KS drift matches a direct recompute per source") {
+    val rows = AuditQueries.queries("q256_ks_drift")(spark, small).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val docs = Tables.documents(spark, small).select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nTot = docs.length.toLong
+    val values = docs.map(_._2).distinct.sorted
+    for ((src, (nS, nT, ksNum, ksPpm)) <- rows) {
+      assert(nT == nTot)
+      val mine = docs.filter(_._1 == src).map(_._2)
+      assert(nS == mine.length.toLong)
+      val want = values.map { v =>
+        val cumS = mine.count(_ <= v).toLong
+        val cumG = docs.count(_._2 <= v).toLong
+        math.abs(cumS * nTot - cumG * nS)
+      }.max
+      assert(ksNum == want, s"$src ks numerator")
+      assert(ksPpm == want * 1000000L / (nS * nTot))
+      assert(ksPpm >= 0 && ksPpm <= 1000000L)
+    }
+  }
 }
