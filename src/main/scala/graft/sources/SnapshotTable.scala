@@ -153,6 +153,56 @@ object SnapshotTable {
     commitReplaceBucketed(read(spark, tableDir), tableDir, bc, n)
   }
 
+  /** Replace the table with an SPJ (storage-partitioned-join) layout:
+    * rows land in `b<bucket>/` dirs by `pmod(key, n)` plus the
+    * [[SpjTable]] sidecar, and the spec rides the manifest. [[readSpj]]
+    * then serves the snapshot through the DataSourceV2 connector, whose
+    * scan reports KeyGroupedPartitioning — joins between co-committed
+    * snapshots on the key run with ZERO exchanges and, unlike
+    * [[readBucketed]], no session-catalog table registration at all (the
+    * DSv2 path also survives into any session that can see the dir).
+    * Same invalidation contract as the bucketed variant: only this
+    * commit kind records the spec; append/upsert manifests drop it and
+    * [[readSpj]] fails loudly. */
+  def commitReplaceSpj(
+      df: DataFrame, tableDir: String, keyCol: String, nBuckets: Int): Long = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    init(tableDir)
+    val dataSub = s"data-${java.util.UUID.randomUUID().toString}"
+    SpjTable.write(df, Paths.get(tableDir, dataSub).toString, keyCol, nBuckets)
+    commit(df, tableDir, replace = true,
+      extraMeta = Seq(s"spjkey=$keyCol", s"spjn=$nBuckets"),
+      stagedDataSub = Some(dataSub))
+  }
+
+  /** A snapshot as an SPJ scan (the version's commit must be a
+    * [[commitReplaceSpj]]): resolves the staged dir through a
+    * [[GraftSpjCatalog]] keyed by the table dir, so the scan reports its
+    * bucket clustering and co-committed snapshot joins skip both
+    * exchanges (requires `spark.sql.sources.v2.bucketing.enabled`).
+    * Data-identical to [[readVersion]]; only the reported partitioning
+    * differs. The catalog identifier is the per-commit staged-dir name,
+    * so time travel across versions can never serve a stale layout. */
+  def readSpj(
+      spark: SparkSession, tableDir: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = asOfVersion.map(snapshot(tableDir, _))
+      .getOrElse(latestSnapshot(tableDir))
+    snap.meta.getOrElse("spjkey", throw new IllegalStateException(
+      s"$tableDir@v${snap.version} has no SPJ spec — only commitReplaceSpj " +
+        "records one, and any other commit kind invalidates it"))
+    val dirs = snap.files.map(_.takeWhile(_ != '/')).distinct
+    require(dirs.length == 1,
+      s"SPJ snapshot must reference a single staged dir, got $dirs")
+    val catName = "graft_spj_" + java.lang.Long.toHexString(
+      graft.functions.Md5LongUtil.hashBytes(
+        Paths.get(tableDir).toAbsolutePath.toString.getBytes("UTF-8")))
+    spark.conf.set(s"spark.sql.catalog.$catName", classOf[GraftSpjCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+      Paths.get(tableDir).toAbsolutePath.toString)
+    spark.table(s"`$catName`.`${dirs.head}`")
+  }
+
   /** Deterministic catalog name for a bucketed snapshot scan (one per
     * table-dir × version — a later version never aliases a stale entry). */
   private[sources] def bucketTableName(tableDir: String, version: Long): String =
@@ -871,7 +921,12 @@ object SnapshotTable {
       df.write.mode(SaveMode.ErrorIfExists).parquet(Paths.get(tableDir, ds).toString)
       ds
     }
-    val staged = listParquet(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
+    // pre-staged dirs may nest (the SPJ layout's b<bucket>/ subdirs);
+    // recursive listing is a superset of the flat one for flat stages
+    val staged =
+      if (stagedDataSub.isDefined)
+        listParquetRec(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
+      else listParquet(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
 
     // per-staged-file zone stats: one scan of the just-written (small) data
     // dir covering the legacy single column and every multi-zone column at
@@ -1012,6 +1067,22 @@ object SnapshotTable {
     val s = Files.list(dir)
     try s.iterator().asScala.map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  /** Recursive sibling of [[listParquet]]: relative paths (may contain
+    * subdirs like `b3/part-...parquet`); only the FILE name is
+    * filtered on the hidden-prefix rule — nested layout dirs are legitimate path segments. */
+  private def listParquetRec(dir: Path): Seq[String] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => dir.relativize(p).toString)
+      .filter { rel =>
+        val name = Paths.get(rel).getFileName.toString
+        name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_")
+      }
       .toSeq.sorted
     finally s.close()
   }

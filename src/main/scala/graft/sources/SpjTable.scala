@@ -43,7 +43,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * At 100 TB this is the difference between re-shuffling both fact tables
   * on every join and reading co-located buckets directly — and unlike
   * catalog-table bucketing it needs no metastore entry: the layout
-  * contract lives in the data directory (`_bucket=<b>/` dirs + a JSON
+  * contract lives in the data directory (`b<bucket>/` dirs + a JSON
   * sidecar) and survives engine restarts, new sessions, and parallel
   * readers for free.
   *
@@ -63,10 +63,17 @@ object SpjTable {
     * V2 function MUST agree on this. */
   def bucketOf(key: Long, n: Int): Int = (((key % n) + n) % n).toInt
 
-  /** Write `df` as an SPJ table directory: `_bucket=<b>/part-*.parquet`
+  /** Write `df` as an SPJ table directory: `b<bucket>/part-*.parquet`
     * plus a `_spj_meta.json` sidecar carrying (keyCol, nBuckets, schema).
     * The bucket column is directory-only; files keep the original
-    * columns. Key column must be integral. */
+    * columns. Key column must be integral.
+    *
+    * Layout note: the Spark writer stages `_bucket=<b>` partition dirs,
+    * which are renamed to plain `b<b>` before the sidecar lands — '='
+    * in a path would collide with the SnapshotTable manifest's key=value
+    * header grammar, and a k=v dir name invites partition inference on
+    * plain directory reads. The sidecar is written LAST, so a crashed
+    * write is never mistaken for a complete table. */
   def write(df: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val keyField = df.schema(keyCol)
@@ -74,6 +81,12 @@ object SpjTable {
       s"SPJ key column must be integral, got ${keyField.dataType}")
     df.withColumn("_bucket", pmod(col(keyCol).cast("long"), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("_bucket").parquet(dir)
+    val d = Paths.get(dir)
+    Files.list(d).iterator().asScala.toList.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("_bucket="))
+        Files.move(p, d.resolve("b" + n.stripPrefix("_bucket=")))
+    }
     val meta = s"""{"keyCol":${jstr(keyCol)},"nBuckets":$nBuckets,""" +
       s""""schema":${df.schema.json}}"""
     Files.write(Paths.get(dir, "_spj_meta.json"),
@@ -98,7 +111,7 @@ object SpjTable {
   }
 
   private[sources] def bucketFiles(dir: String, b: Int): Array[String] = {
-    val d = Paths.get(dir, s"_bucket=$b")
+    val d = Paths.get(dir, s"b$b")
     if (!Files.isDirectory(d)) Array.empty
     else Files.list(d).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))

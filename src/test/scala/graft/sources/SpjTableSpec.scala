@@ -102,6 +102,41 @@ class SpjTableSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot SPJ commit: zero-exchange join, plain-read parity, invalidation, time travel") {
+    val t1 = Files.createTempDirectory("snap_spj1").toString
+    val t2 = Files.createTempDirectory("snap_spj2").toString
+    val fact = (0L until 5000L).map(i => (i % 499L, i)).toDF("k", "row_id")
+    val dim = (0L until 499L).map(i => (i, s"n$i")).toDF("k", "name")
+    val v1 = SnapshotTable.commitReplaceSpj(fact, t1, "k", 8)
+    SnapshotTable.commitReplaceSpj(dim, t2, "k", 8)
+
+    // plain read must NOT leak the _bucket layout dir as a column
+    val plain = SnapshotTable.read(spark, t1)
+    assert(plain.columns.toSeq == Seq("k", "row_id"), plain.columns.mkString(","))
+    assert(plain.count() == 5000)
+
+    withSpjConf {
+      val j = SnapshotTable.readSpj(spark, t1).join(SnapshotTable.readSpj(spark, t2), "k")
+      val plan = j.queryExecution.executedPlan
+      val joinNode = plan.collectFirst {
+        case n if n.nodeName.contains("Join") => n
+      }.getOrElse(fail(s"no join:\n$plan"))
+      assert(joinNode.collect { case e: Exchange => e }.isEmpty,
+        s"snapshot SPJ join must be exchange-free:\n$plan")
+      assert(j.count() == 5000)
+      // parity with the plain snapshot read join
+      val want = SnapshotTable.read(spark, t1)
+        .join(SnapshotTable.read(spark, t2), "k")
+        .agg(sum(col("row_id"))).collect().head.getLong(0)
+      assert(j.agg(sum(col("row_id"))).collect().head.getLong(0) == want)
+    }
+
+    // a non-SPJ commit invalidates the spec; time travel still serves v1
+    SnapshotTable.commitReplace(fact.limit(10), t1)
+    intercept[IllegalStateException] { SnapshotTable.readSpj(spark, t1) }
+    assert(SnapshotTable.readSpj(spark, t1, asOfVersion = Some(v1)).count() == 5000)
+  }
+
   test("nulls, empty buckets, and the layout contract") {
     // a key domain of {0, 8} with n=8 leaves buckets 1..7 empty on disk
     val sparse = Seq((0L, "a"), (8L, "b"), (16L, "c")).toDF("k", "s")
