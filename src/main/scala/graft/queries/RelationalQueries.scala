@@ -795,6 +795,47 @@ object RelationalQueries {
         .orderBy(desc("common"), asc("u"), asc("v")).limit(20)
     }),
 
+    // LOCAL clustering coefficient — the per-node dual of q96's global
+    // triangle census: for every node, triangles among its (capped)
+    // neighbors over C(k,2) possible, in exact integer bp. Reuses q148's
+    // hub-safe adjacency: ≤64 md5-order-statistic neighbors per node —
+    // exact below the cap, a deterministic uniform sample above it
+    // (documented, both engines replay the same cap), so the wedge
+    // fan-out is Σ C(min(deg,64),2) — bounded per node, never deg² on
+    // hubs. The triangle check is ONE semi-join of neighbor pairs
+    // against the canonical edge set. The coefficient uses the capped k
+    // for internal consistency (pairs counted over the same neighbor
+    // set); the TRUE degree rides alongside.
+    "q258_clustering_coeff" -> ((s, d) => {
+      val e0 = copurchaseEdges(s, d)
+        .persist() // adjacency build + the triangle semi-join
+      val und = e0.select(col("a").as("n"), col("b").as("m"))
+        .unionAll(e0.select(col("b").as("n"), col("a").as("m")))
+      val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val hm = pmod(TextHash.md5Long(
+        concat(col("n").cast("string"), lit(":"), col("m").cast("string"))),
+        lit(9007199254740992L))
+      val adj = und.groupBy(col("n"))
+        .agg(graft.functions.TopKAggregate
+          .topK(-hm.cast("double"), col("m"), 64).as("top"))
+        .select(col("n"), explode(col("top").getField("payload")).as("m"))
+        .persist() // both sides of the per-node pair join
+      val kcap = adj.groupBy(col("n")).agg(count(lit(1)).as("k_cap"))
+      val pairs = adj.as("p").join(adj.as("q"), "n")
+        .filter(col("p.m") < col("q.m"))
+        .select(col("n"), col("p.m").as("u"), col("q.m").as("v"))
+      val tri = pairs
+        .join(e0, col("u") === col("a") && col("v") === col("b"), "left_semi")
+        .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+      kcap.filter(col("k_cap") >= 2)
+        .join(tri, Seq("n"), "left")
+        .join(deg, "n")
+        .select(col("n"), col("deg"), col("k_cap"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("cc_bp",
+          expr("tri * 10000 div ((k_cap * (k_cap - 1)) div 2)"))
+    }),
+
     // Reciprocal-rank fusion — combining two independent rankings of the
     // part catalog (revenue rank, order-frequency rank) into one list,
     // the standard hybrid-retrieval merge (lexical rank + vector rank).
@@ -1498,6 +1539,32 @@ object RelationalQueries {
          |  ((common * 10000) // (du.deg + dv.deg - common))::BIGINT AS jaccard_bp
          |FROM cand JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
          |ORDER BY common DESC, u, v LIMIT 20""".stripMargin
+    },
+
+    "q258_clustering_coeff" -> {
+      val h = TextHash.md5LongSql("n::VARCHAR || ':' || m::VARCHAR")
+      s"""WITH $copurchaseEdgesSql,
+         |und AS (SELECT a AS n, b AS m FROM edges
+         |        UNION ALL SELECT b AS n, a AS m FROM edges),
+         |deg AS (SELECT n, count(*)::BIGINT AS deg FROM und GROUP BY n),
+         |rk AS (SELECT n, m,
+         |    row_number() OVER (PARTITION BY n
+         |                       ORDER BY ($h % 9007199254740992), m) AS rn
+         |  FROM und),
+         |adj AS MATERIALIZED (SELECT n, m FROM rk WHERE rn <= 64),
+         |kc AS (SELECT n, count(*)::BIGINT AS k_cap FROM adj GROUP BY n),
+         |pr AS (SELECT p.n, p.m AS u, q.m AS v
+         |  FROM adj p JOIN adj q ON p.n = q.n AND p.m < q.m),
+         |tri AS (SELECT n, count(*)::BIGINT AS tri FROM pr
+         |  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.a = pr.u AND e.b = pr.v)
+         |  GROUP BY n)
+         |SELECT kc.n, deg, k_cap, coalesce(tri, 0)::BIGINT AS tri,
+         |  (coalesce(tri, 0) * 10000
+         |     // ((k_cap * (k_cap - 1)) // 2))::BIGINT AS cc_bp
+         |FROM kc
+         |LEFT JOIN tri ON kc.n = tri.n
+         |JOIN deg ON kc.n = deg.n
+         |WHERE k_cap >= 2""".stripMargin
     },
 
     "q124_rrf_fusion" ->

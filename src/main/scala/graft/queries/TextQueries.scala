@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -214,6 +215,74 @@ object TextQueries {
             4).as("auc"))
     }),
 
+    // VOCABULARY GROWTH curve (Heaps' law) — how fast the distinct-token
+    // vocabulary grows as the corpus is ingested in doc-id order, the
+    // stats a tokenizer/vocab budget is sized from. Key idea: a token's
+    // contribution to the curve is fully determined by its FIRST
+    // occurrence, so one (token → min doc_id) aggregate collapses the
+    // corpus to vocabulary-size rows, each binned to the decile of the
+    // id range where it first appeared; the curve is then a cumsum over
+    // TEN rows. Token volume per decile rides the same shape. Exact
+    // integers throughout; type-token ratio in ppm via portable div.
+    "q259_vocab_growth" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+        .persist() // token volume + first-occurrence explode
+      val n = docs.agg((max(col("doc_id")) + 1).as("idspan"))
+      def decileOf(idCol: Column): Column =
+        least(expr(s"${idCol.toString()} * 10 div idspan"), lit(9L))
+      val docDec = docs.crossJoin(n)
+        .select(decileOf(col("doc_id")).as("decile"),
+          size(col("toks")).cast("long").as("ntok"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tok"))
+      val vocabDec = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy(col("t")).agg(min(col("doc_id")).as("first_id"))
+        .crossJoin(n)
+        .select(decileOf(col("first_id")).as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("vocab"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow) // 10 rows
+      docDec.join(vocabDec, Seq("decile"), "left")
+        .select(col("decile"), col("docs"), col("tok"),
+          coalesce(col("vocab"), lit(0L)).as("vocab"))
+        .select(col("decile"),
+          sum(col("docs")).over(w).as("cum_docs"),
+          sum(col("tok")).over(w).as("cum_tokens"),
+          sum(col("vocab")).over(w).as("cum_vocab"))
+        .withColumn("ttr_ppm", expr("cum_vocab * 1000000 div cum_tokens"))
+    }),
+
+    // PRECISION-RECALL CURVE of the q214 classifier — the threshold-sweep
+    // companion to q215's single-number AUC: at every occupied score
+    // threshold t (predict positive iff score ≥ t), exact tp/fp/fn plus
+    // precision/recall/F1 in integer bp. Like q215, the sweep lives on
+    // the distinct-SCORE relation (bounded by the weight domain, not the
+    // corpus) with BOTH suffix counts from ONE PrefixSum range shuffle
+    // (runningMulti) — never a corpus sort. F1 = 2·tp/(pred+P) is exactly
+    // rational, no float harmonic mean (the q253 identity).
+    "q257_pr_curve" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(
+        classifierScore(col("text")).as("score"),
+        (size(TextHash.tokens(col("text"))) >= 60).cast("long").as("pos"))
+      val grp = scored.groupBy(col("score"))
+        .agg(count(lit(1)).as("m"), sum(col("pos")).as("p"))
+      val cum = graft.operators.PrefixSum.runningMulti(grp, "score",
+        Seq("m" -> "cm", "p" -> "cp"))
+      val tot = grp.agg(sum(col("m")).as("n_all"), sum(col("p")).as("n_pos"))
+      cum.crossJoin(tot)
+        .select(col("score"),
+          (col("n_pos") - (col("cp") - col("p"))).as("tp"),
+          (col("n_all") - (col("cm") - col("m"))).as("pred"),
+          col("n_pos"))
+        .select(col("score"), col("tp"),
+          (col("pred") - col("tp")).as("fp"),
+          (col("n_pos") - col("tp")).as("fn"),
+          expr("tp * 10000 div pred").as("precision_bp"),
+          expr("tp * 10000 div n_pos").as("recall_bp"),
+          expr("2 * tp * 10000 div (pred + n_pos)").as("f1_bp"))
+    }),
+
     // Reliability (calibration) curve for the q214 score against the q215
     // label: fixed-width score bins → observed positive rate per bin.
     // The at-scale shape is ONE map-side bin assignment + hash agg (bin
@@ -414,6 +483,57 @@ object TextQueries {
            |  ${graft.functions.PortableMath.roundPortableSql(
                  "u2::DOUBLE / (2.0 * np::DOUBLE * nn::DOUBLE)", 4)} AS auc
            |FROM u""".stripMargin
+      },
+
+      "q259_vocab_growth" ->
+        s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |n AS (SELECT max(doc_id) + 1 AS idspan FROM docs),
+           |dd AS (SELECT least((doc_id * 10) // idspan, 9) AS decile,
+           |         len(toks)::BIGINT AS ntok FROM docs, n),
+           |ddg AS (SELECT decile, count(*)::BIGINT AS docs,
+           |          sum(ntok)::BIGINT AS tok FROM dd GROUP BY 1),
+           |fo AS (SELECT t, min(doc_id) AS first_id
+           |       FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+           |       GROUP BY t),
+           |vd AS (SELECT least((first_id * 10) // idspan, 9) AS decile,
+           |         count(*)::BIGINT AS vocab FROM fo, n GROUP BY 1),
+           |j AS (SELECT ddg.decile, docs, tok,
+           |        coalesce(vocab, 0)::BIGINT AS vocab
+           |      FROM ddg LEFT JOIN vd ON ddg.decile = vd.decile),
+           |c AS (SELECT decile,
+           |        (sum(docs) OVER w)::BIGINT AS cum_docs,
+           |        (sum(tok) OVER w)::BIGINT AS cum_tokens,
+           |        (sum(vocab) OVER w)::BIGINT AS cum_vocab
+           |      FROM j
+           |      WINDOW w AS (ORDER BY decile
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |SELECT decile, cum_docs, cum_tokens, cum_vocab,
+           |  (cum_vocab * 1000000 // cum_tokens)::BIGINT AS ttr_ppm
+           |FROM c""".stripMargin,
+
+      "q257_pr_curve" -> {
+        val wSql = classifierWSql
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |s AS (SELECT coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score,
+           |        (CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pos FROM t),
+           |g AS (SELECT score, count(*)::BIGINT AS m, sum(pos)::BIGINT AS p
+           |      FROM s GROUP BY score),
+           |c AS (SELECT score, m, p,
+           |        coalesce(sum(m) OVER (ORDER BY score
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cme,
+           |        coalesce(sum(p) OVER (ORDER BY score
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cpe
+           |      FROM g),
+           |a AS (SELECT sum(m)::BIGINT AS n_all, sum(p)::BIGINT AS n_pos FROM g),
+           |r AS (SELECT score, (n_pos - cpe)::BIGINT AS tp,
+           |        (n_all - cme)::BIGINT AS pred, n_pos
+           |      FROM c, a)
+           |SELECT score, tp, (pred - tp)::BIGINT AS fp,
+           |  (n_pos - tp)::BIGINT AS fn,
+           |  (tp * 10000 // pred)::BIGINT AS precision_bp,
+           |  (tp * 10000 // n_pos)::BIGINT AS recall_bp,
+           |  (2 * tp * 10000 // (pred + n_pos))::BIGINT AS f1_bp
+           |FROM r""".stripMargin
       },
 
       "q216_calibration_bins" -> {

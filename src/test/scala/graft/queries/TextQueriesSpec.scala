@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.functions.TextHash
+
+class TextQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val small = "/root/testdata/sf0.01"
+
+  test("q257 PR curve: classifier-theoretic invariants hold at every threshold") {
+    val rows = TextQueries.queries("q257_pr_curve")(spark, small).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.length > 10, "score domain should have many occupied thresholds")
+    val nPos = rows.head._2 + rows.head._4 // tp + fn is constant
+    for ((score, tp, fp, fn, pBp, rBp, f1Bp) <- rows) {
+      assert(tp + fn == nPos, s"t=$score: tp+fn must equal the positive count")
+      assert(tp >= 0 && fp >= 0 && fn >= 0)
+      assert(pBp == tp * 10000 / (tp + fp) && rBp == tp * 10000 / nPos)
+      assert(f1Bp == 2 * tp * 10000 / (tp + fp + nPos))
+    }
+    // recall is non-increasing in the threshold; tp+fp (predicted) too
+    val byT = rows.map(r => (r._1, r._2, r._2 + r._3))
+    for (Array((_, tp1, pr1), (_, tp2, pr2)) <- byT.sliding(2).map(_.toArray)) {
+      assert(tp2 <= tp1 && pr2 <= pr1, "raising the threshold can only shrink predictions")
+    }
+    // the lowest occupied threshold predicts everything: recall = 100%
+    assert(rows.head._6 == 10000, "lowest threshold must have full recall")
+  }
+
+  test("q259 vocab growth: cumulative curve is monotone and ends at the true totals") {
+    val rows = TextQueries.queries("q259_vocab_growth")(spark, small).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray)) {
+      assert(b._2 >= a._2 && b._3 >= a._3 && b._4 >= a._4, "cumulatives must be monotone")
+    }
+    val docs = Tables.documents(spark, small)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+    val totalDocs = docs.count()
+    val totalTokens = docs.agg(sum(size(col("toks")))).collect().head.getLong(0)
+    val totalVocab = docs.select(explode(col("toks"))).distinct().count()
+    val last = rows.last
+    assert(last._2 == totalDocs && last._3 == totalTokens && last._4 == totalVocab)
+    assert(last._5 == totalVocab * 1000000L / totalTokens)
+    // Heaps: vocabulary grows sublinearly — the first decile contributes
+    // a disproportionate share of the final vocabulary
+    assert(rows.head._4 * 10 > totalVocab,
+      "first decile should exceed a 1/10 pro-rata vocabulary share")
+  }
+}
