@@ -66,6 +66,61 @@ object StreamingAggregates {
         col("close_cents"), col("n_events"), col("vol_cents"))
   }
 
+  /** Fixed-bin value histogram per tumbling window — the only percentile
+    * shape that is append-mode-LEGAL on a stream: bin assignment is
+    * stateless map-side math and the windowed (window, bin) count is the
+    * ONE stateful aggregation; the rank scan over the ≤ nBins rows of a
+    * finalized window happens downstream ([[percentileFromBins]]) — on
+    * the sink table for a stream, in the same plan for batch. Bin edges
+    * are fixed a priori (binWidthCents, last bin open-ended via clamp),
+    * so the histogram is deterministic and the percentile estimate (bin
+    * lower edge) replays exactly in any engine — resolution is a design
+    * constant, never data-dependent (no two-pass range fit, which a
+    * stream cannot do anyway). State per live window: ≤ nBins longs. */
+  def binnedHistogram(
+      events: DataFrame,
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      windowLength: String = "6 hours",
+      binWidthCents: Long = 500L,
+      nBins: Int = 128,
+      watermark: Option[String] = Some("2 hours")): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    in.filter(col(valueCol).isNotNull)
+      .select(col(tsCol).as("__ts"),
+        least(expr(s"CAST(round($valueCol * 100) AS BIGINT) div $binWidthCents"),
+          lit(nBins - 1L)).as("bin"))
+      .groupBy(window(col("__ts"), windowLength), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("bin"), col("cnt"))
+  }
+
+  /** Percentile extraction from [[binnedHistogram]] output: for each
+    * requested percentile q, the smallest bin whose cumulative count
+    * reaches rank ceil(q·n/100) — integer arithmetic only. The window
+    * function partitions on the window key over ≤ nBins rows, bounded by
+    * the DESIGN constant, never by data. */
+  def percentileFromBins(
+      bins: DataFrame, qs: Seq[Int], binWidthCents: Long = 500L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("window_start_us")).orderBy(col("bin"))
+    // n via a full-frame window over the same ≤ nBins partition — no
+    // self-join (re-joining an aggregate of `bins` onto `bins` trips
+    // conflicting-reference resolution on streaming-sink lineages)
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        W.partitionBy(col("window_start_us"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val aggs = qs.flatMap { q =>
+      val rank = expr(s"($q * n + 99) div 100")
+      val bin = min(when(col("cum") >= rank, col("bin")))
+      Seq(bin.as(s"p${q}_bin"), (bin * binWidthCents).as(s"p${q}_lo_cents"))
+    }
+    cum.groupBy(col("window_start_us"), col("n")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** DuckDB oracle for the batch form of [[tumbling]] (epoch-aligned hourly
     * buckets — Spark's `window()` aligns to the epoch too). */
   def tumblingOracleSql(

@@ -115,6 +115,24 @@ object SequenceQueries {
           col("col.score").cast("long").as("cnt"))
     }),
 
+    // WINDOWED HISTOGRAM PERCENTILES — p50/p95 of event value per 6 h
+    // tumbling window via a fixed 128-bin histogram, the ONLY percentile
+    // shape that runs append-legal on a stream (bin assignment stateless,
+    // one windowed count agg; `StreamingAggregates.binnedHistogram` is
+    // the literal streaming form of this plan and slicing parity is
+    // spec-proven). The estimate = lower edge of the bin where the
+    // cumulative reaches ceil(q·n/100) — deterministic integer math, so
+    // unlike sketch percentiles it hash-checks with NO tolerance; the
+    // trade is fixed resolution (bin width 500 cents, a design constant).
+    // The rank scan's window partitions hold ≤ 128 rows by construction.
+    "q260_window_percentiles" -> ((s, d) => {
+      val bins = graft.operators.StreamingAggregates.binnedHistogram(
+        Tables.events(s, d), "ts", "value", "6 hours",
+        binWidthCents = 500L, nBins = 128, watermark = None)
+      graft.operators.StreamingAggregates
+        .percentileFromBins(bins, Seq(50, 95), 500L)
+    }),
+
     // OHLC time-series resampling — hourly bars over the event stream:
     // open/close via ONE min/max-of-struct aggregate each ((us, event_id,
     // cents) — event_id is unique, so the lexicographic extreme is the
@@ -910,6 +928,26 @@ object SequenceQueries {
         |  TRUE AS in_summary, TRUE AS bounds_ok
         |FROM exact JOIN tot ON exact.ws_us = tot.ws_us
         |WHERE cnt * 5 > n""".stripMargin,
+
+    "q260_window_percentiles" ->
+      """WITH ev AS (SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS ws,
+        |        least(CAST(round(value * 100) AS BIGINT) // 500, 127) AS bin
+        |      FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT ws, bin, count(*)::BIGINT AS cnt FROM ev GROUP BY 1, 2),
+        |c AS (SELECT ws, bin, cnt,
+        |        (sum(cnt) OVER (PARTITION BY ws ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum
+        |      FROM b),
+        |t AS (SELECT ws, sum(cnt)::BIGINT AS n FROM b GROUP BY 1)
+        |SELECT c.ws AS window_start_us, n,
+        |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END)::BIGINT AS p50_bin,
+        |  (min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) * 500)::BIGINT
+        |    AS p50_lo_cents,
+        |  min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END)::BIGINT AS p95_bin,
+        |  (min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END) * 500)::BIGINT
+        |    AS p95_lo_cents
+        |FROM c JOIN t ON c.ws = t.ws
+        |GROUP BY 1, 2""".stripMargin,
 
     "q247_window_top_users" ->
       """WITH ew AS (SELECT ((epoch_us(ts) // 21600000000) - i) * 21600000000 AS ws_us,

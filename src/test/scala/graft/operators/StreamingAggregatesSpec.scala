@@ -72,4 +72,53 @@ class StreamingAggregatesSpec extends AnyFunSuite {
       assert(row0(4) === math.round(h0.last._3 * 100))
     } finally q.stop()
   }
+
+  test("binned histogram percentiles: streaming under random slicing == batch; bracket law") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val events = rnd.shuffle((0 until 500).map { i =>
+      (ts(rnd.nextInt(720)), rnd.nextInt(56000) / 100.0)
+    })
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = StreamingAggregates
+      .binnedHistogram(mem.toDF().toDF("ts", "value"),
+        windowLength = "6 hours", watermark = None)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hist_stream").start()
+    try {
+      var rest = events
+      while (rest.nonEmpty) {
+        val n = 1 + rnd.nextInt(120)
+        mem.addData(rest.take(n): _*)
+        q.processAllAvailable()
+        rest = rest.drop(n)
+      }
+      val batchBins = StreamingAggregates.binnedHistogram(
+        events.toDF("ts", "value"), windowLength = "6 hours", watermark = None)
+      assert(spark.table("hist_stream").collect().map(_.toSeq).toSet ===
+        batchBins.collect().map(_.toSeq).toSet,
+        "windowed bin counts are order-insensitive => stream == batch")
+      // percentile extraction on the SINK equals the batch-side extraction
+      val fromSink = StreamingAggregates
+        .percentileFromBins(spark.table("hist_stream"), Seq(50, 95))
+        .collect().map(_.toSeq).toSet
+      val fromBatch = StreamingAggregates
+        .percentileFromBins(batchBins, Seq(50, 95)).collect().map(_.toSeq).toSet
+      assert(fromSink === fromBatch)
+      // bracket law: the reported bin's cents range must contain the exact
+      // per-window percentile value
+      val byWin = events.groupBy(e => e._1.getTime / 21600000L * 21600000000L)
+      for (row <- fromBatch) {
+        val Seq(ws: Long, n: Long, p50b: Long, p50lo: Long, p95b: Long, p95lo: Long) = row
+        val vals = byWin(ws).map(e => math.round(e._2 * 100)).sorted
+        assert(n == vals.length.toLong)
+        def check(q: Int, bin: Long, lo: Long): Unit = {
+          val exact = vals((q * vals.length + 99) / 100 - 1)
+          assert(exact >= lo && (bin == 127 || exact < lo + 500),
+            s"q$q: exact $exact outside bin [$lo, ${lo + 500})")
+        }
+        check(50, p50b, p50lo); check(95, p95b, p95lo)
+      }
+    } finally q.stop()
+  }
 }
