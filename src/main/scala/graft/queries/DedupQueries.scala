@@ -211,13 +211,21 @@ object DedupQueries {
           .wordShingleHashes(col("text"), 3, TextHash.P), wordCfg)
         .select(col("id_a"), col("id_b"))
         .persist() // both the n=1 and n=2 branches consume the pair set
+      // gram-count ONLY the documents that appear in a pair: the metric
+      // needs nothing else, and at scale this turns a corpus-wide gram
+      // explode into one bounded by 2·|pairs| (bench: 9.0 → ~1 s at
+      // sf0.1 — the corpus-wide form was the dominant cost)
+      val pairDocs = prs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      val docsInPairs = docs.join(pairDocs, Seq("doc_id"), "left_semi")
+        .persist() // the n=1 and n=2 gram explodes
       def rouge(n: Int): DataFrame = {
         val t = TextHash.tokens(col("text"))
         val gs = when(size(t) >= n,
           transform(sequence(lit(0), size(t) - n),
             i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
           .otherwise(array(concat_ws(" ", t)))
-        val gc = docs.select(col("doc_id"), explode(gs).as("g"))
+        val gc = docsInPairs.select(col("doc_id"), explode(gs).as("g"))
           .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
           .persist() // ref join side + cand join side + totals
         val tot = gc.groupBy(col("doc_id")).agg(sum(col("cnt")).as("total"))
