@@ -42,6 +42,33 @@ object AuditQueries {
     44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18,
     17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0).map(_.toLong)
 
+  /** The q246/q261 HLL register pipeline pieces, shared so the two can
+    * never drift: (group, bucket) → max-rho registers from a DISTINCT
+    * (group, key) relation; per-group harmonic-sum fold; estimate with
+    * the linear-counting branch. */
+  private def hllRegs(dist: DataFrame, keyCol: String, grpCols: Seq[String]): DataFrame =
+    dist
+      .withColumn("h", TextHash.md5Long(concat(lit("hll:"), col(keyCol).cast("string"))))
+      .withColumn("bucket", col("h") % 64)
+      .withColumn("stream", expr("(h div 64) % 4294967296"))
+      .withColumn("rho", when(col("stream") === 0, lit(33L))
+        .otherwise(lit(33L) - length(bin(col("stream")))))
+      .groupBy((grpCols :+ "bucket").map(col): _*).agg(max(col("rho")).as("m"))
+
+  private def hllFold(regs: DataFrame, grpCols: Seq[String]): DataFrame =
+    regs.groupBy(grpCols.map(col): _*).agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"))
+        + (lit(64L) - count(lit(1))) * lit(8589934592L)).as("sum_scaled"),
+      (lit(64L) - count(lit(1))).as("v_zero"))
+
+  private def hllEst(folded: DataFrame): DataFrame = folded
+    .withColumn("raw", expr(s"$HllNum div sum_scaled"))
+    .withColumn("est_hll",
+      when(col("v_zero") > 0 && col("raw") <= 160,
+        element_at(lit(HllLcLut), col("v_zero").cast("int")))
+        .otherwise(col("raw")))
+    .drop("raw")
+
   private def kmvHash(userId: Column): Column = TextHash.kmvHash(userId)
 
   private def kmvHashSql(e: String): String = TextHash.kmvHashSql(e)
@@ -145,34 +172,47 @@ object AuditQueries {
     // shuffle, then ≤ types·64 register rows; the merge is free.
     "q246_hll_registers" -> ((s, d) => {
       val dist = Tables.events(s, d)
-        .select(col("event_type"), col("user_id")).distinct()
-        .withColumn("h",
-          TextHash.md5Long(concat(lit("hll:"), col("user_id").cast("string"))))
-        .withColumn("bucket", col("h") % 64)
-        .withColumn("stream", expr("(h div 64) % 4294967296"))
-        .withColumn("rho", when(col("stream") === 0, lit(33L))
-          .otherwise(lit(33L) - length(bin(col("stream")))))
+        .select(col("event_type").as("grp"), col("user_id")).distinct()
         .persist() // feeds the register agg and both exact-count aggs
-      val regs = dist.groupBy(col("event_type").as("grp"), col("bucket"))
-        .agg(max(col("rho")).as("m"))
+      val regs = hllRegs(dist, "user_id", Seq("grp"))
         .persist() // consumed twice: per-type fold + register-wise merge
       val mergedRegs = regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
         .withColumn("grp", lit("ALL"))
-      def fold(df: DataFrame): DataFrame = df.groupBy(col("grp")).agg(
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - m AS INT))"))
-          + (lit(64L) - count(lit(1))) * lit(8589934592L)).as("sum_scaled"),
-        (lit(64L) - count(lit(1))).as("v_zero"))
-      val folded = fold(regs).unionByName(fold(mergedRegs))
-      val nEx = dist.groupBy(col("event_type").as("grp"))
-        .agg(count(lit(1)).as("n_exact"))
+      val folded = hllFold(regs, Seq("grp"))
+        .unionByName(hllFold(mergedRegs, Seq("grp")))
+      val nEx = dist.groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
         .unionByName(dist.agg(countDistinct(col("user_id")).as("n_exact"))
           .withColumn("grp", lit("ALL")))
-      folded.join(nEx, "grp")
-        .withColumn("raw", expr(s"$HllNum div sum_scaled"))
+      hllEst(folded.join(nEx, "grp"))
         .select(col("grp"), col("n_exact"), col("v_zero"), col("sum_scaled"),
-          when(col("v_zero") > 0 && col("raw") <= 160,
-            element_at(lit(HllLcLut), col("v_zero").cast("int")))
-            .otherwise(col("raw")).as("est_hll"))
+          col("est_hll"))
+    }),
+
+    // INCREMENTAL sketch rollup — the q84 partial-rollup pattern applied
+    // to HLL: DAILY register partials per event type (what a production
+    // table would persist per partition) merged register-wise up the
+    // day → week hierarchy. The oracle computes each weekly sketch
+    // DIRECTLY from the raw rows, so the hash match IS the proof that
+    // register-max merging is lossless/associative — a user active on
+    // many days contributes identical (bucket, rho) everywhere and max
+    // dedups it. Shape at scale: daily partials are types × 64 rows per
+    // day; the weekly merge never touches raw data again (the whole
+    // point of storing sketch partials instead of re-scanning).
+    "q261_sketch_rollup" -> ((s, d) => {
+      val dist = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          weekofyear(col("ts")).cast("long").as("week"),
+          to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .persist() // daily registers + exact weekly counts
+      val daily = hllRegs(dist, "user_id", Seq("grp", "week", "day"))
+      val weekly = daily.groupBy(col("grp"), col("week"), col("bucket"))
+        .agg(max(col("m")).as("m"))
+      val nEx = dist.groupBy(col("grp"), col("week"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      hllEst(hllFold(weekly, Seq("grp", "week")).join(nEx, Seq("grp", "week")))
+        .select(col("grp"), col("week"), col("n_exact"), col("v_zero"),
+          col("sum_scaled"), col("est_hll"))
     }),
 
     // ADJUSTED RAND INDEX — partition-agreement audit between two
@@ -910,6 +950,36 @@ object AuditQueries {
          |        THEN ($lut)[e.v_zero::INT]
          |        ELSE e.raw END)::BIGINT AS est_hll
          |FROM e JOIN ne USING (grp)""".stripMargin
+    },
+
+    // Direct weekly sketches (NO daily level): equality with Spark's
+    // day→week merged partials proves register-max associativity.
+    "q261_sketch_rollup" -> {
+      val h = TextHash.md5LongSql("'hll:' || user_id::VARCHAR")
+      val lut = HllLcLut.mkString("[", ", ", "]")
+      s"""WITH dist AS (SELECT DISTINCT event_type AS grp,
+         |                weekofyear(ts)::BIGINT AS week, user_id FROM events),
+         |hs AS (SELECT grp, week, $h AS h FROM dist),
+         |b AS (SELECT grp, week, h % 64 AS bucket,
+         |        (h // 64) % 4294967296 AS stream FROM hs),
+         |r AS (SELECT grp, week, bucket,
+         |        CASE WHEN stream = 0 THEN 33
+         |             ELSE 33 - length(bin(stream)) END AS rho FROM b),
+         |regs AS (SELECT grp, week, bucket, max(rho) AS m
+         |         FROM r GROUP BY 1, 2, 3),
+         |f AS (SELECT grp, week,
+         |        (sum((1::BIGINT << (33 - m)::INT))
+         |          + (64 - count(*)) * 8589934592)::BIGINT AS sum_scaled,
+         |        (64 - count(*))::BIGINT AS v_zero
+         |      FROM regs GROUP BY 1, 2),
+         |ne AS (SELECT grp, week, count(*)::BIGINT AS n_exact
+         |       FROM dist GROUP BY 1, 2),
+         |e AS (SELECT grp, week, sum_scaled, v_zero,
+         |        ($HllNum // sum_scaled)::BIGINT AS raw FROM f)
+         |SELECT e.grp, e.week, n_exact, v_zero, sum_scaled,
+         |  (CASE WHEN v_zero > 0 AND raw <= 160
+         |        THEN ($lut)[v_zero::INT] ELSE raw END)::BIGINT AS est_hll
+         |FROM e JOIN ne ON e.grp = ne.grp AND e.week = ne.week""".stripMargin
     },
 
     "q255_ari_agreement" -> {

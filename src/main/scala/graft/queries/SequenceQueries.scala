@@ -115,6 +115,42 @@ object SequenceQueries {
           col("col.score").cast("long").as("cnt"))
     }),
 
+    // MARKOV NEXT-EVENT EVALUATION — q72's transition model actually
+    // SCORED: fit argmax(next | prev) on pre-cutoff transitions (cutoff = Jan 23, ~75% of the one-month stream), measure
+    // top-1 accuracy on post-cutoff ones (a temporal split, the q204
+    // discipline — never random rows from the same sessions). The argmax
+    // is ONE min-of-struct aggregate ((−cnt, next) lexicographic ⇒ most
+    // frequent, ties to the alphabetically first — deterministic, no
+    // window); per-prev accuracies + the pooled 'ALL' row in exact bp.
+    // Transition extraction is the q72 user-keyed lag window (partitions
+    // bounded by one user's history).
+    "q264_markov_eval" -> ((s, d) => {
+      val cutoff = lit("2024-01-23").cast("date")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("ts").cast("date").as("day"))
+        .select(col("day"), col("event_type").as("next"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .persist() // train fit + test audit
+      val pred = pairs.filter(col("day") < cutoff)
+        .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("prev"))
+        .agg(min(struct((col("cnt") * -1).as("negcnt"), col("next").as("nx")))
+          .getField("nx").as("pred"))
+      val test = pairs.filter(col("day") >= cutoff)
+        .join(pred, Seq("prev"), "inner")
+        .withColumn("hit", (col("next") === col("pred")).cast("long"))
+        .persist() // per-prev rows + the pooled row
+      val perPrev = test.groupBy(col("prev"))
+        .agg(count(lit(1)).as("n"), sum(col("hit")).as("correct"))
+      val all = test.agg(count(lit(1)).as("n"), sum(col("hit")).as("correct"))
+        .withColumn("prev", lit("ALL"))
+      perPrev.unionByName(all)
+        .withColumn("acc_bp", expr("correct * 10000 div n"))
+    }),
+
     // WINDOWED HISTOGRAM PERCENTILES — p50/p95 of event value per 6 h
     // tumbling window via a fixed 128-bin histogram, the ONLY percentile
     // shape that runs append-legal on a stream (bin assignment stateless,
@@ -928,6 +964,32 @@ object SequenceQueries {
         |  TRUE AS in_summary, TRUE AS bounds_ok
         |FROM exact JOIN tot ON exact.ws_us = tot.ws_us
         |WHERE cnt * 5 > n""".stripMargin,
+
+    "q264_markov_eval" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |        ts::DATE AS day FROM events),
+        |p AS (SELECT day, event_type AS next,
+        |        lag(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS prev
+        |      FROM ev),
+        |pairs AS (SELECT * FROM p WHERE prev IS NOT NULL),
+        |tr AS (SELECT prev, next, count(*) AS cnt FROM pairs
+        |       WHERE day < DATE '2024-01-23' GROUP BY 1, 2),
+        |rk AS (SELECT prev, next AS pred,
+        |         row_number() OVER (PARTITION BY prev
+        |           ORDER BY cnt DESC, next) AS rn FROM tr),
+        |pd AS (SELECT prev, pred FROM rk WHERE rn = 1),
+        |te AS (SELECT pairs.prev, next, pred
+        |       FROM pairs JOIN pd ON pairs.prev = pd.prev
+        |       WHERE day >= DATE '2024-01-23'),
+        |pp AS (SELECT prev, count(*)::BIGINT AS n,
+        |         sum(CASE WHEN next = pred THEN 1 ELSE 0 END)::BIGINT AS correct
+        |       FROM te GROUP BY 1
+        |       UNION ALL
+        |       SELECT 'ALL', count(*)::BIGINT,
+        |         sum(CASE WHEN next = pred THEN 1 ELSE 0 END)::BIGINT FROM te)
+        |SELECT prev, n, correct, (correct * 10000 // n)::BIGINT AS acc_bp
+        |FROM pp""".stripMargin,
 
     "q260_window_percentiles" ->
       """WITH ev AS (SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS ws,

@@ -283,6 +283,49 @@ object TextQueries {
           expr("2 * tp * 10000 div (pred + n_pos)").as("f1_bp"))
     }),
 
+    // SPLIT-CONFORMAL threshold calibration (α = 0.1) — the modern
+    // distribution-free companion to q216's calibration bins: the decision
+    // threshold is the ⌈(1−α)(n+1)⌉-th largest calibration-positive score
+    // (equivalently the k = n−r+1 smallest), which guarantees ≥ 90%
+    // recall on exchangeable test positives IN EXPECTATION over splits.
+    // The order statistic comes from the distinct-SCORE relation via
+    // PrefixSum (the q257 machinery — never a corpus sort); the test-split
+    // audit (achieved coverage + prediction efficiency) rides alongside in
+    // exact bp, so the whole calibration is hash-checked. r > n (tiny
+    // calibration sets) degrades to threshold −∞ = predict everything,
+    // exactly per the conformal construction.
+    "q262_conformal_threshold" -> ((s, d) => {
+      val NegInf = -1000000000000000L // far below any reachable score
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        classifierScore(col("text")).as("score"),
+        (size(TextHash.tokens(col("text"))) >= 60).cast("long").as("pos"),
+        (pmod(TextHash.md5Long(concat(lit("cal:"), col("doc_id").cast("string"))),
+          lit(100L)) < 50).as("is_cal"))
+        .persist() // calibration branch + test-audit branch
+      val calPos = scored.filter(col("is_cal") && col("pos") === 1)
+      val grp = calPos.groupBy(col("score")).agg(count(lit(1)).as("m"))
+      val cum = graft.operators.PrefixSum.running(grp, "score", "m", "cm")
+      val nCal = calPos.agg(count(lit(1)).as("n_cal_pos"))
+      val thr = cum.crossJoin(nCal)
+        .withColumn("r", expr("(9 * (n_cal_pos + 1) + 9) div 10"))
+        .withColumn("kth", col("n_cal_pos") - col("r") + 1)
+        .groupBy(col("n_cal_pos"), col("r"), col("kth"))
+        .agg(min(when(col("cm") >= col("kth"), col("score"))).as("thr0"))
+        .select(col("n_cal_pos"), col("r"),
+          when(col("kth") < 1, lit(NegInf)).otherwise(col("thr0")).as("threshold"))
+      scored.filter(!col("is_cal")).crossJoin(thr)
+        .groupBy(col("n_cal_pos"), col("r"), col("threshold"))
+        .agg(sum(col("pos")).as("n_test_pos"),
+          sum(when(col("pos") === 1 && col("score") >= col("threshold"), 1L)
+            .otherwise(0L)).as("covered"),
+          count(lit(1)).as("n_test"),
+          sum((col("score") >= col("threshold")).cast("long")).as("predicted_pos"))
+        .select(col("n_cal_pos"), col("r"), col("threshold"),
+          col("n_test_pos"), col("covered"), col("n_test"), col("predicted_pos"),
+          expr("covered * 10000 div n_test_pos").as("coverage_bp"),
+          expr("predicted_pos * 10000 div n_test").as("efficiency_bp"))
+    }),
+
     // Reliability (calibration) curve for the q214 score against the q215
     // label: fixed-width score bins → observed positive rate per bin.
     // The at-scale shape is ONE map-side bin assignment + hash agg (bin
@@ -534,6 +577,45 @@ object TextQueries {
            |  (tp * 10000 // n_pos)::BIGINT AS recall_bp,
            |  (2 * tp * 10000 // (pred + n_pos))::BIGINT AS f1_bp
            |FROM r""".stripMargin
+      },
+
+      "q262_conformal_threshold" -> {
+        val wSql = classifierWSql
+        val split = TextHash.md5LongSql("'cal:' || doc_id::VARCHAR")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |s AS (SELECT doc_id,
+           |        coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score,
+           |        (CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pos,
+           |        (($split) % 100 < 50) AS is_cal
+           |      FROM t),
+           |cp AS (SELECT score FROM s WHERE is_cal AND pos = 1),
+           |g AS (SELECT score, count(*) AS m FROM cp GROUP BY 1),
+           |c AS (SELECT score, (sum(m) OVER (ORDER BY score
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cm
+           |      FROM g),
+           |n AS (SELECT count(*)::BIGINT AS n_cal_pos FROM cp),
+           |k AS (SELECT n_cal_pos, (9 * (n_cal_pos + 1) + 9) // 10 AS r,
+           |        n_cal_pos - ((9 * (n_cal_pos + 1) + 9) // 10) + 1 AS kth
+           |      FROM n),
+           |th AS (SELECT n_cal_pos, r::BIGINT AS r,
+           |         (CASE WHEN kth < 1 THEN -1000000000000000
+           |               ELSE (SELECT min(score) FROM c WHERE cm >= kth)
+           |          END)::BIGINT AS threshold
+           |       FROM k),
+           |te AS (SELECT * FROM s WHERE NOT is_cal)
+           |SELECT n_cal_pos, r, threshold,
+           |  sum(pos)::BIGINT AS n_test_pos,
+           |  sum(CASE WHEN pos = 1 AND score >= threshold THEN 1 ELSE 0 END)::BIGINT
+           |    AS covered,
+           |  count(*)::BIGINT AS n_test,
+           |  sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)::BIGINT
+           |    AS predicted_pos,
+           |  (sum(CASE WHEN pos = 1 AND score >= threshold THEN 1 ELSE 0 END)
+           |     * 10000 // sum(pos))::BIGINT AS coverage_bp,
+           |  (sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+           |     * 10000 // count(*))::BIGINT AS efficiency_bp
+           |FROM te, th
+           |GROUP BY 1, 2, 3""".stripMargin
       },
 
       "q216_calibration_bins" -> {

@@ -301,6 +301,44 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(lcSeen, "sf0.001 should exercise the linear-counting branch")
   }
 
+  test("q261 sketch rollup: day-merged registers equal the direct weekly sketch") {
+    // the oracle already proves this cross-engine; here the same law is
+    // checked in-process — merging DAILY register maxima equals building
+    // weekly registers directly from the distinct pairs
+    val rows = AuditQueries.queries("q261_sketch_rollup")(spark, small).collect()
+    assert(rows.nonEmpty)
+    def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
+    val raw = Tables.events(spark, small)
+      .select(col("event_type"), weekofyear(col("ts")).cast("long"),
+        to_date(col("ts")).cast("string"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    def regsOf(keys: Iterable[Long]): Map[Long, Long] =
+      keys.toSet[Long].groupBy { u => md5l("hll:" + u) % 64 }.view.mapValues { us =>
+        us.map { u =>
+          val st = (md5l("hll:" + u) / 64) % 4294967296L
+          if (st == 0L) 33L else 33L - java.lang.Long.toBinaryString(st).length
+        }.max
+      }.toMap
+    for ((grp, week) <- raw.map(r => (r._1, r._2)).distinct) {
+      val weekKeys = raw.filter(r => r._1 == grp && r._2 == week).map(_._4)
+      val direct = regsOf(weekKeys)
+      // day-level registers merged by max
+      val byDay = raw.filter(r => r._1 == grp && r._2 == week).groupBy(_._3)
+      val merged = byDay.values.map(ds => regsOf(ds.map(_._4)))
+        .reduce { (a, b) =>
+          (a.keySet ++ b.keySet).map(k =>
+            k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+        }
+      assert(merged == direct, s"($grp, $week): merge must equal direct")
+    }
+    // and the emitted estimates are inside a generous sketch error band
+    for (r <- rows) {
+      val (n, est) = (r.getLong(2), r.getLong(5))
+      assert(n > 0 && math.abs(est - n).toDouble / n < 0.6,
+        s"${r.getString(0)} w${r.getLong(1)}: est $est vs $n")
+    }
+  }
+
   test("q248 DP counts: noise replays exactly; distribution is the p=1/2 discrete Laplace") {
     def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
     def tz(h: Long) = if (h == 0L) 60L

@@ -138,6 +138,21 @@ class SequenceQueriesSpec extends AnyFunSuite {
     assert(sparkGot == want.map(_.toLong))
   }
 
+  test("q264 Markov eval: pooled row sums the per-prev rows; test split non-trivial") {
+    val rows = SequenceQueries.queries("q264_markov_eval")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (nAll, cAll, accAll) = rows("ALL")
+    assert(nAll > 0, "the temporal cutoff must leave a non-empty test split")
+    val per = rows.view.filterKeys(_ != "ALL").values.toSeq
+    assert(per.map(_._1).sum == nAll && per.map(_._2).sum == cAll,
+      "ALL row must pool the per-prev rows")
+    for ((n, c, bp) <- rows.values) {
+      assert(c >= 0 && c <= n)
+      assert(bp == c * 10000 / n)
+    }
+    assert(accAll == cAll * 10000 / nAll)
+  }
+
   test("q247 window top-k: windowless plan, ranks dense, counts sorted with id tie-break") {
     val df = SequenceQueries.queries("q247_window_top_users")(spark, "/root/testdata/sf0.01")
     // ranking must ride the bounded TopKByScore aggregate — a row_number

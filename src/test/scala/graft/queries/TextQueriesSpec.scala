@@ -32,6 +32,41 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(rows.head._6 == 10000, "lowest threshold must have full recall")
   }
 
+  test("q262 conformal: threshold is the exact order statistic; audit identities hold") {
+    val r = TextQueries.queries("q262_conformal_threshold")(spark, small).collect().head
+    val (nCal, rank, thr) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (nTestPos, covered, nTest, predPos, covBp, effBp) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    // direct replay: scores + split from the shared primitives
+    def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
+    val docs = Tables.documents(spark, small)
+      .select(col("doc_id"), col("text")).collect()
+      .map { row =>
+        val (id, text) = (row.getLong(0), row.getString(1))
+        val toks = text.trim.split("\\s+").toSeq
+        val score = toks.map { t =>
+          val b = md5l(t) % 4096
+          md5l("w:" + b) % 2001 - 1000
+        }.sum
+        (id, score, toks.length >= 60, md5l("cal:" + id) % 100 < 50)
+      }
+    val calPos = docs.filter(d => d._4 && d._3).map(_._2).sorted
+    assert(nCal == calPos.length.toLong)
+    assert(rank == (9 * (nCal + 1) + 9) / 10)
+    val kth = nCal - rank + 1
+    val wantThr = if (kth < 1) -1000000000000000L else calPos(kth.toInt - 1)
+    assert(thr == wantThr, "threshold must be the exact order statistic")
+    val test = docs.filterNot(_._4)
+    assert(nTest == test.length.toLong)
+    assert(nTestPos == test.count(_._3).toLong)
+    assert(covered == test.count(d => d._3 && d._2 >= thr).toLong)
+    assert(predPos == test.count(_._2 >= thr).toLong)
+    assert(covBp == covered * 10000 / nTestPos && effBp == predPos * 10000 / nTest)
+    // the conformal guarantee is in expectation; deterministic data sits
+    // comfortably near it (measured 92% at sf0.01)
+    assert(covBp > 8500, s"coverage $covBp unexpectedly far below the 9000 target")
+  }
+
   test("q259 vocab growth: cumulative curve is monotone and ends at the true totals") {
     val rows = TextQueries.queries("q259_vocab_growth")(spark, small).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
