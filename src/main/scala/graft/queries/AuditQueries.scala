@@ -338,6 +338,74 @@ object AuditQueries {
               col("num").cast("double") / col("den").cast("double"), 6)).as("z2"))
     }),
 
+    // CUPED variance reduction — q263's experiment analysis upgraded with
+    // the industry-standard pre-period covariate adjustment: per user,
+    // x = pre-period spend (Jan 1–15) and y = post-period spend; the
+    // pooled regression θ = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) is an exact
+    // rational, and the adjusted arm difference
+    //   Δ_adj = Δy − θ·Δx = (rawΔy·θd − θn·rawΔx) / (n1·n2·θd)
+    // clears to ONE integer numerator/denominator pair — the whole
+    // adjustment is hash-checked as decimal strings next to the
+    // portable-rounded doubles (ρ² = achieved variance-reduction share).
+    // Shape at scale: one conditional-sum user agg, then a global + two
+    // arm rollups of six moments each. (decimal(38,0) holds the cleared
+    // products to ~10⁶ users of 10⁶-cent spends; beyond that emit the
+    // factors unsimplified.)
+    "q265_cuped" -> ((s, d) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val mid = lit("2024-01-16").cast("date")
+      val users = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts").cast("date") < mid,
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+          sum(when(col("ts").cast("date") >= mid,
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          when(pmod(TextHash.md5Long(concat(lit("ab:"), col("user_id").cast("string"))),
+            lit(2L)) === 0, 1L).otherwise(2L))
+        .persist() // pooled moments + per-arm rollups
+      val pooled = users.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      val arms = users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("na"), sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+      val wide = arms.groupBy().agg(
+        sum(when(col("arm") === 1, col("na"))).as("n1"),
+        sum(when(col("arm") === 1, col("sxa"))).as("sx1"),
+        sum(when(col("arm") === 1, col("sya"))).as("sy1"),
+        sum(when(col("arm") === 2, col("na"))).as("n2"),
+        sum(when(col("arm") === 2, col("sxa"))).as("sx2"),
+        sum(when(col("arm") === 2, col("sya"))).as("sy2"))
+      pooled.crossJoin(wide)
+        .withColumn("theta_n", dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+        .withColumn("theta_d", dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+        .withColumn("dy", dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+        .withColumn("raw_dy", dec(col("sy2")) * dec(col("n1")) - dec(col("sy1")) * dec(col("n2")))
+        .withColumn("raw_dx", dec(col("sx2")) * dec(col("n1")) - dec(col("sx1")) * dec(col("n2")))
+        .withColumn("adj_n", col("raw_dy") * col("theta_d") - col("theta_n") * col("raw_dx"))
+        .withColumn("adj_d", dec(col("n1")) * dec(col("n2")) * col("theta_d"))
+        .select(col("n1"), col("n2"),
+          col("theta_n").cast("string").as("theta_num"),
+          col("theta_d").cast("string").as("theta_den"),
+          col("raw_dy").cast("string").as("raw_diff_num"),
+          col("adj_n").cast("string").as("adj_diff_num"),
+          col("adj_d").cast("string").as("adj_diff_den"),
+          graft.functions.PortableMath.roundPortable(
+            col("raw_dy").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 4).as("raw_diff_cents"),
+          graft.functions.PortableMath.roundPortable(
+            col("adj_n").cast("double") / col("adj_d").cast("double"), 4)
+            .as("adj_diff_cents"),
+          // cast-then-multiply on BOTH engines (an exact decimal square
+          // cast late would differ in the last ulp from the double product)
+          graft.functions.PortableMath.roundPortable(
+            (col("theta_n").cast("double") * col("theta_n").cast("double")) /
+              (col("theta_d").cast("double") * col("dy").cast("double")), 6)
+            .as("rho2"))
+    }),
+
     // DIFFERENTIALLY-PRIVATE count release — the publication step the
     // privacy family (q212 k-anonymity, q219 l-diversity, q79 redaction)
     // was missing. Mechanism: discrete Laplace with p = 1/2 (ε = ln 2 for
@@ -1082,6 +1150,54 @@ object AuditQueries {
         |     // (n_s * n_total))::BIGINT AS ks_ppm
         |FROM cum, n
         |GROUP BY source, n_s, n_total""".stripMargin,
+
+    "q265_cuped" -> {
+      val h = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")
+      def pr(e: String, k: Int) =
+        graft.functions.PortableMath.roundPortableSql(e, k)
+      s"""WITH u AS (SELECT user_id,
+         |        sum(CASE WHEN ts::DATE < DATE '2024-01-16'
+         |                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |          ::BIGINT AS x,
+         |        sum(CASE WHEN ts::DATE >= DATE '2024-01-16'
+         |                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |          ::BIGINT AS y,
+         |        CASE WHEN ($h) % 2 = 0 THEN 1 ELSE 2 END AS arm
+         |      FROM events GROUP BY user_id,
+         |        CASE WHEN ($h) % 2 = 0 THEN 1 ELSE 2 END),
+         |p AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         |        sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x) AS sxx,
+         |        sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+         |      FROM u),
+         |w AS (SELECT
+         |        sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS n1,
+         |        sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::HUGEINT AS sx1,
+         |        sum(CASE WHEN arm = 1 THEN y ELSE 0 END)::HUGEINT AS sy1,
+         |        sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END)::HUGEINT AS n2,
+         |        sum(CASE WHEN arm = 2 THEN x ELSE 0 END)::HUGEINT AS sx2,
+         |        sum(CASE WHEN arm = 2 THEN y ELSE 0 END)::HUGEINT AS sy2
+         |      FROM u),
+         |m AS (SELECT n1, n2,
+         |        (n * sxy - sx * sy) AS theta_n,
+         |        (n * sxx - sx * sx) AS theta_d,
+         |        (n * syy - sy * sy) AS dy,
+         |        (sy2 * n1 - sy1 * n2) AS raw_dy,
+         |        (sx2 * n1 - sx1 * n2) AS raw_dx
+         |      FROM p, w),
+         |f AS (SELECT n1, n2, theta_n, theta_d, dy, raw_dy,
+         |        (raw_dy * theta_d - theta_n * raw_dx) AS adj_n,
+         |        (n1 * n2 * theta_d) AS adj_d
+         |      FROM m)
+         |SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+         |  theta_n::VARCHAR AS theta_num, theta_d::VARCHAR AS theta_den,
+         |  raw_dy::VARCHAR AS raw_diff_num,
+         |  adj_n::VARCHAR AS adj_diff_num, adj_d::VARCHAR AS adj_diff_den,
+         |  ${pr("raw_dy::DOUBLE / (n1::DOUBLE * n2::DOUBLE)", 4)} AS raw_diff_cents,
+         |  ${pr("adj_n::DOUBLE / adj_d::DOUBLE", 4)} AS adj_diff_cents,
+         |  ${pr("(theta_n::DOUBLE * theta_n::DOUBLE) / (theta_d::DOUBLE * dy::DOUBLE)", 6)}
+         |    AS rho2
+         |FROM f""".stripMargin
+    },
 
     "q263_ab_test" -> {
       val h = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")

@@ -325,6 +325,37 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(!(zd > 0 && zn * 10000 >= zd * 38415), "den=0 must never claim significance")
   }
 
+  test("q265 CUPED: theta and the adjusted diff replay exactly in BigInt") {
+    val r = AuditQueries.queries("q265_cuped")(spark, small).collect().head
+    def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
+    val perUser = Tables.events(spark, small)
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).map { case (u, evs) =>
+        val x = evs.filter(_._2 < "2024-01-16").map(_._3).sum
+        val y = evs.filter(_._2 >= "2024-01-16").map(_._3).sum
+        (u, x, y, md5l("ab:" + u) % 2 == 0)
+      }.toSeq
+    val n = BigInt(perUser.size)
+    val (sx, sy) = (BigInt(perUser.map(_._2).sum), BigInt(perUser.map(_._3).sum))
+    val sxx = perUser.map(u => BigInt(u._2) * u._2).sum
+    val sxy = perUser.map(u => BigInt(u._2) * u._3).sum
+    val thetaN = n * sxy - sx * sy
+    val thetaD = n * sxx - sx * sx
+    assert(BigInt(r.getString(2)) == thetaN && BigInt(r.getString(3)) == thetaD)
+    val ctrl = perUser.filter(_._4); val treat = perUser.filterNot(_._4)
+    val (n1, n2) = (BigInt(ctrl.size), BigInt(treat.size))
+    assert(r.getLong(0) == n1.toLong && r.getLong(1) == n2.toLong)
+    val rawDy = BigInt(treat.map(_._3).sum) * n1 - BigInt(ctrl.map(_._3).sum) * n2
+    val rawDx = BigInt(treat.map(_._2).sum) * n1 - BigInt(ctrl.map(_._2).sum) * n2
+    assert(BigInt(r.getString(4)) == rawDy)
+    val (adjN, adjD) = (BigInt(r.getString(5)), BigInt(r.getString(6)))
+    // the CUPED identity, cross-multiplied: adjN/adjD == Δy − θ·Δx
+    assert(adjN == rawDy * thetaD - thetaN * rawDx)
+    assert(adjD == n1 * n2 * thetaD)
+  }
+
   test("q261 sketch rollup: day-merged registers equal the direct weekly sketch") {
     // the oracle already proves this cross-engine; here the same law is
     // checked in-process — merging DAILY register maxima equals building
