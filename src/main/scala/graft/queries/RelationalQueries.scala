@@ -795,6 +795,18 @@ object RelationalQueries {
         .orderBy(desc("common"), asc("u"), asc("v")).limit(20)
     }),
 
+    // k-TRUSS attrition (`operators/KTruss`) — the edge-peeling sibling
+    // of q102's k-core: rounds of "drop edges with triangle support
+    // < k−2" over the co-purchase graph, the cohesive-subgraph extractor
+    // community detection builds on. The emitted rows ARE the attrition
+    // curve (per-round before/after edge counts), so the oracle audits
+    // every round of the fixpoint; support evaluates in the codegen'd
+    // sorted-merge intersect kernel over data-model-bounded adjacency
+    // arrays (see the operator's scaladoc).
+    "q266_ktruss" -> ((s, d) =>
+      graft.operators.KTruss.attritionCurve(
+        copurchaseEdges(s, d), k = 4, rounds = 4)),
+
     // LOCAL clustering coefficient — the per-node dual of q96's global
     // triangle census: for every node, triangles among its (capped)
     // neighbors over C(k,2) possible, in exact integer bp. Reuses q148's
@@ -1540,6 +1552,11 @@ object RelationalQueries {
          |FROM cand JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
          |ORDER BY common DESC, u, v LIMIT 20""".stripMargin
     },
+
+    "q266_ktruss" ->
+      s"""WITH $copurchaseEdgesSql,
+         |edges0 AS MATERIALIZED (SELECT a, b FROM edges),
+         |${graft.operators.KTruss.oracleSql(rounds = 4, k = 4)}""".stripMargin,
 
     "q258_clustering_coeff" -> {
       val h = TextHash.md5LongSql("n::VARCHAR || ':' || m::VARCHAR")

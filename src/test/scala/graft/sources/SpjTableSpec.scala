@@ -145,6 +145,25 @@ class SpjTableSpec extends AnyFunSuite {
     val got = spark.table("graft_spj.db.sparse").collect()
     assert(got.length == 3)
     assert(SpjTable.bucketOf(-3L, 8) == 5, "pmod semantics for negative keys")
+    // the layout contract holds between ALL THREE implementations: the
+    // Scala helper, the V2 ScalarFunction Spark binds during planning,
+    // and the writer's pmod expression — fuzzed over signed keys
+    val rnd = new scala.util.Random(7)
+    val keys = Seq.tabulate(300)(_ => rnd.nextLong()) ++
+      Seq(Long.MinValue + 1, Long.MaxValue, -1L, 0L)
+    for (k <- keys; n <- Seq(1, 2, 7, 8, 64)) {
+      val viaScala = SpjTable.bucketOf(k, n)
+      val viaFunction = GraftBucketFunction.Bound.produceResult(
+        org.apache.spark.sql.catalyst.InternalRow(n, k))
+      assert(viaScala == viaFunction, s"bucketOf($k, $n)")
+      assert(viaScala >= 0 && viaScala < n)
+    }
+    val exprSide = spark.range(1).select(
+      keys.zipWithIndex.map { case (k, i) =>
+        pmod(lit(k), lit(8L)).as(s"b$i") }: _*).collect().head
+    for ((k, i) <- keys.zipWithIndex)
+      assert(exprSide.getLong(i) == SpjTable.bucketOf(k, 8).toLong,
+        s"writer pmod vs bucketOf for $k")
     // writer refuses non-integral keys
     intercept[IllegalArgumentException] {
       SpjTable.write(sparse.select(col("s"), col("k").cast("double").as("k2")),
