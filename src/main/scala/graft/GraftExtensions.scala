@@ -78,6 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => BitmapDistinctAgg(coerce(exprs.head, LongType),
         intLit(exprs(1), "capacity")).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      info("graft_hll", "graft_hll(hash) - 64-register portable HyperLogLog " +
+        "(input = the salted 60-bit md5 key hash) as array<bigint>[64]"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.HllSketch(exprs.head).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_gram_micro"),
       info("graft_gram_micro", "graft_gram_micro(vec, dim) - integer-micro gram matrix upper triangle"),
       (exprs: Seq[Expression]) => GramMatrixMicro(exprs.head,

@@ -31,16 +31,11 @@ object AuditQueries {
   private val KmvK = 128
   private val KmvNum = (KmvK - 1).toLong * KmvM // 127 * 2^53, < 2^63
 
-  /** q246 HLL constants. NUM = round(α_64 · 64² · 2^33) with the standard
-    * bias constant α_64 = 0.7213/(1 + 1.079/64); the LUT is the linear-
-    * counting estimate round(64·ln(64/V)) for V = 1..64 — both computed
-    * once offline so no runtime float log/exp touches either engine. */
-  private val HllNum = 24957716092920L
-  private val HllLcLut: Array[Long] = Array(
-    266, 222, 196, 177, 163, 151, 142, 133, 126, 119, 113, 107, 102, 97,
-    93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53, 51, 48, 46,
-    44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20, 18,
-    17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0).map(_.toLong)
+  /** q246 HLL constants — hoisted to [[graft.functions.HllAggregate]]
+    * (the aggregate form shares them); referenced here so the query and
+    * oracle builders keep one source. */
+  private val HllNum = graft.functions.HllAggregate.HllNum
+  private val HllLcLut: Array[Long] = graft.functions.HllAggregate.HllLcLut
 
   /** The q246/q261 HLL register pipeline pieces, shared so the two can
     * never drift: (group, bucket) → max-rho registers from a DISTINCT
@@ -186,6 +181,28 @@ object AuditQueries {
       hllEst(folded.join(nEx, "grp"))
         .select(col("grp"), col("n_exact"), col("v_zero"), col("sum_scaled"),
           col("est_hll"))
+    }),
+
+    // HLL as a FIRST-CLASS AGGREGATE (`functions/HllAggregate.HllSketch`,
+    // SQL name graft_hll): the q246 register pipeline compressed into one
+    // TypedImperativeAggregate with a 64-BYTE buffer — the smallest
+    // distinct-sketch state in the suite (KmvSketch holds k longs), and
+    // because register merge is element-wise max it is legal as THE
+    // stateful aggregation of a streaming window (spec-proven under
+    // slicing). This query runs the aggregate path end to end; the
+    // oracle is the same register replay as q246's typed rows, so the
+    // hash match proves aggregate == expression pipeline. No upstream
+    // distinct() — dedup is implicit in max.
+    "q267_hll_agg" -> ((s, d) => {
+      import graft.functions.HllAggregate
+      Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          HllAggregate.hll(HllAggregate.hllHash(col("user_id"))).as("regs"))
+        .withColumn("sum_scaled", HllAggregate.sumScaled(col("regs")))
+        .withColumn("v_zero", HllAggregate.vZero(col("regs")))
+        .select(col("grp"), col("n_exact"), col("v_zero"), col("sum_scaled"),
+          HllAggregate.estimateExpr("sum_scaled", "v_zero").as("est_hll"))
     }),
 
     // INCREMENTAL sketch rollup — the q84 partial-rollup pattern applied
@@ -1069,6 +1086,33 @@ object AuditQueries {
          |        THEN ($lut)[e.v_zero::INT]
          |        ELSE e.raw END)::BIGINT AS est_hll
          |FROM e JOIN ne USING (grp)""".stripMargin
+    },
+
+    // Same register replay as q246's typed rows (no ALL row): equality
+    // proves the aggregate form == the expression pipeline.
+    "q267_hll_agg" -> {
+      val h = TextHash.md5LongSql("'hll:' || user_id::VARCHAR")
+      val lut = HllLcLut.mkString("[", ", ", "]")
+      s"""WITH dist AS (SELECT DISTINCT event_type AS grp, user_id FROM events),
+         |hs AS (SELECT grp, $h AS h FROM dist),
+         |b AS (SELECT grp, h % 64 AS bucket,
+         |        (h // 64) % 4294967296 AS stream FROM hs),
+         |r AS (SELECT grp, bucket,
+         |        CASE WHEN stream = 0 THEN 33
+         |             ELSE 33 - length(bin(stream)) END AS rho FROM b),
+         |regs AS (SELECT grp, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+         |f AS (SELECT grp,
+         |        (sum((1::BIGINT << (33 - m)::INT))
+         |          + (64 - count(*)) * 8589934592)::BIGINT AS sum_scaled,
+         |        (64 - count(*))::BIGINT AS v_zero
+         |      FROM regs GROUP BY 1),
+         |ne AS (SELECT grp, count(*)::BIGINT AS n_exact FROM dist GROUP BY 1),
+         |e AS (SELECT grp, sum_scaled, v_zero,
+         |        ($HllNum // sum_scaled)::BIGINT AS raw FROM f)
+         |SELECT e.grp, n_exact, v_zero, sum_scaled,
+         |  (CASE WHEN v_zero > 0 AND raw <= 160
+         |        THEN ($lut)[v_zero::INT] ELSE raw END)::BIGINT AS est_hll
+         |FROM e JOIN ne ON e.grp = ne.grp""".stripMargin
     },
 
     // Direct weekly sketches (NO daily level): equality with Spark's
