@@ -355,6 +355,72 @@ object AuditQueries {
               col("num").cast("double") / col("den").cast("double"), 6)).as("z2"))
     }),
 
+    // THEIL–SEN robust trend — the median-of-pairwise-slopes estimator
+    // (the robust dual of q134's OLS): over the daily revenue series,
+    // slope_{ij} = (y_j − y_i)·10⁶ div (j − i) for all i < j day pairs —
+    // integer scaling with identical truncation on both engines — and
+    // the median emitted as the SUM of the two bracketing order
+    // statistics (q94's ×2 idiom, no float division). The pair relation
+    // is DOMAIN-bounded (≤ C(31,2) rows — days², never corpus rows), so
+    // the unpartitioned rank window is audit-class-legal; the daily
+    // rollup is the only corpus-scale stage.
+    "q268_theil_sen" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("i"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+        .persist() // both sides of the bounded pair join
+      val slopes = daily.as("a").join(daily.as("b"), col("a.i") < col("b.i"))
+        .select(expr("(b.y - a.y) * 1000000 div (b.i - a.i)").as("s"))
+      val ranked = slopes
+        .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
+      val n = slopes.agg(count(lit(1)).as("n_pairs"))
+      ranked.crossJoin(n)
+        .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+          col("rn") === expr("n_pairs div 2 + 1"))
+        .groupBy(col("n_pairs"))
+        .agg(sum(when(col("rn") === expr("(n_pairs + 1) div 2"), col("s"))).as("lo"),
+          sum(when(col("rn") === expr("n_pairs div 2 + 1"), col("s"))).as("hi"))
+        // when n is odd both picks are the same row: lo = hi = the median
+        .select(col("n_pairs"), (col("lo") + col("hi")).as("med2_slope_scaled"),
+          graft.functions.PortableMath.roundPortable(
+            (col("lo") + col("hi")).cast("double") / lit(2000000.0), 4)
+            .as("slope_cents_per_day"))
+    }),
+
+    // SEASONAL-NAIVE FORECAST EVALUATION (MASE) — the baseline every
+    // forecasting system is judged against: predict day d as day d−7,
+    // score with MASE = MAE(seasonal naive) / MAE(one-step naive) over
+    // the same eval days (the in-sample denominator variant; deviation
+    // from Hyndman's training-set denominator is deliberate and
+    // documented — one series, no split). Exact integer cents; the
+    // ratio in bp via portable div. Per event type + pooled ALL. Only
+    // windows run over ≤31-row daily relations.
+    "q269_forecast_mase" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val lagged = daily
+        .withColumn("y7", lag(col("y"), 7).over(w))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .filter(col("y7").isNotNull && col("y1").isNotNull)
+        .select(col("event_type"), abs(col("y") - col("y7")).as("e7"),
+          abs(col("y") - col("y1")).as("e1"))
+        .persist() // per-type + pooled rollups
+      val perType = lagged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"), sum(col("e7")).as("sae_forecast"),
+          sum(col("e1")).as("sae_naive"))
+      val all = lagged
+        .agg(count(lit(1)).as("n_eval"), sum(col("e7")).as("sae_forecast"),
+          sum(col("e1")).as("sae_naive"))
+        .withColumn("event_type", lit("ALL"))
+      perType.unionByName(all)
+        .withColumn("mase_bp",
+          when(col("sae_naive") === 0, lit(null))
+            .otherwise(expr("sae_forecast * 10000 div sae_naive")))
+    }),
+
     // CUPED variance reduction — q263's experiment analysis upgraded with
     // the industry-standard pre-period covariate adjustment: per user,
     // x = pre-period spend (Jan 1–15) and y = post-period spend; the
@@ -1194,6 +1260,46 @@ object AuditQueries {
         |     // (n_s * n_total))::BIGINT AS ks_ppm
         |FROM cum, n
         |GROUP BY source, n_s, n_total""".stripMargin,
+
+    "q268_theil_sen" -> {
+      val r = graft.functions.PortableMath.roundPortableSql(
+        "(lo + hi)::DOUBLE / 2000000.0", 4)
+      s"""WITH daily AS (SELECT (ts::DATE - DATE '2024-01-01')::BIGINT AS i,
+         |        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+         |      FROM events WHERE value IS NOT NULL GROUP BY 1),
+         |sl AS (SELECT ((b.y - a.y) * 1000000) // (b.i - a.i) AS s
+         |       FROM daily a JOIN daily b ON a.i < b.i),
+         |rk AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM sl),
+         |n AS (SELECT count(*)::BIGINT AS n_pairs FROM sl),
+         |m AS (SELECT n_pairs,
+         |        sum(CASE WHEN rn = (n_pairs + 1) // 2 THEN s END)::BIGINT AS lo,
+         |        sum(CASE WHEN rn = n_pairs // 2 + 1 THEN s END)::BIGINT AS hi
+         |      FROM rk, n GROUP BY n_pairs)
+         |SELECT n_pairs, (lo + hi)::BIGINT AS med2_slope_scaled,
+         |  $r AS slope_cents_per_day
+         |FROM m""".stripMargin
+    },
+
+    "q269_forecast_mase" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day,
+        |        sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS y
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |lg AS (SELECT event_type,
+        |         abs(y - lag(y, 7) OVER w)::BIGINT AS e7,
+        |         abs(y - lag(y, 1) OVER w)::BIGINT AS e1
+        |       FROM daily
+        |       WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |f AS (SELECT * FROM lg WHERE e7 IS NOT NULL AND e1 IS NOT NULL),
+        |u AS (SELECT event_type, count(*)::BIGINT AS n_eval,
+        |        sum(e7)::BIGINT AS sae_forecast, sum(e1)::BIGINT AS sae_naive
+        |      FROM f GROUP BY 1
+        |      UNION ALL
+        |      SELECT 'ALL', count(*)::BIGINT, sum(e7)::BIGINT, sum(e1)::BIGINT
+        |      FROM f)
+        |SELECT event_type, n_eval, sae_forecast, sae_naive,
+        |  (CASE WHEN sae_naive = 0 THEN NULL
+        |        ELSE sae_forecast * 10000 // sae_naive END)::BIGINT AS mase_bp
+        |FROM u""".stripMargin,
 
     "q265_cuped" -> {
       val h = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")

@@ -15,6 +15,37 @@ import graft.operators.{AsOfJoin, RangeJoin, SkewJoin, StreamingAggregates}
 object ScaleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RENDEZVOUS (highest-random-weight) SHARDING — the consistent
+    // assignment scheme shard topologies grow under: doc → argmax over
+    // shards of md5(doc:shard). The defining property, measured exactly:
+    // growing 8 → 9 shards moves ONLY the docs whose new shard-8 score
+    // wins (~1/9 of the corpus), where mod-hashing would reshuffle ~8/9.
+    // Both assignments and the moved share are exact integers; argmax =
+    // first position of the max (md5 scores distinct w.h.p., and BOTH
+    // engines return the first max on a tie). Map-side math per doc +
+    // two tiny shard rollups.
+    "q270_rendezvous_sharding" -> ((s, d) => {
+      def scores(n: Int) = transform(sequence(lit(0), lit(n - 1)),
+        i => TextHash.md5Long(
+          concat(col("doc_id").cast("string"), lit(":"), i.cast("string"))))
+      val assigned = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("s8", scores(8))
+        .withColumn("s9", scores(9))
+        .select(col("doc_id"),
+          (array_position(col("s8"), array_max(col("s8"))) - 1).as("shard8"),
+          (array_position(col("s9"), array_max(col("s9"))) - 1).as("shard9"))
+        .persist() // two shard rollups + the moved summary
+      val n8 = assigned.groupBy(col("shard8").as("shard")).agg(count(lit(1)).as("n8"))
+      val n9 = assigned.groupBy(col("shard9").as("shard")).agg(count(lit(1)).as("n9"))
+      val moved = assigned.agg(count(lit(1)).as("total"),
+        sum((col("shard8") =!= col("shard9")).cast("long")).as("moved"))
+      n8.join(n9, Seq("shard"), "full_outer")
+        .select(col("shard"), coalesce(col("n8"), lit(0L)).as("n8"),
+          coalesce(col("n9"), lit(0L)).as("n9"))
+        .crossJoin(moved)
+        .withColumn("moved_bp", expr("moved * 10000 div total"))
+    }),
+
     // Salted skew join == plain equi-join (salting is internal).
     "q25_skew_join_salted" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
@@ -200,6 +231,27 @@ object ScaleQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q270_rendezvous_sharding" -> {
+      val h = TextHash.md5LongSql("doc_id::VARCHAR || ':' || i::VARCHAR")
+      s"""WITH sc AS (SELECT doc_id,
+         |        list_transform(range(0, 8), i -> $h) AS s8,
+         |        list_transform(range(0, 9), i -> $h) AS s9
+         |      FROM documents),
+         |a AS (SELECT doc_id,
+         |        (list_position(s8, list_max(s8)) - 1)::BIGINT AS shard8,
+         |        (list_position(s9, list_max(s9)) - 1)::BIGINT AS shard9
+         |      FROM sc),
+         |c8 AS (SELECT shard8 AS shard, count(*)::BIGINT AS n8 FROM a GROUP BY 1),
+         |c9 AS (SELECT shard9 AS shard, count(*)::BIGINT AS n9 FROM a GROUP BY 1),
+         |mv AS (SELECT count(*)::BIGINT AS total,
+         |         sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)::BIGINT AS moved
+         |       FROM a)
+         |SELECT coalesce(c8.shard, c9.shard) AS shard,
+         |  coalesce(n8, 0)::BIGINT AS n8, coalesce(n9, 0)::BIGINT AS n9,
+         |  total, moved, (moved * 10000 // total)::BIGINT AS moved_bp
+         |FROM c8 FULL JOIN c9 ON c8.shard = c9.shard, mv""".stripMargin
+    },
+
     "q25_skew_join_salted" ->
       """SELECT o_orderpriority AS priority,
         |  round(sum(l_extendedprice), 2) AS total_price, count(*) AS n_items

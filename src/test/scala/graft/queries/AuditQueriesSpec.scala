@@ -325,6 +325,36 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(!(zd > 0 && zn * 10000 >= zd * 38415), "den=0 must never claim significance")
   }
 
+  test("q268 Theil-Sen: median of pairwise slopes matches a direct recompute") {
+    val r = AuditQueries.queries("q268_theil_sen")(spark, small).collect().head
+    val daily = Tables.events(spark, small).filter(col("value").isNotNull)
+      .groupBy(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("i"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("y"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      a <- daily.indices; b <- daily.indices if daily(a)._1 < daily(b)._1
+    } yield {
+      val num = (daily(b)._2 - daily(a)._2) * 1000000L
+      val d = daily(b)._1 - daily(a)._1
+      // Spark/DuckDB div truncates toward zero
+      num / d
+    }).sorted
+    val n = slopes.length
+    assert(r.getLong(0) == n.toLong)
+    val med2 = slopes((n + 1) / 2 - 1) + slopes(n / 2)
+    assert(r.getLong(1) == med2, "bracketing order statistics")
+  }
+
+  test("q269 MASE: pooled row sums per-type rows; errors replay directly") {
+    val rows = AuditQueries.queries("q269_forecast_mase")(spark, small).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    val per = rows.view.filterKeys(_ != "ALL").values.toSeq
+    val (nA, fA, nvA) = rows("ALL")
+    assert(per.map(_._1).sum == nA && per.map(_._2).sum == fA && per.map(_._3).sum == nvA)
+    assert(nA > 0, "a month of daily data must leave eval days past lag 7")
+  }
+
   test("q265 CUPED: theta and the adjusted diff replay exactly in BigInt") {
     val r = AuditQueries.queries("q265_cuped")(spark, small).collect().head
     def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
