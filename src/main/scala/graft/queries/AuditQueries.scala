@@ -355,6 +355,63 @@ object AuditQueries {
               col("num").cast("double") / col("den").cast("double"), 6)).as("z2"))
     }),
 
+    // DETERMINISTIC POISSON BOOTSTRAP — the practical-inference workhorse
+    // with ZERO float surface: each (replicate, user) draws a Poisson(1)
+    // resample weight by comparing an md5 uniform against NINE
+    // PRECOMPUTED CDF thresholds (round(CDF·2^53) literals — the LC-LUT
+    // discipline: constants offline, integers at runtime), so every
+    // replicate's weighted conversion diff is exact integer bp and the
+    // percentile CI (order stats 2 and R−1 of R = 40 replicate diffs,
+    // ≈ the 5%/95% interval) hash-checks verbatim. This is the
+    // at-100-TB bootstrap shape: map-side weights + ONE aggregation per
+    // pass — never R resampled copies of the data. The rank window runs
+    // over ≤ R rows.
+    "q271_bootstrap_ci" -> ((s, d) => {
+      val R = 40
+      val ts = Seq(3313563428353948L, 6627126856707896L, 8283908570884870L,
+        8836169142277195L, 8974234285125276L, 9001847313694892L,
+        9006449485123161L, 9007106938184342L, 9007189119816990L)
+      val conv = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") > 150)
+          .cast("long")).as("conv"))
+        .withColumn("arm",
+          when(pmod(TextHash.md5Long(concat(lit("ab:"), col("user_id").cast("string"))),
+            lit(2L)) === 0, 1L).otherwise(2L))
+        .persist() // replicate fan-out + the full-sample point estimate
+      val reps = conv
+        .select(col("user_id"), col("conv"), col("arm"),
+          explode(sequence(lit(0), lit(R - 1))).as("rep"))
+        .withColumn("u", pmod(TextHash.md5Long(concat(lit("bs:"),
+          col("rep").cast("string"), lit(":"), col("user_id").cast("string"))),
+          lit(9007199254740992L)))
+        .withColumn("w", ts.map(t => (col("u") >= t).cast("long")).reduce(_ + _))
+      val arms = reps.groupBy(col("rep"))
+        .agg(sum(when(col("arm") === 1, col("w")).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("w") * col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 2, col("w")).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 2, col("w") * col("conv")).otherwise(0L)).as("c2"))
+      val diffs = arms.filter(col("n1") > 0 && col("n2") > 0)
+        .select(expr("(c2 * n1 - c1 * n2) * 10000 div (n1 * n2)").as("diff_bp"))
+        .persist() // rank window + count
+      val ranked = diffs
+        .withColumn("rn", row_number().over(Window.orderBy(col("diff_bp"))))
+      val nReps = diffs.agg(count(lit(1)).as("n_reps"))
+      val point = conv.groupBy().agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("pn1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("pc1"),
+        sum(when(col("arm") === 2, 1L).otherwise(0L)).as("pn2"),
+        sum(when(col("arm") === 2, col("conv")).otherwise(0L)).as("pc2"))
+        .select(expr("(pc2 * pn1 - pc1 * pn2) * 10000 div (pn1 * pn2)")
+          .as("point_bp"))
+      ranked.crossJoin(nReps)
+        .groupBy(col("n_reps"))
+        .agg(sum(when(col("rn") === 2, col("diff_bp"))).as("ci_lo_bp"),
+          sum(when(col("rn") === col("n_reps") - 1, col("diff_bp"))).as("ci_hi_bp"))
+        .crossJoin(point)
+        .select(col("n_reps"), col("point_bp"), col("ci_lo_bp"), col("ci_hi_bp"),
+          (col("ci_lo_bp") <= 0 && col("ci_hi_bp") >= 0).as("covers_zero"))
+    }),
+
     // THEIL–SEN robust trend — the median-of-pairwise-slopes estimator
     // (the robust dual of q134's OLS): over the daily revenue series,
     // slope_{ij} = (y_j − y_i)·10⁶ div (j − i) for all i < j day pairs —
@@ -1260,6 +1317,51 @@ object AuditQueries {
         |     // (n_s * n_total))::BIGINT AS ks_ppm
         |FROM cum, n
         |GROUP BY source, n_s, n_total""".stripMargin,
+
+    "q271_bootstrap_ci" -> {
+      val hArm = TextHash.md5LongSql("'ab:' || user_id::VARCHAR")
+      val hU = TextHash.md5LongSql("'bs:' || rep::VARCHAR || ':' || user_id::VARCHAR")
+      val ts = Seq(3313563428353948L, 6627126856707896L, 8283908570884870L,
+        8836169142277195L, 8974234285125276L, 9001847313694892L,
+        9006449485123161L, 9007106938184342L, 9007189119816990L)
+      val wSum = ts.map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH conv AS (SELECT user_id,
+         |        max(CASE WHEN event_type = 'purchase' AND value > 150
+         |                 THEN 1 ELSE 0 END)::BIGINT AS conv,
+         |        CASE WHEN ($hArm) % 2 = 0 THEN 1 ELSE 2 END AS arm
+         |      FROM events GROUP BY user_id,
+         |        CASE WHEN ($hArm) % 2 = 0 THEN 1 ELSE 2 END),
+         |reps AS (SELECT user_id, conv, arm, i AS rep,
+         |           ($hU) % 9007199254740992 AS u
+         |         FROM conv, range(0, 40) t(i)),
+         |wts AS (SELECT rep, arm, conv, ($wSum)::BIGINT AS w FROM reps),
+         |arms AS (SELECT rep,
+         |    sum(CASE WHEN arm = 1 THEN w ELSE 0 END)::BIGINT AS n1,
+         |    sum(CASE WHEN arm = 1 THEN w * conv ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN arm = 2 THEN w ELSE 0 END)::BIGINT AS n2,
+         |    sum(CASE WHEN arm = 2 THEN w * conv ELSE 0 END)::BIGINT AS c2
+         |  FROM wts GROUP BY rep),
+         |diffs AS (SELECT ((c2 * n1 - c1 * n2) * 10000) // (n1 * n2) AS diff_bp
+         |          FROM arms WHERE n1 > 0 AND n2 > 0),
+         |rk AS (SELECT diff_bp, row_number() OVER (ORDER BY diff_bp) AS rn
+         |       FROM diffs),
+         |nr AS (SELECT count(*)::BIGINT AS n_reps FROM diffs),
+         |ci AS (SELECT n_reps,
+         |    sum(CASE WHEN rn = 2 THEN diff_bp END)::BIGINT AS ci_lo_bp,
+         |    sum(CASE WHEN rn = n_reps - 1 THEN diff_bp END)::BIGINT AS ci_hi_bp
+         |  FROM rk, nr GROUP BY n_reps),
+         |pt AS (SELECT ((sum(CASE WHEN arm = 2 THEN conv ELSE 0 END)
+         |                 * sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+         |               - sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+         |                 * sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END)) * 10000
+         |          // (sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+         |              * sum(CASE WHEN arm = 2 THEN 1 ELSE 0 END)))::BIGINT
+         |          AS point_bp
+         |       FROM conv)
+         |SELECT n_reps, point_bp, ci_lo_bp, ci_hi_bp,
+         |  (ci_lo_bp <= 0 AND ci_hi_bp >= 0) AS covers_zero
+         |FROM ci, pt""".stripMargin
+    },
 
     "q268_theil_sen" -> {
       val r = graft.functions.PortableMath.roundPortableSql(

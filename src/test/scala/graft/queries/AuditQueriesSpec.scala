@@ -325,6 +325,38 @@ class AuditQueriesSpec extends AnyFunSuite {
     assert(!(zd > 0 && zn * 10000 >= zd * 38415), "den=0 must never claim significance")
   }
 
+  test("q271 bootstrap: Poisson(1) threshold draw has the right law; CI is consistent") {
+    val r = AuditQueries.queries("q271_bootstrap_ci")(spark, small).collect().head
+    val (nReps, point, lo, hi, covers) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    assert(nReps == 40 && lo <= hi)
+    assert(covers == (lo <= 0 && hi >= 0))
+    // the full-sample point estimate equals a direct recompute
+    def md5l(s: String) = graft.functions.Md5LongUtil.hashBytes(s.getBytes("UTF-8"))
+    val conv = Tables.events(spark, small).groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" && col("value") > 150)
+        .cast("long")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val (a1, a2) = conv.partition { case (u, _) => md5l("ab:" + u) % 2 == 0 }
+    val want = (a2.map(_._2).sum * a1.length - a1.map(_._2).sum * a2.length) * 10000L /
+      (a1.length.toLong * a2.length)
+    assert(point == want)
+    // law of the threshold draw over 20k synthetic uniforms:
+    // P(w=0) = P(w=1) = e^-1 = .3679, E[w] = 1
+    val ts = Seq(3313563428353948L, 6627126856707896L, 8283908570884870L,
+      8836169142277195L, 8974234285125276L, 9001847313694892L,
+      9006449485123161L, 9007106938184342L, 9007189119816990L)
+    val ws = (0 until 20000).map { i =>
+      val u = md5l("law:" + i) % 9007199254740992L
+      ts.count(u >= _)
+    }
+    val p0 = ws.count(_ == 0).toDouble / ws.length
+    val p1 = ws.count(_ == 1).toDouble / ws.length
+    val mean = ws.sum.toDouble / ws.length
+    assert(math.abs(p0 - 0.3679) < 0.02 && math.abs(p1 - 0.3679) < 0.02)
+    assert(math.abs(mean - 1.0) < 0.03)
+  }
+
   test("q268 Theil-Sen: median of pairwise slopes matches a direct recompute") {
     val r = AuditQueries.queries("q268_theil_sen")(spark, small).collect().head
     val daily = Tables.events(spark, small).filter(col("value").isNotNull)
