@@ -51,7 +51,9 @@ object Multimodal {
     * non-positive or overflowing dimensions, maxval outside 1..65535,
     * missing separator, or pixel data shorter than one frame. */
   object PpmDecoder extends MediaDecoder {
-    def decode(payload: Array[Byte]): MediaMeta = {
+    /** Full header parse, exposed for PIXEL-level stages ([[withPatchSums]]):
+      * returns (meta, dataOffset) where dataOffset is the first pixel byte. */
+    def decodeWithOffset(payload: Array[Byte]): (MediaMeta, Int) = {
       def fail(msg: String): Nothing = throw new MediaFormatException(msg)
       if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
         fail("not a P6 PPM: bad magic")
@@ -89,8 +91,10 @@ object Multimodal {
       val frameBytes = w.toLong * h * bytesPerPx
       val frames = ((payload.length - i) / frameBytes).toInt
       if (frames < 1) fail("truncated pixel data: no complete frame")
-      MediaMeta(payload.length, w, h, frames)
+      (MediaMeta(payload.length, w, h, frames), i)
     }
+
+    def decode(payload: Array[Byte]): MediaMeta = decodeWithOffset(payload)._1
   }
 
   /** Construct a REAL P6 PPM payload column whose header values derive
@@ -108,6 +112,70 @@ object Multimodal {
     val f = n % 5 + 1
     concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
       call_function("repeat", lit("x"), (w * h * 3 * f).cast("int"))).cast("binary")
+  }
+
+  /** [[ppmPayload]] with TEXTURED pixels: byte i of the pixel blob is
+    * 97 + (i mod 26) (a repeating alphabet), so pixel-level stages have
+    * real per-position variation AND the oracle can still replay every
+    * byte arithmetically. Same header construction as [[ppmPayload]]. */
+  def ppmPayloadTextured(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = n % 8 + 1
+    val h = (n * 7) % 6 + 1
+    val f = n % 5 + 1
+    val len = (w * h * 3 * f).cast("int")
+    concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"),
+      call_function("repeat", lit("abcdefghijklmnopqrstuvwxyz"),
+        (len.cast("long") / 26L + 1L).cast("int")).substr(lit(1), len))
+      .cast("binary")
+  }
+
+  /** ViT-style PATCH POOLING over REAL decoded pixels: parse the P6
+    * header with [[PpmDecoder]], take the FIRST frame's bytes, and sum
+    * byte intensities per (pw × ph) patch (channels pooled, ragged edge
+    * patches keep their partial pixel sets) — the decode → patch → pool
+    * preprocessing a vision encoder consumes, with sums kept integer so
+    * downstream checks are exact. Emits width, height, n_patches and the
+    * row-major per-patch sums as a CSV string (the q38 array convention);
+    * malformed payloads yield NULLs, never job failure. Batched
+    * mapPartitions — the justified seam for byte-level work. */
+  def withPatchSums(
+      df: DataFrame, binCol: String, pw: Int, ph: Int): DataFrame = {
+    require(pw > 0 && ph > 0)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_patches", IntegerType),
+      StructField("patch_sums", StringType),
+      StructField("total_sum", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val extra: Seq[Any] =
+          if (payload == null) Seq(null, null, null, null, null)
+          else try {
+            val (meta, off) = PpmDecoder.decodeWithOffset(payload)
+            val (w, h) = (meta.width, meta.height)
+            val (pxAcross, pxDown) = ((w + pw - 1) / pw, (h + ph - 1) / ph)
+            val sums = new Array[Long](pxAcross * pxDown)
+            var i = 0
+            val frameLen = w * h * 3
+            while (i < frameLen) {
+              val px = (i / 3) % w
+              val py = (i / 3) / w
+              val patch = (py / ph) * pxAcross + (px / pw)
+              sums(patch) += payload(off + i) & 0xff
+              i += 1
+            }
+            Seq(w, h, sums.length, sums.mkString(","), sums.sum)
+          } catch {
+            case _: MediaFormatException => Seq(null, null, null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(rowEnc)
+    out
   }
 
   val metaSchema: StructType = StructType(Seq(

@@ -152,6 +152,24 @@ object TextQueries {
           col("media_meta.height").as("height"),
           col("media_meta.frames").as("frames"))),
 
+    // Multimodal PATCH POOLING on REAL decoded pixels — the ViT
+    // preprocessing shape (decode → 2×2 patch grid → pooled intensity):
+    // payloads carry TEXTURED pixels (byte i = 97 + i mod 26), the
+    // decoder parses the actual bytes, and per-patch integer sums ride
+    // out as CSV. The oracle replays the construction arithmetic only —
+    // it never sees a byte — so the hash match proves the pixel path
+    // (header offset, frame-1 slice, patch geometry incl. ragged edges)
+    // reads the payload correctly. Batched mapPartitions seam, map-side
+    // only.
+    "q272_patch_pool" -> ((s, d) =>
+      Multimodal.withPatchSums(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            Multimodal.ppmPayloadTextured(octet_length(col("text"))).as("payload")),
+        "payload", pw = 2, ph = 2)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_patches"), col("patch_sums"), col("total_sum"))),
+
     // Multimodal frame sampling: every 4th frame index of each decoded
     // video payload fans out to its own row (the batch shape a frame-
     // extraction stage feeds to a vision encoder), tagged with a
@@ -499,6 +517,23 @@ object TextQueries {
            |SELECT doc_id, frames, frame_idx,
            |  ${TextHash.md5LongSql("doc_id::VARCHAR || ':' || frame_idx::VARCHAR")} AS frame_sig
            |FROM f""".stripMargin,
+
+      "q272_patch_pool" ->
+        """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+          |g AS (SELECT doc_id, (n % 8 + 1) AS w, ((n * 7) % 6 + 1) AS h FROM d),
+          |px AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM g),
+          |e AS (SELECT doc_id, w, h, (97 + (i % 26))::BIGINT AS b,
+          |        ((i // 3) % w) AS x, ((i // 3) // w) AS y
+          |      FROM px),
+          |pa AS (SELECT doc_id, w, h,
+          |         ((y // 2) * ((w + 1) // 2) + (x // 2)) AS patch,
+          |         sum(b)::BIGINT AS s
+          |       FROM e GROUP BY 1, 2, 3, 4)
+          |SELECT doc_id, w::INT AS width, h::INT AS height,
+          |  count(*)::INT AS n_patches,
+          |  array_to_string(list(s ORDER BY patch), ',') AS patch_sums,
+          |  sum(s)::BIGINT AS total_sum
+          |FROM pa GROUP BY 1, 2, 3""".stripMargin,
 
       "q214_hashed_classifier" -> {
         val wSql = classifierWSql

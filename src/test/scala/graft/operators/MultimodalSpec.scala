@@ -90,6 +90,51 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("withPatchSums pools a hand-computed 3x2 image into ragged 2x2 patches") {
+    // 3x2 RGB, pixel bytes 0..17 (frame 1); 2x2 patches => pxAcross=2, pxDown=1.
+    // patch 0 covers pixels (0,0),(1,0),(0,1),(1,1) = byte triples 0,1,3,4
+    // patch 1 (ragged, 1 px wide) covers (2,0),(2,1) = triples 2,5.
+    val pixels = Array.tabulate[Byte](18)(_.toByte)
+    val payload = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ pixels
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val r = Multimodal.withPatchSums(df, "payload", pw = 2, ph = 2).collect().head
+    def tripleSum(px: Int): Long = (0 until 3).map(c => 3 * px + c).sum.toLong
+    val p0 = tripleSum(0) + tripleSum(1) + tripleSum(3) + tripleSum(4)
+    val p1 = tripleSum(2) + tripleSum(5)
+    assert(r.getAs[Int]("width") == 3 && r.getAs[Int]("height") == 2)
+    assert(r.getAs[Int]("n_patches") == 2)
+    assert(r.getAs[String]("patch_sums") == s"$p0,$p1")
+    assert(r.getAs[Long]("total_sum") == (0 until 18).sum.toLong)
+  }
+
+  test("withPatchSums uses only the FIRST frame and maps malformed payloads to nulls") {
+    val pixels = Array.fill[Byte](18)(1)
+    val anim = "P6\n3 2\n255\n".getBytes("US-ASCII") ++ pixels ++
+      Array.fill[Byte](18)(99) // second frame must NOT contribute
+    val df = Seq(
+      (1L, anim),
+      (2L, "not a ppm".getBytes("US-ASCII"))).toDF("id", "payload")
+    val out = Multimodal.withPatchSums(df, "payload", pw = 2, ph = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("total_sum") == 18L, "frame-2 bytes leaked into sums")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("patch_sums")),
+      "malformed payload must yield nulls, not a task failure")
+  }
+
+  test("ppmPayloadTextured pixels round-trip the parser and match the alphabet law") {
+    val df = spark.range(1, 60).toDF("n")
+      .withColumn("payload", Multimodal.ppmPayloadTextured(col("n").cast("int")))
+    val rows = Multimodal.withPatchSums(df, "payload", pw = 2, ph = 2)
+      .select(col("n"), col("width"), col("height"), col("total_sum")).collect()
+    for (r <- rows) {
+      val n = r.getLong(0)
+      val (w, h) = ((n % 8 + 1).toInt, (n * 7 % 6 + 1).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val expect = (0 until w * h * 3).map(i => 97L + i % 26).sum
+      assert(r.getLong(3) == expect, s"n=$n textured byte law mismatch")
+    }
+  }
+
   test("column stub path agrees with mapPartitions decoder path") {
     val viaMap = Multimodal.withMediaMeta(docs.filter(col("payload").isNotNull), "payload")
       .select(col("doc_id"), col("media_meta.byte_len"), col("media_meta.width"),
