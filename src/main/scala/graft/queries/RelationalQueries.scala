@@ -706,6 +706,95 @@ object RelationalQueries {
           expr("(promo_micro * 10000) div total_micro").as("promo_bp"))
     }),
 
+    // TPC-H Q8 shape (national market share): for STANDARD-type parts
+    // sold to customers in one region, the share of revenue supplied by
+    // one nation per order year — the two-nested-aggregate benchmark,
+    // decorrelated into ONE conditional aggregate (share = conditional
+    // sum / total, exact integer basis points). Region/nation dims
+    // broadcast; the fact joins on their own keys; no year filter so the
+    // whole order range rolls up (grouping is by year anyway).
+    "q273_market_share" -> ((s, d) => {
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val regionCust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), micro)
+        .join(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate").cast("date")).as("order_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(regionCust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("order_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_1", col("micro"))
+          .otherwise(0L)).as("nation_micro"),
+          sum(col("micro")).as("total_micro"))
+        .select(col("order_year"), col("nation_micro"), col("total_micro"),
+          expr("(nation_micro * 10000) div total_micro").as("share_bp"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): one quarter's revenue per supplier,
+    // keep the supplier(s) achieving the global max — the view + scalar
+    // subquery benchmark. The per-supplier rollup is consumed twice (max
+    // + equality join) so it persists; the max is ONE row broadcast back,
+    // which IS the scalar-subquery plan at any scale. Exact micro revenue
+    // makes "max" portable; ties (if any) all emit, as in the spec text.
+    "q274_top_supplier" -> ((s, d) => {
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1995-04-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1995-07-01").cast("date"))
+        .select(col("l_suppkey"), micro)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("micro")).as("revenue_micro"))
+        .persist() // consumed twice: global max + achieving-row join
+      val top = rev.agg(max(col("revenue_micro")).as("max_rev"))
+      rev.join(broadcast(top), col("revenue_micro") === col("max_rev"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey").as("suppkey"), col("s_name").as("supplier_name"),
+          round(col("s_acctbal") * 100).cast("long").as("acct_cents"),
+          col("revenue_micro"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): revenue sitting in orders
+    // below 20% of a part's average quantity, for one brand. The
+    // correlated avg subquery decorrelates to per-part (count, sum)
+    // stats joined back on the SAME key (co-partitioned — one shuffle
+    // pays for both sides); the 0.2·avg comparison cross-multiplies to
+    // pure integers: qty < sum/(5n)  ⇔  5·qty·n < sum. The classic /7.0
+    // yearly average stays integer via div.
+    "q275_small_qty_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .persist() // consumed twice: per-part stats + qualifying filter
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_li"), sum(col("qty")).as("sum_qty"))
+      li.join(stats, "l_partkey")
+        .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+        .agg(coalesce(sum(col("cents")), lit(0L)).as("total_cents"),
+          count(lit(1)).as("n_small"))
+        .select(col("total_cents"), col("n_small"),
+          expr("total_cents div 7").as("yearly_cents"))
+    }),
+
     // Cheapest-supplier-per-part — TPC-H Q2's correlated-subquery shape
     // decorrelated the way every engine rewrites it: the per-part MIN
     // over (part, supplier) aggregates, joined back to recover the
@@ -1448,6 +1537,54 @@ object RelationalQueries {
         |SELECT ship_month, promo_micro, total_micro,
         |  ((promo_micro * 10000) // total_micro)::BIGINT AS promo_bp
         |FROM g""".stripMargin,
+
+    "q273_market_share" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS micro
+        |  FROM lineitem),
+        |g AS (SELECT year(o_orderdate::DATE) AS order_year,
+        |    sum(CASE WHEN sn.n_name = 'NATION_1' THEN micro ELSE 0 END)::BIGINT
+        |      AS nation_micro,
+        |    sum(micro)::BIGINT AS total_micro
+        |  FROM li
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  GROUP BY 1)
+        |SELECT order_year, nation_micro, total_micro,
+        |  ((nation_micro * 10000) // total_micro)::BIGINT AS share_bp
+        |FROM g""".stripMargin,
+
+    "q274_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |      AS revenue_micro
+        |  FROM lineitem
+        |  WHERE l_shipdate::DATE >= DATE '1995-04-01'
+        |    AND l_shipdate::DATE < DATE '1995-07-01'
+        |  GROUP BY 1)
+        |SELECT l_suppkey AS suppkey, s_name AS supplier_name,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS acct_cents, revenue_micro
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_micro = (SELECT max(revenue_micro) FROM rev)""".stripMargin,
+
+    "q275_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'),
+        |st AS (SELECT l_partkey, count(*)::BIGINT AS n_li,
+        |    sum(qty)::BIGINT AS sum_qty FROM li GROUP BY 1),
+        |q AS (SELECT cents FROM li JOIN st USING (l_partkey)
+        |  WHERE qty * 5 * n_li < sum_qty)
+        |SELECT coalesce(sum(cents), 0)::BIGINT AS total_cents,
+        |  count(*)::BIGINT AS n_small,
+        |  (coalesce(sum(cents), 0) // 7)::BIGINT AS yearly_cents FROM q""".stripMargin,
 
     "q241_lang_pivot" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")

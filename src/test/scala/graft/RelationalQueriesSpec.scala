@@ -149,4 +149,35 @@ class RelationalQueriesSpec extends AnyFunSuite {
     val key = rows.map(r => (-r.getLong(4), r.getDate(3).toString, r.getLong(2)))
     assert(key.sameElements(key.sorted), "output must follow the declared sort")
   }
+
+  test("q273 Q8 share identity; q274 Q15 single rollup feeds both max and join") {
+    val share = RelationalQueries.queries("q273_market_share")(spark, dir).collect()
+    assert(share.nonEmpty)
+    for (r <- share) {
+      val (nat, tot, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nat >= 0 && nat <= tot, "conditional sum must be bounded by total")
+      assert(bp == nat * 10000 / tot, "share_bp must be the exact integer div")
+    }
+    val top = RelationalQueries.queries("q274_top_supplier")(spark, dir)
+    val rows = top.collect()
+    assert(rows.nonEmpty)
+    // all emitted suppliers share ONE revenue value (the global max)
+    assert(rows.map(_.getLong(3)).distinct.length == 1)
+    spark.catalog.clearCache()
+  }
+
+  test("q275 Q17 shape: decorrelated stats join stays on one lineitem shuffle key") {
+    val df = RelationalQueries.queries("q275_small_qty_revenue")(spark, dir)
+    val r = df.collect().head
+    val (cents, n, yearly) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0, "Brand#1 must have small-quantity rows at sf0.01")
+    assert(yearly == cents / 7)
+    // decorrelation: the brand-filtered relation is scanned/persisted once
+    // and self-joined on l_partkey — no second parquet read of lineitem
+    // beyond the persisted branch (the Q17 HAVING-avg double-read trap).
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      s"per-part stats must reuse the persisted brand relation:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
