@@ -66,4 +66,171 @@ object ConnectedComponents {
         s"($changed labels still shrinking — component diameter exceeds maxIter)")
     labels.select(col("id"), col("label").as("root"))
   }
+
+  /** Min-label CC with POINTER JUMPING — O(log diameter) rounds, for
+    * LARGE-diameter graphs (spatial meshes, near-path graphs) where
+    * [[minLabel]]'s diameter-many rounds would dominate: a DBSCAN blob
+    * spanning 40 grid cells is a ~40-hop component, and 40 propagate
+    * rounds of shuffles is the scale failure, not the row count.
+    *
+    * Each round: (a) PROPAGATE — label := min(label, neighbor labels), one
+    * edge join + min agg; (b) JUMP — label := label(label), one self-join
+    * on the post-propagate labels. Reach doubles per round, so rounds =
+    * O(log diameter). Labels always hold ids of component members (init =
+    * min(id, neighbors); propagate mins over member labels; jump follows a
+    * member's label), and the fixpoint is stable under propagate ⇒ labels
+    * constant per component ⇒ that constant c satisfies c = label(c) ≤
+    * every member ⇒ c is the component minimum. Same loud non-convergence
+    * contract and per-round `localCheckpoint` lineage truncation as
+    * [[minLabel]]. */
+  def minLabelJumped(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Array(ca, cb) = edges.columns
+    val und = edges.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("a").as("id"), least(col("a"), col("nb")).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nl"))
+      val merged = labels.as("l")
+        .join(prop, col("l.id") === prop("a"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nl"), col("l.label"))).as("lab1"),
+          col("l.label").as("old"))
+      // jump on the POST-propagate mapping; carry the round's "shrank" flag
+      // so convergence is a filter over checkpointed rows, not an extra join
+      val jump = merged.select(col("id").as("jid"), col("lab1").as("jl"))
+      val next = merged.as("m")
+        .join(jump, col("m.lab1") === col("jid"), "left")
+        .select(col("m.id").as("id"),
+          least(col("m.lab1"), coalesce(col("jl"), col("m.lab1"))).as("label"),
+          col("m.old").as("old"))
+        .withColumn("chg", col("label") < col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"jumped min-label propagation did not converge in $maxIter rounds " +
+        s"($changed labels still shrinking)")
+    labels.select(col("id"), col("label").as("root"))
+  }
+
+  /** CONTRACTIVE min-label CC — the Kiveris-et-al. MapReduce-CC family:
+    * per level, hash-partition the edge list and run an IN-MEMORY
+    * union-find per partition (sound for ANY edge subset — partial merges
+    * only ever under-merge), combine the per-partition roots by min, and
+    * RELABEL the edges through the mapping; surviving cross-partition
+    * edges (distinct, self-loops dropped) feed the next level, and once
+    * the edge set fits `localCap` rows one single-task union-find
+    * finishes connectivity exactly. Practical level count is 2–3 with
+    * large per-level shrink, INDEPENDENT of graph diameter — a 50-hop
+    * DBSCAN blob that costs [[minLabelJumped]] ~log₂(50) shuffle rounds
+    * contracts here in one local pass. Correctness: every per-partition
+    * root is a component member; relabeling maps each original edge to a
+    * label edge, so any original path maps to a label walk — components
+    * never split — and self-loop dropping only removes already-merged
+    * pairs. Min-combine across partitions preserves "label ∈ component",
+    * and the global min id is a fixpoint of every level (union-by-min
+    * roots any set containing it at itself), so the composed mapping
+    * lands every vertex on its component minimum. All steps are
+    * deterministic (hash partitioning, set-based union-find, min
+    * aggregates), so the output is reproducible run to run.
+    *
+    * Returns (id, root) for every vertex incident to an edge, root = the
+    * minimum vertex id of its component — [[minLabel]]'s exact contract. */
+  def contractive(edges: DataFrame, localCap: Long = 4000000L,
+      maxLevels: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val Array(ca, cb) = edges.columns
+    var e = edges.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    var mapping: DataFrame = null
+    var level = 0
+    var n = e.count()
+    while (n > 0) {
+      level += 1
+      require(level <= maxLevels,
+        s"contractive CC did not drain in $maxLevels levels ($n edges left)")
+      val single = n <= localCap
+      val parted =
+        if (single) e.coalesce(1)
+        else e.repartition(col("a"))
+      val m = parted.as[(Long, Long)]
+        .mapPartitions(unionFindPartition)
+        .toDF("id", "r")
+        // a vertex can surface in several partitions; any reported root is
+        // a component member, so min keeps the invariant and determinism
+        .groupBy(col("id")).agg(min(col("r")).as("root"))
+        .localCheckpoint()
+      mapping =
+        if (mapping == null) m
+        else mapping.as("p")
+          .join(m.select(col("id").as("cid"), col("root").as("croot")),
+            col("p.root") === col("cid"), "left")
+          .select(col("p.id").as("id"),
+            coalesce(col("croot"), col("p.root")).as("root"))
+          .localCheckpoint()
+      if (single) n = 0
+      else {
+        e = e.join(m.select(col("id").as("ja"), col("root").as("ra")),
+            col("a") === col("ja"))
+          .join(m.select(col("id").as("jb"), col("root").as("rb")),
+            col("b") === col("jb"))
+          .select(col("ra").as("a"), col("rb").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+          .localCheckpoint()
+        n = e.count()
+      }
+    }
+    if (mapping == null)
+      spark.emptyDataset[(Long, Long)].toDF("id", "root")
+    else mapping
+  }
+
+  /** In-memory union-find over one partition's edges: union-by-min (the
+    * larger root attaches under the smaller) with path halving, so each
+    * set's root is its minimum id — order-independent, hence
+    * deterministic for a given partition content. Emits (id, root) for
+    * every id seen. */
+  private def unionFindPartition(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    for ((a, b) <- it) {
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    // materialize keys first: find() mutates the map (path halving)
+    val ids = parent.keys.toArray
+    val withSelfRoots = ids.iterator.map(x => (x, find(x)))
+    // roots that never appear as keys (pure minima) map to themselves via
+    // the keys of parent only if they were ever attached; a root id that
+    // was only ever a WINNER of unions has no parent entry — but it was
+    // seen as an endpoint, so emit it explicitly
+    val seen = scala.collection.mutable.LongMap.empty[Boolean]
+    ids.foreach(x => seen(x) = true)
+    val extra = ids.iterator.map(find).filter(r => !seen.contains(r)).distinct.map(r => (r, r))
+    withSelfRoots ++ extra
+  }
 }

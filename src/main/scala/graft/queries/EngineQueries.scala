@@ -25,6 +25,28 @@ object EngineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Exact DBSCAN density clustering on the per-user (spend, activity)
+    // plane: ε=8, minPts=5, coordinates in pure integers (cents summed AS
+    // integers — never a float sum — then quantized by div). The operator
+    // finds candidate pairs via the 3×3 grid-cell join (linear, never
+    // all-pairs) and labels clusters with pointer-jumped min-label CC
+    // (O(log diameter) rounds — a DBSCAN blob is the large-diameter
+    // regime); the ORACLE is the brute all-pairs ε-join + recursive
+    // closure, so the hash match proves the grid join loses no pair and
+    // the jumped CC agrees with true connectivity. Border points attach
+    // to the min core-neighbor root (deterministic; classic DBSCAN leaves
+    // this scan-order-dependent); noise roots are −1.
+    "q276_dbscan" -> ((s, d) => {
+      val pts = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("y"))
+        .select(col("user_id"), expr("cents div 1000").as("x"), col("y"))
+      graft.operators.Dbscan.cluster(pts, "user_id", "x", "y", eps = 8L, minPts = 5)
+        .select(col("id").as("user_id"), col("x"), col("y"),
+          col("is_core"), col("root"))
+    }),
+
     // Incremental MIN-view maintenance with deletes. Base = orders before
     // the cutoff, delta = inserts (orders ≥ cutoff) plus deletes (base
     // orderkeys ≡ 0 mod 7). MIN is delta-mergeable under INSERT
@@ -563,6 +585,38 @@ object EngineQueries {
     "it", "from", "or")
 
   val oracle: Map[String, String] = Map(
+
+    // Brute-force DBSCAN: the all-pairs ε-join IS the proof that the grid
+    // candidate join is lossless (q210/q98 discipline); the recursive
+    // closure over core-core edges proves the jumped CC. Cores seed their
+    // own reach rows, so singleton cores root at themselves, matching the
+    // operator's anti-join path.
+    "q276_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT user_id AS id,
+        |    (sum(CAST(round(value * 100) AS BIGINT)) // 1000)::BIGINT AS x,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY user_id),
+        |pr AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b
+        |  ON a.id <> b.id
+        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 64),
+        |nc AS (SELECT p.id, count(pr.ib)::BIGINT + 1 AS n
+        |  FROM p LEFT JOIN pr ON pr.ia = p.id GROUP BY p.id),
+        |core AS MATERIALIZED (SELECT id FROM nc WHERE n >= 5),
+        |ce AS MATERIALIZED (SELECT ia AS a, ib AS b FROM pr
+        |  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)),
+        |reach(id, r) AS (SELECT id, id FROM core
+        |  UNION SELECT reach.id, ce.b FROM reach JOIN ce ON reach.r = ce.a),
+        |roots AS MATERIALIZED (SELECT id, min(r) AS root FROM reach GROUP BY id),
+        |border AS (SELECT pr.ia AS id, min(roots.root) AS root FROM pr
+        |  JOIN roots ON pr.ib = roots.id
+        |  WHERE pr.ia NOT IN (SELECT id FROM core)
+        |  GROUP BY pr.ia),
+        |lab AS (SELECT id, root, TRUE AS is_core FROM roots
+        |  UNION ALL SELECT id, root, FALSE AS is_core FROM border)
+        |SELECT p.id AS user_id, p.x, p.y,
+        |  coalesce(lab.is_core, FALSE) AS is_core,
+        |  coalesce(lab.root, -1)::BIGINT AS root
+        |FROM p LEFT JOIN lab ON p.id = lab.id""".stripMargin,
 
     "q205_ivfpq_search" -> graft.operators.IvfPq.oracleSql(
       "embeddings", "vec_id", "embedding",

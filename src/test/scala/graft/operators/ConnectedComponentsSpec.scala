@@ -37,4 +37,73 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val out = labels(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  private def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    // pure-Scala union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      x
+    }
+    for ((a, b) <- edges; if a != b) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+  }
+
+  private def randomEdges(seed: Int, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to m).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+  }
+
+  test("minLabelJumped matches minLabel and the union-find reference") {
+    for (seed <- 1 to 4) {
+      val edges = randomEdges(seed, 60, 45)
+      val ref = reference(edges)
+      val jumped = ConnectedComponents.minLabelJumped(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(jumped == ref, s"seed=$seed")
+    }
+  }
+
+  test("minLabelJumped converges in O(log d) rounds on a long path") {
+    // path of 300 nodes: diameter 299 >> default maxIter 25 of plain
+    // propagation, but jumping doubles reach per round (log2(300) ~ 9)
+    val edges = (0L until 299L).map(i => (i, i + 1))
+    val out = ConnectedComponents.minLabelJumped(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 299L).map(_ -> 0L).toMap)
+  }
+
+  test("contractive matches the reference on random graphs at every scale knob") {
+    for (seed <- 1 to 4) {
+      val edges = randomEdges(100 + seed, 80, 70)
+      val ref = reference(edges)
+      // localCap 0 forces multi-level contraction; default takes the
+      // single-task path — both must agree with ground truth
+      val multi = ConnectedComponents.contractive(edges.toDF("a", "b"), localCap = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val single = ConnectedComponents.contractive(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(multi == ref, s"multi-level seed=$seed")
+      assert(single == ref, s"single-task seed=$seed")
+    }
+  }
+
+  test("contractive handles the large-diameter path without diameter-many levels") {
+    val edges = (0L until 999L).map(i => (i, i + 1))
+    // localCap forces the distributed contraction path (999 edges > 500)
+    val out = ConnectedComponents.contractive(edges.toDF("a", "b"), localCap = 500L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 999L).map(_ -> 0L).toMap)
+  }
+
+  test("contractive on an empty edge list returns an empty labeling") {
+    val out = ConnectedComponents.contractive(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(out.count() == 0)
+  }
 }
