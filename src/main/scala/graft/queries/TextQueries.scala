@@ -364,6 +364,59 @@ object TextQueries {
           expr("(ssum * 100) div n").as("mean_score_x100"))
     }),
 
+    // Isotonic (monotone) calibration of the q214 classifier over the
+    // q216 reliability bins — the post-hoc calibration step a production
+    // scorer ships with. The observed rate is non-INCREASING in score
+    // here, so the monotone fit runs on the reversed bin axis (idx = rank
+    // by bin DESC). The fit uses the exact minimax identity
+    //   fit(i) = max_{j<=i} min_{k>=i} mean(bins j..k)
+    // (provably equal to PAVA's pooled solution — spec-checked against a
+    // pure-Scala PAVA with BigInt rationals): the interval relation is
+    // B² rows and the candidate relation B³ for B = bin count, which is
+    // bounded by the score DOMAIN / bin width (q216's bound), never the
+    // corpus — so the argmin/argmax layers are two anti-joins over a tiny
+    // relation, and every comparison is a decimal cross-multiplication
+    // (no float; ties break to the smaller k then smaller j, making the
+    // chosen interval — and hence the emitted num/den pair — unique).
+    "q277_isotonic_calibration" -> ((s, d) => {
+      val bins = Tables.documents(s, d).select(
+          classifierScore(col("text")).as("score"),
+          (size(TextHash.tokens(col("text"))) >= 60).cast("long").as("pos"))
+        .withColumn("bin", expr("score div 2000L"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("c"))
+      val w = Window.orderBy(col("bin").desc) // <= B rows: domain-bounded
+      val pref = bins.select(col("bin"), col("n"), col("c"),
+          row_number().over(w).as("idx"),
+          sum(col("n")).over(w).as("nn"), sum(col("c")).over(w).as("cc"))
+        .persist() // intervals join + final output join
+      val iv = pref.as("a").join(pref.as("b"), col("a.idx") <= col("b.idx"))
+        .select(col("a.idx").as("j"), col("b.idx").as("k"),
+          (col("b.cc") - col("a.cc") + col("a.c")).as("num"),
+          (col("b.nn") - col("a.nn") + col("a.n")).as("den"))
+      val cand = pref.select(col("idx").as("i"))
+        .join(iv, col("j") <= col("i") && col("k") >= col("i")).persist()
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val inner = cand.as("x").join(cand.as("y"),
+          col("x.i") === col("y.i") && col("x.j") === col("y.j") &&
+            (dec(col("y.num")) * dec(col("x.den")) < dec(col("x.num")) * dec(col("y.den")) ||
+              (dec(col("y.num")) * dec(col("x.den")) === dec(col("x.num")) * dec(col("y.den")) &&
+                col("y.k") < col("x.k"))),
+          "left_anti")
+      val fit = inner.as("x").join(inner.as("y"),
+          col("x.i") === col("y.i") &&
+            (dec(col("y.num")) * dec(col("x.den")) > dec(col("x.num")) * dec(col("y.den")) ||
+              (dec(col("y.num")) * dec(col("x.den")) === dec(col("x.num")) * dec(col("y.den")) &&
+                col("y.j") < col("x.j"))),
+          "left_anti")
+        .select(col("i"), col("num").as("fit_num"), col("den").as("fit_den"))
+      fit.join(pref, fit("i") === pref("idx"))
+        .select(col("bin"), col("n"), col("c").as("n_pos"),
+          expr("(c * 10000) div n").as("raw_bp"),
+          col("fit_num"), col("fit_den"),
+          expr("(fit_num * 10000) div fit_den").as("fit_bp"))
+    }),
+
     // BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed 3-term query,
     // in EXACT integer arithmetic: the length-normalized saturating TF is
     // the exact rational 44·tf·L / (20·tf·L + 6·L + 18·dl·N) (k1, b
@@ -663,6 +716,40 @@ object TextQueries {
            |  ((sum(pos) * 10000) // count(*))::BIGINT AS pos_rate_bp,
            |  ((sum(score) * 100) // count(*))::BIGINT AS mean_score_x100
            |FROM s GROUP BY 1""".stripMargin
+      },
+
+      "q277_isotonic_calibration" -> {
+        val wSql = classifierWSql
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |s AS (SELECT coalesce(list_sum(list_transform(toks, t -> $wSql)), 0)::BIGINT AS score,
+           |        (CASE WHEN len(toks) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pos FROM t),
+           |bins AS (SELECT (score // 2000)::BIGINT AS bin, count(*)::BIGINT AS n,
+           |    sum(pos)::BIGINT AS c FROM s GROUP BY 1),
+           |pref AS (SELECT bin, n, c,
+           |    row_number() OVER (ORDER BY bin DESC) AS idx,
+           |    sum(n) OVER (ORDER BY bin DESC)::BIGINT AS nn,
+           |    sum(c) OVER (ORDER BY bin DESC)::BIGINT AS cc
+           |  FROM bins),
+           |iv AS (SELECT a.idx AS j, b.idx AS k,
+           |    (b.cc - a.cc + a.c)::BIGINT AS num,
+           |    (b.nn - a.nn + a.n)::BIGINT AS den
+           |  FROM pref a JOIN pref b ON a.idx <= b.idx),
+           |cand AS (SELECT p.idx AS i, iv.j, iv.k, iv.num, iv.den
+           |  FROM pref p JOIN iv ON iv.j <= p.idx AND iv.k >= p.idx),
+           |inner_w AS (SELECT * FROM cand x WHERE NOT EXISTS (
+           |    SELECT 1 FROM cand y WHERE y.i = x.i AND y.j = x.j
+           |      AND (y.num * x.den < x.num * y.den
+           |        OR (y.num * x.den = x.num * y.den AND y.k < x.k)))),
+           |fit AS (SELECT i, num AS fit_num, den AS fit_den FROM inner_w x
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM inner_w y WHERE y.i = x.i
+           |      AND (y.num * x.den > x.num * y.den
+           |        OR (y.num * x.den = x.num * y.den AND y.j < x.j))))
+           |SELECT bin, n, c AS n_pos,
+           |  ((c * 10000) // n)::BIGINT AS raw_bp,
+           |  fit_num, fit_den,
+           |  ((fit_num * 10000) // fit_den)::BIGINT AS fit_bp
+           |FROM fit JOIN pref ON fit.i = pref.idx""".stripMargin
       },
 
       "q218_bm25_topk" -> {

@@ -88,4 +88,38 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(rows.head._4 * 10 > totalVocab,
       "first decile should exceed a 1/10 pro-rata vocabulary share")
   }
+
+  test("q277 isotonic fit equals pure-Scala PAVA and is monotone non-increasing in bin") {
+    val rows = TextQueries.queries("q277_isotonic_calibration")(spark, small)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .sortBy(-_._1) // idx order = bin DESC
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    // PAVA reference with exact BigInt rationals: pool adjacent violators
+    // until means are non-decreasing in idx order
+    case class Pool(var num: BigInt, var den: BigInt)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Pool, Int)] // (pool, span)
+    for ((_, n, c, _, _) <- rows) {
+      var (p, span) = (Pool(BigInt(c), BigInt(n)), 1)
+      while (stack.nonEmpty && stack.last._1.num * p.den > p.num * stack.last._1.den) {
+        val (q, s2) = stack.remove(stack.length - 1)
+        p = Pool(p.num + q.num, p.den + q.den); span += s2
+      }
+      stack += ((p, span))
+    }
+    val pavaFit = stack.flatMap { case (p, span) => Seq.fill(span)((p.num, p.den)) }
+    assert(pavaFit.length == rows.length)
+    for (((bin, _, _, fn, fd), (pn, pd)) <- rows.zip(pavaFit)) {
+      assert(BigInt(fn) * pd == pn * BigInt(fd),
+        s"bin=$bin minimax fit $fn/$fd != PAVA $pn/$pd")
+    }
+    // monotone non-increasing in bin (non-decreasing in idx order is the
+    // same statement on the reversed axis)
+    val vals = rows.map { case (_, _, _, fn, fd) => (BigInt(fn), BigInt(fd)) }
+    for (w <- vals.sliding(2) if w.length == 2) {
+      val ((a, b), (c2, d2)) = (w(0), w(1))
+      assert(a * d2 <= c2 * b, "fit must be non-decreasing along idx")
+    }
+  }
 }
