@@ -473,6 +473,39 @@ object EngineQueries {
         k = 5, nprobe = 3, shortlist = 20)
     }),
 
+    // Matryoshka truncation audit: recall@10 of brute-force cosine search
+    // when embeddings are cut to their first 8/16/32 dims vs the full 64 —
+    // the measurement that decides whether a matryoshka-style index can
+    // serve at a fraction of the storage/FLOPs. Query set is a
+    // count-derived sample (sampleModFor — bounded driver/broadcast side
+    // at any corpus size); each dim level is one bounded TopKByScore pass
+    // (k rows per query cross the shuffle, never the score matrix), and
+    // recall is a semi-join against the full-dim top-10 — all integer bp.
+    // Cosines fold left-to-right on array<double> slices, bit-identical
+    // to DuckDB's list_cosine_similarity on v[1:m].
+    "q278_matryoshka_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qMod = graft.operators.KMeansIVF.sampleModFor(e.count(), 16L)
+      val q = e.filter(
+        pmod(TextHash.md5Long(col("vec_id").cast("string")), lit(qMod)) === 0)
+        .persist() // one full + three truncated topK passes
+      val full = graft.operators.VectorOps
+        .topK(q, e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist() // three semi-joins + the denominator count
+      Seq(8, 16, 32).map { m =>
+        val qm = q.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+        val em = e.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+        graft.operators.VectorOps.topK(qm, em, "vec_id", "embedding", 10)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(full, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("overlap"))
+          .crossJoin(full.agg(count(lit(1)).as("full_n")))
+          .select(lit(m).as("dims"), col("overlap"), col("full_n"),
+            expr("overlap * 10000 div full_n").as("recall_bp"))
+      }.reduce(_ unionAll _)
+    }),
+
     // DeepWalk corpus generation (operators/RandomWalks): 2 deterministic
     // random walks of 4 steps from every co-purchase node — the skip-gram
     // training input of graph embeddings. Each step is ONE co-partitioned
@@ -617,6 +650,37 @@ object EngineQueries {
         |  coalesce(lab.is_core, FALSE) AS is_core,
         |  coalesce(lab.root, -1)::BIGINT AS root
         |FROM p LEFT JOIN lab ON p.id = lab.id""".stripMargin,
+
+    "q278_matryoshka_recall" -> {
+      def level(m: Int) =
+        s"""t${m}_r AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_cosine_similarity(q.v[1:$m], n.v[1:$m]) DESC, n.vec_id) AS rnk
+           |  FROM q JOIN e n ON n.vec_id <> q.vec_id),
+           |t${m}_o AS (SELECT $m AS dims,
+           |    count(*) FILTER (WHERE EXISTS (SELECT 1 FROM full_k f
+           |      WHERE f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id))::BIGINT
+           |      AS overlap
+           |  FROM t${m}_r t WHERE rnk <= 10)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id, v FROM e
+         |  WHERE ${TextHash.md5LongSql("vec_id::VARCHAR")} %
+         |    (SELECT greatest(1, (count(*) + 15) // 16) FROM e) = 0),
+         |full_r AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+         |  FROM q JOIN e n ON n.vec_id <> q.vec_id),
+         |full_k AS MATERIALIZED (SELECT query_id, neighbor_id FROM full_r WHERE rnk <= 10),
+         |fn AS (SELECT count(*)::BIGINT AS full_n FROM full_k),
+         |${level(8)},
+         |${level(16)},
+         |${level(32)},
+         |u AS (SELECT * FROM t8_o UNION ALL SELECT * FROM t16_o
+         |  UNION ALL SELECT * FROM t32_o)
+         |SELECT dims::INT AS dims, overlap, full_n,
+         |  ((overlap * 10000) // full_n)::BIGINT AS recall_bp
+         |FROM u, fn""".stripMargin
+    },
 
     "q205_ivfpq_search" -> graft.operators.IvfPq.oracleSql(
       "embeddings", "vec_id", "embedding",
