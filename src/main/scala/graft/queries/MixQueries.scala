@@ -150,6 +150,41 @@ object MixQueries {
         .limit(20)
     }),
 
+    // Bigram language-model next-token evaluation — the classic n-gram LM
+    // quality probe, with NO float surface: an 80/20 md5 doc split, a
+    // bigram model fit on train (argmax successor per prev token, ties to
+    // the lexicographically smallest — the q158 determinism rule), and
+    // per-occurrence next-token accuracy on test. Bigrams ride the
+    // zip_with shifted-slice idiom (bound once — the HOF lambda trap);
+    // the model argmax is a window over each prev-token's successor
+    // GROUP (vocabulary-keyed, never low-cardinality); accuracy and
+    // coverage are exact integer basis points.
+    "q279_bigram_lm_eval" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(
+        (pmod(TextHash.md5Long(col("doc_id").cast("string")), lit(5L)) === 0L)
+          .as("is_test"),
+        TextHash.tokens(col("text")).as("toks"))
+      val grams = t.select(col("is_test"), explode(bigrams(col("toks"))).as("gram"))
+        .select(col("is_test"),
+          split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"))
+        .persist() // train counts + test evaluation
+      val counts = grams.filter(!col("is_test"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("w1")).orderBy(desc("c"), asc("w2"))
+      val pred = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("w1"), col("w2").as("pred"))
+      grams.filter(col("is_test"))
+        .join(pred, Seq("w1"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(col("pred").isNotNull.cast("long")).as("n_covered"),
+          sum(coalesce((col("pred") === col("w2")).cast("long"), lit(0L)))
+            .as("n_correct"))
+        .select(col("n_test"), col("n_covered"), col("n_correct"),
+          expr("if(n_covered > 0, n_correct * 10000 div n_covered, 0L)").as("acc_bp"),
+          expr("n_covered * 10000 div n_test").as("coverage_bp"))
+    }),
+
     // Stratified exact-k sampling: the 5 smallest-content-hash docs per
     // source — deterministic, engine-independent, and SCALABLE: selection
     // is the bounded TopKByScore aggregate (map-side k-row buffers; the
@@ -600,6 +635,29 @@ object MixQueries {
            |  (floor(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000) AS pass_rate,
            |  (floor(sum(n_tokens)::DOUBLE / count(*) * 100 + 0.5) / 100) AS mean_tokens
            |FROM r GROUP BY source""".stripMargin,
+
+      "q279_bigram_lm_eval" ->
+        s"""WITH t AS (SELECT (${TextHash.md5LongSql("doc_id::VARCHAR")} % 5 = 0) AS is_test,
+           |    $toksSql AS toks FROM documents),
+           |sg AS (SELECT is_test, ${bigramsSql("toks")} AS grams FROM t),
+           |g AS (SELECT is_test,
+           |    string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+           |  FROM (SELECT is_test, unnest(grams) AS gram FROM sg) z),
+           |bc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM g WHERE NOT is_test GROUP BY 1, 2),
+           |pred AS (SELECT w1, w2 AS pred FROM (
+           |    SELECT w1, w2, row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+           |    FROM bc) z WHERE rn = 1),
+           |te AS (SELECT g.w1, g.w2, pred.pred FROM g
+           |  LEFT JOIN pred ON g.w1 = pred.w1 WHERE is_test),
+           |agg AS (SELECT count(*)::BIGINT AS n_test,
+           |    sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+           |    sum(CASE WHEN pred = w2 THEN 1 ELSE 0 END)::BIGINT AS n_correct
+           |  FROM te)
+           |SELECT n_test, n_covered, n_correct,
+           |  (CASE WHEN n_covered > 0 THEN (n_correct * 10000) // n_covered
+           |        ELSE 0 END)::BIGINT AS acc_bp,
+           |  ((n_covered * 10000) // n_test)::BIGINT AS coverage_bp
+           |FROM agg""".stripMargin,
 
       "q53_bigram_lift" ->
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
