@@ -339,6 +339,40 @@ object DedupQueries {
           col("cluster_size"))
     }),
 
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means cluster
+    // the embedding space, compare pairs only WITHIN a cluster (the
+    // cluster bound is what makes semantic dedup affordable — pair cost
+    // is Σ|bucket|², never |corpus|²), and keep one representative (min
+    // id) per cosine-connected group. Fit is the q17 discipline (bounded
+    // hash-sample collect, driver Lloyd, map-side literal assignment);
+    // the pair threshold compare uses the same dot/(√·√) fold sequence
+    // as the fit so DuckDB replays it bit-identically; components ride
+    // min-label CC (semantic-dup groups are tiny). Output is per-vector
+    // (bucket, canonical, keep) — hash-checked end to end, including the
+    // k-means fit itself.
+    "q280_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        VectorOps.asDouble(col("embedding")).as("cv"))
+      val sampleMod = graft.operators.KMeansIVF.sampleModFor(c.count(), 100L)
+      val sample = c.filter(
+          pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val centroids = graft.operators.KMeansIVF.fit(sample, nClusters = 10, iters = 4)
+      val assigned = graft.operators.KMeansIVF.assignBuckets(c, centroids)
+        .select(col("neighbor_id").as("id"), col("cv"), col("bucket"))
+        .persist() // both sides of the pair join + output spine
+      val pairs = assigned.as("a").join(assigned.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .filter(VectorOps.cosine(col("a.cv"), col("b.cv")) >= 0.4)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val roots = graft.operators.ConnectedComponents.minLabel(pairs)
+      assigned.join(roots, assigned("id") === roots("id"), "left")
+        .select(assigned("id").as("vec_id"), col("bucket"),
+          coalesce(col("root"), assigned("id")).as("canonical"),
+          (coalesce(col("root"), assigned("id")) === assigned("id")).as("keep"))
+    }),
+
     // Dedup cluster-size DISTRIBUTION — the corpus-health report after
     // clustering: how many clusters of each size, plus the singleton mass
     // (docs in no near-dup pair at all). Composes q52's components; the
@@ -998,6 +1032,31 @@ object DedupQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "q17_sim_ann_ivf" -> ivfOracle,
+
+    // full k-means fit replay (fitReplayCtes) + within-bucket pair join at
+    // the same fold sequence + recursive closure; WITH must be RECURSIVE
+    // for the reach CTE, so the prefix keyword is rewritten
+    "q280_semdedup" -> {
+      val fitC = graft.operators.KMeansIVF
+        .fitReplayCtes("embeddings", "vec_id", "embedding",
+          nClusters = 10, iters = 4, sampleCap = 100)
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")
+      def cos(a: String, b: String): String =
+        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+      s"""${fitC}pr AS MATERIALIZED (SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+         |  FROM assigned a JOIN assigned b
+         |    ON a.bucket = b.bucket AND a.neighbor_id < b.neighbor_id
+         |   AND ${cos("a.cv2", "b.cv2")} >= 0.4),
+         |e2 AS (SELECT id_a AS x, id_b AS y FROM pr
+         |  UNION SELECT id_b AS x, id_a AS y FROM pr),
+         |reach(id, r) AS (SELECT DISTINCT x AS id, x AS r FROM e2
+         |  UNION SELECT reach.id, e2.y FROM reach JOIN e2 ON reach.r = e2.x),
+         |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+         |SELECT a.neighbor_id AS vec_id, a.bucket,
+         |  coalesce(roots.root, a.neighbor_id)::BIGINT AS canonical,
+         |  (coalesce(roots.root, a.neighbor_id) = a.neighbor_id) AS keep
+         |FROM assigned a LEFT JOIN roots ON a.neighbor_id = roots.id""".stripMargin
+    },
 
     "q133_mmr_rerank" -> {
       val rounds = (2 to 5).map { k =>
