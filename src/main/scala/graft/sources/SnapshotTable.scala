@@ -904,6 +904,123 @@ object SnapshotTable {
     1L
   }
 
+  final class MergeConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Three-way BRANCH MERGE — the lakeFS/Nessie dev-branch workflow over
+    * [[cloneAt]] branches: land the branch's changes back onto main with
+    * FILE-granular conflict detection against the common base (the main
+    * version the branch was cloned at, recorded in the clone manifest).
+    *
+    *   - branch additions (tip − base) HARD-LINK into main (zero copy;
+    *     `data-<uuid>` staging dirs can never collide across tables);
+    *   - branch deletions (base − tip: compaction, deleteWhere, upsert
+    *     rewrites) drop from main's tip file list;
+    *   - CONFLICT iff a base file was rewritten/deleted on BOTH sides —
+    *     both rewrote rows derived from it, and file-granular merge cannot
+    *     reconcile row-level intent: abort loudly, never guess (upsert's
+    *     conflict-DETECTION discipline). A main-side `replace` counts as
+    *     deleting every base file, so it conflicts with any branch
+    *     rewrite while still accepting pure-append branches.
+    *
+    * The merge commits through the same hard-link CAS as every writer
+    * (retry recomputes the diff against the new tip). Carried meta: main's
+    * stream watermarks (the branch's are deliberately NOT merged — main
+    * never saw those batches, and importing the branch's dedupe history
+    * would make a main-side stream silently skip them); per-file zone
+    * stats follow their files (branch stats only when both sides record
+    * the same zone column spec); schema = name-merge of both recorded
+    * schemas when they differ (append-evolution rule). After the merge the
+    * BRANCH table is still a valid independent table; vacuuming or
+    * deleting it cannot break main (links pin inodes — the cloneAt
+    * property, now in both directions). Returns main's new version. */
+  def mergeBranch(mainDir: String, branchDir: String): Long = {
+    val bv1 = snapshot(branchDir, 1L)
+    require(bv1.op == "clone",
+      s"$branchDir v1 is not a clone (op=${bv1.op}) — not a branch")
+    val cf = bv1.meta.getOrElse("cloned_from", throw new IllegalStateException(
+      s"$branchDir clone manifest lacks cloned_from"))
+    val at = cf.lastIndexOf("@v")
+    val (srcPath, baseV) = (cf.substring(0, at), cf.substring(at + 2).toLong)
+    require(Paths.get(mainDir).toAbsolutePath.toString == srcPath,
+      s"branch was cloned from $srcPath, not $mainDir")
+    val base = snapshot(mainDir, baseV)
+    val bTip = snapshot(branchDir, latestVersion(branchDir).getOrElse(
+      throw new IllegalStateException(s"branch $branchDir has no versions")))
+    val baseSet = base.files.toSet
+    val bSet = bTip.files.toSet
+    val branchDeleted = baseSet -- bSet
+    val branchAdded = (bSet -- baseSet).toSeq.sorted
+    // the file a zone key describes: "zone:<f>" or "zone:<col>:<f>" (file
+    // names contain '/', column names do not — the commit() convention)
+    def zoneFile(k: String): String = {
+      val s = k.stripPrefix("zone:")
+      val i = s.indexOf(':')
+      if (i >= 0 && s.substring(i + 1).contains('/')) s.substring(i + 1) else s
+    }
+    var attempt = 0
+    while (attempt < 64) {
+      val mTip = snapshot(mainDir, latestVersion(mainDir).getOrElse(
+        throw new IllegalStateException(s"main $mainDir has no versions")))
+      val mSet = mTip.files.toSet
+      val mainDeleted = baseSet -- mSet
+      val conflicts = branchDeleted intersect mainDeleted
+      if (conflicts.nonEmpty)
+        throw new MergeConflictException(
+          s"merge of $branchDir into $mainDir: ${conflicts.size} base file(s) " +
+            s"rewritten on BOTH sides since v$baseV — row-level intent cannot " +
+            s"be reconciled file-granularly; first: ${conflicts.toSeq.sorted.head}")
+      val kept = mTip.files.filterNot(branchDeleted)
+      for (f <- branchAdded) {
+        val dst = Paths.get(mainDir, f)
+        if (!Files.exists(dst)) { // CAS retries / re-merges re-enter here
+          Files.createDirectories(dst.getParent)
+          Files.createLink(dst, Paths.get(branchDir, f))
+        }
+      }
+      val sameZoneSpec =
+        mTip.meta.get("zonecol") == bTip.meta.get("zonecol") &&
+          mTip.meta.get("zonecols") == bTip.meta.get("zonecols")
+      val branchZone =
+        if (!sameZoneSpec) Map.empty[String, String]
+        else bTip.meta.view.filterKeys(k =>
+          k.startsWith("zone:") && branchAdded.contains(zoneFile(k))).toMap
+      val mainCarried = mTip.meta.view.filterKeys(k =>
+          k.startsWith("stream:") || k == "zonecol" || k == "zonecols" ||
+            (k.startsWith("zone:") && !branchDeleted(zoneFile(k))))
+        .toMap
+      val schemaEntry: Map[String, String] =
+        (mTip.meta.get("schema"), bTip.meta.get("schema")) match {
+          case (Some(m), Some(b)) if m == b => Map("schema" -> m)
+          case (Some(m), Some(b)) =>
+            Map("schema" -> mergeSchemas(
+              DataType.fromJson(m).asInstanceOf[StructType],
+              DataType.fromJson(b).asInstanceOf[StructType]).json)
+          case (m, b) => (m.orElse(b)).map("schema" -> _).toMap
+        }
+      val carried = mainCarried ++ branchZone ++ schemaEntry +
+        ("merged_from" -> s"${Paths.get(branchDir).toAbsolutePath}@v${bTip.version}")
+      val v = mTip.version + 1
+      val body =
+        (Seq(s"version=$v", "op=merge")
+          ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
+          ++ kept ++ branchAdded)
+          .mkString("", "\n", "\n")
+      val tmp = Files.createTempFile(snapDir(mainDir), s".v$v-", ".tmp")
+      Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        Files.createLink(manifestPath(mainDir, v), tmp)
+        Files.deleteIfExists(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1 // tip moved: recompute the diff against the new tip
+      }
+    }
+    throw new ConcurrentCommitException(
+      s"lost the merge-commit race $attempt times in $mainDir")
+  }
+
   private def commit(
       df: DataFrame, tableDir: String, replace: Boolean,
       extraMeta: Seq[String] = Seq.empty,

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -73,6 +74,97 @@ class SnapshotCloneSpec extends AnyFunSuite {
 
     intercept[IllegalArgumentException] {
       SnapshotTable.cloneAt(src, 1L, dst) // dst already a table
+    }
+  }
+
+  test("branch merge: branch appends + main appends land together; deletes apply") {
+    val main = tmpTable(); val br = tmpTable() + "/b"
+    SnapshotTable.commitAppend(Seq(1, 2).toDF("x"), main)
+    SnapshotTable.commitAppend(Seq(3, 4).toDF("x"), main) // base v2
+    SnapshotTable.cloneAt(main, 2L, br)
+    // diverge: branch deletes the v1 file's rows + appends; main appends
+    SnapshotTable.deleteWhere(spark, br, col("x") <= 2)
+    SnapshotTable.commitAppend(Seq(100).toDF("x"), br)
+    SnapshotTable.commitAppend(Seq(5).toDF("x"), main)
+    val v = SnapshotTable.mergeBranch(main, br)
+    assert(SnapshotTable.read(spark, main).as[Int].collect().sorted.toSeq ==
+      Seq(3, 4, 5, 100), "merge = main tip − branch deletions + branch additions")
+    // time travel on main is intact; the merge is one new version
+    assert(SnapshotTable.readVersion(spark, main, 3).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3, 4, 5))
+    assert(SnapshotTable.snapshot(main, v).op == "merge")
+    // branch unaffected
+    assert(SnapshotTable.read(spark, br).as[Int].collect().sorted.toSeq ==
+      Seq(3, 4, 100))
+  }
+
+  test("branch merge conflict: the same base file rewritten on both sides aborts") {
+    val main = tmpTable(); val br = tmpTable() + "/b"
+    // ONE base file: both deletes must rewrite the SAME file to conflict
+    // (a multi-file base where each side touches a different file merges
+    // cleanly — the previous test's shape)
+    SnapshotTable.commitAppend(Seq(1, 2).toDF("x").coalesce(1), main)
+    SnapshotTable.cloneAt(main, 1L, br)
+    SnapshotTable.deleteWhere(spark, br, col("x") === 1)
+    SnapshotTable.deleteWhere(spark, main, col("x") === 2)
+    val ex = intercept[SnapshotTable.MergeConflictException] {
+      SnapshotTable.mergeBranch(main, br)
+    }
+    assert(ex.getMessage.contains("BOTH sides"))
+    // main is untouched by the failed merge
+    assert(SnapshotTable.read(spark, main).as[Int].collect().toSeq == Seq(1))
+  }
+
+  test("branch merge: main-side replace conflicts with branch rewrites, accepts pure appends") {
+    val main = tmpTable(); val br = tmpTable() + "/b"
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), main)
+    SnapshotTable.cloneAt(main, 1L, br)
+    SnapshotTable.commitAppend(Seq(50).toDF("x"), br) // pure append branch
+    SnapshotTable.commitReplace(Seq(9).toDF("x"), main)
+    val v = SnapshotTable.mergeBranch(main, br)
+    assert(SnapshotTable.read(spark, main).as[Int].collect().sorted.toSeq ==
+      Seq(9, 50), "append-only branch lands on top of a replaced main")
+    // but a branch that REWROTE base rows must conflict with the replace
+    val main2 = tmpTable(); val br2 = tmpTable() + "/b"
+    SnapshotTable.commitAppend(Seq(1, 2).toDF("x"), main2)
+    SnapshotTable.cloneAt(main2, 1L, br2)
+    SnapshotTable.deleteWhere(spark, br2, col("x") === 1)
+    SnapshotTable.commitReplace(Seq(9).toDF("x"), main2)
+    intercept[SnapshotTable.MergeConflictException] {
+      SnapshotTable.mergeBranch(main2, br2)
+    }
+    assert(v == 3L)
+  }
+
+  test("branch merge: deleting the merged branch cannot break main (links pin inodes)") {
+    val main = tmpTable(); val br = tmpTable() + "/b"
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), main)
+    SnapshotTable.cloneAt(main, 1L, br)
+    SnapshotTable.commitAppend(Seq(2, 3).toDF("x"), br)
+    SnapshotTable.mergeBranch(main, br)
+    // blow away the whole branch directory
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(br))
+    try s.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally s.close()
+    assert(SnapshotTable.read(spark, main).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3))
+  }
+
+  test("branch merge: main stream watermarks survive; branch watermarks are not imported") {
+    val main = tmpTable(); val br = tmpTable() + "/b"
+    SnapshotTable.commitStreamBatch(Seq(1).toDF("x"), main, "s_main", 7L)
+    SnapshotTable.cloneAt(main, 1L, br)
+    SnapshotTable.commitStreamBatch(Seq(2).toDF("x"), br, "s_branch", 3L)
+    SnapshotTable.mergeBranch(main, br)
+    assert(SnapshotTable.lastStreamBatch(main, "s_main") == Some(7L),
+      "main's exactly-once watermark must survive the merge commit")
+    assert(SnapshotTable.lastStreamBatch(main, "s_branch").isEmpty,
+      "importing the branch's dedupe history would skip main-side batches")
+    // a non-branch table (no clone manifest) is rejected
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeBranch(main, main)
     }
   }
 }
