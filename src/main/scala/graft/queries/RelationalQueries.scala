@@ -795,6 +795,41 @@ object RelationalQueries {
           expr("total_cents div 7").as("yearly_cents"))
     }),
 
+    // Apriori frequent 3-itemsets (market-basket mining one level past
+    // q129's pairs): L2 = frequent pairs; candidate triples come from
+    // L2 ⋈ L2 on a shared first item with the THIRD sub-pair pruned
+    // against L2 (support monotonicity makes this complete — any frequent
+    // triple has all three sub-pairs frequent, so candidate counting is
+    // bounded by the L2 self-join, never item³); support = a 3-way
+    // basket join keyed on the order — every shuffle rides order/item
+    // keys. The pair fan-out keeps q96's shuffle_hash discipline (a
+    // broadcast self-join would pin the quadratic stage on the 1-task
+    // scan). Exact integer supports, minsup 2.
+    "q281_frequent_triples" -> ((s, d) => {
+      val minSup = 2L
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("it")).distinct()
+        .persist() // pair counting + three legs of the support join
+      val l2 = items.as("a").hint("shuffle_hash")
+        .join(items.as("b").hint("shuffle_hash"),
+          col("a.ok") === col("b.ok") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("x"), col("b.it").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= minSup)
+        .persist() // both sides of candidate gen + the (y,z) prune
+      val c3 = l2.as("p")
+        .join(l2.as("q"), col("p.x") === col("q.x") && col("p.y") < col("q.y"))
+        .select(col("p.x").as("x"), col("p.y").as("y"), col("q.y").as("z"))
+        .join(l2.select(col("x").as("y"), col("y").as("z")),
+          Seq("y", "z"), "left_semi")
+      c3.join(items.select(col("ok"), col("it").as("x")), Seq("x"))
+        .join(items.select(col("ok"), col("it").as("y")), Seq("ok", "y"))
+        .join(items.select(col("ok"), col("it").as("z")), Seq("ok", "z"))
+        .groupBy(col("x"), col("y"), col("z"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSup)
+    }),
+
     // Cheapest-supplier-per-part — TPC-H Q2's correlated-subquery shape
     // decorrelated the way every engine rewrites it: the per-part MIN
     // over (part, supplier) aggregates, joined back to recover the
@@ -1537,6 +1572,21 @@ object RelationalQueries {
         |SELECT ship_month, promo_micro, total_micro,
         |  ((promo_micro * 10000) // total_micro)::BIGINT AS promo_bp
         |FROM g""".stripMargin,
+
+    "q281_frequent_triples" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+        |l2 AS (SELECT a.it AS x, b.it AS y, count(*)::BIGINT AS n_xy
+        |  FROM i a JOIN i b ON a.ok = b.ok AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |c3 AS (SELECT p.x, p.y, q.y AS z FROM l2 p
+        |  JOIN l2 q ON p.x = q.x AND p.y < q.y
+        |  WHERE EXISTS (SELECT 1 FROM l2 r WHERE r.x = p.y AND r.y = q.y))
+        |SELECT c3.x, c3.y, c3.z, count(*)::BIGINT AS support
+        |FROM c3
+        |JOIN i ia ON ia.it = c3.x
+        |JOIN i ib ON ib.ok = ia.ok AND ib.it = c3.y
+        |JOIN i ic ON ic.ok = ia.ok AND ic.it = c3.z
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
 
     "q273_market_share" ->
       """WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
