@@ -185,6 +185,47 @@ object MixQueries {
           expr("n_covered * 10000 div n_test").as("coverage_bp"))
     }),
 
+    // 5-fold cross-validated bigram LM — q279 generalized WITHOUT k
+    // rescans: per-(fold, pair) counts are the sufficient statistics, so
+    // fold f's training count is total − own (one subtraction, not a
+    // 4/5-corpus re-aggregation per fold — the leave-one-out trick that
+    // makes CV affordable at corpus scale). The fold×pair relation is
+    // grams-bounded (5 rows per OBSERVED pair); per-fold argmax and
+    // accuracy follow q279's determinism rules. Emits one row per fold —
+    // the variance across folds is the readout a single split hides.
+    "q283_bigram_cv" -> ((s, d) => {
+      val nFolds = 5
+      val t = Tables.documents(s, d).select(
+        pmod(TextHash.md5Long(col("doc_id").cast("string")), lit(nFolds.toLong))
+          .as("fold"),
+        TextHash.tokens(col("text")).as("toks"))
+      val grams = t.select(col("fold"), explode(bigrams(col("toks"))).as("gram"))
+        .select(col("fold"),
+          split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"))
+        .persist() // per-fold counts + per-fold evaluation
+      val cf = grams.groupBy(col("fold"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_f"))
+      val tot = cf.groupBy(col("w1"), col("w2")).agg(sum(col("c_f")).as("c_tot"))
+      val folds = explode(array((0 until nFolds).map(f => lit(f.toLong)): _*)).as("fold")
+      val train = tot.select(col("w1"), col("w2"), col("c_tot"), folds)
+        .join(cf, Seq("fold", "w1", "w2"), "left")
+        .select(col("fold"), col("w1"), col("w2"),
+          (col("c_tot") - coalesce(col("c_f"), lit(0L))).as("c"))
+        .filter(col("c") > 0)
+      val w = Window.partitionBy(col("fold"), col("w1")).orderBy(desc("c"), asc("w2"))
+      val pred = train.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("fold"), col("w1"), col("w2").as("pred"))
+      grams.join(pred, Seq("fold", "w1"), "left")
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(col("pred").isNotNull.cast("long")).as("n_covered"),
+          sum(coalesce((col("pred") === col("w2")).cast("long"), lit(0L)))
+            .as("n_correct"))
+        .select(col("fold"), col("n_test"), col("n_covered"), col("n_correct"),
+          expr("if(n_covered > 0, n_correct * 10000 div n_covered, 0L)").as("acc_bp"))
+    }),
+
     // Stratified exact-k sampling: the 5 smallest-content-hash docs per
     // source — deterministic, engine-independent, and SCALABLE: selection
     // is the bounded TopKByScore aggregate (map-side k-row buffers; the
@@ -635,6 +676,34 @@ object MixQueries {
            |  (floor(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000) AS pass_rate,
            |  (floor(sum(n_tokens)::DOUBLE / count(*) * 100 + 0.5) / 100) AS mean_tokens
            |FROM r GROUP BY source""".stripMargin,
+
+      "q283_bigram_cv" ->
+        s"""WITH t AS (SELECT ${TextHash.md5LongSql("doc_id::VARCHAR")} % 5 AS fold,
+           |    $toksSql AS toks FROM documents),
+           |sg AS (SELECT fold, ${bigramsSql("toks")} AS grams FROM t),
+           |g AS (SELECT fold,
+           |    string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+           |  FROM (SELECT fold, unnest(grams) AS gram FROM sg) z),
+           |cf AS (SELECT fold, w1, w2, count(*)::BIGINT AS c_f FROM g GROUP BY 1, 2, 3),
+           |tot AS (SELECT w1, w2, sum(c_f)::BIGINT AS c_tot FROM cf GROUP BY 1, 2),
+           |train AS (SELECT fx.f AS fold, tot.w1, tot.w2,
+           |    (c_tot - coalesce(cf.c_f, 0))::BIGINT AS c
+           |  FROM tot CROSS JOIN (SELECT unnest(range(0, 5)) AS f) fx
+           |  LEFT JOIN cf ON cf.fold = fx.f AND cf.w1 = tot.w1 AND cf.w2 = tot.w2),
+           |pred AS (SELECT fold, w1, w2 AS pred FROM (
+           |    SELECT fold, w1, w2, row_number() OVER (
+           |      PARTITION BY fold, w1 ORDER BY c DESC, w2) AS rn
+           |    FROM train WHERE c > 0) z WHERE rn = 1),
+           |te AS (SELECT g.fold, g.w1, g.w2, pred.pred FROM g
+           |  LEFT JOIN pred ON g.fold = pred.fold AND g.w1 = pred.w1),
+           |agg AS (SELECT fold, count(*)::BIGINT AS n_test,
+           |    sum(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_covered,
+           |    sum(CASE WHEN pred = w2 THEN 1 ELSE 0 END)::BIGINT AS n_correct
+           |  FROM te GROUP BY fold)
+           |SELECT fold, n_test, n_covered, n_correct,
+           |  (CASE WHEN n_covered > 0 THEN (n_correct * 10000) // n_covered
+           |        ELSE 0 END)::BIGINT AS acc_bp
+           |FROM agg""".stripMargin,
 
       "q279_bigram_lm_eval" ->
         s"""WITH t AS (SELECT (${TextHash.md5LongSql("doc_id::VARCHAR")} % 5 = 0) AS is_test,

@@ -795,6 +795,34 @@ object RelationalQueries {
           expr("total_cents div 7").as("yearly_cents"))
     }),
 
+    // TPC-H Q19 shape (discounted revenue under disjunctive brand/size/
+    // quantity condition groups) — the multi-predicate pushdown benchmark:
+    // the disjunction spans BOTH tables, so it cannot push down whole, but
+    // its part-side projection (brand ∈ {1,2,3} ∧ size ≤ 30) is implied by
+    // every branch and is filtered BEFORE the join explicitly — the
+    // rewrite Q19 exists to test. Exact integer micro revenue; quantities
+    // are integral-valued doubles → exact longs.
+    "q282_disjunctive_revenue" -> ((s, d) => {
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"), micro)
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size") >= 1 && col("p_size") <= 30) // implied residual, pushed
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size") <= 10 &&
+            col("qty") >= 1 && col("qty") <= 11) ||
+          (col("p_brand") === "Brand#2" && col("p_size") <= 20 &&
+            col("qty") >= 10 && col("qty") <= 20) ||
+          (col("p_brand") === "Brand#3" && col("p_size") <= 30 &&
+            col("qty") >= 20 && col("qty") <= 30))
+        .agg(coalesce(sum(col("micro")), lit(0L)).as("revenue_micro"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Apriori frequent 3-itemsets (market-basket mining one level past
     // q129's pairs): L2 = frequent pairs; candidate triples come from
     // L2 ⋈ L2 on a shared first item with the THIRD sub-pair pruned
@@ -1572,6 +1600,18 @@ object RelationalQueries {
         |SELECT ship_month, promo_micro, total_micro,
         |  ((promo_micro * 10000) // total_micro)::BIGINT AS promo_bp
         |FROM g""".stripMargin,
+
+    "q282_disjunctive_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS micro
+        |  FROM lineitem),
+        |f AS (SELECT micro FROM li JOIN part ON l_partkey = p_partkey
+        |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND qty BETWEEN 1 AND 11)
+        |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND qty BETWEEN 10 AND 20)
+        |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND qty BETWEEN 20 AND 30))
+        |SELECT coalesce(sum(micro), 0)::BIGINT AS revenue_micro,
+        |  count(*)::BIGINT AS n_items FROM f""".stripMargin,
 
     "q281_frequent_triples" ->
       """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
