@@ -74,6 +74,100 @@ object Bfs {
     result
   }
 
+  /** Shortest-path COUNTING (the forward phase of Brandes' betweenness):
+    * per (source, node), the hop distance AND the number σ of distinct
+    * shortest paths — the path-census primitive behind betweenness,
+    * path-redundancy audits ("how many independent shortest routes reach
+    * this node"), and DAG-based features. Same synchronous frontier
+    * discipline as [[distances]], with one addition per round: a node
+    * entering the frontier sums σ over its already-frontier predecessors
+    * (σ_v = Σ σ_u, u ∈ frontier ∧ u~v) — one key-partitioned join + one
+    * hash agg, exact integers. (The backward δ-accumulation of full
+    * betweenness sums fractions with data-dependent denominators — not
+    * portably exact — so the census stops at σ, which IS.) σ fits a long
+    * for bounded depth/degree (Σ over ≤deg predecessors, depth ≤
+    * maxDepth); at the bound it would overflow loudly via ANSI, never
+    * silently. Returns (source, v, dist, sigma); unreached nodes report
+    * (-1, 0). */
+  def pathCounts(edges: DataFrame, src: String, dst: String,
+                 sources: DataFrame, idCol: String, maxDepth: Int): DataFrame = {
+    val e0 = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = e0.select(col("a").as("v"), col("b").as("w"))
+      .unionAll(e0.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint()
+    val allNodes = adj.select(col("v")).distinct().localCheckpoint()
+    val seed = sources.select(col(idCol).as("s"))
+      .distinct()
+      .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var levels = Vector[(Long, DataFrame)](0L -> seed)
+    var frontier = seed
+    var round = 0
+    while (round < maxDepth && !frontier.isEmpty) {
+      round += 1
+      val settledSV = levels.map(_._2.select(col("s"), col("v"))).reduce(_ unionAll _)
+      val next = adj.join(frontier, Seq("v"))
+        .groupBy(col("s"), col("w").as("v"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .join(settledSV, Seq("s", "v"), "left_anti")
+        .localCheckpoint()
+      levels :+= (round.toLong -> next)
+      frontier = next
+    }
+    val settled = levels
+      .map { case (dd, df) => df.withColumn("dist", lit(dd)) }
+      .reduce(_ unionAll _)
+    val spine = seed.select(col("s")).crossJoin(allNodes)
+    val out = spine.join(settled, Seq("s", "v"), "left")
+      .select(col("s").as("source"), col("v"),
+        coalesce(col("dist"), lit(-1L)).as("dist"),
+        coalesce(col("sigma"), lit(0L)).as("sigma"))
+      // seeds outside the graph still belong to the result
+      .unionAll(settled.join(allNodes, Seq("v"), "left_anti")
+        .select(col("s").as("source"), col("v"), col("dist"), col("sigma")))
+    adj.unpersist()
+    val result = out.localCheckpoint()
+    levels.foreach(_._2.unpersist()); allNodes.unpersist()
+    result
+  }
+
+  /** DuckDB replay of [[pathCounts]] over a caller-supplied `edges(a, b)`
+    * CTE: per-round σ sums with per-(source, node) settled exclusion.
+    * MATERIALIZED per round (the q102 lesson). Emits `sigma_bfs(source,
+    * v, dist, sigma)`. */
+  def pathCountsOracleCtes(sourcesPredicate: String, maxDepth: Int): String = {
+    val base =
+      s"""und AS MATERIALIZED (
+         |  SELECT a AS v, b AS w FROM edges WHERE a <> b
+         |  UNION ALL SELECT b, a FROM edges WHERE a <> b),
+         |bnodes AS MATERIALIZED (SELECT DISTINCT v FROM und),
+         |p0 AS MATERIALIZED (SELECT v AS s, v, 1::BIGINT AS sigma
+         |  FROM bnodes WHERE $sourcesPredicate),
+         |t0 AS MATERIALIZED (SELECT s, v, 0::BIGINT AS dist, sigma FROM p0)""".stripMargin
+    val rounds = (1 to maxDepth).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT f.s, und.w AS v, sum(f.sigma)::BIGINT AS sigma
+         |  FROM und JOIN p${r - 1} f USING (v)
+         |  WHERE NOT EXISTS (SELECT 1 FROM t${r - 1} x
+         |    WHERE x.s = f.s AND x.v = und.w)
+         |  GROUP BY f.s, und.w),
+         |t$r AS MATERIALIZED (
+         |  SELECT s, v, dist, sigma FROM t${r - 1}
+         |  UNION ALL SELECT s, v, $r::BIGINT, sigma FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds,
+       |sigma_bfs AS MATERIALIZED (
+       |  SELECT p0.s AS source, n.v,
+       |    coalesce(t.dist, -1)::BIGINT AS dist,
+       |    coalesce(t.sigma, 0)::BIGINT AS sigma
+       |  FROM (SELECT DISTINCT s FROM p0) p0 CROSS JOIN bnodes n
+       |  LEFT JOIN t$maxDepth t ON t.s = p0.s AND t.v = n.v)""".stripMargin
+  }
+
   /** DuckDB replay: fixed-depth unrolled frontier expansion over an
     * `edges(a, b)` CTE supplied by the caller (the caller's WITH clause
     * must define `edges`); emits the same `(v, dist)` relation. Every

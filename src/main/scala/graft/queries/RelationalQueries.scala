@@ -1071,6 +1071,25 @@ object RelationalQueries {
     // deterministic; nodes beyond 10 hops report dist = -1, keeping the
     // Spark fixpoint and the fixed-depth oracle unroll exactly aligned
     // whatever the graph's eccentricity.
+    // Shortest-path census (Brandes' forward phase): per (source, depth),
+    // how many nodes sit at that distance and how many distinct shortest
+    // paths reach them (σ sums / maxima) — the path-redundancy readout of
+    // a network ("is this node reached by one route or forty"). σ is
+    // exact-integer by construction (Σ over frontier predecessors); the
+    // backward δ phase of full betweenness needs fraction sums with
+    // data-dependent denominators — not portably exact — so the census is
+    // the honest hash-checkable boundary (documented in Bfs.pathCounts).
+    "q284_path_census" -> ((s, d) => {
+      val e = copurchaseEdges(s, d).persist()
+      val seeds = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .distinct().filter(col("id") % 1000 === 0)
+      val pc = graft.operators.Bfs.pathCounts(e, "a", "b", seeds, "id", maxDepth = 4)
+      e.unpersist() // pathCounts localCheckpoints eagerly; lineage is cut
+      pc.groupBy(col("source"), col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("sigma")).as("total_sigma"),
+          max(col("sigma")).as("max_sigma"))
+    }),
+
     "q122_bfs_levels" -> ((s, d) => {
       val e = copurchaseEdges(s, d).persist()
       val seeds = e.select(explode(array(col("a"), col("b"))).as("id"))
@@ -1850,6 +1869,13 @@ object RelationalQueries {
       s"""WITH $copurchaseEdgesSql,
          |${graft.operators.Bfs.oracleCtes("v % 500 = 0", maxDepth = 10)}
          |SELECT dist, count(*)::BIGINT AS n_nodes FROM bfs GROUP BY dist""".stripMargin,
+
+    "q284_path_census" ->
+      s"""WITH $copurchaseEdgesSql,
+         |${graft.operators.Bfs.pathCountsOracleCtes("v % 1000 = 0", maxDepth = 4)}
+         |SELECT source, dist, count(*)::BIGINT AS n_nodes,
+         |  sum(sigma)::BIGINT AS total_sigma, max(sigma)::BIGINT AS max_sigma
+         |FROM sigma_bfs GROUP BY 1, 2""".stripMargin,
 
     "q96_triangle_census" ->
       s"""WITH $copurchaseEdgesSql,
