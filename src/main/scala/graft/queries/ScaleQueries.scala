@@ -228,6 +228,25 @@ object ScaleQueries {
           min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
           min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
     }),
+
+    // Hilbert-curve layout — q67's stronger sibling: consecutive curve
+    // positions are ALWAYS grid-adjacent (Morton jumps diagonals at
+    // power-of-two boundaries), so equal-count curve-range buckets have
+    // tighter per-bucket coordinate bounds — the property that makes
+    // min/max file skipping prune better at the same file count
+    // (HilbertSpec measures the bounding-box win against Morton on a full
+    // grid). The per-level quadrant walk runs as one codegen expression;
+    // the oracle replays all 16 levels as a CTE chain.
+    "q285_hilbert_layout" -> ((s, d) => {
+      val h = graft.functions.Hilbert.index(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536, bits = 16)
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"), h.as("h"))
+        .groupBy(shiftright(col("h"), 14).as("h_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -347,6 +366,17 @@ object ScaleQueries {
         |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
         |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
         |FROM z GROUP BY z_bucket""".stripMargin,
+
+    "q285_hilbert_layout" -> {
+      val ctes = graft.functions.Hilbert.oracleCtes(
+        "(SELECT l_partkey, l_suppkey FROM lineitem)",
+        "l_partkey % 65536", "l_suppkey % 65536", bits = 16)
+      s"""WITH $ctes
+         |SELECT (hd16 // 16384)::BIGINT AS h_bucket, count(*)::BIGINT AS n_rows,
+         |  min(l_partkey)::BIGINT AS pk_min, max(l_partkey)::BIGINT AS pk_max,
+         |  min(l_suppkey)::BIGINT AS sk_min, max(l_suppkey)::BIGINT AS sk_max
+         |FROM hl15 GROUP BY 1""".stripMargin
+    },
 
     "q90_session_overlap" -> {
       val sessSql = graft.operators.Sessionize.batchOracleSql()

@@ -74,6 +74,12 @@ class CodegenCompileSpec extends AnyFunSuite {
     CodegenCompile.compileUnsafeProjection(Seq(MinTrialHash(id, w, 1L << 40)))
   }
 
+  test("HilbertIndex compiles in an UnsafeProjection") {
+    val x = BoundReference(0, LongType, nullable = true)
+    val y = BoundReference(1, LongType, nullable = true)
+    CodegenCompile.compileUnsafeProjection(Seq(HilbertIndex(x, y, 16)))
+  }
+
   test("Jaro-Winkler compiles in an UnsafeProjection") {
     val a = BoundReference(0, StringType, nullable = true)
     val b = BoundReference(1, StringType, nullable = true)
