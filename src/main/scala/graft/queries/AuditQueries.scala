@@ -107,6 +107,36 @@ object AuditQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Off-policy evaluation (IPS / SNIPS) — the counterfactual "what
+    // would the new policy have earned on the logged traffic" estimate,
+    // with NO float surface: the logged (behavior) action is the md5 coin
+    // over event ids (known propensity exactly 1/2, so the importance
+    // weight is the integer 2), the target policy is a deterministic
+    // user rule, rewards are integer cents. IPS = 2·Σ matched cents / n;
+    // SNIPS normalizes by the realized weight mass (= matched count —
+    // the constant-propensity simplification), which here IS the matched
+    // mean; the direct-method baseline is the overall mean. All three in
+    // exact integer micro-cents (÷ via div), one scan + one agg.
+    "q287_policy_eval" -> ((s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          (pmod(TextHash.md5Long(col("event_id").cast("string")), lit(2L)))
+            .as("logged_action"),
+          (pmod(col("user_id"), lit(2L))).as("target_action"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("logged_action") === col("target_action")).cast("long"))
+            .as("n_matched"),
+          sum(when(col("logged_action") === col("target_action"), col("cents"))
+            .otherwise(0L)).as("matched_cents"),
+          sum(col("cents")).as("total_cents"))
+        .select(col("n"), col("n_matched"),
+          expr("2 * matched_cents * 10000 div n").as("ips_microcents"),
+          expr("if(n_matched > 0, matched_cents * 10000 div n_matched, 0L)")
+            .as("snips_microcents"),
+          expr("total_cents * 10000 div n").as("dm_microcents"))
+    }),
+
     // KMV distinct-user sketch per event type + the MERGED union sketch.
     // Shape at scale: one distinct shuffle on (type, user), then a
     // bounded TopKByScore per group — the shuffle after the sketch agg
@@ -1150,6 +1180,25 @@ object AuditQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q287_policy_eval" ->
+      s"""WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+         |    ${TextHash.md5LongSql("event_id::VARCHAR")} % 2 AS logged_action,
+         |    user_id % 2 AS target_action
+         |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |a AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN logged_action = target_action THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_matched,
+         |    sum(CASE WHEN logged_action = target_action THEN cents ELSE 0 END)::BIGINT
+         |      AS matched_cents,
+         |    sum(cents)::BIGINT AS total_cents
+         |  FROM p)
+         |SELECT n, n_matched,
+         |  (2 * matched_cents * 10000 // n)::BIGINT AS ips_microcents,
+         |  (CASE WHEN n_matched > 0 THEN matched_cents * 10000 // n_matched
+         |        ELSE 0 END)::BIGINT AS snips_microcents,
+         |  (total_cents * 10000 // n)::BIGINT AS dm_microcents
+         |FROM a""".stripMargin,
 
     "q143_kmv_distinct" -> {
       val h = kmvHashSql("user_id")

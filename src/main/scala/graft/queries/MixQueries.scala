@@ -185,6 +185,33 @@ object MixQueries {
           expr("n_covered * 10000 div n_test").as("coverage_bp"))
     }),
 
+    // Leave-one-source-out ablation — the data-valuation table a corpus
+    // curator reads before cutting a source: for every source, the corpus
+    // quality metrics RECOMPUTED WITHOUT it, from sufficient statistics
+    // (per-source n/Σ + one global rollup — removing a source is a
+    // subtraction, never a rescan per source; q283's leave-one-out trick
+    // at the source grain). Metrics: mean tokens/doc (×100) and the
+    // q215-label pass rate (tokens ≥ 60) in bp, both exact integer
+    // divisions; `raises_quality` is the cross-multiplied exact boolean
+    // (pass_wo·N·den > pass_all·…) for "does dropping this source raise
+    // the pass rate".
+    "q286_loso_ablation" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"), size(TextHash.tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("ntok")).as("tok"),
+          sum((col("ntok") >= 60).cast("long")).as("pass"))
+      val tot = per.agg(sum(col("n")).as("tn"), sum(col("tok")).as("ttok"),
+        sum(col("pass")).as("tpass"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n").as("n_docs"),
+          expr("(ttok - tok) * 100 div (tn - n)").as("loso_mean_tok_x100"),
+          expr("(tpass - pass) * 10000 div (tn - n)").as("loso_pass_bp"),
+          // exact rational compare: (tpass−pass)/(tn−n) > tpass/tn
+          ((col("tpass") - col("pass")) * col("tn") >
+            col("tpass") * (col("tn") - col("n"))).as("raises_quality"))
+    }),
+
     // 5-fold cross-validated bigram LM — q279 generalized WITHOUT k
     // rescans: per-(fold, pair) counts are the sufficient statistics, so
     // fold f's training count is total − own (one subtraction, not a
@@ -676,6 +703,19 @@ object MixQueries {
            |  (floor(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000) AS pass_rate,
            |  (floor(sum(n_tokens)::DOUBLE / count(*) * 100 + 0.5) / 100) AS mean_tokens
            |FROM r GROUP BY source""".stripMargin,
+
+      "q286_loso_ablation" ->
+        s"""WITH per AS (SELECT source, count(*)::BIGINT AS n,
+           |    sum(len($toksSql))::BIGINT AS tok,
+           |    sum(CASE WHEN len($toksSql) >= 60 THEN 1 ELSE 0 END)::BIGINT AS pass
+           |  FROM documents GROUP BY source),
+           |tot AS (SELECT sum(n)::BIGINT AS tn, sum(tok)::BIGINT AS ttok,
+           |    sum(pass)::BIGINT AS tpass FROM per)
+           |SELECT source, n AS n_docs,
+           |  ((ttok - tok) * 100 // (tn - n))::BIGINT AS loso_mean_tok_x100,
+           |  ((tpass - pass) * 10000 // (tn - n))::BIGINT AS loso_pass_bp,
+           |  ((tpass - pass) * tn > tpass * (tn - n)) AS raises_quality
+           |FROM per, tot""".stripMargin,
 
       "q283_bigram_cv" ->
         s"""WITH t AS (SELECT ${TextHash.md5LongSql("doc_id::VARCHAR")} % 5 AS fold,
