@@ -107,6 +107,42 @@ object AuditQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Rolling-origin forecast backtest — q269's MASE generalized to a
+    // cutoff GRID (the honest way to evaluate a forecaster: one split is
+    // an anecdote, the grid is a distribution): per cutoff, a 3-day
+    // horizon scored with seasonal-naive (d−7) against the last-value
+    // naive anchored at the cutoff. Horizon < season, so every seasonal
+    // lookup lands before the cutoff — no leakage by construction. The
+    // daily series is one hash agg (integer cents); each cutoff's scoring
+    // touches ≤ horizon rows, so the grid costs joins over a ≤31-row
+    // relation regardless of event volume.
+    "q288_backtest_grid" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .persist() // eval window + seasonal lookup + anchor, per cutoff
+      Seq("2024-01-16", "2024-01-20", "2024-01-24").map { cs =>
+        val cutDate = lit(cs).cast("date")
+        val evalW = daily.filter(col("day") > cutDate &&
+          col("day") <= date_add(cutDate, 3))
+        val seasonal = daily.select(date_add(col("day"), 7).as("day"),
+          col("cents").as("s_cents"))
+        val anchor = daily.filter(col("day") === cutDate)
+          .select(col("cents").as("a_cents"))
+        evalW.join(seasonal, Seq("day"))
+          .crossJoin(broadcast(anchor))
+          .agg(count(lit(1)).as("n_days"),
+            sum(abs(col("cents") - col("s_cents"))).as("ae_seasonal"),
+            sum(abs(col("cents") - col("a_cents"))).as("ae_naive"))
+          .select(cutDate.as("cutoff"), col("n_days"),
+            expr("ae_seasonal div n_days").as("mae_seasonal_cents"),
+            expr("ae_naive div n_days").as("mae_naive_cents"),
+            expr("if(ae_naive > 0, ae_seasonal * 10000 div ae_naive, 0L)")
+              .as("mase_bp"))
+      }.reduce(_ unionAll _)
+    }),
+
     // Off-policy evaluation (IPS / SNIPS) — the counterfactual "what
     // would the new policy have earned on the logged traffic" estimate,
     // with NO float surface: the logged (behavior) action is the md5 coin
@@ -1180,6 +1216,26 @@ object AuditQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q288_backtest_grid" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT unnest(['2024-01-16'::DATE, '2024-01-20'::DATE,
+        |    '2024-01-24'::DATE]) AS cutoff),
+        |j AS (SELECT c.cutoff, d.day, d.cents, s.cents AS s_cents, a.cents AS a_cents
+        |  FROM c
+        |  JOIN daily d ON d.day > c.cutoff AND d.day <= c.cutoff + 3
+        |  JOIN daily s ON s.day = d.day - 7
+        |  JOIN daily a ON a.day = c.cutoff)
+        |SELECT cutoff, count(*)::BIGINT AS n_days,
+        |  (sum(abs(cents - s_cents)) // count(*))::BIGINT AS mae_seasonal_cents,
+        |  (sum(abs(cents - a_cents)) // count(*))::BIGINT AS mae_naive_cents,
+        |  (CASE WHEN sum(abs(cents - a_cents)) > 0
+        |        THEN sum(abs(cents - s_cents)) * 10000 // sum(abs(cents - a_cents))
+        |        ELSE 0 END)::BIGINT AS mase_bp
+        |FROM j GROUP BY cutoff""".stripMargin,
 
     "q287_policy_eval" ->
       s"""WITH p AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
