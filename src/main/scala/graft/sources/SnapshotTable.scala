@@ -601,6 +601,52 @@ object SnapshotTable {
 
   // ---- incremental CDC consumption: durable per-consumer offsets ----
 
+  /** SCD2 dimension-history maintenance from a change feed — the classic
+    * warehouse pattern (q95's batch semantics) driven INCREMENTALLY by
+    * [[pollChanges]]: each applied batch closes the open history rows of
+    * affected keys (valid_to = the batch's source version) and opens new
+    * rows for inserted/updated keys (valid_from = that version, valid_to
+    * = −1 = open). Rides [[upsert]] keyed (keys…, valid_from), so closing
+    * rewrites only the files holding affected open rows and the whole
+    * apply is ONE atomic history commit. Version numbers are the SOURCE
+    * table's commit versions — [[scd2AsOf]] reconstructs any polled
+    * source version exactly (spec-proven), which is the SCD2 correctness
+    * contract. Returns the committed history version (None for an empty
+    * batch). */
+  def scd2Apply(spark: SparkSession, historyDir: String, changes0: DataFrame,
+                keys: Seq[String], sourceVersion: Long): Option[Long] = {
+    require(keys.nonEmpty, "scd2Apply needs at least one key column")
+    val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (changes.isEmpty) return None
+      val inserts = changes.filter(col("_change") === "insert").drop("_change")
+      val affected = changes.select(keys.map(col): _*).distinct()
+      val opened = inserts
+        .withColumn("valid_from", lit(sourceVersion))
+        .withColumn("valid_to", lit(-1L))
+      val toApply = latestVersion(historyDir) match {
+        case None => opened // bootstrap: nothing to close
+        case Some(_) =>
+          val closed = read(spark, historyDir)
+            .filter(col("valid_to") === -1L)
+            .join(affected, keys, "left_semi")
+            .withColumn("valid_to", lit(sourceVersion))
+          closed.unionByName(opened)
+      }
+      Some(upsert(spark, historyDir, toApply, keys :+ "valid_from"))
+    } finally changes.unpersist()
+  }
+
+  /** The dimension exactly as of SOURCE version `v`: rows whose validity
+    * interval covers it. With every polled boundary applied through
+    * [[scd2Apply]], this equals `readVersion(source, v)` for each such
+    * boundary. */
+  def scd2AsOf(spark: SparkSession, historyDir: String, v: Long): DataFrame =
+    read(spark, historyDir)
+      .filter(col("valid_from") <= v &&
+        (col("valid_to") === -1L || col("valid_to") > v))
+      .drop("valid_from", "valid_to")
+
   private def consumersDir(tableDir: String): Path = Paths.get(tableDir, "_consumers")
   // greedy id group: the LAST 8-digit field is the ack sequence, so
   // consumer ids may themselves contain '-'. The consumed-through VERSION

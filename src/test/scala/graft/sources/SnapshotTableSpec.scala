@@ -596,6 +596,41 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     assert(SnapshotTable.pollChanges(spark, src, "replica").isEmpty)
   }
 
+  test("SCD2 from CDC: every polled source version reconstructs exactly; one open row per live key") {
+    val src = tmpTable(); val hist = tmpTable()
+    val polled = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sync(): Unit =
+      SnapshotTable.pollChanges(spark, src, "scd2").foreach { b =>
+        SnapshotTable.scd2Apply(spark, hist, b.df, Seq("k"), b.toVersion)
+        polled += b.toVersion
+        assert(b.ack())
+      }
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), src)
+    sync() // bootstrap
+    SnapshotTable.upsert(spark, src, Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    sync() // update + insert
+    SnapshotTable.deleteWhere(spark, src,
+      org.apache.spark.sql.functions.col("k") === 1L)
+    SnapshotTable.commitAppend(Seq((4L, "d")).toDF("k", "v").coalesce(1), src)
+    sync() // composed window: delete + insert across two commits
+    // the SCD2 contract: each polled boundary reconstructs the source
+    for (v <- polled)
+      assert(rowsOf(SnapshotTable.scd2AsOf(spark, hist, v)) ==
+        rowsOf(SnapshotTable.readVersion(spark, src, v)), s"asOf v$v diverged")
+    // exactly one open row per live key; closed intervals are well-formed
+    val h = SnapshotTable.read(spark, hist).collect()
+    val open = h.filter(_.getAs[Long]("valid_to") == -1L)
+    assert(open.map(_.getAs[Long]("k")).sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(h.filter(_.getAs[Long]("valid_to") != -1L)
+      .forall(r => r.getAs[Long]("valid_to") > r.getAs[Long]("valid_from")))
+    // the full change story of key 2: one closed row (old value) + one open
+    val k2 = h.filter(_.getAs[Long]("k") == 2L)
+      .map(r => (r.getAs[String]("v"), r.getAs[Long]("valid_to") == -1L)).toSet
+    assert(k2 == Set(("b", false), ("B2", true)))
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
