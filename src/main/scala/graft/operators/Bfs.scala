@@ -137,7 +137,13 @@ object Bfs {
   /** DuckDB replay of [[pathCounts]] over a caller-supplied `edges(a, b)`
     * CTE: per-round σ sums with per-(source, node) settled exclusion.
     * MATERIALIZED per round (the q102 lesson). Emits `sigma_bfs(source,
-    * v, dist, sigma)`. */
+    * v, dist, sigma)`.
+    *
+    * CONTRACT NARROWER THAN THE OPERATOR'S: `sourcesPredicate` selects
+    * seeds FROM THE GRAPH'S NODES (p0 draws from bnodes), so a seed
+    * absent from the edge set — which [[pathCounts]] handles by emitting
+    * its (s, s, 0, 1) row — has NO replay here. Oracle-checked queries
+    * must derive their seed set from the edges (q284 does). */
   def pathCountsOracleCtes(sourcesPredicate: String, maxDepth: Int): String = {
     val base =
       s"""und AS MATERIALIZED (

@@ -83,9 +83,15 @@ object Dbscan {
       .select(col("ia").as("id"), col("root"))
     val labeled = roots.withColumn("is_core", lit(true))
       .union(borderRoots.withColumn("is_core", lit(false)))
-    pts.join(labeled, pts("id") === labeled("id"), "left")
+    val out = pts.join(labeled, pts("id") === labeled("id"), "left")
       .select(pts("id"), col("x"), col("y"),
         coalesce(col("is_core"), lit(false)).as("is_core"),
         coalesce(col("root"), lit(-1L)).as("root"))
+      // materialize before freeing the intermediates (the Bfs discipline):
+      // without this, four persisted relations outlive the query and evict
+      // other cached data for the rest of the session
+      .localCheckpoint()
+    Seq(pts, pairs, coreIds, roots).foreach(_.unpersist())
+    out
   }
 }

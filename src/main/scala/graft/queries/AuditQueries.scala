@@ -140,6 +140,10 @@ object AuditQueries {
             expr("ae_naive div n_days").as("mae_naive_cents"),
             expr("if(ae_naive > 0, ae_seasonal * 10000 div ae_naive, 0L)")
               .as("mase_bp"))
+          // an empty cutoff window (no anchor day / sparse series) must
+          // emit NO row: the ungrouped agg always returns one, while the
+          // oracle's GROUP BY returns none — the q263 den=0 gating rule
+          .filter(col("n_days") > 0)
       }.reduce(_ unionAll _)
     }),
 

@@ -29,9 +29,10 @@ object EngineQueries {
     // plane: ε=8, minPts=5, coordinates in pure integers (cents summed AS
     // integers — never a float sum — then quantized by div). The operator
     // finds candidate pairs via the 3×3 grid-cell join (linear, never
-    // all-pairs) and labels clusters with pointer-jumped min-label CC
-    // (O(log diameter) rounds — a DBSCAN blob is the large-diameter
-    // regime); the ORACLE is the brute all-pairs ε-join + recursive
+    // all-pairs) and labels clusters with CONTRACTION-based CC (per-
+    // partition union-find, 2–3 levels regardless of the blob's ~range/ε
+    // hop diameter — the jumped variant measured 8 rounds / 7.3 s here,
+    // contraction 1.7 s); the ORACLE is the brute all-pairs ε-join + recursive
     // closure, so the hash match proves the grid join loses no pair and
     // the jumped CC agrees with true connectivity. Border points attach
     // to the min core-neighbor root (deterministic; classic DBSCAN leaves

@@ -315,7 +315,16 @@ object SnapshotTable {
     * layout-only (stats come from the real values), and `colA` doubles as
     * the legacy single zone column so [[readRange]] keeps working. */
   def compactZOrder(spark: SparkSession, tableDir: String,
-                    colA: String, colB: String, numFiles: Int): Long = {
+                    colA: String, colB: String, numFiles: Int): Long =
+    compactByCurve(spark, tableDir, colA, colB, numFiles,
+      graft.functions.ZOrder.interleave)
+
+  /** Shared body of the two space-filling-curve compactions: scale both
+    * columns to 16-bit ranks, lay out by the curve key, record both
+    * columns' zone stats. The curve is the only difference. */
+  private def compactByCurve(spark: SparkSession, tableDir: String,
+                             colA: String, colB: String, numFiles: Int,
+                             curve: (Column, Column) => Column): Long = {
     val df = read(spark, tableDir)
     val mm = df.agg(
       min(col(colA).cast("double")).as("__mna"),
@@ -326,12 +335,12 @@ object SnapshotTable {
       when(mx === mn, lit(0L)).otherwise(
         ((c.cast("double") - mn) / (mx - mn) * 65535.0).cast("long"))
     val laid = df.crossJoin(broadcast(mm))
-      .withColumn("__z", graft.functions.ZOrder.interleave(
+      .withColumn("__c", curve(
         scale(col(colA), col("__mna"), col("__mxa")),
         scale(col(colB), col("__mnb"), col("__mxb"))))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z", "__mna", "__mxa", "__mnb", "__mxb")
+      .repartitionByRange(numFiles, col("__c"))
+      .sortWithinPartitions("__c")
+      .drop("__c", "__mna", "__mxa", "__mnb", "__mxb")
     commit(laid, tableDir, replace = true,
       zoneCol = Some(colA), multiZoneCols = Seq(colA, colB))
   }
@@ -345,26 +354,9 @@ object SnapshotTable {
     * (`HilbertSpec` measures the win). Same zone-stat recording, same
     * [[readRange]]/[[readRangeMulti]] pruning contract. */
   def compactHilbert(spark: SparkSession, tableDir: String,
-                     colA: String, colB: String, numFiles: Int): Long = {
-    val df = read(spark, tableDir)
-    val mm = df.agg(
-      min(col(colA).cast("double")).as("__mna"),
-      max(col(colA).cast("double")).as("__mxa"),
-      min(col(colB).cast("double")).as("__mnb"),
-      max(col(colB).cast("double")).as("__mxb"))
-    def scale(c: Column, mn: Column, mx: Column): Column =
-      when(mx === mn, lit(0L)).otherwise(
-        ((c.cast("double") - mn) / (mx - mn) * 65535.0).cast("long"))
-    val laid = df.crossJoin(broadcast(mm))
-      .withColumn("__h", graft.functions.Hilbert.index(
-        scale(col(colA), col("__mna"), col("__mxa")),
-        scale(col(colB), col("__mnb"), col("__mxb")), bits = 16))
-      .repartitionByRange(numFiles, col("__h"))
-      .sortWithinPartitions("__h")
-      .drop("__h", "__mna", "__mxa", "__mnb", "__mxb")
-    commit(laid, tableDir, replace = true,
-      zoneCol = Some(colA), multiZoneCols = Seq(colA, colB))
-  }
+                     colA: String, colB: String, numFiles: Int): Long =
+    compactByCurve(spark, tableDir, colA, colB, numFiles,
+      (a, b) => graft.functions.Hilbert.index(a, b, bits = 16))
 
   /** Manifest-pruned BOX read: skip every file whose recorded per-column
     * [min,max] misses any of the requested `bounds` (col, lo, hi); files
@@ -619,6 +611,18 @@ object SnapshotTable {
     val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (changes.isEmpty) return None
+      // at-least-once redelivery guard (pollChanges acks AFTER apply): a
+      // batch for an already-applied source version must no-op, or the
+      // re-close writes degenerate valid_from == valid_to rows and the
+      // re-open doubles the (keys, valid_from) upsert key. The version
+      // rides every applied row, so the history itself is the marker.
+      val already = latestVersion(historyDir).exists { _ =>
+        !read(spark, historyDir)
+          .filter(col("valid_from") === sourceVersion ||
+            col("valid_to") === sourceVersion)
+          .isEmpty
+      }
+      if (already) return None
       val inserts = changes.filter(col("_change") === "insert").drop("_change")
       val affected = changes.select(keys.map(col): _*).distinct()
       val opened = inserts
@@ -1033,8 +1037,18 @@ object SnapshotTable {
       val i = s.indexOf(':')
       if (i >= 0 && s.substring(i + 1).contains('/')) s.substring(i + 1) else s
     }
+    // links created by THIS call: on any abort (conflict, CAS exhaustion)
+    // they are referenced by no manifest and must be unlinked, or they
+    // leak as orphans vacuum never reclaims (it walks referenced dirs)
+    val createdLinks = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def cleanupCreated(): Unit = {
+      createdLinks.foreach(Files.deleteIfExists(_))
+      createdLinks.map(_.getParent).distinct.foreach { dir =>
+        try Files.deleteIfExists(dir) catch { case _: java.io.IOException => () }
+      }
+    }
     var attempt = 0
-    while (attempt < 64) {
+    try while (attempt < 64) {
       val mTip = snapshot(mainDir, latestVersion(mainDir).getOrElse(
         throw new IllegalStateException(s"main $mainDir has no versions")))
       val mSet = mTip.files.toSet
@@ -1048,9 +1062,10 @@ object SnapshotTable {
       val kept = mTip.files.filterNot(branchDeleted)
       for (f <- branchAdded) {
         val dst = Paths.get(mainDir, f)
-        if (!Files.exists(dst)) { // CAS retries / re-merges re-enter here
+        if (!Files.exists(dst)) { // CAS retries re-enter here
           Files.createDirectories(dst.getParent)
           Files.createLink(dst, Paths.get(branchDir, f))
+          createdLinks += dst
         }
       }
       val sameZoneSpec =
@@ -1092,7 +1107,10 @@ object SnapshotTable {
           Files.deleteIfExists(tmp)
           attempt += 1 // tip moved: recompute the diff against the new tip
       }
+    } catch {
+      case e: Throwable => cleanupCreated(); throw e
     }
+    cleanupCreated()
     throw new ConcurrentCommitException(
       s"lost the merge-commit race $attempt times in $mainDir")
   }

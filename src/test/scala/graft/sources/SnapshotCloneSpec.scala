@@ -113,6 +113,23 @@ class SnapshotCloneSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("BOTH sides"))
     // main is untouched by the failed merge
     assert(SnapshotTable.read(spark, main).as[Int].collect().toSeq == Seq(1))
+    // and the abort left NO orphan links: every parquet file under main is
+    // referenced by some manifest (the conflict was detected after the
+    // branch deleteWhere, whose rewrite files would otherwise leak in)
+    import scala.jdk.CollectionConverters._
+    val mainPath = java.nio.file.Paths.get(main)
+    val onDisk = {
+      val s = java.nio.file.Files.walk(mainPath)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          !p.toString.contains("_snapshots"))
+        .map(p => mainPath.relativize(p).toString).toSet
+      finally s.close()
+    }
+    val referenced = SnapshotTable.versions(main)
+      .flatMap(v => SnapshotTable.snapshot(main, v).files).toSet
+    assert(onDisk == referenced,
+      s"orphans after aborted merge: ${(onDisk -- referenced).toSeq.sorted}")
   }
 
   test("branch merge: main-side replace conflicts with branch rewrites, accepts pure appends") {

@@ -631,6 +631,30 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     assert(k2 == Set(("b", false), ("B2", true)))
   }
 
+  test("SCD2 redelivery: re-applying an already-applied batch is a no-op") {
+    val src = tmpTable(); val hist = tmpTable()
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), src)
+    val b1 = SnapshotTable.pollChanges(spark, src, "c1").get
+    assert(SnapshotTable.scd2Apply(spark, hist, b1.df, Seq("k"), b1.toVersion).isDefined)
+    // crash-before-ack: the SAME batch is redelivered (never acked)
+    val redelivered = SnapshotTable.pollChanges(spark, src, "c1").get
+    assert(redelivered.toVersion == b1.toVersion)
+    assert(SnapshotTable.scd2Apply(
+      spark, hist, redelivered.df, Seq("k"), redelivered.toVersion).isEmpty,
+      "an already-applied source version must no-op, never double-write")
+    val h = SnapshotTable.read(spark, hist).collect()
+    assert(h.length == 1 && h.head.getAs[Long]("valid_to") == -1L)
+    assert(redelivered.ack())
+    // also for a later close-only window: delete then redeliver its batch
+    SnapshotTable.deleteWhere(spark, src,
+      org.apache.spark.sql.functions.col("k") === 1L)
+    val b2 = SnapshotTable.pollChanges(spark, src, "c1").get
+    assert(SnapshotTable.scd2Apply(spark, hist, b2.df, Seq("k"), b2.toVersion).isDefined)
+    assert(SnapshotTable.scd2Apply(spark, hist, b2.df, Seq("k"), b2.toVersion).isEmpty)
+    val h2 = SnapshotTable.read(spark, hist).collect()
+    assert(h2.length == 1 && h2.head.getAs[Long]("valid_to") == b2.toVersion)
+  }
+
   test("empty-table read fails loudly; empty-df commit is a valid snapshot") {
     val t = tmpTable()
     intercept[IllegalStateException](SnapshotTable.read(spark, t))
