@@ -942,6 +942,71 @@ object AuditQueries {
           6).as("acf"))
     }),
 
+    // Spearman rank correlation between the daily click and purchase
+    // series — the robust (monotone-invariant) sibling of q164's Pearson.
+    // Tie-averaged ranks are kept EXACT by doubling (avg rank ×2 =
+    // 2·min_rank + tie_count − 1, an integer); Spearman is then Pearson
+    // on the doubled ranks with the q152 decimal-string numerators and a
+    // portable-rounded rho. Rank windows run over the ≤366-row daily
+    // relation (calendar-bounded at any SF).
+    "q289_spearman" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "click", col("c")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("y"))
+      def rank2(v: String) = // exact tie-averaged rank, doubled to stay integer
+        lit(2L) * rank().over(Window.orderBy(col(v))) +
+          count(lit(1)).over(Window.partitionBy(col(v))) - 1L
+      val ranked = daily.select(rank2("x").as("rx"), rank2("y").as("ry"))
+      val agg = ranked.agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val n = dec(col("n"))
+      val num = n * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+      val dx = n * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+      val dy = n * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+      agg.select(col("n"),
+        num.cast("string").as("rho_num"),
+        dx.cast("string").as("rho_den_x"), dy.cast("string").as("rho_den_y"),
+        graft.functions.PortableMath.roundPortable(
+          num.cast("double") / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))),
+          6).as("rho"))
+    }),
+
+    // Kendall τ-b between the same two daily series — rank correlation by
+    // PAIR COUNTING, which stays entirely in integers: concordant /
+    // discordant / per-side tie counts over the day×day pair relation
+    // (domain-bounded — C(366,2) at any SF); τ-b's denominator
+    // √((n0−n1)(n0−n2)) is the only float, under portable rounding.
+    "q290_kendall" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "click", col("c")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("y"))
+        .persist() // both sides of the pair join
+      val p = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+        .select((col("a.x") - col("b.x")).as("dx"), (col("a.y") - col("b.y")).as("dy"))
+      val agg = p.agg(count(lit(1)).as("n0"),
+        sum(((col("dx") > 0 && col("dy") > 0) ||
+          (col("dx") < 0 && col("dy") < 0)).cast("long")).as("c_pairs"),
+        sum(((col("dx") > 0 && col("dy") < 0) ||
+          (col("dx") < 0 && col("dy") > 0)).cast("long")).as("d_pairs"),
+        sum((col("dx") === 0).cast("long")).as("n1"),
+        sum((col("dy") === 0).cast("long")).as("n2"))
+      agg.select(col("n0"), col("c_pairs"), col("d_pairs"), col("n1"), col("n2"),
+        graft.functions.PortableMath.roundPortable(
+          (col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt((col("n0") - col("n1")).cast("double") *
+              (col("n0") - col("n2")).cast("double")), 6).as("tau_b"))
+    }),
+
     // Rolling 14-day cross-correlation between the click and purchase
     // daily revenue series — "are clicks still tracking purchases" as a
     // time-varying signal (q152's exact-moment machinery inside a
@@ -1220,6 +1285,53 @@ object AuditQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q289_spearman" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |r AS (SELECT
+        |    (2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1)::BIGINT AS rx,
+        |    (2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1)::BIGINT AS ry
+        |  FROM daily),
+        |a AS (SELECT count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx, sum(ry)::BIGINT AS sy,
+        |    sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy,
+        |    sum(rx * ry)::BIGINT AS sxy FROM r)
+        |SELECT n,
+        |  (n::HUGEINT * sxy - sx::HUGEINT * sy)::VARCHAR AS rho_num,
+        |  (n::HUGEINT * sxx - sx::HUGEINT * sx)::VARCHAR AS rho_den_x,
+        |  (n::HUGEINT * syy - sy::HUGEINT * sy)::VARCHAR AS rho_den_y,
+        |  (floor((n::HUGEINT * sxy - sx::HUGEINT * sy)::DOUBLE /
+        |     (sqrt((n::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE)
+        |      * sqrt((n::HUGEINT * syy - sy::HUGEINT * sy)::DOUBLE)) * 1000000 + 0.5)
+        |   / 1000000) AS rho
+        |FROM a""".stripMargin,
+
+    "q290_kendall" ->
+      """WITH daily AS (SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |p AS (SELECT (a.x - b.x) AS dx, (a.y - b.y) AS dy
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |g AS (SELECT count(*)::BIGINT AS n0,
+        |    sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+        |        THEN 1 ELSE 0 END)::BIGINT AS c_pairs,
+        |    sum(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+        |        THEN 1 ELSE 0 END)::BIGINT AS d_pairs,
+        |    sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |    sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)::BIGINT AS n2
+        |  FROM p)
+        |SELECT n0, c_pairs, d_pairs, n1, n2,
+        |  (floor((c_pairs - d_pairs)::DOUBLE /
+        |     sqrt((n0 - n1)::DOUBLE * (n0 - n2)::DOUBLE) * 1000000 + 0.5)
+        |   / 1000000) AS tau_b
+        |FROM g""".stripMargin,
 
     "q288_backtest_grid" ->
       """WITH daily AS (SELECT ts::DATE AS day,
