@@ -942,6 +942,38 @@ object AuditQueries {
           6).as("acf"))
     }),
 
+    // Trimmed + winsorized means — the robust-mean pair every metrics
+    // panel wants next to the raw mean, with NO sort of the corpus: the
+    // p10/p90 trim thresholds are EXACT lower order statistics from
+    // WeightedMedian's integer histogram narrowing (both quantiles share
+    // every scan; bounded memory at any scale), and the means are one
+    // conditional aggregate against the broadcast thresholds. Trimming is
+    // by VALUE bounds [p10, p90] (inter-quantile mean) so tie handling is
+    // definitionally identical cross-engine; all arithmetic integer cents.
+    "q291_trimmed_mean" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"),
+          lit(1L).as("w"))
+        .persist() // quantile narrowing scans + the final conditional agg
+      val th = graft.operators.WeightedMedian.quantiles(s, ev,
+          "event_type", "cents", "w", Seq(("p10", 1L, 10L), ("p90", 9L, 10L)))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("p_label") === "p10", col("wquantile"))).as("v10"),
+          max(when(col("p_label") === "p90", col("wquantile"))).as("v90"))
+      val in = col("cents").between(col("v10"), col("v90"))
+      ev.join(broadcast(th), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("v10")).as("p10_cents"), max(col("v90")).as("p90_cents"),
+          sum(in.cast("long")).as("n_in"),
+          sum(when(in, col("cents")).otherwise(0L)).as("sum_in"),
+          sum(greatest(least(col("cents"), col("v90")), col("v10"))).as("wsum"))
+        .select(col("event_type"), col("n"), col("p10_cents"), col("p90_cents"),
+          col("n_in"),
+          expr("sum_in div n_in").as("trimmed_mean_cents"),
+          expr("wsum div n").as("winsor_mean_cents"))
+    }),
+
     // Spearman rank correlation between the daily click and purchase
     // series — the robust (monotone-invariant) sibling of q164's Pearson.
     // Tie-averaged ranks are kept EXACT by doubling (avg rank ×2 =
@@ -1285,6 +1317,31 @@ object AuditQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // thresholds replayed as explicit order statistics: the operator's
+    // contract is "smallest v whose running weight reaches ceil(p·W)",
+    // which for unit weights is the value at row_number ceil(p·n)
+    "q291_trimmed_mean" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |rk AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ev),
+        |th AS (SELECT event_type,
+        |    min(CASE WHEN rn >= (n + 9) // 10 THEN cents END)::BIGINT AS v10,
+        |    min(CASE WHEN rn >= (9 * n + 9) // 10 THEN cents END)::BIGINT AS v90
+        |  FROM rk GROUP BY 1),
+        |a AS (SELECT ev.event_type, count(*)::BIGINT AS n,
+        |    max(v10)::BIGINT AS p10_cents, max(v90)::BIGINT AS p90_cents,
+        |    sum(CASE WHEN cents BETWEEN v10 AND v90 THEN 1 ELSE 0 END)::BIGINT AS n_in,
+        |    sum(CASE WHEN cents BETWEEN v10 AND v90 THEN cents ELSE 0 END)::BIGINT AS sum_in,
+        |    sum(greatest(least(cents, v90), v10))::BIGINT AS wsum
+        |  FROM ev JOIN th ON ev.event_type = th.event_type GROUP BY 1)
+        |SELECT event_type, n, p10_cents, p90_cents, n_in,
+        |  (sum_in // n_in)::BIGINT AS trimmed_mean_cents,
+        |  (wsum // n)::BIGINT AS winsor_mean_cents
+        |FROM a""".stripMargin,
 
     "q289_spearman" ->
       """WITH daily AS (SELECT ts::DATE AS day,
