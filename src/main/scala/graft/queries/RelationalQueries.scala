@@ -96,6 +96,23 @@ object RelationalQueries {
         .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
           count(lit(1)).as("n_items"))),
 
+    // GROUPING SETS with an explicit (non-cube, non-rollup) set list —
+    // the third multi-grain shape beside q62's CUBE: per (flag, status),
+    // per status alone, and the grand total, with grouping_id
+    // disambiguating NULL-as-group from NULL-as-value. One Expand +
+    // hash-agg (each row fans to 3 grains map-side); integer cents.
+    "q292_grouping_sets" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      li.createOrReplaceTempView("graft_q292_li")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  grouping_id(l_returnflag, l_linestatus) AS gid,
+              |  sum(cents) AS sum_cents, count(*) AS n_items
+              |FROM graft_q292_li
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_linestatus), ())""".stripMargin)
+    }),
+
     // Window analytics: top-3 customers per nation by balance, with rank
     // flavors and the gap to the previous customer.
     "q30_window_analytics" -> ((s, d) => {
@@ -1979,6 +1996,15 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_items
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q292_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())""".stripMargin,
 
     "q29_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
