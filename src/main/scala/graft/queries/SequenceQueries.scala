@@ -734,6 +734,56 @@ object SequenceQueries {
     // order and the window is deterministic despite duplicate timestamps.
     // One user-keyed sort-window pass + one tiny (|types|²) aggregate;
     // the probability divides two exact counts, rounded identically.
+    // Markov REMOVAL-EFFECT attribution — the channel-value model that
+    // replaces last-touch heuristics (q112/q160): estimate the chain from
+    // ALL consecutive (prev → next) user transitions (one user-keyed lag
+    // window + a type×type count rollup — the distributed work), then
+    // evaluate conversion probability by K=6-step backward induction with
+    // 'purchase' absorbing, and re-evaluate with each channel's incoming
+    // mass REMOVED (redirected to loss). The count matrix is bounded by
+    // the TYPE DOMAIN (≤ 6×5 cells — a legal driver collect), so the
+    // induction is driver integer math in micro units with div truncation
+    // per round (q81 PageRank's bit-reproducible discipline — a true
+    // absorbing-chain inverse would need unportable rational sums).
+    // removal_bp(c) = (P − P₋c)·10⁴ div P. The oracle unrolls the same
+    // induction as single-row scalar CTEs, per channel.
+    "q293_markov_attribution" -> ((s, d) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val counts = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("prev", coalesce(lag(col("event_type"), 1).over(w), lit("START")))
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("c"))
+        .collect() // bounded by the type domain: ≤ (|types|+1)·|types| rows
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      def cell(p: String, n: String) = counts.getOrElse((p, n), 0L)
+      def rowsum(p: String) = types.map(cell(p, _)).sum
+      val M = 1000000L
+      def evalChain(excluded: Option[String]): Long = {
+        val reach = types.filterNot(excluded.contains)
+        var p = types.map(t => t -> (if (t == "purchase") M else 0L)).toMap
+        for (_ <- 1 to 6) {
+          p = types.map { st =>
+            st -> (if (st == "purchase") M
+            else {
+              val rs = rowsum(st)
+              if (rs == 0) 0L else reach.map(t => cell(st, t) * p(t)).sum / rs
+            })
+          }.toMap
+        }
+        val rs = rowsum("START")
+        if (rs == 0) 0L else reach.map(t => cell("START", t) * p(t)).sum / rs
+      }
+      val base = evalChain(None)
+      types.filterNot(_ == "purchase").map { ch =>
+        val rem = evalChain(Some(ch))
+        (ch, base, rem, if (base > 0) (base - rem) * 10000 / base else 0L)
+      }.toDF("channel", "p_base_micro", "p_removed_micro", "removal_bp")
+    }),
+
     "q72_event_transitions" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       val wf = Window.partitionBy(col("from_type"))
@@ -769,6 +819,75 @@ object SequenceQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // the full induction unrolled as single-row scalar CTEs: the count
+    // matrix lands as 30 columns, each chain (base + one per removed
+    // channel) adds 6 rounds of per-state columns carried via SELECT *
+    "q293_markov_attribution" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val prevs = "START" +: types
+      val channels = types.filterNot(_ == "purchase")
+      val cellCols = (for (p <- prevs; n <- types) yield
+        s"sum(CASE WHEN prev = '$p' AND next = '$n' THEN c ELSE 0 END)::BIGINT AS c_${p}_$n")
+        .mkString(",\n    ")
+      val rsCols = prevs.map(p =>
+        s"(${types.map(n => s"c_${p}_$n").mkString(" + ")})::BIGINT AS rs_$p")
+        .mkString(",\n    ")
+      def pcol(tag: String, t: String, k: Int): String =
+        if (t == "purchase") "1000000"
+        else if (k == 0) "0"
+        else s"p$tag${k}_$t"
+      def chain(tag: String, reach: Seq[String], from0: String): String =
+        (1 to 6).map { k =>
+          val cols = reach.filterNot(_ == "purchase").map { st =>
+            val numer = reach.map(t => s"c_${st}_$t * ${pcol(tag, t, k - 1)}")
+              .mkString(" + ")
+            s"(CASE WHEN rs_$st > 0 THEN ($numer) // rs_$st ELSE 0 END)::BIGINT AS p$tag${k}_$st"
+          }.mkString(",\n    ")
+          val from = if (k == 1) from0 else s"p$tag${k - 1}"
+          s"p$tag$k AS (SELECT *,\n    $cols\n  FROM $from)"
+        }.mkString(",\n")
+      def startVal(tag: String, reach: Seq[String]): String = {
+        val numer = reach.map(t => s"c_START_$t * ${pcol(tag, t, 6)}").mkString(" + ")
+        s"(CASE WHEN rs_START > 0 THEN ($numer) // rs_START ELSE 0 END)"
+      }
+      val chains = (("b", types, "m2") +:
+        channels.map(ch => (ch.take(2) + "x", types.filterNot(_ == ch), ""): (String, Seq[String], String)))
+      // chain the CTEs: each starts FROM the previous chain's last CTE
+      val chainSql = {
+        var prevLast = "m2"
+        chains.map { case (tag, reach, _) =>
+          val sql = chain(tag, reach, prevLast)
+          prevLast = s"p${tag}6"
+          sql
+        }.mkString(",\n")
+      }
+      val lastCte = s"p${chains.last._1}6"
+      val unions = channels.map { ch =>
+        val tag = ch.take(2) + "x"
+        val base = startVal("b", types)
+        val rem = startVal(tag, types.filterNot(_ == ch))
+        s"""SELECT '$ch' AS channel, $base::BIGINT AS p_base_micro,
+           |  $rem::BIGINT AS p_removed_micro,
+           |  (CASE WHEN $base > 0 THEN (($base) - ($rem)) * 10000 // ($base)
+           |        ELSE 0 END)::BIGINT AS removal_bp
+           |FROM $lastCte""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tr AS (SELECT user_id, event_type AS next,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         |      AS prevt
+         |  FROM events),
+         |tc AS (SELECT coalesce(prevt, 'START') AS prev, next, count(*)::BIGINT AS c
+         |  FROM tr GROUP BY 1, 2),
+         |m AS (SELECT
+         |    $cellCols
+         |  FROM tc),
+         |m2 AS (SELECT *,
+         |    $rsCols
+         |  FROM m),
+         |$chainSql
+         |$unions""".stripMargin
+    },
     "q64_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS view_us FROM ev
