@@ -463,6 +463,39 @@ object TextQueries {
     // 2l−1 — no explode, no shuffle; q50's idiom), so the whole audit is
     // one scan. Exact integers: (Σc²−n)·10⁶ div n(n−1) stays under int64
     // for docs to ~10⁶ chars.
+    // Lexical diversity — the FREQUENCY-weighted panel q50's distinctness
+    // ratios can't see (a doc repeating one word 50× in 100 tokens has the
+    // same dup_token_frac as one with a flat tail): Gini–Simpson diversity
+    // 1 − Σc²/n² and top-token dominance max(c)/n, both exact integer ppm.
+    // Σc² and max(c) come from ONE map-side sorted-run fold over the
+    // token array (run l→l+1 adds 2l−1 — the q226 idiom; no shuffle, no
+    // per-doc token explode).
+    "q294_lexical_diversity" -> ((s, d) => {
+      val toks = array_sort(TextHash.tokens(col("text")))
+      val fold = aggregate(toks,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("c2"), lit(0L).as("maxc")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(1L)
+          struct(x.as("prev"), run.as("run"),
+            (acc.getField("c2") + lit(2L) * run - 1L).as("c2"),
+            greatest(acc.getField("maxc"), run).as("maxc"))
+        })
+      Tables.documents(s, d).select(col("doc_id"),
+          size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(TextHash.tokens(col("text")))).cast("long")
+            .as("n_distinct"),
+          fold.getField("c2").as("c2"), fold.getField("maxc").as("maxc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          when(col("n_tokens") >= 1,
+            expr("((n_tokens * n_tokens - c2) * 1000000) div (n_tokens * n_tokens)"))
+            .otherwise(0L).as("simpson_ppm"),
+          when(col("n_tokens") >= 1,
+            expr("(maxc * 1000000) div n_tokens")).otherwise(0L)
+            .as("dominance_ppm"))
+    }),
+
     "q226_charset_audit" -> ((s, d) => {
       // split('') yields [""] on EMPTY text in both engines — filter the
       // empty element so a zero-length doc audits as (0 chars, 0 distinct)
@@ -773,6 +806,21 @@ object TextQueries {
            |  doc_id, score_micro
            |FROM sc ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
       },
+
+      "q294_lexical_diversity" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |u AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |c AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM u GROUP BY 1, 2),
+           |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::BIGINT AS nd,
+           |    sum(cnt * cnt)::BIGINT AS c2, max(cnt)::BIGINT AS maxc
+           |  FROM c GROUP BY 1)
+           |SELECT t.doc_id, coalesce(n, 0)::BIGINT AS n_tokens,
+           |  coalesce(nd, 0)::BIGINT AS n_distinct,
+           |  (CASE WHEN n >= 1 THEN ((n * n - c2) * 1000000) // (n * n)
+           |        ELSE 0 END)::BIGINT AS simpson_ppm,
+           |  (CASE WHEN n >= 1 THEN (maxc * 1000000) // n
+           |        ELSE 0 END)::BIGINT AS dominance_ppm
+           |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin,
 
       "q226_charset_audit" ->
         """WITH ch AS (SELECT doc_id,
