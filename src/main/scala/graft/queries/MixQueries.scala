@@ -185,6 +185,20 @@ object MixQueries {
           expr("n_covered * 10000 div n_test").as("coverage_bp"))
     }),
 
+    // Per-source language concentration — the Herfindahl index (Σ share²)
+    // of each source's language mix, exact integer ppm: HHI = Σc_l²·10⁶
+    // div n². The "is this source a monoculture" readout next to q241's
+    // raw pivot; two tiny hash aggs (source×lang, then source), no float.
+    "q295_language_hhi" -> ((s, d) => {
+      val sl = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      sl.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"),
+          sum(col("c") * col("c")).as("c2"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          expr("(c2 * 1000000) div (n_docs * n_docs)").as("hhi_ppm"))
+    }),
+
     // Leave-one-source-out ablation — the data-valuation table a corpus
     // curator reads before cutting a source: for every source, the corpus
     // quality metrics RECOMPUTED WITHOUT it, from sufficient statistics
@@ -703,6 +717,13 @@ object MixQueries {
            |  (floor(sum(CASE WHEN ok THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000 + 0.5) / 10000) AS pass_rate,
            |  (floor(sum(n_tokens)::DOUBLE / count(*) * 100 + 0.5) / 100) AS mean_tokens
            |FROM r GROUP BY source""".stripMargin,
+
+      "q295_language_hhi" ->
+        """WITH sl AS (SELECT source, lang, count(*)::BIGINT AS c
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT source, sum(c)::BIGINT AS n_docs, count(*)::BIGINT AS n_langs,
+          |  ((sum(c * c) * 1000000) // (sum(c) * sum(c)))::BIGINT AS hhi_ppm
+          |FROM sl GROUP BY source""".stripMargin,
 
       "q286_loso_ablation" ->
         s"""WITH per AS (SELECT source, count(*)::BIGINT AS n,
