@@ -178,6 +178,118 @@ object Multimodal {
     out
   }
 
+  /** Construct a REAL P6 payload rendering a fixed 9×7 NORMALIZED-grid
+    * texture at a per-variant scale: images with the same `imgId div 8`
+    * (the group) share one md5-derived cell texture, rendered at
+    * (9·sx)×(7·sy) pixels with sx, sy ∈ {1,2} chosen by the variant
+    * `imgId mod 8` — the SAME image at different resolutions, which is
+    * exactly what a perceptual hash must identify. Each variant also
+    * perturbs ONE last-column grid cell (+10 on the byte), so within-group
+    * pairs land at dHash Hamming ≤ 2, never exactly 0 for all pairs.
+    * All bytes stay in 97..126 (single-byte ASCII — a string→binary cast
+    * would UTF-8-expand anything ≥ 128). The construction is pure md5 +
+    * integer arithmetic, so a DuckDB oracle can replay the DECODED cell
+    * sums without ever seeing a byte (the q272 pattern: the hash match
+    * then proves the byte-level parse + dHash geometry). */
+  def ppmPayloadGrid(imgId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextHash
+    val id = imgId.cast("long")
+    val v = pmod(id, lit(8L)).cast("int")
+    val gid = shiftright(id, 3)
+    val sx = (lit(1) + pmod(v, lit(2))).cast("int")
+    val sy = (lit(1) + pmod(shiftright(v, 1), lit(2))).cast("int")
+    val w = sx * lit(9)
+    val h = sy * lit(7)
+    val pRow = pmod(v, lit(7))
+    def cellByte(gx: org.apache.spark.sql.Column, gy: org.apache.spark.sql.Column) =
+      lit(97) +
+        pmod(TextHash.md5Long(concat(lit("img:"), gid.cast("string"),
+          lit(":"), gx.cast("string"), lit(":"), gy.cast("string"))), lit(20L)).cast("int") +
+        when(gy === pRow && gx === lit(8), lit(10)).otherwise(lit(0))
+    // one md5 per (gy, gx) grid cell — 63 per image; pixel replication is
+    // pure repeat() so the HOF never re-evaluates a hash per byte
+    val body = array_join(
+      transform(sequence(lit(0), lit(6)), gy =>
+        call_function("repeat",
+          array_join(transform(sequence(lit(0), lit(8)), gx =>
+            call_function("repeat",
+              call_function("char", cellByte(gx, gy).cast("long")),
+              sx * lit(3))), ""),
+          sy)), "")
+    concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n"), body)
+      .cast("binary")
+  }
+
+  /** Perceptual dHash over REAL decoded pixels: parse the P6 header, pool
+    * the FIRST frame's byte intensities into a `gridW`×`gridH` cell grid
+    * (ragged cells keep their exact byte counts), then emit one bit per
+    * horizontally-adjacent cell pair — bit `gy·(gridW−1)+gx` is set iff
+    * mean(gy,gx) > mean(gy,gx+1), compared exactly by integer
+    * cross-multiplication (`sumA·cntB > sumB·cntA` — no float means, so
+    * the fingerprint is bit-reproducible in any engine). The grid
+    * normalization makes the hash RESOLUTION-INVariant: the same texture
+    * rendered at 1× and 2× pools to proportional cell sums and identical
+    * bits. Images smaller than the grid (an empty cell) and malformed
+    * payloads yield a NULL fingerprint; the row survives. Cross-mult
+    * stays in int64 for cells up to ~10⁸ pixels (255n·3n < 2⁶³).
+    * Default 9×7 grid → 56 bits: 4 lossless 14-bit pigeonhole chunks for
+    * Hamming-≤3 blocking ([[ImageDedup]]), all within positive int64. */
+  def withDHash(
+      df: DataFrame, binCol: String, gridW: Int = 9, gridH: Int = 7): DataFrame = {
+    require(gridW >= 2 && gridH >= 1, "grid must have at least one comparison")
+    require((gridW - 1) * gridH <= 62, "fingerprint must fit positive int64")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("dhash", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val extra: Seq[Any] =
+          if (payload == null) Seq(null, null, null)
+          else try {
+            val (meta, off) = PpmDecoder.decodeWithOffset(payload)
+            val (w, h) = (meta.width, meta.height)
+            if (w < gridW || h < gridH) Seq(w, h, null)
+            else {
+              val sums = new Array[Long](gridW * gridH)
+              val cnts = new Array[Long](gridW * gridH)
+              var i = 0
+              val frameLen = w * h * 3
+              while (i < frameLen) {
+                val px = (i / 3) % w
+                val py = (i / 3) / w
+                val cell = (py.toLong * gridH / h).toInt * gridW +
+                  (px.toLong * gridW / w).toInt
+                sums(cell) += payload(off + i) & 0xff
+                cnts(cell) += 1
+                i += 1
+              }
+              var fp = 0L
+              var gy = 0
+              while (gy < gridH) {
+                var gx = 0
+                while (gx < gridW - 1) {
+                  val a = gy * gridW + gx
+                  if (sums(a) * cnts(a + 1) > sums(a + 1) * cnts(a))
+                    fp |= 1L << (gy * (gridW - 1) + gx)
+                  gx += 1
+                }
+                gy += 1
+              }
+              Seq(w, h, fp)
+            }
+          } catch {
+            case _: MediaFormatException => Seq(null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(rowEnc)
+    out
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),

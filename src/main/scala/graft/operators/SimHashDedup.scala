@@ -27,8 +27,6 @@ import graft.functions.TextHash
 object SimHashDedup {
 
   val Bits = 60
-  private val ChunkBits = 15
-  private val ChunkMask = (1L << ChunkBits) - 1
 
   /** `(id, simhash)` — occurrence-weighted 60-bit simhash of the text,
     * computed by the fused native expression
@@ -66,22 +64,37 @@ object SimHashDedup {
 
   /** Near-dup pairs `(id_a, id_b, hamming)` with Hamming ≤ `maxHamming`
     * (must be ≤ 3 for the 4-chunk blocking guarantee to be lossless). */
-  def pairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def pairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    chunkBlockedPairs(simhash(docs, idCol, textCol), "id", "simhash", Bits, maxHamming)
+
+  /** The generic 4-chunk pigeonhole Hamming join over ANY `(id, fp)`
+    * fingerprint relation (`bits` must split into 4 equal chunks): any
+    * pair within Hamming ≤ 3 agrees on ≥ 1 chunk, so the (chunk index,
+    * chunk value) equi-join finds every qualifying pair while shuffling
+    * docs×4 narrow rows — never O(n²). Shared by the 60-bit text SimHash
+    * and the 56-bit image dHash ([[ImageDedup]]). NULL fingerprints
+    * (undecodable images) are excluded. The input is persisted: both join
+    * branches consume it (the round-5 rule). */
+  def chunkBlockedPairs(
+      fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is only lossless for Hamming <= 3")
-    // persist: the chunk self-join would recompute the token-explode
-    // aggregation on both branches otherwise
-    val s = simhash(docs, idCol, textCol)
+    require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val s = fps.filter(col(fpCol).isNotNull)
+      .select(col(idCol).as("id"), col(fpCol).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("ci"),
-        shiftright(col("simhash"), ChunkBits * c).bitwiseAND(lit(ChunkMask)).as("cv"))
+        shiftright(col("fp"), chunkBits * c).bitwiseAND(lit(chunkMask)).as("cv"))
     }
-    val ch = s.select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("c"))
+    val ch = s.select(col("id"), col("fp"), explode(array(chunkCols: _*)).as("c"))
     ch.as("x")
       .join(ch.as("y"), col("x.c") === col("y.c") && col("x.id") < col("y.id"))
       .select(
         col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        col("x.fp").as("ha"), col("y.fp").as("hb"))
       .distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
       .filter(col("hamming") <= maxHamming)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextHash
-import graft.operators.{MinHashDedup, SimHashDedup, VectorOps}
+import graft.operators.{ImageDedup, MinHashDedup, SimHashDedup, VectorOps}
 
 /** Extension surface: deduplication + similarity search over the
   * `documents` and `embeddings` tables (BASELINE.json north star).
@@ -458,6 +458,23 @@ object DedupQueries {
           expr("if(total_chars > 0, " +
             "((total_chars - masked_chars) * 10000) div total_chars, 0L)").as("keep_bp"))
     }),
+
+    // PERCEPTUAL IMAGE NEAR-DUP (the multimodal q12): construct REAL P6
+    // payloads rendering each group's md5 cell texture at per-variant
+    // resolutions (9×7 / 18×14 — the same picture at different sizes,
+    // plus a one-cell perturbation), byte-level DECODE + 9×7 grid-pooled
+    // dHash in the mapPartitions seam, then lossless 4×14-bit pigeonhole
+    // Hamming blocking + exact popcount verify on candidates only. The
+    // oracle replays construction arithmetic + grid sums + cross-mult
+    // bits and pairs by BRUTE force — the hash match therefore proves
+    // BOTH the decode→dHash path (resolution invariance included: scaled
+    // renderings pool to proportional sums, identical bits) AND that the
+    // blocking lost nothing.
+    "q296_image_neardup" -> ((s, d) =>
+      ImageDedup.pairs(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.Multimodal.ppmPayloadGrid(col("doc_id")).as("payload")),
+        "doc_id", "payload", maxHamming = 3)),
 
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
@@ -955,6 +972,38 @@ object DedupQueries {
     },
 
     "q237_duplicate_spans" -> duplicateSpansSql,
+
+    // q296: replay the payload CONSTRUCTION arithmetic (Spark PARSED the
+    // actual bytes) — each grid cell renders sx·sy pixels × 3 channels of
+    // one md5-derived byte, so the decoded cell sum is cv·3·sx·sy with
+    // byte count 3·sx·sy; dHash bits by the same integer cross-mult; then
+    // BRUTE-force pairing (blocking is lossless, so equality proves it).
+    "q296_image_neardup" -> {
+      val cellMd5 = graft.functions.TextHash.md5LongSql(
+        "'img:' || gid::VARCHAR || ':' || gx::VARCHAR || ':' || gy::VARCHAR")
+      s"""WITH img AS (SELECT doc_id AS id, (doc_id % 8)::INT AS v, doc_id // 8 AS gid
+         |            FROM documents),
+         |geo AS (SELECT id, gid, 1 + v % 2 AS sx, 1 + (v // 2) % 2 AS sy,
+         |          v % 7 AS prow FROM img),
+         |cell AS (SELECT id, sx, sy, gx, gy,
+         |      (97 + ($cellMd5 % 20)
+         |         + CASE WHEN gy = prow AND gx = 8 THEN 10 ELSE 0 END)::BIGINT AS cv
+         |   FROM geo, (SELECT unnest(range(0, 9)) AS gx) tx,
+         |        (SELECT unnest(range(0, 7)) AS gy) ty),
+         |s AS (SELECT id, gy, gx, cv * 3 * sx * sy AS s,
+         |        3::BIGINT * sx * sy AS c FROM cell),
+         |b AS (SELECT a.id, a.gy, a.gx,
+         |        CASE WHEN a.s * bb.c > bb.s * a.c THEN 1 ELSE 0 END AS bit
+         |      FROM s a JOIN s bb ON a.id = bb.id AND a.gy = bb.gy
+         |        AND bb.gx = a.gx + 1
+         |      WHERE a.gx < 8),
+         |fp AS (SELECT id, sum(bit * (1::BIGINT << (gy * 8 + gx)))::BIGINT AS fp
+         |       FROM b GROUP BY id)
+         |SELECT a.id AS id_a, bb.id AS id_b,
+         |  bit_count(xor(a.fp, bb.fp))::INT AS hamming
+         |FROM fp a JOIN fp bb ON a.id < bb.id
+         |WHERE bit_count(xor(a.fp, bb.fp)) <= 3""".stripMargin
+    },
 
     "q240_masked_corpus" ->
       s"""WITH sp AS ($duplicateSpansSql),

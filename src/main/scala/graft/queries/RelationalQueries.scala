@@ -849,7 +849,10 @@ object RelationalQueries {
     // basket join keyed on the order — every shuffle rides order/item
     // keys. The pair fan-out keeps q96's shuffle_hash discipline (a
     // broadcast self-join would pin the quadratic stage on the 1-task
-    // scan). Exact integer supports, minsup 2.
+    // scan). Exact integer supports, minsup 2. NOTE: honestly EMPTY at
+    // sf0.1 (triple supports shrink as the part catalog grows — the
+    // oracle proves the emptiness); if testdata ever regenerates,
+    // re-tune minSup so both SFs discriminate.
     "q281_frequent_triples" -> ((s, d) => {
       val minSup = 2L
       val items = Tables.lineitem(s, d)
