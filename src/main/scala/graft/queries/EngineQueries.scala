@@ -562,6 +562,20 @@ object EngineQueries {
           sum(when(col("e2") < col("e1") * 64, 1L).otherwise(0L)).as("n_improved"))
     }),
 
+    // LEARNED OPQ (operators/OpqRotation pair KLT): q236's Hadamard is
+    // data-independent; this learns the rotation — the exact 2×2 Jacobi
+    // closed form per CROSS-SUBSPACE dimension pair (i, i+32), the one
+    // member of the OPQ family whose float fit replays bit-identically in
+    // DuckDB (six IEEE ops from exact integer moments). The win is banked
+    // the way transform coding banks it: variance-adaptive bit allocation
+    // (the compacted dim earns a bit from its starved partner — an exact
+    // HUGEINT decision), with power-of-2-step midpoint quantizers so both
+    // arms' error sums are exact integers. Learned vs identity per pair,
+    // everything hash-checked.
+    "q297_opq_learned" -> ((s, d) =>
+      graft.operators.OpqRotation.transformCodingAudit(
+        s, Tables.embeddings(s, d), "embedding", dims = 64, bBase = 4)),
+
     // node2vec p/q-BIASED walk corpus (RandomWalks.biasedWalks): weights
     // (4, 2, 1) = return/in/out realize p = 1/2, q = 2 — the
     // return-friendly, locally-exploring regime. Each step fans out to the
@@ -955,6 +969,72 @@ object EngineQueries {
          |  sum(CASE WHEN r.err < p.err * 64 THEN 1 ELSE 0 END)::BIGINT AS n_improved
          |FROM $plainPipe p JOIN $rotPipe r ON p.id = r.id""".stripMargin
     },
+
+    // q297: the WHOLE learned fit replays — exact int64 moments, the
+    // Givens float tree verbatim (div/sqrt/abs/mult are correctly rounded
+    // IEEE ops, so cs/sn are bit-identical), half-up micro rotation,
+    // HUGEINT variance-numerator allocation, bin()-length shifts, and
+    // integer midpoint dequantization. No tolerance anywhere.
+    "q297_opq_learned" ->
+      """WITH em AS (SELECT list_transform(embedding::DOUBLE[],
+        |        x -> CAST(round(x * 1000000) AS BIGINT)) AS v FROM embeddings),
+        |px AS (SELECT p, v[p + 1] AS x, v[p + 33] AS y
+        |       FROM em, (SELECT unnest(range(0, 32)) AS p) pp),
+        |mo AS (SELECT p, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |         sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS qx,
+        |         sum(y * y)::BIGINT AS qy, sum(x * y)::BIGINT AS qxy
+        |       FROM px GROUP BY p),
+        |cv AS (SELECT p, n::DOUBLE * qx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS a,
+        |         n::DOUBLE * qy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS b,
+        |         n::DOUBLE * qxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS c FROM mo),
+        |th AS (SELECT p, (b - a) / (2.0 * c) AS theta FROM cv WHERE c <> 0),
+        |tt AS (SELECT p, (CASE WHEN theta >= 0 THEN 1.0 ELSE -1.0 END)
+        |         / (abs(theta) + sqrt(theta * theta + 1.0)) AS t FROM th),
+        |cc AS (SELECT p, t, 1.0 / sqrt(t * t + 1.0) AS cs FROM tt),
+        |rot AS (SELECT p, cs, t * cs AS sn FROM cc
+        |        UNION ALL SELECT p, 1.0 AS cs, 0.0 AS sn FROM cv WHERE c = 0),
+        |rx AS (SELECT px.p AS p, x, y,
+        |         CAST(floor(cs * x::DOUBLE - sn * y::DOUBLE + 0.5) AS BIGINT) AS zx,
+        |         CAST(floor(sn * x::DOUBLE + cs * y::DOUBLE + 0.5) AS BIGINT) AS zy
+        |       FROM px JOIN rot ON px.p = rot.p),
+        |dz AS (SELECT p, 0 AS arm, 0 AS d, zx AS z FROM rx
+        |       UNION ALL SELECT p, 0, 1, zy FROM rx
+        |       UNION ALL SELECT p, 1, 0, x FROM rx
+        |       UNION ALL SELECT p, 1, 1, y FROM rx),
+        |st AS (SELECT p, arm, d, min(z) AS mn, max(z) - min(z) AS r,
+        |         (count(*)::HUGEINT * sum(z * z)::HUGEINT
+        |            - sum(z)::HUGEINT * sum(z)::HUGEINT) AS vn
+        |       FROM dz GROUP BY 1, 2, 3),
+        |pa AS (SELECT a0.p AS p, a0.arm AS arm, a0.mn AS mn0, a0.r AS r0,
+        |         a1.mn AS mn1, a1.r AS r1, a0.vn AS v0, a1.vn AS v1
+        |       FROM st a0 JOIN st a1 ON a0.p = a1.p AND a0.arm = a1.arm
+        |         AND a0.d = 0 AND a1.d = 1),
+        |ab AS (SELECT p, arm, mn0, r0, mn1, r1,
+        |         (CASE WHEN v0 >= v1 THEN v0 >= 16 * v1
+        |               ELSE v1 >= 16 * v0 END) AS promoted,
+        |         (CASE WHEN v0 >= v1 THEN (CASE WHEN v0 >= 16 * v1 THEN 5 ELSE 4 END)
+        |               ELSE (CASE WHEN v1 >= 16 * v0 THEN 3 ELSE 4 END) END) AS bits0,
+        |         (CASE WHEN v0 >= v1 THEN (CASE WHEN v0 >= 16 * v1 THEN 3 ELSE 4 END)
+        |               ELSE (CASE WHEN v1 >= 16 * v0 THEN 5 ELSE 4 END) END) AS bits1
+        |       FROM pa),
+        |sh AS (SELECT p, arm, promoted, mn0, mn1,
+        |         greatest(length(bin(r0)) - bits0, 0) AS sh0,
+        |         greatest(length(bin(r1)) - bits1, 0) AS sh1 FROM ab),
+        |zz AS (SELECT dz.p AS p, dz.arm AS arm, promoted, z,
+        |         (CASE WHEN d = 0 THEN mn0 ELSE mn1 END) AS mn,
+        |         (CASE WHEN d = 0 THEN sh0 ELSE sh1 END) AS s
+        |       FROM dz JOIN sh ON dz.p = sh.p AND dz.arm = sh.arm),
+        |dq AS (SELECT p, arm, promoted, z, mn + (((z - mn) >> s) << s)
+        |         + (CASE WHEN s > 0 THEN 1::BIGINT << (s - 1) ELSE 0 END) AS deq
+        |       FROM zz),
+        |ee AS (SELECT p, arm, promoted, sum((z - deq) * (z - deq))::BIGINT AS err
+        |       FROM dq GROUP BY 1, 2, 3)
+        |SELECT p::INT AS pair,
+        |  bool_or(promoted) FILTER (WHERE arm = 0) AS promoted_learned,
+        |  bool_or(promoted) FILTER (WHERE arm = 1) AS promoted_identity,
+        |  (sum(err) FILTER (WHERE arm = 0))::BIGINT AS err_learned,
+        |  (sum(err) FILTER (WHERE arm = 1))::BIGINT AS err_identity
+        |FROM ee GROUP BY p""".stripMargin,
 
     "q232_node2vec_walks" ->
       s"""WITH ${RelationalQueries.copurchaseEdgesSql},

@@ -81,4 +81,89 @@ class OpqRotationSpec extends AnyFunSuite {
     assert(rot <= plain * d * 1.05,
       s"rotated error $rot must not degrade past scaled plain ${plain * d}")
   }
+
+  // --- learned per-pair KLT (q297) ------------------------------------------
+
+  /** Planted ANISOTROPIC 64-dim corpus: dim i+32 ≈ dim i (strong
+    * cross-subspace correlation — exactly what the Hadamard can't exploit
+    * and the learned rotation compacts away). Deterministic seed. */
+  private def plantedCorrelated(n: Int, dims: Int = 64) = {
+    val rnd = new scala.util.Random(21)
+    (0 until n).map { i =>
+      val base = Array.fill(dims / 2)(rnd.nextDouble() * 2.0 - 1.0)
+      val v = Array.tabulate(dims) { j =>
+        if (j < dims / 2) base(j)
+        else base(j - dims / 2) + (rnd.nextDouble() - 0.5) * 0.05
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("givens: c = 0 is identity; rotation is orthonormal") {
+    assert(OpqRotation.givens(5.0, 3.0, 0.0) == ((1.0, 0.0)))
+    for ((a, b, c) <- Seq((1e10, 3e10, 0.9e10), (7e9, 7e9, -2e9), (5e12, 1e12, 1e11))) {
+      val (cs, sn) = OpqRotation.givens(a, b, c)
+      assert(math.abs(cs * cs + sn * sn - 1.0) < 1e-12)
+    }
+  }
+
+  test("learned KLT zeroes the empirical cross-subspace covariance") {
+    val df = plantedCorrelated(300)
+    val rots = OpqRotation.fitPairKlt(df, "embedding", 64)
+    val zCols = OpqRotation.kltRotateMicroCols(col("embedding"), rots, 64)
+    def crossMoment(xs: Seq[(Long, Long)]): BigInt = {
+      val n = BigInt(xs.size)
+      val (sx, sy) = (BigInt(xs.map(_._1).sum), BigInt(xs.map(_._2).sum))
+      val q = xs.map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      (n * q - sx * sy).abs
+    }
+    val rows = df.select(array(zCols: _*).as("z"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000000.0).cast("long")).as("m"))
+      .collect()
+    // pair 0: covariance of rotated dims (0, 32) must collapse vs raw (0, 32)
+    val before = crossMoment(rows.map(r => (r.getSeq[Long](1)(0), r.getSeq[Long](1)(32))).toSeq)
+    val after = crossMoment(rows.map(r => (r.getSeq[Long](0)(0), r.getSeq[Long](0)(32))).toSeq)
+    assert(before > after * 1000, s"rotation must kill the covariance: $before -> $after")
+  }
+
+  /** Error of quantizing `zCols` with the SAME variance-adaptive pair
+    * allocation the audit uses — so every arm competes under one rule. */
+  private def pairAllocErr(df: org.apache.spark.sql.DataFrame,
+      zCols: Seq[org.apache.spark.sql.Column], bBase: Int): Long = {
+    val half = zCols.size / 2
+    val stats = OpqRotation.quantStats(df, zCols)
+    val errs = (0 until half).map { p =>
+      val (q0, q1, _) = OpqRotation.allocatePair(stats(p), stats(p + half), bBase)
+      OpqRotation.quantErrCol(zCols(p), q0) + OpqRotation.quantErrCol(zCols(p + half), q1)
+    }
+    df.agg(sum(errs.reduce(_ + _))).head().getLong(0)
+  }
+
+  test("learned rotation beats identity AND Hadamard on planted anisotropic pairs") {
+    val dims = 64
+    val df = plantedCorrelated(300, dims).persist()
+    val audit = OpqRotation.transformCodingAudit(spark, df, "embedding", dims, bBase = 4)
+      .collect()
+    // every pair is strongly correlated -> compaction promotes every pair,
+    // and the learned arm must win strictly on total error
+    assert(audit.forall(_.getBoolean(1)), "all learned pairs must promote")
+    assert(!audit.exists(_.getBoolean(2)), "identity arm must not promote (equal variances)")
+    val errL = audit.map(_.getLong(3)).sum
+    val errI = audit.map(_.getLong(4)).sum
+    assert(errL * 2 < errI, s"learned must beat identity by 2x+: $errL vs $errI")
+
+    // Hadamard arm under the SAME allocation rule: H scales squared
+    // distances x64 (unnormalized), so its error competes against 64x the
+    // learned arm's. Energy spreading can't earn allocation bits, so the
+    // learned rotation must still win.
+    val micro = transform(col("embedding").cast("array<double>"),
+      x => round(x * 1000000.0).cast("long"))
+    val had = df.withColumn("rot", OpqRotation.rotateMicro(micro, dims))
+    val hadCols = (0 until dims).map(i => element_at(col("rot"), i + 1))
+    val errH = pairAllocErr(had, hadCols, 4)
+    assert(errL * 64 < errH,
+      s"learned (x64 = ${errL * 64}) must beat unnormalized Hadamard ($errH)")
+    df.unpersist()
+  }
 }
