@@ -1332,6 +1332,71 @@ object RelationalQueries {
         .agg(count(lit(1)).as("numcust"), sum(col("bal_cents")).as("totacctbal_cents"))
     }),
 
+    // TPC-H Q21 shape — waiting suppliers: the hardest classic join shape
+    // (a SEMI plus an ANTI self-join on the fact table with inequality
+    // residuals). "Late" is this testdata's q222 substitute (shipdate >
+    // orderdate + 30; no receipt/commit dates here). The late relation
+    // feeds BOTH the probe side and the anti build side — persisted (the
+    // round-5 rule); both self-joins ride shuffle_hash on l_orderkey so
+    // the fact table is never a broadcast build side, and the semi/anti
+    // chain reuses one orderkey partitioning — the at-scale plan.
+    "q298_waiting_supplier" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_11")
+          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 30))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .persist()
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      late
+        .join(l2.hint("shuffle_hash"),
+          col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3.hint("shuffle_hash"),
+          col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // TPC-H Q9 shape — product profit by supplier nation and order year.
+    // (Q7 volume shipping already ships as q243.)
+    // This testdata has no partsupp, so supply cost substitutes 60% of
+    // the part's retail price: profit_micro = price_cents·(100−pct) −
+    // retail_cents·60·qty — qty is integral here (verified), so both
+    // terms are exact integers and the sums hash-check.
+    "q299_product_profit" -> ((s, d) => {
+      val revMicro = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val costMicro = col("retail_cents") * lit(60L) * col("qty")
+      val supNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .join(Tables.part(s, d).filter(col("p_name").contains("red"))
+          .select(col("p_partkey"),
+            round(col("p_retailprice") * 100).cast("long").as("retail_cents")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate").cast("date")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(revMicro - costMicro).as("profit_micro"))
+    }),
+
     // NEGATIVE SAMPLING for contrastive training pairs: 5 pseudo-random
     // non-purchased parts per anchor order. The naive form is a per-anchor
     // sample of the part CATALOG — an anchors×parts cross join. Instead
@@ -2080,6 +2145,41 @@ object RelationalQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+
+    "q298_waiting_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM late l1
+        |  JOIN supplier ON s_suppkey = l1.l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name = 'NATION_11'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name""".stripMargin,
+
+    "q299_product_profit" ->
+      """SELECT nation, o_year, sum(profit_micro)::BIGINT AS profit_micro
+        |FROM (
+        |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      - CAST(round(p_retailprice * 100) AS BIGINT) * 60
+        |        * CAST(round(l_quantity) AS BIGINT) AS profit_micro
+        |  FROM lineitem
+        |    JOIN part ON p_partkey = l_partkey
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE p_name LIKE '%red%')
+        |GROUP BY 1, 2""".stripMargin,
 
     "q217_ppr_recs" ->
       s"""WITH $copurchaseEdgesSql,

@@ -133,6 +133,25 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(!semiPlan.contains("Distinct"), semiPlan)
   }
 
+  test("q298 Q21 shape: semi + anti self-joins, fact table never a broadcast build") {
+    val df = RelationalQueries.queries("q298_waiting_supplier")(spark, dir)
+    val plan = df.queryExecution.sparkPlan
+    val planStr = plan.toString
+    assert(planStr.contains("LeftSemi"),
+      s"Q21 shape must plan a LEFT SEMI self-join:\n$planStr")
+    assert(planStr.contains("LeftAnti"),
+      s"Q21 shape must plan a LEFT ANTI self-join:\n$planStr")
+    // the semi/anti self-joins must NOT put the lineitem fan-out on a
+    // broadcast build side (the q96/q157 discipline): every semi/anti is
+    // a shuffled hash join keyed on l_orderkey
+    val broadcastSemiAnti = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString.contains("Semi") || j.joinType.toString.contains("Anti") => j
+    }
+    assert(broadcastSemiAnti.isEmpty,
+      s"semi/anti self-joins must stay shuffled:\n$planStr")
+  }
+
   test("q250 Q18 shape: lineitem aggregated once, top-100 as TakeOrdered") {
     val df = RelationalQueries.queries("q250_large_volume_orders")(spark, dir)
     val plan = df.queryExecution.sparkPlan.toString
