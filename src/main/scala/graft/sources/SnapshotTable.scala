@@ -833,6 +833,87 @@ object SnapshotTable {
     mine.length
   }
 
+  /** Drain every pending change window of `consumerId` through `apply`,
+    * acking AFTER each applied window — the one-tick unit of
+    * [[startChangeStream]], public so crash/restart/resync semantics are
+    * directly testable without stream timing (the
+    * `LshIndex.processDedupBatch` pattern). Returns windows applied.
+    *
+    * Delivery is at-least-once per window (a crash between apply and ack
+    * redelivers); an idempotent consumer ([[scd2Apply]]'s version-marker
+    * guard, keyed [[applyChanges]]) turns that into exactly-once effects.
+    * A false ack means a rival worker sharing the consumer id acked this
+    * window first — its apply is durable and idempotency makes the
+    * overlap benign, so the loop just re-polls from the advanced offset.
+    *
+    * A vacuumed-away offset base fails LOUDLY by default (the
+    * [[pollChanges]] resync contract). `autoResync = true` instead resets
+    * the consumer and re-bootstraps — an explicit opt-in, because it
+    * redelivers the full snapshot as inserts (scd2 downstreams tolerate
+    * it: unchanged keys re-close and re-open at the resync boundary). */
+  def drainChanges(spark: SparkSession, tableDir: String, consumerId: String,
+                   autoResync: Boolean = false)(apply: ChangeBatch => Unit): Int = {
+    var applied = 0
+    var next = pollResync(spark, tableDir, consumerId, autoResync)
+    while (next.isDefined) {
+      val b = next.get
+      apply(b)
+      applied += 1
+      b.ack()
+      next = pollResync(spark, tableDir, consumerId, autoResync)
+    }
+    applied
+  }
+
+  private def pollResync(spark: SparkSession, tableDir: String, consumerId: String,
+                         autoResync: Boolean): Option[ChangeBatch] =
+    try pollChanges(spark, tableDir, consumerId)
+    catch {
+      case e: IllegalStateException
+          if autoResync && e.getMessage != null && e.getMessage.contains("vacuumed") =>
+        resetConsumer(tableDir, consumerId)
+        pollChanges(spark, tableDir, consumerId)
+    }
+
+  /** CONTINUOUS CDC consumption — [[pollChanges]] wired into a live
+    * Structured Streaming query: a rate ticker triggers every
+    * `intervalMs`, and each micro-batch drains the pending change windows
+    * of `consumerId` through `apply`. The rate source's checkpoint is
+    * only a trigger clock — the REAL offsets are the table's own durable
+    * consumer offsets (the external-offset connector pattern), so killing
+    * the query and restarting, even with a fresh checkpoint dir, resumes
+    * exactly at the acked boundary with no replayed effects. */
+  def startChangeStream(
+      spark: SparkSession, tableDir: String, consumerId: String,
+      checkpointDir: String, intervalMs: Long = 500L, autoResync: Boolean = false)(
+      apply: ChangeBatch => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        drainChanges(spark, tableDir, consumerId, autoResync)(apply)
+        ()
+      }
+      .start()
+
+  /** Live SCD2 maintenance: the change stream of `sourceDir` applied
+    * continuously to the `historyDir` dimension history — each committed
+    * source version becomes one atomic history commit, exactly-once
+    * through crashes and restarts ([[scd2Apply]]'s version marker absorbs
+    * every redelivery), and [[scd2AsOf]] reconstructs any polled source
+    * version while the stream runs. */
+  def startScd2Stream(
+      spark: SparkSession, sourceDir: String, historyDir: String, keys: Seq[String],
+      consumerId: String, checkpointDir: String,
+      intervalMs: Long = 500L, autoResync: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startChangeStream(spark, sourceDir, consumerId, checkpointDir, intervalMs, autoResync) {
+      b =>
+        scd2Apply(spark, historyDir, b.df, keys, b.toVersion)
+        ()
+    }
+
   /** The latest snapshot as a DataFrame. */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     readVersion(spark, tableDir,
