@@ -9,9 +9,6 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -74,13 +71,14 @@ object SpjTable {
     * header grammar, and a k=v dir name invites partition inference on
     * plain directory reads. The sidecar is written LAST, so a crashed
     * write is never mistaken for a complete table. */
-  def write(df: DataFrame, dir: String, keyCol: String, nBuckets: Int): Unit = {
+  def write(df: DataFrame, dir: String, keyCol: String, nBuckets: Int,
+            writeOptions: Map[String, String] = Map.empty): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val keyField = df.schema(keyCol)
     require(keyField.dataType == LongType || keyField.dataType == IntegerType,
       s"SPJ key column must be integral, got ${keyField.dataType}")
     df.withColumn("_bucket", pmod(col(keyCol).cast("long"), lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("_bucket").parquet(dir)
+      .write.mode("overwrite").options(writeOptions).partitionBy("_bucket").parquet(dir)
     val d = Paths.get(dir)
     Files.list(d).iterator().asScala.toList.foreach { p =>
       val n = p.getFileName.toString
@@ -120,21 +118,96 @@ object SpjTable {
 
   /** Parquet projection for the requested columns, built from the FILE's
     * own footer schema so repetition levels (required vs optional) match
-    * exactly — GroupReadSupport rejects a projection whose repetition
+    * exactly — the record assembler rejects a projection whose repetition
     * disagrees with the file. */
-  private[sources] def parquetProjection(
-      file: String, conf: Configuration, names: Seq[String])
+  private[sources] def projectionOf(
+      fileSchema: org.apache.parquet.schema.MessageType, names: Seq[String])
     : org.apache.parquet.schema.MessageType = {
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(new HPath(file), conf)
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    val fileSchema = try reader.getFooter.getFileMetaData.getSchema
-    finally reader.close()
     val picked = names.map { n =>
-      require(fileSchema.containsField(n), s"column $n missing in $file")
+      require(fileSchema.containsField(n), s"column $n missing in file schema")
       fileSchema.getFields.get(fileSchema.getFieldIndex(n))
     }
     new org.apache.parquet.schema.MessageType("spark_schema", picked: _*)
+  }
+
+  // ---- row-group skipping on footer stats ----------------------------------
+  //
+  // File-level pruning (ZoneMapIndex / BloomFileIndex) stops mattering once
+  // files are GB-sized: a 1 GB parquet file holds ~8 row groups, and a
+  // selective predicate usually hits one of them. The reader below
+  // evaluates pushed predicates against each row group's footer MIN/MAX
+  // and skips non-qualifying groups BEFORE any page I/O. Pruning is
+  // ADVISORY — every pushed filter is also returned as residual so Spark
+  // re-applies it row-by-row — which makes a conservative "survive"
+  // always safe; only numeric columns prune (parquet string stats order
+  // by unsigned bytes, which Java string compares don't match).
+
+  /** Diagnostic counters (JVM-wide — exact in local mode, per-executor on
+    * a cluster): row groups materialized vs skipped by footer stats. */
+  val rowGroupsRead = new java.util.concurrent.atomic.AtomicLong
+  val rowGroupsSkipped = new java.util.concurrent.atomic.AtomicLong
+  def resetRowGroupCounters(): Unit = { rowGroupsRead.set(0); rowGroupsSkipped.set(0) }
+
+  private def toDec(v: Any): Option[java.math.BigDecimal] = v match {
+    case l: java.lang.Long    => Some(java.math.BigDecimal.valueOf(l))
+    case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue))
+    case s: java.lang.Short   => Some(java.math.BigDecimal.valueOf(s.longValue))
+    case b: java.lang.Byte    => Some(java.math.BigDecimal.valueOf(b.longValue))
+    case d: java.lang.Double  => if (d.isNaN) None else Some(new java.math.BigDecimal(d))
+    case f: java.lang.Float   => if (f.isNaN) None else Some(new java.math.BigDecimal(f.doubleValue))
+    case _                    => None
+  }
+
+  /** (min, max) of a column's row-group stats as exact decimals, or None
+    * when stats are absent/non-numeric/NaN — in which case the group
+    * survives (never prune on unknown). */
+  private def statBounds(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData, colName: String)
+    : Option[(java.math.BigDecimal, java.math.BigDecimal)] =
+    block.getColumns.asScala.find(_.getPath.toDotString == colName).flatMap { c =>
+      val st = c.getStatistics
+      if (st == null || st.isEmpty || !st.hasNonNullValue) None
+      else for (mn <- toDec(st.genericGetMin); mx <- toDec(st.genericGetMax))
+        yield (mn, mx)
+    }
+
+  /** True iff the row group can possibly contain a matching row. */
+  private[sources] def blockSurvives(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def one(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => (statBounds(block, c), toDec(v)) match {
+        case (Some((mn, mx)), Some(d)) => d.compareTo(mn) >= 0 && d.compareTo(mx) <= 0
+        case _                         => true
+      }
+      case GreaterThan(c, v) => (statBounds(block, c), toDec(v)) match {
+        case (Some((_, mx)), Some(d)) => mx.compareTo(d) > 0
+        case _                        => true
+      }
+      case GreaterThanOrEqual(c, v) => (statBounds(block, c), toDec(v)) match {
+        case (Some((_, mx)), Some(d)) => mx.compareTo(d) >= 0
+        case _                        => true
+      }
+      case LessThan(c, v) => (statBounds(block, c), toDec(v)) match {
+        case (Some((mn, _)), Some(d)) => mn.compareTo(d) < 0
+        case _                        => true
+      }
+      case LessThanOrEqual(c, v) => (statBounds(block, c), toDec(v)) match {
+        case (Some((mn, _)), Some(d)) => mn.compareTo(d) <= 0
+        case _                        => true
+      }
+      case IsNotNull(c) =>
+        // skippable only when the chunk records every value as null
+        !block.getColumns.asScala.find(_.getPath.toDotString == c).exists { cc =>
+          val st = cc.getStatistics
+          st != null && !st.isEmpty && !st.hasNonNullValue &&
+            st.getNumNulls == block.getRowCount
+        }
+      case And(l, r) => one(l) && one(r)
+      case _         => true
+    }
+    filters.forall(one)
   }
 }
 
@@ -233,19 +306,33 @@ class GraftSpjTable(dir: String) extends Table with SupportsRead {
 }
 
 class GraftSpjScanBuilder(dir: String, meta: SpjTable.Meta)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
   private var required: StructType = meta.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftSpjScan(dir, meta, required)
+  /** Pruning is ADVISORY: every filter comes back as residual (Spark
+    * re-applies row-by-row), and the reader uses the comparison-shaped
+    * subset to skip whole row groups on footer stats. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+    : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new GraftSpjScan(dir, meta, required, pushed)
 }
 
-class GraftSpjScan(dir: String, meta: SpjTable.Meta, required: StructType)
+class GraftSpjScan(dir: String, meta: SpjTable.Meta, required: StructType,
+                   filters: Array[org.apache.spark.sql.sources.Filter])
   extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSpjScan(dir=$dir, bucket(${meta.nBuckets}, ${meta.keyCol}))"
+    s"GraftSpjScan(dir=$dir, bucket(${meta.nBuckets}, ${meta.keyCol}), " +
+      s"rowGroupFilters=[${filters.mkString(", ")}])"
 
   /** Both sides of a join over tables written with the same (key, n)
     * report this partitioning; EnsureRequirements then skips both
@@ -257,7 +344,7 @@ class GraftSpjScan(dir: String, meta: SpjTable.Meta, required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until meta.nBuckets).map { b =>
-      GraftBucketInputPartition(b, SpjTable.bucketFiles(dir, b), required.json)
+      GraftBucketInputPartition(b, SpjTable.bucketFiles(dir, b), required.json, filters)
         : InputPartition
     }.toArray
 
@@ -266,7 +353,8 @@ class GraftSpjScan(dir: String, meta: SpjTable.Meta, required: StructType)
 }
 
 case class GraftBucketInputPartition(
-    bucket: Int, files: Array[String], schemaJson: String)
+    bucket: Int, files: Array[String], schemaJson: String,
+    filters: Array[org.apache.spark.sql.sources.Filter])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
@@ -275,32 +363,74 @@ class GraftSpjReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftBucketInputPartition]
     val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-    new GraftBucketPartitionReader(p.files, schema)
+    new GraftBucketPartitionReader(p.files, schema, p.filters)
   }
 }
 
-/** Per-bucket parquet reader (parquet-hadoop Group API) with column
-  * projection pushed down via `parquet.read.schema`. */
-class GraftBucketPartitionReader(files: Array[String], schema: StructType)
+/** Per-bucket parquet reader (parquet-hadoop low-level API): column
+  * projection via `setRequestedSchema` + ROW-GROUP skipping — each
+  * group's footer min/max stats are checked against the pushed filters
+  * and non-qualifying groups are skipped before any page I/O
+  * ([[SpjTable.blockSurvives]]). */
+class GraftBucketPartitionReader(
+    files: Array[String], schema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
   extends PartitionReader[InternalRow] {
   private val fileIter = files.iterator
-  private var reader: ParquetReader[Group] = _
+  private var fileReader: org.apache.parquet.hadoop.ParquetFileReader = _
+  private var projection: org.apache.parquet.schema.MessageType = _
+  private var columnIO: org.apache.parquet.io.MessageColumnIO = _
+  private var blocks: Iterator[org.apache.parquet.hadoop.metadata.BlockMetaData] = _
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var remainingInGroup: Long = 0L
   private var current: Group = _
+
+  private def openFile(file: String): Unit = {
+    val conf = new Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new HPath(file), conf)
+    fileReader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
+    projection = SpjTable.projectionOf(fileSchema, schema.fieldNames.toSeq)
+    fileReader.setRequestedSchema(projection)
+    columnIO = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(projection)
+    blocks = fileReader.getRowGroups.asScala.iterator
+  }
+
+  /** Position at the next SURVIVING row group of the open file, skipping
+    * pruned ones without reading their pages. */
+  private def nextRowGroup(): Boolean = {
+    while (blocks.hasNext) {
+      val block = blocks.next()
+      if (SpjTable.blockSurvives(block, filters.toSeq)) {
+        val store = fileReader.readNextRowGroup()
+        recordReader = columnIO.getRecordReader(
+          store, new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(projection))
+        remainingInGroup = store.getRowCount
+        SpjTable.rowGroupsRead.incrementAndGet()
+        if (remainingInGroup > 0) return true
+      } else {
+        fileReader.skipNextRowGroup()
+        SpjTable.rowGroupsSkipped.incrementAndGet()
+      }
+    }
+    fileReader.close(); fileReader = null
+    false
+  }
 
   override def next(): Boolean = {
     while (true) {
-      if (reader == null) {
-        if (!fileIter.hasNext) return false
-        val file = fileIter.next()
-        val conf = new Configuration()
-        conf.set(ReadSupport.PARQUET_READ_SCHEMA,
-          SpjTable.parquetProjection(file, conf, schema.fieldNames.toSeq).toString)
-        reader = ParquetReader.builder(new GroupReadSupport(), new HPath(file))
-          .withConf(conf).build()
+      if (remainingInGroup > 0) {
+        current = recordReader.read()
+        remainingInGroup -= 1
+        return true
       }
-      current = reader.read()
-      if (current != null) return true
-      reader.close(); reader = null
+      if (fileReader == null || !nextRowGroup()) {
+        if (fileReader == null) {
+          if (!fileIter.hasNext) return false
+          openFile(fileIter.next())
+        }
+      }
     }
     false // unreachable
   }
@@ -323,5 +453,6 @@ class GraftBucketPartitionReader(files: Array[String], schema: StructType)
     row
   }
 
-  override def close(): Unit = if (reader != null) { reader.close(); reader = null }
+  override def close(): Unit =
+    if (fileReader != null) { fileReader.close(); fileReader = null }
 }

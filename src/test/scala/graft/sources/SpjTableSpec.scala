@@ -170,4 +170,53 @@ class SpjTableSpec extends AnyFunSuite {
         s"$warehouse/db/bad", "k2", 4)
     }
   }
+
+  test("row-group stats skip non-qualifying groups on a clustered layout, none on random") {
+    warehouse // force catalog registration
+    val n = 20000L
+    val tinyGroups = Map("parquet.block.size" -> "8192", "parquet.page.size" -> "2048")
+    // clustered: ts monotone within the single bucket file -> disjoint
+    // per-group min/max ranges. random: ts is a multiplicative PERMUTATION
+    // of the same domain (a pre-write sort would be eliminated by the
+    // writer's own partition sort), so every group spans the full domain.
+    val clustered = spark.range(n).select(col("id").as("k"), col("id").as("ts"),
+      (col("id") % 13).as("v")).coalesce(1)
+    val random = spark.range(n).select(col("id").as("k"),
+      pmod(col("id") * 2654435761L, lit(n)).as("ts"),
+      (col("id") % 13).as("v")).coalesce(1)
+    SpjTable.write(clustered, s"$warehouse/db/rg_clustered", "k", 1, tinyGroups)
+    SpjTable.write(random, s"$warehouse/db/rg_random", "k", 1, tinyGroups)
+
+    SpjTable.resetRowGroupCounters()
+    assert(spark.table("graft_spj.db.rg_clustered").count() == n)
+    val totalGroups = SpjTable.rowGroupsRead.get
+    assert(totalGroups >= 4, s"layout must produce multiple row groups, got $totalGroups")
+    assert(SpjTable.rowGroupsSkipped.get == 0)
+
+    // a HALF-domain predicate: a random row group of dozens of rows spans
+    // both halves with certainty, so only the clustered layout can prune
+    def upperHalf(table: String): Seq[Long] =
+      spark.table(table).filter(col("ts") >= lit(n / 2)).collect()
+        .map(_.getAs[Long]("ts")).sorted.toSeq
+
+    SpjTable.resetRowGroupCounters()
+    assert(upperHalf("graft_spj.db.rg_clustered") == (n / 2 until n))
+    assert(SpjTable.rowGroupsSkipped.get > 0,
+      "clustered layout must skip leading row groups")
+    assert(SpjTable.rowGroupsRead.get < totalGroups)
+
+    // identical results on the random layout — but nothing prunable
+    SpjTable.resetRowGroupCounters()
+    assert(upperHalf("graft_spj.db.rg_random") == (n / 2 until n))
+    assert(SpjTable.rowGroupsSkipped.get == 0,
+      "domain-spanning groups must all survive (pruning is advisory, never lossy)")
+
+    // point predicate on the clustered layout reads a small group subset
+    SpjTable.resetRowGroupCounters()
+    val mid = spark.table("graft_spj.db.rg_clustered")
+      .filter(col("ts") === lit(n / 2)).collect()
+    assert(mid.length == 1 && mid.head.getAs[Long]("k") == n / 2)
+    assert(SpjTable.rowGroupsRead.get <= 2 &&
+      SpjTable.rowGroupsSkipped.get >= totalGroups - 2)
+  }
 }
