@@ -1175,6 +1175,44 @@ object AuditQueries {
     // distinct-l gate. Two hash aggregations; the second shuffles only the
     // already-collapsed (QI, band) group relation, exact integers
     // throughout.
+    // k-ANONYMITY GENERALIZATION LADDER — q219's companion: for each
+    // level of a 4-step quasi-identifier coarsening (nation+segment+$100
+    // balance band → $1000 band → region → region only), the equivalence-
+    // class census, the k=10 violation mass, and the CHOSEN level (the
+    // first meeting k — what an anonymizer would release). ONE scan: the
+    // ladder rides GROUPING SETS (the q292 Expand machinery; grouping_id
+    // bit order verified identical Spark⇔DuckDB there), then a 4-row
+    // rollup. Balance bands use integer div — trunc-toward-zero on BOTH
+    // engines for integers (q161) — so negative balances band identically.
+    "q303_k_anonymity" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+          col("c_mktsegment").as("seg"),
+          expr("cast(round(c_acctbal * 100) as bigint) div 10000").as("b100"),
+          expr("cast(round(c_acctbal * 100) as bigint) div 100000").as("b1000"))
+        .createOrReplaceTempView("graft_q303_base")
+      s.sql("""WITH cls AS (
+              |  SELECT grouping_id(nat, seg, b100, b1000, reg) AS gid,
+              |    count(*) AS cnt
+              |  FROM graft_q303_base
+              |  GROUP BY GROUPING SETS ((nat, seg, b100), (nat, seg, b1000),
+              |    (reg, seg, b1000), (reg))),
+              |lvl AS (
+              |  SELECT CASE gid WHEN 3 THEN 0 WHEN 5 THEN 1 WHEN 20 THEN 2
+              |           ELSE 3 END AS level,
+              |    count(*) AS n_classes, min(cnt) AS min_class,
+              |    sum(CASE WHEN cnt < 10 THEN cnt ELSE 0L END) AS n_violating_rows
+              |  FROM cls GROUP BY 1)
+              |SELECT level, n_classes, min_class, n_violating_rows,
+              |  (min_class >= 10) AS meets_k,
+              |  (min_class >= 10 AND level =
+              |     min(CASE WHEN min_class >= 10 THEN level END) OVER ()) AS chosen
+              |FROM lvl""".stripMargin)
+    }),
+
     "q219_l_diversity" -> ((s, d) => {
       val l = 3L
       val sv = Tables.customer(s, d).select(
@@ -2056,6 +2094,30 @@ object AuditQueries {
         |        ELSE coalesce(n_generalized, 0) END) >= 5 AS meets_k
         |FROM g0 LEFT JOIN gen ON gen.nation = g0.nation
         |                     AND gen.segment = g0.segment""".stripMargin,
+
+    "q303_k_anonymity" ->
+      """WITH base AS (SELECT c_nationkey AS nat, n_regionkey AS reg,
+        |    c_mktsegment AS seg,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) // 10000) AS b100,
+        |    (CAST(round(c_acctbal * 100) AS BIGINT) // 100000) AS b1000
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |cls AS (
+        |  SELECT grouping_id(nat, seg, b100, b1000, reg) AS gid,
+        |    count(*)::BIGINT AS cnt
+        |  FROM base
+        |  GROUP BY GROUPING SETS ((nat, seg, b100), (nat, seg, b1000),
+        |    (reg, seg, b1000), (reg))),
+        |lvl AS (
+        |  SELECT (CASE gid WHEN 3 THEN 0 WHEN 5 THEN 1 WHEN 20 THEN 2
+        |            ELSE 3 END)::INT AS level,
+        |    count(*)::BIGINT AS n_classes, min(cnt)::BIGINT AS min_class,
+        |    sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)::BIGINT AS n_violating_rows
+        |  FROM cls GROUP BY 1)
+        |SELECT level, n_classes, min_class, n_violating_rows,
+        |  (min_class >= 10) AS meets_k,
+        |  (min_class >= 10 AND level =
+        |     min(CASE WHEN min_class >= 10 THEN level END) OVER ()) AS chosen
+        |FROM lvl""".stripMargin,
 
     "q219_l_diversity" ->
       """WITH sv AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,

@@ -618,6 +618,44 @@ object DedupQueries {
           col("n_label").as("pred_label"), col("votes"))
     }),
 
+    // kNN-graph MODULARITY of the label partition — the structural
+    // cluster-quality metric (do labels align with embedding-space
+    // neighborhoods?) in EXACT rational form: Q = Σ_c (e_c/m − (d_c/2m)²)
+    // never materializes as a float — each label's contribution rides the
+    // common denominator 4m²: contrib_num = 4·m·e_c − d_c², all int64.
+    // The kNN graph is exact top-3 cosine per vector (TopKByScore — k
+    // rows per query on the shuffle, never the score matrix; tie order
+    // score DESC, id ASC matches the oracle's row_number), symmetrized
+    // and dedup'd. Self-kNN broadcasts the query side at this scale; at
+    // 100 TB the same metric runs over the q49 IVF index's neighbor
+    // lists. m rides a 1-row broadcast (the q224 scalar pattern).
+    "q301_knn_modularity" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val und = VectorOps.topK(e, e, "vec_id", "embedding", k = 3)
+        .select(least(col("query_id"), col("neighbor_id")).as("u"),
+          greatest(col("query_id"), col("neighbor_id")).as("v"))
+        .distinct()
+        .persist() // m + degrees + intra all consume the edge set
+      val m = und.agg(count(lit(1)).as("m_edges"))
+      val lb = e.select(col("vec_id"), col("label"))
+      val deg = und.select(col("u").as("x")).unionAll(und.select(col("v").as("x")))
+        .join(lb, col("x") === col("vec_id"))
+        .groupBy(col("label")).agg(count(lit(1)).as("deg_sum"))
+      val intra = und
+        .join(lb.select(col("vec_id").as("u"), col("label").as("la")), "u")
+        .join(lb.select(col("vec_id").as("v"), col("label").as("lb2")), "v")
+        .filter(col("la") === col("lb2"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("n_intra"))
+      e.select(col("label")).distinct()
+        .join(deg, Seq("label"), "left").join(intra, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("label"), col("m_edges"),
+          coalesce(col("n_intra"), lit(0L)).as("n_intra"),
+          coalesce(col("deg_sum"), lit(0L)).as("deg_sum"))
+        .withColumn("contrib_num",
+          lit(4L) * col("m_edges") * col("n_intra") - col("deg_sum") * col("deg_sum"))
+    }),
+
     // Same ANN through the PERSISTED index lifecycle: fit + bucket-
     // partitioned write + partition-pruned query, different (k, nprobe) to
     // exercise the oracle generator's parameterization. Measures the whole
@@ -1151,6 +1189,33 @@ object DedupQueries {
         |      FROM v)
         |SELECT p.query_id, e.label AS true_label, p.n_label AS pred_label, p.votes
         |FROM p JOIN e ON p.query_id = e.vec_id WHERE rn = 1""".stripMargin,
+
+    "q301_knn_modularity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |s AS (SELECT q.vec_id AS qa, n.vec_id AS qb,
+        |        list_cosine_similarity(q.v, n.v) AS cos
+        |      FROM e q JOIN e n ON n.vec_id != q.vec_id),
+        |r AS (SELECT qa, qb,
+        |        row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rnk
+        |      FROM s),
+        |und AS (SELECT DISTINCT least(qa, qb) AS u, greatest(qa, qb) AS v
+        |        FROM r WHERE rnk <= 3),
+        |m AS (SELECT count(*)::BIGINT AS m_edges FROM und),
+        |lb AS (SELECT vec_id, label FROM embeddings),
+        |deg AS (SELECT label, count(*)::BIGINT AS deg_sum FROM (
+        |    SELECT u AS x FROM und UNION ALL SELECT v FROM und) z
+        |  JOIN lb ON z.x = lb.vec_id GROUP BY label),
+        |intra AS (SELECT la.label, count(*)::BIGINT AS n_intra
+        |  FROM und JOIN lb la ON und.u = la.vec_id
+        |    JOIN lb lbb ON und.v = lbb.vec_id
+        |  WHERE la.label = lbb.label GROUP BY la.label)
+        |SELECT lab.label, m_edges,
+        |  coalesce(n_intra, 0)::BIGINT AS n_intra,
+        |  coalesce(deg_sum, 0)::BIGINT AS deg_sum,
+        |  (4 * m_edges * coalesce(n_intra, 0)
+        |     - coalesce(deg_sum, 0) * coalesce(deg_sum, 0))::BIGINT AS contrib_num
+        |FROM (SELECT DISTINCT label FROM embeddings) lab
+        |  LEFT JOIN deg USING (label) LEFT JOIN intra USING (label), m""".stripMargin,
 
     // identical replay with the index path's (k, nprobe) — the persisted
     // layout cannot change results, only which directories are read

@@ -185,6 +185,49 @@ object MixQueries {
           expr("n_covered * 10000 div n_test").as("coverage_bp"))
     }),
 
+    // Per-document LM-surprisal quality score WITHOUT a log surface — the
+    // r8-verdict gap: per-doc perplexity needs log(p) products, which no
+    // cross-engine-exact float log allows. The integer sidestep: each
+    // bigram occurrence's model probability is the exact rational
+    // c_ab/c_a, quantized to ppm = (c_ab·10⁶) div c_a ∈ [1, 10⁶]
+    // (self-counted ⇒ never 0), and the per-doc aggregate is ORDER
+    // statistics over those ppms — median (×2, the q94 bracketing-sum
+    // idiom: no division), min, and the rare-bigram count — which rank
+    // documents by typicality exactly like log-perplexity ranks them
+    // monotonically would, with every value hash-checkable. One corpus
+    // bigram model (two hash aggs), one join back, one per-doc bounded
+    // fold; the keep gate composes median typicality with the worst-case
+    // (min) bigram — thresholds tuned to DISCRIMINATE on this corpus
+    // (~half keep), all integer compares so any threshold is portable.
+    "q300_surprisal_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+      val g = docs.select(col("doc_id"), explode(bigrams(col("toks"))).as("gram"))
+        .select(col("doc_id"),
+          split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"))
+        .persist() // model counts (c_ab, c_a) + the scoring join
+      val cab = g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val ca = g.groupBy(col("w1")).agg(count(lit(1)).as("ca"))
+      val per = g.join(cab, Seq("w1", "w2")).join(ca, Seq("w1"))
+        .select(col("doc_id"), expr("(cab * 1000000) div ca").as("ppm"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), min(col("ppm")).as("min_ppm"),
+          sum((col("ppm") < 5000L).cast("long")).as("n_rare"),
+          sort_array(collect_list(col("ppm"))).as("arr"))
+        .select(col("doc_id"), col("n_bigrams"), col("min_ppm"), col("n_rare"),
+          expr("element_at(arr, cast((n_bigrams + 1) div 2 as int)) + " +
+            "element_at(arr, cast(n_bigrams div 2 + 1 as int))").as("median2_ppm"))
+      Tables.documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("median2_ppm"), lit(0L)).as("median2_ppm"),
+          coalesce(col("min_ppm"), lit(0L)).as("min_ppm"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+        .withColumn("keep",
+          col("median2_ppm") >= 68000L && col("min_ppm") >= 10000L)
+    }),
+
     // Per-source language concentration — the Herfindahl index (Σ share²)
     // of each source's language mix, exact integer ppm: HHI = Σc_l²·10⁶
     // div n². The "is this source a monoculture" readout next to q241's
@@ -788,6 +831,32 @@ object MixQueries {
            |        ELSE 0 END)::BIGINT AS acc_bp,
            |  ((n_covered * 10000) // n_test)::BIGINT AS coverage_bp
            |FROM agg""".stripMargin,
+
+      "q300_surprisal_quality" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |sg AS (SELECT doc_id, ${bigramsSql("toks")} AS grams FROM t),
+           |g AS (SELECT doc_id,
+           |    string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+           |  FROM (SELECT doc_id, unnest(grams) AS gram FROM sg) z),
+           |ab AS (SELECT w1, w2, count(*)::BIGINT AS cab FROM g GROUP BY 1, 2),
+           |ca AS (SELECT w1, count(*)::BIGINT AS ca FROM g GROUP BY 1),
+           |p AS (SELECT doc_id, ((cab * 1000000) // ca)::BIGINT AS ppm
+           |      FROM g JOIN ab USING (w1, w2) JOIN ca USING (w1)),
+           |per AS (SELECT doc_id, count(*)::BIGINT AS nb, min(ppm) AS min_ppm,
+           |    sum(CASE WHEN ppm < 5000 THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+           |    list(ppm ORDER BY ppm) AS arr
+           |  FROM p GROUP BY doc_id),
+           |m AS (SELECT doc_id, nb, min_ppm, n_rare,
+           |    (arr[((nb + 1) // 2)::INT] + arr[(nb // 2 + 1)::INT])::BIGINT AS med2
+           |  FROM per)
+           |SELECT d.doc_id,
+           |  coalesce(nb, 0)::BIGINT AS n_bigrams,
+           |  coalesce(med2, 0)::BIGINT AS median2_ppm,
+           |  coalesce(min_ppm, 0)::BIGINT AS min_ppm,
+           |  coalesce(n_rare, 0)::BIGINT AS n_rare,
+           |  (coalesce(med2, 0) >= 68000 AND
+           |   coalesce(min_ppm, 0) >= 10000) AS keep
+           |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
 
       "q53_bigram_lift" ->
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

@@ -68,6 +68,27 @@ object StatQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Banded DTW between the event types' daily activity curves — which
+    // signals move together under shifts up to a week (operators/Dtw).
+    // The distributed work is the events→(type, day) count aggregation;
+    // the aligned grid is DOMAIN-bounded (types × 30 days — the q293
+    // discipline), collected for the O(pairs·n·band) integer driver DP.
+    // The oracle replays the SAME DP as an anti-diagonal recursive CTE —
+    // the row-major recurrence is inexpressible in SQL recursion, the
+    // diagonal form is exact — so every distance hash-matches.
+    "q302_dtw_activity" -> ((s, d) => {
+      val (n, band) = (30, 7)
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("c"))
+      val grid = Tables.events(s, d).select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(lit(0), lit(n - 1))).as("day"))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"), coalesce(col("c"), lit(0L)).as("c"))
+      graft.operators.Dtw.pairwise(s, grid, "event_type", "day", "c", n, band)
+    }),
+
     // Weighted p10/p50/p90 of price cents, weighted by shipped quantity,
     // per return flag — the full "inventory-weighted price band" readout,
     // not just the median. operators/WeightedMedian.quantiles narrows all
@@ -951,6 +972,20 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // gap-fill as UNION-then-sum, not a LEFT JOIN: the grid CTE inlines
+    // into the correlated recursion, where DuckDB rejects any outer join
+    "q302_dtw_activity" -> graft.operators.Dtw.oracleSql(
+      """SELECT k, i, sum(v)::BIGINT AS v FROM (
+        |  SELECT event_type AS k,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) AS i,
+        |    count(*)::BIGINT AS v FROM events GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT t.event_type, dd.i, 0
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(range(0, 30)) AS i) dd
+        |) z GROUP BY 1, 2""".stripMargin,
+      n = 30, band = 7),
 
     "q165_weighted_quantiles" ->
       """WITH li AS (SELECT l_returnflag,
