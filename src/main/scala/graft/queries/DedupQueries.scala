@@ -183,6 +183,36 @@ object DedupQueries {
         graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
         wordCfg)),
 
+    // TRAIN/EVAL CONTAMINATION audit — the leakage check every LLM data
+    // pipeline must run before reporting eval numbers: near-duplicate
+    // pairs (the q12 LSH pipeline, banding-bounded, never all-pairs) that
+    // CROSS the q107 deterministic md5 split. A test doc with a train
+    // near-dup inflates eval scores; this reports the full split×split
+    // pair census (unordered via least/greatest) with distinct-doc
+    // counts, so train-test and train-val rows ARE the contamination.
+    "q306_split_contamination" -> ((s, d) => {
+      val split = Tables.documents(s, d).select(col("doc_id"),
+          (TextHash.md5Long(col("doc_id").cast("string")) % 100).as("bucket"))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"))
+      val pairs = MinHashDedup.pairs(
+        Tables.documents(s, d), "doc_id",
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)
+      pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .select(least(col("split_a"), col("split_b")).as("sp1"),
+          greatest(col("split_a"), col("split_b")).as("sp2"),
+          col("id_a"), col("id_b"))
+        .groupBy(col("sp1"), col("sp2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          // distinct docs touched by a cross/same-split near-dup pair
+          size(array_distinct(flatten(collect_list(array(col("id_a"), col("id_b"))))))
+            .cast("long").as("n_docs"))
+    }),
+
     // Same LSH engine over character 8-gram shingles, stride 2 (sampled
     // windows halve the hash volume; Jaccard over the sampled sets).
     "q13_dedup_ngram_jaccard" -> ((s, d) =>
@@ -828,6 +858,28 @@ object DedupQueries {
     "q12_dedup_minhash_lsh" ->
       MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg),
+
+    // the q12 replay joined against the q107 split function; n_docs via
+    // unnested endpoints, n_pairs as a distinct pair-struct count (the
+    // unnest doubles rows)
+    "q306_split_contamination" -> {
+      val base = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      val h = TextHash.md5LongSql("doc_id::VARCHAR")
+      s"""WITH sp AS (SELECT doc_id,
+         |    CASE WHEN ($h) % 100 < 80 THEN 'train'
+         |         WHEN ($h) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |j AS (SELECT least(sa.split, sb.split) AS sp1,
+         |        greatest(sa.split, sb.split) AS sp2, id_a, id_b
+         |      FROM ($base) p
+         |        JOIN sp sa ON p.id_a = sa.doc_id
+         |        JOIN sp sb ON p.id_b = sb.doc_id),
+         |u AS (SELECT sp1, sp2, id_a, id_b, unnest([id_a, id_b]) AS dd FROM j)
+         |SELECT sp1, sp2, count(DISTINCT (id_a, id_b))::BIGINT AS n_pairs,
+         |  count(DISTINCT dd)::BIGINT AS n_docs
+         |FROM u GROUP BY 1, 2""".stripMargin
+    },
 
     // the flat q12 replay filtered to batch×corpus pairs (batch ids sort
     // first, so id_a is always the batch side)

@@ -228,6 +228,62 @@ object MixQueries {
           col("median2_ppm") >= 68000L && col("min_ppm") >= 10000L)
     }),
 
+    // HBOS-style histogram outlier audit over the embedding corpus — the
+    // cheap-and-portable cousin of density outlier detection: per
+    // DIMENSION, 16 equal-width integer bins over the corpus [min, max];
+    // a vector is suspicious where it sits in SPARSE bins. The classic
+    // HBOS score multiplies inverse densities (a float/log surface); the
+    // integer formulation keeps the same ranking signals exactly: the
+    // vector's minimum bin density and its sparse-bin count. Per-dim
+    // stats ride a 64-row broadcast join (never driver literals), bin
+    // arithmetic is pure integer ((x−mn)·16 div (range+1) ∈ 0..15 by
+    // construction), and the explode is ×dims on the narrow micro
+    // relation only.
+    "q304_hbos_outliers" -> ((s, d) => {
+      val nBins = 16
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1000000.0).cast("long"))).as(Seq("dim", "x")))
+        .persist() // per-dim stats + bin counts + the per-vector score
+      val stats = ex.groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val binned = ex.join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          expr(s"((x - mn) * $nBins) div (mx - mn + 1)").as("bin"))
+      val counts = binned.groupBy(col("dim"), col("bin")).agg(count(lit(1)).as("cnt"))
+      binned.join(counts, Seq("dim", "bin"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("cnt")).as("min_density"),
+          sum((col("cnt") <= 5L).cast("long")).as("n_sparse"))
+        .withColumn("outlier", col("n_sparse") >= 3L || col("min_density") <= 1L)
+    }),
+
+    // Integer Flesch reading-ease — the classic readability gate of a
+    // text-quality panel, exact in milli-points: syllables ≈ vowel-run
+    // count (runs never cross whitespace, so the whole-text regexp count
+    // equals the per-word sum), sentences = terminator-run count floored
+    // at 1, and FRE·1000 = 206835 − (1015·1000·W) div S − (84600·1000·Y)
+    // div W — two integer divisions, identical truncation both engines.
+    "q305_readability" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          size(TextHash.tokens(col("text"))).cast("long").as("n_words"),
+          greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+            lit(1L)).as("n_sentences"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+            .as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .withColumn("fre_milli",
+          lit(206835L) - expr("(1015000 * n_words) div n_sentences")
+            - expr("(84600000 * n_syllables) div n_words"))
+        // band cuts calibrated to THIS corpus (synthetic text has no
+        // sentence terminators, so the words/sentence term dominates and
+        // classic Flesch cuts would label everything hard) — integer
+        // compares, portable at any threshold
+        .withColumn("band",
+          when(col("fre_milli") >= -155000000L, "easy")
+            .when(col("fre_milli") >= -199000000L, "standard").otherwise("hard"))),
+
     // Per-source language concentration — the Herfindahl index (Σ share²)
     // of each source's language mix, exact integer ppm: HHI = Σc_l²·10⁶
     // div n². The "is this source a monoculture" readout next to q241's
@@ -857,6 +913,36 @@ object MixQueries {
            |  (coalesce(med2, 0) >= 68000 AND
            |   coalesce(min_ppm, 0) >= 10000) AS keep
            |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+
+      "q304_hbos_outliers" ->
+        """WITH ex AS (SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+          |    CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS x
+          |  FROM embeddings),
+          |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+          |b AS (SELECT vec_id, ex.dim, ((x - mn) * 16) // (mx - mn + 1) AS bin
+          |      FROM ex JOIN st ON ex.dim = st.dim),
+          |c AS (SELECT dim, bin, count(*)::BIGINT AS cnt FROM b GROUP BY 1, 2)
+          |SELECT vec_id, min(cnt)::BIGINT AS min_density,
+          |  sum(CASE WHEN cnt <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_sparse,
+          |  (sum(CASE WHEN cnt <= 5 THEN 1 ELSE 0 END) >= 3 OR min(cnt) <= 1) AS outlier
+          |FROM b JOIN c ON b.dim = c.dim AND b.bin = c.bin
+          |GROUP BY vec_id""".stripMargin,
+
+      "q305_readability" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    len($toksSql)::BIGINT AS n_words,
+           |    greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1) AS n_sentences,
+           |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+           |  FROM documents),
+           |f AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+           |    (206835 - (1015000 * n_words) // n_sentences
+           |       - (84600000 * n_syllables) // n_words)::BIGINT AS fre_milli
+           |  FROM t WHERE n_words > 0)
+           |SELECT doc_id, n_words, n_sentences, n_syllables, fre_milli,
+           |  (CASE WHEN fre_milli >= -155000000 THEN 'easy'
+           |        WHEN fre_milli >= -199000000 THEN 'standard'
+           |        ELSE 'hard' END) AS band
+           |FROM f""".stripMargin,
 
       "q53_bigram_lift" ->
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
