@@ -113,6 +113,64 @@ object RelationalQueries {
               |  (l_linestatus), ())""".stripMargin)
     }),
 
+    // Percent-of-parent hierarchy shares — each nation's revenue share
+    // within its region and each region's within the total, in exact
+    // integer basis points, WITHOUT window functions: the three grains
+    // are plain aggregates re-joined (region and total sides broadcast),
+    // which is the shape that scales — a partition-window over the fact
+    // would re-sort the whole relation for two scalars per group.
+    "q307_share_of_parent" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("cents"))
+        .persist() // three grains consume the joined base
+      val nat = base.groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("cents")).as("nation_cents"))
+      val reg = base.groupBy(col("r_name")).agg(sum(col("cents")).as("region_cents"))
+      val tot = base.agg(sum(col("cents")).as("total_cents"))
+      nat.join(broadcast(reg), "r_name").crossJoin(broadcast(tot))
+        .select(col("r_name"), col("n_name"), col("nation_cents"),
+          expr("(nation_cents * 10000) div region_cents").as("share_in_region_bp"),
+          expr("(region_cents * 10000) div total_cents").as("region_share_bp"))
+    }),
+
+    // Sequential-pattern support (the prefixspan/SPADE shape, bounded by
+    // the TYPE domain): per-user event-initial strings in exact (ts,
+    // event_id) order, joined against all |types|³ length-3 candidate
+    // subsequences, membership via the '.*'-joined regex (subsequence
+    // semantics: ordered, gaps allowed). The candidate relation is
+    // domain-bounded (125 rows) and broadcast; support is an exact
+    // integer bp of the user universe.
+    "q308_seq_patterns" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val seqs = ev.select(col("user_id"),
+          struct(col("ts").as("t"), col("event_id").as("e"),
+            substring(col("event_type"), 1, 1).as("i")).as("st"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(sort_array(collect_list(col("st"))),
+          x => x.getField("i")), "").as("seq"))
+        .persist() // joined per candidate
+      val ty = ev.select(substring(col("event_type"), 1, 1).as("i")).distinct()
+      val cands = ty.select(col("i").as("s1"))
+        .crossJoin(ty.select(col("i").as("s2")))
+        .crossJoin(ty.select(col("i").as("s3")))
+      val nu = seqs.agg(count(lit(1)).as("n_users"))
+      seqs.crossJoin(broadcast(cands))
+        .filter(expr("seq rlike concat(s1, '.*', s2, '.*', s3)"))
+        .groupBy(col("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n_support"))
+        .crossJoin(broadcast(nu))
+        .select(col("s1"), col("s2"), col("s3"), col("n_support"),
+          expr("(n_support * 10000) div n_users").as("support_bp"))
+    }),
+
     // Window analytics: top-3 customers per nation by balance, with rank
     // flavors and the gap to the previous customer.
     "q30_window_analytics" -> ((s, d) => {
@@ -2073,6 +2131,36 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_linestatus), ())""".stripMargin,
+
+    "q307_share_of_parent" ->
+      """WITH base AS (SELECT r_name, n_name,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey),
+        |nat AS (SELECT r_name, n_name, sum(cents)::BIGINT AS nation_cents
+        |        FROM base GROUP BY 1, 2),
+        |reg AS (SELECT r_name, sum(cents)::BIGINT AS region_cents
+        |        FROM base GROUP BY 1),
+        |tot AS (SELECT sum(cents)::BIGINT AS total_cents FROM base)
+        |SELECT r_name, n_name, nation_cents,
+        |  ((nation_cents * 10000) // region_cents)::BIGINT AS share_in_region_bp,
+        |  ((region_cents * 10000) // total_cents)::BIGINT AS region_share_bp
+        |FROM nat JOIN reg USING (r_name), tot""".stripMargin,
+
+    "q308_seq_patterns" ->
+      """WITH sq AS (SELECT user_id,
+        |    array_to_string(list(substr(event_type, 1, 1) ORDER BY ts, event_id), '')
+        |      AS seq
+        |  FROM events GROUP BY user_id),
+        |ty AS (SELECT DISTINCT substr(event_type, 1, 1) AS i FROM events),
+        |ca AS (SELECT a.i AS s1, b.i AS s2, c.i AS s3 FROM ty a, ty b, ty c),
+        |nu AS (SELECT count(*)::BIGINT AS n_users FROM sq)
+        |SELECT s1, s2, s3, count(*)::BIGINT AS n_support,
+        |  ((count(*) * 10000) // n_users)::BIGINT AS support_bp
+        |FROM sq, ca, nu
+        |WHERE regexp_matches(seq, s1 || '.*' || s2 || '.*' || s3)
+        |GROUP BY s1, s2, s3, n_users""".stripMargin,
 
     "q29_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
