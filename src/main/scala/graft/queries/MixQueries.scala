@@ -259,6 +259,24 @@ object MixQueries {
         .withColumn("outlier", col("n_sparse") >= 3L || col("min_density") <= 1L)
     }),
 
+    // Padding-waste sweep for NO-SPLIT sequence packing — the context-
+    // length sizing table a training job reads: if every doc keeps its
+    // own ceil(tokens/L) sequences (no cross-doc concat — q235 is the
+    // zero-waste concat-then-chunk dual), how much of each candidate
+    // context length L is padding? One scan over token counts × a 3-row
+    // explode; waste in exact integer bp.
+    "q309_padding_waste" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(size(TextHash.tokens(col("text"))).cast("long").as("n"))
+        .select(col("n"), explode(array(lit(128L), lit(256L), lit(512L))).as("max_len"))
+        .groupBy(col("max_len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"),
+          sum(expr("(n + max_len - 1) div max_len")).as("n_seqs"))
+        .select(col("max_len"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+          (col("n_seqs") * col("max_len") - col("total_tokens")).as("padding_tokens"),
+          expr("((n_seqs * max_len - total_tokens) * 10000) div (n_seqs * max_len)")
+            .as("waste_bp"))),
+
     // Integer Flesch reading-ease — the classic readability gate of a
     // text-quality panel, exact in milli-points: syllables ≈ vowel-run
     // count (runs never cross whitespace, so the whole-text regexp count
@@ -927,6 +945,19 @@ object MixQueries {
           |  (sum(CASE WHEN cnt <= 5 THEN 1 ELSE 0 END) >= 3 OR min(cnt) <= 1) AS outlier
           |FROM b JOIN c ON b.dim = c.dim AND b.bin = c.bin
           |GROUP BY vec_id""".stripMargin,
+
+      "q309_padding_waste" ->
+        s"""WITH t AS (SELECT len($toksSql)::BIGINT AS n FROM documents),
+           |x AS (SELECT n, unnest([128, 256, 512])::BIGINT AS max_len FROM t),
+           |g AS (SELECT max_len, count(*)::BIGINT AS n_docs,
+           |    sum(n)::BIGINT AS total_tokens,
+           |    sum((n + max_len - 1) // max_len)::BIGINT AS n_seqs
+           |  FROM x GROUP BY max_len)
+           |SELECT max_len, n_docs, total_tokens, n_seqs,
+           |  (n_seqs * max_len - total_tokens)::BIGINT AS padding_tokens,
+           |  (((n_seqs * max_len - total_tokens) * 10000) // (n_seqs * max_len))::BIGINT
+           |    AS waste_bp
+           |FROM g""".stripMargin,
 
       "q305_readability" ->
         s"""WITH t AS (SELECT doc_id,

@@ -5,7 +5,7 @@ import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, max, min, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, max, min, sum, when}
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Snapshot-isolated parquet table with optimistic-concurrency commits —
@@ -742,22 +742,23 @@ object SnapshotTable {
     * delete removes the key; a pure insert appends. Returns the committed
     * destination version (None-change batches commit nothing). */
   def applyChanges(spark: SparkSession, tableDir: String, changes0: DataFrame,
-                   keys: Seq[String]): Option[Long] = {
+                   keys: Seq[String], extraMeta: Seq[String] = Seq.empty): Option[Long] = {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
     // a CDF batch is itself a multi-file read + exceptAll; it feeds the
     // pruning scan, the rewrite, and the emptiness check — persist once
     val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applyChangesImpl(spark, tableDir, changes, keys)
+    try applyChangesImpl(spark, tableDir, changes, keys, extraMeta)
     finally changes.unpersist()
   }
 
   private def applyChangesImpl(spark: SparkSession, tableDir: String,
-                               changes: DataFrame, keys: Seq[String]): Option[Long] = {
+                               changes: DataFrame, keys: Seq[String],
+                               extraMeta: Seq[String]): Option[Long] = {
     val inserts = changes.filter(col("_change") === "insert").drop("_change")
     val affected = changes.select(keys.map(col): _*).distinct()
     if (changes.isEmpty) return None
     latestVersion(tableDir) match {
-      case None => Some(commitAppend(inserts, tableDir))
+      case None => Some(commit(inserts, tableDir, replace = false, extraMeta = extraMeta))
       case Some(v) =>
         val snap = snapshot(tableDir, v)
         val schemaOpt = versionSchema(snap)
@@ -779,9 +780,81 @@ object SnapshotTable {
           if (touched.isEmpty) inserts
           else readFiles(touched).join(affected, keys, "left_anti")
             .unionByName(inserts, allowMissingColumns = true)
-        Some(commit(newRows, tableDir, replace = false,
+        Some(commit(newRows, tableDir, replace = false, extraMeta = extraMeta,
           dropFiles = touched.toSet, expectedVersion = Some(v)))
     }
+  }
+
+  /** Last source version applied to aggregate replica `aggId` — the
+    * exactly-once watermark of [[maintainAggregate]], carried forward in
+    * every destination manifest's meta (the stream-watermark pattern:
+    * O(1) from the latest snapshot, vacuum-proof). */
+  def lastAggSource(tableDir: String, aggId: String): Option[Long] =
+    latestVersion(tableDir)
+      .flatMap(v => snapshot(tableDir, v).meta.get(s"aggsrc:$aggId"))
+      .map(_.toLong)
+
+  /** INCREMENTAL MATERIALIZED-AGGREGATE maintenance — the view-maintenance
+    * primitive on top of [[pollChanges]]: keep a
+    * `(groupKeys…, cnt, sum_<c>…)` rollup of the source table current by
+    * applying each CDC window as a GROUP DELTA instead of recomputing the
+    * aggregate (inserts +1/+v, deletes −1/−v; an update is its
+    * delete+insert pair, so its delta is the value difference). Only
+    * AFFECTED groups are touched: the delta joins the current rollup on
+    * the group keys, dead groups (cnt → 0) drop, and the whole apply is
+    * ONE atomic [[applyChanges]] commit that also advances the
+    * `aggsrc:<aggId>` watermark — an already-applied source version
+    * no-ops, so at-least-once CDC delivery yields exactly-once aggregate
+    * effects ([[drainChanges]]-composable). Sum columns must be integral
+    * (exact deltas; float sums would drift from a recompute).
+    * Returns the committed destination version (None for no-op). */
+  def maintainAggregate(spark: SparkSession, destDir: String, batch: ChangeBatch,
+                        groupKeys: Seq[String], sumCols: Seq[String],
+                        aggId: String): Option[Long] = {
+    require(groupKeys.nonEmpty, "maintainAggregate needs at least one group key")
+    if (lastAggSource(destDir, aggId).exists(_ >= batch.toVersion)) return None
+    val ch = batch.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (ch.isEmpty) return None
+      sumCols.foreach { c =>
+        val dt = ch.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+          s"sum column $c must be integral for exact deltas, got $dt")
+      }
+      val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+      val deltaAggs = sum(sign).as("d_cnt") +:
+        sumCols.map(c => sum(sign * col(c).cast("long")).as(s"d_$c"))
+      val delta = ch.groupBy(groupKeys.map(col): _*)
+        .agg(deltaAggs.head, deltaAggs.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hasDest = latestVersion(destDir).isDefined
+        val merged =
+          if (!hasDest)
+            delta.select(groupKeys.map(col) ++ (col("d_cnt").as("cnt") +:
+              sumCols.map(c => col(s"d_$c").as(s"sum_$c"))): _*)
+          else
+            delta.join(read(spark, destDir), groupKeys, "left")
+              .select(groupKeys.map(col) ++
+                ((coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt") +:
+                  sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+                    col(s"d_$c")).as(s"sum_$c"))): _*)
+        val negative = merged.filter(col("cnt") < 0).limit(1).collect()
+        require(negative.isEmpty,
+          s"inconsistent change feed: group ${negative.headOption} would go negative " +
+            "(a delete without its insert — replay the source window)")
+        val inserts = merged.filter(col("cnt") > 0).withColumn("_change", lit("insert"))
+        val full =
+          if (!hasDest) inserts
+          else read(spark, destDir)
+            .join(delta.select(groupKeys.map(col): _*), groupKeys, "left_semi")
+            .withColumn("_change", lit("delete"))
+            .unionByName(inserts)
+        applyChanges(spark, destDir, full, groupKeys,
+          extraMeta = Seq(s"aggsrc:$aggId=${batch.toVersion}"))
+      } finally delta.unpersist()
+    } finally ch.unpersist()
   }
 
   /** Durable offset advance via the same hard-link CAS as commits: the

@@ -112,4 +112,73 @@ class CdcStreamSpec extends AnyFunSuite {
     // caught up after resync
     assert(SnapshotTable.pollChanges(spark, src, "c").isEmpty)
   }
+
+  private def aggRows(dir: String): Set[(String, Long, Long)] =
+    SnapshotTable.read(spark, dir).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("cnt"), r.getAs[Long]("sum_v")))
+      .toSet
+
+  private def recompute(src: String): Set[(String, Long, Long)] =
+    SnapshotTable.read(spark, src).groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("maintainAggregate: incremental rollup == full recompute across CDC windows") {
+    val src = tmpDir("agg_src"); val dst = tmpDir("agg_dst")
+    def sync(): Int = SnapshotTable.drainChanges(spark, src, "agg") { b =>
+      SnapshotTable.maintainAggregate(spark, dst, b, Seq("g"), Seq("v"), "agg"); ()
+    }
+    SnapshotTable.commitAppend(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("k", "g", "v").coalesce(1), src)
+    assert(sync() == 1) // bootstrap: the full snapshot is the first delta
+    assert(aggRows(dst) == recompute(src))
+    assert(aggRows(dst) == Set(("a", 2L, 30L), ("b", 1L, 5L)))
+    // update (delete+insert of one key) + new group, one composed window
+    SnapshotTable.upsert(spark, src,
+      Seq((2L, "a", 25L), (4L, "c", 7L)).toDF("k", "g", "v"), Seq("k"))
+    SnapshotTable.commitAppend(Seq((5L, "b", 3L)).toDF("k", "g", "v").coalesce(1), src)
+    assert(sync() == 1)
+    assert(aggRows(dst) == recompute(src))
+    assert(aggRows(dst) == Set(("a", 2L, 35L), ("b", 2L, 8L), ("c", 1L, 7L)))
+    // group death: deleting the last 'c' row must DROP the group row
+    SnapshotTable.deleteWhere(spark, src, col("g") === "c")
+    assert(sync() == 1)
+    assert(aggRows(dst) == recompute(src))
+    assert(!aggRows(dst).exists(_._1 == "c"))
+  }
+
+  test("maintainAggregate: redelivered windows no-op via the aggsrc watermark") {
+    val src = tmpDir("agg_src"); val dst = tmpDir("agg_dst")
+    SnapshotTable.commitAppend(Seq((1L, "a", 10L)).toDF("k", "g", "v").coalesce(1), src)
+    val b = SnapshotTable.pollChanges(spark, src, "agg").get
+    assert(SnapshotTable.maintainAggregate(spark, dst, b, Seq("g"), Seq("v"), "agg").isDefined)
+    // crash before ack: same window redelivered — the delta must NOT
+    // double-apply (a plain delta replay would double every count)
+    val again = SnapshotTable.pollChanges(spark, src, "agg").get
+    assert(again.toVersion == b.toVersion)
+    assert(SnapshotTable.maintainAggregate(spark, dst, again, Seq("g"), Seq("v"), "agg").isEmpty)
+    assert(aggRows(dst) == Set(("a", 1L, 10L)))
+    assert(again.ack())
+    // the watermark survives further commits (carried-meta pattern)
+    SnapshotTable.commitAppend(Seq((2L, "a", 1L)).toDF("k", "g", "v").coalesce(1), src)
+    val b2 = SnapshotTable.pollChanges(spark, src, "agg").get
+    SnapshotTable.maintainAggregate(spark, dst, b2, Seq("g"), Seq("v"), "agg")
+    assert(SnapshotTable.lastAggSource(dst, "agg").contains(b2.toVersion))
+    assert(aggRows(dst) == Set(("a", 2L, 11L)))
+  }
+
+  test("maintainAggregate rejects an inconsistent feed (negative count)") {
+    val src = tmpDir("agg_src"); val dst = tmpDir("agg_dst")
+    SnapshotTable.commitAppend(Seq((1L, "a", 10L)).toDF("k", "g", "v").coalesce(1), src)
+    val b = SnapshotTable.pollChanges(spark, src, "agg").get
+    SnapshotTable.maintainAggregate(spark, dst, b, Seq("g"), Seq("v"), "agg")
+    assert(b.ack())
+    // hand-craft a bogus window: two deletes of a group with one member
+    val bogus = SnapshotTable.ChangeBatch(src, "agg", Some(b.toVersion), b.toVersion + 1,
+      Seq((1L, "a", 10L, "delete"), (7L, "a", 11L, "delete"))
+        .toDF("k", "g", "v", "_change"), 99L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.maintainAggregate(spark, dst, bogus, Seq("g"), Seq("v"), "agg")
+    }
+  }
 }
