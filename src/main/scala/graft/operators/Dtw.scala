@@ -25,10 +25,17 @@ object Dtw {
 
   private val Inf = 1000000000000000L // out-of-band sentinel; Inf + cost stays < 2^63
 
-  /** Exact banded DTW of two equal-length long series. */
+  /** Exact banded DTW of two equal-length long series. Input magnitudes
+    * are guarded so no REAL path cost can reach the Inf sentinel (a
+    * genuine cost ≥ Inf would be clamped to "unreachable" here while the
+    * oracle — which has no sentinel — returns the true distance). */
   def distance(a: Array[Long], b: Array[Long], band: Int): Long = {
     require(a.length == b.length && a.nonEmpty, "series must be equal-length, non-empty")
     val n = a.length
+    val maxAbs = math.max(a.map(math.abs).max, b.map(math.abs).max)
+    // longest monotone path has 2n−1 cells, each costing ≤ 2·maxAbs
+    require((4L * n) * maxAbs < Inf,
+      s"series magnitude $maxAbs too large for n=$n — worst path cost would reach the Inf sentinel")
     val dp = Array.fill(n, n)(Inf)
     for (i <- 0 until n; j <- math.max(0, i - band) to math.min(n - 1, i + band)) {
       val c = math.abs(a(i) - b(j))
@@ -54,7 +61,13 @@ object Dtw {
                keyCol: String, idxCol: String, valCol: String,
                n: Int, band: Int): DataFrame = {
     require(n >= 1 && band >= 0)
-    val rows = grid.select(col(keyCol).cast("string"), col(idxCol).cast("int"),
+    // keys must already BE strings: output pairs order by key_a < key_b,
+    // and a silent numeric→string cast would reorder ("10" < "9") against
+    // the oracle's native-type comparison
+    require(grid.schema(keyCol).dataType == org.apache.spark.sql.types.StringType,
+      s"pairwise needs a STRING key column (got ${grid.schema(keyCol).dataType}) — " +
+        "format numeric keys explicitly so pair order is unambiguous")
+    val rows = grid.select(col(keyCol), col(idxCol).cast("int"),
       col(valCol).cast("long")).collect()
     require(rows.length <= 100000,
       s"grid too large to collect (${rows.length} rows) — bound the key domain first")

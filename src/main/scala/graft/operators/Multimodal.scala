@@ -95,6 +95,21 @@ object Multimodal {
     }
 
     def decode(payload: Array[Byte]): MediaMeta = decodeWithOffset(payload)._1
+
+    /** [[decodeWithOffset]] plus the bytes-per-SAMPLE (1 for maxval < 256,
+      * 2 for 16-bit samples) — pixel-level stages must NOT assume 1
+      * (a 16-bit image read as bytes pools garbage). */
+    def decodeFull(payload: Array[Byte]): (MediaMeta, Int, Int) = {
+      val (meta, off) = decodeWithOffset(payload)
+      val frameBytes = (payload.length - off) / meta.frames
+      ((meta, off, if (frameBytes == meta.width * meta.height * 3) 1 else 2))
+    }
+
+    /** Sample `s` (0-based, 3 per pixel) of frame 1: the byte for 8-bit
+      * images, the big-endian 2-byte value for 16-bit (the P6 spec). */
+    def sampleAt(payload: Array[Byte], off: Int, bytesPerSample: Int, s: Int): Int =
+      if (bytesPerSample == 1) payload(off + s) & 0xff
+      else ((payload(off + 2 * s) & 0xff) << 8) | (payload(off + 2 * s + 1) & 0xff)
   }
 
   /** Construct a REAL P6 PPM payload column whose header values derive
@@ -155,18 +170,18 @@ object Multimodal {
         val extra: Seq[Any] =
           if (payload == null) Seq(null, null, null, null, null)
           else try {
-            val (meta, off) = PpmDecoder.decodeWithOffset(payload)
+            val (meta, off, bps) = PpmDecoder.decodeFull(payload)
             val (w, h) = (meta.width, meta.height)
             val (pxAcross, pxDown) = ((w + pw - 1) / pw, (h + ph - 1) / ph)
             val sums = new Array[Long](pxAcross * pxDown)
-            var i = 0
-            val frameLen = w * h * 3
-            while (i < frameLen) {
-              val px = (i / 3) % w
-              val py = (i / 3) / w
+            var s = 0
+            val nSamples = w * h * 3
+            while (s < nSamples) {
+              val px = (s / 3) % w
+              val py = (s / 3) / w
               val patch = (py / ph) * pxAcross + (px / pw)
-              sums(patch) += payload(off + i) & 0xff
-              i += 1
+              sums(patch) += PpmDecoder.sampleAt(payload, off, bps, s)
+              s += 1
             }
             Seq(w, h, sums.length, sums.mkString(","), sums.sum)
           } catch {
@@ -230,8 +245,11 @@ object Multimodal {
     * normalization makes the hash RESOLUTION-INVariant: the same texture
     * rendered at 1× and 2× pools to proportional cell sums and identical
     * bits. Images smaller than the grid (an empty cell) and malformed
-    * payloads yield a NULL fingerprint; the row survives. Cross-mult
-    * stays in int64 for cells up to ~10⁸ pixels (255n·3n < 2⁶³).
+    * payloads yield a NULL fingerprint; the row survives. 16-bit images
+    * (maxval ≥ 256) pool their big-endian SAMPLE values, so the same
+    * picture stored 8- vs 16-bit fingerprints consistently. Cross-mult
+    * stays in int64 for cells up to ~10⁸ pixels at 8 bit (255n·3n < 2⁶³;
+    * ~257× fewer for 16-bit samples).
     * Default 9×7 grid → 56 bits: 4 lossless 14-bit pigeonhole chunks for
     * Hamming-≤3 blocking ([[ImageDedup]]), all within positive int64. */
   def withDHash(
@@ -250,20 +268,20 @@ object Multimodal {
         val extra: Seq[Any] =
           if (payload == null) Seq(null, null, null)
           else try {
-            val (meta, off) = PpmDecoder.decodeWithOffset(payload)
+            val (meta, off, bps) = PpmDecoder.decodeFull(payload)
             val (w, h) = (meta.width, meta.height)
             if (w < gridW || h < gridH) Seq(w, h, null)
             else {
               val sums = new Array[Long](gridW * gridH)
               val cnts = new Array[Long](gridW * gridH)
               var i = 0
-              val frameLen = w * h * 3
+              val frameLen = w * h * 3 // SAMPLES per frame (8- or 16-bit each)
               while (i < frameLen) {
                 val px = (i / 3) % w
                 val py = (i / 3) / w
                 val cell = (py.toLong * gridH / h).toInt * gridW +
                   (px.toLong * gridW / w).toInt
-                sums(cell) += payload(off + i) & 0xff
+                sums(cell) += PpmDecoder.sampleAt(payload, off, bps, i)
                 cnts(cell) += 1
                 i += 1
               }

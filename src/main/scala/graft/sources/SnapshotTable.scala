@@ -822,24 +822,43 @@ object SnapshotTable {
           dt == org.apache.spark.sql.types.IntegerType,
           s"sum column $c must be integral for exact deltas, got $dt")
       }
+      // NULL group keys never rejoin their own rollup row (non-null-safe
+      // equality here AND inside applyChanges' key joins) — out of the
+      // keyed-replication contract, refused loudly
+      val nullKey = ch.filter(groupKeys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).collect()
+      require(nullKey.isEmpty,
+        s"maintainAggregate group keys must be non-null, got ${nullKey.headOption}")
       val sign = when(col("_change") === "insert", lit(1L)).otherwise(lit(-1L))
+      // NULL measure values contribute 0 (sum() ignores NULLs in a full
+      // recompute; an un-coalesced sign*NULL would poison the running sum)
       val deltaAggs = sum(sign).as("d_cnt") +:
-        sumCols.map(c => sum(sign * col(c).cast("long")).as(s"d_$c"))
+        sumCols.map(c =>
+          sum(sign * coalesce(col(c).cast("long"), lit(0L))).as(s"d_$c"))
       val delta = ch.groupBy(groupKeys.map(col): _*)
         .agg(deltaAggs.head, deltaAggs.tail: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hasDest = latestVersion(destDir).isDefined
+      // dest is deliberately NOT persisted even though two branches scan
+      // it: caching the bare table read makes the CacheManager substitute
+      // applyChanges' internal input_file_name() scan with the cached
+      // relation — where input_file_name() is EMPTY — so no file is ever
+      // "touched" and stale group rows silently survive (reproduced).
+      // Persisting `merged`/`delta` is safe: substitution replaces whole
+      // cached plans, not their subtrees.
+      val dest = if (hasDest) read(spark, destDir) else null
+      val merged = (
+        if (!hasDest)
+          delta.select(groupKeys.map(col) ++ (col("d_cnt").as("cnt") +:
+            sumCols.map(c => col(s"d_$c").as(s"sum_$c"))): _*)
+        else
+          delta.join(dest, groupKeys, "left")
+            .select(groupKeys.map(col) ++
+              ((coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt") +:
+                sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+                  col(s"d_$c")).as(s"sum_$c"))): _*)
+        ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val hasDest = latestVersion(destDir).isDefined
-        val merged =
-          if (!hasDest)
-            delta.select(groupKeys.map(col) ++ (col("d_cnt").as("cnt") +:
-              sumCols.map(c => col(s"d_$c").as(s"sum_$c"))): _*)
-          else
-            delta.join(read(spark, destDir), groupKeys, "left")
-              .select(groupKeys.map(col) ++
-                ((coalesce(col("cnt"), lit(0L)) + col("d_cnt")).as("cnt") +:
-                  sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-                    col(s"d_$c")).as(s"sum_$c"))): _*)
         val negative = merged.filter(col("cnt") < 0).limit(1).collect()
         require(negative.isEmpty,
           s"inconsistent change feed: group ${negative.headOption} would go negative " +
@@ -847,13 +866,16 @@ object SnapshotTable {
         val inserts = merged.filter(col("cnt") > 0).withColumn("_change", lit("insert"))
         val full =
           if (!hasDest) inserts
-          else read(spark, destDir)
+          else dest
             .join(delta.select(groupKeys.map(col): _*), groupKeys, "left_semi")
             .withColumn("_change", lit("delete"))
             .unionByName(inserts)
         applyChanges(spark, destDir, full, groupKeys,
           extraMeta = Seq(s"aggsrc:$aggId=${batch.toVersion}"))
-      } finally delta.unpersist()
+      } finally {
+        merged.unpersist()
+        delta.unpersist()
+      }
     } finally ch.unpersist()
   }
 
@@ -1230,7 +1252,8 @@ object SnapshotTable {
         else bTip.meta.view.filterKeys(k =>
           k.startsWith("zone:") && branchAdded.contains(zoneFile(k))).toMap
       val mainCarried = mTip.meta.view.filterKeys(k =>
-          k.startsWith("stream:") || k == "zonecol" || k == "zonecols" ||
+          k.startsWith("stream:") || k.startsWith("aggsrc:") ||
+            k == "zonecol" || k == "zonecols" ||
             (k.startsWith("zone:") && !branchDeleted(zoneFile(k))))
         .toMap
       val schemaEntry: Map[String, String] =
@@ -1376,7 +1399,7 @@ object SnapshotTable {
           "schema" -> merged.json
         }
       val carried = prevMeta.view.filterKeys(k =>
-          k.startsWith("stream:") ||
+          k.startsWith("stream:") || k.startsWith("aggsrc:") ||
             (!replace && !zoneColChanged &&
               (k.startsWith("zone:") || k == "zonecol" || k == "zonecols")))
         // a rewritten (dropped) file's stats describe rows that just moved

@@ -69,5 +69,18 @@ class DtwSpec extends AnyFunSuite {
       Dtw.pairwise(spark, grid.union(Seq(("x", 0, 9L)).toDF("k", "i", "v")),
         "k", "i", "v", 3, 1)
     }
+    // numeric keys would silently reorder pairs against the oracle's
+    // native-type comparison ("10" < "9") — refused loudly
+    intercept[IllegalArgumentException] {
+      Dtw.pairwise(spark, Seq((1L, 0, 1L)).toDF("k", "i", "v"), "k", "i", "v", 1, 0)
+    }
+  }
+
+  test("magnitudes that could reach the Inf sentinel are refused") {
+    val big = Array.fill(10)(3e14.toLong)
+    intercept[IllegalArgumentException] { Dtw.distance(big, big.map(-_), 3) }
+    // just inside the guard still computes
+    val ok = Array.fill(10)(1e13.toLong)
+    assert(Dtw.distance(ok, ok, 3) == 0L)
   }
 }

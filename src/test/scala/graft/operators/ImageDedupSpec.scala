@@ -114,6 +114,28 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(out(2L).getInt(1) == 4) // decoded fine, just below grid size
   }
 
+  test("16-bit samples pool as values: 8-bit image == its 16-bit rendering") {
+    // same picture twice: 8-bit samples v, and 16-bit samples (0, v) —
+    // identical sample VALUES, so the dHash must match exactly (the
+    // pre-fix byte-pooling read half the 16-bit bytes as whole pixels)
+    val w = 9; val h = 7
+    val vals = Array.tabulate(w * h * 3)(i => (i * 37 + 11) % 200)
+    val p8 = (s"P6\n$w $h\n255\n").getBytes("ISO-8859-1") ++ vals.map(_.toByte)
+    val p16 = (s"P6\n$w $h\n65535\n").getBytes("ISO-8859-1") ++
+      vals.flatMap(v => Array(0.toByte, v.toByte))
+    val out = Multimodal.withDHash(
+        Seq((1L, p8), (2L, p16)).toDF("id", "p"), "p")
+      .select(col("id"), col("dhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L), "8- and 16-bit renderings of one picture must agree")
+    // and patch pooling agrees too (sample sums, not byte sums)
+    val ps = Multimodal.withPatchSums(
+        Seq((1L, p8), (2L, p16)).toDF("id", "p"), "p", 2, 2)
+      .select(col("id"), col("patch_sums")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ps(1L) == ps(2L))
+  }
+
   test("pairs refuses a radius beyond the pigeonhole guarantee") {
     val df = Seq((1L, Array[Byte]())).toDF("id", "p")
     intercept[IllegalArgumentException] {

@@ -165,6 +165,36 @@ class CdcStreamSpec extends AnyFunSuite {
     SnapshotTable.maintainAggregate(spark, dst, b2, Seq("g"), Seq("v"), "agg")
     assert(SnapshotTable.lastAggSource(dst, "agg").contains(b2.toVersion))
     assert(aggRows(dst) == Set(("a", 2L, 11L)))
+    // a FOREIGN commit to the rollup (compaction-style replace) must NOT
+    // drop the watermark — else a redelivery double-applies
+    SnapshotTable.commitReplace(SnapshotTable.read(spark, dst).coalesce(1), dst)
+    assert(SnapshotTable.lastAggSource(dst, "agg").contains(b2.toVersion),
+      "aggsrc watermark must carry through foreign commits")
+    assert(SnapshotTable.maintainAggregate(spark, dst, b2, Seq("g"), Seq("v"), "agg").isEmpty)
+    assert(aggRows(dst) == Set(("a", 2L, 11L)))
+  }
+
+  test("maintainAggregate: NULL measures count as 0; NULL group keys refused") {
+    val src = tmpDir("agg_src"); val dst = tmpDir("agg_dst")
+    SnapshotTable.commitAppend(
+      Seq((1L, "a", Some(10L)), (2L, "a", None)).toDF("k", "g", "v").coalesce(1), src)
+    def sync(): Unit = SnapshotTable.drainChanges(spark, src, "agg") { b =>
+      SnapshotTable.maintainAggregate(spark, dst, b, Seq("g"), Seq("v"), "agg"); ()
+    }
+    sync()
+    assert(aggRows(dst) == Set(("a", 2L, 10L)))
+    // deleting the NULL-valued row must subtract 0, not poison the sum
+    SnapshotTable.deleteWhere(spark, src, col("k") === 2L)
+    sync()
+    assert(aggRows(dst) == Set(("a", 1L, 10L)))
+    // NULL group key: loud refusal (non-null-safe joins would duplicate)
+    val srcN = tmpDir("agg_srcn"); val dstN = tmpDir("agg_dstn")
+    SnapshotTable.commitAppend(
+      Seq((1L, Option.empty[String], 5L)).toDF("k", "g", "v").coalesce(1), srcN)
+    val b = SnapshotTable.pollChanges(spark, srcN, "agg").get
+    intercept[IllegalArgumentException] {
+      SnapshotTable.maintainAggregate(spark, dstN, b, Seq("g"), Seq("v"), "agg")
+    }
   }
 
   test("maintainAggregate rejects an inconsistent feed (negative count)") {
