@@ -879,6 +879,23 @@ object SnapshotTable {
     } finally ch.unpersist()
   }
 
+  /** Live MATERIALIZED-AGGREGATE maintenance: the change stream of
+    * `sourceDir` folded continuously into the `destDir` rollup — each
+    * committed source version lands as one atomic group-delta commit,
+    * exactly-once through crashes/restarts ([[maintainAggregate]]'s
+    * aggsrc watermark absorbs every redelivery). */
+  def startAggregateStream(
+      spark: SparkSession, sourceDir: String, destDir: String,
+      groupKeys: Seq[String], sumCols: Seq[String],
+      consumerId: String, checkpointDir: String,
+      intervalMs: Long = 500L, autoResync: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startChangeStream(spark, sourceDir, consumerId, checkpointDir, intervalMs, autoResync) {
+      b =>
+        maintainAggregate(spark, destDir, b, groupKeys, sumCols, consumerId)
+        ()
+    }
+
   /** Durable offset advance via the same hard-link CAS as commits: the
     * offset file `<id>-<seq>.offset` either links (we won) or already
     * exists (a worker sharing the consumer id acked this window first). */

@@ -197,6 +197,35 @@ class CdcStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("startAggregateStream: live rollup tracks source commits, exactly-once") {
+    val src = tmpDir("aggs_src"); val dst = tmpDir("aggs_dst")
+    SnapshotTable.commitAppend(
+      Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("k", "g", "v").coalesce(1), src)
+    val q = SnapshotTable.startAggregateStream(spark, src, dst, Seq("g"), Seq("v"),
+      consumerId = "agglive", checkpointDir = tmpDir("aggs_ckpt"), intervalMs = 100L)
+    try {
+      assert(awaitUntil(30000) {
+        SnapshotTable.latestVersion(dst).isDefined && aggRows(dst) == recompute(src)
+      }, "bootstrap rollup must land")
+      // live commits while the stream runs: update + insert + group death
+      SnapshotTable.upsert(spark, src,
+        Seq((2L, "b", 8L), (3L, "c", 7L)).toDF("k", "g", "v"), Seq("k"))
+      SnapshotTable.deleteWhere(spark, src, col("g") === "a")
+      assert(awaitUntil(30000) {
+        aggRows(dst) == Set(("b", 1L, 8L), ("c", 1L, 7L))
+      }, "live windows must fold in; dead groups must drop")
+      assert(aggRows(dst) == recompute(src))
+    } finally q.stop()
+    // restart with a FRESH checkpoint: offsets are the table's own — a
+    // caught-up consumer re-applies nothing (no double counts)
+    SnapshotTable.commitAppend(Seq((4L, "c", 1L)).toDF("k", "g", "v").coalesce(1), src)
+    val q2 = SnapshotTable.startAggregateStream(spark, src, dst, Seq("g"), Seq("v"),
+      consumerId = "agglive", checkpointDir = tmpDir("aggs_ckpt2"), intervalMs = 100L)
+    try assert(awaitUntil(30000) { aggRows(dst) == recompute(src) &&
+      aggRows(dst) == Set(("b", 1L, 8L), ("c", 2L, 8L)) })
+    finally q2.stop()
+  }
+
   test("maintainAggregate rejects an inconsistent feed (negative count)") {
     val src = tmpDir("agg_src"); val dst = tmpDir("agg_dst")
     SnapshotTable.commitAppend(Seq((1L, "a", 10L)).toDF("k", "g", "v").coalesce(1), src)
