@@ -308,6 +308,177 @@ object Multimodal {
     out
   }
 
+  /** Real canonical RIFF/WAVE PCM parser — the audio counterpart of
+    * [[PpmDecoder]]. Accepts the 44-byte canonical layout (RIFF size +
+    * WAVE + a 16-byte `fmt ` chunk + `data`), PCM format only, 16-bit
+    * samples, any channel count / sample rate. Throws
+    * [[MediaFormatException]] on malformed payloads: bad magic, non-PCM,
+    * non-16-bit, zero rate/channels, or a data chunk longer than the
+    * payload. Truncated trailing bytes (an incomplete final sample) are
+    * rejected too — silently dropping them would desync channel
+    * deinterleaving. */
+  object WavDecoder {
+    final case class WavMeta(
+        byteLen: Int, sampleRate: Int, channels: Int, nSamples: Int)
+
+    private def le16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    private def tag(p: Array[Byte], i: Int, s: String): Boolean =
+      p(i) == s(0).toByte && p(i + 1) == s(1).toByte &&
+        p(i + 2) == s(2).toByte && p(i + 3) == s(3).toByte
+
+    /** Returns (meta, dataOffset). */
+    def decodeWithOffset(payload: Array[Byte]): (WavMeta, Int) = {
+      def fail(msg: String): Nothing = throw new MediaFormatException(msg)
+      if (payload.length < 44) fail("shorter than a canonical WAV header")
+      if (!tag(payload, 0, "RIFF")) fail("bad RIFF magic")
+      if (!tag(payload, 8, "WAVE")) fail("bad WAVE tag")
+      if (!tag(payload, 12, "fmt ")) fail("missing fmt chunk")
+      if (le32(payload, 16) != 16L) fail("non-canonical fmt chunk size")
+      if (le16(payload, 20) != 1) fail("not PCM")
+      val channels = le16(payload, 22)
+      val rate = le32(payload, 24)
+      val bits = le16(payload, 34)
+      if (channels < 1) fail("zero channels")
+      if (rate < 1 || rate > Int.MaxValue) fail("bad sample rate")
+      if (bits != 16) fail(s"only 16-bit PCM supported, got $bits")
+      if (!tag(payload, 36, "data")) fail("missing data chunk")
+      val dataLen = le32(payload, 40)
+      if (dataLen > payload.length - 44L) fail("data chunk overruns payload")
+      if (dataLen % (2L * channels) != 0) fail("truncated final sample frame")
+      val nSamples = (dataLen / (2L * channels)).toInt
+      (WavMeta(payload.length, rate.toInt, channels, nSamples), 44)
+    }
+
+    /** Channel-`c` value of sample frame `i`: 16-bit little-endian SIGNED. */
+    def sampleAt(payload: Array[Byte], off: Int, channels: Int, i: Int, c: Int): Int = {
+      val u = le16(payload, off + 2 * (i * channels + c))
+      if (u >= 32768) u - 65536 else u
+    }
+  }
+
+  /** Construct a REAL canonical WAV payload column (16-bit PCM mono,
+    * 8 kHz) whose samples derive deterministically from `id`:
+    * `n = (id mod 7)·160 + 400` sample frames (never a whole number of
+    * 160-sample windows — the ragged tail is always exercised), segmented
+    * into 160-sample (20 ms) chunks whose amplitude is md5-chosen — ~3/4
+    * "loud" (±12000), ~1/4 near-silent (±40) — with sample `s` valued
+    * `((s·37 + id·13) mod (2A+1)) − A`. Bytes are assembled as a hex
+    * string (arbitrary byte values — a `char()`-based build would
+    * UTF-8-expand anything ≥ 128) and `unhex`ed once; the per-segment md5
+    * is bound through `zip_with` so it is never re-evaluated per sample
+    * (the HOF-lambda trap). The construction is pure integer + md5
+    * arithmetic, so a DuckDB oracle replays the decoded FEATURES without
+    * ever seeing a byte — the hash match then proves the byte-level
+    * header parse, LE sign decode, and window geometry. */
+  def wavPayload(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextHash
+    val idL = id.cast("long")
+    val n = pmod(idL, lit(7L)) * 160L + 400L
+    // ceil(n/160) without float division: subtract the remainder first
+    // (n ≤ 1360 — the double round-trip would be exact too, but integer
+    // arithmetic keeps the form obviously portable)
+    val nSegI = (((n + 159L) - pmod(n + 159L, lit(160L))) / 160L).cast("long")
+    def hx(b: org.apache.spark.sql.Column) =
+      lpad(hex(b.cast("long")), 2, "0")
+    def le16h(x: org.apache.spark.sql.Column) =
+      concat(hx(x.bitwiseAND(lit(255L))), hx(shiftright(x.cast("long"), 8).bitwiseAND(lit(255L))))
+    def le32h(x: org.apache.spark.sql.Column) =
+      concat(hx(x.bitwiseAND(lit(255L))),
+        hx(shiftright(x.cast("long"), 8).bitwiseAND(lit(255L))),
+        hx(shiftright(x.cast("long"), 16).bitwiseAND(lit(255L))),
+        hx(shiftright(x.cast("long"), 24).bitwiseAND(lit(255L))))
+    val amps = transform(sequence(lit(0L), nSegI - 1L), seg =>
+      when(pmod(TextHash.md5Long(concat(lit("aud:"), idL.cast("string"),
+        lit(":"), seg.cast("string"))), lit(4L)) > 0, lit(12000L))
+        .otherwise(lit(40L)))
+    // zip_with binds `amps` once; the inner lambda sees the amplitude as a
+    // VALUE, so each segment's md5 is computed exactly once
+    val segHex = zip_with(amps, sequence(lit(0L), nSegI - 1L), (a, seg) =>
+      array_join(transform(
+        sequence(seg * 160L, least((seg + 1L) * 160L, n) - 1L), sIdx => {
+          val v = pmod(sIdx * 37L + idL * 13L, a * 2L + 1L) - a
+          val u = pmod(v + 65536L, lit(65536L))
+          concat(hx(u.bitwiseAND(lit(255L))), hx(shiftright(u, 8)))
+        }), ""))
+    val dataLen = n * 2L
+    val hdr = concat(lit("52494646"), le32h(dataLen + 36L), lit("57415645"),
+      lit("666D7420"), le32h(lit(16L)), le16h(lit(1L)), le16h(lit(1L)),
+      le32h(lit(8000L)), le32h(lit(16000L)), le16h(lit(2L)), le16h(lit(16L)),
+      lit("64617461"), le32h(dataLen))
+    unhex(concat(hdr, array_join(segHex, "")))
+  }
+
+  /** Audio feature extraction over REAL decoded PCM — the
+    * silence-detection / level-analysis pass an audio-curation pipeline
+    * runs per clip: parse the WAV header with [[WavDecoder]], fold channel
+    * values (channel 0 for multi-channel clips), and emit integer features
+    * per `window`-sample window: peak and mean absolute level, window
+    * count, silent-window count (window max |v| < `silenceThresh`), and
+    * the longest consecutive silent run. All integer (mean via `div`), so
+    * downstream gates are exact on any engine. Malformed payloads yield
+    * NULL features; the row survives (the 100 TB rule). Batched
+    * mapPartitions — the justified byte-level seam. */
+  def withAudioFeatures(
+      df: DataFrame, binCol: String,
+      window: Int = 160, silenceThresh: Int = 64): DataFrame = {
+    require(window > 0 && silenceThresh >= 0)
+    // all LongType: a mixed Int/Long Seq literal numeric-widens every
+    // element to Long (Scala weak-lub), which the Row encoder rejects
+    // against INT fields — uniform longs sidestep the trap entirely
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      "sample_rate", "n_samples", "duration_ms", "peak_abs", "sum_abs",
+      "mean_abs", "n_windows", "n_silent", "longest_silence")
+      .map(StructField(_, LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val extra: Seq[Any] =
+          if (payload == null) Seq.fill(9)(null)
+          else try {
+            val (meta, off) = WavDecoder.decodeWithOffset(payload)
+            val n = meta.nSamples
+            if (n == 0)
+              Seq(meta.sampleRate.toLong, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+            else {
+              var peak = 0; var sumAbs = 0L
+              var nWin = 0; var nSilent = 0
+              var run = 0; var longest = 0
+              var winMax = 0
+              var i = 0
+              while (i < n) {
+                val a = math.abs(WavDecoder.sampleAt(payload, off, meta.channels, i, 0))
+                if (a > peak) peak = a
+                if (a > winMax) winMax = a
+                sumAbs += a
+                i += 1
+                if (i % window == 0 || i == n) {
+                  nWin += 1
+                  if (winMax < silenceThresh) {
+                    nSilent += 1; run += 1
+                    if (run > longest) longest = run
+                  } else run = 0
+                  winMax = 0
+                }
+              }
+              Seq(meta.sampleRate.toLong, n.toLong,
+                n.toLong * 1000L / meta.sampleRate, peak.toLong, sumAbs,
+                sumAbs / n, nWin.toLong, nSilent.toLong, longest.toLong)
+            }
+          } catch {
+            case _: MediaFormatException => Seq.fill(9)(null)
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(rowEnc)
+    out
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),

@@ -521,6 +521,31 @@ object TextQueries {
             .otherwise(lit(0L)).as("collision_ppm"),
           col("n_digits"))
     }),
+
+    // Audio feature extraction on REAL decoded PCM (round-9): construct
+    // genuine canonical WAV payloads (RIFF/WAVE header + 16-bit LE mono
+    // samples whose values derive from md5-segmented amplitude laws),
+    // parse them byte-by-byte with Multimodal.WavDecoder inside the
+    // batched mapPartitions seam, and emit the silence-detection features
+    // an audio-curation pipeline gates on (peak/mean level, 20 ms-window
+    // silent count, longest silent run). The oracle replays only the
+    // construction arithmetic — it never sees a byte — so the hash match
+    // proves the header parse, the little-endian SIGN decode, and the
+    // ragged window geometry (clip lengths are never a whole number of
+    // windows by construction). Clip set bounded by a count-derived
+    // modulus (sampleModFor) so the volume is ~constant at any SF.
+    "q310_audio_features" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clipMod = graft.operators.KMeansIVF.sampleModFor(docs.count(), 600L)
+      val clips = docs.filter(
+        pmod(TextHash.md5Long(concat(lit("aclip:"), col("doc_id").cast("string"))),
+          lit(clipMod.toLong)) === 0)
+        .select(col("doc_id"), Multimodal.wavPayload(col("doc_id")).as("payload"))
+      Multimodal.withAudioFeatures(clips, "payload")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("peak_abs"), col("sum_abs"), col("mean_abs"),
+          col("n_windows"), col("n_silent"), col("longest_silence"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -837,6 +862,41 @@ object TextQueries {
           |        ELSE 0 END)::BIGINT AS collision_ppm,
           |  length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
           |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
+
+      // Replays the WAV construction arithmetic (Multimodal.wavPayload)
+      // per sample and recomputes the decoded features directly — the
+      // payload bytes exist only on the Spark side, so the hash match
+      // proves the byte-level decode.
+      "q310_audio_features" ->
+        s"""WITH clips AS (SELECT doc_id FROM documents
+           |  WHERE ${TextHash.md5LongSql("'aclip:' || doc_id::VARCHAR")} %
+           |    (SELECT greatest(1, (count(*) + 599) // 600) FROM documents) = 0),
+           |par AS (SELECT doc_id, (doc_id % 7) * 160 + 400 AS n FROM clips),
+           |samp AS (SELECT doc_id, n, unnest(range(0, n)) AS s FROM par),
+           |sv AS (SELECT doc_id, n, s, s // 160 AS w,
+           |    CASE WHEN ${TextHash.md5LongSql(
+                    "'aud:' || doc_id::VARCHAR || ':' || (s // 160)::VARCHAR")} % 4 > 0
+           |         THEN 12000 ELSE 40 END AS a
+           |  FROM samp),
+           |vals AS (SELECT doc_id, n, w,
+           |    abs((s * 37 + doc_id * 13) % (2 * a + 1) - a) AS av FROM sv),
+           |wins AS (SELECT doc_id, n, w, max(av) AS wmax, sum(av)::BIGINT AS wsum
+           |  FROM vals GROUP BY 1, 2, 3),
+           |silent AS (SELECT doc_id, w,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rn
+           |  FROM wins WHERE wmax < 64),
+           |runs AS (SELECT doc_id, count(*)::BIGINT AS runlen
+           |  FROM silent GROUP BY doc_id, w - rn),
+           |longest AS (SELECT doc_id, max(runlen) AS ls FROM runs GROUP BY doc_id),
+           |agg AS (SELECT doc_id, max(n) AS n, count(*)::BIGINT AS n_windows,
+           |    max(wmax)::BIGINT AS peak_abs, sum(wsum)::BIGINT AS sum_abs,
+           |    count(*) FILTER (WHERE wmax < 64)::BIGINT AS n_silent
+           |  FROM wins GROUP BY doc_id)
+           |SELECT a.doc_id, 8000 AS sample_rate, a.n::BIGINT AS n_samples,
+           |  (a.n * 1000 // 8000)::BIGINT AS duration_ms, a.peak_abs, a.sum_abs,
+           |  (a.sum_abs // a.n)::BIGINT AS mean_abs, a.n_windows, a.n_silent,
+           |  coalesce(l.ls, 0)::BIGINT AS longest_silence
+           |FROM agg a LEFT JOIN longest l ON a.doc_id = l.doc_id""".stripMargin,
     )
   }
 }

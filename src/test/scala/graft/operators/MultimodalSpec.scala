@@ -135,6 +135,119 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // --- audio (RIFF/WAVE 16-bit PCM) ----------------------------------------
+
+  /** Hand-build a canonical 44-byte-header WAV from signed sample values. */
+  private def buildWav(samples: Seq[Int], rate: Int = 8000, channels: Int = 1,
+      fmt: Int = 1, bits: Int = 16): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(fmt.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * bits / 8)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  test("WavDecoder parses a canonical header and decodes signed LE samples") {
+    val samples = Seq(0, 1, -1, 32767, -32768, 100)
+    val wav = buildWav(samples, rate = 44100)
+    val (m, off) = Multimodal.WavDecoder.decodeWithOffset(wav)
+    assert(m.sampleRate == 44100 && m.channels == 1 && m.nSamples == 6 && off == 44)
+    val decoded = (0 until 6).map(i =>
+      Multimodal.WavDecoder.sampleAt(wav, off, 1, i, 0))
+    assert(decoded == samples, "16-bit LE two's-complement decode")
+    // stereo: channel deinterleave
+    val st = buildWav(Seq(10, -20, 30, -40), channels = 2)
+    val (ms, offS) = Multimodal.WavDecoder.decodeWithOffset(st)
+    assert(ms.channels == 2 && ms.nSamples == 2)
+    assert(Multimodal.WavDecoder.sampleAt(st, offS, 2, 1, 0) == 30)
+    assert(Multimodal.WavDecoder.sampleAt(st, offS, 2, 1, 1) == -40)
+  }
+
+  test("WavDecoder rejects malformed payloads loudly") {
+    def bad(b: Array[Byte]) = intercept[Multimodal.MediaFormatException] {
+      Multimodal.WavDecoder.decodeWithOffset(b)
+    }
+    val ok = buildWav(Seq(1, 2, 3))
+    bad(ok.take(43))                                   // short
+    bad { val b = ok.clone(); b(0) = 'X'.toByte; b }   // bad magic
+    bad(buildWav(Seq(1, 2), fmt = 3))                  // non-PCM (float)
+    bad(buildWav(Seq(1, 2), bits = 8))                 // 8-bit
+    bad { val b = ok.clone(); b(40) = 99; b }          // data overruns payload
+    bad { val b = buildWav(Seq(1, 2), channels = 2)    // truncated sample frame
+      b(40) = 2; b }
+  }
+
+  test("wavPayload construction round-trips the real parser and the sample law") {
+    val rows = spark.range(0, 15).toDF("id")
+      .select(col("id"), Multimodal.wavPayload(col("id")).as("payload"))
+      .collect()
+    for (r <- rows) {
+      val id = r.getLong(0)
+      val wav = r.getAs[Array[Byte]](1)
+      val (m, off) = Multimodal.WavDecoder.decodeWithOffset(wav)
+      val n = (id % 7) * 160 + 400
+      assert(m.sampleRate == 8000 && m.channels == 1 && m.nSamples == n,
+        s"id=$id header mismatch")
+      assert(wav.length == 44 + 2 * n, "no trailing garbage")
+      // replay the amplitude law in pure Scala and compare every sample
+      for (s <- 0 until n.toInt) {
+        val seg = s / 160
+        val a = if (graft.functions.Md5LongUtil.hashBytes(
+          s"aud:$id:$seg".getBytes("UTF-8")) % 4 > 0) 12000L else 40L
+        val expect = (s * 37L + id * 13L) % (2 * a + 1) - a
+        assert(Multimodal.WavDecoder.sampleAt(wav, off, 1, s, 0) == expect,
+          s"id=$id sample $s")
+      }
+    }
+  }
+
+  test("withAudioFeatures matches a pure-Scala reference incl. ragged windows") {
+    // 2.5 windows of 160: loud / silent / silent(ragged tail of 80)
+    val clip = (0 until 160).map(s => if (s % 2 == 0) 500 else -500) ++
+      Seq.fill(160)(10) ++ Seq.fill(80)(-63)
+    val wav = buildWav(clip)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, wav),
+        org.apache.spark.sql.Row(2L, "nonsense".getBytes("US-ASCII")),
+        org.apache.spark.sql.Row(3L, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val out = Multimodal.withAudioFeatures(df, "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_samples") == 400L)
+    assert(r1.getAs[Long]("duration_ms") == 50L)
+    assert(r1.getAs[Long]("peak_abs") == 500L)
+    assert(r1.getAs[Long]("sum_abs") == 160L * 500 + 160L * 10 + 80L * 63)
+    assert(r1.getAs[Long]("mean_abs") ==
+      (160L * 500 + 160L * 10 + 80L * 63) / 400L)
+    assert(r1.getAs[Long]("n_windows") == 3L)
+    assert(r1.getAs[Long]("n_silent") == 2L, "silent = max|v| < 64 incl. ragged")
+    assert(r1.getAs[Long]("longest_silence") == 2L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("n_samples")),
+      "malformed payload yields nulls, row survives")
+    assert(out(3L).isNullAt(out(3L).fieldIndex("n_samples")))
+    // a silent run broken by a loud window: longest counts the max run only
+    val clip2 = Seq.fill(160)(0) ++ (0 until 160).map(_ => 1000) ++
+      Seq.fill(160)(1) ++ Seq.fill(160)(2)
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9L, buildWav(clip2)))), df.schema)
+    val r9 = Multimodal.withAudioFeatures(df2, "payload").collect()(0)
+    assert(r9.getAs[Long]("n_silent") == 3L)
+    assert(r9.getAs[Long]("longest_silence") == 2L)
+  }
+
   test("column stub path agrees with mapPartitions decoder path") {
     val viaMap = Multimodal.withMediaMeta(docs.filter(col("payload").isNotNull), "payload")
       .select(col("doc_id"), col("media_meta.byte_len"), col("media_meta.width"),
