@@ -258,7 +258,9 @@ object SnapshotTable {
     if (cand.isEmpty)
       readVersion(spark, tableDir, snap.version).filter(pred).limit(0)
     else
-      spark.read.parquet(cand.map(f => Paths.get(tableDir, f).toString): _*).filter(pred)
+      applyDvIfAny(spark, tableDir, snap,
+        spark.read.parquet(cand.map(f => Paths.get(tableDir, f).toString): _*))
+        .filter(pred)
   }
 
   /** Candidate files [[readRange]] would scan — exposed for tests/ops. */
@@ -374,7 +376,8 @@ object SnapshotTable {
     if (cand.isEmpty)
       readVersion(spark, tableDir, snap.version).filter(pred).limit(0)
     else
-      spark.read.parquet(cand.map(f => Paths.get(tableDir, f).toString): _*)
+      applyDvIfAny(spark, tableDir, snap,
+        spark.read.parquet(cand.map(f => Paths.get(tableDir, f).toString): _*))
         .filter(pred)
   }
 
@@ -470,6 +473,7 @@ object SnapshotTable {
         // past it, so a caller that read at version v gets serializable
         // read-merge-write or a clean abort
         val snap = snapshot(tableDir, v)
+        requireNoDv(snap, "upsert")
         val schemaOpt = versionSchema(snap)
         def readFiles(rel: Seq[String]): DataFrame = {
           val paths = rel.map(f => Paths.get(tableDir, f).toString)
@@ -524,6 +528,7 @@ object SnapshotTable {
     val v = asOfVersion.orElse(latestVersion(tableDir)).getOrElse(
       throw new IllegalArgumentException(s"deleteWhere on empty table $tableDir"))
     val snap = snapshot(tableDir, v)
+    requireNoDv(snap, "deleteWhere")
     val schemaOpt = versionSchema(snap)
     def readFiles(rel: Seq[String]): DataFrame = {
       val paths = rel.map(f => Paths.get(tableDir, f).toString)
@@ -545,6 +550,148 @@ object SnapshotTable {
       dropFiles = touched.toSet, expectedVersion = Some(v))
   }
 
+  // ---- deletion vectors: merge-on-read deletes --------------------------
+
+  /** The `(file, pos)` deletion-vector relation recorded at `snap`, if any:
+    * `file` is the manifest-relative data path (`data-<uuid>/part-…`), `pos`
+    * the parquet row index within it ([[deleteWhereMor]]'s contract). */
+  private def dvRelation(spark: SparkSession, tableDir: String,
+                         snap: Snapshot): Option[DataFrame] =
+    snap.meta.get("dv").map(dvSub =>
+      spark.read.parquet(Paths.get(tableDir, dvSub).toString))
+
+  /** `input_file_name()` reduced to the manifest-relative form: the last two
+    * path segments, `data-<uuid>/part-…` — globally unique by the staging
+    * UUID, so DV joins match on exact keys (never URI suffix heuristics). */
+  private def relFileExpr: Column =
+    org.apache.spark.sql.functions.substring_index(input_file_name(), "/", -2)
+
+  /** Anti-join `df` (which must expose `_metadata` — i.e. be a direct
+    * parquet scan) against `snap`'s deletion vector, if one is recorded.
+    * No broadcast hint: the delete set is usually tiny, but at scale it
+    * can be large — let AQE pick the join strategy. */
+  private def applyDvIfAny(spark: SparkSession, tableDir: String,
+                           snap: Snapshot, df: DataFrame): DataFrame =
+    dvRelation(spark, tableDir, snap) match {
+      case None => df
+      case Some(dv) =>
+        df.withColumn("__rel", relFileExpr)
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dv.withColumnRenamed("file", "__rel")
+              .withColumnRenamed("pos", "__pos"),
+            Seq("__rel", "__pos"), "left_anti")
+          .drop("__rel", "__pos")
+    }
+
+  /** Snapshot rows with the version's deletion vector APPLIED, plus the
+    * `__rel`/`__pos` identity columns a DV writer needs. */
+  private def readWithPos(spark: SparkSession, tableDir: String,
+                          snap: Snapshot): DataFrame = {
+    val schemaOpt = versionSchema(snap)
+    val paths = snap.files.map(f => Paths.get(tableDir, f).toString)
+    val base = (schemaOpt match {
+      case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }).withColumn("__rel", relFileExpr)
+      .withColumn("__pos", col("_metadata.row_index"))
+    dvRelation(spark, tableDir, snap) match {
+      case None => base
+      case Some(dv) =>
+        base.join(dv.withColumnRenamed("file", "__rel")
+            .withColumnRenamed("pos", "__pos"),
+          Seq("__rel", "__pos"), "left_anti")
+    }
+  }
+
+  /** Row-level DELETE, MERGE-ON-READ: instead of rewriting every touched
+    * file ([[deleteWhere]]'s copy-on-write), record the matching rows'
+    * (file, row-position) pairs in a DELETION VECTOR and commit only
+    * metadata — the Delta/Iceberg v2 "position delete" design. Write cost
+    * is O(deleted rows) regardless of file sizes (deleting 100 rows from a
+    * 100 TB table writes a 100-row parquet sidecar + one manifest);
+    * [[readVersion]] applies the vector with an anti-join on
+    * (file, row_index), so reads pay a join against the (usually tiny)
+    * delete set until [[materializeDeletes]] folds the vectors into a
+    * copy-on-write rewrite. The DV relation is written DISTRIBUTED (a
+    * Spark parquet write) — positions never pass through the driver.
+    *
+    * Each MOR commit writes the FULL updated vector (previous entries ∪
+    * new hits) into its own `dv-<uuid>/` dir and points the manifest's
+    * single `dv=` key at it, so a version's delete state is one
+    * self-contained relation (vacuum reasons about whole dirs, the
+    * carried-meta rule stays trivial). The vector carries through pure
+    * appends, is consumed by merge commits, and dies with a replace.
+    * Copy-on-write operations (upsert, deleteWhere, mergeBranch, CDC
+    * apply) REFUSE to run while a vector is outstanding — run
+    * [[materializeDeletes]] first; compaction reads through [[read]] and
+    * therefore materializes implicitly. Same optimistic concurrency and
+    * NULL-keeps predicate semantics as [[deleteWhere]]. */
+  def deleteWhereMor(spark: SparkSession, tableDir: String,
+                     predicate: Column,
+                     asOfVersion: Option[Long] = None): Long = {
+    val v = asOfVersion.orElse(latestVersion(tableDir)).getOrElse(
+      throw new IllegalArgumentException(s"deleteWhereMor on empty table $tableDir"))
+    val snap = snapshot(tableDir, v)
+    // predicate evaluates on the LOGICAL table (already-deleted rows are
+    // invisible, so a vector entry is never duplicated)
+    val hits = readWithPos(spark, tableDir, snap)
+      .filter(predicate)
+      .select(col("__rel").as("file"), col("__pos").as("pos"))
+    if (hits.isEmpty) return v
+    val dvNew = dvRelation(spark, tableDir, snap) match {
+      case None      => hits
+      case Some(old) => old.unionByName(hits)
+    }
+    val dvSub = s"dv-${java.util.UUID.randomUUID().toString}"
+    dvNew.write.mode(SaveMode.ErrorIfExists)
+      .parquet(Paths.get(tableDir, dvSub).toString)
+    try
+      commit(readVersion(spark, tableDir, v), tableDir, replace = false,
+        extraMeta = Seq(s"dv=$dvSub"), expectedVersion = Some(v),
+        metaOnly = true, opOverride = Some("delete-mor"))
+    catch {
+      case e: ConcurrentCommitException =>
+        deleteRecursively(Paths.get(tableDir, dvSub)); throw e
+    }
+  }
+
+  /** Fold outstanding deletion vectors into the data: rewrite only the
+    * DV'd files without their deleted rows (file-granular copy-on-write,
+    * [[deleteWhere]]'s shape) and drop the `dv=` pointer — after this,
+    * reads are join-free again and copy-on-write operations are legal.
+    * No-op (returns the current version) when no vector is outstanding. */
+  def materializeDeletes(spark: SparkSession, tableDir: String): Long = {
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"materializeDeletes on empty table $tableDir"))
+    val snap = snapshot(tableDir, v)
+    val dv = dvRelation(spark, tableDir, snap).getOrElse(return v)
+    // bounded driver collect: distinct FILES (manifest-scale), never rows
+    val dirty = dv.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = snap.files.filter(dirty)
+    val schemaOpt = versionSchema(snap)
+    val paths = touched.map(f => Paths.get(tableDir, f).toString)
+    val kept = (schemaOpt match {
+      case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }).withColumn("__rel", relFileExpr)
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dv.withColumnRenamed("file", "__rel").withColumnRenamed("pos", "__pos"),
+        Seq("__rel", "__pos"), "left_anti")
+      .drop("__rel", "__pos")
+    // a merge commit never carries the dv key (see commit's carried rule)
+    commit(kept, tableDir, replace = false,
+      dropFiles = touched.toSet, expectedVersion = Some(v))
+  }
+
+  /** Loud refusal for copy-on-write paths while a deletion vector is
+    * outstanding: their file rewrites read raw files and would RESURRECT
+    * deleted rows. */
+  private def requireNoDv(snap: Snapshot, op: String): Unit =
+    require(!snap.meta.contains("dv"),
+      s"$op on a table with outstanding merge-on-read deletes (dv=" +
+        s"${snap.meta("dv")}) — run materializeDeletes first")
+
   /** Change data feed between two versions: row-level (+1 insert /
     * −1 delete) deltas computed from the MANIFEST DIFF — only files that
     * entered or left the table between the versions are read, so the CDF
@@ -564,30 +711,68 @@ object SnapshotTable {
     val to = snapshot(tableDir, toVersion)
     val entered = (to.files.toSet -- from.files.toSet).toSeq.sorted
     val left = (from.files.toSet -- to.files.toSet).toSeq.sorted
+    val common = from.files.toSet.intersect(to.files.toSet)
     // resolve BOTH sides with the destination schema so schema evolution
     // across the range compares by name (old files null-fill new columns)
     val sc = versionSchema(to)
-    def readRel(rel: Seq[String]): Option[DataFrame] =
-      if (rel.isEmpty) None
-      else {
-        val paths = rel.map(f => Paths.get(tableDir, f).toString)
-        Some(sc match {
-          case Some(st) => spark.read.schema(asNullable(st)).parquet(paths: _*)
-          case None     => spark.read.parquet(paths: _*)
-        })
+    def readRaw(rel: Seq[String]): DataFrame = {
+      val paths = rel.map(f => Paths.get(tableDir, f).toString)
+      sc match {
+        case Some(st) => spark.read.schema(asNullable(st)).parquet(paths: _*)
+        case None     => spark.read.parquet(paths: _*)
       }
-    (readRel(entered), readRel(left)) match {
+    }
+    // deletion-vector awareness: each side's rows are read AS THAT VERSION
+    // saw them (its own DV applied) — a materializing rewrite then cancels
+    // out in exceptAll exactly like any carried move
+    val fromDv = dvRelation(spark, tableDir, from)
+    val toDv = dvRelation(spark, tableDir, to)
+    def applyDv(df: DataFrame, dv: Option[DataFrame]): DataFrame = dv match {
+      case None => df
+      case Some(d) =>
+        df.withColumn("__rel", relFileExpr)
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(d.withColumnRenamed("file", "__rel")
+              .withColumnRenamed("pos", "__pos"),
+            Seq("__rel", "__pos"), "left_anti")
+          .drop("__rel", "__pos")
+    }
+    def readRel(rel: Seq[String], dv: Option[DataFrame]): Option[DataFrame] =
+      if (rel.isEmpty) None else Some(applyDv(readRaw(rel), dv))
+    // DV GROWTH on files present at both boundaries = rows deleted
+    // merge-on-read in the range (positions only accumulate while a file
+    // stays — materialization removes the file, handled by the left-side
+    // rule above). Read back the deleted rows by (file, position).
+    val dvDeletes: Option[DataFrame] = toDv.flatMap { td =>
+      val grown0 = td.filter(col("file").isin(common.toSeq: _*))
+      val grown = fromDv match {
+        case None     => grown0
+        case Some(fd) => grown0.join(fd, Seq("file", "pos"), "left_anti")
+      }
+      val files = grown.select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (files.isEmpty) None
+      else Some(readRaw(files)
+        .withColumn("__rel", relFileExpr)
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(grown.withColumnRenamed("file", "__rel")
+            .withColumnRenamed("pos", "__pos"),
+          Seq("__rel", "__pos"), "left_semi")
+        .drop("__rel", "__pos"))
+    }
+    val base = (readRel(entered, toDv), readRel(left, fromDv)) match {
       case (None, None) =>
         readVersion(spark, tableDir, toVersion).limit(0)
-          .withColumn("_change", org.apache.spark.sql.functions.lit(""))
-      case (Some(n), None) =>
-        n.withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
-      case (None, Some(o)) =>
-        o.withColumn("_change", org.apache.spark.sql.functions.lit("delete"))
+          .withColumn("_change", lit(""))
+      case (Some(n), None) => n.withColumn("_change", lit("insert"))
+      case (None, Some(o)) => o.withColumn("_change", lit("delete"))
       case (Some(n), Some(o)) =>
-        n.exceptAll(o).withColumn("_change", org.apache.spark.sql.functions.lit("insert"))
-          .unionAll(o.exceptAll(n)
-            .withColumn("_change", org.apache.spark.sql.functions.lit("delete")))
+        n.exceptAll(o).withColumn("_change", lit("insert"))
+          .unionAll(o.exceptAll(n).withColumn("_change", lit("delete")))
+    }
+    dvDeletes match {
+      case None    => base
+      case Some(d) => base.unionAll(d.withColumn("_change", lit("delete")))
     }
   }
 
@@ -761,6 +946,7 @@ object SnapshotTable {
       case None => Some(commit(inserts, tableDir, replace = false, extraMeta = extraMeta))
       case Some(v) =>
         val snap = snapshot(tableDir, v)
+        requireNoDv(snap, "applyChanges")
         val schemaOpt = versionSchema(snap)
         def readFiles(rel: Seq[String]): DataFrame = {
           val paths = rel.map(f => Paths.get(tableDir, f).toString)
@@ -1042,14 +1228,35 @@ object SnapshotTable {
     * schema recording fall back to the plain parquet-inferred read. */
   def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
     val snap = snapshot(tableDir, version)
-    val paths = snap.files.map(f => Paths.get(tableDir, f).toString)
+    val schemaOpt = versionSchema(snap)
     // even an empty-DataFrame commit stages one (schema-only) part file,
     // so a manifest always references at least one parquet file
-    versionSchema(snap) match {
-      // all-nullable: files written before a column existed null-fill it,
-      // so no field the reader resolves by name can promise non-null
-      case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
-      case None     => spark.read.parquet(paths: _*)
+    def plain(rel: Seq[String]): DataFrame = {
+      val paths = rel.map(f => Paths.get(tableDir, f).toString)
+      schemaOpt match {
+        // all-nullable: files written before a column existed null-fill it,
+        // so no field the reader resolves by name can promise non-null
+        case Some(sc) => spark.read.schema(asNullable(sc)).parquet(paths: _*)
+        case None     => spark.read.parquet(paths: _*)
+      }
+    }
+    dvRelation(spark, tableDir, snap) match {
+      case None => plain(snap.files)
+      case Some(dv) =>
+        // only files the vector actually touches pay the anti-join; the
+        // rest read plain (file list is manifest-scale — bounded collect)
+        val dirty = dv.select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val filtered = plain(snap.files.filter(dirty))
+          .withColumn("__rel", relFileExpr)
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dv.withColumnRenamed("file", "__rel")
+              .withColumnRenamed("pos", "__pos"),
+            Seq("__rel", "__pos"), "left_anti")
+          .drop("__rel", "__pos")
+        val clean = snap.files.filterNot(dirty)
+        if (clean.isEmpty) filtered
+        else plain(clean).unionByName(filtered)
     }
   }
 
@@ -1113,26 +1320,35 @@ object SnapshotTable {
     val liveDirs = live.map(f => Paths.get(tableDir, f).getParent)
     val deadDirs = dead.map(f => Paths.get(tableDir, f).getParent) -- liveDirs
     deadDirs.foreach(deleteRecursively)
+    // deletion-vector dirs: each MOR commit writes its FULL vector into its
+    // own dv-<uuid>/ dir, referenced by exactly the manifests whose dv= key
+    // points at it — same fully-live-or-fully-dead granularity as data dirs
+    val liveDv = keep.flatMap(snapshot(tableDir, _).meta.get("dv")).toSet
+    val deadDv = drop.flatMap(snapshot(tableDir, _).meta.get("dv")).toSet -- liveDv
+    deadDv.foreach(d => deleteRecursively(Paths.get(tableDir, d)))
     drop.foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
     val orphans = orphanAgeMs.fold(0) { age =>
       // referenced-by-ANY-manifest set AFTER the drop above — what remains
-      // on disk and is reachable; everything else matching data-* is orphan
-      val referenced = versions(tableDir)
-        .flatMap(snapshot(tableDir, _).files)
-        .map(f => Paths.get(tableDir, f).getParent.getFileName.toString).toSet
+      // on disk and is reachable; everything else matching data-*/dv-* is
+      // orphan (a crashed MOR writer leaves a staged dv dir behind)
+      val snaps = versions(tableDir).map(snapshot(tableDir, _))
+      val referenced = snaps.flatMap(_.files)
+        .map(f => Paths.get(tableDir, f).getParent.getFileName.toString).toSet ++
+        snaps.flatMap(_.meta.get("dv")).toSet
       val cutoff = System.currentTimeMillis() - age
       val s = Files.list(Paths.get(tableDir))
       val candidates =
         try s.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
-          n.startsWith("data-") && !referenced.contains(n) &&
+          (n.startsWith("data-") || n.startsWith("dv-")) &&
+            !referenced.contains(n) &&
             Files.isDirectory(p) && Files.getLastModifiedTime(p).toMillis < cutoff
         }.toList
         finally s.close()
       candidates.foreach(deleteRecursively)
       candidates.length
     }
-    (drop.length, dead.size + orphans)
+    (drop.length, dead.size + deadDv.size + orphans)
   }
 
   /** Zero-copy CLONE: materialize `version` of `srcDir` as a brand-new,
@@ -1160,9 +1376,18 @@ object SnapshotTable {
       Files.createDirectories(dst.getParent)
       Files.createLink(dst, Paths.get(srcDir, f)) // throws if dst exists: loud
     }
+    // an outstanding deletion vector is part of the version's row set —
+    // link its dir too (same inode-pinning independence as the data files)
+    snap.meta.get("dv").foreach { dvSub =>
+      for (p <- listParquet(Paths.get(srcDir, dvSub))) {
+        val dst = Paths.get(destDir, dvSub, p)
+        Files.createDirectories(dst.getParent)
+        Files.createLink(dst, Paths.get(srcDir, dvSub, p))
+      }
+    }
     val carried = snap.meta.view
       .filterKeys(k => k == "schema" || k == "zonecol" || k == "zonecols" ||
-        k.startsWith("zone:"))
+        k == "dv" || k.startsWith("zone:"))
       .toMap + ("cloned_from" ->
         s"${Paths.get(srcDir).toAbsolutePath}@v$version")
     val body =
@@ -1219,6 +1444,10 @@ object SnapshotTable {
     val base = snapshot(mainDir, baseV)
     val bTip = snapshot(branchDir, latestVersion(branchDir).getOrElse(
       throw new IllegalStateException(s"branch $branchDir has no versions")))
+    // file-granular three-way merge cannot reason about row-position
+    // vectors on either side — materialize them first (both tables stay
+    // valid; this is the CoW-op refusal rule applied to the merge)
+    requireNoDv(bTip, "mergeBranch (branch tip)")
     val baseSet = base.files.toSet
     val bSet = bTip.files.toSet
     val branchDeleted = baseSet -- bSet
@@ -1244,6 +1473,7 @@ object SnapshotTable {
     try while (attempt < 64) {
       val mTip = snapshot(mainDir, latestVersion(mainDir).getOrElse(
         throw new IllegalStateException(s"main $mainDir has no versions")))
+      requireNoDv(mTip, "mergeBranch (main tip)")
       val mSet = mTip.files.toSet
       val mainDeleted = baseSet -- mSet
       val conflicts = branchDeleted intersect mainDeleted
@@ -1316,22 +1546,29 @@ object SnapshotTable {
       multiZoneCols: Seq[String] = Seq.empty,
       dropFiles: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None,
-      stagedDataSub: Option[String] = None): Long = {
+      stagedDataSub: Option[String] = None,
+      metaOnly: Boolean = false,
+      opOverride: Option[String] = None): Long = {
     init(tableDir)
     // stage immutable data files under a unique dir (never visible until a
     // manifest references them); commitReplaceBucketed pre-stages through
-    // the catalog writer and passes the dir in
-    val dataSub = stagedDataSub.getOrElse {
-      val ds = s"data-${java.util.UUID.randomUUID().toString}"
-      df.write.mode(SaveMode.ErrorIfExists).parquet(Paths.get(tableDir, ds).toString)
-      ds
-    }
+    // the catalog writer and passes the dir in. metaOnly commits (merge-on-
+    // read deletes) stage NO data files — the manifest carries the previous
+    // file list and only the meta changes; `df` is ignored.
+    val dataSub: Option[String] =
+      if (metaOnly) None
+      else Some(stagedDataSub.getOrElse {
+        val ds = s"data-${java.util.UUID.randomUUID().toString}"
+        df.write.mode(SaveMode.ErrorIfExists).parquet(Paths.get(tableDir, ds).toString)
+        ds
+      })
     // pre-staged dirs may nest (the SPJ layout's b<bucket>/ subdirs);
     // recursive listing is a superset of the flat one for flat stages
-    val staged =
+    val staged = dataSub.fold(Seq.empty[String]) { ds =>
       if (stagedDataSub.isDefined)
-        listParquetRec(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
-      else listParquet(Paths.get(tableDir, dataSub)).map(p => s"$dataSub/$p")
+        listParquetRec(Paths.get(tableDir, ds)).map(p => s"$ds/$p")
+      else listParquet(Paths.get(tableDir, ds)).map(p => s"$ds/$p")
+    }
 
     // per-staged-file zone stats: one scan of the just-written (small) data
     // dir covering the legacy single column and every multi-zone column at
@@ -1340,13 +1577,14 @@ object SnapshotTable {
     // (always candidates — safe). Legacy single-col keys stay "zone:<f>";
     // multi-dim stats ride "zone:<col>:<f>" (file names contain '/', a
     // column name cannot, so the two key spaces never collide).
-    val statCols = (zoneCol.toSeq ++ multiZoneCols).distinct
+    val statCols =
+      (if (metaOnly) Seq.empty else (zoneCol.toSeq ++ multiZoneCols)).distinct
     val zoneMeta: Seq[String] = (if (statCols.isEmpty) Seq.empty[String] else {
       val aggs = statCols.zipWithIndex.flatMap { case (zc, i) =>
         Seq(min(col(zc).cast("double")).as(s"mn$i"),
           max(col(zc).cast("double")).as(s"mx$i")) }
       val stats = df.sparkSession.read
-        .parquet(Paths.get(tableDir, dataSub).toString)
+        .parquet(Paths.get(tableDir, dataSub.get).toString)
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -1362,10 +1600,10 @@ object SnapshotTable {
             Seq.empty[String]
           else {
             val v = s"${r.getDouble(mnI)},${r.getDouble(mxI)}"
-            (if (zoneCol.contains(zc)) Seq(s"zone:$dataSub/$name=$v")
+            (if (zoneCol.contains(zc)) Seq(s"zone:${dataSub.get}/$name=$v")
              else Seq.empty) ++
               (if (multiZoneCols.contains(zc))
-                Seq(s"zone:$zc:$dataSub/$name=$v") else Seq.empty)
+                Seq(s"zone:$zc:${dataSub.get}/$name=$v") else Seq.empty)
           }
         }
       }.toSeq
@@ -1382,7 +1620,7 @@ object SnapshotTable {
       // re-reads and re-merges). The staged dir is deleted here; a crash
       // before this line leaves it to vacuum's orphan sweep.
       if (expectedVersion.exists(ev => prev.map(_.version) != Some(ev))) {
-        deleteRecursively(Paths.get(tableDir, dataSub))
+        dataSub.foreach(ds => deleteRecursively(Paths.get(tableDir, ds)))
         throw new ConcurrentCommitException(
           s"table $tableDir moved past expected version ${expectedVersion.get} during a rewrite commit")
       }
@@ -1409,14 +1647,20 @@ object SnapshotTable {
       // records nothing — inventing an "authoritative" schema without
       // knowing the old files' columns would be a lie readers act on.
       val schemaEntry: Option[(String, String)] =
-        if (replace || prev.isEmpty) Some("schema" -> df.schema.json)
+        if (metaOnly) prevMeta.get("schema").map("schema" -> _)
+        else if (replace || prev.isEmpty) Some("schema" -> df.schema.json)
         else prev.get.meta.get("schema").map { pj =>
           val merged = mergeSchemas(
             DataType.fromJson(pj).asInstanceOf[StructType], df.schema)
           "schema" -> merged.json
         }
+      // the deletion-vector pointer carries only through PURE APPENDS: a
+      // replace empties the file set the DV describes, and a merge commit
+      // (materializeDeletes, upsert-class rewrites) IS the materialization
+      // of the DV'd files — carrying it would re-delete rewritten rows
       val carried = prevMeta.view.filterKeys(k =>
           k.startsWith("stream:") || k.startsWith("aggsrc:") ||
+            (!replace && dropFiles.isEmpty && k == "dv") ||
             (!replace && !zoneColChanged &&
               (k.startsWith("zone:") || k == "zonecol" || k == "zonecols")))
         // a rewritten (dropped) file's stats describe rows that just moved
@@ -1435,8 +1679,8 @@ object SnapshotTable {
       // with the CAS succeeding while silently dropping the racer's files
       // and stream watermarks (lost update)
       val v = prev.map(_.version + 1).getOrElse(1L)
-      val op =
-        if (replace) "replace" else if (dropFiles.nonEmpty) "merge" else "append"
+      val op = opOverride.getOrElse(
+        if (replace) "replace" else if (dropFiles.nonEmpty) "merge" else "append")
       val body =
         (Seq(s"version=$v", s"op=$op")
           ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
