@@ -150,6 +150,40 @@ object MixQueries {
         .limit(20)
     }),
 
+    // Kneser–Ney smoothed bigram probabilities (discount d = 1/2) — the
+    // LM-smoothing counterpart of q53/q279. Continuation counts N1+(•w2)
+    // (distinct left contexts) and N1+(w1•) (distinct successors) come
+    // from the same bigram-TYPE relation as the counts (three linear
+    // aggregations of it — the corpus is scanned once), and the smoothed
+    // probability is the exact rational
+    //   P_KN(w2|w1) · 2·c(w1)·D = D·max(2·c(w1w2) − 1, 0) + N1+(w1•)·N1+(•w2)
+    // with D = distinct bigram types and c(w1) = Σ_b c(w1 b) (context
+    // occurrences), emitted in micro via ONE decimal division — no float,
+    // no log. Top-30 bigrams by count, (w1, w2) tie order (TakeOrdered —
+    // bounded, never a full sort).
+    "q314_kneser_ney" -> ((s, d) => {
+      val toks = TextHash.tokens(col("text"))
+      val bi = Tables.documents(s, d)
+        .select(explode(bigrams(toks)).as("gram"))
+        .select(split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+        .persist() // context totals + both continuation counts + top-k
+      val ca = bi.groupBy(col("w1"))
+        .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n_follow"))
+      val np = bi.groupBy(col("w2")).agg(count(lit(1)).as("n_prec"))
+      val dt = bi.agg(count(lit(1)).as("d_types"))
+      bi.join(ca, "w1").join(np, "w2").crossJoin(broadcast(dt))
+        .select(col("w1"), col("w2"), col("cab"), col("ca"),
+          col("n_follow"), col("n_prec"), col("d_types"),
+          expr("""(cast(d_types as decimal(38,0)) * greatest(2 * cab - 1, 0)
+                 + cast(n_follow as decimal(38,0)) * n_prec) * 1000000
+                 div (cast(ca as decimal(38,0)) * 2 * d_types)""")
+            .cast("long").as("p_kn_micro"))
+        .orderBy(desc("cab"), asc("w1"), asc("w2"))
+        .limit(30)
+    }),
+
     // Bigram language-model next-token evaluation — the classic n-gram LM
     // quality probe, with NO float surface: an 80/20 md5 doc split, a
     // bigram model fit on train (argmax successor per prev token, ties to
@@ -974,6 +1008,24 @@ object MixQueries {
            |        WHEN fre_milli >= -199000000 THEN 'standard'
            |        ELSE 'hard' END) AS band
            |FROM f""".stripMargin,
+
+      "q314_kneser_ney" ->
+        s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+           |g AS (SELECT ${bigramsSql("toks")} AS grams FROM t),
+           |b0 AS (SELECT unnest(grams) AS gram FROM g),
+           |bi AS (SELECT string_split(gram, ' ')[1] AS w1,
+           |    string_split(gram, ' ')[2] AS w2, count(*)::BIGINT AS cab
+           |  FROM b0 GROUP BY 1, 2),
+           |ca AS (SELECT w1, sum(cab)::BIGINT AS ca,
+           |    count(*)::BIGINT AS n_follow FROM bi GROUP BY 1),
+           |np AS (SELECT w2, count(*)::BIGINT AS n_prec FROM bi GROUP BY 1),
+           |dt AS (SELECT count(*)::BIGINT AS d_types FROM bi)
+           |SELECT w1, w2, cab, ca, n_follow, n_prec, d_types,
+           |  ((d_types::HUGEINT * greatest(2 * cab - 1, 0)
+           |    + n_follow::HUGEINT * n_prec) * 1000000
+           |   // (ca::HUGEINT * 2 * d_types))::BIGINT AS p_kn_micro
+           |FROM bi JOIN ca USING (w1) JOIN np USING (w2), dt
+           |ORDER BY cab DESC, w1, w2 LIMIT 30""".stripMargin,
 
       "q53_bigram_lift" ->
         s"""WITH t AS (SELECT $toksSql AS toks FROM documents),

@@ -317,9 +317,60 @@ object ProfileQueries {
           graft.functions.PortableMath.roundPortable(
             sum(col("k")).cast("double") / count(col("k")), 2).as("avg_k"),
           max(col("k")).as("max_k"))),
+
+    // Dictionary-encoding benefit estimator — the profiling pass a layout
+    // optimizer runs before choosing parquet encodings: per candidate
+    // string column, raw byte volume vs (distinct-value dictionary +
+    // 2-byte codes). The scan collapses to (column, value) COUNTS before
+    // any sizing arithmetic, so the shuffle is bounded by the value
+    // domains, never the row count; savings in exact ppm (negative when a
+    // high-cardinality column would bloat — that is the signal).
+    "q313_dict_savings" -> ((s, d) => {
+      def melt(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
+        df.select(explode(array(cols.map { case (name, c) =>
+          struct(lit(name).as("col_name"), col(c).as("v")) }: _*)).as("e"))
+          .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+      val vals = melt(Tables.documents(s, d),
+          Seq("documents.lang" -> "lang", "documents.source" -> "source"))
+        .unionByName(melt(Tables.orders(s, d),
+          Seq("orders.status" -> "o_orderstatus",
+            "orders.priority" -> "o_orderpriority")))
+        .filter(col("v").isNotNull)
+      vals.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("c"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"),
+          sum(octet_length(col("v")).cast("long") * col("c")).as("raw_bytes"),
+          sum(octet_length(col("v")).cast("long")).as("dict_str_bytes"))
+        .select(col("col_name"), col("n_rows"), col("n_distinct"),
+          col("raw_bytes"),
+          (col("dict_str_bytes") + col("n_rows") * 2L).as("dict_bytes"),
+          when(col("raw_bytes") > 0,
+            expr("(raw_bytes - dict_str_bytes - 2 * n_rows) * 1000000 div raw_bytes"))
+            .otherwise(lit(0L)).as("savings_ppm"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q313_dict_savings" ->
+      """WITH vals AS (
+        |  SELECT 'documents.lang' AS col_name, lang AS v FROM documents
+        |  UNION ALL SELECT 'documents.source', source FROM documents
+        |  UNION ALL SELECT 'orders.status', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'orders.priority', o_orderpriority FROM orders),
+        |pv AS (SELECT col_name, v, count(*)::BIGINT AS c FROM vals
+        |  WHERE v IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT col_name, sum(c)::BIGINT AS n_rows,
+        |    count(*)::BIGINT AS n_distinct,
+        |    sum(strlen(v) * c)::BIGINT AS raw_bytes,
+        |    sum(strlen(v))::BIGINT AS dict_str_bytes
+        |  FROM pv GROUP BY 1)
+        |SELECT col_name, n_rows, n_distinct, raw_bytes,
+        |  (dict_str_bytes + 2 * n_rows)::BIGINT AS dict_bytes,
+        |  CASE WHEN raw_bytes > 0 THEN
+        |    ((raw_bytes - dict_str_bytes - 2 * n_rows) * 1000000) // raw_bytes
+        |  ELSE 0 END::BIGINT AS savings_ppm
+        |FROM a""".stripMargin,
+
     "q86_total_reconciliation" ->
       """WITH li AS (SELECT l_orderkey,
         |    sum(CAST(round(l_extendedprice*100) AS BIGINT)

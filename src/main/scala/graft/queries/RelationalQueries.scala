@@ -1481,6 +1481,35 @@ object RelationalQueries {
       probes.join(pos, Seq("orderkey", "part"), "left_anti")
         .select(col("orderkey"), col("j").as("neg_rank"), col("part"))
     }),
+
+    // TPC-H Q14 shape (promo revenue share): one shipdate month of
+    // lineitem joined to part, conditional aggregation on p_type, and the
+    // share in exact ppm WITHOUT float division OR int64 overflow: the
+    // two-step long-division split r·10⁶ div b = (r·10³ div b)·10³ +
+    // ((r·10³ mod b)·10³) div b — every intermediate stays < 10³·b, so the
+    // formula is overflow-safe whenever the revenue sums themselves fit
+    // int64 (i.e. at any scale the aggregate is computable at all).
+    "q311_promo_share" -> ((s, d) => {
+      val micro = (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("micro")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"), micro)
+      li.join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          coalesce(sum(when(col("p_type") === "PROMO", col("micro"))), lit(0L))
+            .as("promo_micro"),
+          coalesce(sum(col("micro")), lit(0L)).as("total_micro"),
+          count(lit(1)).as("n_items"))
+        .select(col("promo_micro"), col("total_micro"), col("n_items"),
+          when(col("total_micro") > 0,
+            expr("promo_micro div total_micro") * 1000000L +
+              expr("(promo_micro % total_micro) * 1000 div total_micro") * 1000L +
+              expr("((promo_micro % total_micro) * 1000 % total_micro) * 1000 div total_micro"))
+            .otherwise(lit(0L)).as("promo_ppm"))
+    }),
   )
 
   /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
@@ -2278,5 +2307,26 @@ object RelationalQueries {
          |  id AS part, r AS rank_micro
          |FROM r3 WHERE NOT is_seed
          |ORDER BY r DESC, id LIMIT 20""".stripMargin,
+
+    "q311_promo_share" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS micro
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'),
+        |a AS (SELECT
+        |    coalesce(sum(CASE WHEN p_type = 'PROMO' THEN micro END), 0)::BIGINT
+        |      AS promo_micro,
+        |    coalesce(sum(micro), 0)::BIGINT AS total_micro,
+        |    count(*)::BIGINT AS n_items
+        |  FROM li JOIN part ON p_partkey = l_partkey)
+        |SELECT promo_micro, total_micro, n_items,
+        |  CASE WHEN total_micro > 0 THEN
+        |    (promo_micro // total_micro) * 1000000 +
+        |    ((promo_micro % total_micro) * 1000 // total_micro) * 1000 +
+        |    (((promo_micro % total_micro) * 1000 % total_micro) * 1000 // total_micro)
+        |  ELSE 0 END AS promo_ppm
+        |FROM a""".stripMargin,
   )
 }

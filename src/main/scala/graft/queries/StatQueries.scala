@@ -969,9 +969,92 @@ object StatQueries {
         .select(col("m.day").as("split_day"), col("m.nl").as("n_before"),
           col("m.nr").as("n_after"), col("m.shift_cents").as("mean_shift_cents"))
     }),
+
+    // Exact tie-corrected KRUSKAL–WALLIS H across the event-type groups on
+    // value cents — the k-group generalization of q215's rank machinery:
+    // midranks live on the distinct-VALUE spine (bounded by the cents
+    // domain, never the corpus), per-group doubled rank sums S = 2R come
+    // from ONE distributed PrefixSum pass via the midrank identity, and H
+    // rides decimal(38,0) with portable TRUNCATING division at each step
+    // (the q81 per-round-div discipline: not the real-number H to
+    // infinite precision, but the identical number on any engine, and
+    // within 1e-3 of it). Tie correction 1 − Σ(t³−t)/(N³−N) applied the
+    // same way; H clamped at 0 before the correction division (truncation
+    // can push an H≈0 a hair negative, and negative `//` vs `div`
+    // semantics must never be reachable); df = k−1 = 4 chi² verdict at
+    // the 9.488 critical value in milli. den=0 guards on both engines.
+    "q312_kruskal_wallis" -> ((s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .persist() // spine + per-group counts
+      val spine = ev.groupBy(col("cents")).agg(count(lit(1)).as("m"))
+        .persist() // prefix pass + tie sum
+      val mid = graft.operators.PrefixSum.running(spine, "cents", "m", "cm")
+        .select(col("cents"),
+          (lit(2L) * (col("cm") - col("m")) + col("m") + 1L).as("mid2"))
+      val byGrp = ev.groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
+        .join(mid, "cents")
+        .groupBy(col("grp"))
+        .agg(sum(col("c")).as("n"), sum(dec(col("c")) * dec(col("mid2"))).as("s2"))
+        .persist() // global H pieces + per-group output
+      val glob = byGrp.agg(sum(col("n")).as("nn"),
+        sum(expr("(s2 * s2) div (4 * cast(n as decimal(38,0)))")).as("t4"))
+      val ties = spine.agg(
+        sum(dec(col("m")) * col("m") * col("m") - col("m")).as("tsum"))
+      val h = glob.crossJoin(ties).select(
+        greatest(
+          expr("(3000 * t4) div (cast(nn as decimal(38,0)) * (nn + 1))") -
+            lit(3000L) * (col("nn") + 1), lit(0L)).as("h_milli"),
+        (dec(col("nn")) * col("nn") * col("nn") - col("nn")).as("nd"),
+        (dec(col("nn")) * col("nn") * col("nn") - col("nn") - col("tsum"))
+          .as("corr_num"))
+        .select(col("h_milli"),
+          when(col("corr_num") > 0, expr("(h_milli * nd) div corr_num"))
+            .otherwise(col("h_milli")).as("h_adj"))
+      byGrp.crossJoin(broadcast(h))
+        .select(col("grp"), col("n"),
+          col("s2").cast("string").as("rank_sum2_str"),
+          expr("(s2 * 1000) div (2 * n)").cast("long").as("mean_rank_milli"),
+          col("h_milli").cast("string").as("h_milli_str"),
+          col("h_adj").cast("string").as("h_adj_milli_str"),
+          (col("h_adj") > 9488L).as("significant"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q312_kruskal_wallis" ->
+      """WITH ev AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |spine AS (SELECT cents, count(*)::BIGINT AS m FROM ev GROUP BY 1),
+        |cum AS (SELECT cents, m,
+        |    sum(m) OVER (ORDER BY cents)::BIGINT AS cm FROM spine),
+        |mid AS (SELECT cents, 2 * (cm - m) + m + 1 AS mid2 FROM cum),
+        |g AS (SELECT grp, cents, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2),
+        |bg AS (SELECT grp, sum(c)::BIGINT AS n,
+        |    sum(c::HUGEINT * mid2) AS s2
+        |  FROM g JOIN mid USING (cents) GROUP BY 1),
+        |gl AS (SELECT sum(n)::HUGEINT AS nn,
+        |    sum((s2 * s2) // (4 * n::HUGEINT)) AS t4 FROM bg),
+        |ties AS (SELECT sum(m::HUGEINT * m * m - m) AS tsum FROM spine),
+        |h0 AS (SELECT nn,
+        |    greatest((3000 * t4) // (nn * (nn + 1)) - 3000 * (nn + 1), 0)
+        |      AS h_milli,
+        |    nn * nn * nn - nn AS nd,
+        |    nn * nn * nn - nn - tsum AS corr_num
+        |  FROM gl, ties),
+        |h AS (SELECT h_milli,
+        |    CASE WHEN corr_num > 0 THEN (h_milli * nd) // corr_num
+        |         ELSE h_milli END AS h_adj
+        |  FROM h0)
+        |SELECT grp, n, s2::VARCHAR AS rank_sum2_str,
+        |  ((s2 * 1000) // (2 * n))::BIGINT AS mean_rank_milli,
+        |  h_milli::VARCHAR AS h_milli_str,
+        |  h_adj::VARCHAR AS h_adj_milli_str,
+        |  h_adj > 9488 AS significant
+        |FROM bg, h""".stripMargin,
 
     // gap-fill as UNION-then-sum, not a LEFT JOIN: the grid CTE inlines
     // into the correlated recursion, where DuckDB rejects any outer join
