@@ -1082,6 +1082,57 @@ object SnapshotTable {
         ()
     }
 
+  /** INCREMENTAL MATERIALIZED-JOIN maintenance — the join-view sibling of
+    * [[maintainAggregate]]: keep `destDir` = source ⋈ other (inner
+    * equi-join on `joinKeys`) current by applying each CDC window of ONE
+    * side as a KEYED REPLACEMENT instead of re-running the join:
+    *
+    *  - insert rows of the window join `other`'s CURRENT rows — those are
+    *    the new view rows for the affected source keys;
+    *  - delete rows contribute only their `rowKeys` (they must NOT require
+    *    a join match: the matching other-side row may itself be gone, and
+    *    the stale view rows still have to leave);
+    *  - one [[applyChanges]] commit replaces every view row whose
+    *    `rowKeys` were touched — so an update is recomputed against the
+    *    other side's current state, and a source delete drops all its
+    *    join fan-out rows at once.
+    *
+    * TWO-SIDED views run one consumer per side, each keyed by ITS side's
+    * row keys (the view carries both); applies interleave in any order and
+    * the view equals the flat join of the two table HEADS whenever both
+    * consumers have drained (spec-proven under interleaving — keyed
+    * replacement recomputes against current state, so the ΔA⋈ΔB
+    * double-count of the additive 4-term identity never arises).
+    *
+    * CONTRACT: `rowKeys` must uniquely key the SOURCE side's rows within
+    * the view (the primary key that rode into the view) — replacement
+    * wipes every view row with an affected key, so a non-unique key would
+    * drop unchanged siblings. NULL row keys are refused by the underlying
+    * keyed machinery; NULL join keys never enter an inner join (and so
+    * never enter the view). Exactly-once through the same `aggsrc:`
+    * watermark as the aggregate maintainer — redelivered windows no-op.
+    * Cost per window: O(Δ ⋈ other) + the file-granular rewrite of touched
+    * view files, never a view recompute. */
+  def maintainJoin(spark: SparkSession, destDir: String, batch: ChangeBatch,
+                   other: DataFrame, joinKeys: Seq[String],
+                   rowKeys: Seq[String], joinId: String): Option[Long] = {
+    require(joinKeys.nonEmpty, "maintainJoin needs at least one join key")
+    require(rowKeys.nonEmpty, "maintainJoin needs at least one row key")
+    if (lastAggSource(destDir, joinId).exists(_ >= batch.toVersion)) return None
+    val ch = batch.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (ch.isEmpty) return None
+      val ins = ch.filter(col("_change") === "insert").drop("_change")
+        .join(other, joinKeys)
+        .withColumn("_change", lit("insert"))
+      val del = ch.filter(col("_change") === "delete")
+        .select(rowKeys.map(col) :+ col("_change"): _*)
+      val delta = ins.unionByName(del, allowMissingColumns = true)
+      applyChanges(spark, destDir, delta, rowKeys,
+        extraMeta = Seq(s"aggsrc:$joinId=${batch.toVersion}"))
+    } finally ch.unpersist()
+  }
+
   /** Durable offset advance via the same hard-link CAS as commits: the
     * offset file `<id>-<seq>.offset` either links (we won) or already
     * exists (a worker sharing the consumer id acked this window first). */

@@ -226,6 +226,97 @@ class CdcStreamSpec extends AnyFunSuite {
     finally q2.stop()
   }
 
+  // ---- maintainJoin: incremental materialized join view -------------------
+
+  private def viewRows(v: String): Set[(Long, Long, String, Long, String)] =
+    SnapshotTable.read(spark, v).collect().map(r => (
+      r.getAs[Long]("ck"), r.getAs[Long]("ok"), r.getAs[String]("av"),
+      r.getAs[Long]("bid"), r.getAs[String]("bv"))).toSet
+
+  private def flatJoin(a: String, b: String): Set[(Long, Long, String, Long, String)] =
+    SnapshotTable.read(spark, a).join(SnapshotTable.read(spark, b), Seq("ck"))
+      .collect().map(r => (
+        r.getAs[Long]("ck"), r.getAs[Long]("ok"), r.getAs[String]("av"),
+        r.getAs[Long]("bid"), r.getAs[String]("bv"))).toSet
+
+  test("maintainJoin: one-sided CDC keeps the view == flat join (fan-out, update, delete)") {
+    val a = tmpDir("mj_a"); val b = tmpDir("mj_b"); val v = tmpDir("mj_v")
+    // B static: ck=10 has TWO rows (fan-out), ck=30 matches nothing yet
+    SnapshotTable.commitAppend(Seq(
+      (100L, 10L, "x"), (101L, 10L, "x2"), (102L, 20L, "y"))
+      .toDF("bid", "ck", "bv").coalesce(1), b)
+    SnapshotTable.commitAppend(Seq(
+      (1L, 10L, "a1"), (2L, 20L, "a2"), (3L, 30L, "a3"))
+      .toDF("ok", "ck", "av").coalesce(1), a)
+    def sync(): Unit = SnapshotTable.drainChanges(spark, a, "ja") { w =>
+      SnapshotTable.maintainJoin(spark, v, w, SnapshotTable.read(spark, b),
+        Seq("ck"), Seq("ok"), "ja"); ()
+    }
+    sync()
+    assert(viewRows(v) == flatJoin(a, b))
+    assert(viewRows(v).count(_._2 == 1L) == 2, "ck=10 fan-out is 2 view rows")
+    // update ok=1 to ck=20, delete ok=2, insert ok=4 (unmatched ck)
+    SnapshotTable.upsert(spark, a, Seq((1L, 20L, "A1")).toDF("ok", "ck", "av"), Seq("ok"))
+    SnapshotTable.deleteWhere(spark, a, col("ok") === 2L)
+    SnapshotTable.commitAppend(Seq((4L, 99L, "a4")).toDF("ok", "ck", "av").coalesce(1), a)
+    sync()
+    assert(viewRows(v) == flatJoin(a, b))
+    assert(!viewRows(v).exists(_._2 == 2L), "deleted source row left the view")
+    assert(viewRows(v).exists(t => t._2 == 1L && t._3 == "A1" && t._1 == 20L))
+  }
+
+  test("maintainJoin: two-sided interleaved consumers converge to the joined heads") {
+    val a = tmpDir("mj2_a"); val b = tmpDir("mj2_b"); val v = tmpDir("mj2_v")
+    SnapshotTable.commitAppend(
+      Seq((1L, 10L, "a1"), (2L, 20L, "a2")).toDF("ok", "ck", "av").coalesce(1), a)
+    SnapshotTable.commitAppend(
+      Seq((100L, 10L, "x"), (102L, 20L, "y")).toDF("bid", "ck", "bv").coalesce(1), b)
+    def syncA(): Unit = SnapshotTable.drainChanges(spark, a, "ja") { w =>
+      SnapshotTable.maintainJoin(spark, v, w, SnapshotTable.read(spark, b),
+        Seq("ck"), Seq("ok"), "ja"); ()
+    }
+    def syncB(): Unit = SnapshotTable.drainChanges(spark, b, "jb") { w =>
+      SnapshotTable.maintainJoin(spark, v, w, SnapshotTable.read(spark, a),
+        Seq("ck"), Seq("bid"), "jb"); ()
+    }
+    // bootstrap both sides: the B-side replay re-replaces, never duplicates
+    syncA(); syncB()
+    assert(viewRows(v) == flatJoin(a, b))
+    // interleaved changes on BOTH sides before either consumer runs:
+    // B updates ck=10's payload AND gains a second ck=20 row; A's ck=20
+    // row is updated and a new unmatched row appears
+    SnapshotTable.upsert(spark, b,
+      Seq((100L, 10L, "X!"), (103L, 20L, "y2")).toDF("bid", "ck", "bv"), Seq("bid"))
+    SnapshotTable.upsert(spark, a,
+      Seq((2L, 20L, "A2"), (5L, 77L, "a5")).toDF("ok", "ck", "av"), Seq("ok"))
+    // apply in each order half-way: A first, then B
+    syncA(); syncB()
+    assert(viewRows(v) == flatJoin(a, b), "A-then-B drain must equal the head join")
+    // now B first, then A
+    SnapshotTable.deleteWhere(spark, b, col("bid") === 103L)
+    SnapshotTable.upsert(spark, a, Seq((1L, 20L, "A1")).toDF("ok", "ck", "av"), Seq("ok"))
+    syncB(); syncA()
+    assert(viewRows(v) == flatJoin(a, b), "B-then-A drain must equal the head join")
+  }
+
+  test("maintainJoin: redelivered windows no-op via the watermark") {
+    val a = tmpDir("mj3_a"); val b = tmpDir("mj3_b"); val v = tmpDir("mj3_v")
+    SnapshotTable.commitAppend(
+      Seq((100L, 10L, "x")).toDF("bid", "ck", "bv").coalesce(1), b)
+    SnapshotTable.commitAppend(
+      Seq((1L, 10L, "a1")).toDF("ok", "ck", "av").coalesce(1), a)
+    val w = SnapshotTable.pollChanges(spark, a, "ja").get
+    val other = SnapshotTable.read(spark, b)
+    assert(SnapshotTable.maintainJoin(spark, v, w, other,
+      Seq("ck"), Seq("ok"), "ja").isDefined)
+    // crash before ack: the same window redelivers — must not double-apply
+    val again = SnapshotTable.pollChanges(spark, a, "ja").get
+    assert(SnapshotTable.maintainJoin(spark, v, again, other,
+      Seq("ck"), Seq("ok"), "ja").isEmpty)
+    assert(viewRows(v).size == 1)
+    assert(again.ack())
+  }
+
   test("maintainAggregate rejects an inconsistent feed (negative count)") {
     val src = tmpDir("agg_src"); val dst = tmpDir("agg_dst")
     SnapshotTable.commitAppend(Seq((1L, "a", 10L)).toDF("k", "g", "v").coalesce(1), src)
