@@ -1510,6 +1510,57 @@ object RelationalQueries {
               expr("((promo_micro % total_micro) * 1000 % total_micro) * 1000 div total_micro"))
             .otherwise(lit(0L)).as("promo_ppm"))
     }),
+
+    // TPC-H Q16 shape (supplier diversity per part attribute): distinct
+    // (part, supplier) pairs from lineitem stand in for partsupp; the
+    // NOT-IN complaint-supplier subquery is a LEFT ANTI join (negative
+    // account balance substitutes for the comment scan — this testdata
+    // has no comment column); count(DISTINCT supplier) per
+    // (brand, type, size). The anti side is a tiny dimension; output is
+    // bounded by the attribute-domain product. Plan spec asserts the
+    // LeftAnti (RelationalQueriesSpec).
+    "q315_supplier_diversity" -> ((s, d) => {
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      pairs.join(parts, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape (excess-availability suppliers): the correlated
+    // "more than half the part's yearly volume" subquery DECORRELATED
+    // into per-(part, supplier) and per-part aggregates sharing one
+    // partitioning (the q275 discipline), dominance by integer
+    // cross-multiplication (q_s·2 > q_tot — no ratio), and the supplier
+    // dimension reduced by a LEFT SEMI join against the dominant set.
+    // Exact integer quantities; account balance emitted in cents.
+    "q316_dominant_suppliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.part(s, d).filter(col("p_name").startsWith("blue"))
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity")).cast("long").as("qty"))
+      val perPair = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("q_s"))
+        .persist() // per-part totals + the dominance filter
+      val perPart = perPair.groupBy(col("l_partkey")).agg(sum(col("q_s")).as("q_tot"))
+      val dominant = perPair.join(perPart, "l_partkey")
+        .filter(col("q_s") * 2 > col("q_tot"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+    }),
   )
 
   /** Scale-safe percentiles: `approx_percentile` keeps a bounded sketch per
@@ -2328,5 +2379,33 @@ object RelationalQueries {
         |    (((promo_micro % total_micro) * 1000 % total_micro) * 1000 // total_micro)
         |  ELSE 0 END AS promo_ppm
         |FROM a""".stripMargin,
+
+    "q315_supplier_diversity" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |parts AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |  WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |    AND p_size IN (1, 4, 9, 14, 19)),
+        |bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM pairs JOIN parts ON p_partkey = l_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q316_dominant_suppliers" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND p_name LIKE 'blue%'),
+        |pp AS (SELECT l_partkey, l_suppkey, sum(qty)::BIGINT AS q_s
+        |  FROM li GROUP BY 1, 2),
+        |pt AS (SELECT l_partkey, sum(q_s)::BIGINT AS q_tot FROM pp GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM pp JOIN pt USING (l_partkey)
+        |  WHERE q_s * 2 > q_tot)
+        |SELECT s_suppkey, s_name,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)""".stripMargin,
   )
 }

@@ -133,6 +133,18 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(!semiPlan.contains("Distinct"), semiPlan)
   }
 
+  test("q315/q316 Q16/Q20 shapes: anti on the blacklist, semi on the dominant set") {
+    val q16 = RelationalQueries.queries("q315_supplier_diversity")(spark, dir)
+    val p16 = q16.queryExecution.sparkPlan.toString
+    assert(p16.contains("LeftAnti"),
+      s"Q16 shape must plan the NOT-IN as a LEFT ANTI join:\n$p16")
+    val q20 = RelationalQueries.queries("q316_dominant_suppliers")(spark, dir)
+    val p20 = q20.queryExecution.sparkPlan.toString
+    assert(p20.contains("LeftSemi"),
+      s"Q20 shape must reduce supplier via a LEFT SEMI join:\n$p20")
+    q20.sparkSession.catalog.clearCache() // q316's internal persist
+  }
+
   test("q298 Q21 shape: semi + anti self-joins, fact table never a broadcast build") {
     val df = RelationalQueries.queries("q298_waiting_supplier")(spark, dir)
     val plan = df.queryExecution.sparkPlan
