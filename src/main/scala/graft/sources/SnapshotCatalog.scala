@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+import java.util.{Collections, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL surface for [[SnapshotTable]] — a DataSourceV2 `TableCatalog` that
+  * exposes snapshot-table directories as plain SQL tables WITH TIME TRAVEL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_snap",
+  *     classOf[GraftSnapshotCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft_snap.warehouse", dir)
+  *   spark.sql("SELECT * FROM graft_snap.t")                    // latest
+  *   spark.sql("SELECT * FROM graft_snap.t VERSION AS OF 3")    // pinned
+  * }}}
+  *
+  * `VERSION AS OF` binds to `loadTable(ident, version)` — the catalog
+  * resolves the manifest for that version and serves EXACTLY its file
+  * list, so SQL readers get the same snapshot isolation as the
+  * programmatic API. The scan plans one input partition per data file and
+  * reuses the SPJ family's low-level parquet reader, which means pushed
+  * comparison filters skip whole ROW GROUPS on footer stats before any
+  * page I/O, and column projection reaches the file reader — a 100 TB
+  * time-travel query reads only the surviving groups of the pinned
+  * version's files.
+  *
+  * Boundaries, loud not silent: tables with an outstanding merge-on-read
+  * deletion vector refuse to serve (the Group reader cannot apply the
+  * anti-join — `materializeDeletes` first); `TIMESTAMP AS OF` is not
+  * supported (manifests record versions, not wall-clock times); writes go
+  * through the programmatic commit API, never the catalog. */
+class GraftSnapshotCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(sys.error(s"set spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catalogName
+
+  private def dirFor(ident: Identifier): JPath =
+    Paths.get(warehouse, (ident.namespace() :+ ident.name()): _*)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(d)) Array.empty
+    else Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_snapshots")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString)).toArray
+  }
+
+  private def tableAt(ident: Identifier, version: Option[Long]): Table = {
+    val dir = dirFor(ident)
+    val latest = SnapshotTable.latestVersion(dir.toString).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    val v = version.getOrElse(latest)
+    require(SnapshotTable.versions(dir.toString).contains(v),
+      s"$ident has no version $v (latest is $latest — vacuumed or never committed)")
+    new GraftSnapshotVersionTable(dir.toString, v)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** `VERSION AS OF <v>` — the time-travel entry point. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        sys.error(s"VERSION AS OF wants a numeric snapshot version, got '$version'") }))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    sys.error("TIMESTAMP AS OF is not supported: snapshot manifests record " +
+      "versions, not wall-clock times — use VERSION AS OF <n>")
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table =
+    sys.error("snapshot tables are written with graft.sources.SnapshotTable commits")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    sys.error("snapshot tables are immutable through the catalog")
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    if (!Files.exists(dir)) false
+    else {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      true
+    }
+  }
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    Files.move(dirFor(oldIdent), dirFor(newIdent))
+}
+
+/** One pinned snapshot version served as a DSv2 table. */
+class GraftSnapshotVersionTable(dir: String, version: Long)
+  extends Table with SupportsRead {
+  private val snap = SnapshotTable.snapshot(dir, version)
+  require(!snap.meta.contains("dv"),
+    s"$dir@v$version has an outstanding merge-on-read deletion vector — " +
+      "run SnapshotTable.materializeDeletes before serving it through SQL")
+  private val tableSchema: StructType = snap.meta.get("schema")
+    .map(DataType.fromJson(_).asInstanceOf[StructType])
+    .getOrElse(sys.error(
+      s"$dir@v$version records no schema (pre-schema-tracking manifest) — " +
+        "read it with SnapshotTable.readVersion instead"))
+
+  override def name(): String = s"$dir@v$version"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): JSet[TableCapability] =
+    Collections.singleton(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val files = snap.files.map(f => Paths.get(dir, f).toString).toArray
+    new GraftSnapshotScanBuilder(name(), files, tableSchema)
+  }
+}
+
+class GraftSnapshotScanBuilder(label: String, files: Array[String], full: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  // advisory pruning (the SpjTable contract): every filter returns as
+  // residual, the reader uses the comparison-shaped subset for row-group
+  // skipping on footer stats
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+    : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new GraftSnapshotScan(label, files, required, pushed)
+}
+
+class GraftSnapshotScan(label: String, files: Array[String], required: StructType,
+                        filters: Array[org.apache.spark.sql.sources.Filter])
+  extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSnapshotScan($label, files=${files.length}, " +
+      s"rowGroupFilters=[${filters.mkString(", ")}])"
+  // one partition per data file: snapshot commits already size files for
+  // the cluster (compaction controls granularity), and per-file tasks keep
+  // locality simple
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f =>
+      GraftSnapshotFilePartition(f, required.json, filters): InputPartition)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSnapshotReaderFactory
+}
+
+case class GraftSnapshotFilePartition(
+    file: String, schemaJson: String,
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends InputPartition
+
+class GraftSnapshotReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+    : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val p = partition.asInstanceOf[GraftSnapshotFilePartition]
+    val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+    // the SPJ family's Group reader: projection + row-group-stats skipping
+    new GraftBucketPartitionReader(Array(p.file), schema, p.filters)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SQL time travel over SnapshotTable via the DSv2 catalog
+  * (`GraftSnapshotCatalog`): VERSION AS OF resolves manifests, the default
+  * read serves the latest snapshot, row-group skipping rides the pushed
+  * filters, and the loud boundaries (DV tables, TIMESTAMP AS OF) refuse. */
+class SnapshotSqlCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_snap_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_snap",
+      classOf[GraftSnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_snap.warehouse", w)
+    w
+  }
+
+  test("SELECT serves the latest snapshot; VERSION AS OF pins any retained one") {
+    val t = s"$warehouse/tt"
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)  // v1
+    SnapshotTable.upsert(spark, t, Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), Seq("k")) // v2
+    SnapshotTable.deleteWhere(spark, t, col("k") === 1L)        // v3
+    def rows(sql: String): Set[(Long, String)] =
+      spark.sql(sql).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows("SELECT k, v FROM graft_snap.tt") == Set((2L, "B2"), (3L, "c")))
+    assert(rows("SELECT k, v FROM graft_snap.tt VERSION AS OF 1") ==
+      Set((1L, "a"), (2L, "b")))
+    assert(rows("SELECT k, v FROM graft_snap.tt VERSION AS OF 2") ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+    // aggregation + projection through the catalog
+    assert(spark.sql("SELECT count(*) FROM graft_snap.tt VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2L)
+    // a version that never existed (or was vacuumed) refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_snap.tt VERSION AS OF 99").collect())
+    assert(e.getMessage.contains("no version 99"), e.getMessage)
+  }
+
+  test("row-group skipping: a pushed filter on a clustered table prunes groups") {
+    val t = s"$warehouse/rg"
+    // range-clustered layout -> disjoint per-file/group key spans
+    SnapshotTable.commitReplace(
+      (1 to 4000).map(i => (i.toLong, i.toLong * 2)).toDF("k", "m")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"), t)
+    val before = (SpjTable.rowGroupsRead.get(), SpjTable.rowGroupsSkipped.get())
+    val got = spark.sql("SELECT m FROM graft_snap.rg WHERE k <= 500")
+      .as[Long].collect().sorted
+    assert(got.toSeq == (1L to 500L).map(_ * 2))
+    val read = SpjTable.rowGroupsRead.get() - before._1
+    val skipped = SpjTable.rowGroupsSkipped.get() - before._2
+    assert(skipped >= 1, s"clustered layout must skip row groups (read=$read)")
+  }
+
+  test("loud boundaries: DV tables and TIMESTAMP AS OF refuse") {
+    val t = s"$warehouse/dv"
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.deleteWhereMor(spark, t, col("k") === 1L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_snap.dv").collect())
+    assert(e.getMessage.contains("materializeDeletes"), e.getMessage)
+    // after materialization SQL serves the logical rows
+    SnapshotTable.materializeDeletes(spark, t)
+    assert(spark.sql("SELECT k FROM graft_snap.dv").as[Long].collect().toSeq == Seq(2L))
+    val ts = intercept[Exception](spark.sql(
+      "SELECT * FROM graft_snap.dv TIMESTAMP AS OF '2026-01-01'").collect())
+    assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+  }
+}
