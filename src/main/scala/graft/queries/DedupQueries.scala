@@ -626,6 +626,47 @@ object DedupQueries {
         nClusters = 10, iters = 4, sampleCap = 100)
     }),
 
+    // FILTERED vector search recall audit — the metadata-filter tradeoff
+    // every vector store documents: PRE-filtering (search only the allowed
+    // subset — exact, the truth) vs POST-filtering (search the full corpus
+    // for a k'=20 shortlist, then filter — the strategy an index that
+    // cannot push predicates is forced into). Post-filter recall drops as
+    // the filter gets selective because allowed hits fall off the
+    // shortlist; this query measures that loss EXACTLY, per query, with
+    // both passes on the bounded TopKByScore path (k rows per query cross
+    // the shuffle, never the score matrix) and a count-derived query
+    // sample. Identical left-to-right cosine folds both engines; the
+    // post-filter re-rank rides the shortlist rank, so ties are the
+    // TopKByScore (score DESC, id ASC) order on both sides.
+    "q318_filtered_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qMod = graft.operators.KMeansIVF.sampleModFor(e.count(), 16L)
+      val q = e.filter(pmod(TextHash.md5Long(col("vec_id").cast("string")),
+          lit(qMod.toLong)) === 0)
+        .persist() // two topK passes + the output spine
+      val allowedIds = e.filter(col("label") <= 2)
+        .select(col("vec_id").as("neighbor_id"))
+      val truth = VectorOps.topK(q, e.filter(col("label") <= 2),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pf = VectorOps.topK(q, e, "vec_id", "embedding", 20)
+        .join(allowedIds, "neighbor_id")
+        .persist() // candidate count + the top-5 re-rank
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(asc("rank")) // ≤20 rows/query
+      val p5 = pf.withColumn("rr", row_number().over(w)).filter(col("rr") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cnt = pf.groupBy(col("query_id")).agg(count(lit(1)).as("n_candidates"))
+      val ov = p5.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("overlap"))
+      q.select(col("vec_id").as("query_id"))
+        .join(cnt, Seq("query_id"), "left").join(ov, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          (coalesce(col("overlap"), lit(0L)) * 2000L).as("recall_bp"))
+    }),
+
     // kNN classification: majority label among the 5 exact nearest
     // neighbors (the standard embedding-quality probe of a training
     // pipeline). Neighbor selection reuses the bounded TopKByScore path —
@@ -1171,6 +1212,36 @@ object DedupQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     "q17_sim_ann_ivf" -> ivfOracle,
+
+    "q318_filtered_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id, v FROM e
+         |  WHERE ${graft.functions.TextHash.md5LongSql("vec_id::VARCHAR")} %
+         |    (SELECT greatest(1, (count(*) + 15) // 16) FROM e) = 0),
+         |truth_r AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+         |  FROM q JOIN e n ON n.vec_id <> q.vec_id AND n.label <= 2),
+         |t5 AS MATERIALIZED (SELECT query_id, neighbor_id FROM truth_r WHERE rnk <= 5),
+         |full_r AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+         |  FROM q JOIN e n ON n.vec_id <> q.vec_id),
+         |pf AS MATERIALIZED (SELECT query_id, neighbor_id, rnk FROM full_r
+         |  WHERE rnk <= 20 AND label <= 2),
+         |p5 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS rr
+         |  FROM pf) z WHERE rr <= 5),
+         |cnt AS (SELECT query_id, count(*)::BIGINT AS n_candidates FROM pf GROUP BY 1),
+         |ov AS (SELECT query_id, count(*)::BIGINT AS overlap
+         |  FROM p5 JOIN t5 USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  coalesce(n_candidates, 0)::BIGINT AS n_candidates,
+         |  coalesce(overlap, 0)::BIGINT AS overlap,
+         |  (coalesce(overlap, 0) * 2000)::BIGINT AS recall_bp
+         |FROM q LEFT JOIN cnt ON cnt.query_id = q.vec_id
+         |  LEFT JOIN ov ON ov.query_id = q.vec_id""".stripMargin,
 
     // full k-means fit replay (fitReplayCtes) + within-bucket pair join at
     // the same fold sequence + recursive closure; WITH must be RECURSIVE

@@ -970,6 +970,45 @@ object StatQueries {
           col("m.nr").as("n_after"), col("m.shift_cents").as("mean_shift_cents"))
     }),
 
+    // HOLT linear-trend smoothing (double exponential, α = β = 1/2) of the
+    // per-type daily activity curves — the trend-aware sibling of q220's
+    // EWMA. The coupled level/trend recursion has no order-free window
+    // form, so it runs as the q293/q302 DOMAIN-BOUNDED driver recursion:
+    // the distributed part is the daily count aggregation; the collected
+    // relation is calendar-days × event-types (bounded at any SF), and
+    // each step is integer milli math with truncating division
+    //   l_t = (x_t·10³ + l + b) div 2,  b_t = (b + (l_t − l)) div 2
+    // — the q81 per-round-div discipline (Scala `/`, Spark `div` and
+    // DuckDB `//` all truncate toward zero on integers; re-verified).
+    // Missing days zero-fill on a shared dense grid; init l₀ = x₀,
+    // b₀ = x₁ − x₀ (the standard Holt start). The oracle replays the
+    // SAME recursion as a recursive CTE over the materialized grid.
+    "q317_holt_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("t"))
+        .agg(count(lit(1)).as("x"))
+        .collect() // bounded: calendar days × event types
+      val maxd = daily.map(_.getAs[Int]("t")).max
+      val out = daily.groupBy(_.getString(0)).toSeq.flatMap { case (k, rs) =>
+        val xm = Array.fill(maxd + 1)(0L)
+        rs.foreach(r => xm(r.getAs[Int]("t")) = r.getLong(2) * 1000L)
+        var l = xm(0)
+        var b = xm(1) - xm(0)
+        val buf = Seq.newBuilder[(String, Int, Long, Long)]
+        buf += ((k, 0, l, b))
+        for (t <- 1 to maxd) {
+          val lN = (xm(t) + l + b) / 2
+          val bN = (b + (lN - l)) / 2
+          l = lN; b = bN
+          buf += ((k, t, l, b))
+        }
+        buf.result()
+      }
+      import s.implicits._
+      out.toDF("event_type", "day_idx", "level_milli", "trend_milli")
+    }),
+
     // Exact tie-corrected KRUSKAL–WALLIS H across the event-type groups on
     // value cents — the k-group generalization of q215's rank machinery:
     // midranks live on the distinct-VALUE spine (bounded by the cents
@@ -1024,6 +1063,29 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q317_holt_trend" ->
+      """WITH RECURSIVE ev AS (SELECT event_type AS k,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) AS t,
+        |    count(*)::BIGINT AS x
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(t) AS maxd FROM ev),
+        |d AS MATERIALIZED (SELECT g.k, g.t, coalesce(e.x, 0) * 1000 AS xm
+        |  FROM (SELECT k, unnest(range(0, maxd + 1)) AS t
+        |        FROM (SELECT DISTINCT k FROM ev) kk, mx) g
+        |  LEFT JOIN ev e ON e.k = g.k AND e.t = g.t),
+        |s AS (
+        |  SELECT d0.k, 0 AS t, d0.xm AS l, d1.xm - d0.xm AS b
+        |  FROM d d0 JOIN d d1 ON d1.k = d0.k AND d1.t = 1
+        |  WHERE d0.t = 0
+        |  UNION ALL
+        |  SELECT s.k, s.t + 1,
+        |    (dn.xm + s.l + s.b) // 2,
+        |    (s.b + ((dn.xm + s.l + s.b) // 2 - s.l)) // 2
+        |  FROM s JOIN d dn ON dn.k = s.k AND dn.t = s.t + 1)
+        |SELECT k AS event_type, t::BIGINT AS day_idx,
+        |  l::BIGINT AS level_milli, b::BIGINT AS trend_milli
+        |FROM s""".stripMargin,
 
     "q312_kruskal_wallis" ->
       """WITH ev AS (SELECT event_type AS grp,
