@@ -308,6 +308,74 @@ object Multimodal {
     out
   }
 
+  /** [[ppmPayload]] with SCENE-structured frames — the video fixture for
+    * per-frame stages: same md5-free header law (width `n%8+1`, height
+    * `n*7%6+1`, `n%5+1` frames), but every frame's pixel bytes are the
+    * CONSTANT `97 + md5("scn:" id ":" (f div 2)) % 26` — frames 0-1 share
+    * scene 0, frames 2-3 scene 1, … so a scene CUT occurs exactly at every
+    * even frame boundary (when the adjacent scenes' md5 bytes differ).
+    * One md5 per scene (≤3 per clip); pixel replication is pure repeat().
+    * Construction is md5 + integer arithmetic — a DuckDB oracle replays
+    * the decoded per-frame sums without seeing a byte (the q272 proof
+    * shape applied to the FRAME axis). */
+  def ppmPayloadScenes(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextHash
+    val idL = id.cast("long")
+    val w = pmod(idL, lit(8L)) + 1L
+    val h = pmod(idL * 7L, lit(6L)) + 1L
+    val f = pmod(idL, lit(5L)) + 1L
+    val frameLen = (w * h * 3L).cast("int")
+    val body = array_join(
+      transform(sequence(lit(0L), f - 1L), fr =>
+        call_function("repeat",
+          call_function("char",
+            lit(97L) + pmod(TextHash.md5Long(concat(lit("scn:"),
+              idL.cast("string"), lit(":"),
+              shiftright(fr, 1).cast("string"))), lit(26L))),
+          frameLen)), "")
+    concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+      lit("\n255\n"), body).cast("binary")
+  }
+
+  /** Per-FRAME intensity sums over REAL decoded pixels — the stage a
+    * scene-cut detector consumes: parse the P6 header, sum every frame's
+    * sample values (8/16-bit aware), and emit ONE ROW PER FRAME
+    * (doc fan-out ≈ frame count, no shuffle). Malformed payloads emit
+    * zero rows here (a per-frame relation has no place for a null frame;
+    * the row-surviving variant is [[withMediaMeta]]'s null struct). */
+  def withFrameSums(df: DataFrame, binCol: String): DataFrame = {
+    // both long: a mixed Int/Long Seq literal numeric-widens to Long (the
+    // withAudioFeatures trap)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_sum", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        if (payload == null) Iterator.empty
+        else try {
+          val (meta, off, bps) = PpmDecoder.decodeFull(payload)
+          val samplesPerFrame = meta.width * meta.height * 3
+          (0 until meta.frames).iterator.map { fr =>
+            var sum = 0L
+            var s = 0
+            while (s < samplesPerFrame) {
+              sum += PpmDecoder.sampleAt(payload, off, bps,
+                fr * samplesPerFrame + s)
+              s += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq(fr.toLong, sum))
+          }
+        } catch {
+          case _: MediaFormatException => Iterator.empty
+        }
+      }
+    }(rowEnc)
+    out
+  }
+
   /** Real canonical RIFF/WAVE PCM parser — the audio counterpart of
     * [[PpmDecoder]]. Accepts the 44-byte canonical layout (RIFF size +
     * WAVE + a 16-byte `fmt ` chunk + `data`), PCM format only, 16-bit

@@ -522,6 +522,27 @@ object TextQueries {
           col("n_digits"))
     }),
 
+    // VIDEO scene-cut detection on REAL decoded frames (round-9): the
+    // multimodal family's per-FRAME stage (q60 samples frame indices;
+    // this one decodes every frame's pixels). Payloads are multi-frame P6
+    // animations whose frames carry constant scene-keyed bytes
+    // (Multimodal.ppmPayloadScenes — scene = frame div 2); withFrameSums
+    // parses the actual bytes and emits one row per frame with its exact
+    // intensity sum, and a cut fires where adjacent frame sums differ
+    // (a ≤5-row per-doc lag window — doc-keyed, high cardinality). The
+    // oracle replays the construction arithmetic only, so the hash match
+    // proves the frame-offset byte walk.
+    "q319_scene_cuts" -> ((s, d) => {
+      val frames = Multimodal.withFrameSums(
+        Tables.documents(s, d).select(col("doc_id"),
+          Multimodal.ppmPayloadScenes(col("doc_id")).as("payload")),
+        "payload").select(col("doc_id"), col("frame_idx"), col("frame_sum"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      frames.withColumn("prev_sum", lag(col("frame_sum"), 1).over(w))
+        .select(col("doc_id"), col("frame_idx"), col("frame_sum"),
+          coalesce(col("frame_sum") =!= col("prev_sum"), lit(false)).as("is_cut"))
+    }),
+
     // Audio feature extraction on REAL decoded PCM (round-9): construct
     // genuine canonical WAV payloads (RIFF/WAVE header + 16-bit LE mono
     // samples whose values derive from md5-segmented amplitude laws),
@@ -862,6 +883,21 @@ object TextQueries {
           |        ELSE 0 END)::BIGINT AS collision_ppm,
           |  length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS n_digits
           |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
+
+      "q319_scene_cuts" ->
+        s"""WITH par AS (SELECT doc_id, (doc_id % 8) + 1 AS w,
+           |    (doc_id * 7) % 6 + 1 AS h, (doc_id % 5) + 1 AS f
+           |  FROM documents),
+           |fr AS (SELECT doc_id, unnest(range(0, f)) AS frame_idx, w, h FROM par),
+           |fs AS (SELECT doc_id, frame_idx,
+           |    (w * h * 3) * (97 + ${TextHash.md5LongSql(
+                  "'scn:' || doc_id::VARCHAR || ':' || (frame_idx // 2)::VARCHAR")} % 26)
+           |      AS frame_sum
+           |  FROM fr)
+           |SELECT doc_id, frame_idx, frame_sum::BIGINT AS frame_sum,
+           |  coalesce(frame_sum <> lag(frame_sum)
+           |    OVER (PARTITION BY doc_id ORDER BY frame_idx), false) AS is_cut
+           |FROM fs""".stripMargin,
 
       // Replays the WAV construction arithmetic (Multimodal.wavPayload)
       // per sample and recomputes the decoded features directly — the

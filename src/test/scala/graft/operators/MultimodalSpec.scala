@@ -135,6 +135,43 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("withFrameSums decodes EVERY frame at its own offset; scene law holds") {
+    val df = spark.range(1, 40).toDF("id")
+      .select(col("id"), Multimodal.ppmPayloadScenes(col("id")).as("payload"))
+    val rows = Multimodal.withFrameSums(df, "payload")
+      .select(col("id"), col("frame_idx"), col("frame_sum")).collect()
+    val byId = rows.groupBy(_.getLong(0))
+    for ((id, rs) <- byId) {
+      val (w, h, f) = ((id % 8 + 1).toInt, (id * 7 % 6 + 1).toInt, (id % 5 + 1).toInt)
+      assert(rs.length == f, s"id=$id must emit one row per frame")
+      for (r <- rs) {
+        val fr = r.getLong(1)
+        val b = 97 + graft.functions.Md5LongUtil.hashBytes(
+          s"scn:$id:${fr / 2}".getBytes("UTF-8")) % 26
+        assert(r.getLong(2) == w.toLong * h * 3 * b, s"id=$id frame $fr")
+      }
+    }
+    // malformed payloads emit zero rows, never fail the task
+    val bad = Multimodal.withFrameSums(
+      docs.filter(col("payload").isNotNull), "payload").count()
+    assert(bad == 0L)
+    // a 2-frame hand-built animation with DIFFERENT frame bytes: the
+    // second frame's sum must come from the second frame's bytes
+    val anim = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](6)(10) ++ Array.fill[Byte](6)(20)
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, anim))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val sums = Multimodal.withFrameSums(df2, "payload")
+      .select(col("frame_idx"), col("frame_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sums == Map(0L -> 60L, 1L -> 120L))
+  }
+
   // --- audio (RIFF/WAVE 16-bit PCM) ----------------------------------------
 
   /** Hand-build a canonical 44-byte-header WAV from signed sample values. */
