@@ -667,6 +667,31 @@ object DedupQueries {
           (coalesce(col("overlap"), lit(0L)) * 2000L).as("recall_bp"))
     }),
 
+    // HARD NEGATIVE mining for contrastive training — q227 samples random
+    // negatives; the pairs that actually move a model are the COSINE-NEAR,
+    // LABEL-DIFFERENT ones. Per count-derived anchor: exact top-10
+    // neighbors (bounded TopKByScore), label join, keep mismatched labels,
+    // re-rank to the top-3 hardest (a ≤10-row per-anchor window). The
+    // whole mine is one brute pass + two dimension joins; at 100 TB the
+    // same selection runs over the persisted IVF index's shortlists.
+    "q320_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qMod = graft.operators.KMeansIVF.sampleModFor(e.count(), 16L)
+      val anchors = e.filter(pmod(TextHash.md5Long(col("vec_id").cast("string")),
+        lit(qMod.toLong)) === 0)
+      val knn = VectorOps.topK(anchors, e, "vec_id", "embedding", 10)
+      val nl = e.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+      val al = anchors.select(col("vec_id").as("query_id"), col("label").as("a_label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(asc("rank")) // ≤10 rows/anchor
+      knn.join(nl, "neighbor_id").join(broadcast(al), "query_id")
+        .filter(col("n_label") =!= col("a_label"))
+        .withColumn("hn_rank", row_number().over(w))
+        .filter(col("hn_rank") <= 3)
+        .select(col("query_id"), col("a_label"), col("hn_rank"),
+          col("neighbor_id"), col("n_label"), col("cosine"))
+    }),
+
     // kNN classification: majority label among the 5 exact nearest
     // neighbors (the standard embedding-quality probe of a training
     // pipeline). Neighbor selection reuses the bounded TopKByScore path —
@@ -1242,6 +1267,24 @@ object DedupQueries {
          |  (coalesce(overlap, 0) * 2000)::BIGINT AS recall_bp
          |FROM q LEFT JOIN cnt ON cnt.query_id = q.vec_id
          |  LEFT JOIN ov ON ov.query_id = q.vec_id""".stripMargin,
+
+    "q320_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id, v, label FROM e
+         |  WHERE ${graft.functions.TextHash.md5LongSql("vec_id::VARCHAR")} %
+         |    (SELECT greatest(1, (count(*) + 15) // 16) FROM e) = 0),
+         |r AS (SELECT q.vec_id AS query_id, q.label AS a_label,
+         |    n.vec_id AS neighbor_id, n.label AS n_label,
+         |    list_cosine_similarity(q.v, n.v) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id) AS rnk
+         |  FROM q JOIN e n ON n.vec_id <> q.vec_id),
+         |hn AS (SELECT query_id, a_label, neighbor_id, n_label, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rnk) AS hn_rank
+         |  FROM r WHERE rnk <= 10 AND n_label <> a_label)
+         |SELECT query_id, a_label, hn_rank::INT AS hn_rank, neighbor_id, n_label,
+         |  floor(cos * 1000 + 0.5) / 1000 AS cosine
+         |FROM hn WHERE hn_rank <= 3""".stripMargin,
 
     // full k-means fit replay (fitReplayCtes) + within-bucket pair join at
     // the same fold sequence + recursive closure; WITH must be RECURSIVE

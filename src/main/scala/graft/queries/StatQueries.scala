@@ -970,6 +970,27 @@ object StatQueries {
           col("m.nr").as("n_after"), col("m.shift_cents").as("mean_shift_cents"))
     }),
 
+    // Exponential TIME-DECAY leaderboard (half-life = 1 day): the "trending
+    // users" rollup — score at the horizon = Σ cents·2^(t−T). Scaling by
+    // 2^T makes every weight the EXACT integer 2^t (a bit shift — no float
+    // pow, no div at all), so the whole leaderboard is one hash-agg of
+    // cents·(1<<t) in decimal(38,0) (day indices bound the shift; sums
+    // outgrow int64 at warehouse scale) + a bounded TakeOrdered top-20
+    // with (score DESC, user) determinism. Scores hash-check as strings
+    // (HUGEINT ⇔ decimal). Same decay family as q220's EWMA but over an
+    // unordered aggregate — no recursion, no window, scan-shaped.
+    "q321_decayed_leaderboard" -> ((s, d) =>
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("""cast(cast(round(value * 100) as bigint) as decimal(38,0)) *
+                  shiftleft(cast(1 as bigint),
+                    datediff(cast(ts as date), date'2024-01-01'))""").as("w"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("w")).as("score_scaled"))
+        .orderBy(desc("score_scaled"), asc("user_id")).limit(20)
+        .select(col("user_id"),
+          col("score_scaled").cast("string").as("score_scaled_str"))),
+
     // HOLT linear-trend smoothing (double exponential, α = β = 1/2) of the
     // per-type daily activity curves — the trend-aware sibling of q220's
     // EWMA. The coupled level/trend recursion has no order-free window
@@ -1063,6 +1084,17 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q321_decayed_leaderboard" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    date_diff('day', DATE '2024-01-01', ts::DATE) AS t
+        |  FROM events WHERE value IS NOT NULL),
+        |sc AS (SELECT user_id,
+        |    sum(cents::HUGEINT * (1::HUGEINT << t)) AS s
+        |  FROM ev GROUP BY 1)
+        |SELECT user_id, s::VARCHAR AS score_scaled_str
+        |FROM sc ORDER BY s DESC, user_id LIMIT 20""".stripMargin,
 
     "q317_holt_trend" ->
       """WITH RECURSIVE ev AS (SELECT event_type AS k,
