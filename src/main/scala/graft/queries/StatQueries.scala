@@ -1011,7 +1011,11 @@ object StatQueries {
         .agg(count(lit(1)).as("x"))
         .collect() // bounded: calendar days × event types
       val maxd = daily.map(_.getAs[Int]("t")).max
-      val out = daily.groupBy(_.getString(0)).toSeq.flatMap { case (k, rs) =>
+      // Holt needs two observations for its init; a one-day corpus has no
+      // defined trend — emit zero rows, exactly like the oracle's failed
+      // t=1 seed join (the two sides must agree on the degenerate case)
+      val out = if (maxd < 1) Seq.empty[(String, Int, Long, Long)]
+      else daily.groupBy(_.getString(0)).toSeq.flatMap { case (k, rs) =>
         val xm = Array.fill(maxd + 1)(0L)
         rs.foreach(r => xm(r.getAs[Int]("t")) = r.getLong(2) * 1000L)
         var l = xm(0)
@@ -1045,7 +1049,7 @@ object StatQueries {
     // the 9.488 critical value in milli. den=0 guards on both engines.
     "q312_kruskal_wallis" -> ((s, d) => {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
         .select(col("event_type").as("grp"),
           round(col("value") * 100).cast("long").as("cents"))
         .persist() // spine + per-group counts
@@ -1059,8 +1063,15 @@ object StatQueries {
         .groupBy(col("grp"))
         .agg(sum(col("c")).as("n"), sum(dec(col("c")) * dec(col("mid2"))).as("s2"))
         .persist() // global H pieces + per-group output
+      // floor(s2²/4n) STAYS decimal: `div` narrows to long and the
+      // per-group quotient is O(N³) — subtract the exact pmod remainder
+      // first so the decimal division is an exact multiple (its scale-6
+      // rounding is then a no-op at any magnitude; the post-round
+      // /code-review caught the long-narrowing here)
       val glob = byGrp.agg(sum(col("n")).as("nn"),
-        sum(expr("(s2 * s2) div (4 * cast(n as decimal(38,0)))")).as("t4"))
+        sum(expr("""cast(((s2 * s2) - pmod(s2 * s2, 4 * cast(n as decimal(38,0))))
+                    / (4 * cast(n as decimal(38,0))) as decimal(38,0))"""))
+          .as("t4"))
       val ties = spine.agg(
         sum(dec(col("m")) * col("m") * col("m") - col("m")).as("tsum"))
       val h = glob.crossJoin(ties).select(

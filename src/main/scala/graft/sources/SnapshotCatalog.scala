@@ -5,6 +5,7 @@ import java.util.{Collections, Set => JSet}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.parquet.example.data.Group
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -91,11 +92,7 @@ class GraftSnapshotCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
     if (!Files.exists(dir)) false
-    else {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      true
-    }
+    else { SnapshotTable.deleteRecursively(dir); true }
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     Files.move(dirFor(oldIdent), dirFor(newIdent))
@@ -108,11 +105,30 @@ class GraftSnapshotVersionTable(dir: String, version: Long)
   require(!snap.meta.contains("dv"),
     s"$dir@v$version has an outstanding merge-on-read deletion vector — " +
       "run SnapshotTable.materializeDeletes before serving it through SQL")
+  // all-nullable, exactly like readVersion: files written before a column
+  // existed null-fill it, and a non-nullable field would make Spark read
+  // garbage zeros where the reader set the null bit
   private val tableSchema: StructType = snap.meta.get("schema")
-    .map(DataType.fromJson(_).asInstanceOf[StructType])
+    .map(j => StructType(DataType.fromJson(j).asInstanceOf[StructType]
+      .fields.map(_.copy(nullable = true))))
     .getOrElse(sys.error(
       s"$dir@v$version records no schema (pre-schema-tracking manifest) — " +
         "read it with SnapshotTable.readVersion instead"))
+  // the Group reader serves exactly these types; anything else must fail
+  // at ANALYSIS time with a pointer to the full API, not mid-scan
+  locally {
+    val bad = tableSchema.fields.filterNot(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    require(bad.isEmpty,
+      s"$dir@v$version has columns the SQL catalog reader cannot serve " +
+        s"(${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}); " +
+        "supported: bigint/int/double/string — read it with SnapshotTable.readVersion")
+  }
 
   override def name(): String = s"$dir@v$version"
   override def schema(): StructType = tableSchema
@@ -171,7 +187,98 @@ class GraftSnapshotReaderFactory extends PartitionReaderFactory {
     : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[GraftSnapshotFilePartition]
     val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-    // the SPJ family's Group reader: projection + row-group-stats skipping
-    new GraftBucketPartitionReader(Array(p.file), schema, p.filters)
+    new GraftSnapshotFileReader(p.file, schema, p.filters)
   }
+}
+
+/** Per-file reader with SCHEMA EVOLUTION: projects only the requested
+  * columns the file actually CONTAINS (files written before a column was
+  * added null-fill it — `readVersion`'s resolve-by-name rule), and when a
+  * file contains NONE of them, emits its surviving row counts as all-null
+  * rows straight from footer metadata without touching a page. Row-group
+  * skipping on pushed filters as in the SPJ reader (a filter on a column
+  * the file lacks has no stats → the group survives — always safe). */
+class GraftSnapshotFileReader(
+    file: String, schema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter])
+  extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+
+  private val fileReader = org.apache.parquet.hadoop.ParquetFileReader.open(
+    org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration()))
+  private val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
+  private val presentNames =
+    schema.fieldNames.filter(fileSchema.containsField).toSeq
+  private val present = presentNames.toSet
+  private val projection: Option[org.apache.parquet.schema.MessageType] =
+    if (presentNames.isEmpty) None
+    else Some(SpjTable.projectionOf(fileSchema, presentNames))
+  projection.foreach(fileReader.setRequestedSchema)
+  private val columnIO = projection.map(p =>
+    new org.apache.parquet.io.ColumnIOFactory().getColumnIO(p))
+  private var blocks = fileReader.getRowGroups.asScala.iterator
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var remainingInGroup: Long = 0L
+  private var current: Group = _
+  private var closed = false
+
+  private def nextRowGroup(): Boolean = {
+    while (blocks.hasNext) {
+      val block = blocks.next()
+      if (SpjTable.blockSurvives(block, filters.toSeq)) {
+        projection match {
+          case Some(p) =>
+            val store = fileReader.readNextRowGroup()
+            recordReader = columnIO.get.getRecordReader(store,
+              new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(p))
+            remainingInGroup = store.getRowCount
+          case None =>
+            // no requested column exists in this file: all-null rows,
+            // counted from metadata — no page I/O at all
+            fileReader.skipNextRowGroup()
+            recordReader = null
+            remainingInGroup = block.getRowCount
+        }
+        SpjTable.rowGroupsRead.incrementAndGet()
+        if (remainingInGroup > 0) return true
+      } else {
+        fileReader.skipNextRowGroup()
+        SpjTable.rowGroupsSkipped.incrementAndGet()
+      }
+    }
+    false
+  }
+
+  override def next(): Boolean = {
+    while (remainingInGroup <= 0) if (!nextRowGroup()) return false
+    current = if (recordReader == null) null else recordReader.read()
+    remainingInGroup -= 1
+    true
+  }
+
+  override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (current == null || !present(f.name) ||
+        current.getFieldRepetitionCount(f.name) == 0) row.setNullAt(i)
+      else f.dataType match {
+        case LongType    => row.setLong(i, current.getLong(f.name, 0))
+        case IntegerType => row.setInt(i, current.getInteger(f.name, 0))
+        case DoubleType  => row.setDouble(i, current.getDouble(f.name, 0))
+        case StringType  => row.update(i,
+          org.apache.spark.unsafe.types.UTF8String.fromString(current.getString(f.name, 0)))
+        case other       => sys.error(s"unsupported type $other")
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit =
+    if (!closed) { closed = true; fileReader.close() }
 }

@@ -632,27 +632,41 @@ object SnapshotTable {
     val v = asOfVersion.orElse(latestVersion(tableDir)).getOrElse(
       throw new IllegalArgumentException(s"deleteWhereMor on empty table $tableDir"))
     val snap = snapshot(tableDir, v)
+    // the DV key is the LAST TWO path segments — valid only for the flat
+    // `data-<uuid>/part-…` staging layout. Nested layouts (SPJ/bucketed
+    // `data-<uuid>/b<k>/part-…`) would key as `b<k>/part-…`, match no
+    // manifest entry, and SILENTLY RESURRECT deleted rows — refuse loudly
+    // instead (those layouts come from replace commits; re-replace after
+    // a CoW delete to restore them)
+    require(snap.files.forall(_.count(_ == '/') == 1),
+      s"deleteWhereMor supports flat data-<uuid>/part layouts only; " +
+        s"$tableDir@v$v has nested data paths (SPJ/bucketed) — use deleteWhere")
     // predicate evaluates on the LOGICAL table (already-deleted rows are
     // invisible, so a vector entry is never duplicated)
     val hits = readWithPos(spark, tableDir, snap)
       .filter(predicate)
       .select(col("__rel").as("file"), col("__pos").as("pos"))
-    if (hits.isEmpty) return v
-    val dvNew = dvRelation(spark, tableDir, snap) match {
-      case None      => hits
-      case Some(old) => old.unionByName(hits)
-    }
-    val dvSub = s"dv-${java.util.UUID.randomUUID().toString}"
-    dvNew.write.mode(SaveMode.ErrorIfExists)
-      .parquet(Paths.get(tableDir, dvSub).toString)
-    try
-      commit(readVersion(spark, tableDir, v), tableDir, replace = false,
-        extraMeta = Seq(s"dv=$dvSub"), expectedVersion = Some(v),
-        metaOnly = true, opOverride = Some("delete-mor"))
-    catch {
-      case e: ConcurrentCommitException =>
-        deleteRecursively(Paths.get(tableDir, dvSub)); throw e
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (hits.isEmpty) return v
+      val dvNew = dvRelation(spark, tableDir, snap) match {
+        case None      => hits
+        case Some(old) => old.unionByName(hits)
+      }
+      val dvSub = s"dv-${java.util.UUID.randomUUID().toString}"
+      dvNew.write.mode(SaveMode.ErrorIfExists)
+        .parquet(Paths.get(tableDir, dvSub).toString)
+      try
+        // metaOnly: the df argument is never evaluated — pass the cheapest
+        // valid frame instead of a readVersion plan
+        commit(spark.emptyDataFrame, tableDir, replace = false,
+          extraMeta = Seq(s"dv=$dvSub"), expectedVersion = Some(v),
+          metaOnly = true, opOverride = Some("delete-mor"))
+      catch {
+        case e: ConcurrentCommitException =>
+          deleteRecursively(Paths.get(tableDir, dvSub)); throw e
+      }
+    } finally hits.unpersist()
   }
 
   /** Fold outstanding deletion vectors into the data: rewrite only the
@@ -744,7 +758,11 @@ object SnapshotTable {
     // stays — materialization removes the file, handled by the left-side
     // rule above). Read back the deleted rows by (file, position).
     val dvDeletes: Option[DataFrame] = toDv.flatMap { td =>
-      val grown0 = td.filter(col("file").isin(common.toSeq: _*))
+      // semi-join, not isin: the common-file list is manifest-scale and an
+      // In literal of thousands of strings bloats every re-planned tick
+      import spark.implicits._
+      val grown0 = td.join(
+        common.toSeq.sorted.toDF("file"), Seq("file"), "left_semi")
       val grown = fromDv match {
         case None     => grown0
         case Some(fd) => grown0.join(fd, Seq("file", "pos"), "left_anti")
@@ -1122,6 +1140,14 @@ object SnapshotTable {
     val ch = batch.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (ch.isEmpty) return None
+      // NULL row keys never rejoin their own view rows (non-null-safe
+      // joins inside applyChanges) — a NULL-keyed insert could never be
+      // replaced and a NULL-keyed delete would strand stale view rows;
+      // refuse loudly (maintainAggregate's group-key rule)
+      val nullKey = ch.filter(rowKeys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).collect()
+      require(nullKey.isEmpty,
+        s"maintainJoin row keys must be non-null, got ${nullKey.headOption}")
       val ins = ch.filter(col("_change") === "insert").drop("_change")
         .join(other, joinKeys)
         .withColumn("_change", lit("insert"))
@@ -1381,10 +1407,13 @@ object SnapshotTable {
     val orphans = orphanAgeMs.fold(0) { age =>
       // referenced-by-ANY-manifest set AFTER the drop above — what remains
       // on disk and is reachable; everything else matching data-*/dv-* is
-      // orphan (a crashed MOR writer leaves a staged dv dir behind)
+      // orphan (a crashed MOR writer leaves a staged dv dir behind).
+      // TOP-LEVEL dir = first path segment: nested layouts (SPJ's
+      // data-<uuid>/b<k>/part-…) must reference data-<uuid>, not b<k> —
+      // getParent would classify a LIVE SPJ staged dir as orphan
       val snaps = versions(tableDir).map(snapshot(tableDir, _))
       val referenced = snaps.flatMap(_.files)
-        .map(f => Paths.get(tableDir, f).getParent.getFileName.toString).toSet ++
+        .map(_.takeWhile(_ != '/')).toSet ++
         snaps.flatMap(_.meta.get("dv")).toSet
       val cutoff = System.currentTimeMillis() - age
       val s = Files.list(Paths.get(tableDir))
@@ -1755,7 +1784,7 @@ object SnapshotTable {
       s"lost the commit race $attempt times in $tableDir — livelocked writers?")
   }
 
-  private def deleteRecursively(dir: Path): Unit =
+  private[sources] def deleteRecursively(dir: Path): Unit =
     if (Files.isDirectory(dir)) {
       val s = Files.walk(dir)
       try s.sorted(java.util.Comparator.reverseOrder())

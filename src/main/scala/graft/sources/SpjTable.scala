@@ -277,11 +277,7 @@ class GraftSpjCatalog extends TableCatalog with FunctionCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
     if (!Files.exists(dir)) false
-    else {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      true
-    }
+    else { SnapshotTable.deleteRecursively(dir); true }
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     Files.move(dirFor(oldIdent), dirFor(newIdent))

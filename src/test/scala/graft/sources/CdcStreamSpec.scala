@@ -299,6 +299,20 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(viewRows(v) == flatJoin(a, b), "B-then-A drain must equal the head join")
   }
 
+  test("maintainJoin refuses NULL row keys loudly (keyed replacement contract)") {
+    val a = tmpDir("mj4_a"); val b = tmpDir("mj4_b"); val v = tmpDir("mj4_v")
+    SnapshotTable.commitAppend(
+      Seq((100L, 10L, "x")).toDF("bid", "ck", "bv").coalesce(1), b)
+    SnapshotTable.commitAppend(
+      Seq((Some(1L), 10L, "a1"), (Option.empty[Long], 10L, "a2"))
+        .toDF("ok", "ck", "av").coalesce(1), a)
+    val w = SnapshotTable.pollChanges(spark, a, "ja").get
+    intercept[IllegalArgumentException] {
+      SnapshotTable.maintainJoin(spark, v, w, SnapshotTable.read(spark, b),
+        Seq("ck"), Seq("ok"), "ja")
+    }
+  }
+
   test("maintainJoin: redelivered windows no-op via the watermark") {
     val a = tmpDir("mj3_a"); val b = tmpDir("mj3_b"); val v = tmpDir("mj3_v")
     SnapshotTable.commitAppend(

@@ -176,6 +176,16 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(rows(dst).map(_._1) == (4L to 12L).toSet, "clone unaffected by source vacuum")
   }
 
+  test("nested (SPJ) layouts refuse merge-on-read: two-segment keys cannot address them") {
+    val t = tmpTable()
+    SnapshotTable.commitReplaceSpj(
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.deleteWhereMor(spark, t, col("k") === 1L)
+    }
+    assert(e.getMessage.contains("nested data paths"), e.getMessage)
+  }
+
   test("zone-range reads apply the vector") {
     val t = tmpTable()
     SnapshotTable.commitAppend(

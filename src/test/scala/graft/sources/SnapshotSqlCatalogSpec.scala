@@ -60,6 +60,27 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(skipped >= 1, s"clustered layout must skip row groups (read=$read)")
   }
 
+  test("schema evolution: files written before a column existed null-fill it in SQL") {
+    val t = s"$warehouse/ev"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(
+      Seq((2L, "b", 20L)).toDF("k", "v", "w").coalesce(1), t)
+    val rows = spark.sql("SELECT k, v, w FROM graft_snap.ev").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(20L))),
+      "old files must null-fill the new column, not crash the projection")
+    // a projection touching ONLY the missing column still counts old rows
+    assert(spark.sql("SELECT w FROM graft_snap.ev").collect().length == 2)
+    // unsupported column types refuse at analysis time with a pointer
+    val tt = s"$warehouse/ts"
+    SnapshotTable.commitAppend(
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("k", "t").coalesce(1), tt)
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft_snap.ts").collect())
+    assert(e.getMessage.contains("readVersion"), e.getMessage)
+  }
+
   test("loud boundaries: DV tables and TIMESTAMP AS OF refuse") {
     val t = s"$warehouse/dv"
     SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)

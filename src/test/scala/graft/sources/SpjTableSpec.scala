@@ -171,6 +171,20 @@ class SpjTableSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum orphan sweep never classifies a LIVE nested SPJ staged dir as orphan") {
+    val t = Files.createTempDirectory("snap_spj_vac").toString
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    SnapshotTable.commitReplaceSpj(df, t, "k", 4)
+    // nested file entries are data-<uuid>/b<k>/part-…: the referenced set
+    // must resolve the TOP segment (getParent would yield 'b<k>' and the
+    // live dir would be swept as orphan — the round-9 review finding)
+    val (dropped, deleted) = SnapshotTable.vacuum(t, keepVersions = 1,
+      orphanAgeMs = Some(0L))
+    assert(deleted == 0, s"live SPJ staged dir must survive ($deleted deleted)")
+    assert(SnapshotTable.readSpj(spark, t).count() == 100L)
+    assert(dropped == 0)
+  }
+
   test("row-group stats skip non-qualifying groups on a clustered layout, none on random") {
     warehouse // force catalog registration
     val n = 20000L
