@@ -849,6 +849,40 @@ object DedupQueries {
           .roundPortable(col("inter").cast("double") / col("uni"), 4))
     }),
 
+    // Dedup threshold OPERATING CURVE — the tuning artifact that decides
+    // where to cut near-dup removal: from ONE exact pair relation (q98's
+    // lossless PrefixFilterJoin at 4/5), the pair count and the distinct
+    // documents implicated at each candidate threshold. Thresholds are
+    // corpus-calibrated (the planted pairs span j 0.85–0.99 here — the
+    // q300/q305 calibration rule); membership is the exact cross-mult
+    // inter·100 ≥ t·uni, never a float jaccard compare. The sweep rides a
+    // 5-row broadcast over the (tiny) pair relation — the expensive join
+    // is paid once for the whole curve.
+    "q322_dedup_threshold_curve" -> ((s, d) => {
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.VectorExpressions
+            .charShingleHashes(col("text"), charN, TextHash.P, stride = 2).as("hs"))
+      val pairs = graft.operators.PrefixFilterJoin
+        .jaccardSelfJoin(sets, "doc_id", "hs", 4, 5)
+        .persist() // one pair relation feeds every threshold
+      val th = Seq(85L, 95L, 97L, 98L, 99L)
+      val pt = pairs
+        .crossJoin(broadcast(
+          s.range(1).select(explode(array(th.map(lit): _*)).as("t"))))
+        .filter(col("inter") * 100 >= col("t") * col("uni"))
+        .persist() // pair count + implicated-doc count
+      val pc = pt.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+      val dc = pt.select(col("t"),
+          explode(array(col("id_a"), col("id_b"))).as("doc"))
+        .groupBy(col("t")).agg(countDistinct(col("doc")).as("n_docs_implicated"))
+      s.range(1).select(explode(array(th.map(lit): _*)).as("t"))
+        .join(pc, Seq("t"), "left").join(dc, Seq("t"), "left")
+        .select(col("t").as("threshold_pct"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_implicated"), lit(0L)).as("n_docs_implicated"))
+    }),
+
     // Benchmark DECONTAMINATION — the n-gram collision check every LLM
     // training pipeline runs before a corpus ships: an "eval set" (the
     // deterministic md5 10% of doc_ids, q150's split idiom) is shingled
@@ -1457,6 +1491,30 @@ object DedupQueries {
          |SELECT id_a, id_b, inter::BIGINT AS inter, uni::BIGINT AS uni,
          |  floor(inter::DOUBLE / uni * 10000 + 0.5) / 10000 AS jaccard
          |FROM j WHERE inter * 5 >= 4 * uni""".stripMargin
+    },
+
+    "q322_dedup_threshold_curve" -> {
+      val hs = s"list_distinct(list_transform(${TextHash.charShinglesStridedSql("text", charN, 2)}, x -> ${TextHash.baseHashSql("x")}))"
+      s"""WITH s AS (SELECT doc_id, $hs AS hs FROM documents),
+         |tok AS (SELECT doc_id, unnest(hs) AS h FROM s),
+         |pairs AS (SELECT x.doc_id id_a, y.doc_id id_b, count(*) AS inter
+         |      FROM tok x JOIN tok y ON x.h = y.h AND x.doc_id < y.doc_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni
+         |      FROM pairs
+         |      JOIN (SELECT doc_id, len(hs) AS n FROM s) sa ON sa.doc_id = id_a
+         |      JOIN (SELECT doc_id, len(hs) AS n FROM s) sb ON sb.doc_id = id_b
+         |      WHERE inter * 5 >= 4 * uni),
+         |th AS (SELECT unnest([85, 95, 97, 98, 99]) AS t),
+         |pt AS (SELECT t, id_a, id_b FROM j, th WHERE inter * 100 >= t * uni),
+         |pc AS (SELECT t, count(*)::BIGINT AS n_pairs FROM pt GROUP BY 1),
+         |dc AS (SELECT t, count(DISTINCT doc)::BIGINT AS n_docs_implicated
+         |  FROM (SELECT t, id_a AS doc FROM pt
+         |        UNION ALL SELECT t, id_b FROM pt) z GROUP BY 1)
+         |SELECT th.t::BIGINT AS threshold_pct,
+         |  coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+         |  coalesce(n_docs_implicated, 0)::BIGINT AS n_docs_implicated
+         |FROM th LEFT JOIN pc ON pc.t = th.t LEFT JOIN dc ON dc.t = th.t""".stripMargin
     },
 
     "q213_decontamination" -> {

@@ -1511,6 +1511,25 @@ object RelationalQueries {
             .otherwise(lit(0L)).as("promo_ppm"))
     }),
 
+    // TPC-H Q6 (the scan-pushdown benchmark): one filter-heavy aggregate,
+    // no join — the point IS the plan: all three predicates are raw-column
+    // compares that reach the parquet scan as PushedFilters (spec-asserted)
+    // and prune row groups before any page decode. Threshold literals sit
+    // at 2-decimal MIDPOINTS (0.015/0.045, 23.5) so double-vs-decimal
+    // literal parsing can never flip a data value's membership on either
+    // engine. Revenue = extendedprice·discount in exact micro.
+    "q323_discount_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.015 && col("l_discount") <= 0.045 &&
+          col("l_quantity") < 23.5)
+        .agg(
+          coalesce(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round(col("l_discount") * 100).cast("long")), lit(0L))
+            .as("revenue_micro"),
+          count(lit(1)).as("n_items"))),
+
     // TPC-H Q16 shape (supplier diversity per part attribute): distinct
     // (part, supplier) pairs from lineitem stand in for partsupp; the
     // NOT-IN complaint-supplier subquery is a LEFT ANTI join (negative
@@ -2379,6 +2398,17 @@ object RelationalQueries {
         |    (((promo_micro % total_micro) * 1000 % total_micro) * 1000 // total_micro)
         |  ELSE 0 END AS promo_ppm
         |FROM a""".stripMargin,
+
+    "q323_discount_revenue" ->
+      """SELECT
+        |  coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * CAST(round(l_discount * 100) AS BIGINT)), 0)::BIGINT AS revenue_micro,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.015 AND l_discount <= 0.045
+        |  AND l_quantity < 23.5""".stripMargin,
 
     "q315_supplier_diversity" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),

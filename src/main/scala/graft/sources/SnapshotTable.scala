@@ -1100,6 +1100,24 @@ object SnapshotTable {
         ()
     }
 
+  /** Live MATERIALIZED-JOIN maintenance — [[startAggregateStream]]'s
+    * sibling: `sourceDir`'s change stream folded continuously into the
+    * `destDir` join view against `otherDir`'s CURRENT rows (re-resolved
+    * per batch), exactly-once through the [[maintainJoin]] watermark.
+    * Two-sided views run one stream per side. */
+  def startJoinStream(
+      spark: SparkSession, sourceDir: String, destDir: String,
+      otherDir: String, joinKeys: Seq[String], rowKeys: Seq[String],
+      consumerId: String, checkpointDir: String,
+      intervalMs: Long = 500L, autoResync: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startChangeStream(spark, sourceDir, consumerId, checkpointDir, intervalMs, autoResync) {
+      b =>
+        maintainJoin(spark, destDir, b, read(spark, otherDir),
+          joinKeys, rowKeys, consumerId)
+        ()
+    }
+
   /** INCREMENTAL MATERIALIZED-JOIN maintenance — the join-view sibling of
     * [[maintainAggregate]]: keep `destDir` = source ⋈ other (inner
     * equi-join on `joinKeys`) current by applying each CDC window of ONE

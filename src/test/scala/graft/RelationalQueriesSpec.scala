@@ -133,6 +133,21 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(!semiPlan.contains("Distinct"), semiPlan)
   }
 
+  test("q323 Q6 shape: all three predicates reach the parquet scan as pushed filters") {
+    val df = RelationalQueries.queries("q323_discount_revenue")(spark, dir)
+    // pre-AQE sparkPlan: the adaptive wrapper hides children from collect
+    val scan = df.queryExecution.sparkPlan
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("expected a FileSourceScan"))
+    val pushed = scan.metadata("PushedFilters")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c must push to the scan, got $pushed")
+    // column pruning: only the 4 referenced columns are read
+    assert(scan.requiredSchema.fieldNames.toSet ==
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"),
+      scan.requiredSchema.treeString)
+  }
+
   test("q315/q316 Q16/Q20 shapes: anti on the blacklist, semi on the dominant set") {
     val q16 = RelationalQueries.queries("q315_supplier_diversity")(spark, dir)
     val p16 = q16.queryExecution.sparkPlan.toString

@@ -299,6 +299,28 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(viewRows(v) == flatJoin(a, b), "B-then-A drain must equal the head join")
   }
 
+  test("startJoinStream: live view tracks source commits against current other-side") {
+    val a = tmpDir("mjs_a"); val b = tmpDir("mjs_b"); val v = tmpDir("mjs_v")
+    SnapshotTable.commitAppend(
+      Seq((100L, 10L, "x"), (102L, 20L, "y")).toDF("bid", "ck", "bv").coalesce(1), b)
+    SnapshotTable.commitAppend(
+      Seq((1L, 10L, "a1")).toDF("ok", "ck", "av").coalesce(1), a)
+    val q = SnapshotTable.startJoinStream(spark, a, v, b, Seq("ck"), Seq("ok"),
+      consumerId = "jl", checkpointDir = tmpDir("mjs_ckpt"), intervalMs = 100L)
+    try {
+      assert(awaitUntil(30000) {
+        SnapshotTable.latestVersion(v).isDefined && viewRows(v) == flatJoin(a, b)
+      }, "bootstrap view must land")
+      // other side moves, THEN a source commit: the batch joins b's head
+      SnapshotTable.upsert(spark, b, Seq((100L, 10L, "X2")).toDF("bid", "ck", "bv"), Seq("bid"))
+      SnapshotTable.commitAppend(Seq((2L, 20L, "a2")).toDF("ok", "ck", "av").coalesce(1), a)
+      SnapshotTable.deleteWhere(spark, a, col("ok") === 1L)
+      assert(awaitUntil(30000) { viewRows(v) == flatJoin(a, b) },
+        "live windows must fold in against the current other side")
+      assert(viewRows(v) == Set((20L, 2L, "a2", 102L, "y")))
+    } finally q.stop()
+  }
+
   test("maintainJoin refuses NULL row keys loudly (keyed replacement contract)") {
     val a = tmpDir("mj4_a"); val b = tmpDir("mj4_b"); val v = tmpDir("mj4_v")
     SnapshotTable.commitAppend(
