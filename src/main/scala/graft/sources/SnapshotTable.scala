@@ -550,6 +550,58 @@ object SnapshotTable {
       dropFiles = touched.toSet, expectedVersion = Some(v))
   }
 
+  // ---- CHECK constraints: commit-time data contracts ---------------------
+
+  /** Record a CHECK constraint (Delta-style): `predicateSql` must hold for
+    * every row of every future commit — enforcement happens INSIDE
+    * [[commit]], so upserts, CDC applies, compactions and stream batches
+    * all pass through it; a violating commit aborts before any manifest is
+    * published (the staged dir is swept as an orphan). SQL CHECK
+    * semantics: a row violates only when the predicate evaluates to FALSE
+    * — NULL passes (add an IS NOT NULL constraint to forbid nulls).
+    * The CURRENT snapshot is validated first: a constraint the existing
+    * data already breaks is refused (it would make every future commit of
+    * carried files a lie). Constraints ride the manifest meta
+    * (`check:<name>=<sql>`, carried through every commit kind) and are
+    * versioned like everything else — time travel to before the add shows
+    * a table without it. */
+  def addConstraint(spark: SparkSession, tableDir: String,
+                    name: String, predicateSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be a [A-Za-z0-9_]+ token, got '$name'")
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"addConstraint on empty table $tableDir"))
+    val bad = readVersion(spark, tableDir, v)
+      .filter(!coalesce(org.apache.spark.sql.functions.expr(predicateSql), lit(true)))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"existing data violates CHECK $name ($predicateSql): ${bad.head}")
+    commit(spark.emptyDataFrame, tableDir, replace = false,
+      extraMeta = Seq(s"check:$name=$predicateSql"), expectedVersion = Some(v),
+      metaOnly = true, opOverride = Some("add-constraint"))
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, tableDir: String, name: String): Long = {
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"dropConstraint on empty table $tableDir"))
+    require(snapshot(tableDir, v).meta.contains(s"check:$name"),
+      s"no CHECK constraint '$name' on $tableDir@v$v")
+    commit(spark.emptyDataFrame, tableDir, replace = false,
+      extraMeta = Seq.empty, expectedVersion = Some(v),
+      metaOnly = true, opOverride = Some("drop-constraint"),
+      dropMetaKeys = Set(s"check:$name"))
+  }
+
+  /** The CHECK constraints recorded at the latest version. */
+  def constraints(tableDir: String): Map[String, String] =
+    latestVersion(tableDir).map(v =>
+      snapshot(tableDir, v).meta.collect {
+        case (k, sql) if k.startsWith("check:") => k.stripPrefix("check:") -> sql
+      }.toMap).getOrElse(Map.empty)
+
+  final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
   // ---- deletion vectors: merge-on-read deletes --------------------------
 
   /** The `(file, pos)` deletion-vector relation recorded at `snap`, if any:
@@ -1485,7 +1537,7 @@ object SnapshotTable {
     }
     val carried = snap.meta.view
       .filterKeys(k => k == "schema" || k == "zonecol" || k == "zonecols" ||
-        k == "dv" || k.startsWith("zone:"))
+        k == "dv" || k.startsWith("zone:") || k.startsWith("check:"))
       .toMap + ("cloned_from" ->
         s"${Paths.get(srcDir).toAbsolutePath}@v$version")
     val body =
@@ -1572,6 +1624,15 @@ object SnapshotTable {
       val mTip = snapshot(mainDir, latestVersion(mainDir).getOrElse(
         throw new IllegalStateException(s"main $mainDir has no versions")))
       requireNoDv(mTip, "mergeBranch (main tip)")
+      // every CHECK main enforces must have ridden the branch since its
+      // clone (bv1 carries them) — otherwise the branch's commits were
+      // never validated against it and the merge would land unchecked data
+      val unchecked = mTip.meta.keys.filter(_.startsWith("check:")).toSet --
+        bv1.meta.keys.filter(_.startsWith("check:")).toSet
+      require(unchecked.isEmpty,
+        s"main enforces CHECK constraints the branch never did " +
+          s"(${unchecked.mkString(", ")}) — re-branch from the current main " +
+          "or validate the branch data manually")
       val mSet = mTip.files.toSet
       val mainDeleted = baseSet -- mSet
       val conflicts = branchDeleted intersect mainDeleted
@@ -1598,6 +1659,7 @@ object SnapshotTable {
           k.startsWith("zone:") && branchAdded.contains(zoneFile(k))).toMap
       val mainCarried = mTip.meta.view.filterKeys(k =>
           k.startsWith("stream:") || k.startsWith("aggsrc:") ||
+            k.startsWith("check:") ||
             k == "zonecol" || k == "zonecols" ||
             (k.startsWith("zone:") && !branchDeleted(zoneFile(k))))
         .toMap
@@ -1646,8 +1708,35 @@ object SnapshotTable {
       expectedVersion: Option[Long] = None,
       stagedDataSub: Option[String] = None,
       metaOnly: Boolean = false,
-      opOverride: Option[String] = None): Long = {
+      opOverride: Option[String] = None,
+      dropMetaKeys: Set[String] = Set.empty): Long = {
     init(tableDir)
+    // CHECK-constraint enforcement: every data-bearing commit validates
+    // the INCOMING rows (carried files were validated when they landed —
+    // addConstraint refuses constraints the existing data breaks, and
+    // data files are immutable). A constraint whose column the incoming
+    // frame lacks resolves to NULL in the table → passes by SQL CHECK
+    // semantics, so an unresolvable predicate is skipped deliberately.
+    val checkSqls: Map[String, String] =
+      if (metaOnly) Map.empty
+      else latestVersion(tableDir).map(v0 =>
+        snapshot(tableDir, v0).meta.collect {
+          case (k, p) if k.startsWith("check:") => k.stripPrefix("check:") -> p
+        }.toMap).getOrElse(Map.empty)
+    if (checkSqls.nonEmpty) {
+      val applicable = checkSqls.filter { case (_, p) =>
+        try { df.filter(org.apache.spark.sql.functions.expr(p)); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      }
+      if (applicable.nonEmpty) {
+        val viol = df.filter(applicable.values.map(p =>
+            !coalesce(org.apache.spark.sql.functions.expr(p), lit(true)))
+          .reduce(_ || _)).limit(1).collect()
+        if (viol.nonEmpty) throw new ConstraintViolationException(
+          s"commit to $tableDir violates CHECK " +
+            s"(${applicable.keys.mkString(", ")}): row ${viol.head}")
+      }
+    }
     // stage immutable data files under a unique dir (never visible until a
     // manifest references them); commitReplaceBucketed pre-stages through
     // the catalog writer and passes the dir in. metaOnly commits (merge-on-
@@ -1756,11 +1845,22 @@ object SnapshotTable {
       // replace empties the file set the DV describes, and a merge commit
       // (materializeDeletes, upsert-class rewrites) IS the materialization
       // of the DV'd files — carrying it would re-delete rewritten rows
+      // a constraint added between enforcement (above) and this CAS round
+      // was never validated against df — abort loudly, never publish
+      if (!metaOnly &&
+        !prevMeta.keys.filter(_.startsWith("check:")).toSet
+          .subsetOf(checkSqls.keySet.map("check:" + _) ++ dropMetaKeys)) {
+        dataSub.foreach(ds => deleteRecursively(Paths.get(tableDir, ds)))
+        throw new ConcurrentCommitException(
+          s"a CHECK constraint landed on $tableDir during this commit — retry")
+      }
       val carried = prevMeta.view.filterKeys(k =>
           k.startsWith("stream:") || k.startsWith("aggsrc:") ||
+            k.startsWith("check:") ||
             (!replace && dropFiles.isEmpty && k == "dv") ||
             (!replace && !zoneColChanged &&
               (k.startsWith("zone:") || k == "zonecol" || k == "zonecols")))
+        .filterKeys(k => !dropMetaKeys(k))
         // a rewritten (dropped) file's stats describe rows that just moved
         // (the multi-zone "zone:<col>:<f>" form strips to "<col>:<f>" —
         // never a file name, so only exact per-file keys match dropFiles)

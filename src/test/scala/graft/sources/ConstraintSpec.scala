@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CHECK constraints (`SnapshotTable.addConstraint`): commit-time data
+  * contracts enforced inside commit() — appends, upserts, CDC applies and
+  * stream batches all pass through; SQL NULL-passes semantics; versioned
+  * metadata (drop, time travel, carry through replace/clone/merge). */
+class ConstraintSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_chk").toString
+
+  test("addConstraint validates existing data; violating commits abort unpublished") {
+    val t = tmp()
+    SnapshotTable.commitAppend(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), t)
+    // existing data breaks it -> refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addConstraint(spark, t, "v_big", "v >= 15")
+    }
+    val v = SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    assert(SnapshotTable.constraints(t) == Map("v_pos" -> "v > 0"))
+    // violating append: loud abort, no manifest published
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.commitAppend(Seq((3L, -5L)).toDF("k", "v").coalesce(1), t)
+    }
+    assert(SnapshotTable.latestVersion(t).contains(v), "no version published")
+    // valid append passes; violating upsert aborts; valid upsert passes
+    SnapshotTable.commitAppend(Seq((3L, 30L)).toDF("k", "v").coalesce(1), t)
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.upsert(spark, t, Seq((1L, 0L)).toDF("k", "v"), Seq("k"))
+    }
+    SnapshotTable.upsert(spark, t, Seq((1L, 11L)).toDF("k", "v"), Seq("k"))
+    assert(SnapshotTable.read(spark, t).count() == 3)
+  }
+
+  test("SQL CHECK semantics: NULL passes; missing column (schema evolution) passes") {
+    val t = tmp()
+    SnapshotTable.commitAppend(Seq((1L, Some(10L))).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    // NULL predicate result keeps the row passing (SQL CHECK)
+    SnapshotTable.commitAppend(
+      Seq((2L, Option.empty[Long])).toDF("k", "v").coalesce(1), t)
+    assert(SnapshotTable.read(spark, t).count() == 2)
+    // an append WITHOUT the constrained column null-fills it -> passes
+    SnapshotTable.commitAppend(Seq(Tuple1(3L)).toDF("k").coalesce(1), t)
+    assert(SnapshotTable.read(spark, t).count() == 3)
+  }
+
+  test("constraints carry through replace/compaction and die with dropConstraint") {
+    val t = tmp()
+    SnapshotTable.commitAppend(Seq((1L, 10L)).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    // a replace is validated AND keeps the contract
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.commitReplace(Seq((9L, -1L)).toDF("k", "v").coalesce(1), t)
+    }
+    SnapshotTable.commitReplace(Seq((9L, 90L)).toDF("k", "v").coalesce(1), t)
+    assert(SnapshotTable.constraints(t) == Map("v_pos" -> "v > 0"))
+    SnapshotTable.compact(spark, t, 1)
+    assert(SnapshotTable.constraints(t) == Map("v_pos" -> "v > 0"))
+    // drop -> previously-violating data commits fine; time travel shows the add
+    SnapshotTable.dropConstraint(spark, t, "v_pos")
+    assert(SnapshotTable.constraints(t).isEmpty)
+    SnapshotTable.commitAppend(Seq((10L, -1L)).toDF("k", "v").coalesce(1), t)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropConstraint(spark, t, "v_pos") // already gone
+    }
+  }
+
+  test("clones inherit constraints; mergeBranch refuses post-branch constraints") {
+    val main = tmp(); val br = tmp() + "/b"
+    SnapshotTable.commitAppend(Seq((1L, 10L)).toDF("k", "v").coalesce(1), main)
+    SnapshotTable.addConstraint(spark, main, "v_pos", "v > 0")
+    SnapshotTable.cloneAt(main, SnapshotTable.latestVersion(main).get, br)
+    assert(SnapshotTable.constraints(br) == Map("v_pos" -> "v > 0"))
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.commitAppend(Seq((2L, -2L)).toDF("k", "v").coalesce(1), br)
+    }
+    SnapshotTable.commitAppend(Seq((2L, 2L)).toDF("k", "v").coalesce(1), br)
+    // a constraint added on main AFTER the branch: the branch never
+    // enforced it -> merge refuses (unvalidated data must not land)
+    SnapshotTable.addConstraint(spark, main, "k_pos", "k > 0")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeBranch(main, br)
+    }
+    assert(e.getMessage.contains("never"), e.getMessage)
+    // same-contract branches merge fine (and the merge carries the checks)
+    SnapshotTable.dropConstraint(spark, main, "k_pos")
+    SnapshotTable.mergeBranch(main, br)
+    assert(SnapshotTable.read(spark, main).count() == 2)
+    assert(SnapshotTable.constraints(main) == Map("v_pos" -> "v > 0"))
+  }
+}
