@@ -970,6 +970,28 @@ object StatQueries {
           col("m.nr").as("n_after"), col("m.shift_cents").as("mean_shift_cents"))
     }),
 
+    // WILSON LOWER-BOUND ranking — the statistically-sound way to rank by
+    // a proportion (raw return rate ranks a 1/1 part above a 90/100 one;
+    // the Wilson LCB penalizes small n): per part, returned lines x of n,
+    //   LCB(z=2) = (x + 2 − 2·√(x(n−x)/n + 1)) / (n + 4)
+    // evaluated in IDENTICALLY-ORDERED double arithmetic on both engines
+    // (one correctly-rounded sqrt — the q152 precedent — no other
+    // transcendental), portable-rounded to 6 decimals BEFORE the ranking
+    // compare so the top-20 cutoff sees the same values everywhere. Stats
+    // are one hash-agg; the ranking is bounded TakeOrdered.
+    "q324_wilson_ranking" -> ((s, d) => {
+      val st = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+        .filter(col("n") >= 20)
+      val lcb = (col("x").cast("double") + 2.0 -
+        lit(2.0) * sqrt(col("x").cast("double") * (col("n") - col("x")) / col("n") + 1.0)) /
+        (col("n").cast("double") + 4.0)
+      st.select(col("l_partkey"), col("n"), col("x"),
+          graft.functions.PortableMath.roundPortable(lcb, 6).as("wilson_lcb"))
+        .orderBy(desc("wilson_lcb"), asc("l_partkey")).limit(20)
+    }),
+
     // Exponential TIME-DECAY leaderboard (half-life = 1 day): the "trending
     // users" rollup — score at the horizon = Σ cents·2^(t−T). Scaling by
     // 2^T makes every weight the EXACT integer 2^t (a bit shift — no float
@@ -1095,6 +1117,17 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q324_wilson_ranking" ->
+      """WITH st AS (SELECT l_partkey, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS x
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 20),
+        |l AS (SELECT l_partkey, n, x,
+        |    floor(((x::DOUBLE + 2 - 2 * sqrt(x::DOUBLE * (n - x) / n + 1))
+        |      / (n::DOUBLE + 4)) * 1000000 + 0.5) / 1000000 AS wilson_lcb
+        |  FROM st)
+        |SELECT l_partkey, n, x, wilson_lcb FROM l
+        |ORDER BY wilson_lcb DESC, l_partkey LIMIT 20""".stripMargin,
 
     "q321_decayed_leaderboard" ->
       """WITH ev AS (SELECT user_id,
