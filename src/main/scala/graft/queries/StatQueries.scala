@@ -970,6 +970,32 @@ object StatQueries {
           col("m.nr").as("n_after"), col("m.shift_cents").as("mean_shift_cents"))
     }),
 
+    // TIME-CONSTRAINED conversion funnel — q64 counts stage ORDER, this
+    // counts clicks answered by a purchase WITHIN ONE HOUR (the product
+    // metric with an attribution window): a co-partitioned user join with
+    // the exact µs interval predicate, converted clicks dedup'd by id
+    // (one purchase can answer many clicks and vice versa — the DISTINCT
+    // is the semantics, not a cleanup), daily conversion in exact bp.
+    // Per-user fan-out bounds the join; the calendar bounds the output.
+    "q325_timed_conversion" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val conv = clicks.join(purch, Seq("user_id"))
+        .filter(col("pts") > col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id")).distinct()
+      clicks.select(col("click_id"), col("cts").cast("date").as("day"))
+        .join(conv.withColumn("hit", lit(1L)), Seq("click_id"), "left")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_clicks"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_converted"))
+        .select(col("day"), col("n_clicks"), col("n_converted"),
+          expr("n_converted * 10000 div n_clicks").as("conversion_bp"))
+    }),
+
     // WILSON LOWER-BOUND ranking — the statistically-sound way to rank by
     // a proportion (raw return rate ranks a 1/1 part above a 90/100 one;
     // the Wilson LCB penalizes small n): per part, returned lines x of n,
@@ -1117,6 +1143,19 @@ object StatQueries {
   )
 
   val oracle: Map[String, String] = Map(
+
+    "q325_timed_conversion" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |conv AS (SELECT DISTINCT click_id FROM c JOIN p USING (user_id)
+        |  WHERE pts > cts AND pts <= cts + INTERVAL 1 HOUR),
+        |d AS (SELECT c.click_id, cts::DATE AS day,
+        |    CASE WHEN conv.click_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM c LEFT JOIN conv ON conv.click_id = c.click_id)
+        |SELECT day, count(*)::BIGINT AS n_clicks, sum(hit)::BIGINT AS n_converted,
+        |  (sum(hit) * 10000 // count(*))::BIGINT AS conversion_bp
+        |FROM d GROUP BY 1""".stripMargin,
 
     "q324_wilson_ranking" ->
       """WITH st AS (SELECT l_partkey, count(*)::BIGINT AS n,
