@@ -132,6 +132,11 @@ class GraftSnapshotVersionTable(dir: String, version: Long)
 
   override def name(): String = s"$dir@v$version"
   override def schema(): StructType = tableSchema
+  /** SHOW TBLPROPERTIES surface: version, op, and the CHECK contracts. */
+  override def properties(): java.util.Map[String, String] =
+    (snap.meta.view.filterKeys(k =>
+      k.startsWith("check:") || k == "op" || k == "restored_from").toMap +
+      ("version" -> version.toString)).asJava
   override def capabilities(): JSet[TableCapability] =
     Collections.singleton(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

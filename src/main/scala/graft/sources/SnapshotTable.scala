@@ -550,6 +550,67 @@ object SnapshotTable {
       dropFiles = touched.toSet, expectedVersion = Some(v))
   }
 
+  /** RESTORE — roll the table back to `version`'s contents as a NEW
+    * commit referencing that version's files BY REFERENCE (zero copy, the
+    * Delta RESTORE semantics): history stays intact, the bad commits
+    * remain time-travelable until vacuum, and readers pinned to them are
+    * unaffected. Carried from the RESTORED version: schema, zone stats,
+    * deletion vector, bucket/SPJ layout specs — its whole physical truth.
+    * Carried from the CURRENT version: stream/agg watermarks (exactly-once
+    * bookkeeping must survive a rollback — resetting it would double-apply
+    * already-acked batches) and CHECK constraints, which are RE-VALIDATED
+    * against the restored rows (a constraint added after `version` may not
+    * hold on them — loud abort, never an unchecked publish). Single-shot
+    * CAS: a concurrent commit aborts the restore (the caller re-reads and
+    * decides — blind retry could roll back someone else's write). */
+  def restoreVersion(spark: SparkSession, tableDir: String, version: Long): Long = {
+    val cur = latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"restore on empty table $tableDir"))
+    if (version == cur) return cur
+    val snap = snapshot(tableDir, version) // throws if vacuumed
+    val curSnap = snapshot(tableDir, cur)
+    val checks = curSnap.meta.collect {
+      case (k, p) if k.startsWith("check:") => k.stripPrefix("check:") -> p }
+    if (checks.nonEmpty) {
+      val df = readVersion(spark, tableDir, version)
+      val applicable = checks.filter { case (_, p) =>
+        try { df.filter(org.apache.spark.sql.functions.expr(p)); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      }
+      if (applicable.nonEmpty) {
+        val viol = df.filter(applicable.values.map(p =>
+            !coalesce(org.apache.spark.sql.functions.expr(p), lit(true)))
+          .reduce(_ || _)).limit(1).collect()
+        if (viol.nonEmpty) throw new ConstraintViolationException(
+          s"restoring $tableDir to v$version violates current CHECK " +
+            s"(${applicable.keys.mkString(", ")}): row ${viol.head}")
+      }
+    }
+    val dynamic = curSnap.meta.view.filterKeys(k =>
+      k.startsWith("stream:") || k.startsWith("aggsrc:") ||
+        k.startsWith("check:")).toMap
+    val carried = snap.meta.view.filterKeys(k =>
+      !(k.startsWith("stream:") || k.startsWith("aggsrc:") ||
+        k.startsWith("check:") || k == "version" || k == "op" ||
+        k == "restored_from")).toMap ++ dynamic
+    val v = cur + 1
+    val body = (Seq(s"version=$v", "op=restore", s"restored_from=$version")
+      ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
+      ++ snap.files).mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(snapDir(tableDir), s".v$v-", ".tmp")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      Files.createLink(manifestPath(tableDir, v), tmp)
+      Files.deleteIfExists(tmp)
+      v
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"table $tableDir moved past v$cur during restore — re-read and retry")
+    }
+  }
+
   // ---- CHECK constraints: commit-time data contracts ---------------------
 
   /** Record a CHECK constraint (Delta-style): `predicateSql` must hold for

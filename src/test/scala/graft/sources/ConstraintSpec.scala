@@ -74,6 +74,50 @@ class ConstraintSpec extends AnyFunSuite {
     }
   }
 
+  test("restoreVersion: zero-copy rollback, history intact, contracts re-validated") {
+    val t = tmp()
+    SnapshotTable.commitAppend(Seq((1L, 10L)).toDF("k", "v").coalesce(1), t) // v1
+    SnapshotTable.commitAppend(Seq((2L, 20L)).toDF("k", "v").coalesce(1), t) // v2
+    SnapshotTable.commitReplace(Seq((9L, -9L)).toDF("k", "v").coalesce(1), t) // v3 bad
+    val v4 = SnapshotTable.restoreVersion(spark, t, 2L)
+    assert(v4 == 4L)
+    assert(SnapshotTable.read(spark, t).select("k").as[Long].collect().sorted
+      === Array(1L, 2L), "restored contents")
+    assert(SnapshotTable.snapshot(t, 4L).op == "restore")
+    assert(SnapshotTable.snapshot(t, 4L).files == SnapshotTable.snapshot(t, 2L).files,
+      "zero copy: the restore references v2's files")
+    // history intact: the bad v3 still time-travels
+    assert(SnapshotTable.readVersion(spark, t, 3L).select("v").as[Long]
+      .collect().toSeq == Seq(-9L))
+    // idempotent shortcut
+    assert(SnapshotTable.restoreVersion(spark, t, 4L) == 4L)
+    // a constraint added NOW blocks restoring to data that violates it
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.restoreVersion(spark, t, 3L)
+    }
+    // restoring to satisfying data carries the CURRENT contract forward
+    val v6 = SnapshotTable.restoreVersion(spark, t, 1L)
+    assert(SnapshotTable.constraints(t) == Map("v_pos" -> "v > 0"))
+    assert(SnapshotTable.read(spark, t).count() == 1)
+    assert(v6 == 6L)
+  }
+
+  test("restoreVersion keeps MOR deletes in force and stream watermarks current") {
+    val t = tmp()
+    SnapshotTable.commitAppend(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1), t) // v1
+    SnapshotTable.deleteWhereMor(spark, t, col("k") === 2L)               // v2 dv
+    SnapshotTable.commitStreamBatch(
+      Seq((4L, 40L)).toDF("k", "v").coalesce(1), t, "s1", 7L)             // v3
+    SnapshotTable.restoreVersion(spark, t, 2L)                            // v4
+    assert(SnapshotTable.read(spark, t).select("k").as[Long].collect().sorted
+      === Array(1L, 3L), "the restored version's deletion vector applies")
+    // the stream watermark is NOT rolled back: batch 7 must still dedupe
+    assert(SnapshotTable.lastStreamBatch(t, "s1").contains(7L),
+      "exactly-once bookkeeping survives restore")
+  }
+
   test("clones inherit constraints; mergeBranch refuses post-branch constraints") {
     val main = tmp(); val br = tmp() + "/b"
     SnapshotTable.commitAppend(Seq((1L, 10L)).toDF("k", "v").coalesce(1), main)
