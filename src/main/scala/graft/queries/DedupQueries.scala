@@ -863,9 +863,10 @@ object DedupQueries {
         .select(col("doc_id"),
           graft.functions.VectorExpressions
             .charShingleHashes(col("text"), charN, TextHash.P, stride = 2).as("hs"))
+      // no persist on the pair relation: its ONE consumer is the threshold
+      // cross join, and pt's persist materializes that product once
       val pairs = graft.operators.PrefixFilterJoin
         .jaccardSelfJoin(sets, "doc_id", "hs", 4, 5)
-        .persist() // one pair relation feeds every threshold
       val th = Seq(85L, 95L, 97L, 98L, 99L)
       val pt = pairs
         .crossJoin(broadcast(

@@ -571,21 +571,9 @@ object SnapshotTable {
     val curSnap = snapshot(tableDir, cur)
     val checks = curSnap.meta.collect {
       case (k, p) if k.startsWith("check:") => k.stripPrefix("check:") -> p }
-    if (checks.nonEmpty) {
-      val df = readVersion(spark, tableDir, version)
-      val applicable = checks.filter { case (_, p) =>
-        try { df.filter(org.apache.spark.sql.functions.expr(p)); true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      }
-      if (applicable.nonEmpty) {
-        val viol = df.filter(applicable.values.map(p =>
-            !coalesce(org.apache.spark.sql.functions.expr(p), lit(true)))
-          .reduce(_ || _)).limit(1).collect()
-        if (viol.nonEmpty) throw new ConstraintViolationException(
-          s"restoring $tableDir to v$version violates current CHECK " +
-            s"(${applicable.keys.mkString(", ")}): row ${viol.head}")
-      }
-    }
+    if (checks.nonEmpty)
+      validateChecks(readVersion(spark, tableDir, version), checks.toMap,
+        s"restoring $tableDir to v$version")
     val dynamic = curSnap.meta.view.filterKeys(k =>
       k.startsWith("stream:") || k.startsWith("aggsrc:") ||
         k.startsWith("check:")).toMap
@@ -630,6 +618,11 @@ object SnapshotTable {
                     name: String, predicateSql: String): Long = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be a [A-Za-z0-9_]+ token, got '$name'")
+    // the manifest is a LINE-oriented key=value grammar: a newline inside
+    // the predicate would split the meta line and turn everything sorted
+    // after it (schema, watermarks, zone stats) into phantom file entries
+    require(!predicateSql.exists(c => c == '\n' || c == '\r'),
+      "constraint predicate must be a single line (no newlines)")
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalArgumentException(s"addConstraint on empty table $tableDir"))
     val bad = readVersion(spark, tableDir, v)
@@ -662,6 +655,25 @@ object SnapshotTable {
       }.toMap).getOrElse(Map.empty)
 
   final class ConstraintViolationException(msg: String) extends RuntimeException(msg)
+
+  /** Shared CHECK validation (commit enforcement + restore re-validation):
+    * a predicate whose columns `df` lacks is skipped — those columns are
+    * NULL in the final table and NULL passes SQL CHECK. */
+  private def validateChecks(df: DataFrame, checks: Map[String, String],
+                             context: String): Unit = {
+    val applicable = checks.filter { case (_, p) =>
+      try { df.filter(org.apache.spark.sql.functions.expr(p)); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
+    if (applicable.nonEmpty) {
+      val viol = df.filter(applicable.values.map(p =>
+          !coalesce(org.apache.spark.sql.functions.expr(p), lit(true)))
+        .reduce(_ || _)).limit(1).collect()
+      if (viol.nonEmpty) throw new ConstraintViolationException(
+        s"$context violates CHECK (${applicable.keys.mkString(", ")}): " +
+          s"row ${viol.head}")
+    }
+  }
 
   // ---- deletion vectors: merge-on-read deletes --------------------------
 
@@ -1685,15 +1697,18 @@ object SnapshotTable {
       val mTip = snapshot(mainDir, latestVersion(mainDir).getOrElse(
         throw new IllegalStateException(s"main $mainDir has no versions")))
       requireNoDv(mTip, "mergeBranch (main tip)")
-      // every CHECK main enforces must have ridden the branch since its
-      // clone (bv1 carries them) — otherwise the branch's commits were
-      // never validated against it and the merge would land unchecked data
-      val unchecked = mTip.meta.keys.filter(_.startsWith("check:")).toSet --
-        bv1.meta.keys.filter(_.startsWith("check:")).toSet
+      // every CHECK main enforces must be live on the branch TIP with the
+      // identical predicate: addConstraint validates ALL existing rows, so
+      // tip-presence proves every branch row (whenever committed, even
+      // across a drop/re-add window) satisfies it. Comparing the CLONE
+      // manifest instead would let a branch drop the constraint, commit
+      // violating rows unchecked, and still merge (review-found hole).
+      val unchecked = mTip.meta.filter(_._1.startsWith("check:")).toSet --
+        bTip.meta.filter(_._1.startsWith("check:")).toSet
       require(unchecked.isEmpty,
-        s"main enforces CHECK constraints the branch never did " +
-          s"(${unchecked.mkString(", ")}) — re-branch from the current main " +
-          "or validate the branch data manually")
+        s"main enforces CHECK constraints the branch tip never validated " +
+          s"(${unchecked.map(_._1).mkString(", ")}) — re-add them on the " +
+          "branch (which validates its data) or re-branch from current main")
       val mSet = mTip.files.toSet
       val mainDeleted = baseSet -- mSet
       val conflicts = branchDeleted intersect mainDeleted
@@ -1772,32 +1787,12 @@ object SnapshotTable {
       opOverride: Option[String] = None,
       dropMetaKeys: Set[String] = Set.empty): Long = {
     init(tableDir)
-    // CHECK-constraint enforcement: every data-bearing commit validates
-    // the INCOMING rows (carried files were validated when they landed —
-    // addConstraint refuses constraints the existing data breaks, and
-    // data files are immutable). A constraint whose column the incoming
-    // frame lacks resolves to NULL in the table → passes by SQL CHECK
-    // semantics, so an unresolvable predicate is skipped deliberately.
     val checkSqls: Map[String, String] =
       if (metaOnly) Map.empty
       else latestVersion(tableDir).map(v0 =>
         snapshot(tableDir, v0).meta.collect {
           case (k, p) if k.startsWith("check:") => k.stripPrefix("check:") -> p
         }.toMap).getOrElse(Map.empty)
-    if (checkSqls.nonEmpty) {
-      val applicable = checkSqls.filter { case (_, p) =>
-        try { df.filter(org.apache.spark.sql.functions.expr(p)); true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
-      }
-      if (applicable.nonEmpty) {
-        val viol = df.filter(applicable.values.map(p =>
-            !coalesce(org.apache.spark.sql.functions.expr(p), lit(true)))
-          .reduce(_ || _)).limit(1).collect()
-        if (viol.nonEmpty) throw new ConstraintViolationException(
-          s"commit to $tableDir violates CHECK " +
-            s"(${applicable.keys.mkString(", ")}): row ${viol.head}")
-      }
-    }
     // stage immutable data files under a unique dir (never visible until a
     // manifest references them); commitReplaceBucketed pre-stages through
     // the catalog writer and passes the dir in. metaOnly commits (merge-on-
@@ -1816,6 +1811,26 @@ object SnapshotTable {
       if (stagedDataSub.isDefined)
         listParquetRec(Paths.get(tableDir, ds)).map(p => s"$ds/$p")
       else listParquet(Paths.get(tableDir, ds)).map(p => s"$ds/$p")
+    }
+    // CHECK-constraint enforcement on the STAGED files, not the incoming
+    // plan: validating df and then staging it would compute the lineage
+    // twice AND validate a different evaluation than the one written (a
+    // nondeterministic source could pass validation yet stage violating
+    // rows). The staged parquet is immutable — what is validated IS what
+    // publishes. Carried files were validated when they landed
+    // (addConstraint refuses constraints existing data breaks). A
+    // predicate over columns the staged files lack resolves to NULL in
+    // the table → passes by SQL CHECK semantics (skipped deliberately).
+    // On violation the staged dir is deleted and nothing publishes.
+    if (checkSqls.nonEmpty && dataSub.isDefined && staged.nonEmpty) {
+      val stagedDf = df.sparkSession.read.parquet(
+        staged.map(f => Paths.get(tableDir, f).toString): _*)
+      try validateChecks(stagedDf, checkSqls, s"commit to $tableDir")
+      catch {
+        case e: ConstraintViolationException =>
+          deleteRecursively(Paths.get(tableDir, dataSub.get))
+          throw e
+      }
     }
 
     // per-staged-file zone stats: one scan of the just-written (small) data
@@ -1906,11 +1921,14 @@ object SnapshotTable {
       // replace empties the file set the DV describes, and a merge commit
       // (materializeDeletes, upsert-class rewrites) IS the materialization
       // of the DV'd files — carrying it would re-delete rewritten rows
-      // a constraint added between enforcement (above) and this CAS round
-      // was never validated against df — abort loudly, never publish
-      if (!metaOnly &&
-        !prevMeta.keys.filter(_.startsWith("check:")).toSet
-          .subsetOf(checkSqls.keySet.map("check:" + _) ++ dropMetaKeys)) {
+      // a constraint added OR redefined (drop + re-add under the same
+      // name, different predicate) between enforcement and this CAS round
+      // was never validated against the staged rows — abort, never
+      // publish. Compared as (key, predicate) ENTRIES, not key names.
+      val validatedEntries =
+        checkSqls.map { case (k, p) => s"check:$k" -> p }.toSet
+      if (!metaOnly && !prevMeta.filter(_._1.startsWith("check:")).toSet
+          .forall(e => validatedEntries(e) || dropMetaKeys(e._1))) {
         dataSub.foreach(ds => deleteRecursively(Paths.get(tableDir, ds)))
         throw new ConcurrentCommitException(
           s"a CHECK constraint landed on $tableDir during this commit — retry")

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -72,6 +74,50 @@ class ConstraintSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapshotTable.dropConstraint(spark, t, "v_pos") // already gone
     }
+  }
+
+  test("predicate text is one line; violating commits leave NO staged dir behind") {
+    val t = tmp()
+    SnapshotTable.commitAppend(Seq((1L, 10L)).toDF("k", "v").coalesce(1), t)
+    // a newline inside the predicate would corrupt the line-oriented
+    // manifest grammar (meta after it parses as phantom file entries)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addConstraint(spark, t, "bad", "v >\n0")
+    }
+    SnapshotTable.addConstraint(spark, t, "v_pos", "v > 0")
+    def dataDirs(): Set[String] = {
+      val s = Files.list(java.nio.file.Paths.get(t))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("data-")).toSet
+      finally s.close()
+    }
+    val before = dataDirs()
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.commitAppend(Seq((2L, -2L)).toDF("k", "v").coalesce(1), t)
+    }
+    assert(dataDirs() == before,
+      "the violating commit's staged dir must be deleted, not orphaned")
+  }
+
+  test("a branch that DROPS a constraint cannot merge into a main that enforces it") {
+    val main = tmp(); val br = tmp() + "/b"
+    SnapshotTable.commitAppend(Seq((1L, 10L)).toDF("k", "v").coalesce(1), main)
+    SnapshotTable.addConstraint(spark, main, "v_pos", "v > 0")
+    SnapshotTable.cloneAt(main, SnapshotTable.latestVersion(main).get, br)
+    // the branch drops the contract and commits rows main would refuse
+    SnapshotTable.dropConstraint(spark, br, "v_pos")
+    SnapshotTable.commitAppend(Seq((2L, -2L)).toDF("k", "v").coalesce(1), br)
+    val e = intercept[IllegalArgumentException](SnapshotTable.mergeBranch(main, br))
+    assert(e.getMessage.contains("never validated"), e.getMessage)
+    // re-adding on the branch VALIDATES all branch data — and refuses here
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addConstraint(spark, br, "v_pos", "v > 0")
+    }
+    // after deleting the offending rows, re-add succeeds and the merge lands
+    SnapshotTable.deleteWhere(spark, br, col("v") <= 0L)
+    SnapshotTable.addConstraint(spark, br, "v_pos", "v > 0")
+    SnapshotTable.mergeBranch(main, br)
+    assert(SnapshotTable.read(spark, main).count() == 1)
   }
 
   test("restoreVersion: zero-copy rollback, history intact, contracts re-validated") {
