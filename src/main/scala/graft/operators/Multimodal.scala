@@ -52,8 +52,11 @@ object Multimodal {
     * missing separator, or pixel data shorter than one frame. */
   object PpmDecoder extends MediaDecoder {
     /** Full header parse, exposed for PIXEL-level stages ([[withPatchSums]]):
-      * returns (meta, dataOffset) where dataOffset is the first pixel byte. */
-    def decodeWithOffset(payload: Array[Byte]): (MediaMeta, Int) = {
+      * returns (meta, dataOffset, bytesPerSample) where dataOffset is the
+      * first pixel byte and bytesPerSample derives from the PARSED maxval
+      * (1 for maxval < 256, 2 otherwise) — never inferred from residual
+      * byte counts, which trailing junk bytes would misclassify. */
+    def decodeFull(payload: Array[Byte]): (MediaMeta, Int, Int) = {
       def fail(msg: String): Nothing = throw new MediaFormatException(msg)
       if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
         fail("not a P6 PPM: bad magic")
@@ -87,29 +90,33 @@ object Multimodal {
       if (maxval <= 0 || maxval > 65535) fail("maxval out of 1..65535")
       if (i >= payload.length || !isWs(payload(i))) fail("missing header/data separator")
       i += 1 // the spec mandates exactly ONE whitespace byte before pixels
-      val bytesPerPx = if (maxval < 256) 3 else 6
-      val frameBytes = w.toLong * h * bytesPerPx
+      val bytesPerSample = if (maxval < 256) 1 else 2
+      val frameBytes = w.toLong * h * 3 * bytesPerSample
       val frames = ((payload.length - i) / frameBytes).toInt
       if (frames < 1) fail("truncated pixel data: no complete frame")
-      (MediaMeta(payload.length, w, h, frames), i)
+      (MediaMeta(payload.length, w, h, frames), i, bytesPerSample)
     }
 
-    def decode(payload: Array[Byte]): MediaMeta = decodeWithOffset(payload)._1
+    def decode(payload: Array[Byte]): MediaMeta = decodeFull(payload)._1
 
-    /** [[decodeWithOffset]] plus the bytes-per-SAMPLE (1 for maxval < 256,
-      * 2 for 16-bit samples) — pixel-level stages must NOT assume 1
-      * (a 16-bit image read as bytes pools garbage). */
-    def decodeFull(payload: Array[Byte]): (MediaMeta, Int, Int) = {
-      val (meta, off) = decodeWithOffset(payload)
-      val frameBytes = (payload.length - off) / meta.frames
-      ((meta, off, if (frameBytes == meta.width * meta.height * 3) 1 else 2))
+    /** Header parse exposed for PIXEL-level stages: (meta, dataOffset). */
+    def decodeWithOffset(payload: Array[Byte]): (MediaMeta, Int) = {
+      val (meta, off, _) = decodeFull(payload)
+      (meta, off)
     }
 
     /** Sample `s` (0-based, 3 per pixel) of frame 1: the byte for 8-bit
-      * images, the big-endian 2-byte value for 16-bit (the P6 spec). */
-    def sampleAt(payload: Array[Byte], off: Int, bytesPerSample: Int, s: Int): Int =
+      * images, the big-endian 2-byte value for 16-bit (the P6 spec).
+      * Bounds overruns surface as [[MediaFormatException]] — a corrupt
+      * object must degrade to the per-row failure path, never kill the
+      * task with a raw ArrayIndexOutOfBoundsException. */
+    def sampleAt(payload: Array[Byte], off: Int, bytesPerSample: Int, s: Int): Int = {
+      val last = if (bytesPerSample == 1) off + s else off + 2 * s + 1
+      if (s < 0 || last >= payload.length)
+        throw new MediaFormatException(s"sample $s out of pixel data bounds")
       if (bytesPerSample == 1) payload(off + s) & 0xff
       else ((payload(off + 2 * s) & 0xff) << 8) | (payload(off + 2 * s + 1) & 0xff)
+    }
   }
 
   /** Construct a REAL P6 PPM payload column whose header values derive

@@ -1000,9 +1000,16 @@ object SnapshotTable {
         })
         .toSeq.sortBy(_._1).lastOption
       finally s.close()
-    latest.map { case (seq, p) =>
+    try latest.map { case (seq, p) =>
       (seq, new String(Files.readAllBytes(p),
         java.nio.charset.StandardCharsets.UTF_8).trim.stripPrefix("version=").toLong)
+    } catch {
+      // a rival worker's ackOffset stale-sweep can delete the file we
+      // just listed (it keeps only the two newest sequences); the newer
+      // offset that replaced it is by construction >= ours, so a fresh
+      // re-list converges — never surface NoSuchFileException to pollers
+      case _: java.nio.file.NoSuchFileException =>
+        consumerOffset(tableDir, consumerId)
     }
   }
 
@@ -1586,7 +1593,10 @@ object SnapshotTable {
     * on (`Files.createLink`).
     *
     * Carried into the clone's v1 manifest: schema, zone column and
-    * per-file zone stats (same files ⇒ same stats). NOT carried: stream
+    * per-file zone stats, and bucket/SPJ layout specs (all are properties
+    * of the FILE SET, which clone preserves byte-for-byte — a clone of a
+    * bucketed/SPJ snapshot stays readBucketed/readSpj-able without a
+    * re-replace). NOT carried: stream
     * watermarks — the clone is a different table, and inheriting the
     * source's exactly-once dedupe history would silently DROP the first
     * re-delivered batches of any stream re-pointed at it. */
@@ -1599,6 +1609,16 @@ object SnapshotTable {
       Files.createDirectories(dst.getParent)
       Files.createLink(dst, Paths.get(srcDir, f)) // throws if dst exists: loud
     }
+    // an SPJ layout's _spj_meta.json sidecar is not in the manifest file
+    // list — link it too or the carried spjkey points at a dir the SPJ
+    // catalog refuses to load
+    if (snap.meta.contains("spjkey")) {
+      for (sub <- snap.files.map(_.takeWhile(_ != '/')).distinct) {
+        val side = Paths.get(srcDir, sub, "_spj_meta.json")
+        if (Files.exists(side))
+          Files.createLink(Paths.get(destDir, sub, "_spj_meta.json"), side)
+      }
+    }
     // an outstanding deletion vector is part of the version's row set —
     // link its dir too (same inode-pinning independence as the data files)
     snap.meta.get("dv").foreach { dvSub =>
@@ -1610,7 +1630,9 @@ object SnapshotTable {
     }
     val carried = snap.meta.view
       .filterKeys(k => k == "schema" || k == "zonecol" || k == "zonecols" ||
-        k == "dv" || k.startsWith("zone:") || k.startsWith("check:"))
+        k == "dv" || k == "bucketcol" || k == "bucketn" ||
+        k == "spjkey" || k == "spjn" ||
+        k.startsWith("zone:") || k.startsWith("check:"))
       .toMap + ("cloned_from" ->
         s"${Paths.get(srcDir).toAbsolutePath}@v$version")
     val body =

@@ -153,8 +153,10 @@ object SpjTable {
     case i: java.lang.Integer => Some(java.math.BigDecimal.valueOf(i.longValue))
     case s: java.lang.Short   => Some(java.math.BigDecimal.valueOf(s.longValue))
     case b: java.lang.Byte    => Some(java.math.BigDecimal.valueOf(b.longValue))
-    case d: java.lang.Double  => if (d.isNaN) None else Some(new java.math.BigDecimal(d))
-    case f: java.lang.Float   => if (f.isNaN) None else Some(new java.math.BigDecimal(f.doubleValue))
+    case d: java.lang.Double  =>
+      if (d.isNaN || d.isInfinite) None else Some(new java.math.BigDecimal(d))
+    case f: java.lang.Float    =>
+      if (f.isNaN || f.isInfinite) None else Some(new java.math.BigDecimal(f.doubleValue))
     case _                    => None
   }
 

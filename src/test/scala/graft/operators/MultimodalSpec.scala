@@ -52,6 +52,23 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.MediaMeta(deep.length, 3, 2, 1))
   }
 
+  test("decodeFull derives bytes-per-sample from maxval, not residual bytes (trailing junk)") {
+    // one 8-bit frame + ONE trailing junk byte: residual-count inference
+    // would misclassify this as 16-bit and sampleAt would read past the end
+    val pixels = Array.tabulate[Byte](3 * 2 * 3)(i => (i + 1).toByte)
+    val junk = ("P6\n3 2\n255\n").getBytes("US-ASCII") ++ pixels :+ 0x55.toByte
+    val (meta, off, bps) = Multimodal.PpmDecoder.decodeFull(junk)
+    assert(meta.frames == 1 && bps == 1)
+    assert(Multimodal.PpmDecoder.sampleAt(junk, off, bps, 17) == 18)
+    // 16-bit stays 2 bytes/sample
+    val deep = "P6\n3 2\n65535\n".getBytes("US-ASCII") ++ pixels ++ pixels
+    assert(Multimodal.PpmDecoder.decodeFull(deep)._3 == 2)
+    // sampleAt overruns surface as MediaFormatException (per-row failure
+    // path), never a raw ArrayIndexOutOfBoundsException that kills the task
+    assertThrows[Multimodal.MediaFormatException](
+      Multimodal.PpmDecoder.sampleAt(junk, off, 2, pixels.length))
+  }
+
   test("PpmDecoder rejects malformed payloads; withMediaMeta maps them to null meta") {
     val bad = Seq(
       "P5\n3 2\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](18)(1), // wrong magic

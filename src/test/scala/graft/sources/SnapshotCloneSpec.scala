@@ -77,6 +77,30 @@ class SnapshotCloneSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket and SPJ layout specs carry into a clone (same files, same layout)") {
+    // bucketed source: the clone's files ARE the bucketed files, so the
+    // layout spec stays valid and readBucketed must work without a re-replace
+    val src = tmpTable(); val dst = tmpTable() + "/t"
+    SnapshotTable.commitReplaceBucketed(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), src, "k", 4)
+    SnapshotTable.cloneAt(src, 1L, dst)
+    assert(SnapshotTable.readBucketed(spark, dst).collect().toSet ===
+      SnapshotTable.read(spark, src).collect().toSet)
+
+    // SPJ source: same property for the SPJ layout spec
+    val src2 = tmpTable(); val dst2 = tmpTable() + "/t"
+    SnapshotTable.commitReplaceSpj(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), src2, "k", 4)
+    SnapshotTable.cloneAt(src2, 1L, dst2)
+    assert(SnapshotTable.readSpj(spark, dst2).collect().toSet ===
+      SnapshotTable.read(spark, src2).collect().toSet)
+
+    // a post-clone append invalidates the layout on the CLONE only
+    SnapshotTable.commitAppend(Seq((9, "z")).toDF("k", "v"), dst)
+    intercept[IllegalStateException] { SnapshotTable.readBucketed(spark, dst) }
+    SnapshotTable.readBucketed(spark, src).count() // source untouched
+  }
+
   test("branch merge: branch appends + main appends land together; deletes apply") {
     val main = tmpTable(); val br = tmpTable() + "/b"
     SnapshotTable.commitAppend(Seq(1, 2).toDF("x"), main)
