@@ -176,6 +176,47 @@ object KMeansIVF {
         graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
+  /** ALL-CORPUS self-kNN through the IVF structure — the kNN-GRAPH build
+    * (q301). Unlike [[ivfTopK]], the query side IS the corpus, so nothing
+    * may broadcast: probe rows (corpus × nprobe, map-side expression) and
+    * bucket assignments (map-side) meet in a SHUFFLE hash join on the
+    * bucket key, and candidate volume is Σ_b |probes_b|·|bucket_b| —
+    * bounded by bucket sizes, never |corpus|². The `shuffle_hash` hint
+    * pins the plan: AQE would happily broadcast one corpus-derived side
+    * at test scale, which is exactly the plan that OOMs at 100 TB (and
+    * nClusters scales with corpus size there, keeping buckets bounded).
+    * Output `(query_id, neighbor_id, rank, cosine)`, recall < 1.0 by
+    * design; the oracle replays fit + assign + probe via [[fitReplayCtes]]
+    * (see `DedupQueries.q301`). */
+  def selfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int,
+      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
+    val sampleMod = sampleModFor(c.count(), sampleCap)
+    val sample = c
+      .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids = fit(sample, nClusters, iters)
+    val assigned = assignBuckets(c, centroids)
+    val probed = c.select(col("neighbor_id").as("query_id"), col("cv").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.VectorExpressions.nearestCentroids(col("qv"), centroids, nprobe))
+          .as("bucket"))
+    probed.hint("shuffle_hash")
+      .join(assigned, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
+  }
+
   /** Persist an IVF index: the corpus written `partitionBy(bucket)` (one
     * directory per centroid bucket) plus the centroids as a JSON sidecar.
     * Repeated query batches against the index then read ONLY the probed

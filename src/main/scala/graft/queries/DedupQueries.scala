@@ -719,15 +719,18 @@ object DedupQueries {
     // neighborhoods?) in EXACT rational form: Q = Σ_c (e_c/m − (d_c/2m)²)
     // never materializes as a float — each label's contribution rides the
     // common denominator 4m²: contrib_num = 4·m·e_c − d_c², all int64.
-    // The kNN graph is exact top-3 cosine per vector (TopKByScore — k
-    // rows per query on the shuffle, never the score matrix; tie order
-    // score DESC, id ASC matches the oracle's row_number), symmetrized
-    // and dedup'd. Self-kNN broadcasts the query side at this scale; at
-    // 100 TB the same metric runs over the q49 IVF index's neighbor
-    // lists. m rides a 1-row broadcast (the q224 scalar pattern).
+    // The kNN graph is the IVF self-kNN (KMeansIVF.selfTopK): learned
+    // centroids, map-side bucket assignment + nprobe=2 probes, SHUFFLE
+    // hash join on the bucket key — candidate volume Σ_b |probes_b|·|b|,
+    // never |corpus|², and NOTHING corpus-sized broadcasts (the plan an
+    // exact self-kNN cannot avoid; spec-pinned in IvfIndexSpec). The
+    // oracle replays fit + assignment + probe + rank, so the approximate
+    // edge set is itself hash-checked (q280's replay discipline). Edges
+    // symmetrized and dedup'd; m rides a 1-row broadcast (q224 pattern).
     "q301_knn_modularity" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val und = VectorOps.topK(e, e, "vec_id", "embedding", k = 3)
+      val und = graft.operators.KMeansIVF.selfTopK(e, "vec_id", "embedding",
+          k = 3, nprobe = 2, sampleCap = 100)
         .select(least(col("query_id"), col("neighbor_id")).as("u"),
           greatest(col("query_id"), col("neighbor_id")).as("v"))
         .distinct()
@@ -1391,14 +1394,27 @@ object DedupQueries {
         |SELECT p.query_id, e.label AS true_label, p.n_label AS pred_label, p.votes
         |FROM p JOIN e ON p.query_id = e.vec_id WHERE rn = 1""".stripMargin,
 
-    "q301_knn_modularity" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-        |s AS (SELECT q.vec_id AS qa, n.vec_id AS qb,
-        |        list_cosine_similarity(q.v, n.v) AS cos
-        |      FROM e q JOIN e n ON n.vec_id != q.vec_id),
+    "q301_knn_modularity" -> {
+      // fitReplayCtes ends inside the WITH list with `assigned(neighbor_id,
+      // cv2, bucket)` and `c4(cid, cv)` in scope — append the all-corpus
+      // probe (top-2 centroids per vector, sim DESC cid ASC), the bucket-
+      // scan candidate join, and the rank cut, exactly selfTopK's pipeline
+      def cosSql(a: String, b: String): String =
+        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+      graft.operators.KMeansIVF.fitReplayCtes(
+        "embeddings", "vec_id", "embedding", nClusters = 10, iters = 4, sampleCap = 100) +
+      s"""probes AS (SELECT query_id, qv, cid AS bucket FROM (
+        |  SELECT e.id AS query_id, e.v AS qv, c.cid,
+        |    row_number() OVER (PARTITION BY e.id
+        |      ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS prank
+        |  FROM e CROSS JOIN c4 c) WHERE prank <= 2),
+        |scored AS (SELECT p.query_id AS qa, a.neighbor_id AS qb,
+        |    ${cosSql("p.qv", "a.cv2")} AS cos
+        |  FROM probes p JOIN assigned a ON p.bucket = a.bucket
+        |    AND p.query_id != a.neighbor_id),
         |r AS (SELECT qa, qb,
         |        row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rnk
-        |      FROM s),
+        |      FROM scored),
         |und AS (SELECT DISTINCT least(qa, qb) AS u, greatest(qa, qb) AS v
         |        FROM r WHERE rnk <= 3),
         |m AS (SELECT count(*)::BIGINT AS m_edges FROM und),
@@ -1416,7 +1432,8 @@ object DedupQueries {
         |  (4 * m_edges * coalesce(n_intra, 0)
         |     - coalesce(deg_sum, 0) * coalesce(deg_sum, 0))::BIGINT AS contrib_num
         |FROM (SELECT DISTINCT label FROM embeddings) lab
-        |  LEFT JOIN deg USING (label) LEFT JOIN intra USING (label), m""".stripMargin,
+        |  LEFT JOIN deg USING (label) LEFT JOIN intra USING (label), m""".stripMargin
+    },
 
     // identical replay with the index path's (k, nprobe) — the persisted
     // layout cannot change results, only which directories are read

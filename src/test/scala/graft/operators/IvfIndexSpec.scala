@@ -44,4 +44,28 @@ class IvfIndexSpec extends AnyFunSuite {
     val full = pairs(KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 10))
     assert(full == exact)
   }
+
+  test("selfTopK: all-corpus kNN graph with NO corpus-sized broadcast (q301's build)") {
+    val e = Tables.embeddings(spark, dir)
+    val self = KMeansIVF.selfTopK(e, "vec_id", "embedding",
+      k = 3, nprobe = 2, sampleCap = 100)
+
+    // plan pin on the PRE-AQE sparkPlan (the adaptive wrapper hides
+    // exchanges): the probe x assignment join must be a shuffled hash
+    // join — broadcasting EITHER side means broadcasting the corpus,
+    // the plan that OOMs at 100 TB
+    val plan = self.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"corpus-derived side must not broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the pinned shuffle hash join:\n${plan.take(3000)}")
+
+    // result parity: same fit, same probes, same rank cut as the
+    // broadcast formulation — only the physical join strategy differs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val viaBroadcast = rows(KMeansIVF.ivfTopK(e, e, "vec_id", "embedding",
+      k = 3, nprobe = 2, sampleCap = 100))
+    assert(rows(self) == viaBroadcast)
+  }
 }
