@@ -160,6 +160,44 @@ object BpeVocab {
     sb.toString
   }
 
+  /** DuckDB replay of the FULL learn → encode-to-token-IDS → pack loop
+    * (q326): the unrolled merge chain with `idCol` carried, then the
+    * frequency-ranked vocabulary (tok_id = row_number over count DESC,
+    * symbol ASC — both engines compare strings bytewise, so rank ties
+    * break identically), per-document id sequences (head `headN` emitted
+    * as CSV), and the concat-then-chunk packing columns on the running
+    * token count (q235's integer division identities). */
+  def tokenPackOracleSql(
+      table: String = "documents",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numMerges: Int = 4,
+      minCount: Long = 2L,
+      chunk: Long = 512L,
+      headN: Int = 8): String = {
+    val d = "chr(31)"
+    val sb = chainSql(table, textCol, Seq(idCol), numMerges, minCount)
+    // per-doc symbol LIST from the frame string, then (pos, sym) pairs
+    // via the parallel-unnest zip
+    sb ++= s"y AS (SELECT $idCol, string_split(substr(s, 2, length(s) - 2), $d || $d) AS ys\n"
+    sb ++= s"     FROM r$numMerges),\n"
+    sb ++= s"ex AS (SELECT $idCol, unnest(range(1, len(ys) + 1)) AS pos, unnest(ys) AS sym FROM y),\n"
+    sb ++= s"vocab AS (SELECT sym, count(*) AS n FROM ex GROUP BY sym),\n"
+    sb ++= s"vid AS (SELECT sym, (row_number() OVER (ORDER BY n DESC, sym))::BIGINT AS tok_id FROM vocab),\n"
+    sb ++= s"ids AS (SELECT e.$idCol, e.pos, v.tok_id FROM ex e JOIN vid v ON e.sym = v.sym),\n"
+    sb ++= s"per AS (SELECT $idCol, count(*)::BIGINT AS nt,\n"
+    sb ++= s"          array_to_string(list_slice(list(tok_id::VARCHAR ORDER BY pos), 1, $headN), ',') AS head_ids\n"
+    sb ++= s"        FROM ids GROUP BY $idCol),\n"
+    sb ++= s"c AS (SELECT $idCol, nt, head_ids,\n"
+    sb ++= s"        (sum(nt) OVER (ORDER BY $idCol ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM per)\n"
+    sb ++= s"SELECT $idCol, nt AS n_tokens, head_ids,\n"
+    sb ++= s"  ((cum - nt) // $chunk)::BIGINT AS first_seq,\n"
+    sb ++= s"  ((cum - 1) // $chunk)::BIGINT AS last_seq,\n"
+    sb ++= s"  ((cum - nt) % $chunk)::BIGINT AS start_off\n"
+    sb ++= s"FROM c"
+    sb.toString
+  }
+
   /** The shared unrolled chain: r0 (framed symbol string per doc, plus
     * `carry` columns), and per round i: pair counts p_i, argmax t_i,
     * merged corpus r_i. Returns the open WITH prefix ending in a comma. */

@@ -127,6 +127,52 @@ object CorpusQueries {
           expr("(merged_symbols * 10000) div initial_symbols"))
     }),
 
+    // BPE TOKEN-ID ENCODING + PACKING — the missing middle of the
+    // learn → encode → pack tokenizer loop: q92 learns the merges, this
+    // assigns every document a token-ID SEQUENCE against the induced
+    // vocabulary (tok_id = rank by corpus frequency DESC, symbol ASC —
+    // a deterministic total order, so both engines number the vocabulary
+    // identically), and q235's concat-then-chunk packing runs on the id
+    // counts. Encoding is one fused map-side merge chain + one explode;
+    // the vocabulary is domain-bounded (init chars + numMerges symbols),
+    // so its rank window and the id-mapping broadcast join are both
+    // corpus-size-independent. The running token count rides PrefixSum
+    // (range shuffle + partition cumsum + broadcast offsets — never a
+    // partitionless window). head_ids emits the first 8 ids as CSV (the
+    // q38 vector-as-string discipline) so the ORDER of ids inside each
+    // document is hash-checked, not just the counts.
+    "q326_bpe_token_pack" -> ((s, d) => {
+      val C = 512L
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeVocab
+        .learnMerges(docs, "text", numMerges = 4, minCount = 2L)
+      // one row per doc with its final symbol array; consumed by the
+      // vocab agg AND the id mapping — persist (round-5 rule)
+      val enc = docs
+        .select(col("doc_id"),
+          graft.operators.BpeVocab.applyMerges(col("text"), merges).as("syms"))
+        .filter(size(col("syms")) >= 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = enc.select(col("doc_id"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      val vocab = ex.groupBy(col("sym")).agg(count(lit(1)).as("n"))
+        .withColumn("tok_id",
+          row_number().over(Window.orderBy(desc("n"), asc("sym"))).cast("long"))
+        .select(col("sym"), col("tok_id"))
+      val perDoc = ex.join(broadcast(vocab), "sym")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nt"),
+          array_sort(collect_list(when(col("pos") < 8,
+            struct(col("pos"), col("tok_id"))))).as("h8"))
+        .withColumn("head_ids",
+          concat_ws(",", transform(col("h8"), x => x.getField("tok_id").cast("string"))))
+        .select(col("doc_id"), col("nt"), col("head_ids"))
+      graft.operators.PrefixSum.running(perDoc, "doc_id", "nt")
+        .select(col("doc_id"), col("nt").as("n_tokens"), col("head_ids"),
+          expr(s"(cum - nt) div $C").as("first_seq"),
+          expr(s"(cum - 1) div $C").as("last_seq"),
+          expr(s"(cum - nt) % $C").as("start_off"))
+    }),
+
     // Heavy hitters with a DETERMINISTIC guarantee: a Misra–Gries summary
     // (functions/MisraGriesAggregate, k=256 counters) over the corpus
     // char-trigram stream (~377 distinct keys — the table really does
@@ -344,6 +390,10 @@ object CorpusQueries {
     "q178_bpe_encode" ->
       graft.operators.BpeVocab.encodeOracleSql("documents", "text",
         "doc_id", "source", numMerges = 4, minCount = 2L),
+
+    "q326_bpe_token_pack" ->
+      graft.operators.BpeVocab.tokenPackOracleSql("documents", "text",
+        "doc_id", numMerges = 4, minCount = 2L, chunk = 512L, headN = 8),
 
     // The heavy set is computed EXACTLY here; the guarantee booleans are
     // literal TRUE — the Spark side must reproduce them from the sketch.
