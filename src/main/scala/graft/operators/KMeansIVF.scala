@@ -53,13 +53,13 @@ object KMeansIVF {
 
   /** Left-to-right double fold — the summation order every other engine
     * path (DotProduct codegen, DuckDB list_cosine_similarity) uses. */
-  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def dotSeq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
   }
 
-  private def cosineSeq(a: Array[Double], b: Array[Double]): Double =
+  private[operators] def cosineSeq(a: Array[Double], b: Array[Double]): Double =
     dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
 
   /** round-half-away-from-zero to a whole number — what DuckDB's

@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Graph-based ANN routing — a navigable-small-world (NSW / HNSW-family)
+  * layer over the embedding corpus (Malkov & Yashunin 2018, simplified to
+  * the one deterministic, hash-replayable layer that carries the idea):
+  *
+  *   - a bounded HUB set (deterministic md5 sample, the [[KMeansIVF]]
+  *     fit-sample discipline — the "upper layer" that in HNSW serving
+  *     lives in RAM on every node);
+  *   - each hub keeps edges to its M nearest hubs (cos DESC, id ASC —
+  *     a deterministic total order);
+  *   - a query routes by GREEDY BEAM SEARCH from a deterministic
+  *     multi-restart ENTRY SET (Malkov et al. 2014's NSW searches from
+  *     several entry points): each round scores only the current beam's
+  *     unvisited neighbors, so the router touches O(rounds·beam·M) hubs
+  *     instead of scanning all of them — the property that makes graph
+  *     ANN the serving default when the centroid/hub set itself is too
+  *     large to scan per query;
+  *   - every corpus vector attaches to its nearest hub (map-side
+  *     [[graft.functions.NearestCentroids]] expression over the hub
+  *     vectors — the corpus never shuffles for the build);
+  *   - the search scans only the buckets of the top-`nprobe` VISITED
+  *     hubs (bounded candidate set, exact re-rank inside).
+  *
+  * Everything is deterministic and DuckDB-replayable: hub membership is
+  * an md5 predicate, adjacency and all ranks order by (cosine DESC, id
+  * ASC), and the driver-side cosine is the same left-to-right fold the
+  * SQL replay's `list_dot_product / (sqrt·sqrt)` computes ([[KMeansIVF]]
+  * fit precedent), so the beam's whole trajectory — and therefore the
+  * recall number built on it — is hash-checked by the oracle.
+  *
+  * Scale posture: hubs and queries are count-bounded collects (the hub
+  * cap plays HNSW's level-sample role); attachment is map-side; the
+  * candidate scan is a broadcast of (query, probed-hub) pairs joined
+  * against the hub-keyed corpus — ∝ probed bucket sizes, never corpus².
+  */
+object NswGraph {
+
+  final case class Params(
+      hubCap: Long = 64, m: Int = 6, beamWidth: Int = 4,
+      rounds: Int = 4, nprobe: Int = 5, nEntries: Int = 8)
+
+  /** The routing layer: hub ids sorted ascending (array index = the
+    * attachment bucket id), their vectors, the M-nearest adjacency, the
+    * multi-restart entry set, and the sample modulus that selected them. */
+  final case class Graph(
+      hubIds: Array[Long], hubVecs: Array[Array[Double]],
+      adj: Map[Long, Seq[Long]], entries: Seq[Long], sampleMod: Int)
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val c = KMeansIVF.cosineSeq(a, b)
+    // NaN → +inf: DuckDB sorts NaN above every number in ORDER BY DESC
+    if (java.lang.Double.isNaN(c)) Double.PositiveInfinity else c
+  }
+
+  /** Build the routing layer. Collects only the md5 hub sample (≤ ~hubCap
+    * rows by the count-derived modulus); the corpus itself is untouched. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, p: Params): Graph = {
+    val c = corpus.select(
+      col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
+    val mod = KMeansIVF.sampleModFor(c.count(), p.hubCap)
+    val hubRows = c
+      .filter(pmod(TextHash.md5Long(col("id").cast("string")), lit(mod)) === 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(hubRows.length > p.m,
+      s"hub sample too small (${hubRows.length}) for m=${p.m} adjacency")
+    val adj = hubRows.map { case (hid, hv) =>
+      hid -> hubRows.iterator.filter(_._1 != hid)
+        .map { case (oid, ov) => (oid, cos(hv, ov)) }
+        .toSeq.sortBy { case (oid, cs) => (-cs, oid) }
+        .take(p.m).map(_._1)
+    }.toMap
+    // multi-restart entry set (Malkov et al. 2014's NSW searches from
+    // several entry points): the nEntries hubs FIRST in (md5(hid), hid)
+    // order — a deterministic scatter uncorrelated with geometry
+    val entries = hubRows.map(_._1)
+      .sortBy(h => (graft.functions.Md5LongUtil.hashBytes(
+        h.toString.getBytes("UTF-8")), h))
+      .take(p.nEntries).toSeq
+    Graph(hubRows.map(_._1), hubRows.map(_._2), adj, entries, mod)
+  }
+
+  /** Greedy beam search for one query vector:
+    * visited₀ = the entry set; each round scores the beam's unvisited
+    * neighbors and re-selects the beam as the top-`beamWidth` of ALL
+    * visited hubs; probes = top-`nprobe` visited by (cos DESC, id ASC).
+    * Returns the probe hub ids and the number of hubs SCORED
+    * (= |visited| — the routing cost a full hub scan would pay |hubs|
+    * for). */
+  def beamSearch(g: Graph, p: Params, qv: Array[Double]): (Seq[Long], Int) = {
+    val vecOf = g.hubIds.zip(g.hubVecs).toMap
+    val scores = scala.collection.mutable.LinkedHashMap[Long, Double](
+      g.entries.map(h => h -> cos(qv, vecOf(h))): _*)
+    var beam: Seq[Long] = scores.toSeq.sortBy { case (h, c) => (-c, h) }
+      .take(p.beamWidth).map(_._1)
+    for (_ <- 1 to p.rounds) {
+      val fresh = beam.flatMap(g.adj).distinct.filterNot(scores.contains)
+      fresh.foreach(h => scores(h) = cos(qv, vecOf(h)))
+      beam = scores.toSeq.sortBy { case (h, c) => (-c, h) }
+        .take(p.beamWidth).map(_._1)
+    }
+    val probes = scores.toSeq.sortBy { case (h, c) => (-c, h) }
+      .take(p.nprobe).map(_._1)
+    (probes, scores.size)
+  }
+
+  /** The ablation baseline: the exact top-`nprobe` hubs by full hub scan
+    * (what IVF probing does) — same probe budget, |hubs| scoring cost. */
+  def scanProbes(g: Graph, p: Params, qv: Array[Double]): Seq[Long] = {
+    val vecOf = g.hubIds.zip(g.hubVecs).toMap
+    g.hubIds.toSeq.map(h => (h, cos(qv, vecOf(h))))
+      .sortBy { case (h, c) => (-c, h) }
+      .take(p.nprobe).map(_._1)
+  }
+
+  /** Corpus attachment: each vector's bucket = the INDEX (into the
+    * id-sorted hub array) of its nearest hub — map-side, no shuffle.
+    * Input columns (neighbor_id, cv). */
+  def attach(c: DataFrame, g: Graph): DataFrame =
+    KMeansIVF.assignBuckets(c, g.hubVecs)
+
+  /** DuckDB replay of the FULL q327 recall audit: hub sample, M-nearest
+    * adjacency, every beam-search round unrolled, corpus attachment, the
+    * three probe strategies (nsw beam / full hub scan / learned-k-means
+    * IVF via [[KMeansIVF.fitReplayCtes]]), candidate scans, top-k
+    * re-ranks, the exact truth set, and the integer recall rollup —
+    * so the recall numbers themselves are hash-checked, not asserted. */
+  def recallOracleSql(
+      table: String, idCol: String, vecCol: String, p: Params, k: Int,
+      queryCap: Long, kmClusters: Int, kmIters: Int, kmSampleCap: Long): String = {
+    def cos(a: String, b: String): String =
+      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    val h = TextHash.md5LongSql("id::VARCHAR")
+    def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
+    val sb = new StringBuilder
+    // kmeans fit prefix: defines e(id, v), assigned(neighbor_id, cv2,
+    // bucket), c<kmIters>(cid, cv) — all reused below
+    sb ++= KMeansIVF.fitReplayCtes(table, idCol, vecCol, kmClusters, kmIters, kmSampleCap)
+    val cFin = s"c$kmIters"
+    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e WHERE $h % ${modOf(p.hubCap)} = 0),\n"
+    sb ++= s"adj AS (SELECT src, dst FROM (\n"
+    sb ++= s"    SELECT a.hid AS src, b.hid AS dst,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY a.hid ORDER BY ${cos("a.hv", "b.hv")} DESC, b.hid) AS rn\n"
+    sb ++= s"    FROM hubs a JOIN hubs b ON b.hid != a.hid) WHERE rn <= ${p.m}),\n"
+    sb ++= s"qs AS (SELECT id AS query_id, v AS qv FROM e WHERE $h % ${modOf(queryCap)} = 0),\n"
+    sb ++= s"hscore AS (SELECT q.query_id, h.hid, ${cos("q.qv", "h.hv")} AS c\n"
+    sb ++= s"           FROM qs q CROSS JOIN hubs h),\n"
+    // multi-restart entries: the nEntries hubs first in (md5(hid), hid)
+    val hidHash = TextHash.md5LongSql("hid::VARCHAR")
+    sb ++= s"ents AS (SELECT hid FROM hubs ORDER BY $hidHash, hid LIMIT ${p.nEntries}),\n"
+    sb ++= s"v0 AS (SELECT q.query_id, e2.hid AS hub FROM qs q CROSS JOIN ents e2),\n"
+    sb ++= s"b0 AS (SELECT query_id, hub FROM (\n"
+    sb ++= s"    SELECT v.query_id, v.hub,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
+    sb ++= s"    FROM v0 v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
+    sb ++= s"    WHERE rn <= ${p.beamWidth}),\n"
+    for (i <- 1 to p.rounds) {
+      sb ++= s"v$i AS (SELECT DISTINCT query_id, hub FROM (\n"
+      sb ++= s"    SELECT query_id, hub FROM v${i - 1}\n"
+      sb ++= s"    UNION ALL\n"
+      sb ++= s"    SELECT b.query_id, a.dst AS hub FROM b${i - 1} b JOIN adj a ON b.hub = a.src)),\n"
+      sb ++= s"b$i AS (SELECT query_id, hub FROM (\n"
+      sb ++= s"    SELECT v.query_id, v.hub,\n"
+      sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
+      sb ++= s"    FROM v$i v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
+      sb ++= s"    WHERE rn <= ${p.beamWidth}),\n"
+    }
+    val vFin = s"v${p.rounds}"
+    sb ++= s"nswp AS (SELECT query_id, hub FROM (\n"
+    sb ++= s"    SELECT v.query_id, v.hub,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
+    sb ++= s"    FROM $vFin v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
+    sb ++= s"    WHERE rn <= ${p.nprobe}),\n"
+    sb ++= s"scanp AS (SELECT query_id, hid AS hub FROM (\n"
+    sb ++= s"    SELECT query_id, hid, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, hid) AS rn\n"
+    sb ++= s"    FROM hscore) WHERE rn <= ${p.nprobe}),\n"
+    // attachment keyed by hub ID (Spark keys by array index; the id-sorted
+    // hub array makes the two keyings bijective, ties identical)
+    sb ++= s"hatt AS (SELECT id, v, hub FROM (\n"
+    sb ++= s"    SELECT e.id, e.v, h.hid AS hub,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY e.id ORDER BY ${cos("e.v", "h.hv")} DESC, h.hid) AS rn\n"
+    sb ++= s"    FROM e CROSS JOIN hubs h) WHERE rn = 1),\n"
+    sb ++= s"truth AS (SELECT query_id, nid FROM (\n"
+    sb ++= s"    SELECT q.query_id, n.id AS nid,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "n.v")} DESC, n.id) AS rn\n"
+    sb ++= s"    FROM qs q JOIN e n ON n.id != q.query_id) WHERE rn <= $k),\n"
+    // kmeans probes (nprobe = 1) over the fitted centroids
+    sb ++= s"kmp AS (SELECT query_id, bucket FROM (\n"
+    sb ++= s"    SELECT q.query_id, c.cid AS bucket,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS rn\n"
+    sb ++= s"    FROM qs q CROSS JOIN $cFin c) WHERE rn <= 1),\n"
+    // per-method candidate scans + top-k re-rank + hit counts
+    def method(name: String): Unit = {
+      sb ++= s"top_$name AS (SELECT query_id, nid FROM (\n"
+      sb ++= s"    SELECT query_id, nid, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rn\n"
+      sb ++= s"    FROM cand_$name) WHERE rn <= $k),\n"
+      sb ++= s"stat_$name AS (SELECT\n"
+      sb ++= s"    (SELECT count(*) FROM cand_$name)::BIGINT AS candidates,\n"
+      sb ++= s"    (SELECT count(*) FROM truth t JOIN top_$name f\n"
+      sb ++= s"       ON t.query_id = f.query_id AND t.nid = f.nid)::BIGINT AS hits),\n"
+      ()
+    }
+    sb ++= s"cand_nsw AS (SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n"
+    sb ++= s"    FROM nswp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n"
+    sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
+    method("nsw")
+    sb ++= s"cand_scan AS (SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n"
+    sb ++= s"    FROM scanp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n"
+    sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
+    method("scan")
+    sb ++= s"cand_km AS (SELECT p.query_id, a.neighbor_id AS nid, ${cos("q.qv", "a.cv2")} AS c\n"
+    sb ++= s"    FROM kmp p JOIN assigned a ON a.bucket = p.bucket AND a.neighbor_id != p.query_id\n"
+    sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
+    method("km")
+    sb ++= s"nqv AS (SELECT count(*)::BIGINT AS nq FROM qs),\n"
+    sb ++= s"nhv AS (SELECT count(*)::BIGINT AS nh FROM hubs),\n"
+    sb ++= s"ncv AS (SELECT count(*)::BIGINT AS nc FROM $cFin),\n"
+    sb ++= s"nswev AS (SELECT count(*)::BIGINT AS ev FROM $vFin)\n"
+    sb ++= s"SELECT 'nsw_beam' AS method, nq AS n_queries, ev AS hub_evals, candidates,\n"
+    sb ++= s"  hits AS hits10, ((hits * 10000) // ($k * nq))::BIGINT AS recall_bp\n"
+    sb ++= s"FROM stat_nsw, nqv, nswev\n"
+    sb ++= s"UNION ALL\n"
+    sb ++= s"SELECT 'hub_scan', nq, (nq * nh)::BIGINT, candidates, hits,\n"
+    sb ++= s"  ((hits * 10000) // ($k * nq))::BIGINT FROM stat_scan, nqv, nhv\n"
+    sb ++= s"UNION ALL\n"
+    sb ++= s"SELECT 'kmeans_ivf', nq, (nq * nc)::BIGINT, candidates, hits,\n"
+    sb ++= s"  ((hits * 10000) // ($k * nq))::BIGINT FROM stat_km, nqv, ncv"
+    sb.toString
+  }
+}

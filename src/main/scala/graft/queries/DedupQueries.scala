@@ -755,6 +755,88 @@ object DedupQueries {
           lit(4L) * col("m_edges") * col("n_intra") - col("deg_sum") * col("deg_sum"))
     }),
 
+    // GRAPH-BASED ANN (NSW-family) RECALL AUDIT — greedy beam search over
+    // an md5-sampled hub layer with M-nearest adjacency, vs the same-budget
+    // full hub scan (the routing-loss ablation) vs the learned-k-means IVF
+    // incumbent (q49's config). Three rows, one per method: candidates
+    // scanned, hub distance evaluations (the NSW claim is equal recall at
+    // O(beam·M·rounds) routing cost instead of O(|hubs|) — the property
+    // that matters when the centroid set itself no longer fits a per-query
+    // scan), hits@10 against the exact truth, and integer recall_bp. The
+    // oracle replays EVERYTHING — hub sample, adjacency, all four beam
+    // rounds, attachment, probes, re-ranks, truth — so the recall numbers
+    // are hash-checked, not asserted (q231's audit discipline). Scale: hubs
+    // and queries are count-bounded collects (HNSW's in-RAM upper layer),
+    // attachment is map-side, candidate scans are broadcast(query×probe)
+    // joins against the hub-keyed corpus.
+    "q327_nsw_recall" -> ((s, d) => {
+      import s.implicits._
+      val p = graft.operators.NswGraph.Params(
+        hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5)
+      val K = 10
+      val e = Tables.embeddings(s, d)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        VectorOps.asDouble(col("embedding")).as("cv"))
+      val g = graft.operators.NswGraph.build(e, "vec_id", "embedding", p)
+      val n = c.count()
+      val qmod = graft.operators.KMeansIVF.sampleModFor(n, 16)
+      val queries = e.filter(
+        pmod(TextHash.md5Long(col("vec_id").cast("string")), lit(qmod)) === 0)
+      val qdf = queries.select(col("vec_id").as("query_id"),
+        VectorOps.asDouble(col("embedding")).as("qv"))
+      val qrows = qdf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val nq = qrows.length.toLong
+      val idxOf = g.hubIds.zipWithIndex.toMap
+      val routed = qrows.map { case (qid, qv) =>
+        (qid, graft.operators.NswGraph.beamSearch(g, p, qv)) }
+      val nswEvals = routed.map(_._2._2.toLong).sum
+      val nswProbe = routed.toSeq
+        .flatMap { case (qid, (pr, _)) => pr.map(h => (qid, idxOf(h))) }
+        .toDF("query_id", "bucket")
+      val scanProbe = qrows.toSeq.flatMap { case (qid, qv) =>
+        graft.operators.NswGraph.scanProbes(g, p, qv).map(h => (qid, idxOf(h))) }
+        .toDF("query_id", "bucket")
+      val att = graft.operators.NswGraph.attach(c, g)
+        .persist() // nsw + scan candidate joins both consume it
+      // learned-IVF incumbent: q49's fit, nprobe=1 (≈ the same scanned
+      // corpus fraction as 5-of-64 hub buckets)
+      val smod = graft.operators.KMeansIVF.sampleModFor(n, 100)
+      val sample = c
+        .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(smod)) === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val cents = graft.operators.KMeansIVF.fit(sample, 10, 4)
+      val assigned = graft.operators.KMeansIVF.assignBuckets(c, cents)
+      val kmProbe = qdf.select(col("query_id"),
+        explode(graft.functions.VectorExpressions.nearestCentroids(col("qv"), cents, 1))
+          .as("bucket"))
+      val truth = VectorOps.topK(queries, e, "vec_id", "embedding", k = K)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist() // one hit-join per method
+      def stats(name: String, probeRel: DataFrame, attRel: DataFrame,
+                evals: org.apache.spark.sql.Column): DataFrame = {
+        val per = broadcast(probeRel.join(qdf, "query_id"))
+          .join(attRel, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_cand"),
+            graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), K).as("top"))
+          .persist() // totals + found-join both consume it (nq rows)
+        val found = per.select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.payload").as("neighbor_id"))
+        val hits = truth.join(found, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits10"))
+        per.agg(sum(col("n_cand")).as("candidates")).crossJoin(hits)
+          .select(lit(name).as("method"), lit(nq).as("n_queries"),
+            evals.as("hub_evals"), col("candidates"), col("hits10"),
+            expr(s"(hits10 * 10000) div (${K * nq})").as("recall_bp"))
+      }
+      stats("nsw_beam", nswProbe, att, lit(nswEvals))
+        .unionByName(stats("hub_scan", scanProbe, att, lit(nq * g.hubIds.length)))
+        .unionByName(stats("kmeans_ivf", kmProbe, assigned, lit(nq * cents.length)))
+    }),
+
     // Same ANN through the PERSISTED index lifecycle: fit + bucket-
     // partitioned write + partition-pruned query, different (k, nprobe) to
     // exercise the oracle generator's parameterization. Measures the whole
@@ -1434,6 +1516,12 @@ object DedupQueries {
         |FROM (SELECT DISTINCT label FROM embeddings) lab
         |  LEFT JOIN deg USING (label) LEFT JOIN intra USING (label), m""".stripMargin
     },
+
+    "q327_nsw_recall" -> graft.operators.NswGraph.recallOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.operators.NswGraph.Params(
+        hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
+      k = 10, queryCap = 16, kmClusters = 10, kmIters = 4, kmSampleCap = 100),
 
     // identical replay with the index path's (k, nprobe) — the persisted
     // layout cannot change results, only which directories are read

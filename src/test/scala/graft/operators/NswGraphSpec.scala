@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class NswGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val e = Tables.embeddings(spark, dir)
+  private lazy val p = NswGraph.Params()
+  private lazy val g = NswGraph.build(e, "vec_id", "embedding", p)
+
+  test("build: id-sorted hubs, m-out adjacency with no self edges, entry set bounded") {
+    assert(g.hubIds.toSeq == g.hubIds.toSeq.sorted)
+    assert(g.adj.keySet == g.hubIds.toSet)
+    g.adj.foreach { case (h, ns) =>
+      assert(ns.length == p.m && !ns.contains(h) && ns.distinct == ns)
+      assert(ns.forall(g.hubIds.contains))
+    }
+    assert(g.entries.length == p.nEntries && g.entries.distinct == g.entries)
+    assert(g.entries.forall(g.hubIds.contains))
+  }
+
+  test("beam search: deterministic, bounded evals, probes are visited hubs") {
+    val qv = e.filter(col("vec_id") === 3L)
+      .select(VectorOps.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val (probes1, ev1) = NswGraph.beamSearch(g, p, qv)
+    val (probes2, ev2) = NswGraph.beamSearch(g, p, qv)
+    assert(probes1 == probes2 && ev1 == ev2, "routing must be deterministic")
+    assert(probes1.length == p.nprobe && probes1.distinct == probes1)
+    assert(probes1.forall(g.hubIds.contains))
+    // the NSW claim: the router scores strictly fewer hubs than a scan
+    assert(ev1 < g.hubIds.length, s"evals $ev1 must beat the ${g.hubIds.length}-hub scan")
+    // entries are always visited, so evals >= nEntries
+    assert(ev1 >= p.nEntries)
+  }
+
+  test("scanProbes is the exact top-nprobe over the hub set (the ablation truth)") {
+    val qv = e.filter(col("vec_id") === 7L)
+      .select(VectorOps.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val scan = NswGraph.scanProbes(g, p, qv)
+    // brute reference over the collected hub vectors
+    val vecOf = g.hubIds.zip(g.hubVecs).toMap
+    def cosRef(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val brute = g.hubIds.toSeq
+      .sortBy(h => (-cosRef(qv, vecOf(h)), h)).take(p.nprobe)
+    assert(scan == brute)
+    // beam probes can only contain hubs; with shared budget, overlap with
+    // the exact set is what drives recall — sanity: both rank by the same
+    // (cos DESC, id ASC) order over their candidate pools
+    val (beam, _) = NswGraph.beamSearch(g, p, qv)
+    assert(beam.toSet.subsetOf(g.hubIds.toSet))
+  }
+
+  test("attach assigns every corpus vector a bucket index into the hub array") {
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+    val att = NswGraph.attach(c, g)
+    val buckets = att.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0))
+    assert(att.count() == e.count())
+    assert(buckets.forall(b => b >= 0 && b < g.hubIds.length))
+  }
+}
