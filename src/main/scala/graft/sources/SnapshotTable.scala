@@ -45,6 +45,8 @@ object SnapshotTable {
 
   private val SnapDirName = "_snapshots"
   private val ManifestRe = "v(\\d{8})\\.manifest".r
+  private val DeadRe = "v(\\d{8})\\.dead".r
+  private val TxnOkRe = "v(\\d{8})\\.txnok".r
 
   /** One table version: the exact set of data files visible at `version`.
     * `meta` carries the key=value header lines (op, stream watermarks). */
@@ -58,12 +60,21 @@ object SnapshotTable {
     ()
   }
 
-  private def snapDir(tableDir: String): Path = Paths.get(tableDir, SnapDirName)
-  private def manifestPath(tableDir: String, v: Long): Path =
+  private[sources] def snapDir(tableDir: String): Path = Paths.get(tableDir, SnapDirName)
+  private[sources] def manifestPath(tableDir: String, v: Long): Path =
     snapDir(tableDir).resolve(f"v$v%08d.manifest")
+  private[sources] def deadPath(tableDir: String, v: Long): Path =
+    snapDir(tableDir).resolve(f"v$v%08d.dead")
+  private[sources] def txnOkPath(tableDir: String, v: Long): Path =
+    snapDir(tableDir).resolve(f"v$v%08d.txnok")
+  private[sources] def openTxnPath(tableDir: String): Path =
+    snapDir(tableDir).resolve("open.txn")
 
-  /** All committed versions, ascending (empty if the table doesn't exist). */
-  def versions(tableDir: String): Seq[Long] = {
+  /** Every CLAIMED version slot, ascending — committed, transaction-pending
+    * and aborted-dead alike. This is the numbering authority (slot numbers
+    * are never reused: an aborted transaction's manifest stays on disk with
+    * a `.dead` sidecar); [[versions]] is the VISIBILITY authority. */
+  private[sources] def rawVersions(tableDir: String): Seq[Long] = {
     if (!Files.isDirectory(snapDir(tableDir))) return Seq.empty
     val s = Files.list(snapDir(tableDir))
     try s.iterator().asScala
@@ -73,6 +84,49 @@ object SnapshotTable {
       })
       .toSeq.sorted
     finally s.close()
+  }
+
+  /** All VISIBLE versions, ascending (empty if the table doesn't exist).
+    * Aborted multi-table-transaction slots (`.dead` sidecar) are excluded;
+    * while a transaction is OPEN on this table (`open.txn` present — the
+    * per-table txn lock [[SnapshotTxn.begin]] takes), trailing manifests
+    * whose `txn=` is not yet committed are excluded too, so an uncommitted
+    * or crashed multi-table transaction is invisible to every reader until
+    * its ONE atomic point — the txn-dir marker — exists. The content check
+    * runs only while `open.txn` exists; once a transaction finalizes (the
+    * `.txnok` sidecar freezes committed-ness independent of the marker
+    * file's later lifecycle) the listing is pure filename work again. */
+  def versions(tableDir: String): Seq[Long] = {
+    if (!Files.isDirectory(snapDir(tableDir))) return Seq.empty
+    val s = Files.list(snapDir(tableDir))
+    val (slots, deads, txnOks, openTxn) = {
+      var sl = List.empty[Long]; var dd = Set.empty[Long]
+      var ok = Set.empty[Long]; var open = false
+      try s.iterator().asScala.foreach(p => p.getFileName.toString match {
+        case ManifestRe(n) => sl ::= n.toLong
+        case DeadRe(n)     => dd += n.toLong
+        case TxnOkRe(n)    => ok += n.toLong
+        case "open.txn"    => open = true
+        case _             =>
+      })
+      finally s.close()
+      (sl, dd, ok, open)
+    }
+    var vs = slots.filterNot(deads).sorted
+    if (openTxn) {
+      // the txn lock serializes writers, so only TRAILING slots can be
+      // unresolved — walk down until the first visible manifest
+      def visible(v: Long): Boolean = txnOks(v) || {
+        val m = snapshot(tableDir, v).meta
+        m.get("txn") match {
+          case None       => true
+          case Some(txid) => m.get("txnd")
+            .exists(d => SnapshotTxn.decisionOf(d, txid).contains("commit"))
+        }
+      }
+      while (vs.nonEmpty && !visible(vs.last)) vs = vs.init
+    }
+    vs
   }
 
   def latestVersion(tableDir: String): Option[Long] = versions(tableDir).lastOption
@@ -1077,23 +1131,26 @@ object SnapshotTable {
     * delete removes the key; a pure insert appends. Returns the committed
     * destination version (None-change batches commit nothing). */
   def applyChanges(spark: SparkSession, tableDir: String, changes0: DataFrame,
-                   keys: Seq[String], extraMeta: Seq[String] = Seq.empty): Option[Long] = {
+                   keys: Seq[String], extraMeta: Seq[String] = Seq.empty,
+                   txn: Option[SnapshotTxn.Handle] = None): Option[Long] = {
     require(keys.nonEmpty, "applyChanges needs at least one key column")
     // a CDF batch is itself a multi-file read + exceptAll; it feeds the
     // pruning scan, the rewrite, and the emptiness check — persist once
     val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try applyChangesImpl(spark, tableDir, changes, keys, extraMeta)
+    try applyChangesImpl(spark, tableDir, changes, keys, extraMeta, txn)
     finally changes.unpersist()
   }
 
   private def applyChangesImpl(spark: SparkSession, tableDir: String,
                                changes: DataFrame, keys: Seq[String],
-                               extraMeta: Seq[String]): Option[Long] = {
+                               extraMeta: Seq[String],
+                               txn: Option[SnapshotTxn.Handle] = None): Option[Long] = {
     val inserts = changes.filter(col("_change") === "insert").drop("_change")
     val affected = changes.select(keys.map(col): _*).distinct()
     if (changes.isEmpty) return None
     latestVersion(tableDir) match {
-      case None => Some(commit(inserts, tableDir, replace = false, extraMeta = extraMeta))
+      case None => Some(commit(inserts, tableDir, replace = false,
+        extraMeta = extraMeta, txn = txn))
       case Some(v) =>
         val snap = snapshot(tableDir, v)
         requireNoDv(snap, "applyChanges")
@@ -1117,7 +1174,7 @@ object SnapshotTable {
           else readFiles(touched).join(affected, keys, "left_anti")
             .unionByName(inserts, allowMissingColumns = true)
         Some(commit(newRows, tableDir, replace = false, extraMeta = extraMeta,
-          dropFiles = touched.toSet, expectedVersion = Some(v)))
+          dropFiles = touched.toSet, expectedVersion = Some(v), txn = txn))
     }
   }
 
@@ -1146,7 +1203,8 @@ object SnapshotTable {
     * Returns the committed destination version (None for no-op). */
   def maintainAggregate(spark: SparkSession, destDir: String, batch: ChangeBatch,
                         groupKeys: Seq[String], sumCols: Seq[String],
-                        aggId: String): Option[Long] = {
+                        aggId: String,
+                        txn: Option[SnapshotTxn.Handle] = None): Option[Long] = {
     require(groupKeys.nonEmpty, "maintainAggregate needs at least one group key")
     if (lastAggSource(destDir, aggId).exists(_ >= batch.toVersion)) return None
     val ch = batch.df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1207,7 +1265,7 @@ object SnapshotTable {
             .withColumn("_change", lit("delete"))
             .unionByName(inserts)
         applyChanges(spark, destDir, full, groupKeys,
-          extraMeta = Seq(s"aggsrc:$aggId=${batch.toVersion}"))
+          extraMeta = Seq(s"aggsrc:$aggId=${batch.toVersion}"), txn = txn)
       } finally {
         merged.unpersist()
         delta.unpersist()
@@ -1283,7 +1341,8 @@ object SnapshotTable {
     * view files, never a view recompute. */
   def maintainJoin(spark: SparkSession, destDir: String, batch: ChangeBatch,
                    other: DataFrame, joinKeys: Seq[String],
-                   rowKeys: Seq[String], joinId: String): Option[Long] = {
+                   rowKeys: Seq[String], joinId: String,
+                   txn: Option[SnapshotTxn.Handle] = None): Option[Long] = {
     require(joinKeys.nonEmpty, "maintainJoin needs at least one join key")
     require(rowKeys.nonEmpty, "maintainJoin needs at least one row key")
     if (lastAggSource(destDir, joinId).exists(_ >= batch.toVersion)) return None
@@ -1305,7 +1364,7 @@ object SnapshotTable {
         .select(rowKeys.map(col) :+ col("_change"): _*)
       val delta = ins.unionByName(del, allowMissingColumns = true)
       applyChanges(spark, destDir, delta, rowKeys,
-        extraMeta = Seq(s"aggsrc:$joinId=${batch.toVersion}"))
+        extraMeta = Seq(s"aggsrc:$joinId=${batch.toVersion}"), txn = txn)
     } finally ch.unpersist()
   }
 
@@ -1454,6 +1513,16 @@ object SnapshotTable {
     * being read even though old files still carry it. Manifests from before
     * schema recording fall back to the plain parquet-inferred read. */
   def readVersion(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    // explicit time travel to an aborted-transaction tombstone (or a
+    // still-pending slot) must fail loudly, not serve data that was never
+    // visible: the cheap check is the .dead sidecar plus, while a txn is
+    // open, visibility resolution itself
+    if (Files.exists(deadPath(tableDir, version)))
+      throw new IllegalStateException(
+        s"version $version of $tableDir belongs to an aborted transaction")
+    if (Files.exists(openTxnPath(tableDir)) && !versions(tableDir).contains(version))
+      throw new IllegalStateException(
+        s"version $version of $tableDir is not visible (transaction pending)")
     val snap = snapshot(tableDir, version)
     val schemaOpt = versionSchema(snap)
     // even an empty-DataFrame commit stages one (schema-only) part file,
@@ -1554,6 +1623,17 @@ object SnapshotTable {
     val deadDv = drop.flatMap(snapshot(tableDir, _).meta.get("dv")).toSet -- liveDv
     deadDv.foreach(d => deleteRecursively(Paths.get(tableDir, d)))
     drop.foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
+    // aborted-transaction slots below the kept window: the manifest and its
+    // .dead sidecar are pure tombstones by now (abort deleted the staged
+    // data) — drop them so history does not accumulate dead files forever.
+    // Slots >= the kept floor keep their tombstones: slot numbers must
+    // never be reused while any kept version could reference the range.
+    val floor = keep.headOption.getOrElse(Long.MaxValue)
+    rawVersions(tableDir).filter(v => v < floor &&
+        Files.exists(deadPath(tableDir, v))).foreach { v =>
+      Files.deleteIfExists(manifestPath(tableDir, v))
+      Files.deleteIfExists(deadPath(tableDir, v))
+    }
     val orphans = orphanAgeMs.fold(0) { age =>
       // referenced-by-ANY-manifest set AFTER the drop above — what remains
       // on disk and is reachable; everything else matching data-*/dv-* is
@@ -1561,7 +1641,10 @@ object SnapshotTable {
       // TOP-LEVEL dir = first path segment: nested layouts (SPJ's
       // data-<uuid>/b<k>/part-…) must reference data-<uuid>, not b<k> —
       // getParent would classify a LIVE SPJ staged dir as orphan
-      val snaps = versions(tableDir).map(snapshot(tableDir, _))
+      // RAW manifests: an open transaction's pending manifest references
+      // its staged dir — the sweep must respect it even though the version
+      // is not yet visible
+      val snaps = rawVersions(tableDir).map(snapshot(tableDir, _))
       val referenced = snaps.flatMap(_.files)
         .map(_.takeWhile(_ != '/')).toSet ++
         snaps.flatMap(_.meta.get("dv")).toSet
@@ -1797,7 +1880,7 @@ object SnapshotTable {
       s"lost the merge-commit race $attempt times in $mainDir")
   }
 
-  private def commit(
+  private[sources] def commit(
       df: DataFrame, tableDir: String, replace: Boolean,
       extraMeta: Seq[String] = Seq.empty,
       zoneCol: Option[String] = None,
@@ -1807,8 +1890,13 @@ object SnapshotTable {
       stagedDataSub: Option[String] = None,
       metaOnly: Boolean = false,
       opOverride: Option[String] = None,
-      dropMetaKeys: Set[String] = Set.empty): Long = {
+      dropMetaKeys: Set[String] = Set.empty,
+      txn: Option[SnapshotTxn.Handle] = None): Long = {
     init(tableDir)
+    txn.foreach { h =>
+      require(h.tables.contains(Paths.get(tableDir).toAbsolutePath.toString),
+        s"$tableDir is not part of transaction ${h.txid}")
+    }
     val checkSqls: Map[String, String] =
       if (metaOnly) Map.empty
       else latestVersion(tableDir).map(v0 =>
@@ -1898,6 +1986,32 @@ object SnapshotTable {
 
     var attempt = 0
     while (attempt < 64) {
+      // a non-transactional commit must never land while a multi-table
+      // transaction holds this table: it could take the slot the txn's
+      // pending manifest is about to claim, or (worse) land ABOVE an
+      // invisible pending manifest without carrying its files. Checked
+      // inside the CAS loop so a txn opening mid-retry is still caught.
+      txn match {
+        case None =>
+          if (Files.exists(openTxnPath(tableDir))) {
+            dataSub.foreach(ds => deleteRecursively(Paths.get(tableDir, ds)))
+            throw new ConcurrentCommitException(
+              s"a multi-table transaction is open on $tableDir — commit or abort it first")
+          }
+        case Some(h) =>
+          val held = SnapshotTxn.openTxnId(tableDir)
+          require(held.contains(h.txid),
+            s"transaction ${h.txid} does not hold the lock on $tableDir (held: $held)")
+          // one staged commit per table per transaction: a second pending
+          // manifest would base on the pre-txn snapshot (its sibling is
+          // invisible) and silently drop the first one's files
+          val tip = rawVersions(tableDir).lastOption
+          if (tip.exists(t => snapshot(tableDir, t).meta.get("txn").contains(h.txid))) {
+            dataSub.foreach(ds => deleteRecursively(Paths.get(tableDir, ds)))
+            throw new ConcurrentCommitException(
+              s"transaction ${h.txid} already staged a commit on $tableDir")
+          }
+      }
       val prev = latestVersion(tableDir).map(snapshot(tableDir, _))
       // copy-on-write commits (upsert) asserted the version their file
       // rewrite was derived from: a concurrent commit in between means the
@@ -1971,13 +2085,18 @@ object SnapshotTable {
         .toMap ++
         (extraMeta ++ zoneMeta)
           .map { l => val Array(k, value) = l.split("=", 2); k -> value }.toMap ++
-        schemaEntry
+        schemaEntry ++
+        txn.map(h => Map("txn" -> h.txid, "txnd" -> h.txnDir)).getOrElse(Map.empty)
       // v derives from the SAME prev snapshot the base/carried state was
       // read from — a second latestVersion() read here would let a racer
       // land in between and this commit take a higher, free version number
       // with the CAS succeeding while silently dropping the racer's files
       // and stream watermarks (lost update)
-      val v = prev.map(_.version + 1).getOrElse(1L)
+      // numbering comes from the RAW slot listing: aborted (dead) slots are
+      // invisible to prev-resolution but their manifest files still exist,
+      // so prev+1 could collide forever — claim one past the last claimed
+      val v = math.max(prev.map(_.version).getOrElse(0L),
+        rawVersions(tableDir).lastOption.getOrElse(0L)) + 1
       val op = opOverride.getOrElse(
         if (replace) "replace" else if (dropFiles.nonEmpty) "merge" else "append")
       val body =
