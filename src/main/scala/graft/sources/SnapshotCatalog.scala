@@ -32,11 +32,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * time-travel query reads only the surviving groups of the pinned
   * version's files.
   *
+  * SQL DML is supported on the UNPINNED relation: `INSERT INTO` appends
+  * (a normal snapshot commit — CHECK constraints enforce on the staged
+  * files exactly as programmatic commits), `INSERT OVERWRITE` replaces,
+  * and `DELETE FROM … WHERE …` runs the copy-on-write
+  * [[SnapshotTable.deleteWhere]] (not the merge-on-read variant, so the
+  * table stays SQL-readable afterwards). DML against a `VERSION AS OF`
+  * relation is refused at analysis — it would silently target the latest
+  * version instead of the pinned one.
+  *
   * Boundaries, loud not silent: tables with an outstanding merge-on-read
   * deletion vector refuse to serve (the Group reader cannot apply the
   * anti-join — `materializeDeletes` first); `TIMESTAMP AS OF` is not
-  * supported (manifests record versions, not wall-clock times); writes go
-  * through the programmatic commit API, never the catalog. */
+  * supported (manifests record versions, not wall-clock times). */
 class GraftSnapshotCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -66,7 +74,10 @@ class GraftSnapshotCatalog extends TableCatalog {
     val v = version.getOrElse(latest)
     require(SnapshotTable.versions(dir.toString).contains(v),
       s"$ident has no version $v (latest is $latest — vacuumed or never committed)")
-    new GraftSnapshotVersionTable(dir.toString, v)
+    // only the UNPINNED relation is writable: an INSERT/DELETE against a
+    // VERSION AS OF relation would silently target the latest instead of
+    // the version the user named — refuse at analysis
+    new GraftSnapshotVersionTable(dir.toString, v, writable = version.isEmpty)
   }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
@@ -86,7 +97,8 @@ class GraftSnapshotCatalog extends TableCatalog {
       ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]): Table =
-    sys.error("snapshot tables are written with graft.sources.SnapshotTable commits")
+    sys.error("CREATE TABLE is not supported — bootstrap with a " +
+      "graft.sources.SnapshotTable commit, then INSERT/DELETE through SQL")
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     sys.error("snapshot tables are immutable through the catalog")
   override def dropTable(ident: Identifier): Boolean = {
@@ -98,9 +110,12 @@ class GraftSnapshotCatalog extends TableCatalog {
     Files.move(dirFor(oldIdent), dirFor(newIdent))
 }
 
-/** One pinned snapshot version served as a DSv2 table. */
-class GraftSnapshotVersionTable(dir: String, version: Long)
-  extends Table with SupportsRead {
+/** One pinned snapshot version served as a DSv2 table. `writable` is true
+  * only for the unpinned (latest) relation — SQL DML binds through it. */
+class GraftSnapshotVersionTable(dir: String, version: Long,
+                                writable: Boolean = false)
+  extends Table with SupportsRead
+  with SupportsWrite with SupportsDelete {
   private val snap = SnapshotTable.snapshot(dir, version)
   require(!snap.meta.contains("dv"),
     s"$dir@v$version has an outstanding merge-on-read deletion vector — " +
@@ -138,10 +153,91 @@ class GraftSnapshotVersionTable(dir: String, version: Long)
       k.startsWith("check:") || k == "op" || k == "restored_from").toMap +
       ("version" -> version.toString)).asJava
   override def capabilities(): JSet[TableCapability] =
-    Collections.singleton(TableCapability.BATCH_READ)
+    java.util.Set.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val files = snap.files.map(f => Paths.get(dir, f).toString).toArray
     new GraftSnapshotScanBuilder(name(), files, tableSchema)
+  }
+
+  private def requireWritable(what: String): Unit =
+    require(writable,
+      s"$what binds to the LATEST relation — a VERSION AS OF relation is read-only " +
+        "(it would silently target the latest version, not the pinned one)")
+
+  /** INSERT INTO / INSERT OVERWRITE via the V1 write fallback: the whole
+    * incoming DataFrame lands as ONE snapshot commit (append or replace),
+    * so SQL writers get the identical atomicity, CHECK-constraint
+    * enforcement and schema-merge policy as programmatic commits. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder = {
+    requireWritable("INSERT")
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
+              if (overwrite) { SnapshotTable.commitReplace(data, dir); () }
+              else { SnapshotTable.commitAppend(data, dir); () }
+        }
+    }
+  }
+
+  /** DELETE FROM … WHERE … — the COPY-ON-WRITE delete (rewrites only the
+    * files containing matches), deliberately not the merge-on-read one:
+    * an outstanding deletion vector would make the table refuse SQL reads
+    * until materialized. Spark only routes a DELETE here when the whole
+    * condition translated to source filters ([[canDeleteWhere]]). */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable && filters.forall(GraftSnapshotVersionTable.toColumn(_).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    requireWritable("DELETE")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(GraftSnapshotVersionTable.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotTable.deleteWhere(spark, dir, cond)
+    ()
+  }
+}
+
+object GraftSnapshotVersionTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** Source filter → Column, for the filter shapes SQL DELETE produces.
+    * None = untranslatable ⇒ [[SupportsDelete.canDeleteWhere]] refuses and
+    * Spark reports the DELETE as unsupported instead of half-applying. */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r)                => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r)                 => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c)                   => toColumn(c).map(!_)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case _                        => None
   }
 }
 

@@ -81,6 +81,50 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("readVersion"), e.getMessage)
   }
 
+  test("SQL DML round-trips against the programmatic API") {
+    val t = s"$warehouse/dml"
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+
+    // INSERT INTO = one append commit
+    spark.sql("INSERT INTO graft_snap.dml VALUES (3, 'c'), (4, 'd')")
+    assert(SnapshotTable.read(spark, t).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(SnapshotTable.latestVersion(t).contains(2L), "one commit per INSERT")
+
+    // DELETE WHERE = copy-on-write deleteWhere; table stays SQL-readable
+    spark.sql("DELETE FROM graft_snap.dml WHERE k = 2 OR v = 'd'")
+    assert(spark.sql("SELECT k FROM graft_snap.dml").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // history preserved: the pre-delete version still serves
+    assert(spark.sql("SELECT count(*) FROM graft_snap.dml VERSION AS OF 2")
+      .collect()(0).getLong(0) == 4L)
+
+    // INSERT OVERWRITE = replace commit
+    spark.sql("INSERT OVERWRITE graft_snap.dml VALUES (9, 'z')")
+    assert(spark.sql("SELECT k, v FROM graft_snap.dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+
+    // DML cannot target a pinned version: the grammar itself refuses
+    // INSERT INTO ... VERSION AS OF (and the writable=false guard backs
+    // any future path that would resolve a pinned relation for writes)
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO graft_snap.dml VERSION AS OF 1 VALUES (0, 'x')"))
+    assert(e.getMessage.toLowerCase.contains("syntax error"), e.getMessage)
+  }
+
+  test("SQL INSERT enforces CHECK constraints exactly like programmatic commits") {
+    val t = s"$warehouse/dmlc"
+    SnapshotTable.commitAppend(Seq((1L, 5L)).toDF("k", "n").coalesce(1), t)
+    SnapshotTable.addConstraint(spark, t, "n_pos", "n > 0")
+    spark.sql("INSERT INTO graft_snap.dmlc VALUES (2, 7)") // passes
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft_snap.dmlc VALUES (3, -1)"))
+    assert(e.getMessage.contains("n_pos"), e.getMessage)
+    // the violating insert staged nothing visible
+    assert(spark.sql("SELECT count(*) FROM graft_snap.dmlc")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("loud boundaries: DV tables and TIMESTAMP AS OF refuse") {
     val t = s"$warehouse/dv"
     SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
