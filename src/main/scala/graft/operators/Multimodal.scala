@@ -487,6 +487,111 @@ object Multimodal {
     unhex(concat(hdr, array_join(segHex, "")))
   }
 
+  /** [[wavPayload]]'s near-duplicate sibling (the audio counterpart of
+    * [[ppmPayloadGrid]]): REAL canonical WAVs in GROUPS of 8 — gid =
+    * id div 8 picks the content, v = id mod 8 the variant. Every variant
+    * renders the SAME md5-chosen per-segment waveform (56 segments × 160
+    * samples, loud ±12000 / quiet ±40) at a per-variant GAIN
+    * (sc = 1 + v mod 2 — an exact integer multiply, so |sample| ordering
+    * and therefore every peak POSITION is bit-identical across gains)
+    * plus a one-segment PHASE perturbation (segment v gets +17 on the
+    * sample index), so variants of one group differ in at most one peak
+    * position each — pairwise fingerprint Hamming ≤ 2. Pure integer + md5
+    * arithmetic end to end: the oracle replays the decoded peak positions
+    * without ever seeing a byte, and the hash match proves the byte-level
+    * RIFF parse + LE sign decode + window scan. */
+  def wavPayloadScaled(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextHash
+    val idL = id.cast("long")
+    // integer floor-div: Column `/` is FLOAT division — subtract the
+    // remainder first so the quotient is exact, then narrow
+    val v = pmod(idL, lit(8L))
+    val gid = ((idL - v) / lit(8L)).cast("long")
+    val sc = pmod(v, lit(2L)) + 1L
+    val nSeg = 56
+    val n = nSeg * 160L
+    def hx(b: org.apache.spark.sql.Column) =
+      lpad(hex(b.cast("long")), 2, "0")
+    def le16h(x: org.apache.spark.sql.Column) =
+      concat(hx(x.bitwiseAND(lit(255L))), hx(shiftright(x.cast("long"), 8).bitwiseAND(lit(255L))))
+    def le32h(x: org.apache.spark.sql.Column) =
+      concat(hx(x.bitwiseAND(lit(255L))),
+        hx(shiftright(x.cast("long"), 8).bitwiseAND(lit(255L))),
+        hx(shiftright(x.cast("long"), 16).bitwiseAND(lit(255L))),
+        hx(shiftright(x.cast("long"), 24).bitwiseAND(lit(255L))))
+    // group-keyed segment amplitude (NOT id-keyed: variants share content)
+    val amps = transform(sequence(lit(0L), lit(nSeg - 1L)), seg =>
+      when(pmod(TextHash.md5Long(concat(lit("afp:"), gid.cast("string"),
+        lit(":"), seg.cast("string"))), lit(4L)) > 0, lit(12000L))
+        .otherwise(lit(40L)))
+    val segHex = zip_with(amps, sequence(lit(0L), lit(nSeg - 1L)), (a, seg) =>
+      array_join(transform(sequence(seg * 160L, (seg + 1L) * 160L - 1L), sIdx => {
+        val ph = when(seg === v, lit(17L)).otherwise(lit(0L))
+        val base = pmod(sIdx * 37L + gid * 13L + ph, a * 2L + 1L) - a
+        val u = pmod(base * sc + 65536L, lit(65536L))
+        concat(hx(u.bitwiseAND(lit(255L))), hx(shiftright(u, 8)))
+      }), ""))
+    val dataLen = lit(n * 2L)
+    val hdr = concat(lit("52494646"), le32h(dataLen + 36L), lit("57415645"),
+      lit("666D7420"), le32h(lit(16L)), le16h(lit(1L)), le16h(lit(1L)),
+      le32h(lit(8000L)), le32h(lit(16000L)), le16h(lit(2L)), le16h(lit(16L)),
+      lit("64617461"), le32h(dataLen))
+    unhex(concat(hdr, array_join(segHex, "")))
+  }
+
+  /** PEAK-CONSTELLATION fingerprint over real decoded PCM — the audio
+    * analogue of [[withDHash]]: per 160-sample window, find the peak
+    * (argmax |v|, FIRST index on ties — channel 0) and emit one bit for
+    * which half of the window holds it; the first `nWindows` window bits
+    * pack into one long. Peak POSITIONS are invariant under any positive
+    * integer gain (|c·v| ordering == |v| ordering), so re-encoded /
+    * amplitude-scaled copies fingerprint identically — the property the
+    * near-dup pairing rides. NULL fingerprint for malformed or
+    * shorter-than-nWindows payloads (the row survives — one corrupt
+    * object must not kill a 100 TB job). Batched mapPartitions: the one
+    * justified byte-level seam. */
+  def withPeakHash(
+      df: DataFrame, binCol: String,
+      window: Int = 160, nWindows: Int = 56): DataFrame = {
+    require(window > 1 && nWindows >= 1 && nWindows <= 60)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("peak_hash", LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val fp: Any =
+          if (payload == null) null
+          else try {
+            val (meta, off) = WavDecoder.decodeWithOffset(payload)
+            if (meta.nSamples < window.toLong * nWindows) null
+            else {
+              var h = 0L
+              var w = 0
+              while (w < nWindows) {
+                var best = -1; var bestPos = 0
+                var i = 0
+                while (i < window) {
+                  val a = math.abs(WavDecoder.sampleAt(
+                    payload, off, meta.channels, w * window + i, 0))
+                  if (a > best) { best = a; bestPos = i }
+                  i += 1
+                }
+                if (bestPos >= window / 2) h |= 1L << w
+                w += 1
+              }
+              h
+            }
+          } catch {
+            case _: MediaFormatException => null
+          }
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }(rowEnc)
+    out
+  }
+
   /** Audio feature extraction over REAL decoded PCM — the
     * silence-detection / level-analysis pass an audio-curation pipeline
     * runs per clip: parse the WAV header with [[WavDecoder]], fold channel

@@ -506,6 +506,25 @@ object DedupQueries {
           graft.operators.Multimodal.ppmPayloadGrid(col("doc_id")).as("payload")),
         "doc_id", "payload", maxHamming = 3)),
 
+    // AUDIO FINGERPRINT NEAR-DUP (the third modality of the q12/q296
+    // family): real canonical WAVs in groups of 8 — the same md5-chosen
+    // waveform at per-variant integer GAIN plus a one-segment phase
+    // perturbation — decoded byte-level (RIFF parse, LE sign decode) and
+    // fingerprinted by peak CONSTELLATION: one bit per 20 ms window for
+    // which half holds the |v|-argmax. Peak positions are gain-invariant
+    // (|c·v| orders like |v|), so scaled re-encodings fingerprint
+    // identically; the one perturbed segment gives pairwise Hamming ≤ 2.
+    // Lossless 4×14-bit pigeonhole blocking + exact popcount verify on
+    // candidates only; the oracle replays construction arithmetic + the
+    // per-window argmax (max-then-min-index, the first-peak rule) and
+    // pairs by BRUTE force — the hash match proves the byte-level decode
+    // AND that the blocking lost nothing.
+    "q328_audio_neardup" -> ((s, d) =>
+      graft.operators.AudioDedup.pairs(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.Multimodal.wavPayloadScaled(col("doc_id")).as("payload")),
+        "doc_id", "payload", maxHamming = 3)),
+
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)),
@@ -1314,6 +1333,29 @@ object DedupQueries {
          |  (floor(sum(in_train * in_test)::DOUBLE / sum(in_test)::DOUBLE
          |    * 1000000 + 0.5) / 1000000) AS test_contamination_rate
          |FROM w""".stripMargin
+    },
+
+    "q328_audio_neardup" -> {
+      val segMd5 = graft.functions.TextHash.md5LongSql(
+        "'afp:' || gid::VARCHAR || ':' || seg::VARCHAR")
+      s"""WITH d AS (SELECT doc_id AS id, doc_id // 8 AS gid, doc_id % 8 AS v,
+         |             1 + (doc_id % 8) % 2 AS sc FROM documents),
+         |segs AS (SELECT id, gid, v, sc, seg,
+         |    CASE WHEN ($segMd5) % 4 > 0 THEN 12000 ELSE 40 END AS a
+         |  FROM d, (SELECT unnest(range(0, 56)) AS seg) t),
+         |samp AS (SELECT id, seg, i,
+         |    abs((((seg * 160 + i) * 37 + gid * 13
+         |          + CASE WHEN seg = v THEN 17 ELSE 0 END) % (2 * a + 1) - a) * sc) AS av
+         |  FROM segs, (SELECT unnest(range(0, 160)) AS i) u),
+         |mx AS (SELECT id, seg, max(av) AS ma FROM samp GROUP BY id, seg),
+         |pk AS (SELECT s.id, s.seg, min(s.i) AS pos
+         |       FROM samp s JOIN mx ON s.id = mx.id AND s.seg = mx.seg AND s.av = mx.ma
+         |       GROUP BY s.id, s.seg),
+         |fp AS (SELECT id, sum(CASE WHEN pos >= 80 THEN 1::BIGINT << seg ELSE 0 END)::BIGINT AS fp
+         |       FROM pk GROUP BY id)
+         |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.fp, b.fp))::INT AS hamming
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
     },
 
     "q15_dedup_embedding" ->
