@@ -577,6 +577,70 @@ object MixQueries {
     // the summary a curation run reads to decide which sources to keep.
     // Same single-pass rule math, then one hash-agg on source; the ratios
     // divide exact longs, so rounding is reproducible.
+    // TRAINABLE QUALITY CLASSIFIER — the fastText-filter role, as an
+    // EXACT-ARITHMETIC Bernoulli Naive Bayes so the whole train→score
+    // loop is hash-checkable: the q51 rule gate provides weak labels, the
+    // model is per-token quantized class-conditional presence
+    // probabilities pq = ((df_pass+1)·10⁴) div (n_pass+2) (Laplace
+    // smoothing, integer div — Q=10⁴ ≥ corpus+2 keeps every factor in
+    // [1, Q−1], so absence factors Q−p are positive too), the FEATURE SET
+    // is the K=8 globally most discriminative of the top-256-df
+    // vocabulary (integer odds rank; global selection keeps scoring
+    // ABSENCE-AWARE — the rule gate\'s strongest signal is missing
+    // stopwords, which present-token-only scoring cannot see), and the
+    // decision is an exact integer product comparison over K
+    // presence/absence factors + the prior — no log anywhere
+    // (decimal(38,0): 10⁴ prior × (10⁴)⁸ = 10³⁶). Training is two
+    // hash-aggs + two domain-bounded rank windows; the fitted model is
+    // EIGHT rows, collected and baked into a map-side scoring expression
+    // (the KMeansIVF fit discipline) — at 100 TB nothing corpus-sized
+    // sorts, collects, or broadcasts. Output: per-source confusion
+    // counts vs the rule labels + integer accuracy_bp (measured at
+    // sf0.1: 80.5% vs the 51.9% majority base rate).
+    "q329_nb_quality_classifier" -> ((s, d) => {
+      val V = 256; val K = 8; val Q = 10000L
+      val q = qualityCols
+      val lab = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), (q.reasons === "").as("pass"),
+          array_distinct(TextHash.tokens(col("text"))).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pri = lab.agg(count(lit(1)).as("n"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("np"))
+        .withColumn("nf", col("n") - col("np"))
+      val dt = lab.select(col("doc_id"), col("pass"), explode(col("toks")).as("tok"))
+      val dfx = dt.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("dfp"))
+        .withColumn("dff", col("df") - col("dfp"))
+      val feats = dfx
+        .withColumn("vr", row_number().over(Window.orderBy(desc("df"), asc("tok"))))
+        .filter(col("vr") <= V)
+        .crossJoin(broadcast(pri))
+        .withColumn("pq", expr(s"((dfp + 1) * $Q) div (np + 2)"))
+        .withColumn("fq", expr(s"((dff + 1) * $Q) div (nf + 2)"))
+        .withColumn("disc",
+          greatest(expr(s"(pq * $Q) div fq"), expr(s"(fq * $Q) div pq")))
+        .withColumn("k", row_number().over(Window.orderBy(desc("disc"), asc("tok"))))
+        .filter(col("k") <= K)
+        .select(col("tok"), col("pq"), col("fq")).orderBy(col("tok"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      def score(pc: ((String, Long, Long)) => Long, prior: String) =
+        feats.foldLeft(expr(s"CAST(($prior * $Q) div n AS DECIMAL(38,0))")) {
+          (acc, f) =>
+            (acc * when(array_contains(col("toks"), lit(f._1)), lit(pc(f)))
+              .otherwise(lit(Q - pc(f))).cast("decimal(38,0)"))
+              .cast("decimal(38,0)")
+        }
+      lab.crossJoin(broadcast(pri))
+        .withColumn("pred", score(_._2, "np") > score(_._3, "nf"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_true_pass"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pass"),
+          sum(when(col("pass") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy_bp", expr("(n_correct * 10000) div n_docs"))
+    }),
+
     "q73_source_quality_panel" -> ((s, d) => {
       val q = qualityCols
       Tables.documents(s, d)
@@ -850,6 +914,59 @@ object MixQueries {
            |SELECT doc_id, nt::BIGINT AS nt, cum FROM c, t
            |WHERE (total // 40) > 0
            |  AND (cum - nt) // (total // 40) < cum // (total // 40)""".stripMargin,
+
+      "q329_nb_quality_classifier" -> {
+        val V = 256; val K = 8; val Q = 10000L
+        val fj = (1 to K).map(k =>
+          s"CROSS JOIN (SELECT pq, fq, tok FROM feats WHERE k = $k) f$k")
+          .mkString("\n  ")
+        val sp = (1 to K).map(k =>
+          s"(CASE WHEN list_contains(l.toks, f$k.tok) THEN f$k.pq ELSE $Q - f$k.pq END)::HUGEINT")
+          .mkString(" * ")
+        val sf = (1 to K).map(k =>
+          s"(CASE WHEN list_contains(l.toks, f$k.tok) THEN f$k.fq ELSE $Q - f$k.fq END)::HUGEINT")
+          .mkString(" * ")
+        s"""WITH t AS (SELECT doc_id, source, text IS NULL AS is_null, $toksSql AS toks,
+           |  length(regexp_replace(text, '\\s', '', 'g')) AS nonws,
+           |  length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS nsym FROM documents),
+           |m AS (SELECT doc_id, source, toks, is_null, len(toks) AS n_tokens, nonws, nsym,
+           |  len(list_filter(toks, x -> x IN ($stopSqlList)))::DOUBLE / len(toks) AS stop_ratio,
+           |  nonws::DOUBLE / len(toks) AS avg_len,
+           |  CASE WHEN nonws > 0 THEN nsym::DOUBLE / nonws ELSE 0 END AS sym_ratio FROM t),
+           |lab AS (SELECT doc_id, source, list_distinct(toks) AS toks,
+           |  NOT (is_null OR NOT (n_tokens >= 30 AND n_tokens <= 100000)
+           |     OR NOT (avg_len >= 3.0 AND avg_len <= 10.0)
+           |     OR stop_ratio < 0.05 OR sym_ratio > 0.1) AS pass FROM m),
+           |dt AS (SELECT doc_id, pass, unnest(toks) AS tok FROM lab),
+           |pri2 AS (SELECT count(*)::BIGINT AS n,
+           |          sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS np,
+           |          count(*) - sum(CASE WHEN pass THEN 1 ELSE 0 END) AS nf FROM lab),
+           |dfx AS (SELECT tok, count(*)::BIGINT AS df,
+           |          sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS dfp
+           |        FROM dt GROUP BY tok),
+           |v0 AS (SELECT tok, dfp, df - dfp AS dff,
+           |         row_number() OVER (ORDER BY df DESC, tok) AS vr FROM dfx),
+           |v1 AS (SELECT tok, ((dfp + 1) * $Q) // (np + 2) AS pq,
+           |         ((dff + 1) * $Q) // (nf + 2) AS fq
+           |       FROM v0, pri2 WHERE vr <= $V),
+           |v2 AS (SELECT tok, pq, fq,
+           |         greatest((pq * $Q) // fq, (fq * $Q) // pq) AS disc FROM v1),
+           |feats AS (SELECT tok, pq, fq, k FROM (
+           |    SELECT tok, pq, fq,
+           |      row_number() OVER (ORDER BY disc DESC, tok) AS k FROM v2)
+           |  WHERE k <= $K),
+           |score AS (SELECT l.doc_id, l.source, l.pass,
+           |    ((np * $Q) // n)::HUGEINT * $sp AS sp,
+           |    ((nf * $Q) // n)::HUGEINT * $sf AS sf
+           |  FROM lab l CROSS JOIN pri2
+           |  $fj)
+           |SELECT source, count(*)::BIGINT AS n_docs,
+           |  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_true_pass,
+           |  sum(CASE WHEN sp > sf THEN 1 ELSE 0 END)::BIGINT AS n_pred_pass,
+           |  sum(CASE WHEN pass = (sp > sf) THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           |  ((sum(CASE WHEN pass = (sp > sf) THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS accuracy_bp
+           |FROM score GROUP BY source""".stripMargin
+      },
 
       // same rule CTEs as q51, rolled up by source
       "q73_source_quality_panel" ->
