@@ -285,6 +285,16 @@ object KMeansIVF {
         graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
+  /** The oracle cosine — explicit dot/(norm·norm) instead of
+    * list_cosine_similarity: matches the Scala fits' operation sequence
+    * exactly (dot, two sqrts, one multiply, one divide — left-to-right
+    * folds), so an engine's internal cosine variant can't flip a rank at
+    * the last ulp. ONE definition, shared by every ANN replay
+    * (fitReplayCtes, oracleSql, NswGraph, q301) — hash-parity-critical
+    * expressions must never fork. */
+  def cosSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
   /** The replay PREFIX shared by the ANN oracle and the q108 cluster-
     * quality oracle: sample → init → each unrolled Lloyd round → corpus
     * assignment. Ends INSIDE the WITH list (trailing comma), with CTEs
@@ -299,12 +309,7 @@ object KMeansIVF {
     val sampleH = TextHash.md5LongSql("id::VARCHAR")
     val sampleMod =
       s"(SELECT greatest(1, (count(*) + ${sampleCap - 1}) // $sampleCap) FROM e)"
-    // explicit dot/(norm*norm) instead of list_cosine_similarity: matches
-    // the Scala fit's operation sequence exactly (dot, two sqrts, one
-    // multiply, one divide — left-to-right folds), so an engine's internal
-    // cosine variant can't flip an assignment at the last ulp mid-fit
-    def cos(a: String, b: String): String =
-      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    def cos(a: String, b: String): String = cosSql(a, b)
     val sb = new StringBuilder
     sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
     sb ++= s"s AS (SELECT id, v FROM e WHERE $sampleH % $sampleMod = 0),\n"
@@ -341,8 +346,7 @@ object KMeansIVF {
       table: String, idCol: String, vecCol: String, queryPred: String,
       k: Int, nprobe: Int,
       nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): String = {
-    def cos(a: String, b: String): String =
-      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    def cos(a: String, b: String): String = cosSql(a, b)
     val fin = s"c$iters"
     val sb = new StringBuilder
     sb ++= fitReplayCtes(table, idCol, vecCol, nClusters, iters, sampleCap)

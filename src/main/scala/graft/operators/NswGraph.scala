@@ -135,8 +135,7 @@ object NswGraph {
   def recallOracleSql(
       table: String, idCol: String, vecCol: String, p: Params, k: Int,
       queryCap: Long, kmClusters: Int, kmIters: Int, kmSampleCap: Long): String = {
-    def cos(a: String, b: String): String =
-      s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
     val h = TextHash.md5LongSql("id::VARCHAR")
     def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
     val sb = new StringBuilder

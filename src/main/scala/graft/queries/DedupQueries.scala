@@ -1524,7 +1524,7 @@ object DedupQueries {
       // probe (top-2 centroids per vector, sim DESC cid ASC), the bucket-
       // scan candidate join, and the rank cut, exactly selfTopK's pipeline
       def cosSql(a: String, b: String): String =
-        s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+        graft.operators.KMeansIVF.cosSql(a, b)
       graft.operators.KMeansIVF.fitReplayCtes(
         "embeddings", "vec_id", "embedding", nClusters = 10, iters = 4, sampleCap = 100) +
       s"""probes AS (SELECT query_id, qv, cid AS bucket FROM (

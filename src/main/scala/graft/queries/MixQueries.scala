@@ -618,12 +618,24 @@ object MixQueries {
         .crossJoin(broadcast(pri))
         .withColumn("pq", expr(s"((dfp + 1) * $Q) div (np + 2)"))
         .withColumn("fq", expr(s"((dff + 1) * $Q) div (nf + 2)"))
+        // a quantized prob of 0 (possible once a class outgrows Q docs)
+        // is maximally discriminative, not a crash: cap at Q² instead of
+        // dividing by zero (ANSI would throw; DuckDB // 0 errors too)
         .withColumn("disc",
-          greatest(expr(s"(pq * $Q) div fq"), expr(s"(fq * $Q) div pq")))
+          greatest(expr(s"if(fq > 0, (pq * $Q) div fq, ${Q * Q})"),
+            expr(s"if(pq > 0, (fq * $Q) div pq, ${Q * Q})")))
         .withColumn("k", row_number().over(Window.orderBy(desc("disc"), asc("tok"))))
         .filter(col("k") <= K)
         .select(col("tok"), col("pq"), col("fq")).orderBy(col("tok"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // the oracle's fixed K cross joins produce ZERO rows if fewer than
+      // K features exist — refuse the degenerate corpus loudly instead of
+      // silently diverging; and the Q >= n+2 bound the quantization needs
+      require(feats.length == K,
+        s"vocabulary yields only ${feats.length} NB features, need $K")
+      val nDocs = lab.count()
+      require(nDocs + 2 <= Q,
+        s"NB quantization Q=$Q must be >= corpus size + 2 (n=$nDocs) — raise Q")
       def score(pc: ((String, Long, Long)) => Long, prior: String) =
         feats.foldLeft(expr(s"CAST(($prior * $Q) div n AS DECIMAL(38,0))")) {
           (acc, f) =>
@@ -950,7 +962,8 @@ object MixQueries {
            |         ((dff + 1) * $Q) // (nf + 2) AS fq
            |       FROM v0, pri2 WHERE vr <= $V),
            |v2 AS (SELECT tok, pq, fq,
-           |         greatest((pq * $Q) // fq, (fq * $Q) // pq) AS disc FROM v1),
+           |         greatest(CASE WHEN fq > 0 THEN (pq * $Q) // fq ELSE ${Q * Q} END,
+           |                  CASE WHEN pq > 0 THEN (fq * $Q) // pq ELSE ${Q * Q} END) AS disc FROM v1),
            |feats AS (SELECT tok, pq, fq, k FROM (
            |    SELECT tok, pq, fq,
            |      row_number() OVER (ORDER BY disc DESC, tok) AS k FROM v2)

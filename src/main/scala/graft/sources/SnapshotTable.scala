@@ -86,6 +86,33 @@ object SnapshotTable {
     finally s.close()
   }
 
+  /** Writer-side transaction guard + slot numbering, shared by every
+    * manifest writer that is not itself transactional (commit, restore,
+    * branch merge): refuses while a multi-table transaction holds the
+    * table's lock OR an unresolved pending slot exists above the visible
+    * tip (the lock could be taken between a caller's earlier check and
+    * this listing — re-validating here closes the check-then-act window:
+    * for a rival commit to land ABOVE an invisible pending manifest its
+    * slot number must exceed the pending slot, which means its raw
+    * listing contained it, which means this scan refuses; a same-slot
+    * race is settled by the CAS itself). Returns one past the last
+    * CLAIMED slot — dead tombstones included, because `visibleTip + 1`
+    * would collide with an abort tombstone forever. */
+  private def nextSlotGuarded(tableDir: String, visibleTip: Long): Long = {
+    if (Files.exists(openTxnPath(tableDir)))
+      throw new ConcurrentCommitException(
+        s"a multi-table transaction is open on $tableDir — commit or abort it first")
+    val raw = rawVersions(tableDir)
+    val vis = versions(tableDir).toSet
+    val pending = raw.filter(sv => sv > visibleTip && !vis.contains(sv) &&
+      !Files.exists(deadPath(tableDir, sv)))
+    if (pending.nonEmpty)
+      throw new ConcurrentCommitException(
+        s"unresolved transaction slot(s) ${pending.mkString(",")} above the " +
+          s"visible tip of $tableDir — resolve the transaction first")
+    math.max(visibleTip, raw.lastOption.getOrElse(0L)) + 1
+  }
+
   /** All VISIBLE versions, ascending (empty if the table doesn't exist).
     * Aborted multi-table-transaction slots (`.dead` sidecar) are excluded;
     * while a transaction is OPEN on this table (`open.txn` present — the
@@ -635,7 +662,7 @@ object SnapshotTable {
       !(k.startsWith("stream:") || k.startsWith("aggsrc:") ||
         k.startsWith("check:") || k == "version" || k == "op" ||
         k == "restored_from")).toMap ++ dynamic
-    val v = cur + 1
+    val v = nextSlotGuarded(tableDir, cur)
     val body = (Seq(s"version=$v", "op=restore", s"restored_from=$version")
       ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
       ++ snap.files).mkString("", "\n", "\n")
@@ -1622,7 +1649,11 @@ object SnapshotTable {
     val liveDv = keep.flatMap(snapshot(tableDir, _).meta.get("dv")).toSet
     val deadDv = drop.flatMap(snapshot(tableDir, _).meta.get("dv")).toSet -- liveDv
     deadDv.foreach(d => deleteRecursively(Paths.get(tableDir, d)))
-    drop.foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
+    drop.foreach { v =>
+      Files.deleteIfExists(manifestPath(tableDir, v))
+      Files.deleteIfExists(txnOkPath(tableDir, v)) // committed-txn sidecar
+      ()
+    }
     // aborted-transaction slots below the kept window: the manifest and its
     // .dead sidecar are pure tombstones by now (abort deleted the staged
     // data) — drop them so history does not accumulate dead files forever.
@@ -1633,6 +1664,8 @@ object SnapshotTable {
         Files.exists(deadPath(tableDir, v))).foreach { v =>
       Files.deleteIfExists(manifestPath(tableDir, v))
       Files.deleteIfExists(deadPath(tableDir, v))
+      Files.deleteIfExists(txnOkPath(tableDir, v))
+      ()
     }
     val orphans = orphanAgeMs.fold(0) { age =>
       // referenced-by-ANY-manifest set AFTER the drop above — what remains
@@ -1684,6 +1717,16 @@ object SnapshotTable {
     * source's exactly-once dedupe history would silently DROP the first
     * re-delivered batches of any stream re-pointed at it. */
   def cloneAt(srcDir: String, version: Long, destDir: String): Long = {
+    // same visibility guard as readVersion: cloning a pending transaction
+    // version would permanently publish uncommitted rows (the clone's
+    // hard links survive the abort's unlink), and cloning a tombstone
+    // would crash mid-link on already-deleted staged files
+    if (Files.exists(deadPath(srcDir, version)))
+      throw new IllegalStateException(
+        s"version $version of $srcDir belongs to an aborted transaction")
+    if (Files.exists(openTxnPath(srcDir)) && !versions(srcDir).contains(version))
+      throw new IllegalStateException(
+        s"version $version of $srcDir is not visible (transaction pending)")
     val snap = snapshot(srcDir, version)
     init(destDir)
     require(versions(destDir).isEmpty, s"clone target $destDir is not an empty table")
@@ -1855,7 +1898,7 @@ object SnapshotTable {
         }
       val carried = mainCarried ++ branchZone ++ schemaEntry +
         ("merged_from" -> s"${Paths.get(branchDir).toAbsolutePath}@v${bTip.version}")
-      val v = mTip.version + 1
+      val v = nextSlotGuarded(mainDir, mTip.version)
       val body =
         (Seq(s"version=$v", "op=merge")
           ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
@@ -1989,15 +2032,11 @@ object SnapshotTable {
       // a non-transactional commit must never land while a multi-table
       // transaction holds this table: it could take the slot the txn's
       // pending manifest is about to claim, or (worse) land ABOVE an
-      // invisible pending manifest without carrying its files. Checked
-      // inside the CAS loop so a txn opening mid-retry is still caught.
+      // invisible pending manifest without carrying its files. The full
+      // guard (lock + pending-slot scan) runs at the numbering step below,
+      // inside the CAS retry loop, so a txn opening mid-retry is caught.
       txn match {
-        case None =>
-          if (Files.exists(openTxnPath(tableDir))) {
-            dataSub.foreach(ds => deleteRecursively(Paths.get(tableDir, ds)))
-            throw new ConcurrentCommitException(
-              s"a multi-table transaction is open on $tableDir — commit or abort it first")
-          }
+        case None => ()
         case Some(h) =>
           val held = SnapshotTxn.openTxnId(tableDir)
           require(held.contains(h.txid),
@@ -2092,11 +2131,21 @@ object SnapshotTable {
       // land in between and this commit take a higher, free version number
       // with the CAS succeeding while silently dropping the racer's files
       // and stream watermarks (lost update)
-      // numbering comes from the RAW slot listing: aborted (dead) slots are
-      // invisible to prev-resolution but their manifest files still exist,
-      // so prev+1 could collide forever — claim one past the last claimed
-      val v = math.max(prev.map(_.version).getOrElse(0L),
-        rawVersions(tableDir).lastOption.getOrElse(0L)) + 1
+      // numbering comes from the RAW slot listing (aborted tombstones
+      // still claim their numbers); for non-transactional commits the
+      // same step re-validates the txn lock and scans for pending slots
+      val v = txn match {
+        case None =>
+          try nextSlotGuarded(tableDir, prev.map(_.version).getOrElse(0L))
+          catch {
+            case e: ConcurrentCommitException =>
+              dataSub.foreach(ds => deleteRecursively(Paths.get(tableDir, ds)))
+              throw e
+          }
+        case Some(_) =>
+          math.max(prev.map(_.version).getOrElse(0L),
+            rawVersions(tableDir).lastOption.getOrElse(0L)) + 1
+      }
       val op = opOverride.getOrElse(
         if (replace) "replace" else if (dropFiles.nonEmpty) "merge" else "append")
       val body =

@@ -159,6 +159,65 @@ class SnapshotTxnSpec extends AnyFunSuite {
     assert(!Files.exists(SnapshotTable.deadPath(a, 3L)))
   }
 
+  test("cloneAt refuses pending and tombstoned versions (links would outlive an abort)") {
+    val a = tmp(); val txd = tmp()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), a) // v1
+    val h = SnapshotTxn.begin(txd, Seq(a))
+    SnapshotTxn.stageAppend(h, Seq(2).toDF("x"), a) // pending v2
+    intercept[IllegalStateException] {
+      SnapshotTable.cloneAt(a, 2L, tmp() + "/t")
+    }
+    SnapshotTable.cloneAt(a, 1L, tmp() + "/c1") // visible version clones fine
+    SnapshotTxn.abort(h)
+    intercept[IllegalStateException] {
+      SnapshotTable.cloneAt(a, 2L, tmp() + "/t2") // tombstone
+    }
+  }
+
+  test("restore and merge number past abort tombstones; restore refuses under a lock") {
+    val a = tmp(); val txd = tmp()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), a)   // v1
+    SnapshotTable.commitAppend(Seq(2).toDF("x"), a)   // v2
+    val h = SnapshotTxn.begin(txd, Seq(a))
+    SnapshotTxn.stageAppend(h, Seq(9).toDF("x"), a)   // pending v3
+    // a restore while the txn lock is held refuses loudly
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTable.restoreVersion(spark, a, 1L)
+    }
+    SnapshotTxn.abort(h)                              // v3 tombstoned
+    // restore must claim v4, not collide with the dead v3 forever
+    val rv = SnapshotTable.restoreVersion(spark, a, 1L)
+    assert(rv == 4L, s"restore must number past the tombstone, got $rv")
+    assert(ints(a) == Seq(1))
+
+    // branch merge over a tombstoned main tip: same numbering rule
+    val main = tmp(); val br = tmp() + "/b"; val txd2 = tmp()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), main) // v1
+    SnapshotTable.cloneAt(main, 1L, br)
+    SnapshotTable.commitAppend(Seq(7).toDF("x"), br)
+    val h2 = SnapshotTxn.begin(txd2, Seq(main))
+    SnapshotTxn.stageAppend(h2, Seq(9).toDF("x"), main) // pending v2
+    SnapshotTxn.abort(h2)                               // v2 tombstoned
+    val mv = SnapshotTable.mergeBranch(main, br)
+    assert(mv == 3L, s"merge must number past the tombstone, got $mv")
+    assert(ints(main) == Seq(1, 7))
+  }
+
+  test("vacuum sweeps .txnok sidecars with their dropped versions") {
+    val a = tmp(); val txd = tmp()
+    SnapshotTable.commitAppend(Seq(1).toDF("x"), a) // v1
+    val h = SnapshotTxn.begin(txd, Seq(a))
+    SnapshotTxn.stageAppend(h, Seq(2).toDF("x"), a) // v2 (txn)
+    SnapshotTxn.commit(h)
+    SnapshotTable.commitAppend(Seq(3).toDF("x"), a) // v3
+    SnapshotTable.commitAppend(Seq(4).toDF("x"), a) // v4
+    assert(Files.exists(SnapshotTable.txnOkPath(a, 2L)))
+    SnapshotTable.vacuum(a, keepVersions = 1)
+    assert(!Files.exists(SnapshotTable.txnOkPath(a, 2L)),
+      ".txnok sidecars must not leak past their vacuumed versions")
+    assert(ints(a) == Seq(1, 2, 3, 4))
+  }
+
   test("maintainJoin destinations ride a transaction (fact + view all-or-nothing)") {
     val fact = tmp(); val viewA = tmp(); val viewB = tmp(); val txd = tmp()
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
