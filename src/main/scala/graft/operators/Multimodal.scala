@@ -539,6 +539,64 @@ object Multimodal {
     unhex(concat(hdr, array_join(segHex, "")))
   }
 
+  /** [[wavPayloadScaled]] as a mapPartitions BYTE builder — identical
+    * integer + md5 arithmetic, ~70× faster: 5k × 18 KB clips through the
+    * per-sample Catalyst hex-string path cost ~70 s at sf0.1 (45M
+    * interpreted lambda evaluations, each building strings), while the
+    * same formula in a JVM loop writes the bytes in under a second.
+    * Byte-for-byte parity with the column form is spec-asserted
+    * (AudioDedupSpec), and the oracle replays the FORMULA either way. */
+  def withWavPayloadScaled(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("payload", org.apache.spark.sql.types.BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ buildWavScaled(r.getLong(idIdx))))
+    }(rowEnc)
+    out
+  }
+
+  private[operators] def buildWavScaled(id: Long): Array[Byte] = {
+    val v = java.lang.Math.floorMod(id, 8L)
+    val gid = (id - v) / 8L
+    val sc = v % 2L + 1L
+    val nSeg = 56; val n = nSeg * 160
+    val dataLen = 2 * n
+    val out = new Array[Byte](44 + dataLen)
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(off + i) = s(i).toByte; i += 1 }
+    }
+    def le16(off: Int, x: Int): Unit = {
+      out(off) = (x & 0xff).toByte; out(off + 1) = ((x >> 8) & 0xff).toByte
+    }
+    def le32(off: Int, x: Long): Unit = {
+      out(off) = (x & 0xff).toByte; out(off + 1) = ((x >> 8) & 0xff).toByte
+      out(off + 2) = ((x >> 16) & 0xff).toByte; out(off + 3) = ((x >> 24) & 0xff).toByte
+    }
+    tag(0, "RIFF"); le32(4, dataLen + 36L); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16L); le16(20, 1); le16(22, 1)
+    le32(24, 8000L); le32(28, 16000L); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen.toLong)
+    var seg = 0
+    while (seg < nSeg) {
+      val hv = graft.functions.Md5LongUtil.hashBytes(
+        s"afp:$gid:$seg".getBytes("UTF-8"))
+      val a = if (java.lang.Math.floorMod(hv, 4L) > 0) 12000L else 40L
+      val ph = if (seg.toLong == v) 17L else 0L
+      var i = 0
+      while (i < 160) {
+        val sIdx = seg * 160L + i
+        val base = java.lang.Math.floorMod(sIdx * 37L + gid * 13L + ph, a * 2L + 1L) - a
+        val u = java.lang.Math.floorMod(base * sc + 65536L, 65536L).toInt
+        le16(44 + 2 * (seg * 160 + i), u)
+        i += 1
+      }
+      seg += 1
+    }
+    out
+  }
+
   /** PEAK-CONSTELLATION fingerprint over real decoded PCM — the audio
     * analogue of [[withDHash]]: per 160-sample window, find the peak
     * (argmax |v|, FIRST index on ties — channel 0) and emit one bit for

@@ -521,8 +521,8 @@ object DedupQueries {
     // AND that the blocking lost nothing.
     "q328_audio_neardup" -> ((s, d) =>
       graft.operators.AudioDedup.pairs(
-        Tables.documents(s, d).select(col("doc_id"),
-          graft.operators.Multimodal.wavPayloadScaled(col("doc_id")).as("payload")),
+        graft.operators.Multimodal.withWavPayloadScaled(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
         "doc_id", "payload", maxHamming = 3)),
 
     // Embedding-cosine near-dup (brute-force baseline path).

@@ -36,7 +36,19 @@ class AudioDedupSpec extends AnyFunSuite {
   }
 
   private def clips(ids: Seq[Long]) =
-    ids.toDF("id").select(col("id"), Multimodal.wavPayloadScaled(col("id")).as("p"))
+    Multimodal.withWavPayloadScaled(ids.toDF("id"), "id")
+      .select(col("id"), col("payload").as("p"))
+
+  test("byte builder == column construction, byte for byte") {
+    val ids = Seq(0L, 1L, 7L, 8L, 63L, 500L)
+    val colForm = ids.toDF("id")
+      .select(col("id"), Multimodal.wavPayloadScaled(col("id")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    ids.foreach { i =>
+      assert(java.util.Arrays.equals(colForm(i), Multimodal.buildWavScaled(i)),
+        s"id $i: the two construction paths must agree byte-for-byte")
+    }
+  }
 
   test("withPeakHash matches an independent pure-Scala reference") {
     val ids = 0L until 32L
