@@ -344,6 +344,87 @@ object Multimodal {
       lit("\n255\n"), body).cast("binary")
   }
 
+  /** [[ppmPayloadScenes]]'s near-duplicate sibling (video's q296): real
+    * multi-frame P6 animations in GROUPS of 8 — gid = id div 8 picks the
+    * scene sequence, v = id mod 8 the variant. Every variant renders the
+    * SAME 112 group-keyed constant-intensity frames at a per-variant
+    * RESOLUTION (width 3 or 6 — within-clip frame-sum comparisons are
+    * resolution-invariant because every frame of a clip scales by the
+    * same pixel count) plus a one-frame intensity perturbation (frame
+    * v·13 gets +3). The temporal fingerprint compares DISJOINT frame
+    * pairs (2i vs 2i+1), so one perturbed frame flips at most ONE bit —
+    * pairwise fingerprint Hamming ≤ 2 within a group. Pure integer + md5
+    * arithmetic: the oracle replays the frame constants without seeing a
+    * byte, and the hash match proves the multi-frame decode. */
+  def ppmPayloadScenesGrouped(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.TextHash
+    val idL = id.cast("long")
+    val v = pmod(idL, lit(8L))
+    val gid = ((idL - v) / lit(8L)).cast("long")
+    val w = (pmod(v, lit(2L)) + 1L) * 3L
+    val h = lit(2L)
+    val frameLen = (w * h * 3L).cast("int")
+    val pf = v * 13L
+    val body = array_join(
+      transform(sequence(lit(0L), lit(111L)), fr =>
+        call_function("repeat",
+          call_function("char",
+            lit(97L) + pmod(TextHash.md5Long(concat(lit("vfp:"),
+              gid.cast("string"), lit(":"), fr.cast("string"))), lit(26L))
+              + when(fr === pf, lit(3L)).otherwise(lit(0L))),
+          frameLen)), "")
+    concat(lit("P6\n"), w.cast("string"), lit(" "), h.cast("string"),
+      lit("\n255\n"), body).cast("binary")
+  }
+
+  /** TEMPORAL fingerprint over real decoded frames — video's
+    * [[withDHash]]: decode every frame's intensity sum and emit one bit
+    * per DISJOINT frame pair, bit_i = (sum_{2i} > sum_{2i+1}). Within a
+    * clip all frames share the pixel count, so the sum comparison IS the
+    * mean comparison — resolution-invariant across re-encodings by
+    * construction — and disjoint pairs mean a single corrupted/edited
+    * frame flips at most one bit. NULL fingerprint for malformed or
+    * shorter-than-2·nPairs clips (the row survives). */
+  def withTemporalHash(df: DataFrame, binCol: String, nPairs: Int = 56): DataFrame = {
+    require(nPairs >= 1 && nPairs <= 60)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("temporal_hash", LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rowEnc = org.apache.spark.sql.Encoders.row(outSchema)
+    val out: Dataset[Row] = df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val fp: Any =
+          if (payload == null) null
+          else try {
+            val (meta, off, bps) = PpmDecoder.decodeFull(payload)
+            if (meta.frames < 2 * nPairs) null
+            else {
+              val spf = meta.width * meta.height * 3
+              def frameSum(fr: Int): Long = {
+                var sum = 0L; var i = 0
+                while (i < spf) {
+                  sum += PpmDecoder.sampleAt(payload, off, bps, fr * spf + i)
+                  i += 1
+                }
+                sum
+              }
+              var hsh = 0L; var i = 0
+              while (i < nPairs) {
+                if (frameSum(2 * i) > frameSum(2 * i + 1)) hsh |= 1L << i
+                i += 1
+              }
+              hsh
+            }
+          } catch {
+            case _: MediaFormatException => null
+          }
+        Row.fromSeq(r.toSeq :+ fp)
+      }
+    }(rowEnc)
+    out
+  }
+
   /** Per-FRAME intensity sums over REAL decoded pixels — the stage a
     * scene-cut detector consumes: parse the P6 header, sum every frame's
     * sample values (8/16-bit aware), and emit ONE ROW PER FRAME

@@ -525,6 +525,23 @@ object DedupQueries {
           Tables.documents(s, d).select(col("doc_id")), "doc_id"),
         "doc_id", "payload", maxHamming = 3)),
 
+    // VIDEO FINGERPRINT NEAR-DUP — the FOURTH modality (text q12, image
+    // q296, audio q328): real multi-frame P6 animations in groups of 8,
+    // the same 112-frame scene sequence at per-variant resolution plus a
+    // one-frame intensity edit, decoded frame-by-frame and fingerprinted
+    // TEMPORALLY: one bit per disjoint frame pair (sum_{2i} > sum_{2i+1}
+    // — within-clip sums share the pixel count, so the comparison is the
+    // resolution-invariant mean compare, and disjoint pairs mean one
+    // edited frame flips at most one bit). Shared pigeonhole blocking +
+    // exact verify; the oracle replays the frame constants and pairs by
+    // brute force — the hash match proves the multi-frame decode AND
+    // blocking losslessness.
+    "q330_video_neardup" -> ((s, d) =>
+      graft.operators.VideoDedup.pairs(
+        Tables.documents(s, d).select(col("doc_id"),
+          graft.operators.Multimodal.ppmPayloadScenesGrouped(col("doc_id")).as("payload")),
+        "doc_id", "payload", maxHamming = 3)),
+
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
       VectorOps.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)),
@@ -1353,6 +1370,26 @@ object DedupQueries {
          |       GROUP BY s.id, s.seg),
          |fp AS (SELECT id, sum(CASE WHEN pos >= 80 THEN 1::BIGINT << seg ELSE 0 END)::BIGINT AS fp
          |       FROM pk GROUP BY id)
+         |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.fp, b.fp))::INT AS hamming
+         |FROM fp a JOIN fp b ON a.id < b.id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+    },
+
+    "q330_video_neardup" -> {
+      val frMd5 = graft.functions.TextHash.md5LongSql(
+        "'vfp:' || gid::VARCHAR || ':' || f::VARCHAR")
+      s"""WITH d AS (SELECT doc_id AS id, doc_id // 8 AS gid, doc_id % 8 AS v
+         |           FROM documents),
+         |fr AS (SELECT id, f,
+         |    97 + (($frMd5) % 26)
+         |      + CASE WHEN f = v * 13 THEN 3 ELSE 0 END AS c
+         |  FROM d, (SELECT unnest(range(0, 112)) AS f) t),
+         |bits AS (SELECT a.id, a.f // 2 AS i,
+         |    CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
+         |  FROM fr a JOIN fr b ON a.id = b.id AND b.f = a.f + 1
+         |  WHERE a.f % 2 = 0),
+         |fp AS (SELECT id, sum(bit * (1::BIGINT << i))::BIGINT AS fp
+         |       FROM bits GROUP BY id)
          |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.fp, b.fp))::INT AS hamming
          |FROM fp a JOIN fp b ON a.id < b.id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
