@@ -29,6 +29,29 @@ object DedupQueries {
   private val mpCfg = MinHashDedup.Config(numHashes = 16, bands = 2, jaccardThreshold = 0.8)
   private val mpProbes = 3
 
+  /** The q328 audio-fingerprint replay CTEs (construction arithmetic +
+    * per-window argmax + 56-bit pack), shared by the q328 brute-pair and
+    * q331 index-probe oracles — ends with `fp(id, fp)` in scope. */
+  private def audioFpCtes: String = {
+    val segMd5 = graft.functions.TextHash.md5LongSql(
+      "'afp:' || gid::VARCHAR || ':' || seg::VARCHAR")
+    s"""WITH d AS (SELECT doc_id AS id, doc_id // 8 AS gid, doc_id % 8 AS v,
+       |             1 + (doc_id % 8) % 2 AS sc FROM documents),
+       |segs AS (SELECT id, gid, v, sc, seg,
+       |    CASE WHEN ($segMd5) % 4 > 0 THEN 12000 ELSE 40 END AS a
+       |  FROM d, (SELECT unnest(range(0, 56)) AS seg) t),
+       |samp AS (SELECT id, seg, i,
+       |    abs((((seg * 160 + i) * 37 + gid * 13
+       |          + CASE WHEN seg = v THEN 17 ELSE 0 END) % (2 * a + 1) - a) * sc) AS av
+       |  FROM segs, (SELECT unnest(range(0, 160)) AS i) u),
+       |mx AS (SELECT id, seg, max(av) AS ma FROM samp GROUP BY id, seg),
+       |pk AS (SELECT s.id, s.seg, min(s.i) AS pos
+       |       FROM samp s JOIN mx ON s.id = mx.id AND s.seg = mx.seg AND s.av = mx.ma
+       |       GROUP BY s.id, s.seg),
+       |fp AS (SELECT id, sum(CASE WHEN pos >= 80 THEN 1::BIGINT << seg ELSE 0 END)::BIGINT AS fp
+       |       FROM pk GROUP BY id)""".stripMargin
+  }
+
   /** q237's DuckDB replay (shared: q240 rolls the spans up). */
   private lazy val duplicateSpansSql: String = {
     val h = TextHash.md5LongSql("substr(t, p, 30)")
@@ -541,6 +564,30 @@ object DedupQueries {
         Tables.documents(s, d).select(col("doc_id"),
           graft.operators.Multimodal.ppmPayloadScenesGrouped(col("doc_id")).as("payload")),
         "doc_id", "payload", maxHamming = 3)),
+
+    // PERSISTED HAMMING INDEX PROBE — the q121 lifecycle for perceptual
+    // fingerprints: the audio corpus (doc_id >= 50) indexed ONCE as
+    // pigeonhole chunk tables (sources/HammingIndex), the batch
+    // (doc_id < 50) probed with static partition pruning and popcount
+    // verify on fingerprints carried in the chunk rows — probe I/O is
+    // ∝ batch + candidates, never corpus. The oracle is the FLAT
+    // split-pair join over the same replayed fingerprints: equality
+    // proves the persisted index path loses nothing.
+    "q331_hamming_index_probe" -> ((s, d) => {
+      val fps = graft.operators.AudioDedup.fingerprints(
+        graft.operators.Multimodal.withWavPayloadScaled(
+          Tables.documents(s, d).select(col("doc_id")), "doc_id"),
+        "doc_id", "payload")
+        .persist() // corpus write + batch probe both consume it
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ham_idx_q331_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.sources.HammingIndex.write(
+        fps.filter(col("id") >= 50), "id", "peak_hash", idx, bits = 56)
+      graft.sources.HammingIndex.probe(
+        s, fps.filter(col("id") < 50), "id", "peak_hash", idx, maxHamming = 3)
+    }),
 
     // Embedding-cosine near-dup (brute-force baseline path).
     "q15_dedup_embedding" -> ((s, d) =>
@@ -1352,28 +1399,20 @@ object DedupQueries {
          |FROM w""".stripMargin
     },
 
-    "q328_audio_neardup" -> {
-      val segMd5 = graft.functions.TextHash.md5LongSql(
-        "'afp:' || gid::VARCHAR || ':' || seg::VARCHAR")
-      s"""WITH d AS (SELECT doc_id AS id, doc_id // 8 AS gid, doc_id % 8 AS v,
-         |             1 + (doc_id % 8) % 2 AS sc FROM documents),
-         |segs AS (SELECT id, gid, v, sc, seg,
-         |    CASE WHEN ($segMd5) % 4 > 0 THEN 12000 ELSE 40 END AS a
-         |  FROM d, (SELECT unnest(range(0, 56)) AS seg) t),
-         |samp AS (SELECT id, seg, i,
-         |    abs((((seg * 160 + i) * 37 + gid * 13
-         |          + CASE WHEN seg = v THEN 17 ELSE 0 END) % (2 * a + 1) - a) * sc) AS av
-         |  FROM segs, (SELECT unnest(range(0, 160)) AS i) u),
-         |mx AS (SELECT id, seg, max(av) AS ma FROM samp GROUP BY id, seg),
-         |pk AS (SELECT s.id, s.seg, min(s.i) AS pos
-         |       FROM samp s JOIN mx ON s.id = mx.id AND s.seg = mx.seg AND s.av = mx.ma
-         |       GROUP BY s.id, s.seg),
-         |fp AS (SELECT id, sum(CASE WHEN pos >= 80 THEN 1::BIGINT << seg ELSE 0 END)::BIGINT AS fp
-         |       FROM pk GROUP BY id)
+    "q328_audio_neardup" ->
+      s"""$audioFpCtes
          |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.fp, b.fp))::INT AS hamming
          |FROM fp a JOIN fp b ON a.id < b.id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
-    },
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+
+    // the index path must lose NOTHING: the oracle is the flat split-pair
+    // join over the same replayed fingerprints (q121's equality-proof)
+    "q331_hamming_index_probe" ->
+      s"""$audioFpCtes
+         |SELECT a.id AS query_id, b.id AS corpus_id,
+         |  bit_count(xor(a.fp, b.fp))::INT AS hamming
+         |FROM fp a JOIN fp b ON a.id < 50 AND b.id >= 50
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
     "q330_video_neardup" -> {
       val frMd5 = graft.functions.TextHash.md5LongSql(

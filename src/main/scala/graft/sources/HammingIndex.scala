@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+
+/** Persisted HAMMING FINGERPRINT INDEX — the multimodal sibling of
+  * [[LshIndex]]: a corpus of 56-bit perceptual fingerprints (image dHash,
+  * audio peak constellation, video temporal hash, text SimHash — anything
+  * [[graft.operators.SimHashDedup.chunkBlockedPairs]] pairs) written once
+  * as pigeonhole CHUNK tables, so repeated near-dup probes pay I/O
+  * proportional to the batch + candidates, never the corpus:
+  *
+  *   - the fingerprint splits into 4 chunks of bits/4; a pair within
+  *     Hamming ≤ 3 shares at least one chunk value EXACTLY (pigeonhole),
+  *     so the chunk tables are a LOSSLESS candidate generator;
+  *   - chunk rows land partitioned by `pk = md5(ci:cv) mod nParts`; a
+  *     probe computes its own batch's chunk rows map-side, collects the
+  *     ≤ nParts DISTINCT partition values, and reads only those
+  *     directories (the [[graft.operators.KMeansIVF.indexTopK]] static
+  *     partition-filter pattern);
+  *   - candidates verify by exact popcount on the fingerprints carried IN
+  *     the chunk rows — no second corpus read at all.
+  *
+  * The geometry (bits, nParts) rides `meta.json` and probes must match it
+  * (the BloomFileIndex lesson: a mismatched probe is silent false
+  * negatives). Rebuild = overwrite; for incremental ingest compose with
+  * the batch-claim discipline of [[LshIndex.append]].
+  */
+object HammingIndex {
+
+  /** Build (or rebuild) the index from `(idCol, fpCol)` fingerprints.
+    * NULL fingerprints (malformed media) are skipped — they can never
+    * pair anyway. */
+  def write(fps: DataFrame, idCol: String, fpCol: String, dir: String,
+            bits: Int, nParts: Int = 64): Unit = {
+    require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
+    chunkRows(fps, idCol, fpCol, bits, nParts)
+      .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
+      s"""{"bits":$bits,"nParts":$nParts}""")
+  }
+
+  private def chunkRows(fps: DataFrame, idCol: String, fpCol: String,
+                        bits: Int, nParts: Int): DataFrame = {
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(col("fp"), chunkBits * c).bitwiseAND(lit(chunkMask)).as("cv"))
+    }
+    fps.filter(col(fpCol).isNotNull)
+      .select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .select(col("id"), col("fp"), explode(array(chunkCols: _*)).as("c"))
+      .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+      .withColumn("pk", pmod(TextHash.md5Long(
+        concat(col("ci").cast("string"), lit(":"), col("cv").cast("string"))),
+        lit(nParts.toLong)))
+  }
+
+  private def metaOf(dir: String): Map[String, Int] = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/meta.json"))
+    """"(\w+)":(\d+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  /** Near-dup pairs `(query_id, corpus_id, hamming)` of a probe batch
+    * against the indexed corpus, Hamming ≤ `maxHamming` (≤ 3: the
+    * pigeonhole guarantee), self-pairs excluded. I/O ∝ batch + candidate
+    * chunk partitions. */
+  def probe(spark: SparkSession, batch: DataFrame, idCol: String,
+            fpCol: String, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is only lossless for Hamming <= 3")
+    val meta = metaOf(dir)
+    val bits = meta("bits"); val nParts = meta("nParts")
+    val q = chunkRows(batch, idCol, fpCol, bits, nParts)
+      .select(col("id").as("qid"), col("fp").as("qfp"),
+        col("ci"), col("cv"), col("pk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // static partition pruning: <= nParts distinct values, never rows
+    val pks = q.select(col("pk")).distinct().collect().map(_.getLong(0))
+    val c = spark.read.parquet(s"$dir/chunks")
+      .filter(col("pk").isin(pks: _*))
+      .select(col("id").as("cid"), col("fp").as("cfp"), col("ci"), col("cv"))
+    q.join(c, Seq("ci", "cv"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qfp"), col("cfp"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(qfp ^ cfp)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("qid").as("query_id"), col("cid").as("corpus_id"), col("hamming"))
+  }
+}
