@@ -38,8 +38,50 @@ object HammingIndex {
     require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
     chunkRows(fps, idCol, fpCol, bits, nParts)
       .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
+    // id-bucketed membership table: the SOUND collision gate for append
+    // (pruning the chunk tables by the batch's pk values would miss a
+    // same-id-different-fingerprint copy, whose chunks live elsewhere)
+    fps.filter(col(fpCol).isNotNull)
+      .select(col(idCol).as("id"))
+      .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
+        lit(nParts.toLong)))
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/ids")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
       s"""{"bits":$bits,"nParts":$nParts}""")
+  }
+
+  /** Incrementally index a batch — the daily-ingest path: new chunk rows
+    * land as additional files inside the existing `pk` partition
+    * directories, so probe-side pruning is unchanged and the corpus is
+    * never re-fingerprinted. Id collisions with already-indexed clips
+    * would silently double candidate rows, so append ABORTS on overlap
+    * (the G3 duplicate-abort discipline); the gate reads only the
+    * batch's own id buckets of the membership table. Crash ordering:
+    * chunks land BEFORE ids — a retry after a mid-append crash may
+    * duplicate chunk rows (probe's candidate `distinct()` absorbs that)
+    * but can never abort against its own half-written ids. */
+  def append(spark: SparkSession, batch: DataFrame, idCol: String,
+             fpCol: String, dir: String): Unit = {
+    val meta = metaOf(dir)
+    val bits = meta("bits"); val nParts = meta("nParts")
+    val rows = chunkRows(batch, idCol, fpCol, bits, nParts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newIds = rows.select(col("id")).distinct()
+        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
+          lit(nParts.toLong)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hbs = newIds.select(col("hb")).distinct().collect().map(_.getLong(0))
+        val clash = spark.read.parquet(s"$dir/ids")
+          .filter(col("hb").isin(hbs: _*))
+          .join(newIds.select(col("id")), "id").limit(1).collect()
+        require(clash.isEmpty,
+          s"append would duplicate already-indexed id ${clash.headOption}")
+        rows.write.mode("append").partitionBy("pk").parquet(s"$dir/chunks")
+        newIds.write.mode("append").partitionBy("hb").parquet(s"$dir/ids")
+      } finally newIds.unpersist()
+    } finally rows.unpersist()
   }
 
   private def chunkRows(fps: DataFrame, idCol: String, fpCol: String,

@@ -46,6 +46,23 @@ class HammingIndexSpec extends AnyFunSuite {
     assert(self == 0)
   }
 
+  test("append: incremental batches probe identically to a fresh rebuild; collisions abort") {
+    val idx = java.nio.file.Files.createTempDirectory("ham_idx4").toString
+    val rebuilt = java.nio.file.Files.createTempDirectory("ham_idx5").toString
+    HammingIndex.write(fps(12L until 48L), "id", "peak_hash", idx, bits = 56)
+    HammingIndex.append(spark, fps(48L until 96L), "id", "peak_hash", idx)
+    HammingIndex.write(fps(12L until 96L), "id", "peak_hash", rebuilt, bits = 56)
+    def pairsOf(d: String) =
+      HammingIndex.probe(spark, fps(0L until 12L), "id", "peak_hash", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairsOf(idx) == pairsOf(rebuilt),
+      "append must converge to the rebuilt index's probe results")
+    // overlapping re-ingest aborts loudly (G3), even with a changed fp
+    intercept[IllegalArgumentException] {
+      HammingIndex.append(spark, fps(Seq(20L)), "id", "peak_hash", idx)
+    }
+  }
+
   test("null fingerprints are skipped on both sides") {
     val idx = java.nio.file.Files.createTempDirectory("ham_idx3").toString
     val withNull = fps(0L until 8L).unionByName(
