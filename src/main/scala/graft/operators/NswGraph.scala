@@ -126,6 +126,150 @@ object NswGraph {
   def attach(c: DataFrame, g: Graph): DataFrame =
     KMeansIVF.assignBuckets(c, g.hubVecs)
 
+  /** Persist the routing layer + attachment — the q49 lifecycle for graph
+    * ANN: the corpus written `partitionBy(bucket)` (one directory per hub)
+    * plus the GRAPH as a line-format sidecar (hub vectors, adjacency,
+    * entries, sample modulus). Repeated query batches then route on the
+    * in-memory graph and read ONLY the probed hub buckets from storage —
+    * partition pruning turns nprobe into a disk-level saving. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 dir: String, p: Params): Graph = {
+    val g = build(corpus, idCol, vecCol, p)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      VectorOps.asDouble(col(vecCol)).as("cv"))
+    attach(c, g).write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$dir/data")
+    val sb = new StringBuilder
+    sb ++= s"mod=${g.sampleMod}\n"
+    sb ++= s"entries=${g.entries.mkString(",")}\n"
+    for (i <- g.hubIds.indices) {
+      val hid = g.hubIds(i)
+      sb ++= s"hub=$hid:${g.hubVecs(i).mkString(",")}:${g.adj(hid).mkString(",")}\n"
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/graph.txt"), sb.toString)
+    g
+  }
+
+  /** Read the persisted routing layer back (hub order preserved — the
+    * array index IS the attachment bucket id). */
+  def readGraph(dir: String): Graph = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$dir/graph.txt"))
+    var mod = 0
+    var entries = Seq.empty[Long]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val adj = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    lines.forEach { l =>
+      if (l.startsWith("mod=")) mod = l.stripPrefix("mod=").toInt
+      else if (l.startsWith("entries="))
+        entries = l.stripPrefix("entries=").split(",").map(_.toLong).toSeq
+      else if (l.startsWith("hub=")) {
+        val Array(hid, v, a) = l.stripPrefix("hub=").split(":", 3)
+        ids += hid.toLong
+        vecs += v.split(",").map(_.toDouble)
+        adj(hid.toLong) = a.split(",").map(_.toLong).toSeq
+      }
+    }
+    Graph(ids.toArray, vecs.toArray, adj.toMap, entries, mod)
+  }
+
+  /** ANN top-k against a persisted graph index: beam routing on the
+    * in-memory sidecar graph, then a scan of ONLY the probed hub buckets
+    * (static partition filter — `PartitionFilters: [bucket IN (...)]`).
+    * Output `(query_id, neighbor_id, rank, cosine)`, the [[KMeansIVF]]
+    * index shape. The query side is bounded by contract (collected for
+    * routing); candidates re-rank exactly. */
+  def indexSearch(queries: DataFrame, dir: String, idCol: String,
+                  vecCol: String, k: Int, p: Params): DataFrame = {
+    val spark = queries.sparkSession
+    val g = readGraph(dir)
+    val idxOf = g.hubIds.zipWithIndex.toMap
+    val qdf = queries.select(col(idCol).as("query_id"),
+      VectorOps.asDouble(col(vecCol)).as("qv"))
+    val qrows = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qrows.flatMap { case (qid, qv) =>
+      beamSearch(g, p, qv)._1.map(h => (qid, idxOf(h)))
+    }.toSeq
+    val buckets = probeRows.map(_._2).distinct.sorted
+    import spark.implicits._
+    val probed = probeRows.toDF("query_id", "bucket")
+    val data = spark.read.parquet(s"$dir/data")
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    broadcast(probed.join(qdf, "query_id"))
+      .join(data, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
+  }
+
+  /** DuckDB replay of a persisted-graph SEARCH (the q332 oracle): hub
+    * sample, adjacency, the beam rounds for `queryPred`'s queries,
+    * attachment, probed-bucket candidates, exact top-k re-rank — the
+    * [[KMeansIVF.oracleSql]] shape for the graph index. */
+  def searchOracleSql(table: String, idCol: String, vecCol: String,
+                      p: Params, k: Int, queryPred: String): String = {
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val h = TextHash.md5LongSql("id::VARCHAR")
+    def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e WHERE $h % ${modOf(p.hubCap)} = 0),\n"
+    sb ++= s"adj AS (SELECT src, dst FROM (\n"
+    sb ++= s"    SELECT a.hid AS src, b.hid AS dst,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY a.hid ORDER BY ${cos("a.hv", "b.hv")} DESC, b.hid) AS rn\n"
+    sb ++= s"    FROM hubs a JOIN hubs b ON b.hid != a.hid) WHERE rn <= ${p.m}),\n"
+    sb ++= s"qs AS (SELECT id AS query_id, v AS qv FROM e WHERE $queryPred),\n"
+    sb ++= s"hscore AS (SELECT q.query_id, h.hid, ${cos("q.qv", "h.hv")} AS c\n"
+    sb ++= s"           FROM qs q CROSS JOIN hubs h),\n"
+    val hidHash = TextHash.md5LongSql("hid::VARCHAR")
+    sb ++= s"ents AS (SELECT hid FROM hubs ORDER BY $hidHash, hid LIMIT ${p.nEntries}),\n"
+    sb ++= s"v0 AS (SELECT q.query_id, e2.hid AS hub FROM qs q CROSS JOIN ents e2),\n"
+    sb ++= s"b0 AS (SELECT query_id, hub FROM (\n"
+    sb ++= s"    SELECT v.query_id, v.hub,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
+    sb ++= s"    FROM v0 v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
+    sb ++= s"    WHERE rn <= ${p.beamWidth}),\n"
+    for (i <- 1 to p.rounds) {
+      sb ++= s"v$i AS (SELECT DISTINCT query_id, hub FROM (\n"
+      sb ++= s"    SELECT query_id, hub FROM v${i - 1}\n"
+      sb ++= s"    UNION ALL\n"
+      sb ++= s"    SELECT b.query_id, a.dst AS hub FROM b${i - 1} b JOIN adj a ON b.hub = a.src)),\n"
+      sb ++= s"b$i AS (SELECT query_id, hub FROM (\n"
+      sb ++= s"    SELECT v.query_id, v.hub,\n"
+      sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
+      sb ++= s"    FROM v$i v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
+      sb ++= s"    WHERE rn <= ${p.beamWidth}),\n"
+    }
+    val vFin = s"v${p.rounds}"
+    sb ++= s"nswp AS (SELECT query_id, hub FROM (\n"
+    sb ++= s"    SELECT v.query_id, v.hub,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
+    sb ++= s"    FROM $vFin v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
+    sb ++= s"    WHERE rn <= ${p.nprobe}),\n"
+    sb ++= s"hatt AS (SELECT id, v, hub FROM (\n"
+    sb ++= s"    SELECT e.id, e.v, h.hid AS hub,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY e.id ORDER BY ${cos("e.v", "h.hv")} DESC, h.hid) AS rn\n"
+    sb ++= s"    FROM e CROSS JOIN hubs h) WHERE rn = 1),\n"
+    sb ++= s"cand AS (SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n"
+    sb ++= s"    FROM nswp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n"
+    sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
+    sb ++= s"ranked AS (SELECT query_id, nid, c,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rank\n"
+    sb ++= s"  FROM cand)\n"
+    sb ++= s"SELECT query_id, nid AS neighbor_id, rank::INT AS rank,\n"
+    sb ++= s"  (floor(c * 1000 + 0.5) / 1000) AS cosine\n"
+    sb ++= s"FROM ranked WHERE rank <= $k"
+    sb.toString
+  }
+
   /** DuckDB replay of the FULL q327 recall audit: hub sample, M-nearest
     * adjacency, every beam-search round unrolled, corpus attachment, the
     * three probe strategies (nsw beam / full hub scan / learned-k-means

@@ -920,6 +920,26 @@ object DedupQueries {
         .unionByName(stats("kmeans_ivf", kmProbe, assigned, lit(nq * cents.length)))
     }),
 
+    // Graph ANN through the PERSISTED index lifecycle (q49's dual for
+    // NSW): hub layer + adjacency + attachment written once (graph as a
+    // sidecar, corpus partitioned by hub bucket), then beam routing on
+    // the in-memory sidecar and a partition-pruned scan of only the
+    // probed buckets — the serving shape where the routing layer lives
+    // in RAM and disk I/O is proportional to nprobe. Oracle replays hub
+    // sample, adjacency, every beam round, attachment, and the re-rank.
+    "q332_nsw_index_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val p = graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_nsw_idx_q332_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.NswGraph.writeIndex(e, "vec_id", "embedding", idx, p)
+      graft.operators.NswGraph.indexSearch(
+        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
+    }),
+
     // Same ANN through the PERSISTED index lifecycle: fit + bucket-
     // partitioned write + partition-pruned query, different (k, nprobe) to
     // exercise the oracle generator's parameterization. Measures the whole
@@ -1634,6 +1654,12 @@ object DedupQueries {
         |FROM (SELECT DISTINCT label FROM embeddings) lab
         |  LEFT JOIN deg USING (label) LEFT JOIN intra USING (label), m""".stripMargin
     },
+
+    "q332_nsw_index_probe" -> graft.operators.NswGraph.searchOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8),
+      k = 5, queryPred = "id < 10"),
 
     "q327_nsw_recall" -> graft.operators.NswGraph.recallOracleSql(
       "embeddings", "vec_id", "embedding",

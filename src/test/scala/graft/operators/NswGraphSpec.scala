@@ -59,6 +59,48 @@ class NswGraphSpec extends AnyFunSuite {
     assert(beam.toSet.subsetOf(g.hubIds.toSet))
   }
 
+  test("persisted index: graph round-trips, search matches in-memory routing, scan is pruned") {
+    val idx = java.nio.file.Files.createTempDirectory("nsw_idx").toString
+    val g0 = NswGraph.writeIndex(e, "vec_id", "embedding", idx, p)
+    val g1 = NswGraph.readGraph(idx)
+    assert(g1.hubIds.toSeq == g0.hubIds.toSeq)
+    assert(g1.hubVecs.map(_.toSeq).toSeq == g0.hubVecs.map(_.toSeq).toSeq,
+      "Double.toString round-trips exactly — vectors must survive the sidecar")
+    assert(g1.adj == g0.adj && g1.entries == g0.entries && g1.sampleMod == g0.sampleMod)
+
+    val q = e.filter(col("vec_id") < 10)
+    val fromIndex = NswGraph.indexSearch(q, idx, "vec_id", "embedding", k = 5, p)
+    // parity: the same routing + an exact re-rank over the same buckets,
+    // reproduced in memory
+    val qrows = q.select(col("vec_id"), VectorOps.asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val idxOf = g0.hubIds.zipWithIndex.toMap
+    val att = NswGraph.attach(
+      e.select(col("vec_id").as("neighbor_id"),
+        VectorOps.asDouble(col("embedding")).as("cv")), g0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cosRef(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val expected = qrows.flatMap { case (qid, qv) =>
+      val probes = NswGraph.beamSearch(g0, p, qv)._1.map(idxOf).toSet
+      att.filter(a => probes(a._3) && a._1 != qid)
+        .map(a => (a._1, cosRef(qv, a._2)))
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).zipWithIndex
+        .map { case ((nid, _), i) => (qid, nid, i + 1) }
+    }.toSet
+    val got = fromIndex.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+
+    // the scan must be bucket-partition-pruned (disk I/O ∝ nprobe)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("attach assigns every corpus vector a bucket index into the hub array") {
     val c = e.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))
