@@ -61,6 +61,8 @@ object NswGraph {
   /** Build the routing layer. Collects only the md5 hub sample (≤ ~hubCap
     * rows by the count-derived modulus); the corpus itself is untouched. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, p: Params): Graph = {
+    require(p.m >= 1 && p.beamWidth >= 1 && p.nprobe >= 1 && p.nEntries >= 1,
+      s"degenerate params $p — every graph dimension must be >= 1")
     val c = corpus.select(
       col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
     val mod = KMeansIVF.sampleModFor(c.count(), p.hubCap)
@@ -161,15 +163,20 @@ object NswGraph {
     val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
     val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val adj = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+    // ''.split(",") yields Array("") — empty lists must parse as empty,
+    // not NumberFormatException (build() refuses the degenerate params
+    // that would WRITE them, but the parser stays total anyway)
+    def longs(x: String): Seq[Long] =
+      if (x.isEmpty) Seq.empty else x.split(",").map(_.toLong).toSeq
     lines.forEach { l =>
       if (l.startsWith("mod=")) mod = l.stripPrefix("mod=").toInt
       else if (l.startsWith("entries="))
-        entries = l.stripPrefix("entries=").split(",").map(_.toLong).toSeq
+        entries = longs(l.stripPrefix("entries="))
       else if (l.startsWith("hub=")) {
         val Array(hid, v, a) = l.stripPrefix("hub=").split(":", 3)
         ids += hid.toLong
         vecs += v.split(",").map(_.toDouble)
-        adj(hid.toLong) = a.split(",").map(_.toLong).toSeq
+        adj(hid.toLong) = longs(a)
       }
     }
     Graph(ids.toArray, vecs.toArray, adj.toMap, entries, mod)
@@ -210,23 +217,25 @@ object NswGraph {
         graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
-  /** DuckDB replay of a persisted-graph SEARCH (the q332 oracle): hub
-    * sample, adjacency, the beam rounds for `queryPred`'s queries,
-    * attachment, probed-bucket candidates, exact top-k re-rank — the
-    * [[KMeansIVF.oracleSql]] shape for the graph index. */
-  def searchOracleSql(table: String, idCol: String, vecCol: String,
-                      p: Params, k: Int, queryPred: String): String = {
+  /** The shared routing-replay CTE text — hub sample, M-nearest
+    * adjacency, query scores, multi-restart entries, EVERY beam round,
+    * final probes, and corpus attachment — ONE generator feeding both the
+    * q327 recall oracle and the q332 search oracle (these strings are the
+    * hash-checked replay of build()/beamSearch(); forked copies would let
+    * a semantics fix go stale in one of them). Callers provide `e(id, v)`
+    * in scope and the qs predicate; the text ends inside the WITH list
+    * with `hubs`, `hscore`, `nswp`, `hatt` and `v<rounds>` available. */
+  private def routingCtes(p: Params, qsPred: String): String = {
     def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
     val h = TextHash.md5LongSql("id::VARCHAR")
     def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
     val sb = new StringBuilder
-    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
     sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e WHERE $h % ${modOf(p.hubCap)} = 0),\n"
     sb ++= s"adj AS (SELECT src, dst FROM (\n"
     sb ++= s"    SELECT a.hid AS src, b.hid AS dst,\n"
     sb ++= s"      row_number() OVER (PARTITION BY a.hid ORDER BY ${cos("a.hv", "b.hv")} DESC, b.hid) AS rn\n"
     sb ++= s"    FROM hubs a JOIN hubs b ON b.hid != a.hid) WHERE rn <= ${p.m}),\n"
-    sb ++= s"qs AS (SELECT id AS query_id, v AS qv FROM e WHERE $queryPred),\n"
+    sb ++= s"qs AS (SELECT id AS query_id, v AS qv FROM e WHERE $qsPred),\n"
     sb ++= s"hscore AS (SELECT q.query_id, h.hid, ${cos("q.qv", "h.hv")} AS c\n"
     sb ++= s"           FROM qs q CROSS JOIN hubs h),\n"
     val hidHash = TextHash.md5LongSql("hid::VARCHAR")
@@ -258,6 +267,19 @@ object NswGraph {
     sb ++= s"    SELECT e.id, e.v, h.hid AS hub,\n"
     sb ++= s"      row_number() OVER (PARTITION BY e.id ORDER BY ${cos("e.v", "h.hv")} DESC, h.hid) AS rn\n"
     sb ++= s"    FROM e CROSS JOIN hubs h) WHERE rn = 1),\n"
+    sb.toString
+  }
+
+  /** DuckDB replay of a persisted-graph SEARCH (the q332 oracle): hub
+    * sample, adjacency, the beam rounds for `queryPred`\'s queries,
+    * attachment, probed-bucket candidates, exact top-k re-rank — the
+    * [[KMeansIVF.oracleSql]] shape for the graph index. */
+  def searchOracleSql(table: String, idCol: String, vecCol: String,
+                      p: Params, k: Int, queryPred: String): String = {
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= routingCtes(p, queryPred)
     sb ++= s"cand AS (SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n"
     sb ++= s"    FROM nswp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n"
     sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
@@ -287,49 +309,11 @@ object NswGraph {
     // bucket), c<kmIters>(cid, cv) — all reused below
     sb ++= KMeansIVF.fitReplayCtes(table, idCol, vecCol, kmClusters, kmIters, kmSampleCap)
     val cFin = s"c$kmIters"
-    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e WHERE $h % ${modOf(p.hubCap)} = 0),\n"
-    sb ++= s"adj AS (SELECT src, dst FROM (\n"
-    sb ++= s"    SELECT a.hid AS src, b.hid AS dst,\n"
-    sb ++= s"      row_number() OVER (PARTITION BY a.hid ORDER BY ${cos("a.hv", "b.hv")} DESC, b.hid) AS rn\n"
-    sb ++= s"    FROM hubs a JOIN hubs b ON b.hid != a.hid) WHERE rn <= ${p.m}),\n"
-    sb ++= s"qs AS (SELECT id AS query_id, v AS qv FROM e WHERE $h % ${modOf(queryCap)} = 0),\n"
-    sb ++= s"hscore AS (SELECT q.query_id, h.hid, ${cos("q.qv", "h.hv")} AS c\n"
-    sb ++= s"           FROM qs q CROSS JOIN hubs h),\n"
-    // multi-restart entries: the nEntries hubs first in (md5(hid), hid)
-    val hidHash = TextHash.md5LongSql("hid::VARCHAR")
-    sb ++= s"ents AS (SELECT hid FROM hubs ORDER BY $hidHash, hid LIMIT ${p.nEntries}),\n"
-    sb ++= s"v0 AS (SELECT q.query_id, e2.hid AS hub FROM qs q CROSS JOIN ents e2),\n"
-    sb ++= s"b0 AS (SELECT query_id, hub FROM (\n"
-    sb ++= s"    SELECT v.query_id, v.hub,\n"
-    sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
-    sb ++= s"    FROM v0 v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
-    sb ++= s"    WHERE rn <= ${p.beamWidth}),\n"
-    for (i <- 1 to p.rounds) {
-      sb ++= s"v$i AS (SELECT DISTINCT query_id, hub FROM (\n"
-      sb ++= s"    SELECT query_id, hub FROM v${i - 1}\n"
-      sb ++= s"    UNION ALL\n"
-      sb ++= s"    SELECT b.query_id, a.dst AS hub FROM b${i - 1} b JOIN adj a ON b.hub = a.src)),\n"
-      sb ++= s"b$i AS (SELECT query_id, hub FROM (\n"
-      sb ++= s"    SELECT v.query_id, v.hub,\n"
-      sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
-      sb ++= s"    FROM v$i v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
-      sb ++= s"    WHERE rn <= ${p.beamWidth}),\n"
-    }
+    sb ++= routingCtes(p, s"$h % ${modOf(queryCap)} = 0")
     val vFin = s"v${p.rounds}"
-    sb ++= s"nswp AS (SELECT query_id, hub FROM (\n"
-    sb ++= s"    SELECT v.query_id, v.hub,\n"
-    sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
-    sb ++= s"    FROM $vFin v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
-    sb ++= s"    WHERE rn <= ${p.nprobe}),\n"
     sb ++= s"scanp AS (SELECT query_id, hid AS hub FROM (\n"
     sb ++= s"    SELECT query_id, hid, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, hid) AS rn\n"
     sb ++= s"    FROM hscore) WHERE rn <= ${p.nprobe}),\n"
-    // attachment keyed by hub ID (Spark keys by array index; the id-sorted
-    // hub array makes the two keyings bijective, ties identical)
-    sb ++= s"hatt AS (SELECT id, v, hub FROM (\n"
-    sb ++= s"    SELECT e.id, e.v, h.hid AS hub,\n"
-    sb ++= s"      row_number() OVER (PARTITION BY e.id ORDER BY ${cos("e.v", "h.hv")} DESC, h.hid) AS rn\n"
-    sb ++= s"    FROM e CROSS JOIN hubs h) WHERE rn = 1),\n"
     sb ++= s"truth AS (SELECT query_id, nid FROM (\n"
     sb ++= s"    SELECT q.query_id, n.id AS nid,\n"
     sb ++= s"      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "n.v")} DESC, n.id) AS rn\n"
@@ -366,14 +350,14 @@ object NswGraph {
     sb ++= s"nhv AS (SELECT count(*)::BIGINT AS nh FROM hubs),\n"
     sb ++= s"ncv AS (SELECT count(*)::BIGINT AS nc FROM $cFin),\n"
     sb ++= s"nswev AS (SELECT count(*)::BIGINT AS ev FROM $vFin)\n"
-    sb ++= s"SELECT 'nsw_beam' AS method, nq AS n_queries, ev AS hub_evals, candidates,\n"
+    sb ++= s"SELECT \'nsw_beam\' AS method, nq AS n_queries, ev AS hub_evals, candidates,\n"
     sb ++= s"  hits AS hits10, ((hits * 10000) // ($k * nq))::BIGINT AS recall_bp\n"
     sb ++= s"FROM stat_nsw, nqv, nswev\n"
     sb ++= s"UNION ALL\n"
-    sb ++= s"SELECT 'hub_scan', nq, (nq * nh)::BIGINT, candidates, hits,\n"
+    sb ++= s"SELECT \'hub_scan\', nq, (nq * nh)::BIGINT, candidates, hits,\n"
     sb ++= s"  ((hits * 10000) // ($k * nq))::BIGINT FROM stat_scan, nqv, nhv\n"
     sb ++= s"UNION ALL\n"
-    sb ++= s"SELECT 'kmeans_ivf', nq, (nq * nc)::BIGINT, candidates, hits,\n"
+    sb ++= s"SELECT \'kmeans_ivf\', nq, (nq * nc)::BIGINT, candidates, hits,\n"
     sb ++= s"  ((hits * 10000) // ($k * nq))::BIGINT FROM stat_km, nqv, ncv"
     sb.toString
   }

@@ -75,21 +75,30 @@ object SimHashDedup {
     * and the 56-bit image dHash ([[ImageDedup]]). NULL fingerprints
     * (undecodable images) are excluded. The input is persisted: both join
     * branches consume it (the round-5 rule). */
+  /** The 4-chunk pigeonhole split — ONE definition shared by
+    * [[chunkBlockedPairs]] and [[graft.sources.HammingIndex]]: the
+    * index's losslessness proof depends on both computing identical
+    * (ci, cv) values, so the geometry must never fork. */
+  private[graft] def fpChunkCols(fp: org.apache.spark.sql.Column, bits: Int)
+    : Seq[org.apache.spark.sql.Column] = {
+    require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    (0 until 4).map { c =>
+      struct(lit(c).as("ci"),
+        shiftright(fp, chunkBits * c).bitwiseAND(lit(chunkMask)).as("cv"))
+    }
+  }
+
   def chunkBlockedPairs(
       fps: DataFrame, idCol: String, fpCol: String,
       bits: Int, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is only lossless for Hamming <= 3")
-    require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
-    val chunkBits = bits / 4
-    val chunkMask = (1L << chunkBits) - 1
     val s = fps.filter(col(fpCol).isNotNull)
       .select(col(idCol).as("id"), col(fpCol).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunkCols = (0 until 4).map { c =>
-      struct(lit(c).as("ci"),
-        shiftright(col("fp"), chunkBits * c).bitwiseAND(lit(chunkMask)).as("cv"))
-    }
-    val ch = s.select(col("id"), col("fp"), explode(array(chunkCols: _*)).as("c"))
+    val ch = s.select(col("id"), col("fp"),
+      explode(array(fpChunkCols(col("fp"), bits): _*)).as("c"))
     ch.as("x")
       .join(ch.as("y"), col("x.c") === col("y.c") && col("x.id") < col("y.id"))
       .select(

@@ -42,7 +42,7 @@ object HammingIndex {
     // (pruning the chunk tables by the batch's pk values would miss a
     // same-id-different-fingerprint copy, whose chunks live elsewhere)
     fps.filter(col(fpCol).isNotNull)
-      .select(col(idCol).as("id"))
+      .select(col(idCol).cast("long").as("id"))
       .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
         lit(nParts.toLong)))
       .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/ids")
@@ -73,7 +73,7 @@ object HammingIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val hbs = newIds.select(col("hb")).distinct().collect().map(_.getLong(0))
-        val clash = spark.read.parquet(s"$dir/ids")
+        val clash = spark.read.schema(idsSchema).parquet(s"$dir/ids")
           .filter(col("hb").isin(hbs: _*))
           .join(newIds.select(col("id")), "id").limit(1).collect()
         require(clash.isEmpty,
@@ -85,21 +85,30 @@ object HammingIndex {
   }
 
   private def chunkRows(fps: DataFrame, idCol: String, fpCol: String,
-                        bits: Int, nParts: Int): DataFrame = {
-    val chunkBits = bits / 4
-    val chunkMask = (1L << chunkBits) - 1
-    val chunkCols = (0 until 4).map { c =>
-      struct(lit(c).as("ci"),
-        shiftright(col("fp"), chunkBits * c).bitwiseAND(lit(chunkMask)).as("cv"))
-    }
+                        bits: Int, nParts: Int): DataFrame =
+    // the chunk split delegates to SimHashDedup.fpChunkCols — the index's
+    // losslessness proof needs the exact geometry chunkBlockedPairs uses
     fps.filter(col(fpCol).isNotNull)
-      .select(col(idCol).as("id"), col(fpCol).as("fp"))
-      .select(col("id"), col("fp"), explode(array(chunkCols: _*)).as("c"))
+      .select(col(idCol).cast("long").as("id"), col(fpCol).as("fp"))
+      .select(col("id"), col("fp"), explode(array(
+        graft.operators.SimHashDedup.fpChunkCols(col("fp"), bits): _*)).as("c"))
       .select(col("id"), col("fp"), col("c.ci").as("ci"), col("c.cv").as("cv"))
       .withColumn("pk", pmod(TextHash.md5Long(
         concat(col("ci").cast("string"), lit(":"), col("cv").cast("string"))),
         lit(nParts.toLong)))
-  }
+
+  // explicit read schemas: an index built from zero non-null fingerprints
+  // writes EMPTY partitioned dirs, and schema inference would throw on
+  // them — one bad media batch must not poison the index for readers
+  private val chunksSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ci", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("cv", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pk", org.apache.spark.sql.types.LongType)))
+  private val idsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("hb", org.apache.spark.sql.types.LongType)))
 
   private def metaOf(dir: String): Map[String, Int] = {
     val txt = java.nio.file.Files.readString(
@@ -123,7 +132,7 @@ object HammingIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // static partition pruning: <= nParts distinct values, never rows
     val pks = q.select(col("pk")).distinct().collect().map(_.getLong(0))
-    val c = spark.read.parquet(s"$dir/chunks")
+    val c = spark.read.schema(chunksSchema).parquet(s"$dir/chunks")
       .filter(col("pk").isin(pks: _*))
       .select(col("id").as("cid"), col("fp").as("cfp"), col("ci"), col("cv"))
     q.join(c, Seq("ci", "cv"))
