@@ -117,6 +117,117 @@ object HammingIndex {
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
 
+  /** Streaming near-dup ingest over fingerprints — [[LshIndex]]'s
+    * production loop for the perceptual modalities: each micro-batch of
+    * `(idCol, fpCol)` rows (decode/fingerprint upstream in the stream —
+    * the index is modality-agnostic) is probed against the corpus,
+    * near-dups of the corpus AND of smaller-id batchmates drop, and the
+    * survivors are indexed. Exactly-once per batch via the same
+    * hard-link commit-marker + claim protocol as [[LshIndex]]. */
+  def startDedupStream(
+      spark: SparkSession, stream: DataFrame, idCol: String, fpCol: String,
+      dir: String, checkpointDir: String,
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ())
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDedupBatch(spark, batch, idCol, fpCol, dir, batchId)
+          .foreach(sv => onSurvivors(sv, batchId))
+        spark.catalog.clearCache() // the long-running-stream cache rule
+      }
+      .start()
+
+  /** One micro-batch of [[startDedupStream]] — public so replay and crash
+    * semantics are directly testable ([[LshIndex.processDedupBatch]]'s
+    * contract: None for an already-committed batch, else the survivor
+    * rows — locally CHECKPOINTED, so they stay valid after this method's
+    * own index writes; intermediates still follow the caller-releases
+    * clearCache convention). */
+  def processDedupBatch(
+      spark: SparkSession, batch: DataFrame, idCol: String, fpCol: String,
+      dir: String, batchId: Long, maxHamming: Int = 3,
+      rivalWaitMs: Long = 30000L): Option[DataFrame] = {
+    val commits = java.nio.file.Paths.get(s"$dir/commits")
+    java.nio.file.Files.createDirectories(commits)
+    val marker = commits.resolve(s"batch-$batchId")
+    if (java.nio.file.Files.exists(marker)) return None
+
+    val meta = metaOf(dir)
+    val bits = meta("bits"); val nParts = meta("nParts")
+    val corpusDups = probe(spark, batch, idCol, fpCol, dir, maxHamming)
+      .select(col("query_id").as("__dup")).distinct()
+    // near-dup of a SMALLER-id batchmate: deterministic canonical keep
+    val batchDups = graft.operators.SimHashDedup
+      .chunkBlockedPairs(batch, idCol, fpCol, bits, maxHamming)
+      .select(greatest(col("id_a"), col("id_b")).as("__dup")).distinct()
+    // an ALREADY-ADMITTED id re-sent by an at-least-once upstream is not
+    // new content: the probe's self-pair filter hides it (qid == cid), so
+    // the membership table supplies the id-level idempotence — pruned to
+    // the batch's own id buckets, never a corpus scan
+    val bIds = batch.select(col(idCol).cast("long").as("id"))
+      .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
+        lit(nParts.toLong)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bHbs = bIds.select(col("hb")).distinct().collect().map(_.getLong(0))
+    val resent = spark.read.schema(idsSchema).parquet(s"$dir/ids")
+      .filter(col("hb").isin(bHbs: _*))
+      .join(bIds.select(col("id")), "id").select(col("id").as("__dup"))
+    // localCheckpoint, NOT persist: the admit-writes below append to the
+    // very paths this plan reads ($dir/ids via `resent`, $dir/chunks via
+    // the probe), and Spark INVALIDATES caches touching a written path —
+    // a lazily re-evaluated survivors would then see its own admissions
+    // as duplicates and come back empty. Checkpointing cuts the lineage
+    // before any write so the result is immutable (the Dbscan/Bfs
+    // discipline).
+    val survivors = batch
+      .join(corpusDups.unionByName(batchDups).unionByName(resent).distinct(),
+        col(idCol).cast("long") === col("__dup"), "left_anti")
+      .localCheckpoint()
+    bIds.unpersist()
+
+    if (!survivors.isEmpty) {
+      val rows = chunkRows(survivors, idCol, fpCol, bits, nParts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // chunks FIRST: a crash-replay duplicates chunk rows, which probe's
+      // candidate distinct() absorbs; duplicated ids would NOT be benign,
+      // so ids go second, filtered against what the index already holds
+      rows.write.mode("append").partitionBy("pk").parquet(s"$dir/chunks")
+      val claim = commits.resolve(s"claim-$batchId")
+      if (!LshIndex.casCreate(claim)) {
+        val deadline = System.nanoTime() + rivalWaitMs * 1000000L
+        while (!java.nio.file.Files.exists(marker) && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        if (java.nio.file.Files.exists(marker)) {
+          rows.unpersist()
+          return None // the rival finished this batch
+        }
+        throw new IllegalStateException(
+          s"batch $batchId is claimed by a rival worker that has not " +
+            s"completed within ${rivalWaitMs}ms — remove " + claim +
+            " after confirming no rival is live, then replay")
+      }
+      try {
+        val newIds = rows.select(col("id")).distinct()
+          .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
+            lit(nParts.toLong)))
+        val hbs = newIds.select(col("hb")).distinct().collect().map(_.getLong(0))
+        val existing = spark.read.schema(idsSchema).parquet(s"$dir/ids")
+          .filter(col("hb").isin(hbs: _*)).select(col("id"))
+        newIds.join(existing, Seq("id"), "left_anti")
+          .write.mode("append").partitionBy("hb").parquet(s"$dir/ids")
+        rows.unpersist()
+        LshIndex.commitMarker(commits, marker)
+      } catch {
+        case e: Throwable =>
+          java.nio.file.Files.deleteIfExists(claim); throw e
+      }
+      java.nio.file.Files.deleteIfExists(claim)
+      ()
+    } else LshIndex.commitMarker(commits, marker)
+    Some(survivors)
+  }
+
   /** Near-dup pairs `(query_id, corpus_id, hamming)` of a probe batch
     * against the indexed corpus, Hamming ≤ `maxHamming` (≤ 3: the
     * pigeonhole guarantee), self-pairs excluded. I/O ∝ batch + candidate

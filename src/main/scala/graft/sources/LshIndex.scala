@@ -131,7 +131,7 @@ object LshIndex {
 
   /** Atomic create-new (the local fail-if-exists primitive): true iff this
     * caller created the file, false if it already existed. */
-  private def casCreate(p: java.nio.file.Path): Boolean =
+  private[sources] def casCreate(p: java.nio.file.Path): Boolean =
     try { java.nio.file.Files.createFile(p); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
@@ -277,7 +277,7 @@ object LshIndex {
   }
 
   /** Atomic commit marker (lost race with a rival worker = already done). */
-  private def commitMarker(
+  private[sources] def commitMarker(
       commits: java.nio.file.Path, marker: java.nio.file.Path): Unit = {
     val tmp = java.nio.file.Files.createTempFile(commits, ".tmp-", "")
     try java.nio.file.Files.createLink(marker, tmp)

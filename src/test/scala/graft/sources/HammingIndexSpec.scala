@@ -63,6 +63,33 @@ class HammingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup ingest: survivors drop corpus + smaller-id batch dups; replay no-ops") {
+    val idx = java.nio.file.Files.createTempDirectory("ham_idx6").toString
+    // corpus = groups 2..5 fully; batch = group 0 fully (internal dups
+    // only) + the straddling half of group 1 (corpus dups)
+    HammingIndex.write(fps(12L until 48L), "id", "peak_hash", idx, bits = 56)
+    val batch = fps(0L until 12L).persist()
+    val sv = HammingIndex.processDedupBatch(
+      spark, batch, "id", "peak_hash", idx, batchId = 1L).get
+    val svIds = sv.select(col("id")).collect().map(_.getLong(0)).toSet
+    // ids 8..11 have corpus near-dups (group 1's other half is indexed);
+    // of ids 0..7 (group 0) only the smallest id survives canonical keep
+    assert(svIds == Set(0L), s"expected only the canonical group-0 head, got $svIds")
+    spark.catalog.clearCache()
+    // survivors are now indexed: a fresh probe of the same batch finds them
+    val found = HammingIndex.probe(spark, batch, "id", "peak_hash", idx)
+      .filter(col("corpus_id") === 0L).count()
+    assert(found > 0, "the admitted survivor must be probe-visible")
+    // exactly-once: redelivery of the committed batch no-ops
+    assert(HammingIndex.processDedupBatch(
+      spark, batch, "id", "peak_hash", idx, batchId = 1L).isEmpty)
+    // a new batch of already-admitted ids fully dedups (ids gate holds)
+    val sv2 = HammingIndex.processDedupBatch(
+      spark, fps(Seq(0L)), "id", "peak_hash", idx, batchId = 2L).get
+    assert(sv2.isEmpty, "an exact re-send of an admitted id must not survive")
+    spark.catalog.clearCache()
+  }
+
   test("null fingerprints are skipped on both sides") {
     val idx = java.nio.file.Files.createTempDirectory("ham_idx3").toString
     val withNull = fps(0L until 8L).unionByName(
