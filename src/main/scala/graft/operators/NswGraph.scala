@@ -136,6 +136,11 @@ object NswGraph {
     * partition pruning turns nprobe into a disk-level saving. */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dir: String, p: Params): Graph = {
+    // a REBUILD over an existing index first revokes readiness: a crash
+    // anywhere below leaves no `_ready`, and readers fail loudly instead
+    // of routing fresh bucket data with a stale/truncated sidecar graph
+    // (the IvfPq sidecar discipline)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_ready"))
     val g = build(corpus, idCol, vecCol, p)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       VectorOps.asDouble(col(vecCol)).as("cv"))
@@ -148,14 +153,30 @@ object NswGraph {
       val hid = g.hubIds(i)
       sb ++= s"hub=$hid:${g.hubVecs(i).mkString(",")}:${g.adj(hid).mkString(",")}\n"
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/graph.txt"), sb.toString)
+    // sidecar lands atomically (temp + same-dir atomic move — never torn),
+    // `_ready` only after it, so data and graph can never disagree
+    atomicWrite(s"$dir/graph.txt", sb.toString)
+    atomicWrite(s"$dir/_ready", "1")
     g
   }
 
+  /** Crash-safe small-file write: temp in the target dir + atomic move. */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(p.getParent, ".tmp-", "")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Read the persisted routing layer back (hub order preserved — the
-    * array index IS the attachment bucket id). */
+    * array index IS the attachment bucket id). Refuses an index whose
+    * (re)build was interrupted before the sidecar committed. */
   def readGraph(dir: String): Graph = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_ready")),
+      s"NSW index at $dir has no _ready marker — a (re)build was " +
+        "interrupted before its graph sidecar was committed; rebuild the index")
     val lines = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(s"$dir/graph.txt"))
     var mod = 0

@@ -612,9 +612,27 @@ object MixQueries {
         .agg(count(lit(1)).as("df"),
           sum(when(col("pass"), 1L).otherwise(0L)).as("dfp"))
         .withColumn("dff", col("df") - col("dfp"))
-      val feats = dfx
-        .withColumn("vr", row_number().over(Window.orderBy(desc("df"), asc("tok"))))
-        .filter(col("vr") <= V)
+        .withColumn("hv", TextHash.md5Long(col("tok")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // top-V by (df DESC, hv ASC) via the bounded TopKByScore aggregate
+      // (map-side V-row buffers; the shuffle carries V rows total) — NEVER
+      // a partitionless row_number window over the full vocabulary, which
+      // grows with the corpus (Heaps law) and would sort it in one task
+      // (the q230/q56 discipline). The md5 hash is the tie key because the
+      // aggregate's payload is a long; the oracle orders by the identical
+      // (df DESC, hv ASC) rule. df < 2^53 ⇒ the double score is exact.
+      val hvs = dfx
+        .agg(graft.functions.TopKAggregate.topK(
+          col("df").cast("double"), col("hv"), V).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.payload").as("hv"))
+        .collect().map(_.getLong(0))
+      val vocab = dfx.filter(col("hv").isin(hvs: _*))
+      // a 64-bit md5 collision between a picked and an unpicked token
+      // would silently widen the vocabulary — fail loudly instead
+      require(vocab.count() == hvs.length,
+        "md5 tie-key collision in NB top-V vocabulary selection")
+      val feats = vocab
         .crossJoin(broadcast(pri))
         .withColumn("pq", expr(s"((dfp + 1) * $Q) div (np + 2)"))
         .withColumn("fq", expr(s"((dff + 1) * $Q) div (nf + 2)"))
@@ -624,6 +642,7 @@ object MixQueries {
         .withColumn("disc",
           greatest(expr(s"if(fq > 0, (pq * $Q) div fq, ${Q * Q})"),
             expr(s"if(pq > 0, (fq * $Q) div pq, ${Q * Q})")))
+        // this window is bounded: it ranks only the ≤V rows picked above
         .withColumn("k", row_number().over(Window.orderBy(desc("disc"), asc("tok"))))
         .filter(col("k") <= K)
         .select(col("tok"), col("pq"), col("fq")).orderBy(col("tok"))
@@ -633,6 +652,7 @@ object MixQueries {
       // silently diverging; and the Q >= n+2 bound the quantization needs
       require(feats.length == K,
         s"vocabulary yields only ${feats.length} NB features, need $K")
+      dfx.unpersist()
       val nDocs = lab.count()
       require(nDocs + 2 <= Q,
         s"NB quantization Q=$Q must be >= corpus size + 2 (n=$nDocs) — raise Q")
@@ -957,7 +977,7 @@ object MixQueries {
            |          sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS dfp
            |        FROM dt GROUP BY tok),
            |v0 AS (SELECT tok, dfp, df - dfp AS dff,
-           |         row_number() OVER (ORDER BY df DESC, tok) AS vr FROM dfx),
+           |         row_number() OVER (ORDER BY df DESC, ${TextHash.md5LongSql("tok")}) AS vr FROM dfx),
            |v1 AS (SELECT tok, ((dfp + 1) * $Q) // (np + 2) AS pq,
            |         ((dff + 1) * $Q) // (nf + 2) AS fq
            |       FROM v0, pri2 WHERE vr <= $V),

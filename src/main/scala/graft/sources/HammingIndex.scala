@@ -59,11 +59,31 @@ object HammingIndex {
     * batch's own id buckets of the membership table. Crash ordering:
     * chunks land BEFORE ids — a retry after a mid-append crash may
     * duplicate chunk rows (probe's candidate `distinct()` absorbs that)
-    * but can never abort against its own half-written ids. */
+    * but can never abort against its own half-written ids.
+    *
+    * Concurrency: the id-collision gate is check-then-act, so two
+    * CONCURRENT appends overlapping on an id (different fingerprints)
+    * would both pass it and corrupt the index. Appends therefore
+    * serialize on an index-wide `append.lock` (atomic create-new, the
+    * [[LshIndex.append]] protocol) held across the gate and both writes.
+    * A lock left by a crashed append fails the next one LOUDLY — remove
+    * `dir/append.lock` after confirming no rival append is live, then
+    * re-run (the chunks-before-ids retry convergence is unchanged). */
   def append(spark: SparkSession, batch: DataFrame, idCol: String,
              fpCol: String, dir: String): Unit = {
     val meta = metaOf(dir)
     val bits = meta("bits"); val nParts = meta("nParts")
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"another append holds $lock (in flight, or crashed while holding it) — " +
+        "concurrent appends would race the id-collision gate; if no rival is " +
+        "live, remove the lock file and re-run")
+    try appendLocked(spark, batch, idCol, fpCol, dir, bits, nParts)
+    finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  private def appendLocked(spark: SparkSession, batch: DataFrame,
+      idCol: String, fpCol: String, dir: String, bits: Int, nParts: Int): Unit = {
     val rows = chunkRows(batch, idCol, fpCol, bits, nParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

