@@ -302,41 +302,55 @@ object KMeansIVF {
     * final centroids) in scope for the caller's continuation. */
   def fitReplayCtes(
       table: String, idCol: String, vecCol: String,
+      nClusters: Int, iters: Int, sampleCap: Long): String =
+    "WITH " + fitReplayCtesOver(table, idCol, vecCol, "", nClusters, iters, sampleCap)
+
+  /** [[fitReplayCtes]] generalized to any relation and a CTE-name PREFIX,
+    * so one oracle can replay TWO independent fits (e.g. the NSW routing
+    * layer's hub-adjacency fit next to the corpus-level incumbent fit in
+    * q327) without CTE-name collisions. Emits `${prefix}e`, `${prefix}s`,
+    * `${prefix}c0..c$iters`, `${prefix}a$i`, `${prefix}m$i`,
+    * `${prefix}assigned` — with prefix "" the text is byte-identical to
+    * the historical [[fitReplayCtes]] body (hash-parity with every
+    * existing oracle). Starts and ends INSIDE a WITH list. */
+  def fitReplayCtesOver(
+      rel: String, idCol: String, vecCol: String, prefix: String,
       nClusters: Int, iters: Int, sampleCap: Long): String = {
-    // `e` renames $idCol to `id`, so the sample predicate hashes `id`;
+    val E = s"${prefix}e"
+    // `$E` renames $idCol to `id`, so the sample predicate hashes `id`;
     // the modulus replays [[sampleModFor]]'s integer ceil division as a
     // scalar subquery over the same relation the Scala side counts
     val sampleH = TextHash.md5LongSql("id::VARCHAR")
     val sampleMod =
-      s"(SELECT greatest(1, (count(*) + ${sampleCap - 1}) // $sampleCap) FROM e)"
+      s"(SELECT greatest(1, (count(*) + ${sampleCap - 1}) // $sampleCap) FROM $E)"
     def cos(a: String, b: String): String = cosSql(a, b)
     val sb = new StringBuilder
-    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
-    sb ++= s"s AS (SELECT id, v FROM e WHERE $sampleH % $sampleMod = 0),\n"
-    sb ++= s"c0 AS (SELECT (row_number() OVER (ORDER BY id))::INT - 1 AS cid, v AS cv\n"
-    sb ++= s"       FROM (SELECT id, v FROM s ORDER BY id LIMIT $nClusters)),\n"
+    sb ++= s"$E AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $rel),\n"
+    sb ++= s"${prefix}s AS (SELECT id, v FROM $E WHERE $sampleH % $sampleMod = 0),\n"
+    sb ++= s"${prefix}c0 AS (SELECT (row_number() OVER (ORDER BY id))::INT - 1 AS cid, v AS cv\n"
+    sb ++= s"       FROM (SELECT id, v FROM ${prefix}s ORDER BY id LIMIT $nClusters)),\n"
     for (i <- 1 to iters) {
-      val prev = s"c${i - 1}"
-      sb ++= s"a$i AS (SELECT id, v, cid FROM (\n"
+      val prev = s"${prefix}c${i - 1}"
+      sb ++= s"${prefix}a$i AS (SELECT id, v, cid FROM (\n"
       sb ++= s"  SELECT s.id, s.v, c.cid,\n"
       sb ++= s"    row_number() OVER (PARTITION BY s.id\n"
       sb ++= s"      ORDER BY ${cos("s.v", "c.cv")} DESC, c.cid) AS rn\n"
-      sb ++= s"  FROM s CROSS JOIN $prev c) WHERE rn = 1),\n"
-      sb ++= s"m$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (\n"
+      sb ++= s"  FROM ${prefix}s s CROSS JOIN $prev c) WHERE rn = 1),\n"
+      sb ++= s"${prefix}m$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (\n"
       // integer micro-unit mean (see fit): exact long sum, one correctly-
       // rounded division — accumulation order cannot matter
       sb ++= s"  SELECT cid, pos, round(sum(CAST(round(x * 1000000) AS BIGINT))::DOUBLE / count(*)) / 1000000 AS m FROM (\n"
-      sb ++= s"    SELECT cid, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a$i)\n"
+      sb ++= s"    SELECT cid, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM ${prefix}a$i)\n"
       sb ++= s"  GROUP BY cid, pos) GROUP BY cid),\n"
-      sb ++= s"c$i AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv\n"
-      sb ++= s"       FROM $prev c LEFT JOIN m$i m ON c.cid = m.cid),\n"
+      sb ++= s"${prefix}c$i AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv\n"
+      sb ++= s"       FROM $prev c LEFT JOIN ${prefix}m$i m ON c.cid = m.cid),\n"
     }
-    val fin = s"c$iters"
-    sb ++= s"assigned AS (SELECT id AS neighbor_id, v AS cv2, cid AS bucket FROM (\n"
+    val fin = s"${prefix}c$iters"
+    sb ++= s"${prefix}assigned AS (SELECT id AS neighbor_id, v AS cv2, cid AS bucket FROM (\n"
     sb ++= s"  SELECT e.id, e.v, c.cid,\n"
     sb ++= s"    row_number() OVER (PARTITION BY e.id\n"
     sb ++= s"      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn\n"
-    sb ++= s"  FROM e CROSS JOIN $fin c) WHERE rn = 1),\n"
+    sb ++= s"  FROM $E e CROSS JOIN $fin c) WHERE rn = 1),\n"
     sb.toString
   }
 

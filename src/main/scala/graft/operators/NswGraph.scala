@@ -41,9 +41,20 @@ import graft.functions.TextHash
   */
 object NswGraph {
 
+  /** `hubCap` is the FLOOR of the hub budget: the effective target is
+    * `max(hubCap, ceil(sqrt(n)))` ([[hubTarget]]) so the routing layer
+    * grows ~√n with the corpus — at 100 TB the upper layer must scale or
+    * its buckets don't ([[KMeansIVF.sampleModFor]] then bounds the sample
+    * modulus from the same count). The `adj*` params drive the
+    * DISTRIBUTED hub-adjacency build ([[KMeansIVF.selfTopK]] over the hub
+    * relation): an inner IVF fit over the hubs themselves, each hub
+    * probing `adjNprobe` inner buckets — candidates Σ|probes_b|·|bucket_b|,
+    * never |hubs|², and no driver-side pair loop. */
   final case class Params(
       hubCap: Long = 64, m: Int = 6, beamWidth: Int = 4,
-      rounds: Int = 4, nprobe: Int = 5, nEntries: Int = 8)
+      rounds: Int = 4, nprobe: Int = 5, nEntries: Int = 8,
+      adjClusters: Int = 8, adjIters: Int = 2, adjNprobe: Int = 3,
+      adjSampleCap: Long = 2048)
 
   /** The routing layer: hub ids sorted ascending (array index = the
     * attachment bucket id), their vectors, the M-nearest adjacency, the
@@ -58,27 +69,57 @@ object NswGraph {
     if (java.lang.Double.isNaN(c)) Double.PositiveInfinity else c
   }
 
-  /** Build the routing layer. Collects only the md5 hub sample (≤ ~hubCap
-    * rows by the count-derived modulus); the corpus itself is untouched. */
+  /** The effective hub budget for a corpus of `n` rows: the `hubCap`
+    * floor, growing ~√n once the corpus outgrows it — 100× data ⇒ 10×
+    * hubs (and ~10× bucket size), the balance point where neither the
+    * routing layer nor the attached buckets explode. Integer-exact and
+    * SQL-replayable: IEEE sqrt is correctly rounded on both engines and
+    * n < 2^53, so `ceil(sqrt(n::DOUBLE))` computes the identical value. */
+  def hubTarget(n: Long, p: Params): Long =
+    math.max(p.hubCap, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** DISTRIBUTED hub adjacency: approximate M-nearest neighbors of each
+    * hub among the hubs, via [[KMeansIVF.selfTopK]] — an inner IVF fit on
+    * a bounded hub sample, map-side bucket assignment, probe×bucket
+    * shuffle-hash join, bounded top-m aggregate. Candidates are
+    * Σ|probes_b|·|bucket_b| — sub-quadratic in |hubs| — and NOTHING
+    * hub-set-sized broadcasts or loops on the driver (the O(hubCap²)
+    * driver pair loop this replaces stopped being sound once hubCap
+    * scales ~√n). Output = selfTopK's `(query_id, neighbor_id, rank,
+    * cosine)`; the collect downstream is O(|hubs|·m) rows, the same
+    * order as the graph sidecar itself. */
+  def adjacency(hubs: DataFrame, p: Params): DataFrame =
+    KMeansIVF.selfTopK(hubs, "id", "v", k = p.m, nprobe = p.adjNprobe,
+      nClusters = p.adjClusters, iters = p.adjIters, sampleCap = p.adjSampleCap)
+
+  /** Build the routing layer. Collects only the md5 hub sample (≤ ~target
+    * rows by the count-derived modulus) and its O(|hubs|·m) adjacency
+    * rows; adjacency itself is computed distributed ([[adjacency]]) and
+    * the corpus is untouched. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, p: Params): Graph = {
     require(p.m >= 1 && p.beamWidth >= 1 && p.nprobe >= 1 && p.nEntries >= 1,
       s"degenerate params $p — every graph dimension must be >= 1")
     val c = corpus.select(
       col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
-    val mod = KMeansIVF.sampleModFor(c.count(), p.hubCap)
-    val hubRows = c
+    val mod = KMeansIVF.sampleModFor(c.count(), hubTarget(c.count(), p))
+    val hubsDf = c
       .filter(pmod(TextHash.md5Long(col("id").cast("string")), lit(mod)) === 0)
-      .collect()
+      .persist() // consumed by: adjacency (count + sample + both join sides) and the hub-vector collect
+    val adjRows = adjacency(hubsDf, p)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val adjM = adjRows.groupBy(_._1).map { case (h, rs) =>
+      h -> rs.sortBy(_._3).map(_._2).toSeq }
+    val hubRows = hubsDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    hubsDf.unpersist()
     require(hubRows.length > p.m,
       s"hub sample too small (${hubRows.length}) for m=${p.m} adjacency")
-    val adj = hubRows.map { case (hid, hv) =>
-      hid -> hubRows.iterator.filter(_._1 != hid)
-        .map { case (oid, ov) => (oid, cos(hv, ov)) }
-        .toSeq.sortBy { case (oid, cs) => (-cs, oid) }
-        .take(p.m).map(_._1)
-    }.toMap
+    // a hub whose probed inner buckets held no other hub keeps an empty
+    // edge list (the oracle's adj CTE misses it identically)
+    val adj = hubRows.map { case (hid, _) =>
+      hid -> adjM.getOrElse(hid, Seq.empty) }.toMap
     // multi-restart entry set (Malkov et al. 2014's NSW searches from
     // several entry points): the nEntries hubs FIRST in (md5(hid), hid)
     // order — a deterministic scatter uncorrelated with geometry
@@ -249,13 +290,27 @@ object NswGraph {
   private def routingCtes(p: Params, qsPred: String): String = {
     def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
     val h = TextHash.md5LongSql("id::VARCHAR")
-    def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
+    // hub modulus under the COUNT-DERIVED target max(hubCap, ceil(sqrt(n)))
+    // — [[hubTarget]]'s arithmetic as a scalar subquery (IEEE sqrt is
+    // correctly rounded on both engines, so the derived cap is identical)
+    val capSql = s"greatest(${p.hubCap}, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT))"
+    val hubMod = s"(SELECT greatest(1, (count(*) + $capSql - 1) // $capSql) FROM e)"
     val sb = new StringBuilder
-    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e WHERE $h % ${modOf(p.hubCap)} = 0),\n"
+    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e WHERE $h % $hubMod = 0),\n"
+    // DISTRIBUTED adjacency replay ([[adjacency]] = selfTopK over hubs):
+    // inner IVF fit on the hub relation (prefix g_ so the corpus-level
+    // incumbent fit in q327 can't collide), per-hub probes of the
+    // adjNprobe nearest inner centroids, candidate join, top-m rank
+    sb ++= KMeansIVF.fitReplayCtesOver(
+      "hubs", "hid", "hv", "g_", p.adjClusters, p.adjIters, p.adjSampleCap)
+    sb ++= s"g_probes AS (SELECT query_id, qv, bucket FROM (\n"
+    sb ++= s"    SELECT h.hid AS query_id, h.hv AS qv, c.cid AS bucket,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY h.hid ORDER BY ${cos("h.hv", "c.cv")} DESC, c.cid) AS rn\n"
+    sb ++= s"    FROM hubs h CROSS JOIN g_c${p.adjIters} c) WHERE rn <= ${p.adjNprobe}),\n"
     sb ++= s"adj AS (SELECT src, dst FROM (\n"
-    sb ++= s"    SELECT a.hid AS src, b.hid AS dst,\n"
-    sb ++= s"      row_number() OVER (PARTITION BY a.hid ORDER BY ${cos("a.hv", "b.hv")} DESC, b.hid) AS rn\n"
-    sb ++= s"    FROM hubs a JOIN hubs b ON b.hid != a.hid) WHERE rn <= ${p.m}),\n"
+    sb ++= s"    SELECT p.query_id AS src, a.neighbor_id AS dst,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.cv2")} DESC, a.neighbor_id) AS rn\n"
+    sb ++= s"    FROM g_probes p JOIN g_assigned a ON a.bucket = p.bucket AND a.neighbor_id != p.query_id) WHERE rn <= ${p.m}),\n"
     sb ++= s"qs AS (SELECT id AS query_id, v AS qv FROM e WHERE $qsPred),\n"
     sb ++= s"hscore AS (SELECT q.query_id, h.hid, ${cos("q.qv", "h.hv")} AS c\n"
     sb ++= s"           FROM qs q CROSS JOIN hubs h),\n"

@@ -83,19 +83,22 @@ object CorpusQueries {
         .limit(50)
     }),
 
-    // BPE tokenizer induction (operators/BpeVocab): the first 4 corpus-wide
-    // greedy merges — each round is one explode-agg shuffle + one map-side
-    // merge pass, and only the single argmax row ever reaches the driver.
-    // The k learned (pair, count) rules ARE the result (a tokenizer is its
-    // merge table); the oracle replays every round in unrolled DuckDB SQL,
-    // so argmax ties, greedy non-overlap scans, and early stopping are all
-    // hash-checked, not just spot-tested.
+    // BPE tokenizer induction (operators/BpeVocab): the first 32 corpus-wide
+    // merges learned in 4 AMORTIZED batch rounds — each round counts pairs
+    // once (one explode-agg shuffle) and greedily picks up to 8
+    // symbol-disjoint merges from the deterministic top-64 prefix, so 32
+    // merges cost 4 count jobs instead of 32 (the batched-trainer
+    // approximation; batch=1 is classic BPE and stays covered by q178).
+    // Only the bounded 64-row prefix ever reaches the driver. The oracle
+    // unrolls every batch round AND every in-round greedy pick (iterated
+    // argmax-with-exclusion), so prefix cuts, disjointness exclusions,
+    // argmax ties, and early stopping are all hash-checked.
     "q92_bpe_merges" -> ((s, d) => {
       import s.implicits._
       graft.operators.BpeVocab
-        .learnMerges(Tables.documents(s, d), "text", numMerges = 4, minCount = 2L)
-        .zipWithIndex
-        .map { case (m, i) => (i + 1, m.a, m.b, m.count) }
+        .learnMergesSlotted(Tables.documents(s, d), "text", numMerges = 32,
+          minCount = 2L, batch = 8)
+        .map { case (slot, m) => (slot, m.a, m.b, m.count) }
         .toDF("rank", "a", "b", "n")
     }),
 
@@ -145,7 +148,7 @@ object CorpusQueries {
       val C = 512L
       val docs = Tables.documents(s, d)
       val merges = graft.operators.BpeVocab
-        .learnMerges(docs, "text", numMerges = 4, minCount = 2L)
+        .learnMerges(docs, "text", numMerges = 32, minCount = 2L, batch = 8)
       // one row per doc with its final symbol array; consumed by the
       // vocab agg AND the id mapping — persist (round-5 rule)
       val enc = docs
@@ -385,7 +388,8 @@ object CorpusQueries {
          |ORDER BY df DESC, token LIMIT 50""".stripMargin,
 
     "q92_bpe_merges" ->
-      graft.operators.BpeVocab.oracleSql("documents", "text", numMerges = 4, minCount = 2L),
+      graft.operators.BpeVocab.oracleSql("documents", "text", numMerges = 32,
+        minCount = 2L, batch = 8),
 
     "q178_bpe_encode" ->
       graft.operators.BpeVocab.encodeOracleSql("documents", "text",
@@ -393,7 +397,8 @@ object CorpusQueries {
 
     "q326_bpe_token_pack" ->
       graft.operators.BpeVocab.tokenPackOracleSql("documents", "text",
-        "doc_id", numMerges = 4, minCount = 2L, chunk = 512L, headN = 8),
+        "doc_id", numMerges = 32, minCount = 2L, chunk = 512L, headN = 8,
+        batch = 8),
 
     // The heavy set is computed EXACTLY here; the guarantee booleans are
     // literal TRUE — the Spark side must reproduce them from the sketch.

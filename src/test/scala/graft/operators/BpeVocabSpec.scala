@@ -95,6 +95,56 @@ class BpeVocabSpec extends AnyFunSuite {
     assert(BpeVocab.learnMerges(corpus.toDF("text"), "text", 4).isEmpty)
   }
 
+  // reference for the AMORTIZED batch variant: fixed ceil(k/batch)-round
+  // schedule, each round = one count + greedy disjoint picks from the
+  // top-prefixCap prefix; under-filled rounds leave slot holes
+  private def refLearnBatched(
+      corpus: Seq[String], k: Int, batch: Int, prefixCap: Int = 64,
+      minCount: Long = 2L): Seq[(Int, (String, String, Long))] = {
+    var docs = corpus.map(refInit).filter(_.length >= 2)
+    val out = Seq.newBuilder[(Int, (String, String, Long))]
+    val rounds = (k + batch - 1) / batch
+    var stop = false
+    for (i <- 1 to rounds if !stop) {
+      val counts = docs.flatMap(d => d.zip(d.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val prefix = counts.toSeq.filter(_._2 >= minCount)
+        .sortBy { case ((a, b), c) => (-c, a, b) }.take(prefixCap)
+      val want = math.min(batch, k - (i - 1) * batch)
+      var used = Set.empty[String]
+      var picked = Vector.empty[(String, String, Long)]
+      for (((a, b), c) <- prefix if picked.length < want)
+        if (!used(a) && !used(b)) { picked :+= ((a, b, c)); used = used + a + b }
+      if (picked.isEmpty) stop = true
+      else {
+        picked.zipWithIndex.foreach { case ((a, b, c), j) =>
+          out += (((i - 1) * batch + j + 1, (a, b, c))) }
+        picked.foreach { case (a, b, _) => docs = docs.map(refMerge(_, a, b)) }
+      }
+    }
+    out.result()
+  }
+
+  test("batched learning == fixed-schedule greedy reference (slots, pairs, counts)") {
+    val df = corpus.toDF("text")
+    val got = BpeVocab.learnMergesSlotted(df, "text", numMerges = 8, batch = 3)
+      .map { case (slot, m) => (slot, (m.a, m.b, m.count)) }
+    assert(got === refLearnBatched(corpus, 8, 3))
+    assert(got.nonEmpty)
+    // disjointness within each round: no symbol reused inside a batch
+    got.groupBy { case (slot, _) => (slot - 1) / 3 }.foreach { case (_, ms) =>
+      val syms = ms.flatMap { case (_, (a, b, _)) => Seq(a, b) }
+      assert(syms.distinct == syms, s"round symbols must be pairwise disjoint: $syms")
+    }
+  }
+
+  test("batch=1 slotted learning IS classic BPE with dense slots") {
+    val df = corpus.toDF("text")
+    val slotted = BpeVocab.learnMergesSlotted(df, "text", numMerges = 5, batch = 1)
+    assert(slotted.map(_._1) == (1 to slotted.length))
+    assert(slotted.map { case (_, m) => (m.a, m.b, m.count) } === refLearn(corpus, 5))
+  }
+
   test("non-space whitespace (tabs/newlines) matches the reference init") {
     val tricky = Seq("\nlow low\t", "lowlow")
     val merges = BpeVocab.learnMerges(tricky.toDF("text"), "text", 3)

@@ -17,11 +17,57 @@ class NswGraphSpec extends AnyFunSuite {
     assert(g.hubIds.toSeq == g.hubIds.toSeq.sorted)
     assert(g.adj.keySet == g.hubIds.toSet)
     g.adj.foreach { case (h, ns) =>
-      assert(ns.length == p.m && !ns.contains(h) && ns.distinct == ns)
+      // adjacency is the APPROXIMATE m-nearest (probed inner buckets), so
+      // a list may fall short of m — never exceed it, never self-loop
+      assert(ns.length <= p.m && ns.nonEmpty && !ns.contains(h) && ns.distinct == ns)
       assert(ns.forall(g.hubIds.contains))
     }
     assert(g.entries.length == p.nEntries && g.entries.distinct == g.entries)
     assert(g.entries.forall(g.hubIds.contains))
+  }
+
+  test("hubTarget: floor at small n, ~sqrt growth once the corpus outgrows it") {
+    assert(NswGraph.hubTarget(500, p) == 64, "floor dominates below 64^2")
+    assert(NswGraph.hubTarget(4096, p) == 64)
+    assert(NswGraph.hubTarget(4097, p) == 65, "past hubCap^2 the target tracks ceil(sqrt)")
+    assert(NswGraph.hubTarget(1000000, p) == 1000)
+    assert(NswGraph.hubTarget(100000000, p) == 10000,
+      "100x data => 10x hubs — the routing layer scales with the corpus")
+  }
+
+  test("adjacency is DISTRIBUTED: shuffle-hash join, nothing hub-set-sized broadcasts") {
+    val hubs = e.select(col("vec_id").as("id"),
+      VectorOps.asDouble(col("embedding")).as("v"))
+    val adjDf = NswGraph.adjacency(hubs, p)
+    // pre-AQE sparkPlan (the adaptive wrapper hides exchanges): the probe
+    // x assignment join must be a shuffled hash join — broadcasting either
+    // side means broadcasting the hub relation, which scales ~sqrt(corpus)
+    // and stops being broadcastable exactly when it matters
+    val plan = adjDf.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"hub-derived side must not broadcast:\n${plan.take(3000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the pinned shuffle hash join:\n${plan.take(3000)}")
+  }
+
+  test("full-probe adjacency degenerates to the exact brute m-nearest") {
+    // adjNprobe = adjClusters => every inner bucket probed => the
+    // candidate set is ALL hub pairs and the approximate adjacency must
+    // equal the brute (cos DESC, id ASC) m-nearest the old driver loop
+    // computed
+    val pf = p.copy(adjNprobe = p.adjClusters)
+    val gf = NswGraph.build(e, "vec_id", "embedding", pf)
+    val vecOf = gf.hubIds.zip(gf.hubVecs).toMap
+    def cosRef(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    gf.hubIds.foreach { h =>
+      val brute = gf.hubIds.toSeq.filter(_ != h)
+        .sortBy(o => (-cosRef(vecOf(h), vecOf(o)), o)).take(pf.m)
+      assert(gf.adj(h) == brute, s"hub $h adjacency must be the exact m-nearest")
+    }
   }
 
   test("beam search: deterministic, bounded evals, probes are visited hubs") {
