@@ -221,10 +221,21 @@ object KMeansIVF {
     * directory per centroid bucket) plus the centroids as a JSON sidecar.
     * Repeated query batches against the index then read ONLY the probed
     * buckets from storage — partition pruning turns nprobe/k into a disk-
-    * level saving, the layout you want under 100 TB of embeddings. */
+    * level saving, the layout you want under 100 TB of embeddings.
+    * Also records the build's assignment-quality statistic (row count +
+    * Σ floor(cos·10⁶ + 0.5) to the assigned centroid) as `stats.json` —
+    * the baseline [[appendIndex]]'s drift gate compares against. A
+    * rebuild clears any previous appends (they belonged to the old
+    * centroid generation). */
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): Array[Array[Double]] = {
+    // stale-generation cleanup FIRST: appends assigned against the old
+    // centroids must never survive a rebuild, and a missing stats.json
+    // makes appendIndex refuse loudly if this rebuild crashes mid-way
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/stats.json"))
+    val appendsDir = new java.io.File(s"$dir/appends")
+    if (appendsDir.exists()) graft.TempDirs.deleteRecursively(appendsDir)
     val c = corpus.select(
       col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
     val sampleMod = sampleModFor(c.count(), sampleCap)
@@ -233,11 +244,138 @@ object KMeansIVF {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val centroids = fit(sample, nClusters, iters)
-    assignBuckets(c, centroids)
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
+    val assigned = assignBuckets(c, centroids)
+      .persist() // data write + stats agg both consume it
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
+    val st = assigned.agg(count(lit(1)), sum(microCol(centroids))).head()
+    assigned.unpersist()
     val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/centroids.json"), json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/stats.json"),
+      s"""{"n":${st.getLong(0)},"sumMicro":${st.getLong(1)}}""")
     centroids
+  }
+
+  /** Portably-rounded micro-unit assignment cosine of a `(cv, bucket)`
+    * row to its own centroid: `floor(cos·10⁶ + 0.5)` — floor and IEEE
+    * multiply are bit-identical cross-engine (the q18 ratio-rounding
+    * rule), and the centroid lookup is a literal-array element_at, so the
+    * statistic is one map-side expression. */
+  private def microCol(centroids: Array[Array[Double]]): Column = {
+    val cents = array(centroids.map(cv => array(cv.map(lit(_)): _*)): _*)
+    floor(VectorOps.cosine(col("cv"), element_at(cents, col("bucket") + 1))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+  }
+
+  /** One append's outcome: previous index state, the batch's assignment
+    * quality, and the integer drift verdict. `driftBp` is the batch's
+    * mean assigned-cosine relative to the index's previous mean, in basis
+    * points: `(batchSum·prevN·10⁴) div (prevSum·nBatch)` over exact
+    * micro-unit longs (BigInt product — no overflow, no float). The
+    * baseline mean is measured on the data the fit was TRAINED on, so an
+    * iid batch already lands below 10000 bp (the fit-generalization gap —
+    * ~7000 bp on this corpus); `rebuild` fires only past the calibrated
+    * halving cut (<5000 bp, or >20000 — either direction means the batch
+    * is not the indexed distribution). */
+  final case class AppendResult(
+      nPrev: Long, nBatch: Long, prevSumMicro: Long, batchSumMicro: Long,
+      driftBp: Long, rebuild: Boolean)
+
+  private def readStats(path: java.nio.file.Path): (Long, Long) = {
+    val s = java.nio.file.Files.readString(path)
+    val m = """\{"n":(-?\d+),"sumMicro":(-?\d+)\}""".r
+    s.trim match {
+      case m(n, sm) => (n.toLong, sm.toLong)
+      case other => throw new IllegalStateException(s"unparseable stats sidecar $path: $other")
+    }
+  }
+
+  /** Every committed data root of the index: the base build plus each
+    * append whose `_done` marker landed (an append without the marker is
+    * invisible — crash-atomic visibility, the SnapshotTable manifest idea
+    * at file-tree granularity). */
+  private[operators] def dataPaths(dir: String): Seq[String] = {
+    val appends = new java.io.File(s"$dir/appends")
+    val done =
+      if (!appends.isDirectory) Seq.empty
+      else appends.listFiles().toSeq
+        .filter(f => new java.io.File(f, "_done").exists())
+        .map(f => s"${f.getPath}/data").sorted
+    s"$dir/data" +: done
+  }
+
+  /** Append a batch of NEW vectors to a persisted index without refitting:
+    * the batch is assigned to the EXISTING centroids map-side and lands
+    * bucket-partitioned under `appends/<batchId>/`, committed by an atomic
+    * `_done` marker — a crash before the marker leaves the append
+    * invisible and a retry with the same `batchId` wipes the partial tree
+    * and redoes it; a retry AFTER the marker is a no-op that just
+    * recomputes the result from the committed stats fragment. Appends
+    * serialize on `append.lock` (rival-worker TOCTOU — the
+    * LshIndex/HammingIndex protocol).
+    *
+    * The DRIFT GATE is what makes append-without-refit honest: centroids
+    * fitted on yesterday's corpus quietly degrade as the distribution
+    * moves, so each append compares its mean assigned-cosine against the
+    * index's running mean (base build + previously committed appends,
+    * summed from per-append stats fragments — no global mutable state,
+    * no corpus rescan) and flags `rebuild` at >10% deviation. */
+  def appendIndex(
+      batch: DataFrame, idCol: String, vecCol: String, dir: String,
+      batchId: String): AppendResult = {
+    require(!batchId.contains("/") && batchId.nonEmpty, s"bad batchId '$batchId'")
+    val statsPath = java.nio.file.Paths.get(s"$dir/stats.json")
+    require(java.nio.file.Files.exists(statsPath),
+      s"IVF index at $dir has no stats sidecar — the build predates the " +
+        "append-capable writeIndex or crashed mid-write; rebuild the index")
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"rival append in progress on $dir (append.lock exists); retry later " +
+        "or remove the lock if its owner is known dead")
+    try {
+      val appDir = new java.io.File(s"$dir/appends/$batchId")
+      val doneMarker = new java.io.File(appDir, "_done")
+      def totals(excluding: String): (Long, Long) = {
+        val frags = dataPaths(dir).drop(1) // committed appends only
+          .map(p => java.nio.file.Paths.get(p).getParent)
+          .filterNot(_.getFileName.toString == excluding)
+          .map(p => readStats(p.resolve("stats.json")))
+        val base = readStats(statsPath)
+        (base._1 + frags.map(_._1).sum, base._2 + frags.map(_._2).sum)
+      }
+      def verdict(prev: (Long, Long), batchStats: (Long, Long)): AppendResult = {
+        val (pn, ps) = prev
+        val (bn, bs) = batchStats
+        require(ps > 0 && bs > 0 && pn > 0 && bn > 0,
+          s"drift gate needs positive counts and micro-sums, got prev=($pn,$ps) batch=($bn,$bs)")
+        val bp = (BigInt(bs) * pn * 10000 / (BigInt(ps) * bn)).toLong
+        AppendResult(pn, bn, ps, bs, bp, bp < 5000 || bp > 20000)
+      }
+      if (doneMarker.exists()) {
+        // idempotent replay of a committed append: recompute the verdict
+        // against the state as it was (all other committed fragments +
+        // base), change nothing
+        return verdict(totals(excluding = batchId),
+          readStats(appDir.toPath.resolve("stats.json")))
+      }
+      if (appDir.exists()) graft.TempDirs.deleteRecursively(appDir) // crashed partial
+      val centroids = readCentroids(dir)
+      val c = batch.select(
+        col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
+      val assigned = assignBuckets(c, centroids).persist()
+      assigned.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${appDir.getPath}/data")
+      val st = assigned.agg(count(lit(1)), sum(microCol(centroids))).head()
+      assigned.unpersist()
+      val batchStats = (st.getLong(0), st.getLong(1))
+      val prev = totals(excluding = batchId)
+      java.nio.file.Files.writeString(appDir.toPath.resolve("stats.json"),
+        s"""{"n":${batchStats._1},"sumMicro":${batchStats._2}}""")
+      // the atomic commit point: everything above is invisible until this
+      require(graft.sources.LshIndex.casCreate(doneMarker.toPath),
+        s"impossible: $doneMarker already existed under append.lock")
+      verdict(prev, batchStats)
+    } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   def readCentroids(dir: String): Array[Array[Double]] = {
@@ -271,7 +409,11 @@ object KMeansIVF {
     val probed = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(probedRows: _*)),
       probedPlan.schema)
-    val data = spark.read.parquet(s"$indexDir/data")
+    // one read per committed root (base + _done appends), unioned: a
+    // multi-path read would demand a single discovery root, and partition
+    // filters push through the Union into every child scan anyway
+    val data = dataPaths(indexDir).map(p => spark.read.parquet(p))
+      .reduce(_ unionByName _)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
     broadcast(probed)
       .join(data, Seq("bucket"))
@@ -351,6 +493,87 @@ object KMeansIVF {
     sb ++= s"    row_number() OVER (PARTITION BY e.id\n"
     sb ++= s"      ORDER BY ${cos("e.v", "c.cv")} DESC, c.cid) AS rn\n"
     sb ++= s"  FROM $E e CROSS JOIN $fin c) WHERE rn = 1),\n"
+    sb.toString
+  }
+
+  /** Shared prefix of the APPEND oracles: fit on the `basePred` subset
+    * only (replaying writeIndex-on-base), then assign the FULL table —
+    * base rows and appended rows alike — to those centroids, exactly what
+    * the index tree looks like after [[appendIndex]]. Ends inside the
+    * WITH list with `u(id, v)` (the union) and `uassigned(neighbor_id,
+    * cv2, bucket)` in scope. */
+  private def appendPrefixCtes(
+      table: String, idCol: String, vecCol: String, basePred: String,
+      nClusters: Int, iters: Int, sampleCap: Long): String = {
+    def cos(a: String, b: String): String = cosSql(a, b)
+    val fin = s"c$iters"
+    val sb = new StringBuilder
+    sb ++= "WITH " + fitReplayCtesOver(
+      s"(SELECT $idCol, $vecCol FROM $table WHERE $basePred)",
+      idCol, vecCol, "", nClusters, iters, sampleCap)
+    sb ++= s"u AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= s"uassigned AS (SELECT id AS neighbor_id, v AS cv2, cid AS bucket FROM (\n"
+    sb ++= s"  SELECT u.id, u.v, c.cid,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY u.id\n"
+    sb ++= s"      ORDER BY ${cos("u.v", "c.cv")} DESC, c.cid) AS rn\n"
+    sb ++= s"  FROM u CROSS JOIN $fin c) WHERE rn = 1),\n"
+    sb.toString
+  }
+
+  /** DuckDB replay of probe-after-append: the fit is learned on the BASE
+    * subset, the whole table (base + batch) is assigned to those
+    * centroids, queries probe as usual — hash-equality proves
+    * [[appendIndex]]'s committed tree serves exactly the no-refit union
+    * index. */
+  def appendOracleSql(
+      table: String, idCol: String, vecCol: String, basePred: String,
+      queryPred: String, k: Int, nprobe: Int,
+      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): String = {
+    def cos(a: String, b: String): String = cosSql(a, b)
+    val fin = s"c$iters"
+    val sb = new StringBuilder
+    sb ++= appendPrefixCtes(table, idCol, vecCol, basePred, nClusters, iters, sampleCap)
+    sb ++= s"q AS (SELECT id AS query_id, v AS qv FROM u WHERE $queryPred),\n"
+    sb ++= s"probes AS (SELECT query_id, qv, cid AS bucket FROM (\n"
+    sb ++= s"  SELECT q.query_id, q.qv, c.cid,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY q.query_id\n"
+    sb ++= s"      ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS prank\n"
+    sb ++= s"  FROM q CROSS JOIN $fin c) WHERE prank <= $nprobe),\n"
+    sb ++= s"scored AS (SELECT p.query_id, a.neighbor_id,\n"
+    sb ++= s"    ${cos("p.qv", "a.cv2")} AS cos\n"
+    sb ++= s"  FROM probes p JOIN uassigned a ON p.bucket = a.bucket\n"
+    sb ++= s"    AND p.query_id != a.neighbor_id),\n"
+    sb ++= s"ranked AS (SELECT query_id, neighbor_id, cos,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank\n"
+    sb ++= s"  FROM scored)\n"
+    sb ++= s"SELECT query_id, neighbor_id, rank::INT AS rank, (floor(cos * 1000 + 0.5) / 1000) AS cosine\n"
+    sb ++= s"FROM ranked WHERE rank <= $k"
+    sb.toString
+  }
+
+  /** DuckDB replay of the append DRIFT GATE: base-vs-batch mean assigned
+    * micro-cosines and the integer basis-point verdict — every number
+    * exact, so the gate itself is hash-checked. */
+  def appendDriftOracleSql(
+      table: String, idCol: String, vecCol: String, basePred: String,
+      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): String = {
+    def cos(a: String, b: String): String = cosSql(a, b)
+    val fin = s"c$iters"
+    val micro = s"CAST(floor(${cos("a.cv2", "c.cv")} * 1000000 + 0.5) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= appendPrefixCtes(table, idCol, vecCol, basePred, nClusters, iters, sampleCap)
+    sb ++= s"scoredu AS (SELECT a.neighbor_id, $micro AS micro,\n"
+    sb ++= s"    (a.neighbor_id IN (SELECT $idCol FROM $table WHERE $basePred)) AS is_base\n"
+    sb ++= s"  FROM uassigned a JOIN $fin c ON a.bucket = c.cid),\n"
+    sb ++= s"bstat AS (SELECT count(*)::BIGINT AS pn, sum(micro)::BIGINT AS ps\n"
+    sb ++= s"  FROM scoredu WHERE is_base),\n"
+    sb ++= s"qstat AS (SELECT count(*)::BIGINT AS bn, sum(micro)::BIGINT AS bs\n"
+    sb ++= s"  FROM scoredu WHERE NOT is_base)\n"
+    sb ++= s"SELECT pn AS n_prev, bn AS n_batch, ps AS prev_sum_micro, bs AS batch_sum_micro,\n"
+    sb ++= s"  ((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn))::BIGINT AS drift_bp,\n"
+    sb ++= s"  (((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn)) < 5000 OR\n"
+    sb ++= s"   ((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn)) > 20000) AS rebuild\n"
+    sb ++= s"FROM bstat, qstat"
     sb.toString
   }
 

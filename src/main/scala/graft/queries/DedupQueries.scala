@@ -940,6 +940,56 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
     }),
 
+    // INCREMENTAL IVF index maintenance (KMeansIVF.appendIndex): the index
+    // is built on HALF the corpus (even vec_ids), the other half appends
+    // WITHOUT refitting — assigned to the existing centroids map-side,
+    // committed under appends/<batchId>/ by an atomic _done marker — and
+    // the probe then serves base + append through the same partition-
+    // pruned read. The oracle fits on the base subset, assigns the whole
+    // table, and probes: hash-equality proves the committed append tree
+    // IS the no-refit union index (daily-append vector pipelines live on
+    // this property).
+    "q333_ivf_append_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_append_q333_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.KMeansIVF.writeIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+        nClusters = 10, iters = 4, sampleCap = 100)
+      graft.operators.KMeansIVF.appendIndex(
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx, "b1")
+      graft.operators.KMeansIVF.indexTopK(
+        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, nprobe = 3)
+    }),
+
+    // The append DRIFT GATE as data: base-vs-batch mean assigned
+    // micro-cosine and the integer basis-point verdict that decides when
+    // append-without-refit has degraded enough to force a rebuild. Every
+    // number is an exact integer (floor(cos*1e6 + 0.5) micro units,
+    // BigInt cross-multiplication), so the gate itself is hash-checked —
+    // a drifting batch can't hide behind float noise. The baseline is
+    // measured on the fit's own training half, so an iid batch sits at
+    // ~7000 bp (generalization gap, corpus-calibrated per the q300/q305
+    // rule); the rebuild cut is the halving point 5000 bp.
+    "q334_ivf_append_drift" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_append_q334_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.KMeansIVF.writeIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+        nClusters = 10, iters = 4, sampleCap = 100)
+      val r = graft.operators.KMeansIVF.appendIndex(
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx, "b1")
+      Seq((r.nPrev, r.nBatch, r.prevSumMicro, r.batchSumMicro, r.driftBp, r.rebuild))
+        .toDF("n_prev", "n_batch", "prev_sum_micro", "batch_sum_micro",
+          "drift_bp", "rebuild")
+    }),
+
     // Same ANN through the PERSISTED index lifecycle: fit + bucket-
     // partitioned write + partition-pruned query, different (k, nprobe) to
     // exercise the oracle generator's parameterization. Measures the whole
@@ -1666,6 +1716,15 @@ object DedupQueries {
       graft.operators.NswGraph.Params(
         hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
       k = 10, queryCap = 16, kmClusters = 10, kmIters = 4, kmSampleCap = 100),
+
+    "q333_ivf_append_probe" -> graft.operators.KMeansIVF.appendOracleSql(
+      "embeddings", "vec_id", "embedding", basePred = "vec_id % 2 = 0",
+      queryPred = "id < 10", k = 5, nprobe = 3,
+      nClusters = 10, iters = 4, sampleCap = 100),
+
+    "q334_ivf_append_drift" -> graft.operators.KMeansIVF.appendDriftOracleSql(
+      "embeddings", "vec_id", "embedding", basePred = "vec_id % 2 = 0",
+      nClusters = 10, iters = 4, sampleCap = 100),
 
     // identical replay with the index path's (k, nprobe) — the persisted
     // layout cannot change results, only which directories are read

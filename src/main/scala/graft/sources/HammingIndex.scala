@@ -36,6 +36,7 @@ object HammingIndex {
   def write(fps: DataFrame, idCol: String, fpCol: String, dir: String,
             bits: Int, nParts: Int = 64): Unit = {
     require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
+    IndexTxn.requireNoOpenTxn(dir)
     chunkRows(fps, idCol, fpCol, bits, nParts)
       .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
     // id-bucketed membership table: the SOUND collision gate for append
@@ -71,6 +72,7 @@ object HammingIndex {
     * re-run (the chunks-before-ids retry convergence is unchanged). */
   def append(spark: SparkSession, batch: DataFrame, idCol: String,
              fpCol: String, dir: String): Unit = {
+    IndexTxn.requireNoOpenTxn(dir)
     val meta = metaOf(dir)
     val bits = meta("bits"); val nParts = meta("nParts")
     val lock = java.nio.file.Paths.get(s"$dir/append.lock")
@@ -93,7 +95,7 @@ object HammingIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val hbs = newIds.select(col("hb")).distinct().collect().map(_.getLong(0))
-        val clash = spark.read.schema(idsSchema).parquet(s"$dir/ids")
+        val clash = readLive(spark, dir, "ids", idsSchema)
           .filter(col("hb").isin(hbs: _*))
           .join(newIds.select(col("id")), "id").limit(1).collect()
         require(clash.isEmpty,
@@ -129,6 +131,58 @@ object HammingIndex {
   private val idsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("hb", org.apache.spark.sql.types.LongType)))
+
+  /** All LIVE copies of an index subtree: the main tree plus committed
+    * transactional pendings ([[IndexTxn.livePaths]]), read with the
+    * explicit schema and unioned (partition filters push through the
+    * Union into every child scan). */
+  private def readLive(spark: SparkSession, dir: String, sub: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    IndexTxn.livePaths(dir, sub)
+      .filter(p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+      .map(p => spark.read.schema(schema).parquet(p))
+      .reduce(_ unionByName _)
+
+  /** Stage a batch append INSIDE a multi-participant transaction: the
+    * chunk/id subtrees land under `pending/<txid>/`, invisible to every
+    * probe until the transaction's single `.decision` file says commit —
+    * at which instant the table commits staged alongside it flip too
+    * ([[SnapshotTxn]]). The id-collision gate runs against the LIVE view
+    * (main tree + committed pendings); the open-txn lock taken at
+    * [[SnapshotTxn.begin]] keeps rival writers out of the window between
+    * gate and decision. */
+  def stageAppend(spark: SparkSession, batch: DataFrame, idCol: String,
+                  fpCol: String, dir: String, h: SnapshotTxn.Handle): Unit = {
+    require(IndexTxn.openTxnId(dir).contains(h.txid),
+      s"index $dir is not enrolled in transaction ${h.txid} — pass it to SnapshotTxn.begin(indexes = ...)")
+    val meta = metaOf(dir)
+    val bits = meta("bits"); val nParts = meta("nParts")
+    val rows = chunkRows(batch, idCol, fpCol, bits, nParts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newIds = rows.select(col("id")).distinct()
+        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
+          lit(nParts.toLong)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hbs = newIds.select(col("hb")).distinct().collect().map(_.getLong(0))
+        val clash = readLive(spark, dir, "ids", idsSchema)
+          .filter(col("hb").isin(hbs: _*))
+          .join(newIds.select(col("id")), "id").limit(1).collect()
+        require(clash.isEmpty,
+          s"staged append would duplicate already-indexed id ${clash.headOption}")
+        // txn.info FIRST: a crash mid-stage leaves a tree recover() can
+        // resolve (and abort-clean); the data itself stays invisible
+        // either way until the decision exists
+        IndexTxn.writeInfo(dir, h.txid, h.txnDir)
+        val pend = IndexTxn.pendingDir(dir, h.txid)
+        rows.write.mode("overwrite").partitionBy("pk")
+          .parquet(pend.resolve("chunks").toString)
+        newIds.write.mode("overwrite").partitionBy("hb")
+          .parquet(pend.resolve("ids").toString)
+      } finally newIds.unpersist()
+    } finally rows.unpersist()
+  }
 
   private def metaOf(dir: String): Map[String, Int] = {
     val txt = java.nio.file.Files.readString(
@@ -172,6 +226,7 @@ object HammingIndex {
     java.nio.file.Files.createDirectories(commits)
     val marker = commits.resolve(s"batch-$batchId")
     if (java.nio.file.Files.exists(marker)) return None
+    IndexTxn.requireNoOpenTxn(dir) // admits write to the main tree below
 
     val meta = metaOf(dir)
     val bits = meta("bits"); val nParts = meta("nParts")
@@ -190,7 +245,7 @@ object HammingIndex {
         lit(nParts.toLong)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bHbs = bIds.select(col("hb")).distinct().collect().map(_.getLong(0))
-    val resent = spark.read.schema(idsSchema).parquet(s"$dir/ids")
+    val resent = readLive(spark, dir, "ids", idsSchema)
       .filter(col("hb").isin(bHbs: _*))
       .join(bIds.select(col("id")), "id").select(col("id").as("__dup"))
     // localCheckpoint, NOT persist: the admit-writes below append to the
@@ -232,7 +287,7 @@ object HammingIndex {
           .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
             lit(nParts.toLong)))
         val hbs = newIds.select(col("hb")).distinct().collect().map(_.getLong(0))
-        val existing = spark.read.schema(idsSchema).parquet(s"$dir/ids")
+        val existing = readLive(spark, dir, "ids", idsSchema)
           .filter(col("hb").isin(hbs: _*)).select(col("id"))
         newIds.join(existing, Seq("id"), "left_anti")
           .write.mode("append").partitionBy("hb").parquet(s"$dir/ids")
@@ -263,7 +318,7 @@ object HammingIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // static partition pruning: <= nParts distinct values, never rows
     val pks = q.select(col("pk")).distinct().collect().map(_.getLong(0))
-    val c = spark.read.schema(chunksSchema).parquet(s"$dir/chunks")
+    val c = readLive(spark, dir, "chunks", chunksSchema)
       .filter(col("pk").isin(pks: _*))
       .select(col("id").as("cid"), col("fp").as("cfp"), col("ci"), col("cv"))
     q.join(c, Seq("ci", "cv"))

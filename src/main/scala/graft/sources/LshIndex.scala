@@ -45,6 +45,7 @@ object LshIndex {
   /** Build (or rebuild) the index at `dir` from the corpus. */
   def write(corpus: DataFrame, idCol: String, shingleHashes: Column, dir: String,
       cfg: MinHashDedup.Config = MinHashDedup.Config(), nParts: Int = 64): Unit = {
+    IndexTxn.requireNoOpenTxn(dir)
     val sh = MinHashDedup.hashed(corpus, idCol, shingleHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = MinHashDedup.withSignature(sh, cfg)
@@ -87,6 +88,7 @@ object LshIndex {
   def append(spark: SparkSession, batch: DataFrame, idCol: String,
       shingleHashes: Column, dir: String,
       cfg: MinHashDedup.Config = MinHashDedup.Config()): Unit = {
+    IndexTxn.requireNoOpenTxn(dir)
     val meta = metaOf(dir)
     require(meta("numHashes") == cfg.numHashes && meta("bands") == cfg.bands,
       s"append cfg (${cfg.numHashes}/${cfg.bands}) != index meta " +
@@ -105,7 +107,7 @@ object LshIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
-      val clash = spark.read.parquet(s"$dir/docs")
+      val clash = readLive(spark, dir, "docs")
         .filter(col("hb").isin(hbs: _*)).select(col("id"))
         .join(newDocs.select(col("id")), "id", "left_semi")
         .limit(5).collect().map(_.get(0))
@@ -131,7 +133,7 @@ object LshIndex {
 
   /** Atomic create-new (the local fail-if-exists primitive): true iff this
     * caller created the file, false if it already existed. */
-  private[sources] def casCreate(p: java.nio.file.Path): Boolean =
+  private[graft] def casCreate(p: java.nio.file.Path): Boolean =
     try { java.nio.file.Files.createFile(p); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
@@ -208,6 +210,7 @@ object LshIndex {
     java.nio.file.Files.createDirectories(commits)
     val marker = commits.resolve(s"batch-$batchId")
     if (java.nio.file.Files.exists(marker)) return None
+    IndexTxn.requireNoOpenTxn(dir) // admits write to the main tree below
 
     val meta = metaOf(dir)
     val nParts = meta("nParts")
@@ -259,7 +262,7 @@ object LshIndex {
         val newDocs = sh.select(col("id"), col("hashes"))
           .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
         val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
-        val existing = spark.read.parquet(s"$dir/docs")
+        val existing = readLive(spark, dir, "docs")
           .filter(col("hb").isin(hbs: _*)).select(col("id"))
         newDocs.join(existing, Seq("id"), "left_anti")
           .write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
@@ -283,6 +286,70 @@ object LshIndex {
     try java.nio.file.Files.createLink(marker, tmp)
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
     finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** All LIVE copies of an index subtree: the main tree plus committed
+    * transactional pendings ([[IndexTxn.livePaths]]). Schema is inferred
+    * per path (the band schema depends on cfg), so subtrees with no
+    * parquet footers (an empty staged batch) are skipped. */
+  private def readLive(spark: SparkSession, dir: String, sub: String): DataFrame =
+    IndexTxn.livePaths(dir, sub)
+      .filter { p =>
+        val path = java.nio.file.Paths.get(p)
+        java.nio.file.Files.isDirectory(path) && {
+          val st = java.nio.file.Files.walk(path)
+          try st.anyMatch(f => f.toString.endsWith(".parquet"))
+          finally st.close()
+        }
+      }
+      .map(p => spark.read.parquet(p))
+      .reduce(_ unionByName _)
+
+  /** Stage a batch append INSIDE a multi-participant transaction
+    * ([[SnapshotTxn]]): bands/docs land under `pending/<txid>/`,
+    * invisible to probes until the transaction's single `.decision` file
+    * says commit — the [[HammingIndex.stageAppend]] contract for the
+    * MinHash index. The id-collision gate runs against the LIVE view
+    * (main + committed pendings); rival writers are excluded by the
+    * open-txn lock taken at `SnapshotTxn.begin`. */
+  def stageAppend(spark: SparkSession, batch: DataFrame, idCol: String,
+      shingleHashes: Column, dir: String, h: SnapshotTxn.Handle,
+      cfg: MinHashDedup.Config = MinHashDedup.Config()): Unit = {
+    require(IndexTxn.openTxnId(dir).contains(h.txid),
+      s"index $dir is not enrolled in transaction ${h.txid} — pass it to SnapshotTxn.begin(indexes = ...)")
+    val meta = metaOf(dir)
+    require(meta("numHashes") == cfg.numHashes && meta("bands") == cfg.bands,
+      s"stage cfg (${cfg.numHashes}/${cfg.bands}) != index meta " +
+        s"(${meta("numHashes")}/${meta("bands")})")
+    val nParts = meta("nParts")
+    val sh = MinHashDedup.hashed(batch, idCol, shingleHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newDocs = sh.select(col("id"), col("hashes"))
+        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val hbs = newDocs.select(col("hb")).distinct().collect().map(_.getLong(0))
+        val clash = readLive(spark, dir, "docs")
+          .filter(col("hb").isin(hbs: _*)).select(col("id"))
+          .join(newDocs.select(col("id")), "id", "left_semi")
+          .limit(5).collect().map(_.get(0))
+        require(clash.isEmpty,
+          s"staged append would duplicate already-indexed ids (first ${clash.length}): " +
+            clash.mkString(", "))
+        // txn.info FIRST: a crash mid-stage leaves a tree recover() can
+        // resolve and abort-clean; nothing is visible before the decision
+        IndexTxn.writeInfo(dir, h.txid, h.txnDir)
+        val pend = IndexTxn.pendingDir(dir, h.txid)
+        val sig = MinHashDedup.withSignature(sh, cfg)
+        MinHashDedup.bandRows(sig, cfg)
+          .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+          .write.mode("overwrite").partitionBy("pk")
+          .parquet(pend.resolve("bands").toString)
+        newDocs.write.mode("overwrite").partitionBy("hb")
+          .parquet(pend.resolve("docs").toString)
+      } finally newDocs.unpersist()
+    } finally sh.unpersist()
   }
 
   private def metaOf(dir: String): Map[String, Int] = {
@@ -330,7 +397,7 @@ object LshIndex {
 
     // 1. static partition pruning on the bands dataset (<= nParts values)
     val pks = qBands.select(col("pk")).distinct().collect().map(_.getLong(0))
-    val cBands = spark.read.parquet(s"$dir/bands")
+    val cBands = readLive(spark, dir, "bands")
       .filter(col("pk").isin(pks: _*))
       .toDF("cid" +: "bk" +: (0 until k).map(i => s"c_s$i") :+ "pk": _*)
 
@@ -354,7 +421,7 @@ object LshIndex {
     val hbs = pruned
       .select(pmod(TextHash.md5Long(col("cid").cast("string")), lit(nParts)).as("hb"))
       .distinct().collect().map(_.getLong(0))
-    val cDocs = spark.read.parquet(s"$dir/docs")
+    val cDocs = readLive(spark, dir, "docs")
       .filter(col("hb").isin(hbs: _*))
       .select(col("id").as("cid"), col("hashes").as("h_c"))
     val qDocs = bsh.select(col("id").as("qid"), col("hashes").as("h_q"))

@@ -54,9 +54,12 @@ import org.apache.spark.sql.DataFrame
   */
 object SnapshotTxn {
 
-  /** An open transaction: its id, the decision directory, and the
-    * ABSOLUTE paths of the member tables (sorted — lock order). */
-  final case class Handle(txid: String, txnDir: String, tables: Seq[String])
+  /** An open transaction: its id, the decision directory, the ABSOLUTE
+    * paths of the member tables (sorted — lock order), and any enrolled
+    * SECONDARY INDEXES ([[IndexTxn]] — HammingIndex/LshIndex trees whose
+    * staged appends flip visible at the same decision instant). */
+  final case class Handle(txid: String, txnDir: String, tables: Seq[String],
+                          indexes: Seq[String] = Nil)
 
   final class TxnStateException(msg: String) extends RuntimeException(msg)
 
@@ -82,16 +85,22 @@ object SnapshotTxn {
     finally Files.deleteIfExists(tmp)
   }
 
-  /** Open a transaction across `tables`. Locks are taken in sorted order
-    * and all released if any acquisition fails (a table already inside a
-    * transaction fails loudly — nothing waits, so nothing deadlocks). */
-  def begin(txnDir: String, tables: Seq[String]): Handle = {
-    require(tables.nonEmpty, "a transaction needs at least one table")
+  /** Open a transaction across `tables` and (optionally) secondary
+    * `indexes`. Locks are taken in sorted order — tables first, then
+    * indexes — and all released if any acquisition fails (a member
+    * already inside a transaction fails loudly — nothing waits, so
+    * nothing deadlocks). */
+  def begin(txnDir: String, tables: Seq[String],
+            indexes: Seq[String] = Nil): Handle = {
+    require(tables.nonEmpty || indexes.nonEmpty,
+      "a transaction needs at least one table or index")
     Files.createDirectories(Paths.get(txnDir))
     val txid = java.util.UUID.randomUUID().toString
     val sorted = tables.map(abs).distinct.sorted
-    val h = Handle(txid, abs(txnDir), sorted)
+    val sortedIdx = indexes.map(abs).distinct.sorted
+    val h = Handle(txid, abs(txnDir), sorted, sortedIdx)
     var acquired = List.empty[String]
+    var acquiredIdx = List.empty[String]
     try {
       for (t <- sorted) {
         SnapshotTable.init(t)
@@ -101,10 +110,15 @@ object SnapshotTxn {
             s"table $t already has an open transaction (${openTxnId(t)})"))
         acquired ::= t
       }
+      for (i <- sortedIdx) {
+        IndexTxn.acquire(i, txid, h.txnDir)
+        acquiredIdx ::= i
+      }
       h
     } catch {
       case e: Throwable =>
         acquired.foreach(t => Files.deleteIfExists(SnapshotTable.openTxnPath(t)))
+        acquiredIdx.foreach(i => Files.deleteIfExists(IndexTxn.openTxnPath(i)))
         throw e
     }
   }
@@ -142,10 +156,16 @@ object SnapshotTxn {
       if (pendingTip(h, t).isEmpty)
         throw new TxnStateException(
           s"transaction ${h.txid} staged nothing on $t — stage every member table or abort")
+    for (i <- h.indexes)
+      if (!IndexTxn.hasStaged(i, h.txid))
+        throw new TxnStateException(
+          s"transaction ${h.txid} staged nothing on index $i — stage every member or abort")
     casWrite(decisionPath(h.txnDir, h.txid),
-      ("commit" +: h.tables).mkString("", "\n", "\n"), ())
+      ("commit" +: (h.tables ++ h.indexes)).mkString("", "\n", "\n"), ())
     decisionOf(h.txnDir, h.txid) match {
-      case Some("commit") => h.tables.foreach(finalizeCommitted(h, _))
+      case Some("commit") =>
+        h.tables.foreach(finalizeCommitted(h, _))
+        h.indexes.foreach(IndexTxn.finalizeCommitted(_, h.txid))
       case d => throw new TxnStateException(
         s"transaction ${h.txid} lost the decision race: $d")
     }
@@ -156,9 +176,11 @@ object SnapshotTxn {
     * tombstoned with a `.dead` sidecar only when ABORT actually won. */
   def abort(h: Handle): Unit = {
     casWrite(decisionPath(h.txnDir, h.txid),
-      ("abort" +: h.tables).mkString("", "\n", "\n"), ())
+      ("abort" +: (h.tables ++ h.indexes)).mkString("", "\n", "\n"), ())
     decisionOf(h.txnDir, h.txid) match {
-      case Some("abort") => h.tables.foreach(finalizeAborted(h, _))
+      case Some("abort") =>
+        h.tables.foreach(finalizeAborted(h, _))
+        h.indexes.foreach(IndexTxn.finalizeAborted(_, h.txid))
       case d => throw new TxnStateException(
         s"transaction ${h.txid} already decided: $d — cannot abort")
     }

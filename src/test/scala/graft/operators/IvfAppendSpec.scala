@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Incremental IVF index maintenance: append-without-refit, crash-atomic
+  * `_done` visibility, idempotent replay, and the exact-integer drift
+  * gate. */
+class IvfAppendSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshIdx(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"ivf_append_$tag").toString
+
+  private lazy val e = Tables.embeddings(spark, dir)
+  private lazy val base = e.filter(col("vec_id") % 2 === 0)
+  private lazy val batch = e.filter(col("vec_id") % 2 =!= 0)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+  test("probe-after-append == probe of a union index under the SAME centroids") {
+    val idxA = freshIdx("a")
+    val cents = KMeansIVF.writeIndex(base, "vec_id", "embedding", idxA, sampleCap = 100)
+    KMeansIVF.appendIndex(batch, "vec_id", "embedding", idxA, "b1")
+
+    // reference index: the union assigned to the same centroid generation
+    // in one shot (what a zero-drift from-scratch rebuild that kept the
+    // fit would produce)
+    val idxB = freshIdx("b")
+    val u = e.select(col("vec_id").as("neighbor_id"),
+      VectorOps.asDouble(col("embedding")).as("cv"))
+    KMeansIVF.assignBuckets(u, cents)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$idxB/data")
+    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idxB/centroids.json"), json)
+
+    val q = e.filter(col("vec_id") < 10)
+    val got = rows(KMeansIVF.indexTopK(q, idxA, "vec_id", "embedding", k = 3, nprobe = 2))
+    val want = rows(KMeansIVF.indexTopK(q, idxB, "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(got == want, "append tree must serve exactly the no-refit union index")
+  }
+
+  test("an append without its _done marker is invisible; retry wipes and converges") {
+    val idx = freshIdx("crash")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    val q = e.filter(col("vec_id") < 6)
+    val before = rows(KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 2))
+
+    // simulate a crash mid-append: data staged, no marker
+    val partial = new java.io.File(s"$idx/appends/bx/data/bucket=0")
+    assert(partial.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idx/appends/bx/data/bucket=0/garbage.txt"), "not parquet")
+    assert(rows(KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 2))
+      == before, "uncommitted append must not be read")
+
+    // retry with the same batchId: partial tree wiped, append commits
+    val r = KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "bx")
+    assert(r.nBatch == batch.count())
+    assert(new java.io.File(s"$idx/appends/bx/_done").exists())
+    val after = KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 10)
+    assert(after.count() > 0)
+  }
+
+  test("committed-append replay is a no-op returning the original verdict") {
+    val idx = freshIdx("idem")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    val r1 = KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
+    val filesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      .count()
+    val r2 = KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
+    assert(r1 == r2, "replay must recompute the identical verdict")
+    val filesAfter = java.nio.file.Files.walk(java.nio.file.Paths.get(idx)).count()
+    assert(filesBefore == filesAfter, "replay must write nothing")
+  }
+
+  test("rival append (live lock) and missing stats sidecar both refuse loudly") {
+    val idx = freshIdx("guard")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    val lock = java.nio.file.Paths.get(s"$idx/append.lock")
+    java.nio.file.Files.createFile(lock)
+    val ex = intercept[IllegalStateException] {
+      KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
+    }
+    assert(ex.getMessage.contains("append.lock"))
+    java.nio.file.Files.delete(lock)
+
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/stats.json"))
+    val ex2 = intercept[IllegalArgumentException] {
+      KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
+    }
+    assert(ex2.getMessage.contains("stats"))
+  }
+
+  test("a rebuild clears the previous centroid generation's appends") {
+    val idx = freshIdx("rebuild")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
+    assert(new java.io.File(s"$idx/appends/b1/_done").exists())
+    KMeansIVF.writeIndex(e, "vec_id", "embedding", idx, sampleCap = 100)
+    assert(!new java.io.File(s"$idx/appends").exists(),
+      "appends assigned against the old centroids must not survive a rebuild")
+    // and the index now serves the full corpus from data/ alone
+    val q = e.filter(col("vec_id") < 4)
+    assert(KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 10).count() > 0)
+  }
+
+  test("drift gate: iid batch passes, distribution-shifted batch flags rebuild") {
+    val idx = freshIdx("drift")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    val iid = KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "iid")
+    assert(!iid.rebuild,
+      s"iid batch must pass the gate (generalization gap only), got $iid")
+    assert(iid.driftBp > 5000 && iid.driftBp < 11000, s"gap out of band: $iid")
+
+    // a genuine distribution shift needs data with real cluster structure
+    // (the corpus embeddings' held-out mean already sits at the chance
+    // level — max-of-10 random cosines — so NO geometric shift of them
+    // can fall much further): synthetic base = 3 tight one-hot clusters,
+    // shifted batch = clusters on DIFFERENT axes with only a 5% residual
+    // on the old ones — assigned cosines collapse to ~0.05 and the ratio
+    // crosses the halving cut decisively
+    import spark.implicits._
+    def oneHot(hot: Map[Int, Double]): Seq[Double] =
+      (0 until 8).map(i => hot.getOrElse(i, 0.0))
+    val synthBase = (0L until 300L).map(id =>
+      (id, oneHot(Map((id % 3).toInt -> 1.0)))).toDF("vec_id", "embedding")
+    val synthShift = (300L until 600L).map(id =>
+      (id, oneHot(Map((id % 3).toInt -> 0.05, (4 + (id % 3)).toInt -> 1.0))))
+      .toDF("vec_id", "embedding")
+    val idx2 = freshIdx("drift2")
+    KMeansIVF.writeIndex(synthBase, "vec_id", "embedding", idx2,
+      nClusters = 3, sampleCap = 300)
+    val bad = KMeansIVF.appendIndex(synthShift, "vec_id", "embedding", idx2, "shift")
+    assert(bad.rebuild && bad.driftBp < 5000,
+      s"shifted batch must flag rebuild, got $bad")
+  }
+}
