@@ -462,6 +462,35 @@ object ShingleUtil {
     }
     distinctArray(out)
   }
+
+  /** POSITION-ORDERED md5 hashes of every n-char window of the trimmed
+    * text — element i = hash of chars [i+1, i+n] (1-based), NO dedup, so
+    * `posexplode` recovers (position, hash) pairs (what
+    * [[charShingleHashes]]' set form cannot). Same ASCII in-place fast
+    * path; value-identical to `md5Long(substring(trim(t), p, n))` — the
+    * lockstep of `TextHash.md5LongSql(substr(...))` on the oracle side.
+    * Texts shorter than n yield an EMPTY array (no truncated windows). */
+  def positionedWindowHashes(s: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val t = s.trim()
+    val len = t.numChars()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val out = new Array[Long](len - n + 1)
+    if (t.numBytes() == len) {
+      val bytes = t.getBytes
+      var i = 0
+      while (i <= len - n) { out(i) = Md5LongUtil.hashRange(bytes, i, n); i += 1 }
+    } else {
+      var i = 0
+      while (i <= len - n) {
+        out(i) = Md5LongUtil.hashBytes(t.substringSQL(i + 1, n).getBytes)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `ShingleUtil.wordShingleHashes` as a codegen'd expression. */
@@ -484,6 +513,18 @@ case class SimHash60(child: Expression)
     ShingleUtil.simHash60(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.simHash60($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `ShingleUtil.positionedWindowHashes` as a codegen'd expression. */
+case class PositionedWindowHashes(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleUtil.positionedWindowHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.positionedWindowHashes($c, $n)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -740,6 +781,10 @@ object VectorExpressions {
   def charShingleHashes(text: Column, n: Int, p: Long, stride: Int = 1): Column =
     registered(s"graft_char_shingle_hashes_${n}_${p}_$stride",
       exprs => CharShingleHashes(exprs.head, n, p, stride))(text)
+
+  def positionedWindowHashes(text: Column, n: Int): Column =
+    registered(s"graft_positioned_window_hashes_$n",
+      exprs => PositionedWindowHashes(exprs.head, n))(text)
 
   /** Input must already be trimmed (the Column-level shingle helpers trim
     * internally; this fused form does not). */

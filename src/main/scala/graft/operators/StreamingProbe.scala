@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** STREAMING ANN QUERY PATH — the serving loop over the persisted
+  * similarity indexes: a stream of query vectors (or fingerprints)
+  * probes the index per micro-batch, reading only partition-pruned
+  * buckets, and hands each batch's results to a sink callback.
+  *
+  * Probing is STATELESS per batch (the index is the state, on disk), so
+  * exactly-once is the checkpoint's problem alone: a replayed batch
+  * recomputes identical results (deterministic routing + exact re-rank),
+  * and the sink callback decides idempotence exactly as foreachBatch
+  * sinks always do. Stream results therefore equal the batch probe of
+  * the same queries REGARDLESS of slicing — proven per index family in
+  * StreamingProbeSpec.
+  *
+  * One guard matters operationally: the index must not be REBUILT while
+  * a probe stream runs (bucket meaning changes under the reader). The
+  * IVF path re-reads the centroid sidecar each batch, the NSW path the
+  * `_ready`-gated graph sidecar, the Hamming path `meta.json` — so a
+  * completed rebuild is picked up at the next batch boundary, and a
+  * mid-rebuild crash window is refused by the NSW `_ready` gate (the
+  * other two sidecars are single files, atomic at the filesystem level).
+  */
+object StreamingProbe {
+
+  /** Probe a persisted [[KMeansIVF]] index with a stream of
+    * `(idCol, vecCol)` query rows. Each batch emits
+    * `(query_id, neighbor_id, rank, cosine)` to `onResults`. */
+  def startIvf(
+      stream: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, checkpointDir: String,
+      onResults: (DataFrame, Long) => Unit): StreamingQuery =
+    start(stream, checkpointDir) { (spark, batch, batchId) =>
+      onResults(KMeansIVF.indexTopK(
+        batch, indexDir, idCol, vecCol, k, nprobe), batchId)
+    }
+
+  /** Probe a persisted [[NswGraph]] index (beam routing on the sidecar
+    * graph + partition-pruned bucket scans) per micro-batch. */
+  def startNsw(
+      stream: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      k: Int, p: NswGraph.Params, checkpointDir: String,
+      onResults: (DataFrame, Long) => Unit): StreamingQuery =
+    start(stream, checkpointDir) { (spark, batch, batchId) =>
+      onResults(NswGraph.indexSearch(
+        batch, indexDir, idCol, vecCol, k, p), batchId)
+    }
+
+  /** Probe a persisted [[graft.sources.HammingIndex]] with a stream of
+    * `(idCol, fpCol)` fingerprints; emits `(query_id, corpus_id,
+    * hamming)` near-dup pairs per batch. Unlike
+    * `HammingIndex.startDedupStream`, this path only QUERIES — the index
+    * is never written, so no marker/claim protocol is needed. */
+  def startHamming(
+      stream: DataFrame, indexDir: String, idCol: String, fpCol: String,
+      maxHamming: Int, checkpointDir: String,
+      onResults: (DataFrame, Long) => Unit): StreamingQuery =
+    start(stream, checkpointDir) { (spark, batch, batchId) =>
+      onResults(graft.sources.HammingIndex.probe(
+        spark, batch, idCol, fpCol, indexDir, maxHamming), batchId)
+    }
+
+  private def start(stream: DataFrame, checkpointDir: String)(
+      body: (SparkSession, DataFrame, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        body(spark, batch, batchId)
+        // probe paths persist bounded intermediates under the library
+        // caching contract (caller releases); a long-running stream is
+        // the caller, so each batch drops its cache footprint
+        spark.catalog.clearCache()
+      }
+      .start()
+}

@@ -940,6 +940,24 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
     }),
 
+    // MAXIMAL exact-substring dedup (operators/SuffixRepeats — the Lee et
+    // al. 2022 suffix-array family): prefix-doubling suffix ranking over
+    // the corpus char stream, all ranks via the distributed dense-rank
+    // (range repartition + partition flags + broadcast offsets — no
+    // partitionless window anywhere), adjacent-suffix LCP by binary
+    // descent over the rank ladder, exact per-position maximal duplicated
+    // lengths, and disjoint per-doc span masks. Where q237's fixed
+    // 30-char windows report a 45-char duplicate as a merged window blob,
+    // this reports max_dl = 45 exactly (and sees 29-char dups at all —
+    // spec-planted); the oracle replays every doubling round, the capped
+    // suffix order, the descent, the truncation clamp, and the span
+    // merge, so maximality itself is hash-checked. minLen=60 is
+    // corpus-calibrated (q300/q305 rule): ~12 tokens of this vocabulary —
+    // natural collisions vanish, the planted near-dup runs remain.
+    "q335_maximal_repeats" -> ((s, d) =>
+      graft.operators.SuffixRepeats.repeatSpans(
+        Tables.documents(s, d), "doc_id", "text", minLen = 60, horizon = 64)),
+
     // INCREMENTAL IVF index maintenance (KMeansIVF.appendIndex): the index
     // is built on HALF the corpus (even vec_ids), the other half appends
     // WITHOUT refitting — assigned to the existing centroids map-side,
@@ -1716,6 +1734,9 @@ object DedupQueries {
       graft.operators.NswGraph.Params(
         hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
       k = 10, queryCap = 16, kmClusters = 10, kmIters = 4, kmSampleCap = 100),
+
+    "q335_maximal_repeats" -> graft.operators.SuffixRepeats.oracleSql(
+      "documents", "doc_id", "text", minLen = 60, horizon = 64),
 
     "q333_ivf_append_probe" -> graft.operators.KMeansIVF.appendOracleSql(
       "embeddings", "vec_id", "embedding", basePred = "vec_id % 2 = 0",

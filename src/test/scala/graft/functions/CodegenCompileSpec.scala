@@ -21,7 +21,8 @@ class CodegenCompileSpec extends AnyFunSuite {
     val text = BoundReference(0, StringType, nullable = true)
     CodegenCompile.compileUnsafeProjection(Seq(
       WordShingleHashes(text, 3, TextHash.P),
-      CharShingleHashes(text, 8, TextHash.P, 2)))
+      CharShingleHashes(text, 8, TextHash.P, 2),
+      PositionedWindowHashes(text, 32)))
   }
 
   test("signature + 16 getItems (subexpr elimination) compiles") {

@@ -1,0 +1,100 @@
+package graft.operators
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Streaming ANN probes == batch probes of the same queries, under random
+  * micro-batch slicing, for all three persisted index families. */
+class StreamingProbeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val e = Tables.embeddings(spark, dir)
+
+  /** Drive `queries` through a probe stream in random slices; collect
+    * every emitted row alongside the per-batch query attribution. */
+  private def drive[T](
+      rows: Seq[T], slices: Int, seed: Int)(
+      startFn: (org.apache.spark.sql.DataFrame, (org.apache.spark.sql.DataFrame, Long) => Unit)
+        => org.apache.spark.sql.streaming.StreamingQuery)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[T]
+    val out = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = startFn(mem.toDF(), (res, _) => out.synchronized {
+      out ++= res.collect()
+    })
+    try {
+      val rng = new Random(seed)
+      var rest = rows
+      while (rest.nonEmpty) {
+        val take = 1 + rng.nextInt(math.max(1, math.min(slices, rest.size)))
+        mem.addData(rest.take(take): _*)
+        q.processAllAvailable()
+        rest = rest.drop(take)
+      }
+    } finally q.stop()
+    out.toSeq
+  }
+
+  test("IVF probe stream == batch indexTopK under random slicing") {
+    val idx = java.nio.file.Files.createTempDirectory("sp_ivf").toString
+    KMeansIVF.writeIndex(e, "vec_id", "embedding", idx, sampleCap = 100)
+    val queries = e.filter(col("vec_id") < 12)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val ck = java.nio.file.Files.createTempDirectory("sp_ivf_ck").toString
+    val got = drive(queries, slices = 4, seed = 7) { (df, cb) =>
+      StreamingProbe.startIvf(
+        df.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+        k = 3, nprobe = 2, ck, cb)
+    }.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = KMeansIVF.indexTopK(e.filter(col("vec_id") < 12), idx,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("NSW probe stream == batch indexSearch under random slicing") {
+    val p = NswGraph.Params()
+    val idx = java.nio.file.Files.createTempDirectory("sp_nsw").toString
+    NswGraph.writeIndex(e, "vec_id", "embedding", idx, p)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val ck = java.nio.file.Files.createTempDirectory("sp_nsw_ck").toString
+    val got = drive(queries, slices = 3, seed = 11) { (df, cb) =>
+      StreamingProbe.startNsw(
+        df.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+        k = 4, p, ck, cb)
+    }.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = NswGraph.indexSearch(e.filter(col("vec_id") < 10), idx,
+        "vec_id", "embedding", k = 4, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("Hamming probe stream == batch probe under random slicing") {
+    val idx = java.nio.file.Files.createTempDirectory("sp_ham").toString
+    val corpus = (1L to 30L).map(i => (i, i * 16L + 5L)).toDF("doc_id", "fp")
+    graft.sources.HammingIndex.write(corpus, "doc_id", "fp", idx, bits = 56)
+    val queries = (1L to 30L).map(i => (i, i * 16L + 5L))
+    val ck = java.nio.file.Files.createTempDirectory("sp_ham_ck").toString
+    val got = drive(queries, slices = 5, seed = 13) { (df, cb) =>
+      StreamingProbe.startHamming(
+        df.toDF("doc_id", "fp"), idx, "doc_id", "fp", maxHamming = 3, ck, cb)
+    }.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = graft.sources.HammingIndex.probe(
+        spark, queries.toDF("doc_id", "fp"), "doc_id", "fp", idx, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "the 16i+5 fingerprint family plants near-dups")
+  }
+}
