@@ -230,30 +230,40 @@ object KMeansIVF {
   def writeIndex(
       corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000): Array[Array[Double]] = {
-    // stale-generation cleanup FIRST: appends assigned against the old
-    // centroids must never survive a rebuild, and a missing stats.json
-    // makes appendIndex refuse loudly if this rebuild crashes mid-way
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/stats.json"))
-    val appendsDir = new java.io.File(s"$dir/appends")
-    if (appendsDir.exists()) graft.TempDirs.deleteRecursively(appendsDir)
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
-    val sampleMod = sampleModFor(c.count(), sampleCap)
-    val sample = c
-      .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val centroids = fit(sample, nClusters, iters)
-    val assigned = assignBuckets(c, centroids)
-      .persist() // data write + stats agg both consume it
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
-    val st = assigned.agg(count(lit(1)), sum(microCol(centroids))).head()
-    assigned.unpersist()
-    val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/centroids.json"), json)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/stats.json"),
-      s"""{"n":${st.getLong(0)},"sumMicro":${st.getLong(1)}}""")
-    centroids
+    // a rebuild and an append racing corrupts silently (an append reading
+    // the OLD centroids could commit its _done into the NEW generation
+    // after the cleanup below) — both paths serialize on append.lock
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"an append or rebuild is in flight on $dir (append.lock) — retry later " +
+        "or remove the lock if its owner is known dead")
+    try {
+      // stale-generation cleanup FIRST: appends assigned against the old
+      // centroids must never survive a rebuild, and a missing stats.json
+      // makes appendIndex refuse loudly if this rebuild crashes mid-way
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/stats.json"))
+      val appendsDir = new java.io.File(s"$dir/appends")
+      if (appendsDir.exists()) graft.TempDirs.deleteRecursively(appendsDir)
+      val c = corpus.select(
+        col(idCol).as("neighbor_id"), VectorOps.asDouble(col(vecCol)).as("cv"))
+      val sampleMod = sampleModFor(c.count(), sampleCap)
+      val sample = c
+        .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(sampleMod)) === 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val centroids = fit(sample, nClusters, iters)
+      val assigned = assignBuckets(c, centroids)
+        .persist() // data write + stats agg both consume it
+      assigned.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
+      val st = assigned.agg(count(lit(1)), sum(microCol(centroids))).head()
+      assigned.unpersist()
+      val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/centroids.json"), json)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/stats.json"),
+        s"""{"n":${st.getLong(0)},"sumMicro":${st.getLong(1)}}""")
+      centroids
+    } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** Portably-rounded micro-unit assignment cosine of a `(cv, bucket)`
@@ -324,15 +334,17 @@ object KMeansIVF {
       batch: DataFrame, idCol: String, vecCol: String, dir: String,
       batchId: String): AppendResult = {
     require(!batchId.contains("/") && batchId.nonEmpty, s"bad batchId '$batchId'")
-    val statsPath = java.nio.file.Paths.get(s"$dir/stats.json")
-    require(java.nio.file.Files.exists(statsPath),
-      s"IVF index at $dir has no stats sidecar — the build predates the " +
-        "append-capable writeIndex or crashed mid-write; rebuild the index")
     val lock = java.nio.file.Paths.get(s"$dir/append.lock")
     if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
-      s"rival append in progress on $dir (append.lock exists); retry later " +
-        "or remove the lock if its owner is known dead")
+      s"rival append or rebuild in progress on $dir (append.lock exists); " +
+        "retry later or remove the lock if its owner is known dead")
     try {
+      // INSIDE the lock: a rival rebuild can no longer yank stats.json /
+      // centroids between this check and the writes below
+      val statsPath = java.nio.file.Paths.get(s"$dir/stats.json")
+      require(java.nio.file.Files.exists(statsPath),
+        s"IVF index at $dir has no stats sidecar — the build predates the " +
+          "append-capable writeIndex or crashed mid-write; rebuild the index")
       val appDir = new java.io.File(s"$dir/appends/$batchId")
       val doneMarker = new java.io.File(appDir, "_done")
       def totals(excluding: String): (Long, Long) = {
@@ -352,11 +364,11 @@ object KMeansIVF {
         AppendResult(pn, bn, ps, bs, bp, bp < 5000 || bp > 20000)
       }
       if (doneMarker.exists()) {
-        // idempotent replay of a committed append: recompute the verdict
-        // against the state as it was (all other committed fragments +
-        // base), change nothing
-        return verdict(totals(excluding = batchId),
-          readStats(appDir.toPath.resolve("stats.json")))
+        // idempotent replay of a committed append: return the ORIGINAL
+        // verdict verbatim (persisted at commit time — recomputing against
+        // totals would shift once LATER appends land and could flip the
+        // rebuild decision on an at-least-once runner's retry)
+        return readResult(appDir.toPath.resolve("result.json"))
       }
       if (appDir.exists()) graft.TempDirs.deleteRecursively(appDir) // crashed partial
       val centroids = readCentroids(dir)
@@ -371,11 +383,27 @@ object KMeansIVF {
       val prev = totals(excluding = batchId)
       java.nio.file.Files.writeString(appDir.toPath.resolve("stats.json"),
         s"""{"n":${batchStats._1},"sumMicro":${batchStats._2}}""")
+      val v = verdict(prev, batchStats)
+      java.nio.file.Files.writeString(appDir.toPath.resolve("result.json"),
+        s"""{"nPrev":${v.nPrev},"nBatch":${v.nBatch},"prevSumMicro":${v.prevSumMicro},""" +
+          s""""batchSumMicro":${v.batchSumMicro},"driftBp":${v.driftBp},"rebuild":${v.rebuild}}""")
       // the atomic commit point: everything above is invisible until this
       require(graft.sources.LshIndex.casCreate(doneMarker.toPath),
         s"impossible: $doneMarker already existed under append.lock")
-      verdict(prev, batchStats)
+      v
     } finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  private def readResult(path: java.nio.file.Path): AppendResult = {
+    val s = java.nio.file.Files.readString(path).trim
+    val m = ("""\{"nPrev":(-?\d+),"nBatch":(-?\d+),"prevSumMicro":(-?\d+),""" +
+      """"batchSumMicro":(-?\d+),"driftBp":(-?\d+),"rebuild":(true|false)\}""").r
+    s match {
+      case m(pn, bn, ps, bs, bp, rb) =>
+        AppendResult(pn.toLong, bn.toLong, ps.toLong, bs.toLong, bp.toLong, rb.toBoolean)
+      case other => throw new IllegalStateException(
+        s"unparseable append result sidecar $path: $other")
+    }
   }
 
   def readCentroids(dir: String): Array[Array[Double]] = {

@@ -101,7 +101,8 @@ object NswGraph {
       s"degenerate params $p — every graph dimension must be >= 1")
     val c = corpus.select(
       col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("v"))
-    val mod = KMeansIVF.sampleModFor(c.count(), hubTarget(c.count(), p))
+    val n = c.count() // one job; feeds both the target and the modulus
+    val mod = KMeansIVF.sampleModFor(n, hubTarget(n, p))
     val hubsDf = c
       .filter(pmod(TextHash.md5Long(col("id").cast("string")), lit(mod)) === 0)
       .persist() // consumed by: adjacency (count + sample + both join sides) and the hub-vector collect

@@ -58,22 +58,26 @@ object StreamingProbe {
       stream: DataFrame, indexDir: String, idCol: String, fpCol: String,
       maxHamming: Int, checkpointDir: String,
       onResults: (DataFrame, Long) => Unit): StreamingQuery =
-    start(stream, checkpointDir) { (spark, batch, batchId) =>
+    start(stream, checkpointDir, clearCachePerBatch = true) { (spark, batch, batchId) =>
       onResults(graft.sources.HammingIndex.probe(
         spark, batch, idCol, fpCol, indexDir, maxHamming), batchId)
     }
 
-  private def start(stream: DataFrame, checkpointDir: String)(
+  private def start(stream: DataFrame, checkpointDir: String,
+                    clearCachePerBatch: Boolean = false)(
       body: (SparkSession, DataFrame, Long) => Unit): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         body(spark, batch, batchId)
-        // probe paths persist bounded intermediates under the library
-        // caching contract (caller releases); a long-running stream is
-        // the caller, so each batch drops its cache footprint
-        spark.catalog.clearCache()
+        // only the HAMMING probe persists an intermediate (its batch chunk
+        // rows, under the library caching contract); the IVF/NSW paths
+        // cache nothing, so they skip the session-wide clearCache — a
+        // SERVING loop is likely to share its session, and wiping every
+        // unrelated cached frame per micro-batch would be collateral
+        // damage the ingest-loop precedent (a dedicated session) never had
+        if (clearCachePerBatch) spark.catalog.clearCache()
       }
       .start()
 }

@@ -171,8 +171,11 @@ object SuffixRepeats {
     // rows is tiny and a no-op on real clusters whose scans already carry
     // enough splits
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // doc rows are consumed TWICE (window-hash pass + the pos0 rejoin) —
+    // checkpoint the tiny relation (round-5 rule: >=2 consumers persist)
     val tdocs =
-      if (tdocs0.rdd.getNumPartitions < par) tdocs0.repartition(par) else tdocs0
+      (if (tdocs0.rdd.getNumPartitions < par) tdocs0.repartition(par) else tdocs0)
+        .localCheckpoint()
     val wH = Window.partitionBy(col("h"))
     val wd = Window.partitionBy(col("d")).orderBy(col("p"))
     // S: duplicated-base-window positions. Window hashes come from ONE

@@ -37,6 +37,10 @@ object HammingIndex {
             bits: Int, nParts: Int = 64): Unit = {
     require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
     IndexTxn.requireNoOpenTxn(dir)
+    // a REBUILD starts a new generation: committed transactional pendings
+    // belong to the old corpus/geometry and must not survive into the
+    // live view (the KMeansIVF.writeIndex stale-append discipline)
+    IndexTxn.clearPendings(dir)
     chunkRows(fps, idCol, fpCol, bits, nParts)
       .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
     // id-bucketed membership table: the SOUND collision gate for append
@@ -72,7 +76,6 @@ object HammingIndex {
     * re-run (the chunks-before-ids retry convergence is unchanged). */
   def append(spark: SparkSession, batch: DataFrame, idCol: String,
              fpCol: String, dir: String): Unit = {
-    IndexTxn.requireNoOpenTxn(dir)
     val meta = metaOf(dir)
     val bits = meta("bits"); val nParts = meta("nParts")
     val lock = java.nio.file.Paths.get(s"$dir/append.lock")
@@ -80,8 +83,12 @@ object HammingIndex {
       s"another append holds $lock (in flight, or crashed while holding it) — " +
         "concurrent appends would race the id-collision gate; if no rival is " +
         "live, remove the lock file and re-run")
-    try appendLocked(spark, batch, idCol, fpCol, dir, bits, nParts)
-    finally java.nio.file.Files.deleteIfExists(lock)
+    try {
+      // INSIDE the lock (IndexTxn.acquire checks append.lock after its own
+      // CAS, so one side of any interleaving always sees the other)
+      IndexTxn.requireNoOpenTxn(dir)
+      appendLocked(spark, batch, idCol, fpCol, dir, bits, nParts)
+    } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   private def appendLocked(spark: SparkSession, batch: DataFrame,
@@ -180,6 +187,7 @@ object HammingIndex {
           .parquet(pend.resolve("chunks").toString)
         newIds.write.mode("overwrite").partitionBy("hb")
           .parquet(pend.resolve("ids").toString)
+        IndexTxn.markStaged(dir, h.txid) // data complete — now publishable
       } finally newIds.unpersist()
     } finally rows.unpersist()
   }

@@ -66,6 +66,23 @@ object IndexTxn {
     casWrite(openTxnPath(dir), s"txid=$txid\ntxnd=$txnDir\n",
       throw new SnapshotTable.ConcurrentCommitException(
         s"index $dir already enrolled in transaction ${openTxnId(dir)}"))
+    // close the race with plain appends: append() takes append.lock and
+    // re-checks open.txn INSIDE it; acquire checks append.lock AFTER its
+    // own CAS — whichever interleaving occurs, one side always observes
+    // the other and backs off
+    if (Files.exists(Paths.get(dir, "append.lock"))) {
+      Files.deleteIfExists(openTxnPath(dir))
+      throw new SnapshotTable.ConcurrentCommitException(
+        s"index $dir has an append in flight (append.lock) — cannot enroll")
+    }
+  }
+
+  /** Delete every pending subtree — a REBUILD's generation reset (callers
+    * already refused if a transaction is open, so every pending here is
+    * either committed-but-stale or an orphan of a decided txn). */
+  private[sources] def clearPendings(dir: String): Unit = {
+    val root = pendingRoot(dir)
+    if (Files.isDirectory(root)) SnapshotTable.deleteRecursively(root)
   }
 
   /** Record a staged pending's coordinates (written BEFORE its data so a
@@ -79,8 +96,18 @@ object IndexTxn {
     ()
   }
 
+  /** Mark a pending's data COMPLETE — written by the index's stageAppend
+    * after its last subtree lands. [[SnapshotTxn.commit]] refuses a
+    * pending without it (txn.info alone only proves staging STARTED — a
+    * crash between subtrees must never be publishable), and read-time
+    * resolution requires it too. */
+  private[sources] def markStaged(dir: String, txid: String): Unit = {
+    Files.writeString(pendingDir(dir, txid).resolve("_staged"), "1")
+    ()
+  }
+
   private[sources] def hasStaged(dir: String, txid: String): Boolean =
-    Files.exists(pendingDir(dir, txid).resolve("txn.info"))
+    Files.exists(pendingDir(dir, txid).resolve("_staged"))
 
   /** Every LIVE root of subtree `sub` (e.g. "chunks"): the main tree plus
     * each COMMITTED pending's copy. Read-only — finalization is the
@@ -97,6 +124,10 @@ object IndexTxn {
 
   private def isCommitted(pend: Path): Boolean = {
     if (Files.exists(pend.resolve("_committed"))) return true
+    // no _staged = the stage never finished writing its subtrees; even a
+    // commit decision cannot make a half-staged pending servable (commit()
+    // refuses to decide without it — this guard covers decision races)
+    if (!Files.exists(pend.resolve("_staged"))) return false
     val info = pend.resolve("txn.info")
     if (!Files.exists(info)) return false // crashed mid-stage, never decided
     val kv = parseKv(info)

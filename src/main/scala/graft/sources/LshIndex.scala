@@ -46,6 +46,9 @@ object LshIndex {
   def write(corpus: DataFrame, idCol: String, shingleHashes: Column, dir: String,
       cfg: MinHashDedup.Config = MinHashDedup.Config(), nParts: Int = 64): Unit = {
     IndexTxn.requireNoOpenTxn(dir)
+    // rebuild = new generation: stale committed pendings must not be
+    // unioned into the new live view (see HammingIndex.write)
+    IndexTxn.clearPendings(dir)
     val sh = MinHashDedup.hashed(corpus, idCol, shingleHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = MinHashDedup.withSignature(sh, cfg)
@@ -88,7 +91,6 @@ object LshIndex {
   def append(spark: SparkSession, batch: DataFrame, idCol: String,
       shingleHashes: Column, dir: String,
       cfg: MinHashDedup.Config = MinHashDedup.Config()): Unit = {
-    IndexTxn.requireNoOpenTxn(dir)
     val meta = metaOf(dir)
     require(meta("numHashes") == cfg.numHashes && meta("bands") == cfg.bands,
       s"append cfg (${cfg.numHashes}/${cfg.bands}) != index meta " +
@@ -100,6 +102,9 @@ object LshIndex {
         "concurrent appends would race the collision gate; if no rival is " +
         "live, remove the lock file and re-run")
     try {
+      // INSIDE the lock (IndexTxn.acquire checks append.lock after its own
+      // CAS, so one side of any interleaving always sees the other)
+      IndexTxn.requireNoOpenTxn(dir)
       val sh = MinHashDedup.hashed(batch, idCol, shingleHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newDocs = sh.select(col("id"), col("hashes"))
@@ -348,6 +353,7 @@ object LshIndex {
           .parquet(pend.resolve("bands").toString)
         newDocs.write.mode("overwrite").partitionBy("hb")
           .parquet(pend.resolve("docs").toString)
+        IndexTxn.markStaged(dir, h.txid) // data complete — now publishable
       } finally newDocs.unpersist()
     } finally sh.unpersist()
   }

@@ -235,6 +235,23 @@ object SnapshotTxn {
     }
   }
 
+  /** [[forceAbort]] for an INDEX member ([[IndexTxn]]) — a transaction
+    * whose members are only indexes would otherwise have no sanctioned
+    * repair for a writer that died before deciding. */
+  def forceAbortIndex(indexDir: String): String = {
+    val p = IndexTxn.openTxnPath(indexDir)
+    if (!Files.exists(p)) return "no open transaction"
+    val kv = parseKv(p)
+    casWrite(decisionPath(kv("txnd"), kv("txid")), s"abort\n$indexDir\n", ())
+    decisionOf(kv("txnd"), kv("txid")) match {
+      case Some("commit") =>
+        IndexTxn.finalizeCommitted(indexDir, kv("txid"))
+        "already committed — finalized instead"
+      case _ =>
+        IndexTxn.finalizeAborted(indexDir, kv("txid")); "aborted"
+    }
+  }
+
   /** Operator intervention for a writer that died before deciding: drive
     * the table's open transaction to ABORT via the decision CAS (if the
     * writer actually committed first, this finalizes the commit instead

@@ -70,13 +70,37 @@ class IvfAppendSpec extends AnyFunSuite {
   test("committed-append replay is a no-op returning the original verdict") {
     val idx = freshIdx("idem")
     KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
-    val r1 = KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
+    val half = batch.filter(col("vec_id") % 4 === 1)
+    val rest = batch.filter(col("vec_id") % 4 === 3)
+    val r1 = KMeansIVF.appendIndex(half, "vec_id", "embedding", idx, "b1")
     val filesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
       .count()
-    val r2 = KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
-    assert(r1 == r2, "replay must recompute the identical verdict")
+    val r2 = KMeansIVF.appendIndex(half, "vec_id", "embedding", idx, "b1")
+    assert(r1 == r2, "replay must return the identical verdict")
     val filesAfter = java.nio.file.Files.walk(java.nio.file.Paths.get(idx)).count()
     assert(filesBefore == filesAfter, "replay must write nothing")
+    // the ORIGINAL verdict must survive LATER appends too — a retry after
+    // b2 committed must not recompute against the grown baseline (the
+    // rebuild decision could flip on an at-least-once runner)
+    KMeansIVF.appendIndex(rest, "vec_id", "embedding", idx, "b2")
+    val r3 = KMeansIVF.appendIndex(half, "vec_id", "embedding", idx, "b1")
+    assert(r1 == r3, "replay after later appends must still return b1's verdict")
+  }
+
+  test("rebuild refuses while an append holds the lock (and vice versa)") {
+    val idx = freshIdx("lockx")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$idx/append.lock"))
+    val e1 = intercept[IllegalStateException] {
+      KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    }
+    assert(e1.getMessage.contains("append.lock"))
+    val e2 = intercept[IllegalStateException] {
+      KMeansIVF.appendIndex(batch, "vec_id", "embedding", idx, "b1")
+    }
+    assert(e2.getMessage.contains("append.lock"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/append.lock"))
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
   }
 
   test("rival append (live lock) and missing stats sidecar both refuse loudly") {

@@ -180,6 +180,72 @@ class IndexTxnSpec extends AnyFunSuite {
     SnapshotTxn.abort(h2)
   }
 
+  test("rebuild clears committed pendings; append.lock and begin() exclude each other") {
+    val idx = fresh("i6"); val txd = fresh("d6"); val tbl = fresh("t6")
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("doc_id", "text"), tbl)
+    HammingIndex.write(fps(Seq(1L)), "doc_id", "fp", idx, bits = 56)
+    val h = SnapshotTxn.begin(txd, Seq(tbl), indexes = Seq(idx))
+    SnapshotTxn.stageAppend(h, Seq((2L, "b")).toDF("doc_id", "text"), tbl)
+    HammingIndex.stageAppend(spark, fps(Seq(2L)), "doc_id", "fp", idx, h)
+    SnapshotTxn.commit(h)
+    assert(probeFor2(idx) == Set(2L))
+    // REBUILD = new generation: the committed pending must not be unioned
+    // into the new live view (stale docs / old geometry)
+    HammingIndex.write(fps(Seq(1L)), "doc_id", "fp", idx, bits = 56)
+    assert(!Files.exists(IndexTxn.pendingRoot(idx)),
+      "rebuild must clear the previous generation's pendings")
+    assert(probeFor2(idx).isEmpty)
+    // and id 2 is re-admittable now
+    HammingIndex.append(spark, fps(Seq(2L)), "doc_id", "fp", idx)
+    assert(probeFor2(idx) == Set(2L))
+
+    // append.lock held => begin(indexes=...) refuses (the acquire-side
+    // half of the check-then-act closure; the append side re-checks
+    // open.txn INSIDE its lock)
+    Files.createFile(java.nio.file.Paths.get(s"$idx/append.lock"))
+    intercept[SnapshotTable.ConcurrentCommitException] {
+      SnapshotTxn.begin(txd, Seq(tbl), indexes = Seq(idx))
+    }
+    assert(!Files.exists(IndexTxn.openTxnPath(idx)),
+      "failed acquire must release the index lock")
+    Files.delete(java.nio.file.Paths.get(s"$idx/append.lock"))
+  }
+
+  test("a half-staged pending (no _staged marker) can neither commit nor serve") {
+    val idx = fresh("i7"); val txd = fresh("d7"); val tbl = fresh("t7")
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("doc_id", "text"), tbl)
+    HammingIndex.write(fps(Seq(1L)), "doc_id", "fp", idx, bits = 56)
+    val h = SnapshotTxn.begin(txd, Seq(tbl), indexes = Seq(idx))
+    SnapshotTxn.stageAppend(h, Seq((2L, "b")).toDF("doc_id", "text"), tbl)
+    HammingIndex.stageAppend(spark, fps(Seq(2L)), "doc_id", "fp", idx, h)
+    // simulate a crash between the chunk write and stage completion
+    Files.delete(IndexTxn.pendingDir(idx, h.txid).resolve("_staged"))
+    intercept[SnapshotTxn.TxnStateException] { SnapshotTxn.commit(h) }
+    // even a decision written by a racing coordinator cannot make the
+    // half-stage servable
+    Files.writeString(SnapshotTxn.decisionPath(h.txnDir, h.txid), "commit\n")
+    assert(probeFor2(idx).isEmpty,
+      "half-staged pending must stay invisible to probes")
+    Files.delete(SnapshotTxn.decisionPath(h.txnDir, h.txid))
+    SnapshotTxn.abort(h)
+  }
+
+  test("forceAbortIndex repairs an index-only transaction whose writer died") {
+    val idx = fresh("i8"); val txd = fresh("d8")
+    HammingIndex.write(fps(Seq(1L)), "doc_id", "fp", idx, bits = 56)
+    val h = SnapshotTxn.begin(txd, Seq.empty, indexes = Seq(idx))
+    HammingIndex.stageAppend(spark, fps(Seq(2L)), "doc_id", "fp", idx, h)
+    // writer "dies" here: no decision ever lands
+    assert(IndexTxn.recover(idx) == "transaction in flight")
+    assert(SnapshotTxn.forceAbortIndex(idx) == "aborted")
+    assert(!Files.exists(IndexTxn.openTxnPath(idx)))
+    assert(!Files.exists(IndexTxn.pendingDir(idx, h.txid)))
+    assert(probeFor2(idx).isEmpty)
+    // the index is writable again
+    HammingIndex.append(spark, fps(Seq(2L)), "doc_id", "fp", idx)
+    assert(probeFor2(idx) == Set(2L))
+  }
+
   test("staged-id gate: a second txn cannot duplicate a committed pending's ids") {
     val idx = fresh("i5"); val txd = fresh("d5"); val tbl = fresh("t5")
     SnapshotTable.commitAppend(Seq((1L, "a")).toDF("doc_id", "text"), tbl)
