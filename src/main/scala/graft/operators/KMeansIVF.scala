@@ -394,6 +394,46 @@ object KMeansIVF {
     } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
+  /** Fold the base tree + every committed append into a FRESH index at
+    * `outDir` — the small-file compaction of the append lifecycle (daily
+    * appends accumulate one subtree each; probes union them all, and at
+    * some point the union's file count costs more than one rewrite).
+    * Compaction-as-replace, the [[graft.sources.SnapshotTable]]
+    * philosophy: the source index is never modified (an in-place
+    * directory swap has an unrepairable crash window between its two
+    * renames), so readers of `dir` are undisturbed and the caller
+    * repoints to `outDir` when ready. Runs under the SOURCE's
+    * `append.lock` so the fold set is stable; the centroid generation
+    * carries over unchanged, so probes against `outDir` are IDENTICAL to
+    * probes against the uncompacted source (spec-proven). `stats.json`
+    * absorbs the fragments, so drift baselines carry forward exactly; a
+    * crash mid-write leaves `outDir` without its stats/centroids
+    * sidecars, which every reader and appendIndex refuse loudly. */
+  def compactAppends(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, outDir: String): Unit = {
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"rival append/rebuild/compaction in progress on $dir (append.lock)")
+    try {
+      val roots = dataPaths(dir)
+      val frags = roots.drop(1).map(p =>
+        readStats(java.nio.file.Paths.get(p).getParent.resolve("stats.json")))
+      val base = readStats(java.nio.file.Paths.get(s"$dir/stats.json"))
+      val n = base._1 + frags.map(_._1).sum
+      val sm = base._2 + frags.map(_._2).sum
+      roots.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/data")
+      // sidecars LAST: their presence is the completeness signal
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/centroids.json"),
+        java.nio.file.Paths.get(s"$outDir/centroids.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/stats.json"),
+        s"""{"n":$n,"sumMicro":$sm}""")
+    } finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   private def readResult(path: java.nio.file.Path): AppendResult = {
     val s = java.nio.file.Files.readString(path).trim
     val m = ("""\{"nPrev":(-?\d+),"nBatch":(-?\d+),"prevSumMicro":(-?\d+),""" +

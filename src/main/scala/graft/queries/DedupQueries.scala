@@ -940,6 +940,49 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
     }),
 
+    // SPAN-LEVEL TEST↔TRAIN DECONTAMINATION (Lee et al. 2022's second
+    // job for the window machinery): a TEST document position is
+    // contaminated iff its 30-char window also occurs anywhere in TRAIN —
+    // one distributed semi-join of test window hashes against the
+    // distinct train window set (never doc pairs), then q237's char-level
+    // span merge per test doc. This is the fixed-window production
+    // semantics (mask every test span the model could have memorized from
+    // train); q306 audits doc-level pair contamination, q335 reports
+    // exact maximal lengths — this masks. Split = q107's md5 buckets on
+    // doc_id (<80 train, >=90 test; val deliberately out of scope).
+    "q336_span_decontamination" -> ((s, d) => {
+      val W = 30
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), trim(col("text")).as("t"),
+          (TextHash.md5Long(col("doc_id").cast("string")) % 100).as("bucket"))
+        .filter(length(col("t")) >= W)
+      val win = docs
+        .select(col("doc_id"), col("bucket"),
+          posexplode(graft.functions.VectorExpressions
+            .positionedWindowHashes(col("t"), W)).as(Seq("i", "h")))
+        .select(col("doc_id"), col("bucket"),
+          (col("i") + 1).cast("long").as("p"), col("h"))
+        .persist() // train-set and test-side both consume it (round-5 rule)
+      val trainH = win.filter(col("bucket") < 80).select(col("h")).distinct()
+      win.filter(col("bucket") >= 90)
+        .select(col("doc_id"), col("p"), col("h"))
+        .join(trainH, Seq("h"), "left_semi")
+        .withColumn("pp", lag(col("p"), 1).over(wd))
+        .withColumn("newg",
+          when(col("pp").isNull || col("p") > col("pp") + W, 1L).otherwise(0L))
+        .withColumn("grp", sum(col("newg")).over(wd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("p")).as("span_start"),
+          (max(col("p")) + (W - 1)).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))
+    }),
+
     // MAXIMAL exact-substring dedup (operators/SuffixRepeats — the Lee et
     // al. 2022 suffix-array family): prefix-doubling suffix ranking over
     // the corpus char stream, all ranks via the distributed dense-rank
@@ -1737,6 +1780,27 @@ object DedupQueries {
 
     "q335_maximal_repeats" -> graft.operators.SuffixRepeats.oracleSql(
       "documents", "doc_id", "text", minLen = 60, horizon = 64),
+
+    "q336_span_decontamination" -> {
+      val h = TextHash.md5LongSql("substr(t, p, 30)")
+      val b = TextHash.md5LongSql("doc_id::VARCHAR")
+      s"""WITH dd AS (SELECT doc_id, trim(text) AS t, $b % 100 AS bucket
+         |           FROM documents WHERE length(trim(text)) >= 30),
+         |w AS (SELECT doc_id, bucket, p, $h AS h
+         |      FROM dd, LATERAL (SELECT unnest(range(1, length(t) - 28)) AS p) pp),
+         |tr AS (SELECT DISTINCT h FROM w WHERE bucket < 80),
+         |te AS (SELECT doc_id, p FROM w
+         |       WHERE bucket >= 90 AND h IN (SELECT h FROM tr)),
+         |lg AS (SELECT doc_id, p,
+         |         lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM te),
+         |gg AS (SELECT doc_id, p,
+         |         sum(CASE WHEN pp IS NULL OR p > pp + 30 THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
+         |       FROM lg)
+         |SELECT doc_id, min(p)::BIGINT AS span_start,
+         |  (max(p) + 29)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+         |FROM gg GROUP BY doc_id, grp""".stripMargin
+    },
 
     "q333_ivf_append_probe" -> graft.operators.KMeansIVF.appendOracleSql(
       "embeddings", "vec_id", "embedding", basePred = "vec_id % 2 = 0",

@@ -134,6 +134,29 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 10).count() > 0)
   }
 
+  test("compactAppends: the fresh index serves identical probes, stats absorb fragments") {
+    val idx = freshIdx("cmp")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    KMeansIVF.appendIndex(batch.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", idx, "b1")
+    KMeansIVF.appendIndex(batch.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", idx, "b2")
+    val out = freshIdx("cmpout")
+    KMeansIVF.compactAppends(spark, idx, out)
+    assert(!new java.io.File(s"$out/appends").exists())
+    val q = e.filter(col("vec_id") < 10)
+    val before = rows(KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 2))
+    val after = rows(KMeansIVF.indexTopK(q, out, "vec_id", "embedding", k = 3, nprobe = 2))
+    assert(after == before, "compaction must not change any probe result")
+    // drift baselines carry forward exactly: the SAME new batch appended
+    // to both trees yields the SAME verdict (out's base stats == idx's
+    // base + fragments)
+    val probeBatch = base.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val rIdx = KMeansIVF.appendIndex(probeBatch, "vec_id", "embedding", idx, "b3")
+    val rOut = KMeansIVF.appendIndex(probeBatch, "vec_id", "embedding", out, "b3")
+    assert(rIdx == rOut, s"absorbed stats must equal base+fragments: $rIdx vs $rOut")
+  }
+
   test("drift gate: iid batch passes, distribution-shifted batch flags rebuild") {
     val idx = freshIdx("drift")
     KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
