@@ -33,6 +33,22 @@ object BpeExpressions {
   def mergePair(syms: Column, a: Column, b: Column): Column =
     VectorExpressions.registered("graft_bpe_merge",
       exprs => BpeMergePair(exprs.head, exprs(1), exprs(2)))(syms, a, b)
+
+  /** Full tokenization — initSymbols + the WHOLE merge table — as ONE
+    * references-backed expression call. k NESTED [[mergePair]] calls
+    * generate k inlined helper invocations in one doConsume and blow the
+    * 64 KB method limit near k ≈ 30 (observed: q326's 32-merge encode
+    * silently fell back to the interpreter); the fused form generates one
+    * call whatever k is, and skips k−1 intermediate array allocations.
+    * The merge strings live in the references array, never in generated
+    * source (no escaping surface). */
+  def applyAll(text: Column, merges: Array[(String, String)]): Column = {
+    val sig = java.lang.Long.toHexString(
+      Md5LongUtil.hashBytes(merges.map { case (a, b) => s"$a\u0000$b" }
+        .mkString("\u0001").getBytes("UTF-8")))
+    VectorExpressions.registered(s"graft_bpe_apply_${merges.length}_$sig",
+      exprs => BpeApplyMerges(exprs.head, merges))(text)
+  }
 }
 
 object BpeUtil {
@@ -66,6 +82,18 @@ object BpeUtil {
     new GenericArrayData(out.toArray)
   }
 
+  /** initSymbols + every (a, b) pair of the flattened `table` applied in
+    * order — the fused body of [[BpeApplyMerges]]. */
+  def applyAll(s: UTF8String, table: Array[UTF8String]): GenericArrayData = {
+    var arr: GenericArrayData = initSymbols(s)
+    var k = 0
+    while (k < table.length) {
+      arr = mergePair(arr, table(k), table(k + 1))
+      k += 2
+    }
+    arr
+  }
+
   def mergePair(arr: ArrayData, a: UTF8String, b: UTF8String): GenericArrayData = {
     val n = arr.numElements()
     val out = new java.util.ArrayList[AnyRef](n)
@@ -91,6 +119,24 @@ case class BpeInitSymbols(child: Expression)
     BpeUtil.initSymbols(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeUtil.initSymbols($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `BpeUtil.applyAll` as a codegen'd expression: one call carrying the
+  * whole merge table through the references array. */
+case class BpeApplyMerges(child: Expression, merges: Array[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  @transient private lazy val table: Array[UTF8String] =
+    merges.flatMap { case (a, b) =>
+      Seq(UTF8String.fromString(a), UTF8String.fromString(b)) }
+  override def nullSafeEval(v: Any): Any =
+    BpeUtil.applyAll(v.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMergeTable", table,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeUtil.applyAll($c, $ref)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

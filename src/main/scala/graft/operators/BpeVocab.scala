@@ -155,12 +155,14 @@ object BpeVocab {
     merges.toSeq
   }
 
-  /** Tokenize `text` with a learned merge list: init symbols, then each
-    * merge in order as one fused column expression (k nested map-side
-    * calls — no shuffles, no state). */
+  /** Tokenize `text` with a learned merge list: ONE fused map-side
+    * expression carrying the whole merge table (k nested mergePair calls
+    * blow the 64 KB generated-method limit near k ≈ 30 and silently fall
+    * back to the interpreter — [[graft.functions.BpeExpressions.applyAll]]
+    * generates a single call whatever k is). */
   def applyMerges(text: Column, merges: Seq[Merge]): Column =
-    merges.foldLeft(BpeExpressions.initSymbols(text))(
-      (acc, m) => BpeExpressions.mergePair(acc, lit(m.a), lit(m.b)))
+    if (merges.isEmpty) BpeExpressions.initSymbols(text)
+    else BpeExpressions.applyAll(text, merges.map(m => (m.a, m.b)).toArray)
 
   /** DuckDB replay of [[learnMerges]] — each round unrolled (the
     * KMeansIVF-Lloyd / PageRank pattern; DuckDB 1.0 has no `list_reduce`,

@@ -25,6 +25,12 @@ class CodegenCompileSpec extends AnyFunSuite {
       PositionedWindowHashes(text, 32)))
   }
 
+  test("a 64-entry fused BPE merge table compiles (nested mergePair would not)") {
+    val text = BoundReference(0, StringType, nullable = true)
+    val table = (0 until 64).map(i => (s"a$i", s"b$i")).toArray
+    CodegenCompile.compileUnsafeProjection(Seq(BpeApplyMerges(text, table)))
+  }
+
   test("signature + 16 getItems (subexpr elimination) compiles") {
     val hashes = BoundReference(0, ArrayType(LongType, containsNull = false), nullable = true)
     val sig = MinHashSignature(hashes, as, bs, TextHash.P)
