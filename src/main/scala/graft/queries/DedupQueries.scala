@@ -87,10 +87,12 @@ object DedupQueries {
     docs
       .select(col("doc_id"), trim(col("text")).as("t"))
       .filter(length(col("t")) >= 30)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(1L), (length(col("t")) - 29).cast("long"))).as("p"))
-      .select(col("doc_id"), col("p"),
-        TextHash.md5Long(expr("substring(t, p, 30)")).as("h"))
+      // ONE native pass per doc (PositionedWindowHashes) — value-identical
+      // to md5Long(substring(t, p, 30)), the md5LongSql lockstep, without
+      // a per-position substring+md5 expression chain
+      .select(col("doc_id"), posexplode(graft.functions.VectorExpressions
+        .positionedWindowHashes(col("t"), 30)).as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).cast("long").as("p"), col("h"))
       .withColumn("cnt", count(lit(1)).over(wh))
       .filter(col("cnt") >= 2)
       .withColumn("pp", lag(col("p"), 1).over(wd))
