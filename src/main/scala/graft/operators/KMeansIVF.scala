@@ -239,7 +239,13 @@ object KMeansIVF {
       s"an append or rebuild is in flight on $dir (append.lock) — retry later " +
         "or remove the lock if its owner is known dead")
     try {
-      // stale-generation cleanup FIRST: appends assigned against the old
+      // readiness revoked FIRST (the IvfPq sidecar discipline): the data
+      // overwrite and the centroids write below are two separate steps, and
+      // a crash between them would leave NEW bucket assignments served
+      // against the OLD centroids.json — silently wrong neighbors. With
+      // `_ready` gone, every read path refuses until the rebuild completes.
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_ready"))
+      // stale-generation cleanup: appends assigned against the old
       // centroids must never survive a rebuild, and a missing stats.json
       // makes appendIndex refuse loudly if this rebuild crashes mid-way
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/stats.json"))
@@ -262,6 +268,8 @@ object KMeansIVF {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/centroids.json"), json)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/stats.json"),
         s"""{"n":${st.getLong(0)},"sumMicro":${st.getLong(1)}}""")
+      // readiness restored LAST, after data AND both sidecars agree
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/_ready"), "1")
       centroids
     } finally java.nio.file.Files.deleteIfExists(lock)
   }
@@ -271,7 +279,7 @@ object KMeansIVF {
     * multiply are bit-identical cross-engine (the q18 ratio-rounding
     * rule), and the centroid lookup is a literal-array element_at, so the
     * statistic is one map-side expression. */
-  private def microCol(centroids: Array[Array[Double]]): Column = {
+  private[operators] def microCol(centroids: Array[Array[Double]]): Column = {
     val cents = array(centroids.map(cv => array(cv.map(lit(_)): _*)): _*)
     floor(VectorOps.cosine(col("cv"), element_at(cents, col("bucket") + 1))
       * lit(1000000.0) + lit(0.5)).cast("long")
@@ -291,7 +299,20 @@ object KMeansIVF {
       nPrev: Long, nBatch: Long, prevSumMicro: Long, batchSumMicro: Long,
       driftBp: Long, rebuild: Boolean)
 
-  private def readStats(path: java.nio.file.Path): (Long, Long) = {
+  /** The shared cosine-family drift verdict ([[appendIndex]] and
+    * [[NswGraph.appendIndex]]): batch mean assigned/attached micro-cosine
+    * vs the running mean in exact basis points, rebuild outside
+    * [5000, 20000] — either direction means the batch is not the indexed
+    * distribution. */
+  private[operators] def driftVerdict(
+      pn: Long, ps: Long, bn: Long, bs: Long): AppendResult = {
+    require(ps > 0 && bs > 0 && pn > 0 && bn > 0,
+      s"drift gate needs positive counts and micro-sums, got prev=($pn,$ps) batch=($bn,$bs)")
+    val bp = (BigInt(bs) * pn * 10000 / (BigInt(ps) * bn)).toLong
+    AppendResult(pn, bn, ps, bs, bp, bp < 5000 || bp > 20000)
+  }
+
+  private[operators] def readStats(path: java.nio.file.Path): (Long, Long) = {
     val s = java.nio.file.Files.readString(path)
     val m = """\{"n":(-?\d+),"sumMicro":(-?\d+)\}""".r
     s.trim match {
@@ -355,14 +376,8 @@ object KMeansIVF {
         val base = readStats(statsPath)
         (base._1 + frags.map(_._1).sum, base._2 + frags.map(_._2).sum)
       }
-      def verdict(prev: (Long, Long), batchStats: (Long, Long)): AppendResult = {
-        val (pn, ps) = prev
-        val (bn, bs) = batchStats
-        require(ps > 0 && bs > 0 && pn > 0 && bn > 0,
-          s"drift gate needs positive counts and micro-sums, got prev=($pn,$ps) batch=($bn,$bs)")
-        val bp = (BigInt(bs) * pn * 10000 / (BigInt(ps) * bn)).toLong
-        AppendResult(pn, bn, ps, bs, bp, bp < 5000 || bp > 20000)
-      }
+      def verdict(prev: (Long, Long), batchStats: (Long, Long)): AppendResult =
+        driftVerdict(prev._1, prev._2, batchStats._1, batchStats._2)
       if (doneMarker.exists()) {
         // idempotent replay of a committed append: return the ORIGINAL
         // verdict verbatim (persisted at commit time — recomputing against
@@ -384,9 +399,7 @@ object KMeansIVF {
       java.nio.file.Files.writeString(appDir.toPath.resolve("stats.json"),
         s"""{"n":${batchStats._1},"sumMicro":${batchStats._2}}""")
       val v = verdict(prev, batchStats)
-      java.nio.file.Files.writeString(appDir.toPath.resolve("result.json"),
-        s"""{"nPrev":${v.nPrev},"nBatch":${v.nBatch},"prevSumMicro":${v.prevSumMicro},""" +
-          s""""batchSumMicro":${v.batchSumMicro},"driftBp":${v.driftBp},"rebuild":${v.rebuild}}""")
+      writeResult(appDir.toPath.resolve("result.json"), v)
       // the atomic commit point: everything above is invisible until this
       require(graft.sources.LshIndex.casCreate(doneMarker.toPath),
         s"impossible: $doneMarker already existed under append.lock")
@@ -411,6 +424,14 @@ object KMeansIVF {
     * sidecars, which every reader and appendIndex refuse loudly. */
   def compactAppends(spark: org.apache.spark.sql.SparkSession,
                      dir: String, outDir: String): Unit = {
+    // outDir == dir (or nested either way) would let the mode("overwrite")
+    // of $outDir/data clobber the source while the reduce-union lazily
+    // reads it — the documented crash story ("outDir left without
+    // sidecars") silently becomes data loss on the LIVE index
+    val src = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val dst = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    require(src != dst && !dst.startsWith(src) && !src.startsWith(dst),
+      s"compactAppends target $dst must be disjoint from the source index $src")
     val lock = java.nio.file.Paths.get(s"$dir/append.lock")
     if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
       s"rival append/rebuild/compaction in progress on $dir (append.lock)")
@@ -431,10 +452,17 @@ object KMeansIVF {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/stats.json"),
         s"""{"n":$n,"sumMicro":$sm}""")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/_ready"), "1")
     } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
-  private def readResult(path: java.nio.file.Path): AppendResult = {
+  private[operators] def writeResult(path: java.nio.file.Path, v: AppendResult): Unit =
+    java.nio.file.Files.writeString(path,
+      s"""{"nPrev":${v.nPrev},"nBatch":${v.nBatch},"prevSumMicro":${v.prevSumMicro},""" +
+        s""""batchSumMicro":${v.batchSumMicro},"driftBp":${v.driftBp},"rebuild":${v.rebuild}}""")
+
+  private[operators] def readResult(path: java.nio.file.Path): AppendResult = {
     val s = java.nio.file.Files.readString(path).trim
     val m = ("""\{"nPrev":(-?\d+),"nBatch":(-?\d+),"prevSumMicro":(-?\d+),""" +
       """"batchSumMicro":(-?\d+),"driftBp":(-?\d+),"rebuild":(true|false)\}""").r
@@ -447,6 +475,13 @@ object KMeansIVF {
   }
 
   def readCentroids(dir: String): Array[Array[Double]] = {
+    // `_ready` gate: a (re)build that crashed between the data overwrite
+    // and the centroids write would otherwise serve NEW bucket assignments
+    // against the OLD centroids — silently wrong neighbors (appendIndex's
+    // missing-stats refusal never covered the pure read paths)
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_ready")),
+      s"IVF index at $dir has no _ready marker — a (re)build was interrupted " +
+        "before its sidecars were committed; rebuild the index")
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/centroids.json"))
     // minimal parser for the [[d,d,...],[...]] layout written above
     json.trim.stripPrefix("[[").stripSuffix("]]").split("\\],\\[")
@@ -570,7 +605,7 @@ object KMeansIVF {
     * the index tree looks like after [[appendIndex]]. Ends inside the
     * WITH list with `u(id, v)` (the union) and `uassigned(neighbor_id,
     * cv2, bucket)` in scope. */
-  private def appendPrefixCtes(
+  private[operators] def appendPrefixCtes(
       table: String, idCol: String, vecCol: String, basePred: String,
       nClusters: Int, iters: Int, sampleCap: Long): String = {
     def cos(a: String, b: String): String = cosSql(a, b)

@@ -32,27 +32,41 @@ object HammingIndex {
 
   /** Build (or rebuild) the index from `(idCol, fpCol)` fingerprints.
     * NULL fingerprints (malformed media) are skipped — they can never
-    * pair anyway. */
+    * pair anyway.
+    *
+    * Holds `append.lock` for the whole rebuild (the [[LshIndex.write]]
+    * lock-closure): `IndexTxn.acquire` closes its race with [[append]]
+    * via this lock, so an unlocked rebuild would let a `SnapshotTxn.begin`
+    * land between the open-txn check and the overwrite, invisible to both
+    * sides — its committed pending (staged under the old corpus/geometry)
+    * would then survive into the new generation. */
   def write(fps: DataFrame, idCol: String, fpCol: String, dir: String,
             bits: Int, nParts: Int = 64): Unit = {
     require(bits % 4 == 0 && bits <= 60, s"bits=$bits must be a multiple of 4, <= 60")
-    IndexTxn.requireNoOpenTxn(dir)
-    // a REBUILD starts a new generation: committed transactional pendings
-    // belong to the old corpus/geometry and must not survive into the
-    // live view (the KMeansIVF.writeIndex stale-append discipline)
-    IndexTxn.clearPendings(dir)
-    chunkRows(fps, idCol, fpCol, bits, nParts)
-      .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
-    // id-bucketed membership table: the SOUND collision gate for append
-    // (pruning the chunk tables by the batch's pk values would miss a
-    // same-id-different-fingerprint copy, whose chunks live elsewhere)
-    fps.filter(col(fpCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"))
-      .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
-        lit(nParts.toLong)))
-      .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/ids")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
-      s"""{"bits":$bits,"nParts":$nParts}""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"an append or rebuild is in flight on $dir (append.lock) — retry later " +
+        "or remove the lock if its owner is known dead")
+    try {
+      IndexTxn.requireNoOpenTxn(dir)
+      // a REBUILD starts a new generation: committed transactional pendings
+      // belong to the old corpus/geometry and must not survive into the
+      // live view (the KMeansIVF.writeIndex stale-append discipline)
+      IndexTxn.clearPendings(dir)
+      chunkRows(fps, idCol, fpCol, bits, nParts)
+        .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
+      // id-bucketed membership table: the SOUND collision gate for append
+      // (pruning the chunk tables by the batch's pk values would miss a
+      // same-id-different-fingerprint copy, whose chunks live elsewhere)
+      fps.filter(col(fpCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"))
+        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
+          lit(nParts.toLong)))
+        .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/ids")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
+        s"""{"bits":$bits,"nParts":$nParts}""")
+    } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** Incrementally index a batch — the daily-ingest path: new chunk rows

@@ -42,25 +42,42 @@ import graft.operators.MinHashDedup
   */
 object LshIndex {
 
-  /** Build (or rebuild) the index at `dir` from the corpus. */
+  /** Build (or rebuild) the index at `dir` from the corpus.
+    *
+    * Holds `append.lock` for the whole rebuild: `IndexTxn.acquire` closes
+    * its race with [[append]] via this lock, and an UNLOCKED rebuild would
+    * reopen it — a `SnapshotTxn.begin` landing between the open-txn check
+    * and the overwrite would be invisible to both sides, letting a
+    * `stageAppend` gate against a half-rebuilt live view (its committed
+    * pending, staged under the OLD corpus, would then survive into the new
+    * generation until the next rebuild). Same lock-closure as append:
+    * acquire checks `append.lock` after its own CAS, we re-check
+    * `requireNoOpenTxn` inside the lock. */
   def write(corpus: DataFrame, idCol: String, shingleHashes: Column, dir: String,
       cfg: MinHashDedup.Config = MinHashDedup.Config(), nParts: Int = 64): Unit = {
-    IndexTxn.requireNoOpenTxn(dir)
-    // rebuild = new generation: stale committed pendings must not be
-    // unioned into the new live view (see HammingIndex.write)
-    IndexTxn.clearPendings(dir)
-    val sh = MinHashDedup.hashed(corpus, idCol, shingleHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = MinHashDedup.withSignature(sh, cfg)
-    MinHashDedup.bandRows(sig, cfg)
-      .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
-      .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/bands")
-    sh.select(col("id"), col("hashes"))
-      .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
-      .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/docs")
-    sh.unpersist()
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
-      s"""{"numHashes":${cfg.numHashes},"bands":${cfg.bands},"nParts":$nParts}""")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!casCreate(lock)) throw new IllegalStateException(
+      s"an append or rebuild is in flight on $dir (append.lock) — retry later " +
+        "or remove the lock if its owner is known dead")
+    try {
+      IndexTxn.requireNoOpenTxn(dir)
+      // rebuild = new generation: stale committed pendings must not be
+      // unioned into the new live view (see HammingIndex.write)
+      IndexTxn.clearPendings(dir)
+      val sh = MinHashDedup.hashed(corpus, idCol, shingleHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = MinHashDedup.withSignature(sh, cfg)
+      MinHashDedup.bandRows(sig, cfg)
+        .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+        .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/bands")
+      sh.select(col("id"), col("hashes"))
+        .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+        .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/docs")
+      sh.unpersist()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
+        s"""{"numHashes":${cfg.numHashes},"bands":${cfg.bands},"nParts":$nParts}""")
+    } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** Incrementally index a new batch into an existing index — the daily

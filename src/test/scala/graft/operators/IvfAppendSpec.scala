@@ -38,6 +38,8 @@ class IvfAppendSpec extends AnyFunSuite {
     val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$idxB/centroids.json"), json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$idxB/_ready"), "1")
 
     val q = e.filter(col("vec_id") < 10)
     val got = rows(KMeansIVF.indexTopK(q, idxA, "vec_id", "embedding", k = 3, nprobe = 2))
@@ -73,12 +75,15 @@ class IvfAppendSpec extends AnyFunSuite {
     val half = batch.filter(col("vec_id") % 4 === 1)
     val rest = batch.filter(col("vec_id") % 4 === 3)
     val r1 = KMeansIVF.appendIndex(half, "vec_id", "embedding", idx, "b1")
-    val filesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
-      .count()
+    // Files.walk streams hold an open fd until closed (the q102 lesson)
+    def treeSize(): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try st.count() finally st.close()
+    }
+    val filesBefore = treeSize()
     val r2 = KMeansIVF.appendIndex(half, "vec_id", "embedding", idx, "b1")
     assert(r1 == r2, "replay must return the identical verdict")
-    val filesAfter = java.nio.file.Files.walk(java.nio.file.Paths.get(idx)).count()
-    assert(filesBefore == filesAfter, "replay must write nothing")
+    assert(filesBefore == treeSize(), "replay must write nothing")
     // the ORIGINAL verdict must survive LATER appends too — a retry after
     // b2 committed must not recompute against the grown baseline (the
     // rebuild decision could flip on an at-least-once runner)
@@ -155,6 +160,35 @@ class IvfAppendSpec extends AnyFunSuite {
     val rIdx = KMeansIVF.appendIndex(probeBatch, "vec_id", "embedding", idx, "b3")
     val rOut = KMeansIVF.appendIndex(probeBatch, "vec_id", "embedding", out, "b3")
     assert(rIdx == rOut, s"absorbed stats must equal base+fragments: $rIdx vs $rOut")
+  }
+
+  test("a crashed rebuild (no _ready) is refused by every read path") {
+    val idx = freshIdx("noready")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    // simulate the crash window between the data overwrite and the
+    // centroids write: readiness revoked, sidecars possibly stale
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/_ready"))
+    val q = e.filter(col("vec_id") < 4)
+    val ex = intercept[IllegalArgumentException] {
+      KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 2)
+    }
+    assert(ex.getMessage.contains("_ready"))
+    // a completed rebuild restores service
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    assert(KMeansIVF.indexTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 2).count() > 0)
+  }
+
+  test("compactAppends refuses a target equal to or nested in the source (and vice versa)") {
+    val idx = freshIdx("cmpguard")
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+    for (bad <- Seq(idx, s"$idx/sub", s"$idx/..")) {
+      val ex = intercept[IllegalArgumentException] {
+        KMeansIVF.compactAppends(spark, idx, bad)
+      }
+      assert(ex.getMessage.contains("disjoint"), s"target $bad must be refused")
+    }
+    // and the refusal must not leave the lock behind
+    assert(!new java.io.File(s"$idx/append.lock").exists())
   }
 
   test("drift gate: iid batch passes, distribution-shifted batch flags rebuild") {

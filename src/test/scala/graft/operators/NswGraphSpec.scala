@@ -18,10 +18,14 @@ class NswGraphSpec extends AnyFunSuite {
     assert(g.adj.keySet == g.hubIds.toSet)
     g.adj.foreach { case (h, ns) =>
       // adjacency is the APPROXIMATE m-nearest (probed inner buckets), so
-      // a list may fall short of m — never exceed it, never self-loop
-      assert(ns.length <= p.m && ns.nonEmpty && !ns.contains(h) && ns.distinct == ns)
+      // a list may fall short of m — or be EMPTY when a hub's probed inner
+      // buckets held no other hub (build() allows it; asserting nonEmpty
+      // would flake on corpora with singleton inner buckets) — but it must
+      // never exceed m, self-loop, duplicate, or leave the hub set
+      assert(ns.length <= p.m && !ns.contains(h) && ns.distinct == ns)
       assert(ns.forall(g.hubIds.contains))
     }
+    assert(g.adj.values.exists(_.nonEmpty), "a fully edgeless graph means the build is broken")
     assert(g.entries.length == p.nEntries && g.entries.distinct == g.entries)
     assert(g.entries.forall(g.hubIds.contains))
   }
