@@ -178,28 +178,144 @@ object NswGraph {
     * partition pruning turns nprobe into a disk-level saving. */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  dir: String, p: Params): Graph = {
-    // a REBUILD over an existing index first revokes readiness: a crash
-    // anywhere below leaves no `_ready`, and readers fail loudly instead
-    // of routing fresh bucket data with a stale/truncated sidecar graph
-    // (the IvfPq sidecar discipline)
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_ready"))
-    val g = build(corpus, idCol, vecCol, p)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      VectorOps.asDouble(col(vecCol)).as("cv"))
-    attach(c, g).write.mode("overwrite")
-      .partitionBy("bucket").parquet(s"$dir/data")
-    val sb = new StringBuilder
-    sb ++= s"mod=${g.sampleMod}\n"
-    sb ++= s"entries=${g.entries.mkString(",")}\n"
-    for (i <- g.hubIds.indices) {
-      val hid = g.hubIds(i)
-      sb ++= s"hub=$hid:${g.hubVecs(i).mkString(",")}:${g.adj(hid).mkString(",")}\n"
-    }
-    // sidecar lands atomically (temp + same-dir atomic move — never torn),
-    // `_ready` only after it, so data and graph can never disagree
-    atomicWrite(s"$dir/graph.txt", sb.toString)
-    atomicWrite(s"$dir/_ready", "1")
-    g
+    // rebuilds serialize with appends on append.lock (the KMeansIVF
+    // protocol): an append attaching to the OLD hubs could otherwise
+    // commit its `_done` into the NEW generation after the cleanup below
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"an append or rebuild is in flight on $dir (append.lock) — retry later " +
+        "or remove the lock if its owner is known dead")
+    try {
+      // a REBUILD over an existing index first revokes readiness: a crash
+      // anywhere below leaves no `_ready`, and readers fail loudly instead
+      // of routing fresh bucket data with a stale/truncated sidecar graph
+      // (the IvfPq sidecar discipline); appends attached to the old hub
+      // generation are cleared
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$dir/_ready"))
+      val appendsDir = new java.io.File(s"$dir/appends")
+      if (appendsDir.exists()) graft.TempDirs.deleteRecursively(appendsDir)
+      val g = build(corpus, idCol, vecCol, p)
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        VectorOps.asDouble(col(vecCol)).as("cv"))
+      val attached = attach(c, g).persist() // data write + drift baseline agg
+      attached.write.mode("overwrite")
+        .partitionBy("bucket").parquet(s"$dir/data")
+      // the append DRIFT baseline: exact micro attachment cosine of the
+      // build corpus to its own hubs (bucket = index into the hub array,
+      // so hubVecs plays the centroid role in KMeansIVF.microCol exactly)
+      val st = attached.agg(count(lit(1)), sum(KMeansIVF.microCol(g.hubVecs))).head()
+      attached.unpersist()
+      val sb = new StringBuilder
+      sb ++= s"mod=${g.sampleMod}\n"
+      sb ++= s"entries=${g.entries.mkString(",")}\n"
+      for (i <- g.hubIds.indices) {
+        val hid = g.hubIds(i)
+        sb ++= s"hub=$hid:${g.hubVecs(i).mkString(",")}:${g.adj(hid).mkString(",")}\n"
+      }
+      // sidecars land atomically (temp + same-dir atomic move — never torn),
+      // `_ready` only after ALL of them, so data and graph never disagree
+      atomicWrite(s"$dir/graph.txt", sb.toString)
+      atomicWrite(s"$dir/stats.json",
+        s"""{"n":${st.getLong(0)},"sumMicro":${st.getLong(1)}}""")
+      atomicWrite(s"$dir/_ready", "1")
+      g
+    } finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  /** Append a batch of NEW vectors to a persisted graph index without
+    * rebuilding the routing layer — the [[KMeansIVF.appendIndex]]
+    * machinery for graph ANN: the FROZEN hub set plays the centroid role,
+    * each batch vector attaches to its nearest hub map-side
+    * ([[attach]] — no shuffle, no join), lands bucket-partitioned under
+    * `appends/<batchId>/` and becomes visible only at the atomic `_done`
+    * marker. Crash/retry/idempotence semantics are identical to the IVF
+    * path (partial trees wiped on same-batchId retry; committed replays
+    * return the ORIGINAL persisted verdict). Appends serialize with
+    * rebuilds and compactions on `append.lock`.
+    *
+    * Drift = the batch's mean best-hub micro-cosine vs the index's
+    * running mean (base + committed fragments), two-sided like the IVF
+    * gate: hubs sampled from yesterday's corpus degrade as the
+    * distribution moves, and past the halving point the routing layer —
+    * not just the buckets — needs a rebuild. */
+  def appendIndex(batch: DataFrame, idCol: String, vecCol: String,
+                  dir: String, batchId: String): KMeansIVF.AppendResult = {
+    require(!batchId.contains("/") && batchId.nonEmpty, s"bad batchId '$batchId'")
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"rival append or rebuild in progress on $dir (append.lock exists); " +
+        "retry later or remove the lock if its owner is known dead")
+    try {
+      val g = readGraph(dir) // `_ready`-gated, inside the lock
+      val statsPath = java.nio.file.Paths.get(s"$dir/stats.json")
+      require(java.nio.file.Files.exists(statsPath),
+        s"NSW index at $dir has no stats sidecar — the build predates the " +
+          "append-capable writeIndex; rebuild the index")
+      val appDir = new java.io.File(s"$dir/appends/$batchId")
+      val doneMarker = new java.io.File(appDir, "_done")
+      if (doneMarker.exists())
+        return KMeansIVF.readResult(appDir.toPath.resolve("result.json"))
+      if (appDir.exists()) graft.TempDirs.deleteRecursively(appDir) // crashed partial
+
+      val c = batch.select(col(idCol).as("neighbor_id"),
+        VectorOps.asDouble(col(vecCol)).as("cv"))
+      val attached = attach(c, g).persist()
+      attached.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"${appDir.getPath}/data")
+      val st = attached.agg(count(lit(1)), sum(KMeansIVF.microCol(g.hubVecs))).head()
+      attached.unpersist()
+      val (bn, bs) = (st.getLong(0), st.getLong(1))
+
+      val frags = KMeansIVF.dataPaths(dir).drop(1)
+        .map(p => java.nio.file.Paths.get(p).getParent)
+        .filterNot(_.getFileName.toString == batchId)
+        .map(p => KMeansIVF.readStats(p.resolve("stats.json")))
+      val base = KMeansIVF.readStats(statsPath)
+      val v = KMeansIVF.driftVerdict(
+        base._1 + frags.map(_._1).sum, base._2 + frags.map(_._2).sum, bn, bs)
+      java.nio.file.Files.writeString(appDir.toPath.resolve("stats.json"),
+        s"""{"n":$bn,"sumMicro":$bs}""")
+      KMeansIVF.writeResult(appDir.toPath.resolve("result.json"), v)
+      // the atomic commit point: everything above is invisible until this
+      require(graft.sources.LshIndex.casCreate(doneMarker.toPath),
+        s"impossible: $doneMarker already existed under append.lock")
+      v
+    } finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  /** Fold the base tree + every committed append into a FRESH index at
+    * `outDir` (compaction-as-replace — the [[KMeansIVF.compactAppends]]
+    * posture). The graph sidecar carries over unchanged, so searches
+    * against `outDir` are IDENTICAL; `stats.json` absorbs the fragments
+    * so drift baselines carry forward exactly. */
+  def compactAppends(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val src = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val dst = java.nio.file.Paths.get(outDir).toAbsolutePath.normalize
+    require(src != dst && !dst.startsWith(src) && !src.startsWith(dst),
+      s"compactAppends target $dst must be disjoint from the source index $src")
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"rival append/rebuild/compaction in progress on $dir (append.lock)")
+    try {
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_ready")),
+        s"NSW index at $dir has no _ready marker — rebuild before compacting")
+      val roots = KMeansIVF.dataPaths(dir)
+      val frags = roots.drop(1).map(p =>
+        KMeansIVF.readStats(java.nio.file.Paths.get(p).getParent.resolve("stats.json")))
+      val base = KMeansIVF.readStats(java.nio.file.Paths.get(s"$dir/stats.json"))
+      val n = base._1 + frags.map(_._1).sum
+      val sm = base._2 + frags.map(_._2).sum
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      roots.map(p => spark.read.parquet(p)).reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/data")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/graph.txt"),
+        java.nio.file.Paths.get(s"$outDir/graph.txt"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      atomicWrite(s"$outDir/stats.json", s"""{"n":$n,"sumMicro":$sm}""")
+      atomicWrite(s"$outDir/_ready", "1")
+    } finally java.nio.file.Files.deleteIfExists(lock)
   }
 
   /** Crash-safe small-file write: temp in the target dir + atomic move. */
@@ -266,7 +382,10 @@ object NswGraph {
     val buckets = probeRows.map(_._2).distinct.sorted
     import spark.implicits._
     val probed = probeRows.toDF("query_id", "bucket")
-    val data = spark.read.parquet(s"$dir/data")
+    // one read per committed root (base + `_done` appends), unioned —
+    // partition filters push through the Union into every child scan
+    val data = KMeansIVF.dataPaths(dir).map(p => spark.read.parquet(p))
+      .reduce(_ unionByName _)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
     broadcast(probed.join(qdf, "query_id"))
       .join(data, Seq("bucket"))
@@ -288,16 +407,19 @@ object NswGraph {
     * a semantics fix go stale in one of them). Callers provide `e(id, v)`
     * in scope and the qs predicate; the text ends inside the WITH list
     * with `hubs`, `hscore`, `nswp`, `hatt` and `v<rounds>` available. */
-  private def routingCtes(p: Params, qsPred: String): String = {
+  private def routingCtes(p: Params, qsPred: String, hubRel: String = "e"): String = {
     def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
     val h = TextHash.md5LongSql("id::VARCHAR")
     // hub modulus under the COUNT-DERIVED target max(hubCap, ceil(sqrt(n)))
     // — [[hubTarget]]'s arithmetic as a scalar subquery (IEEE sqrt is
-    // correctly rounded on both engines, so the derived cap is identical)
+    // correctly rounded on both engines, so the derived cap is identical).
+    // `hubRel` is the relation build() was given — the full corpus for a
+    // plain build, the BASE subset for the append-without-rebuild replay
+    // (attachment/queries still run over `e`)
     val capSql = s"greatest(${p.hubCap}, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT))"
-    val hubMod = s"(SELECT greatest(1, (count(*) + $capSql - 1) // $capSql) FROM e)"
+    val hubMod = s"(SELECT greatest(1, (count(*) + $capSql - 1) // $capSql) FROM $hubRel)"
     val sb = new StringBuilder
-    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e WHERE $h % $hubMod = 0),\n"
+    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM $hubRel WHERE $h % $hubMod = 0),\n"
     // DISTRIBUTED adjacency replay ([[adjacency]] = selfTopK over hubs):
     // inner IVF fit on the hub relation (prefix g_ so the corpus-level
     // incumbent fit in q327 can't collide), per-hub probes of the
@@ -366,6 +488,68 @@ object NswGraph {
     sb ++= s"SELECT query_id, nid AS neighbor_id, rank::INT AS rank,\n"
     sb ++= s"  (floor(c * 1000 + 0.5) / 1000) AS cosine\n"
     sb ++= s"FROM ranked WHERE rank <= $k"
+    sb.toString
+  }
+
+  /** DuckDB replay of search-after-append (the q339 oracle): the routing
+    * layer — hub sample, inner fit, adjacency, beam rounds — derives from
+    * the BASE subset only (replaying writeIndex-on-base), while attachment
+    * and queries run over the whole table, exactly what the committed
+    * append tree serves. Hash-equality proves [[appendIndex]]'s tree IS
+    * the no-rebuild union index. `basePredId` filters the renamed `id`. */
+  def appendSearchOracleSql(table: String, idCol: String, vecCol: String,
+                            p: Params, k: Int, basePredId: String,
+                            queryPred: String): String = {
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= routingCtes(p, queryPred,
+      hubRel = s"(SELECT id, v FROM e WHERE $basePredId)")
+    sb ++= s"cand AS (SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n"
+    sb ++= s"    FROM nswp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n"
+    sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
+    sb ++= s"ranked AS (SELECT query_id, nid, c,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rank\n"
+    sb ++= s"  FROM cand)\n"
+    sb ++= s"SELECT query_id, nid AS neighbor_id, rank::INT AS rank,\n"
+    sb ++= s"  (floor(c * 1000 + 0.5) / 1000) AS cosine\n"
+    sb ++= s"FROM ranked WHERE rank <= $k"
+    sb.toString
+  }
+
+  /** DuckDB replay of the NSW append DRIFT GATE: base-vs-batch mean
+    * attachment micro-cosine to hubs sampled from the base alone, and the
+    * two-sided integer basis-point verdict ([[KMeansIVF.driftVerdict]]'s
+    * arithmetic) — every number exact, so the gate itself is
+    * hash-checked. Only the hub sample and attachment replay (adjacency/
+    * beam rounds don't touch the drift stat). */
+  def appendDriftOracleSql(table: String, idCol: String, vecCol: String,
+                           p: Params, basePredId: String): String = {
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val h = TextHash.md5LongSql("id::VARCHAR")
+    val capSql = s"greatest(${p.hubCap}, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT))"
+    val hubMod = s"(SELECT greatest(1, (count(*) + $capSql - 1) // $capSql) " +
+      s"FROM e WHERE $basePredId)"
+    val micro = s"CAST(floor(${cos("t.v", "t.hv")} * 1000000 + 0.5) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM e\n"
+    sb ++= s"         WHERE ($basePredId) AND $h % $hubMod = 0),\n"
+    sb ++= s"hatt AS (SELECT id, v, hv FROM (\n"
+    sb ++= s"    SELECT e.id, e.v, h.hv,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY e.id ORDER BY ${cos("e.v", "h.hv")} DESC, h.hid) AS rn\n"
+    sb ++= s"    FROM e CROSS JOIN hubs h) WHERE rn = 1),\n"
+    sb ++= s"scoredu AS (SELECT t.id, $micro AS micro, ($basePredId) AS is_base\n"
+    sb ++= s"  FROM (SELECT id, v, hv FROM hatt) t),\n"
+    sb ++= s"bstat AS (SELECT count(*)::BIGINT AS pn, sum(micro)::BIGINT AS ps\n"
+    sb ++= s"  FROM scoredu WHERE is_base),\n"
+    sb ++= s"qstat AS (SELECT count(*)::BIGINT AS bn, sum(micro)::BIGINT AS bs\n"
+    sb ++= s"  FROM scoredu WHERE NOT is_base)\n"
+    sb ++= s"SELECT pn AS n_prev, bn AS n_batch, ps AS prev_sum_micro, bs AS batch_sum_micro,\n"
+    sb ++= s"  ((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn))::BIGINT AS drift_bp,\n"
+    sb ++= s"  (((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn)) < 5000 OR\n"
+    sb ++= s"   ((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn)) > 20000) AS rebuild\n"
+    sb ++= s"FROM bstat, qstat"
     sb.toString
   }
 

@@ -124,15 +124,23 @@ object ProductQuantizer {
     * `($idCol, $vecCol)`. Every multi-referenced CTE is MATERIALIZED
     * (the q102 inlining lesson). */
   def oracleCtes(table: String, idCol: String, vecCol: String,
-                 m: Int, k: Int, iters: Int, sampleCap: Long): String = {
+                 m: Int, k: Int, iters: Int, sampleCap: Long,
+                 fitPred: String = "TRUE"): String = {
+    // `fitPred` (over `em`'s `id`) restricts the FIT — sample membership
+    // AND the count the modulus derives from — to a subset while the
+    // encode still covers the whole table: the append-without-refit
+    // replay ([[IvfPq.appendOracleSql]]), where codebooks are fitted on
+    // the base corpus and the appended batch is encoded against them.
+    // The default TRUE is the historical whole-table fit.
     val h = TextHash.md5LongSql("id::VARCHAR")
-    val mod = s"(SELECT greatest(1, (count(*) + ${sampleCap - 1}) // $sampleCap) FROM em)"
+    val mod = s"(SELECT greatest(1, (count(*) + ${sampleCap - 1}) // $sampleCap) " +
+      s"FROM em WHERE $fitPred)"
     val subs = s"(SELECT unnest(range(0, $m)) AS sub)"
     val sb = new StringBuilder
     sb ++= s"em AS MATERIALIZED (SELECT $idCol AS id,\n"
     sb ++= s"  list_transform($vecCol::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT)) AS vq\n"
     sb ++= s"  FROM $table),\n"
-    sb ++= s"smp AS (SELECT id, vq FROM em WHERE $h % $mod = 0),\n"
+    sb ++= s"smp AS (SELECT id, vq FROM em WHERE ($fitPred) AND $h % $mod = 0),\n"
     // sd = dim/m derived per row: slices are 1-based inclusive
     sb ++= s"ssub AS MATERIALIZED (SELECT id, sub,\n"
     sb ++= s"  vq[(sub * (len(vq) // $m) + 1):((sub + 1) * (len(vq) // $m))] AS sv\n"

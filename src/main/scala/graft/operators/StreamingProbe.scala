@@ -18,11 +18,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * One guard matters operationally: the index must not be REBUILT while
   * a probe stream runs (bucket meaning changes under the reader). The
-  * IVF path re-reads the centroid sidecar each batch, the NSW path the
-  * `_ready`-gated graph sidecar, the Hamming path `meta.json` — so a
-  * completed rebuild is picked up at the next batch boundary, and a
-  * mid-rebuild crash window is refused by the NSW `_ready` gate (the
-  * other two sidecars are single files, atomic at the filesystem level).
+  * IVF path re-reads the `_ready`-gated centroid sidecar each batch, the
+  * NSW path the `_ready`-gated graph sidecar, the Hamming path
+  * `meta.json` — so a completed rebuild is picked up at the next batch
+  * boundary, and a mid-rebuild crash window is refused by the `_ready`
+  * gates (the Hamming sidecar is a single file, atomic at the filesystem
+  * level, and its data tree is append-only under the claim protocol).
   */
 object StreamingProbe {
 
@@ -62,6 +63,47 @@ object StreamingProbe {
       onResults(graft.sources.HammingIndex.probe(
         spark, batch, idCol, fpCol, indexDir, maxHamming), batchId)
     }
+
+  /** Continuous vector INGEST into a persisted [[KMeansIVF]] index — the
+    * write-side dual of [[startIvf]]: each micro-batch appends via
+    * [[KMeansIVF.appendIndex]] with `batchId = "s<streamBatchId>"`, so
+    * EXACTLY-ONCE rides the `_done` marker's own idempotence — a
+    * checkpoint replay of a committed batch writes nothing and returns
+    * the ORIGINAL persisted drift verdict verbatim (the at-least-once
+    * runner can't flip a rebuild decision). Each batch's
+    * [[KMeansIVF.AppendResult]] — the drift gate where it matters most,
+    * continuous arrival — is surfaced to `onVerdict`.
+    *
+    * Compaction: when `compactEvery > 0` and the committed-append count
+    * reaches it, `onCompactionDue(count)` fires. The stream does NOT
+    * compact in place — [[KMeansIVF.compactAppends]] writes a FRESH
+    * directory and the caller repoints readers when ready (an in-place
+    * swap under a live appender is exactly the crash window
+    * compaction-as-replace exists to avoid), so the trigger is surfaced
+    * as an operational signal, not an in-stream mutation.
+    *
+    * Empty micro-batches (shutdown ticks, empty source polls) are
+    * skipped — they carry no drift statistic and would fail the
+    * positive-count gate. */
+  def startIvfAppend(
+      stream: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      checkpointDir: String,
+      onVerdict: (KMeansIVF.AppendResult, Long) => Unit,
+      compactEvery: Int = 0,
+      onCompactionDue: Long => Unit = _ => ()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val v = KMeansIVF.appendIndex(batch, idCol, vecCol, indexDir, s"s$batchId")
+          onVerdict(v, batchId)
+          if (compactEvery > 0) {
+            val committed = KMeansIVF.dataPaths(indexDir).size - 1
+            if (committed >= compactEvery) onCompactionDue(committed.toLong)
+          }
+        }
+      }
+      .start()
 
   private def start(stream: DataFrame, checkpointDir: String,
                     clearCachePerBatch: Boolean = false)(

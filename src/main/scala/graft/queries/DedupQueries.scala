@@ -942,6 +942,60 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
     }),
 
+    // INCREMENTAL NSW maintenance (NswGraph.appendIndex — the q333
+    // machinery for graph ANN): routing layer built on HALF the corpus
+    // (even vec_ids), the other half appended WITHOUT rebuilding — each
+    // new vector attaches to its nearest FROZEN hub map-side, committed
+    // under appends/<batchId>/ by an atomic _done marker — then beam
+    // search serves base + append through one partition-pruned union.
+    // The oracle derives hubs/adjacency/beam from the base subset and
+    // attaches the whole table: hash-equality proves the committed
+    // append tree IS the no-rebuild union index.
+    "q339_nsw_append_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val p = graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_nsw_append_q339_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.NswGraph.writeIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, p)
+      graft.operators.NswGraph.appendIndex(
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx, "b1")
+      graft.operators.NswGraph.indexSearch(
+        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
+    }),
+
+    // The NSW append DRIFT GATE as data: base-vs-batch mean attachment
+    // micro-cosine to hubs sampled from the base alone, and the two-sided
+    // integer basis-point verdict (KMeansIVF.driftVerdict's arithmetic —
+    // hubs from yesterday's corpus degrade as the distribution moves, in
+    // either direction). Every number exact ⇒ the gate itself is
+    // hash-checked. The base mean carries the hubs' own self-attachment
+    // boost (cos=1 for every sampled hub, ~hub-fraction of the base), so
+    // an iid batch sits BELOW 10000 bp by roughly that fraction — ~6100
+    // at sf0.001, rising toward 10000 as the hub fraction shrinks with
+    // corpus size (~1% at sf0.1); the 5000 halving cut clears it at
+    // every SF (measured, the q300/q305 calibration rule).
+    "q340_nsw_append_drift" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val p = graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_nsw_append_q340_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.NswGraph.writeIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, p)
+      val r = graft.operators.NswGraph.appendIndex(
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx, "b1")
+      Seq((r.nPrev, r.nBatch, r.prevSumMicro, r.batchSumMicro, r.driftBp, r.rebuild))
+        .toDF("n_prev", "n_batch", "prev_sum_micro", "batch_sum_micro",
+          "drift_bp", "rebuild")
+    }),
+
     // SPAN-LEVEL TEST↔TRAIN DECONTAMINATION (Lee et al. 2022's second
     // job for the window machinery): a TEST document position is
     // contaminated iff its 30-char window also occurs anywhere in TRAIN —
@@ -1773,6 +1827,18 @@ object DedupQueries {
       graft.operators.NswGraph.Params(
         hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8),
       k = 5, queryPred = "id < 10"),
+
+    "q339_nsw_append_probe" -> graft.operators.NswGraph.appendSearchOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8),
+      k = 5, basePredId = "id % 2 = 0", queryPred = "id < 10"),
+
+    "q340_nsw_append_drift" -> graft.operators.NswGraph.appendDriftOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8),
+      basePredId = "id % 2 = 0"),
 
     "q327_nsw_recall" -> graft.operators.NswGraph.recallOracleSql(
       "embeddings", "vec_id", "embedding",

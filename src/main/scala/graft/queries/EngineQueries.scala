@@ -474,6 +474,57 @@ object EngineQueries {
         k = 5, nprobe = 3, shortlist = 20)
     }),
 
+    // INCREMENTAL IVF+PQ maintenance (IvfPq.appendIndex — the q333
+    // machinery transplanted to the composed PQ layout): index built on
+    // HALF the corpus (even vec_ids), the other half appended WITHOUT
+    // refitting — assigned to the frozen coarse centroids AND encoded
+    // against the frozen codebooks, both map-side, committed under
+    // appends/<batchId>/ by an atomic _done marker — then the full
+    // route → pruned ADC → exact re-rank funnel serves base + append
+    // through one partition-pruned union. The oracle fits BOTH stages on
+    // the base subset, encodes the whole table, and probes: hash-equality
+    // proves the committed append tree IS the no-refit union index.
+    "q337_ivfpq_append_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_append_q337_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.IvfPq.writeIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+        ivfSampleCap = 100, pqSampleCap = 500)
+      graft.operators.IvfPq.appendIndex(
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx, "b1")
+      graft.operators.IvfPq.probeTopK(
+        e.filter(col("vec_id") < 10), e, idx, "vec_id", "embedding",
+        k = 5, nprobe = 3, shortlist = 20)
+    }),
+
+    // The PQ append DRIFT GATE as data: base-vs-batch mean exact
+    // quantization error (micro², the q236 pq.err arithmetic) under
+    // codebooks fitted on the base alone, and the ONE-SIDED integer
+    // basis-point verdict — error GROWS as the distribution leaves the
+    // codebooks (the inverse direction of q334's cosine gate), so rebuild
+    // fires past the doubling point 20000 bp; an unusually small batch
+    // error (near-duplicate injection) quantizes fine and is benign.
+    // Every number exact ⇒ the gate itself is hash-checked.
+    "q338_ivfpq_append_drift" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ivfpq_append_q338_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.IvfPq.writeIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+        ivfSampleCap = 100, pqSampleCap = 500)
+      val r = graft.operators.IvfPq.appendIndex(
+        e.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding", idx, "b1")
+      Seq((r.nPrev, r.nBatch, r.prevSumErr, r.batchSumErr, r.driftBp, r.rebuild))
+        .toDF("n_prev", "n_batch", "prev_sum_err", "batch_sum_err",
+          "drift_bp", "rebuild")
+    }),
+
     // Matryoshka truncation audit: recall@10 of brute-force cosine search
     // when embeddings are cut to their first 8/16/32 dims vs the full 64 —
     // the measurement that decides whether a matryoshka-style index can
@@ -703,6 +754,16 @@ object EngineQueries {
         "(SELECT greatest(1, (count(*) + 15) // 16) FROM e) = 0",
       k = 5, nprobe = 3, shortlist = 20,
       ivfSampleCap = 100, pqSampleCap = 500),
+
+    "q337_ivfpq_append_probe" -> graft.operators.IvfPq.appendOracleSql(
+      "embeddings", "vec_id", "embedding",
+      basePred = "vec_id % 2 = 0", basePredId = "id % 2 = 0",
+      queryPred = "id < 10", k = 5, nprobe = 3, shortlist = 20,
+      ivfSampleCap = 100, pqSampleCap = 500),
+
+    "q338_ivfpq_append_drift" -> graft.operators.IvfPq.appendDriftOracleSql(
+      "embeddings", "vec_id", "embedding", basePredId = "id % 2 = 0",
+      pqSampleCap = 500),
 
     "q194_mv_min_maintenance" ->
       """WITH o AS (SELECT o_custkey ck, o_orderkey ok, o_orderdate::DATE od,

@@ -81,6 +81,59 @@ class StreamingProbeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("IVF append stream: N micro-batches == one batch append; replay = original verdict") {
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("sp_ivfapp").toString
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
+
+    val chunk1 = odds.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val chunk2 = odds.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val verdicts = mutable.ArrayBuffer.empty[(KMeansIVF.AppendResult, Long)]
+    val compactions = mutable.ArrayBuffer.empty[Long]
+    val ck = java.nio.file.Files.createTempDirectory("sp_ivfapp_ck").toString
+    val q = StreamingProbe.startIvfAppend(
+      mem.toDF().toDF("vec_id", "embedding"), idx, "vec_id", "embedding", ck,
+      (v, bid) => verdicts.synchronized { verdicts += ((v, bid)) },
+      compactEvery = 2,
+      cnt => compactions.synchronized { compactions += cnt })
+    try {
+      mem.addData(chunk1: _*); q.processAllAvailable()
+      mem.addData(chunk2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(verdicts.map(_._2).toSeq == Seq(0L, 1L))
+    assert(verdicts.map(_._1.nBatch).sum == odds.count())
+    assert(compactions.toSeq == Seq(2L),
+      "the compaction trigger must fire exactly when committed appends reach the threshold")
+
+    // probe-equivalence: the streamed tree serves exactly what ONE batch
+    // append of the same rows serves (same deterministic base fit)
+    val ref = java.nio.file.Files.createTempDirectory("sp_ivfapp_ref").toString
+    KMeansIVF.writeIndex(base, "vec_id", "embedding", ref, sampleCap = 100)
+    KMeansIVF.appendIndex(odds, "vec_id", "embedding", ref, "b1")
+    val qs = e.filter(col("vec_id") < 10)
+    def probeSet(d: String) = KMeansIVF.indexTopK(qs, d, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(probeSet(idx) == probeSet(ref),
+      "N streamed appends must serve the same index as one batch append")
+
+    // exactly-once under retry: a redelivery of batch 0 (same batchId)
+    // writes nothing and returns the ORIGINAL verdict verbatim
+    val replay = KMeansIVF.appendIndex(
+      chunk1.toDF("vec_id", "embedding"), "vec_id", "embedding", idx, "s0")
+    assert(replay == verdicts.head._1,
+      "checkpoint replay must return the persisted verdict, not recompute")
+  }
+
   test("Hamming probe stream == batch probe under random slicing") {
     val idx = java.nio.file.Files.createTempDirectory("sp_ham").toString
     val corpus = (1L to 30L).map(i => (i, i * 16L + 5L)).toDF("doc_id", "fp")
