@@ -208,6 +208,55 @@ object DedupQueries {
         graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
         wordCfg)),
 
+    // RECALL-DRIFT AUDIT for an appended LSH batch (the q334 argument for
+    // MinHash indexes): the index is built on even doc_ids, the odd half
+    // appends through the claim-gated path, and then a deterministic
+    // md5-sampled subset of the BATCH probes the live index — banded
+    // candidates vs the exact inverted-index truth (linear in shared
+    // shingles, never sample × corpus). One row: counts, recall_bp =
+    // hits·10⁴ div truth, and the degraded verdict — all exact integers,
+    // so the audit itself is hash-checked (the oracle replays the probe
+    // pipeline, the truth join, and the rollup).
+    "q341_lsh_append_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = graft.functions.VectorExpressions
+        .wordShingleHashes(col("text"), 3, TextHash.P)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_lsh_append_q341_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.sources.LshIndex.write(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", sh, idx, wordCfg)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      graft.sources.LshIndex.append(s, batch, "doc_id", sh, idx, wordCfg)
+      graft.sources.LshIndex.appendRecallAudit(
+        s, idx, batch, "doc_id", sh, wordCfg)
+    }),
+
+    // CANDIDATE-VOLUME DRIFT for an appended Hamming batch: recall can't
+    // drift on the pigeonhole index (blocking is provably lossless within
+    // the design distance — q296/q328/q330's brute-pair oracles), but
+    // probe COST can: fingerprints collapsing into few chunk values pile
+    // into shared buckets and blow the candidate set quadratically. Per
+    // doc, cand = distinct partners sharing ≥1 chunk (the pre-verify set
+    // a probe pays for); verdict = batch mean vs base mean in exact bp,
+    // one-sided at 20000 (a LOW batch is cheap, not broken). Index =
+    // 60-bit text SimHash, built on evens, odd half appended.
+    "q342_hamming_candidate_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fps = graft.operators.SimHashDedup.simhash(docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash").as("fp"))
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_ham_drift_q342_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.sources.HammingIndex.write(
+        fps.filter(col("doc_id") % 2 === 0), "doc_id", "fp", idx, bits = 60)
+      graft.sources.HammingIndex.append(
+        s, fps.filter(col("doc_id") % 2 === 1), "doc_id", "fp", idx)
+      graft.sources.HammingIndex.candidateDrift(s, idx, col("id") % 2 === 1)
+    }),
+
     // TRAIN/EVAL CONTAMINATION audit — the leakage check every LLM data
     // pipeline must run before reporting eval numbers: near-duplicate
     // pairs (the q12 LSH pipeline, banding-bounded, never all-pairs) that
@@ -1344,6 +1393,40 @@ object DedupQueries {
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""SELECT id_a AS query_id, id_b AS corpus_id, jaccard
          |FROM ($base) WHERE id_a < 50 AND id_b >= 50""".stripMargin
+    },
+
+    "q341_lsh_append_recall" -> graft.sources.LshIndex.appendRecallAuditOracleSql(
+      "documents", "doc_id", TextHash.wordShinglesSql("text", 3), wordCfg,
+      batchPred = "id % 2 = 1"),
+
+    "q342_hamming_candidate_drift" -> {
+      val bits = 60; val chunkBits = bits / 4; val mask = (1L << chunkBits) - 1
+      s"""WITH ${graft.operators.SimHashDedup.simhashCtes("documents", "doc_id", "text")}
+         |chx AS (SELECT id, c AS ci, (sh >> ($chunkBits * c)) & $mask AS cv
+         |        FROM sim, (SELECT unnest(range(0, 4)) AS c) t),
+         |prt AS (SELECT DISTINCT x.id AS id, y.id AS pid
+         |        FROM chx x JOIN chx y ON x.ci = y.ci AND x.cv = y.cv AND x.id <> y.id),
+         |cnt AS (SELECT s.id, count(p.pid)::BIGINT AS cand
+         |        FROM sim s LEFT JOIN prt p ON p.id = s.id GROUP BY s.id),
+         |st AS (SELECT
+         |    sum(CASE WHEN NOT (id % 2 = 1) THEN 1 ELSE 0 END)::BIGINT AS pn,
+         |    sum(CASE WHEN NOT (id % 2 = 1) THEN cand ELSE 0 END)::BIGINT AS ps,
+         |    sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS bn,
+         |    sum(CASE WHEN id % 2 = 1 THEN cand ELSE 0 END)::BIGINT AS bs
+         |  FROM cnt),
+         |mm AS (SELECT pn, bn, ps, bs,
+         |    CASE WHEN pn > 0 THEN (ps * 1000) // pn END AS pm,
+         |    CASE WHEN bn > 0 THEN (bs * 1000) // bn END AS bm
+         |  FROM st)
+         |SELECT pn AS n_prev, bn AS n_batch, ps AS prev_cand, bs AS batch_cand,
+         |  pm AS prev_cand_milli, bm AS batch_cand_milli,
+         |  CASE WHEN pn > 0 AND bn > 0
+         |    THEN (((bm + 1)::HUGEINT * 10000) // (pm + 1)::HUGEINT)::BIGINT
+         |  END AS drift_bp,
+         |  coalesce(CASE WHEN pn > 0 AND bn > 0
+         |    THEN (((bm + 1)::HUGEINT * 10000) // (pm + 1)::HUGEINT) > 20000
+         |  END, FALSE) AS skewed
+         |FROM mm""".stripMargin
     },
 
     // both probe pipelines replayed in full (bands, perturbation probe

@@ -351,4 +351,57 @@ object HammingIndex {
       .filter(col("hamming") <= maxHamming)
       .select(col("qid").as("query_id"), col("cid").as("corpus_id"), col("hamming"))
   }
+
+  /** CANDIDATE-VOLUME DRIFT audit for an appended batch — the q334
+    * argument applied to the pigeonhole index. RECALL cannot drift here
+    * (4-chunk blocking is PROVABLY lossless within the design distance —
+    * the brute-pair oracles of q296/q328/q330 are the standing proof), but
+    * probe COST can: a batch whose fingerprints collapse into few chunk
+    * values (silent audio, black frames, boilerplate text) piles into the
+    * same buckets and blows candidate volume quadratically for every
+    * future probe. Per doc, `cand` = distinct partners sharing ≥ 1 chunk
+    * (exactly the pre-verify candidate set a probe of that doc pays for);
+    * the verdict compares the appended batch's mean against the base's in
+    * exact basis points, one-sided at `skewAboveBp` (a LOW batch is cheap,
+    * not broken). The ratio is computed over +1-SMOOTHED milli-means —
+    * `((batch_milli+1)·10⁴) div (prev_milli+1)` — so it stays total and
+    * finite when the base had ZERO collisions: a degenerate batch over a
+    * clean base is the most dangerous case and must still flag (a raw
+    * ratio would be 0/0-undefined exactly there). `batchPred` classifies
+    * indexed `id`s. */
+  def candidateDrift(spark: SparkSession, dir: String,
+      batchPred: org.apache.spark.sql.Column,
+      skewAboveBp: Long = 20000): DataFrame = {
+    val ch = readLive(spark, dir, "chunks", chunksSchema)
+      .select(col("id"), col("ci"), col("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partners = ch.as("x").join(ch.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("id"), col("y.id").as("pid"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("cand"))
+    // docs whose chunks collide with nothing contribute 0 — walk the full
+    // membership table, not just the collision survivors
+    val ids = readLive(spark, dir, "ids", idsSchema).select(col("id"))
+    ids.join(partners, Seq("id"), "left")
+      .select(coalesce(col("cand"), lit(0L)).as("cand"), batchPred.as("is_batch"))
+      .agg(
+        sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_prev"),
+        sum(when(!col("is_batch"), col("cand")).otherwise(0L)).as("prev_cand"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
+        sum(when(col("is_batch"), col("cand")).otherwise(0L)).as("batch_cand"))
+      .select(col("n_prev"), col("n_batch"), col("prev_cand"), col("batch_cand"),
+        expr("CASE WHEN n_prev > 0 THEN (prev_cand * 1000) div n_prev END")
+          .as("prev_cand_milli"),
+        expr("CASE WHEN n_batch > 0 THEN (batch_cand * 1000) div n_batch END")
+          .as("batch_cand_milli"))
+      .select(col("n_prev"), col("n_batch"), col("prev_cand"), col("batch_cand"),
+        col("prev_cand_milli"), col("batch_cand_milli"),
+        expr("CASE WHEN n_prev > 0 AND n_batch > 0 THEN " +
+          "(CAST(batch_cand_milli + 1 AS DECIMAL(38,0)) * 10000) div " +
+          "CAST(prev_cand_milli + 1 AS DECIMAL(38,0)) END").cast("long")
+          .as("drift_bp"))
+      .withColumn("skewed", coalesce(col("drift_bp") > skewAboveBp, lit(false)))
+  }
 }

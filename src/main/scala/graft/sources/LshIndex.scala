@@ -327,6 +327,109 @@ object LshIndex {
       .map(p => spark.read.parquet(p))
       .reduce(_ unionByName _)
 
+  /** RECALL-DRIFT AUDIT for an appended batch — the q334 argument applied
+    * to LSH: appends shift the corpus (doc length, shingle distribution)
+    * while the band geometry stays fixed, and nothing else incremental
+    * would flag the decay. Per appended batch:
+    *
+    *   1. a DETERMINISTIC sample of the batch (md5 % mod, mod
+    *      count-derived so the sample is ≤ `sampleCap` docs at ANY batch
+    *      size — the [[graft.operators.KMeansIVF.sampleModFor]] idiom);
+    *   2. FOUND = the real banded probe path against the live index
+    *      ([[probe]] — partition-pruned bands, estimate prune, exact
+    *      verify);
+    *   3. TRUTH = the exact-Jaccard pairs of the sample against the
+    *      index's own doc table, via the INVERTED-INDEX join on shingle
+    *      hashes (linear in shared shingles, never sample × corpus);
+    *   4. one row: counts, `recall_bp = hits·10⁴ div truth` (NULL when
+    *      the sample hits no truth pairs — both engines agree), and the
+    *      `degraded` verdict below `degradedBelowBp`.
+    *
+    * Every number is an exact integer, so the verdict itself is
+    * hash-checkable ([[appendRecallAuditOracleSql]] replays the whole
+    * pipeline including the probe). Caching contract of [[probe]]
+    * applies (internals persisted; callers clearCache when done). */
+  def appendRecallAudit(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, shingleHashes: Column,
+      cfg: MinHashDedup.Config = MinHashDedup.Config(),
+      sampleCap: Long = 512, degradedBelowBp: Long = 7500): DataFrame = {
+    val mod = graft.operators.KMeansIVF.sampleModFor(batch.count(), sampleCap)
+    val sample = batch.filter(
+      pmod(TextHash.md5Long(col(idCol).cast("string")), lit(mod)) === 0)
+    val found = probe(spark, sample, idCol, shingleHashes, dir, cfg)
+      .select(col("query_id"), col("corpus_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact truth on the hashed (distinct) shingle sets — the same arrays
+    // probe verifies with, so FOUND ⊆ TRUTH by construction and hits/truth
+    // IS banded recall
+    val qsh = MinHashDedup.hashed(sample, idCol, shingleHashes)
+    val qe = qsh.select(col("id").as("query_id"),
+      size(col("hashes")).as("nq"), explode(col("hashes")).as("h"))
+    val ce = readLive(spark, dir, "docs")
+      .select(col("id").as("corpus_id"),
+        size(col("hashes")).as("nc"), explode(col("hashes")).as("h"))
+    val truth = qe.join(ce, "h")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"), max(col("nq")).as("nq"), max(col("nc")).as("nc"))
+      .filter(col("inter").cast("double") /
+        (col("nq") + col("nc") - col("inter")) >= cfg.jaccardThreshold)
+      .select(col("query_id"), col("corpus_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = truth.join(found, Seq("query_id", "corpus_id"), "left_semi")
+    sample.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .select(col("n_sample"), col("n_truth"), col("n_hits"), col("n_found"),
+        expr("CASE WHEN n_truth > 0 THEN (n_hits * 10000) div n_truth END")
+          .as("recall_bp"),
+        coalesce(expr("CASE WHEN n_truth > 0 THEN " +
+          s"((n_hits * 10000) div n_truth) < $degradedBelowBp END"), lit(false))
+          .as("degraded"))
+  }
+
+  /** DuckDB replay of [[appendRecallAudit]]: the probe pipeline
+    * ([[MinHashDedup.probeOracleSql]]) nested as FOUND, the inverted-index
+    * exact truth, and the integer rollup. `batchPred` selects the appended
+    * batch's rows of `$table` (by `id`); the sample modulus replays
+    * `sampleModFor` over it. */
+  def appendRecallAuditOracleSql(table: String, idCol: String,
+      shingleSql: String, cfg: MinHashDedup.Config, batchPred: String,
+      sampleCap: Long = 512, degradedBelowBp: Long = 7500): String = {
+    val h = TextHash.md5LongSql("id::VARCHAR")
+    val mod = s"(SELECT greatest(1, (count(*) + ${sampleCap - 1}) // $sampleCap) " +
+      s"FROM (SELECT $idCol AS id FROM $table) WHERE $batchPred)"
+    val samplePred = s"($batchPred) AND $h % $mod = 0"
+    val probeSql = MinHashDedup.probeOracleSql(
+      table, idCol, shingleSql, cfg, tProbes = 0,
+      batchPred = samplePred, corpusPred = "TRUE")
+    s"""WITH found AS ($probeSql),
+       |ahs AS (SELECT $idCol AS id,
+       |        list_distinct(list_transform($shingleSql, x -> ${TextHash.baseHashSql("x")})) AS h
+       |      FROM $table),
+       |qx AS (SELECT id AS query_id, len(h) AS nq, unnest(h) AS hh FROM ahs
+       |       WHERE $samplePred),
+       |cx AS (SELECT id AS corpus_id, len(h) AS nc, unnest(h) AS hh FROM ahs),
+       |truth AS (SELECT query_id, corpus_id FROM (
+       |    SELECT query_id, corpus_id, count(*) AS inter, max(nq) AS nq, max(nc) AS nc
+       |    FROM qx JOIN cx USING (hh) WHERE query_id <> corpus_id
+       |    GROUP BY 1, 2)
+       |  WHERE inter::DOUBLE / (nq + nc - inter) >= ${cfg.jaccardThreshold}),
+       |hits AS (SELECT t.query_id, t.corpus_id FROM truth t
+       |         JOIN found f ON t.query_id = f.query_id AND t.corpus_id = f.corpus_id),
+       |st AS (SELECT
+       |    (SELECT count(*) FROM ahs WHERE $samplePred)::BIGINT AS n_sample,
+       |    (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       |    (SELECT count(*) FROM hits)::BIGINT AS n_hits,
+       |    (SELECT count(*) FROM found)::BIGINT AS n_found)
+       |SELECT n_sample, n_truth, n_hits, n_found,
+       |  CASE WHEN n_truth > 0 THEN (n_hits * 10000) // n_truth END AS recall_bp,
+       |  coalesce(CASE WHEN n_truth > 0
+       |    THEN ((n_hits * 10000) // n_truth) < $degradedBelowBp END, FALSE) AS degraded
+       |FROM st""".stripMargin
+  }
+
   /** Stage a batch append INSIDE a multi-participant transaction
     * ([[SnapshotTxn]]): bands/docs land under `pending/<txid>/`,
     * invisible to probes until the transaction's single `.decision` file
