@@ -1106,6 +1106,36 @@ object DedupQueries {
       graft.operators.SuffixRepeats.repeatSpans(
         Tables.documents(s, d), "doc_id", "text", minLen = 60, horizon = 64)),
 
+    // MASKED-CORPUS retention at VARIABLE lengths — q240's dual over
+    // q335's maximal exact-substring spans (Lee et al. 2022's mask step
+    // applied, not just reported): SuffixRepeats spans are disjoint per
+    // doc by construction (char-level interval merge), so Σ span_len IS
+    // the exact masked volume and keep_bp ≥ 0 by the same arithmetic
+    // (the q240 contract, now at unbounded repeat lengths). One pass:
+    // the spans relation feeds the rollup directly; longest_repeat is
+    // the per-source max maximal-repeat length (capped near horizon).
+    "q343_maximal_repeat_retention" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          length(trim(col("text"))).cast("long").as("n_chars"))
+      val perDoc = graft.operators.SuffixRepeats.repeatSpans(
+          Tables.documents(s, d), "doc_id", "text", minLen = 60, horizon = 64)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_len")).as("masked"),
+          max(col("max_dl")).as("longest"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("total_chars"),
+          sum(coalesce(col("masked"), lit(0L))).as("masked_chars"),
+          max(coalesce(col("longest"), lit(0L))).as("longest_repeat"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("masked_chars"), col("longest_repeat"),
+          expr("if(total_chars > 0, " +
+            "((total_chars - masked_chars) * 10000) div total_chars, 0L)")
+            .as("keep_bp"))
+    }),
+
     // INCREMENTAL IVF index maintenance (KMeansIVF.appendIndex): the index
     // is built on HALF the corpus (even vec_ids), the other half appends
     // WITHOUT refitting — assigned to the existing centroids map-side,
@@ -1931,6 +1961,26 @@ object DedupQueries {
 
     "q335_maximal_repeats" -> graft.operators.SuffixRepeats.oracleSql(
       "documents", "doc_id", "text", minLen = 60, horizon = 64),
+
+    "q343_maximal_repeat_retention" -> {
+      val spansSql = graft.operators.SuffixRepeats.oracleSql(
+        "documents", "doc_id", "text", minLen = 60, horizon = 64)
+      s"""WITH msp AS ($spansSql),
+         |mpd AS (SELECT doc_id, sum(span_len)::BIGINT AS masked,
+         |          max(max_dl)::BIGINT AS longest
+         |        FROM msp GROUP BY doc_id),
+         |mdd AS (SELECT doc_id, source,
+         |          coalesce(length(trim(text)), 0)::BIGINT AS n_chars FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_chars)::BIGINT AS total_chars,
+         |  sum(coalesce(masked, 0))::BIGINT AS masked_chars,
+         |  max(coalesce(longest, 0))::BIGINT AS longest_repeat,
+         |  (CASE WHEN sum(n_chars) > 0
+         |     THEN ((sum(n_chars) - sum(coalesce(masked, 0))) * 10000) // sum(n_chars)
+         |     ELSE 0 END)::BIGINT AS keep_bp
+         |FROM mdd LEFT JOIN mpd USING (doc_id)
+         |GROUP BY source""".stripMargin
+    },
 
     "q336_span_decontamination" -> {
       val h = TextHash.md5LongSql("substr(t, p, 30)")

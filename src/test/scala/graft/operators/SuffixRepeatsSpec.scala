@@ -77,6 +77,19 @@ class SuffixRepeatsSpec extends AnyFunSuite {
     assert(covered.size >= 40, s"both 20-char runs must be covered: ${doc1.toSeq}")
   }
 
+  test("retention arithmetic: per-doc masked volume never exceeds doc length (keep_bp >= 0)") {
+    // the q343 contract: disjoint spans => sum(span_len) <= length(trim(text))
+    // for EVERY doc, so the per-source keep share can never go negative
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val perDoc = SuffixRepeats.repeatSpans(docs, "doc_id", "text", minLen = 60, horizon = 64)
+      .groupBy(col("doc_id")).agg(sum(col("span_len")).as("masked"))
+    val over = perDoc
+      .join(docs.select(col("doc_id"),
+        length(trim(col("text"))).cast("long").as("n")), "doc_id")
+      .filter(col("masked") > col("n"))
+    assert(over.count() == 0, "a doc masked beyond its own length means spans overlap")
+  }
+
   test("brute-force parity on a mixed random corpus") {
     val rng = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
