@@ -37,9 +37,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * files exactly as programmatic commits), `INSERT OVERWRITE` replaces,
   * and `DELETE FROM … WHERE …` runs the copy-on-write
   * [[SnapshotTable.deleteWhere]] (not the merge-on-read variant, so the
-  * table stays SQL-readable afterwards). DML against a `VERSION AS OF`
-  * relation is refused at analysis — it would silently target the latest
-  * version instead of the pinned one.
+  * table stays SQL-readable afterwards). `MERGE INTO` and `UPDATE` (and
+  * DELETEs whose condition can't translate to source filters) ride the
+  * DSv2 row-level-operations surface ([[GraftRowLevelOperation]]):
+  * group-based copy-on-write, FILE-GRANULAR via `_file` runtime group
+  * filtering, constraints enforced on the staged rewrite, and optimistic
+  * conflict abort against the resolved snapshot version. DML against a
+  * `VERSION AS OF` relation is refused at analysis — it would silently
+  * target the latest version instead of the pinned one.
   *
   * Boundaries, loud not silent: tables with an outstanding merge-on-read
   * deletion vector refuse to serve (the Group reader cannot apply the
@@ -115,7 +120,8 @@ class GraftSnapshotCatalog extends TableCatalog {
 class GraftSnapshotVersionTable(dir: String, version: Long,
                                 writable: Boolean = false)
   extends Table with SupportsRead
-  with SupportsWrite with SupportsDelete {
+  with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
   private val snap = SnapshotTable.snapshot(dir, version)
   require(!snap.meta.contains("dv"),
     s"$dir@v$version has an outstanding merge-on-read deletion vector — " +
@@ -187,6 +193,35 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
               if (overwrite) { SnapshotTable.commitReplace(data, dir); () }
               else { SnapshotTable.commitAppend(data, dir); () }
         }
+    }
+  }
+
+  /** The `_file` metadata column (`SELECT _file, * FROM t` works too) —
+    * the handle Spark's runtime group filtering uses to narrow row-level
+    * rewrites to exactly the files containing matches. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "snapshot data file serving the row"
+    })
+
+  /** MERGE INTO / UPDATE (and DELETE with an untranslatable condition) —
+    * group-based copy-on-write through [[GraftRowLevelOperation]]: Spark
+    * rewrites the statement to a ReplaceData over this operation's scan,
+    * runtime group filtering narrows the rewrite to the files containing
+    * matches, and the commit drops exactly those files with constraint
+    * enforcement + optimistic conflict abort (`expectedVersion` = the
+    * version this statement resolved). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireWritable(info.command().toString)
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(dir, version, info.command(), tableSchema)
     }
   }
 
@@ -365,7 +400,11 @@ class GraftSnapshotFileReader(
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
-      if (current == null || !present(f.name) ||
+      if (f.name == "_file")
+        // metadata column: the file path serving this row (runtime group
+        // filtering and SELECT _file ride this)
+        row.update(i, org.apache.spark.unsafe.types.UTF8String.fromString(file))
+      else if (current == null || !present(f.name) ||
         current.getFieldRepetitionCount(f.name) == 0) row.setNullAt(i)
       else f.dataType match {
         case LongType    => row.setLong(i, current.getLong(f.name, 0))
