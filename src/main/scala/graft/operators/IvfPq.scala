@@ -224,14 +224,10 @@ object IvfPq {
       nPrev: Long, nBatch: Long, prevSumErr: Long, batchSumErr: Long,
       driftBp: Long, rebuild: Boolean)
 
-  private def readStats(path: java.nio.file.Path): (Long, Long) = {
-    val s = java.nio.file.Files.readString(path)
-    val m = """\{"n":(-?\d+),"sumErr":(-?\d+)\}""".r
-    s.trim match {
-      case m(n, se) => (n.toLong, se.toLong)
-      case other => throw new IllegalStateException(s"unparseable stats sidecar $path: $other")
-    }
-  }
+  /** The shared append-protocol stats parser, keyed for this family's
+    * `sumErr` fragments. */
+  private def readStats(path: java.nio.file.Path): (Long, Long) =
+    KMeansIVF.readStats(path, sumKey = "sumErr")
 
   private def readResult(path: java.nio.file.Path): AppendResult = {
     val s = java.nio.file.Files.readString(path).trim
@@ -310,9 +306,16 @@ object IvfPq {
         .map(p => readStats(p.resolve("stats.json")))
       val base = readStats(statsPath)
       val (pn, ps) = (base._1 + frags.map(_._1).sum, base._2 + frags.map(_._2).sum)
-      require(pn > 0 && ps > 0 && bn > 0 && bs > 0,
-        s"drift gate needs positive counts and error sums, got prev=($pn,$ps) batch=($bn,$bs)")
-      val bp = (BigInt(bs) * pn * 10000 / (BigInt(ps) * bn)).toLong
+      require(pn > 0 && bn > 0 && ps >= 0 && bs >= 0,
+        s"drift gate needs positive counts, got prev=($pn,$ps) batch=($bn,$bs)")
+      // +1-smoothed sums: ZERO quantization error is a legitimate state
+      // here (a corpus whose subvectors the codebooks represent exactly —
+      // unlike the cosine gate this was transplanted from), so the ratio
+      // must stay total: a perfect base with a lossy batch is real drift
+      // (flags), a perfect batch over any base is benign (one-sided gate).
+      // At realistic error sums (~1e14 micro²) the +1 is far below the
+      // basis-point resolution.
+      val bp = (BigInt(bs + 1) * pn * 10000 / (BigInt(ps + 1) * bn)).toLong
       val v = AppendResult(pn, bn, ps, bs, bp, bp > 20000)
       java.nio.file.Files.writeString(appDir.toPath.resolve("stats.json"),
         s"""{"n":$bn,"sumErr":$bs}""")
@@ -438,8 +441,8 @@ object IvfPq {
     sb ++= s"qstat AS (SELECT count(*)::BIGINT AS bn, sum(err)::BIGINT AS bs\n"
     sb ++= s"  FROM enc WHERE NOT ($basePredId))\n"
     sb ++= s"SELECT pn AS n_prev, bn AS n_batch, ps AS prev_sum_err, bs AS batch_sum_err,\n"
-    sb ++= s"  ((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn))::BIGINT AS drift_bp,\n"
-    sb ++= s"  (((bs::HUGEINT * pn * 10000) // (ps::HUGEINT * bn)) > 20000) AS rebuild\n"
+    sb ++= s"  (((bs + 1)::HUGEINT * pn * 10000) // ((ps + 1)::HUGEINT * bn))::BIGINT AS drift_bp,\n"
+    sb ++= s"  ((((bs + 1)::HUGEINT * pn * 10000) // ((ps + 1)::HUGEINT * bn)) > 20000) AS rebuild\n"
     sb ++= s"FROM bstat, qstat"
     sb.toString
   }

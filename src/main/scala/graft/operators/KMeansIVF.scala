@@ -312,9 +312,15 @@ object KMeansIVF {
     AppendResult(pn, bn, ps, bs, bp, bp < 5000 || bp > 20000)
   }
 
-  private[operators] def readStats(path: java.nio.file.Path): (Long, Long) = {
+  /** Parse an append-protocol stats fragment `{"n":…,"<sumKey>":…}` —
+    * ONE parser for every index family's sidecars (KMeansIVF/NswGraph use
+    * `sumMicro`, IvfPq `sumErr`): the protocol must never fork, a format
+    * change in one family's writer with a stale copy of this parser in
+    * another would surface only as a crash on replay. */
+  private[operators] def readStats(
+      path: java.nio.file.Path, sumKey: String = "sumMicro"): (Long, Long) = {
     val s = java.nio.file.Files.readString(path)
-    val m = """\{"n":(-?\d+),"sumMicro":(-?\d+)\}""".r
+    val m = ("""\{"n":(-?\d+),"""" + sumKey + """":(-?\d+)\}""").r
     s.trim match {
       case m(n, sm) => (n.toLong, sm.toLong)
       case other => throw new IllegalStateException(s"unparseable stats sidecar $path: $other")

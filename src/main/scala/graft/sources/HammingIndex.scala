@@ -368,7 +368,12 @@ object HammingIndex {
     * finite when the base had ZERO collisions: a degenerate batch over a
     * clean base is the most dangerous case and must still flag (a raw
     * ratio would be 0/0-undefined exactly there). `batchPred` classifies
-    * indexed `id`s. */
+    * indexed `id`s.
+    *
+    * Caching contract (as [[probe]]): the chunk relation is persisted
+    * (both sides of the collision self-join consume it) and stays cached
+    * after evaluation — long-lived sessions auditing after each append
+    * should `spark.catalog.clearCache()` once the verdict is consumed. */
   def candidateDrift(spark: SparkSession, dir: String,
       batchPred: org.apache.spark.sql.Column,
       skewAboveBp: Long = 20000): DataFrame = {

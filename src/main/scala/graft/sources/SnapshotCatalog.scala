@@ -149,6 +149,13 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
       s"$dir@v$version has columns the SQL catalog reader cannot serve " +
         s"(${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}); " +
         "supported: bigint/int/double/string — read it with SnapshotTable.readVersion")
+    // `_file` is this catalog's metadata column: a DATA column of that
+    // name (legal for programmatic commits) would be silently shadowed by
+    // the file path in every projection — refuse loudly instead
+    require(!tableSchema.fieldNames.contains("_file"),
+      s"$dir@v$version has a data column named _file, which collides with " +
+        "the catalog's metadata column — rename it or read the table with " +
+        "SnapshotTable.readVersion")
   }
 
   override def name(): String = s"$dir@v$version"

@@ -61,20 +61,24 @@ class GraftRowLevelOperation(
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array(Expressions.column("_file"))
 
+  // NO SupportsPushDownFilters here, deliberately: Spark pushes the
+  // MERGE/UPDATE/DELETE command condition into a row-level scan with the
+  // group-based contract that the source may prune only GROUPS it will
+  // not rewrite. Our replacement unit (group) is the FILE — the reader's
+  // usual ROW-GROUP skipping on footer stats operates BELOW that
+  // granularity, so a pushed condition would drop no-match row groups
+  // inside files the commit then deletes: SILENT DATA LOSS (an UPDATE
+  // WHERE k=5 on a file whose first row group holds k=1..4 would erase
+  // those rows). Group pruning happens only via runtime group filtering
+  // on `_file`, which narrows scannedFiles — exactly the set commit
+  // drops — never inside a file.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = tableSchema
-      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
-      // advisory pruning (the catalog scan's contract): all filters come
-      // back as residuals, the reader row-group-skips on footer stats
-      override def pushFilters(
-          filters: Array[org.apache.spark.sql.sources.Filter])
-        : Array[org.apache.spark.sql.sources.Filter] = { pushed = filters; filters }
-      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan =
-        new GraftRowLevelScan(GraftRowLevelOperation.this, dir, required, pushed)
+        new GraftRowLevelScan(GraftRowLevelOperation.this, dir, required)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -92,8 +96,7 @@ class GraftRowLevelOperation(
   * commit. Unrecognized predicates narrow nothing (correct, just a
   * larger rewrite). */
 class GraftRowLevelScan(
-    op: GraftRowLevelOperation, dir: String, required: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    op: GraftRowLevelOperation, dir: String, required: StructType)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
@@ -114,10 +117,12 @@ class GraftRowLevelScan(
   }
 
   // evaluated at execution time — AFTER any runtime filter has narrowed
-  // the operation's file set
+  // the operation's file set. Partitions carry NO data filters: every
+  // surviving file must be read IN FULL (its unmatched rows are the
+  // carry-over half of the rewrite).
   override def planInputPartitions(): Array[InputPartition] =
     op.scannedFiles.map(f => GraftSnapshotFilePartition(
-      Paths.get(dir, f).toString, required.json, filters): InputPartition).toArray
+      Paths.get(dir, f).toString, required.json, Array.empty): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSnapshotReaderFactory
 }

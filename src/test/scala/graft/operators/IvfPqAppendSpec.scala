@@ -123,6 +123,29 @@ class IvfPqAppendSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$idx/append.lock").exists())
   }
 
+  test("drift gate stays total at ZERO quantization error (perfectly-codable base)") {
+    import spark.implicits._
+    // one distinct vector => every codebook centroid equals it => the
+    // base's exact quantization error is 0, a legitimate state the gate
+    // must survive (the +1-smoothed ratio; a raw ratio is div-by-zero)
+    val v = (0 until 8).map(i => (i + 1).toDouble)
+    val base = (0L until 50L).map(id => (id, v)).toDF("vec_id", "embedding")
+    val idx = freshIdx("zero")
+    IvfPq.writeIndex(base, "vec_id", "embedding", idx,
+      ivfSampleCap = 100, pqSampleCap = 500)
+    // a zero-error batch over a zero-error base is clean parity
+    val same = (100L until 150L).map(id => (id, v)).toDF("vec_id", "embedding")
+    val ok = IvfPq.appendIndex(same, "vec_id", "embedding", idx, "same")
+    assert(ok.prevSumErr == 0L && ok.batchSumErr == 0L && !ok.rebuild, s"$ok")
+    // lossy rows over a PERFECT base are exactly the drift the one-sided
+    // gate exists for — must flag, not divide by zero
+    val lossy = (200L until 250L)
+      .map(id => (id, (0 until 8).map(i => (i + 1) * 3.7 + id * 0.01)))
+      .toDF("vec_id", "embedding")
+    val bad = IvfPq.appendIndex(lossy, "vec_id", "embedding", idx, "lossy")
+    assert(bad.rebuild && bad.driftBp > 20000, s"$bad")
+  }
+
   test("drift gate: iid batch passes, amplitude-shifted batch crosses the doubling cut") {
     val idx = freshIdx("drift")
     IvfPq.writeIndex(base, "vec_id", "embedding", idx,

@@ -148,6 +148,27 @@ class SnapshotMergeSqlSpec extends AnyFunSuite {
     assert(rows("SELECT k, v FROM gms.du") == Seq((3L, "zz")))
   }
 
+  test("pushed conditions never row-group-skip inside the rewrite (the data-loss trap)") {
+    // Spark pushes the UPDATE condition into the row-level scan under the
+    // group-based contract (prune whole GROUPS only); our reader's usual
+    // row-group skipping operates BELOW file granularity, so forwarding
+    // the condition would silently erase no-match row groups of files the
+    // commit drops. With runtime group filtering OFF, every file is
+    // scanned AND dropped — the rewrite must still carry every row.
+    val t = s"$warehouse/nf"
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(Seq((10L, "x")).toDF("k", "v").coalesce(1), t)
+    val key = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+    val prevConf = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      spark.sql("UPDATE gms.nf SET v = 'X' WHERE k = 10")
+      assert(rows("SELECT k, v FROM gms.nf") ==
+        Seq((1L, "a"), (2L, "b"), (10L, "X")),
+        "rows in no-match files/row groups must survive the rewrite")
+    } finally spark.conf.set(key, prevConf)
+  }
+
   test("SELECT _file works as a plain metadata column") {
     val t = s"$warehouse/mf"
     SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)
