@@ -105,6 +105,54 @@ object StreamingProbe {
       }
       .start()
 
+  /** [[startIvfAppend]] for the composed IVF+PQ index: per micro-batch
+    * [[IvfPq.appendIndex]] (frozen centroids + frozen codebooks), the
+    * one-sided quantization-error drift verdict surfaced per batch, the
+    * same exactly-once-via-marker and compaction-signal contract. */
+  def startIvfPqAppend(
+      stream: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      checkpointDir: String,
+      onVerdict: (IvfPq.AppendResult, Long) => Unit,
+      compactEvery: Int = 0,
+      onCompactionDue: Long => Unit = _ => ()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val v = IvfPq.appendIndex(batch, idCol, vecCol, indexDir, s"s$batchId")
+          onVerdict(v, batchId)
+          if (compactEvery > 0) {
+            val committed = KMeansIVF.dataPaths(indexDir).size - 1
+            if (committed >= compactEvery) onCompactionDue(committed.toLong)
+          }
+        }
+      }
+      .start()
+
+  /** [[startIvfAppend]] for the NSW graph index: per micro-batch
+    * [[NswGraph.appendIndex]] (frozen hub attachment), the two-sided
+    * attachment-cosine drift verdict surfaced per batch, the same
+    * exactly-once-via-marker and compaction-signal contract. */
+  def startNswAppend(
+      stream: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      checkpointDir: String,
+      onVerdict: (KMeansIVF.AppendResult, Long) => Unit,
+      compactEvery: Int = 0,
+      onCompactionDue: Long => Unit = _ => ()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val v = NswGraph.appendIndex(batch, idCol, vecCol, indexDir, s"s$batchId")
+          onVerdict(v, batchId)
+          if (compactEvery > 0) {
+            val committed = KMeansIVF.dataPaths(indexDir).size - 1
+            if (committed >= compactEvery) onCompactionDue(committed.toLong)
+          }
+        }
+      }
+      .start()
+
   private def start(stream: DataFrame, checkpointDir: String,
                     clearCachePerBatch: Boolean = false)(
       body: (SparkSession, DataFrame, Long) => Unit): StreamingQuery =

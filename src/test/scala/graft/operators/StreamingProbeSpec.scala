@@ -134,6 +134,66 @@ class StreamingProbeSpec extends AnyFunSuite {
       "checkpoint replay must return the persisted verdict, not recompute")
   }
 
+  test("IVF+PQ and NSW append streams: N micro-batches == one batch append") {
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val odds = e.filter(col("vec_id") % 2 =!= 0)
+    val chunk1 = odds.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val chunk2 = odds.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val qs = e.filter(col("vec_id") < 10)
+
+    // IVF+PQ family
+    val pqIdx = java.nio.file.Files.createTempDirectory("sp_pqapp").toString
+    IvfPq.writeIndex(base, "vec_id", "embedding", pqIdx,
+      ivfSampleCap = 100, pqSampleCap = 500)
+    val pqVerdicts = mutable.ArrayBuffer.empty[IvfPq.AppendResult]
+    val memPq = MemoryStream[(Long, Seq[Double])]
+    val qPq = StreamingProbe.startIvfPqAppend(
+      memPq.toDF().toDF("vec_id", "embedding"), pqIdx, "vec_id", "embedding",
+      java.nio.file.Files.createTempDirectory("sp_pqapp_ck").toString,
+      (v, _) => pqVerdicts.synchronized { pqVerdicts += v })
+    try {
+      memPq.addData(chunk1: _*); qPq.processAllAvailable()
+      memPq.addData(chunk2: _*); qPq.processAllAvailable()
+    } finally qPq.stop()
+    assert(pqVerdicts.map(_.nBatch).sum == odds.count())
+    val pqRef = java.nio.file.Files.createTempDirectory("sp_pqapp_ref").toString
+    IvfPq.writeIndex(base, "vec_id", "embedding", pqRef,
+      ivfSampleCap = 100, pqSampleCap = 500)
+    IvfPq.appendIndex(odds, "vec_id", "embedding", pqRef, "b1")
+    def pqProbe(d: String) = IvfPq.probeTopK(qs, e, d, "vec_id", "embedding",
+        k = 3, nprobe = 2, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pqProbe(pqIdx) == pqProbe(pqRef))
+
+    // NSW family
+    val p = NswGraph.Params(hubCap = 32, m = 4, beamWidth = 3, rounds = 3,
+      nprobe = 4, nEntries = 4)
+    val nswIdx = java.nio.file.Files.createTempDirectory("sp_nswapp").toString
+    NswGraph.writeIndex(base, "vec_id", "embedding", nswIdx, p)
+    val nswVerdicts = mutable.ArrayBuffer.empty[KMeansIVF.AppendResult]
+    val memNsw = MemoryStream[(Long, Seq[Double])]
+    val qNsw = StreamingProbe.startNswAppend(
+      memNsw.toDF().toDF("vec_id", "embedding"), nswIdx, "vec_id", "embedding",
+      java.nio.file.Files.createTempDirectory("sp_nswapp_ck").toString,
+      (v, _) => nswVerdicts.synchronized { nswVerdicts += v })
+    try {
+      memNsw.addData(chunk1: _*); qNsw.processAllAvailable()
+      memNsw.addData(chunk2: _*); qNsw.processAllAvailable()
+    } finally qNsw.stop()
+    assert(nswVerdicts.map(_.nBatch).sum == odds.count())
+    val nswRef = java.nio.file.Files.createTempDirectory("sp_nswapp_ref").toString
+    NswGraph.writeIndex(base, "vec_id", "embedding", nswRef, p)
+    NswGraph.appendIndex(odds, "vec_id", "embedding", nswRef, "b1")
+    def nswSearch(d: String) = NswGraph.indexSearch(qs, d, "vec_id", "embedding", k = 3, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(nswSearch(nswIdx) == nswSearch(nswRef))
+  }
+
   test("Hamming probe stream == batch probe under random slicing") {
     val idx = java.nio.file.Files.createTempDirectory("sp_ham").toString
     val corpus = (1L to 30L).map(i => (i, i * 16L + 5L)).toDF("doc_id", "fp")
