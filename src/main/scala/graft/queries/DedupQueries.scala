@@ -244,8 +244,12 @@ object DedupQueries {
     // 60-bit text SimHash, built on evens, odd half appended.
     "q342_hamming_candidate_drift" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // persist the fingerprints: write() consumes its input twice (chunk
+      // + membership tables) and append() once more — unpersisted, the
+      // corpus-wide SimHash60 pass would run three times
       val fps = graft.operators.SimHashDedup.simhash(docs, "doc_id", "text")
         .select(col("id").as("doc_id"), col("simhash").as("fp"))
+        .persist()
       val idx = graft.TempDirs.register(new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_ham_drift_q342_${ProcessHandle.current().pid()}_" +
