@@ -94,9 +94,32 @@ class GraftSnapshotCatalog extends TableCatalog {
       catch { case _: NumberFormatException =>
         sys.error(s"VERSION AS OF wants a numeric snapshot version, got '$version'") }))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    sys.error("TIMESTAMP AS OF is not supported: snapshot manifests record " +
-      "versions, not wall-clock times — use VERSION AS OF <n>")
+  /** `TIMESTAMP AS OF <t>` — resolves to the LAST version (in version
+    * order, the only total order) whose commit timestamp is at or before
+    * the instant; `timestamp` arrives in MICROseconds since epoch.
+    * Manifests are stamped at write time (`ts=` millis, every commit
+    * kind), so resolution is best-effort wall-clock, the Iceberg
+    * commit-timestamp posture — clock skew across writers can make ts
+    * non-monotonic, which is why the scan walks versions, not
+    * timestamps. Pre-stamping manifests (or an instant before the first
+    * stamped commit) refuse with a pointer to VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident)
+    val vs = SnapshotTable.versions(dir.toString)
+    if (vs.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val stamped = vs.flatMap(v =>
+      SnapshotTable.snapshot(dir.toString, v).meta.get("ts").map(t => (v, t.toLong)))
+    require(stamped.nonEmpty,
+      s"$ident has no commit timestamps (manifests predate ts stamping) — " +
+        "use VERSION AS OF <n>")
+    val hit = stamped.filter(_._2 * 1000L <= timestamp).map(_._1).lastOption
+    val v = hit.getOrElse(sys.error(
+      s"$ident has no snapshot at or before the asked instant (earliest " +
+        s"stamped commit is v${stamped.head._1}) — use VERSION AS OF <n> " +
+        "for pre-history reads"))
+    new GraftSnapshotVersionTable(dir.toString, v, writable = false)
+  }
 
   override def createTable(
       ident: Identifier, schema: StructType,

@@ -2148,8 +2148,15 @@ object SnapshotTable {
       }
       val op = opOverride.getOrElse(
         if (replace) "replace" else if (dropFiles.nonEmpty) "merge" else "append")
+      // `ts` = wall-clock millis at manifest WRITE time, stamped fresh on
+      // every commit (never carried): the TIMESTAMP AS OF resolution
+      // anchor. Best-effort by nature — clock skew across writers can make
+      // it non-monotonic in version order, so resolution scans versions in
+      // ORDER and takes the last one at-or-before the asked instant
+      // (the Iceberg commit-timestamp posture); version numbers remain the
+      // only total order.
       val body =
-        (Seq(s"version=$v", s"op=$op")
+        (Seq(s"version=$v", s"op=$op", s"ts=${System.currentTimeMillis()}")
           ++ carried.toSeq.sortBy(_._1).map { case (k, value) => s"$k=$value" }
           ++ base ++ staged)
           .mkString("", "\n", "\n")

@@ -169,6 +169,29 @@ class SnapshotMergeSqlSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prevConf)
   }
 
+  test("CDC over a SQL MERGE commit: only rewritten files' rows appear as changes") {
+    val t = s"$warehouse/cdc"
+    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
+    SnapshotTable.commitAppend(Seq((10L, "x")).toDF("k", "v").coalesce(1), t)
+    spark.sql(
+      """MERGE INTO gms.cdc t
+        |USING (SELECT * FROM VALUES (2L, 'B2'), (99L, 'new') AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val cdf = SnapshotTable.changes(spark, t, 2L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // the carried file (k=10) contributes NOTHING; the rewritten file's
+    // unchanged row (k=1) moved files and CANCELS in the multiset
+    // exceptAll; only the genuine update (delete+insert) and the insert
+    // survive — the upsert-CDF contract, now through SQL MERGE
+    assert(cdf == Set(
+      (2L, "b", "delete"), (2L, "B2", "insert"), (99L, "new", "insert")),
+      s"unexpected CDF: $cdf")
+    // k=10 must never appear — its file was carried by reference
+    assert(!cdf.exists(_._1 == 10L), s"carried file leaked into CDF: $cdf")
+  }
+
   test("SELECT _file works as a plain metadata column") {
     val t = s"$warehouse/mf"
     SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)

@@ -135,8 +135,33 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     // after materialization SQL serves the logical rows
     SnapshotTable.materializeDeletes(spark, t)
     assert(spark.sql("SELECT k FROM graft_snap.dv").as[Long].collect().toSeq == Seq(2L))
+    // an instant before the first stamped commit refuses with a pointer
     val ts = intercept[Exception](spark.sql(
-      "SELECT * FROM graft_snap.dv TIMESTAMP AS OF '2026-01-01'").collect())
+      "SELECT * FROM graft_snap.dv TIMESTAMP AS OF '2001-01-01'").collect())
     assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+  }
+
+  test("TIMESTAMP AS OF resolves the last commit at or before the instant") {
+    val t = s"$warehouse/tso"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t) // v1
+    Thread.sleep(60)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(60)
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v").coalesce(1), t) // v2
+    def at(ms: Long): Seq[Long] = {
+      val s = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      spark.sql(s"SELECT k FROM graft_snap.tso TIMESTAMP AS OF '$s'")
+        .as[Long].collect().sorted.toSeq
+    }
+    assert(at(mid) == Seq(1L), "between the commits => v1")
+    assert(at(System.currentTimeMillis()) == Seq(1L, 2L), "now => latest")
+    // the time-travel relation is pinned => read-only
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM graft_snap.tso TIMESTAMP AS OF '2031-01-01' WHERE k = 1"))
+    assert(e.getMessage.toLowerCase.contains("syntax") ||
+      e.getMessage.contains("read-only"), e.getMessage)
   }
 }
