@@ -500,6 +500,39 @@ object EngineQueries {
         k = 5, nprobe = 3, shortlist = 20)
     }),
 
+    // SQL DML LIFECYCLE through the DSv2 catalog, oracle-checked end to
+    // end: a snapshot table seeded by replace, then literal MERGE INTO
+    // (matched update + not-matched insert, rewritten file-granularly by
+    // the runtime group filter), UPDATE, and DELETE statements, with the
+    // final state rolled up. The oracle reconstructs the same three
+    // statements as relational algebra (left joins + CASE + filter) over
+    // the raw table — the hash match proves Spark's MERGE rewrite, our
+    // ReplaceData scan/write, the copy-on-write commit chain, AND the
+    // statement semantics all agree with the declarative reconstruction.
+    "q344_sql_dml_lifecycle" -> ((s, d) => {
+      val wh = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_sqldml_q344_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      s.conf.set("spark.sql.catalog.gq344",
+        classOf[graft.sources.GraftSnapshotCatalog].getName)
+      s.conf.set("spark.sql.catalog.gq344.warehouse", wh)
+      val ord = Tables.orders(s, d).select(
+        col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.sources.SnapshotTable.commitReplace(
+        ord.filter(col("ok") % 3 =!= 0).repartition(4, col("ok")), s"$wh/ord")
+      ord.filter(col("ok") % 2 === 0).createOrReplaceTempView("q344_src")
+      s.sql("""MERGE INTO gq344.ord t USING q344_src s ON t.ok = s.ok
+              |WHEN MATCHED THEN UPDATE SET cents = t.cents + 7
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("UPDATE gq344.ord SET status = 'X' WHERE cents > 25000000")
+      s.sql("DELETE FROM gq344.ord WHERE ok % 10 = 7")
+      s.sql("""SELECT status, count(*) AS n, sum(cents) AS sum_cents
+              |FROM gq344.ord GROUP BY status""".stripMargin)
+    }),
+
     // The PQ append DRIFT GATE as data: base-vs-batch mean exact
     // quantization error (micro², the q236 pq.err arithmetic) under
     // codebooks fitted on the base alone, and the ONE-SIDED integer
@@ -764,6 +797,26 @@ object EngineQueries {
     "q338_ivfpq_append_drift" -> graft.operators.IvfPq.appendDriftOracleSql(
       "embeddings", "vec_id", "embedding", basePredId = "id % 2 = 0",
       pqSampleCap = 500),
+
+    "q344_sql_dml_lifecycle" ->
+      """WITH ordx AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |base AS (SELECT * FROM ordx WHERE ok % 3 <> 0),
+        |src AS (SELECT * FROM ordx WHERE ok % 2 = 0),
+        |merged AS (
+        |  SELECT b.ok, b.ck, b.status,
+        |    CASE WHEN s.ok IS NOT NULL THEN b.cents + 7 ELSE b.cents END AS cents
+        |  FROM base b LEFT JOIN src s ON b.ok = s.ok
+        |  UNION ALL
+        |  SELECT s.ok, s.ck, s.status, s.cents
+        |  FROM src s LEFT JOIN base b ON b.ok = s.ok WHERE b.ok IS NULL),
+        |upd AS (SELECT ok, ck,
+        |    CASE WHEN cents > 25000000 THEN 'X' ELSE status END AS status, cents
+        |  FROM merged),
+        |survivors AS (SELECT * FROM upd WHERE ok % 10 <> 7)
+        |SELECT status, count(*)::BIGINT AS n, sum(cents)::BIGINT AS sum_cents
+        |FROM survivors GROUP BY status""".stripMargin,
 
     "q194_mv_min_maintenance" ->
       """WITH o AS (SELECT o_custkey ck, o_orderkey ok, o_orderdate::DATE od,
