@@ -155,6 +155,82 @@ object NswGraph {
     (probes, scores.size)
   }
 
+  /** HIERARCHICAL (HNSW-style) descent parameters — ONE upper routing
+    * layer over the hubs: `superCap` floors the super-hub budget (the
+    * same count-derived √ rule applied one level up, so supers ~ n^(1/4));
+    * the descent seeds the beam with only `superEntries` entry supers
+    * (instead of the single-layer's `nEntries` scattered hubs), expands
+    * `superRounds` rounds over the SUPER adjacency — cheap, geometry-
+    * coarse navigation — then switches to the hub adjacency for the usual
+    * `rounds`. The point: md5-scattered entries waste hub evaluations
+    * landing far from the query; the upper layer finds the right region
+    * in O(supers-visited) evals, so equal recall costs measurably fewer
+    * total evaluations (q347 audits exactly that, hash-checked). */
+  final case class HierParams(
+      superCap: Long = 16, superEntries: Int = 2, superRounds: Int = 2,
+      hubRounds: Int = 3)
+
+  /** Count-derived super-hub modulus over the hub set — [[hubTarget]]'s
+    * rule one level up. */
+  def superModFor(nHubs: Long, hp: HierParams): Int =
+    KMeansIVF.sampleModFor(nHubs,
+      math.max(hp.superCap, math.ceil(math.sqrt(nHubs.toDouble)).toLong))
+
+  /** The upper layer: super-hub ids (deterministic md5 subsample of the
+    * hubs) and their EXACT m-nearest adjacency among themselves, plus the
+    * entry set. |supers| ~ |hubs|^(1/2) = n^(1/4), so the driver pair loop
+    * is O(supers²) = O(|hubs|) — the same order as the Graph this routine
+    * already holds in memory (distributing it would shuffle less data than
+    * its own job overhead). Compute ONCE per query batch. */
+  def superLayer(g: Graph, p: Params, hp: HierParams)
+    : (Seq[Long], Map[Long, Seq[Long]], Seq[Long]) = {
+    val mod = superModFor(g.hubIds.length.toLong, hp)
+    val supers = g.hubIds.toSeq.filter(h =>
+      graft.functions.Md5LongUtil.hashBytes(
+        h.toString.getBytes("UTF-8")) % mod == 0)
+    val vecOf = g.hubIds.zip(g.hubVecs).toMap
+    val sadj = supers.map { s =>
+      s -> supers.filter(_ != s)
+        .map(o => (o, cos(vecOf(s), vecOf(o))))
+        .sortBy { case (o, c) => (-c, o) }
+        .take(p.m).map(_._1)
+    }.toMap
+    val sents = supers
+      .sortBy(h => (graft.functions.Md5LongUtil.hashBytes(
+        h.toString.getBytes("UTF-8")), h))
+      .take(hp.superEntries)
+    (supers, sadj, sents)
+  }
+
+  /** Hierarchical beam search: phase 1 expands over the super adjacency
+    * from the (small) super entry set, phase 2 continues the SAME beam —
+    * one visited/score state, beam re-selected from all visited each
+    * round, exactly [[beamSearch]]'s rule — over the hub adjacency.
+    * Returns the probe hubs and the total nodes SCORED across both
+    * layers (the honest eval count the q347 audit compares). */
+  def beamSearchHier(g: Graph, p: Params, hp: HierParams,
+                     sadj: Map[Long, Seq[Long]], sents: Seq[Long],
+                     qv: Array[Double]): (Seq[Long], Int) = {
+    val vecOf = g.hubIds.zip(g.hubVecs).toMap
+    val scores = scala.collection.mutable.LinkedHashMap[Long, Double](
+      sents.map(h => h -> cos(qv, vecOf(h))): _*)
+    def top(k: Int): Seq[Long] = scores.toSeq
+      .sortBy { case (h, c) => (-c, h) }.take(k).map(_._1)
+    var beam = top(p.beamWidth)
+    for (_ <- 1 to hp.superRounds) {
+      val fresh = beam.flatMap(h => sadj.getOrElse(h, Seq.empty))
+        .distinct.filterNot(scores.contains)
+      fresh.foreach(h => scores(h) = cos(qv, vecOf(h)))
+      beam = top(p.beamWidth)
+    }
+    for (_ <- 1 to hp.hubRounds) {
+      val fresh = beam.flatMap(g.adj).distinct.filterNot(scores.contains)
+      fresh.foreach(h => scores(h) = cos(qv, vecOf(h)))
+      beam = top(p.beamWidth)
+    }
+    (top(p.nprobe), scores.size)
+  }
+
   /** The ablation baseline: the exact top-`nprobe` hubs by full hub scan
     * (what IVF probing does) — same probe budget, |hubs| scoring cost. */
   def scanProbes(g: Graph, p: Params, qv: Array[Double]): Seq[Long] = {
@@ -419,7 +495,7 @@ object NswGraph {
     val capSql = s"greatest(${p.hubCap}, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT))"
     val hubMod = s"(SELECT greatest(1, (count(*) + $capSql - 1) // $capSql) FROM $hubRel)"
     val sb = new StringBuilder
-    sb ++= s"hubs AS (SELECT id AS hid, v AS hv FROM $hubRel WHERE $h % $hubMod = 0),\n"
+    sb ++= s"hubs AS MATERIALIZED (SELECT id AS hid, v AS hv FROM $hubRel WHERE $h % $hubMod = 0),\n"
     // DISTRIBUTED adjacency replay ([[adjacency]] = selfTopK over hubs):
     // inner IVF fit on the hub relation (prefix g_ so the corpus-level
     // incumbent fit in q327 can't collide), per-hub probes of the
@@ -430,27 +506,27 @@ object NswGraph {
     sb ++= s"    SELECT h.hid AS query_id, h.hv AS qv, c.cid AS bucket,\n"
     sb ++= s"      row_number() OVER (PARTITION BY h.hid ORDER BY ${cos("h.hv", "c.cv")} DESC, c.cid) AS rn\n"
     sb ++= s"    FROM hubs h CROSS JOIN g_c${p.adjIters} c) WHERE rn <= ${p.adjNprobe}),\n"
-    sb ++= s"adj AS (SELECT src, dst FROM (\n"
+    sb ++= s"adj AS MATERIALIZED (SELECT src, dst FROM (\n"
     sb ++= s"    SELECT p.query_id AS src, a.neighbor_id AS dst,\n"
     sb ++= s"      row_number() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "a.cv2")} DESC, a.neighbor_id) AS rn\n"
     sb ++= s"    FROM g_probes p JOIN g_assigned a ON a.bucket = p.bucket AND a.neighbor_id != p.query_id) WHERE rn <= ${p.m}),\n"
-    sb ++= s"qs AS (SELECT id AS query_id, v AS qv FROM e WHERE $qsPred),\n"
-    sb ++= s"hscore AS (SELECT q.query_id, h.hid, ${cos("q.qv", "h.hv")} AS c\n"
+    sb ++= s"qs AS MATERIALIZED (SELECT id AS query_id, v AS qv FROM e WHERE $qsPred),\n"
+    sb ++= s"hscore AS MATERIALIZED (SELECT q.query_id, h.hid, ${cos("q.qv", "h.hv")} AS c\n"
     sb ++= s"           FROM qs q CROSS JOIN hubs h),\n"
     val hidHash = TextHash.md5LongSql("hid::VARCHAR")
     sb ++= s"ents AS (SELECT hid FROM hubs ORDER BY $hidHash, hid LIMIT ${p.nEntries}),\n"
-    sb ++= s"v0 AS (SELECT q.query_id, e2.hid AS hub FROM qs q CROSS JOIN ents e2),\n"
-    sb ++= s"b0 AS (SELECT query_id, hub FROM (\n"
+    sb ++= s"v0 AS MATERIALIZED (SELECT q.query_id, e2.hid AS hub FROM qs q CROSS JOIN ents e2),\n"
+    sb ++= s"b0 AS MATERIALIZED (SELECT query_id, hub FROM (\n"
     sb ++= s"    SELECT v.query_id, v.hub,\n"
     sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
     sb ++= s"    FROM v0 v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
     sb ++= s"    WHERE rn <= ${p.beamWidth}),\n"
     for (i <- 1 to p.rounds) {
-      sb ++= s"v$i AS (SELECT DISTINCT query_id, hub FROM (\n"
+      sb ++= s"v$i AS MATERIALIZED (SELECT DISTINCT query_id, hub FROM (\n"
       sb ++= s"    SELECT query_id, hub FROM v${i - 1}\n"
       sb ++= s"    UNION ALL\n"
       sb ++= s"    SELECT b.query_id, a.dst AS hub FROM b${i - 1} b JOIN adj a ON b.hub = a.src)),\n"
-      sb ++= s"b$i AS (SELECT query_id, hub FROM (\n"
+      sb ++= s"b$i AS MATERIALIZED (SELECT query_id, hub FROM (\n"
       sb ++= s"    SELECT v.query_id, v.hub,\n"
       sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
       sb ++= s"    FROM v$i v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
@@ -462,7 +538,7 @@ object NswGraph {
     sb ++= s"      row_number() OVER (PARTITION BY v.query_id ORDER BY s.c DESC, v.hub) AS rn\n"
     sb ++= s"    FROM $vFin v JOIN hscore s ON s.query_id = v.query_id AND s.hid = v.hub)\n"
     sb ++= s"    WHERE rn <= ${p.nprobe}),\n"
-    sb ++= s"hatt AS (SELECT id, v, hub FROM (\n"
+    sb ++= s"hatt AS MATERIALIZED (SELECT id, v, hub FROM (\n"
     sb ++= s"    SELECT e.id, e.v, h.hid AS hub,\n"
     sb ++= s"      row_number() OVER (PARTITION BY e.id ORDER BY ${cos("e.v", "h.hv")} DESC, h.hid) AS rn\n"
     sb ++= s"    FROM e CROSS JOIN hubs h) WHERE rn = 1),\n"
@@ -553,6 +629,99 @@ object NswGraph {
     sb.toString
   }
 
+  /** DuckDB replay of the q347 HIERARCHICAL descent audit: the single-
+    * layer beam (routingCtes' chain, md5-scattered entries) NEXT TO the
+    * two-layer descent — super-hub subsample (the count-derived √ rule
+    * over the hubs), exact m-nearest super adjacency, `superRounds`
+    * unrolled beam rounds over it, then the usual hub-adjacency rounds
+    * CONTINUING the same visited state — plus the exact truth and the
+    * integer recall/eval rollup for both methods. Hash-equality checks
+    * the recall AND the eval counts, so the "equal recall, fewer evals"
+    * claim is itself oracle-verified. */
+  def hierRecallOracleSql(
+      table: String, idCol: String, vecCol: String, p: Params,
+      hp: HierParams, k: Int, queryCap: Long): String = {
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val h = TextHash.md5LongSql("id::VARCHAR")
+    val hh = TextHash.md5LongSql("hid::VARCHAR")
+    def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
+    val cap2 = s"greatest(${hp.superCap}, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT))"
+    val supMod = s"(SELECT greatest(1, (count(*) + $cap2 - 1) // $cap2) FROM hubs)"
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= routingCtes(p, s"$h % ${modOf(queryCap)} = 0")
+    // ---- the upper layer ----
+    sb ++= s"supers AS MATERIALIZED (SELECT hid, hv FROM hubs WHERE $hh % $supMod = 0),\n"
+    sb ++= s"sadj AS MATERIALIZED (SELECT src, dst FROM (\n"
+    sb ++= s"    SELECT s1.hid AS src, s2.hid AS dst,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY s1.hid ORDER BY ${cos("s1.hv", "s2.hv")} DESC, s2.hid) AS rn\n"
+    sb ++= s"    FROM supers s1 JOIN supers s2 ON s1.hid != s2.hid) WHERE rn <= ${p.m}),\n"
+    sb ++= s"sents AS (SELECT hid FROM supers ORDER BY $hh, hid LIMIT ${hp.superEntries}),\n"
+    sb ++= s"w0 AS MATERIALIZED (SELECT q.query_id, e3.hid AS hub FROM qs q CROSS JOIN sents e3),\n"
+    def beamOf(i: Int): String = {
+      s"u$i AS MATERIALIZED (SELECT query_id, hub FROM (\n" +
+        s"    SELECT w.query_id, w.hub,\n" +
+        s"      row_number() OVER (PARTITION BY w.query_id ORDER BY s.c DESC, w.hub) AS rn\n" +
+        s"    FROM w$i w JOIN hscore s ON s.query_id = w.query_id AND s.hid = w.hub)\n" +
+        s"    WHERE rn <= ${p.beamWidth}),\n"
+    }
+    sb ++= beamOf(0)
+    // phase 1: expand over the SUPER adjacency
+    for (i <- 1 to hp.superRounds) {
+      sb ++= s"w$i AS MATERIALIZED (SELECT DISTINCT query_id, hub FROM (\n"
+      sb ++= s"    SELECT query_id, hub FROM w${i - 1}\n"
+      sb ++= s"    UNION ALL\n"
+      sb ++= s"    SELECT u.query_id, a.dst AS hub FROM u${i - 1} u JOIN sadj a ON u.hub = a.src)),\n"
+      sb ++= beamOf(i)
+    }
+    // phase 2: the SAME visited/beam state continues over the hub adjacency
+    for (j <- 1 to hp.hubRounds) {
+      val i = hp.superRounds + j
+      sb ++= s"w$i AS MATERIALIZED (SELECT DISTINCT query_id, hub FROM (\n"
+      sb ++= s"    SELECT query_id, hub FROM w${i - 1}\n"
+      sb ++= s"    UNION ALL\n"
+      sb ++= s"    SELECT u.query_id, a.dst AS hub FROM u${i - 1} u JOIN adj a ON u.hub = a.src)),\n"
+      sb ++= beamOf(i)
+    }
+    val wFin = s"w${hp.superRounds + hp.hubRounds}"
+    val vFin = s"v${p.rounds}"
+    sb ++= s"hierp AS (SELECT query_id, hub FROM (\n"
+    sb ++= s"    SELECT w.query_id, w.hub,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY w.query_id ORDER BY s.c DESC, w.hub) AS rn\n"
+    sb ++= s"    FROM $wFin w JOIN hscore s ON s.query_id = w.query_id AND s.hid = w.hub)\n"
+    sb ++= s"    WHERE rn <= ${p.nprobe}),\n"
+    // ---- truth + per-method stats ----
+    sb ++= s"truth AS MATERIALIZED (SELECT query_id, nid FROM (\n"
+    sb ++= s"    SELECT q.query_id, n.id AS nid,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "n.v")} DESC, n.id) AS rn\n"
+    sb ++= s"    FROM qs q JOIN e n ON n.id != q.query_id) WHERE rn <= $k),\n"
+    def method(name: String, probeRel: String): Unit = {
+      sb ++= s"cand_$name AS MATERIALIZED (SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n"
+      sb ++= s"    FROM $probeRel p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n"
+      sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
+      sb ++= s"top_$name AS (SELECT query_id, nid FROM (\n"
+      sb ++= s"    SELECT query_id, nid, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rn\n"
+      sb ++= s"    FROM cand_$name) WHERE rn <= $k),\n"
+      sb ++= s"stat_$name AS (SELECT\n"
+      sb ++= s"    (SELECT count(*) FROM cand_$name)::BIGINT AS candidates,\n"
+      sb ++= s"    (SELECT count(*) FROM truth t JOIN top_$name f\n"
+      sb ++= s"       ON t.query_id = f.query_id AND t.nid = f.nid)::BIGINT AS hits),\n"
+      ()
+    }
+    method("nsw", "nswp")
+    method("hier", "hierp")
+    sb ++= s"nqv AS (SELECT count(*)::BIGINT AS nq FROM qs),\n"
+    sb ++= s"nswev AS (SELECT count(*)::BIGINT AS ev FROM $vFin),\n"
+    sb ++= s"hierev AS (SELECT count(*)::BIGINT AS ev FROM $wFin)\n"
+    sb ++= s"SELECT 'nsw_beam' AS method, nq AS n_queries, ev AS hub_evals, candidates,\n"
+    sb ++= s"  hits AS hits10, ((hits * 10000) // ($k * nq))::BIGINT AS recall_bp\n"
+    sb ++= s"FROM stat_nsw, nqv, nswev\n"
+    sb ++= s"UNION ALL\n"
+    sb ++= s"SELECT 'nsw_hier', nq, ev, candidates, hits,\n"
+    sb ++= s"  ((hits * 10000) // ($k * nq))::BIGINT FROM stat_hier, nqv, hierev"
+    sb.toString
+  }
+
   /** DuckDB replay of the FULL q327 recall audit: hub sample, M-nearest
     * adjacency, every beam-search round unrolled, corpus attachment, the
     * three probe strategies (nsw beam / full hub scan / learned-k-means
@@ -575,7 +744,7 @@ object NswGraph {
     sb ++= s"scanp AS (SELECT query_id, hid AS hub FROM (\n"
     sb ++= s"    SELECT query_id, hid, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, hid) AS rn\n"
     sb ++= s"    FROM hscore) WHERE rn <= ${p.nprobe}),\n"
-    sb ++= s"truth AS (SELECT query_id, nid FROM (\n"
+    sb ++= s"truth AS MATERIALIZED (SELECT query_id, nid FROM (\n"
     sb ++= s"    SELECT q.query_id, n.id AS nid,\n"
     sb ++= s"      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "n.v")} DESC, n.id) AS rn\n"
     sb ++= s"    FROM qs q JOIN e n ON n.id != q.query_id) WHERE rn <= $k),\n"

@@ -113,7 +113,8 @@ object SimHashDedup {
   /** The simhash replay prefix — `tok`/`th`/`agg`/`sim(id, sh)` — ONE
     * generator shared by [[oracleSql]] and the q342 candidate-drift
     * oracle (hash-parity-critical SQL must never fork). Starts after
-    * `WITH`, ends INSIDE the list (trailing comma). */
+    * `WITH` and ends at the last CTE's closing paren — a caller
+    * continuing the list adds its own comma. */
   private[graft] def simhashCtes(table: String, idCol: String, textCol: String): String = {
     val ones = (0 until Bits).map(j => s"sum((h >> $j) & 1) AS o$j").mkString(", ")
     val simBits = (0 until Bits)
@@ -122,15 +123,13 @@ object SimHashDedup {
     s"""tok AS (SELECT $idCol AS id, unnest(${TextHash.tokensSql(textCol)}) AS w FROM $table),
        |th AS (SELECT id, ${TextHash.md5LongSql("w")} AS h FROM tok),
        |agg AS (SELECT id, count(*) AS n, $ones FROM th GROUP BY id),
-       |sim AS MATERIALIZED (SELECT id, ($simBits)::BIGINT AS sh FROM agg),
-       |""".stripMargin
+       |sim AS MATERIALIZED (SELECT id, ($simBits)::BIGINT AS sh FROM agg)""".stripMargin
   }
 
   /** DuckDB oracle: identical simhash computation, brute-force pairing (the
     * blocking is lossless, so brute force gives the same pair set). */
   def oracleSql(table: String, idCol: String, textCol: String, maxHamming: Int = 3): String =
     s"""WITH ${simhashCtes(table, idCol, textCol)}
-       |x AS (SELECT 1)
        |SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh))::INT AS hamming
        |FROM sim a JOIN sim b ON a.id < b.id
        |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming""".stripMargin

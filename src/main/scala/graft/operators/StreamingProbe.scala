@@ -17,13 +17,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * StreamingProbeSpec.
   *
   * One guard matters operationally: the index must not be REBUILT while
-  * a probe stream runs (bucket meaning changes under the reader). The
-  * IVF path re-reads the `_ready`-gated centroid sidecar each batch, the
-  * NSW path the `_ready`-gated graph sidecar, the Hamming path
-  * `meta.json` — so a completed rebuild is picked up at the next batch
-  * boundary, and a mid-rebuild crash window is refused by the `_ready`
-  * gates (the Hamming sidecar is a single file, atomic at the filesystem
-  * level, and its data tree is append-only under the claim protocol).
+  * a probe stream runs (bucket meaning changes under the reader). Every
+  * family is `_ready`-gated per batch — the IVF path re-reads the gated
+  * centroid sidecar, the NSW path the gated graph sidecar, and the
+  * Hamming/LSH paths check the marker their `write()` revokes before the
+  * first overwrite and recreates after meta.json — so a completed
+  * rebuild is picked up at the next batch boundary and a mid-rebuild
+  * crash window (mixed-generation data trees vs geometry sidecar) is
+  * refused instead of served.
   */
 object StreamingProbe {
 
@@ -74,11 +75,14 @@ object StreamingProbe {
     * [[KMeansIVF.AppendResult]] — the drift gate where it matters most,
     * continuous arrival — is surfaced to `onVerdict`.
     *
-    * Compaction: when `compactEvery > 0` and the committed-append count
-    * reaches it, `onCompactionDue(count)` fires. The stream does NOT
-    * compact in place — [[KMeansIVF.compactAppends]] writes a FRESH
-    * directory and the caller repoints readers when ready (an in-place
-    * swap under a live appender is exactly the crash window
+    * Compaction: when `compactEvery > 0`, `onCompactionDue(count)` fires
+    * on each THRESHOLD CROSSING — the batch whose commit makes the
+    * committed-append count a multiple of `compactEvery` — not on every
+    * batch past it (a level trigger would re-signal an operator that
+    * already compacted into a fresh dir and is waiting to repoint). The
+    * stream does NOT compact in place — [[KMeansIVF.compactAppends]]
+    * writes a FRESH directory and the caller repoints readers when ready
+    * (an in-place swap under a live appender is exactly the crash window
     * compaction-as-replace exists to avoid), so the trigger is surfaced
     * as an operational signal, not an in-stream mutation.
     *
@@ -99,7 +103,8 @@ object StreamingProbe {
           onVerdict(v, batchId)
           if (compactEvery > 0) {
             val committed = KMeansIVF.dataPaths(indexDir).size - 1
-            if (committed >= compactEvery) onCompactionDue(committed.toLong)
+            if (committed > 0 && committed % compactEvery == 0)
+              onCompactionDue(committed.toLong)
           }
         }
       }
@@ -123,7 +128,8 @@ object StreamingProbe {
           onVerdict(v, batchId)
           if (compactEvery > 0) {
             val committed = KMeansIVF.dataPaths(indexDir).size - 1
-            if (committed >= compactEvery) onCompactionDue(committed.toLong)
+            if (committed > 0 && committed % compactEvery == 0)
+              onCompactionDue(committed.toLong)
           }
         }
       }
@@ -147,7 +153,8 @@ object StreamingProbe {
           onVerdict(v, batchId)
           if (compactEvery > 0) {
             val committed = KMeansIVF.dataPaths(indexDir).size - 1
-            if (committed >= compactEvery) onCompactionDue(committed.toLong)
+            if (committed > 0 && committed % compactEvery == 0)
+              onCompactionDue(committed.toLong)
           }
         }
       }

@@ -283,12 +283,16 @@ object DedupQueries {
         .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
         .select(least(col("split_a"), col("split_b")).as("sp1"),
           greatest(col("split_a"), col("split_b")).as("sp2"),
-          col("id_a"), col("id_b"))
+          // EXPLODE the pair into per-doc rows, then count: a per-group
+          // collect_list of every pair's ids would hold ~all pairs of a
+          // split class in ONE aggregation buffer (at most 6 groups — a
+          // single-buffer OOM at a 100 TB pair census). Each id_a < id_b
+          // pair contributes exactly 2 rows, so n_pairs = count/2 exact,
+          // and n_docs is a plain distinct aggregate — no buffer.
+          explode(array(col("id_a"), col("id_b"))).as("dd"))
         .groupBy(col("sp1"), col("sp2"))
-        .agg(count(lit(1)).as("n_pairs"),
-          // distinct docs touched by a cross/same-split near-dup pair
-          size(array_distinct(flatten(collect_list(array(col("id_a"), col("id_b"))))))
-            .cast("long").as("n_docs"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("dd")).cast("long").as("n_docs"))
     }),
 
     // Same LSH engine over character 8-gram shingles, stride 2 (sampled
@@ -975,6 +979,77 @@ object DedupQueries {
         .unionByName(stats("kmeans_ivf", kmProbe, assigned, lit(nq * cents.length)))
     }),
 
+    // HIERARCHICAL NSW (hub-of-hubs, the HNSW upper layer) vs the single-
+    // layer beam — the r12 verdict's descent item: a √-rule super-hub
+    // subsample with exact m-nearest super adjacency navigates the coarse
+    // geometry first (superRounds beam rounds over sadj from just 2 entry
+    // supers), then the SAME visited/beam state continues over the hub
+    // adjacency. Two audit rows, both descents fully replayed by the
+    // oracle: equal-or-better recall at measurably fewer total hub
+    // evaluations (the md5-scattered entries the single layer needs are
+    // exactly the wasted evals the upper layer replaces).
+    "q347_nsw_hier_recall" -> ((s, d) => {
+      import s.implicits._
+      // hubCap 256 (not q327's 64): the routing-layer size where entry
+      // quality matters — with ~60 hubs a beam visits most of them and
+      // both methods converge; at ~240 the scattered entries measurably
+      // waste evals. Hier runs ONE fewer hub round (the super phase
+      // already spent 2 coarse rounds) — fewer total evals, higher recall.
+      val p = graft.operators.NswGraph.Params(
+        hubCap = 256, m = 4, beamWidth = 3, rounds = 4, nprobe = 5)
+      val hp = graft.operators.NswGraph.HierParams(
+        superCap = 16, superEntries = 6, superRounds = 2, hubRounds = 3)
+      val K = 10
+      val e = Tables.embeddings(s, d)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        VectorOps.asDouble(col("embedding")).as("cv"))
+      val g = graft.operators.NswGraph.build(e, "vec_id", "embedding", p)
+      val n = c.count()
+      val qmod = graft.operators.KMeansIVF.sampleModFor(n, 16)
+      val queries = e.filter(
+        pmod(TextHash.md5Long(col("vec_id").cast("string")), lit(qmod)) === 0)
+      val qdf = queries.select(col("vec_id").as("query_id"),
+        VectorOps.asDouble(col("embedding")).as("qv"))
+      val qrows = qdf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val nq = qrows.length.toLong
+      val idxOf = g.hubIds.zipWithIndex.toMap
+      val (_, sadj, sents) = graft.operators.NswGraph.superLayer(g, p, hp)
+      val single = qrows.map { case (qid, qv) =>
+        (qid, graft.operators.NswGraph.beamSearch(g, p, qv)) }
+      val hier = qrows.map { case (qid, qv) =>
+        (qid, graft.operators.NswGraph.beamSearchHier(g, p, hp, sadj, sents, qv)) }
+      def probeDf(routed: Array[(Long, (Seq[Long], Int))]) = routed.toSeq
+        .flatMap { case (qid, (pr, _)) => pr.map(h => (qid, idxOf(h))) }
+        .toDF("query_id", "bucket")
+      val att = graft.operators.NswGraph.attach(c, g)
+        .persist() // both methods' candidate joins consume it
+      val truth = VectorOps.topK(queries, e, "vec_id", "embedding", k = K)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist() // one hit-join per method
+      def stats(name: String, probeRel: org.apache.spark.sql.DataFrame,
+                evals: Long): org.apache.spark.sql.DataFrame = {
+        val per = broadcast(probeRel.join(qdf, "query_id"))
+          .join(att, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_cand"),
+            graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), K).as("top"))
+          .persist() // totals + found-join both consume it (nq rows)
+        val found = per.select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.payload").as("neighbor_id"))
+        val hits = truth.join(found, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits10"))
+        per.agg(sum(col("n_cand")).as("candidates")).crossJoin(hits)
+          .select(lit(name).as("method"), lit(nq).as("n_queries"),
+            lit(evals).as("hub_evals"), col("candidates"), col("hits10"),
+            expr(s"(hits10 * 10000) div (${K * nq})").as("recall_bp"))
+      }
+      stats("nsw_beam", probeDf(single), single.map(_._2._2.toLong).sum)
+        .unionByName(stats("nsw_hier", probeDf(hier), hier.map(_._2._2.toLong).sum))
+    }),
+
     // Graph ANN through the PERSISTED index lifecycle (q49's dual for
     // NSW): hub layer + adjacency + attachment written once (graph as a
     // sidecar, corpus partitioned by hub bucket), then beam routing on
@@ -1435,7 +1510,7 @@ object DedupQueries {
 
     "q342_hamming_candidate_drift" -> {
       val bits = 60; val chunkBits = bits / 4; val mask = (1L << chunkBits) - 1
-      s"""WITH ${graft.operators.SimHashDedup.simhashCtes("documents", "doc_id", "text")}
+      s"""WITH ${graft.operators.SimHashDedup.simhashCtes("documents", "doc_id", "text")},
          |chx AS (SELECT id, c AS ci, (sh >> ($chunkBits * c)) & $mask AS cv
          |        FROM sim, (SELECT unnest(range(0, 4)) AS c) t),
          |prt AS (SELECT DISTINCT x.id AS id, y.id AS pid
@@ -1962,6 +2037,14 @@ object DedupQueries {
       graft.operators.NswGraph.Params(
         hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
       k = 10, queryCap = 16, kmClusters = 10, kmIters = 4, kmSampleCap = 100),
+
+    "q347_nsw_hier_recall" -> graft.operators.NswGraph.hierRecallOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.operators.NswGraph.Params(
+        hubCap = 256, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
+      graft.operators.NswGraph.HierParams(
+        superCap = 16, superEntries = 6, superRounds = 2, hubRounds = 3),
+      k = 10, queryCap = 16),
 
     "q335_maximal_repeats" -> graft.operators.SuffixRepeats.oracleSql(
       "documents", "doc_id", "text", minLen = 60, horizon = 64),

@@ -54,6 +54,11 @@ object HammingIndex {
       // belong to the old corpus/geometry and must not survive into the
       // live view (the KMeansIVF.writeIndex stale-append discipline)
       IndexTxn.clearPendings(dir)
+      // revoke the ready marker BEFORE the first overwrite (the LshIndex
+      // discipline): a crash between the chunk overwrite and meta.json
+      // would leave mixed-generation geometry that probes would serve
+      // silently — readers refuse until a rebuild completes
+      java.nio.file.Files.deleteIfExists(readyPath(dir))
       chunkRows(fps, idCol, fpCol, bits, nParts)
         .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
       // id-bucketed membership table: the SOUND collision gate for append
@@ -66,8 +71,20 @@ object HammingIndex {
         .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/ids")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
         s"""{"bits":$bits,"nParts":$nParts}""")
+      java.nio.file.Files.createFile(readyPath(dir))
+      ()
     } finally java.nio.file.Files.deleteIfExists(lock)
   }
+
+  private def readyPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$dir/_ready")
+
+  /** [[LshIndex.requireReady]]'s contract for the Hamming index. */
+  private def requireReady(dir: String): Unit =
+    require(java.nio.file.Files.exists(readyPath(dir)),
+      s"index $dir has no _ready marker — a rebuild crashed mid-overwrite " +
+        "(chunk/id trees and meta.json may be mixed generations); re-run " +
+        "write() to rebuild before serving probes or appends")
 
   /** Incrementally index a batch — the daily-ingest path: new chunk rows
     * land as additional files inside the existing `pk` partition
@@ -207,6 +224,7 @@ object HammingIndex {
   }
 
   private def metaOf(dir: String): Map[String, Int] = {
+    requireReady(dir)
     val txt = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/meta.json"))
     """"(\w+)":(\d+)""".r.findAllMatchIn(txt)
@@ -377,6 +395,7 @@ object HammingIndex {
   def candidateDrift(spark: SparkSession, dir: String,
       batchPred: org.apache.spark.sql.Column,
       skewAboveBp: Long = 20000): DataFrame = {
+    requireReady(dir) // the only reader that never touches metaOf
     val ch = readLive(spark, dir, "chunks", chunksSchema)
       .select(col("id"), col("ci"), col("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -53,7 +53,7 @@ object IndexTxn {
   }
 
   /** Refuse non-transactional writes while a transaction is enrolled. */
-  private[sources] def requireNoOpenTxn(dir: String): Unit =
+  private[graft] def requireNoOpenTxn(dir: String): Unit =
     openTxnId(dir).foreach(t => throw new SnapshotTable.ConcurrentCommitException(
       s"index $dir is enrolled in open transaction $t — non-transactional " +
         "writes would race its staged ids; commit/abort/recover the " +

@@ -65,6 +65,12 @@ object LshIndex {
       // rebuild = new generation: stale committed pendings must not be
       // unioned into the new live view (see HammingIndex.write)
       IndexTxn.clearPendings(dir)
+      // revoke the ready marker BEFORE the first overwrite (the KMeansIVF
+      // `_ready` discipline): a crash mid-rebuild — bands/docs from the new
+      // generation, meta.json still the old one — would otherwise serve a
+      // silently mismatched index; with the marker gone every reader
+      // refuses until a rebuild completes
+      java.nio.file.Files.deleteIfExists(readyPath(dir))
       val sh = MinHashDedup.hashed(corpus, idCol, shingleHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = MinHashDedup.withSignature(sh, cfg)
@@ -75,10 +81,30 @@ object LshIndex {
         .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
         .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/docs")
       sh.unpersist()
+      // meta.json second-to-last, marker last: the marker certifies that
+      // EVERYTHING it gates (data trees + geometry sidecar) is one
+      // consistent generation
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
         s"""{"numHashes":${cfg.numHashes},"bands":${cfg.bands},"nParts":$nParts}""")
+      java.nio.file.Files.createFile(readyPath(dir))
+      ()
     } finally java.nio.file.Files.deleteIfExists(lock)
   }
+
+  private def readyPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(s"$dir/_ready")
+
+  /** Refuse to serve an index whose last rebuild did not complete: the
+    * `_ready` marker is revoked before [[write]]'s first overwrite and
+    * recreated only after meta.json lands, so its absence means the data
+    * trees and the geometry sidecar may be MIXED GENERATIONS — silent
+    * false negatives if served. Every reader path funnels through
+    * [[metaOf]] (or calls this directly). */
+  private[sources] def requireReady(dir: String): Unit =
+    require(java.nio.file.Files.exists(readyPath(dir)),
+      s"index $dir has no _ready marker — a rebuild crashed mid-overwrite " +
+        "(data trees and meta.json may be mixed generations); re-run write() " +
+        "to rebuild before serving probes or appends")
 
   /** Incrementally index a new batch into an existing index — the daily
     * ingest path: the corpus is never re-shingled, only the batch pays
@@ -479,6 +505,7 @@ object LshIndex {
   }
 
   private def metaOf(dir: String): Map[String, Int] = {
+    requireReady(dir)
     val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
     "\"(\\w+)\":(\\d+)".r.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toInt).toMap
   }

@@ -46,10 +46,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `VERSION AS OF` relation is refused at analysis — it would silently
   * target the latest version instead of the pinned one.
   *
-  * Boundaries, loud not silent: tables with an outstanding merge-on-read
-  * deletion vector refuse to serve (the Group reader cannot apply the
-  * anti-join — `materializeDeletes` first); `TIMESTAMP AS OF` is not
-  * supported (manifests record versions, not wall-clock times). */
+  * Merge-on-read deletes are SQL-READABLE: a version with an outstanding
+  * deletion vector serves through the same scan, each file's reader
+  * loading its own deleted positions from the DV sidecar and skipping
+  * them while it tracks row indexes (the Delta/Iceberg position-delete
+  * read path). The driver prunes DV work to exactly the files the vector
+  * touches (one bounded distinct-files job — manifest scale, never
+  * rows), so untouched files pay nothing. SQL `DELETE` on a DV-enabled
+  * table (one with an outstanding vector) rides [[SnapshotTable.deleteWhereMor]]
+  * — the copy-on-write path would refuse — so a MOR table stays
+  * maintainable entirely through SQL. MERGE/UPDATE still refuse under an
+  * outstanding vector (their rewrite commit cannot yet carry the DV for
+  * untouched files — `materializeDeletes` first), loudly at analysis. */
 class GraftSnapshotCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
@@ -108,8 +116,10 @@ class GraftSnapshotCatalog extends TableCatalog {
     val vs = SnapshotTable.versions(dir.toString)
     if (vs.isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    // header-only manifest reads (ts= precedes the file list) — a full
+    // snapshot() parse per version would be O(versions × manifest size)
     val stamped = vs.flatMap(v =>
-      SnapshotTable.snapshot(dir.toString, v).meta.get("ts").map(t => (v, t.toLong)))
+      SnapshotTable.commitTsOf(dir.toString, v).map(t => (v, t)))
     require(stamped.nonEmpty,
       s"$ident has no commit timestamps (manifests predate ts stamping) — " +
         "use VERSION AS OF <n>")
@@ -146,9 +156,10 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
   with SupportsWrite with SupportsDelete
   with SupportsRowLevelOperations with SupportsMetadataColumns {
   private val snap = SnapshotTable.snapshot(dir, version)
-  require(!snap.meta.contains("dv"),
-    s"$dir@v$version has an outstanding merge-on-read deletion vector — " +
-      "run SnapshotTable.materializeDeletes before serving it through SQL")
+  // outstanding merge-on-read deletion vector: readable (the scan applies
+  // it per file), and SQL DELETE routes onto the MOR path below
+  private val dvDir: Option[String] =
+    snap.meta.get("dv").map(s => Paths.get(dir, s).toString)
   // all-nullable, exactly like readVersion: files written before a column
   // existed null-fill it, and a non-nullable field would make Spark read
   // garbage zeros where the reader set the null bit
@@ -193,7 +204,7 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val files = snap.files.map(f => Paths.get(dir, f).toString).toArray
-    new GraftSnapshotScanBuilder(name(), files, tableSchema)
+    new GraftSnapshotScanBuilder(name(), files, snap.files.toArray, dvDir, tableSchema)
   }
 
   private def requireWritable(what: String): Unit =
@@ -249,17 +260,35 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     requireWritable(info.command().toString)
+    // the ReplaceData commit is a merge commit, which DROPS the dv
+    // pointer (materializeDeletes' contract) — running it with entries
+    // outstanding on UNTOUCHED files would silently resurrect their
+    // deleted rows. SQL DELETE routes onto the MOR path via SupportsDelete
+    // instead (Spark still builds this operation table for EVERY DELETE at
+    // analysis and only later picks the metadata path, so the refusal for
+    // DELETE lives in the write — built only if the rewrite actually
+    // runs); MERGE/UPDATE refuse up front: materialize first.
+    if (info.command() != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+      require(dvDir.isEmpty,
+        s"${info.command()} on $dir@v$version with an outstanding merge-on-read " +
+          "deletion vector — run SnapshotTable.materializeDeletes first " +
+          "(SELECT and DELETE remain available on the MOR table)")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new GraftRowLevelOperation(dir, version, info.command(), tableSchema)
+        new GraftRowLevelOperation(dir, version, info.command(), tableSchema,
+          dvOutstanding = dvDir.isDefined)
     }
   }
 
-  /** DELETE FROM … WHERE … — the COPY-ON-WRITE delete (rewrites only the
-    * files containing matches), deliberately not the merge-on-read one:
-    * an outstanding deletion vector would make the table refuse SQL reads
-    * until materialized. Spark only routes a DELETE here when the whole
-    * condition translated to source filters ([[canDeleteWhere]]). */
+  /** DELETE FROM … WHERE … — copy-on-write by default (rewrites only the
+    * files containing matches, table stays join-free to read), but a
+    * DV-ENABLED table (outstanding merge-on-read vector) routes onto
+    * [[SnapshotTable.deleteWhereMor]]: the CoW path refuses under a
+    * vector (its raw-file rewrite would resurrect deleted rows), and the
+    * MOR delete only appends positions — so once a table opts into MOR
+    * deletes, SQL keeps working against it. Spark only routes a DELETE
+    * here when the whole condition translated to source filters
+    * ([[canDeleteWhere]]). */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     writable && filters.forall(GraftSnapshotVersionTable.toColumn(_).isDefined)
@@ -271,7 +300,8 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
     val cond = filters.flatMap(GraftSnapshotVersionTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    SnapshotTable.deleteWhere(spark, dir, cond)
+    if (dvDir.isDefined) SnapshotTable.deleteWhereMor(spark, dir, cond)
+    else SnapshotTable.deleteWhere(spark, dir, cond)
     ()
   }
 }
@@ -306,7 +336,9 @@ object GraftSnapshotVersionTable {
   }
 }
 
-class GraftSnapshotScanBuilder(label: String, files: Array[String], full: StructType)
+class GraftSnapshotScanBuilder(label: String, files: Array[String],
+                               relFiles: Array[String], dvDir: Option[String],
+                               full: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters {
   private var required: StructType = full
@@ -323,37 +355,64 @@ class GraftSnapshotScanBuilder(label: String, files: Array[String], full: Struct
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan = new GraftSnapshotScan(label, files, required, pushed)
+  override def build(): Scan =
+    new GraftSnapshotScan(label, files, relFiles, dvDir, required, pushed)
 }
 
-class GraftSnapshotScan(label: String, files: Array[String], required: StructType,
+class GraftSnapshotScan(label: String, files: Array[String],
+                        relFiles: Array[String], dvDir: Option[String],
+                        required: StructType,
                         filters: Array[org.apache.spark.sql.sources.Filter])
   extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftSnapshotScan($label, files=${files.length}, " +
-      s"rowGroupFilters=[${filters.mkString(", ")}])"
+      s"rowGroupFilters=[${filters.mkString(", ")}]" +
+      dvDir.map(d => s", dv=$d").getOrElse("") + ")"
   // one partition per data file: snapshot commits already size files for
   // the cluster (compaction controls granularity), and per-file tasks keep
-  // locality simple
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map(f =>
-      GraftSnapshotFilePartition(f, required.json, filters): InputPartition)
+  // locality simple. With an outstanding deletion vector, DV work is
+  // pruned to exactly the files the vector touches: one bounded driver
+  // job collects the DISTINCT DV'd file names (manifest scale, never row
+  // scale — materializeDeletes' own idiom), and only their partitions
+  // carry the sidecar paths; every other file reads vector-free.
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (dvTouched, dvParts): (Set[String], Array[String]) = dvDir match {
+      case None => (Set.empty[String], Array.empty[String])
+      case Some(d) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val touched = spark.read.parquet(d).select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val s = Files.list(Paths.get(d))
+        val parts =
+          try s.iterator().asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toArray
+          finally s.close()
+        (touched, parts)
+    }
+    files.indices.map { i =>
+      val dv = if (dvTouched(relFiles(i))) dvParts else Array.empty[String]
+      GraftSnapshotFilePartition(files(i), required.json, filters,
+        relFiles(i), dv): InputPartition
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSnapshotReaderFactory
 }
 
 case class GraftSnapshotFilePartition(
     file: String, schemaJson: String,
-    filters: Array[org.apache.spark.sql.sources.Filter]) extends InputPartition
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    relFile: String = "", dvFiles: Array[String] = Array.empty)
+  extends InputPartition
 
 class GraftSnapshotReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
     : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
     val p = partition.asInstanceOf[GraftSnapshotFilePartition]
     val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-    new GraftSnapshotFileReader(p.file, schema, p.filters)
+    new GraftSnapshotFileReader(p.file, schema, p.filters, p.relFile, p.dvFiles)
   }
 }
 
@@ -363,13 +422,57 @@ class GraftSnapshotReaderFactory extends PartitionReaderFactory {
   * file contains NONE of them, emits its surviving row counts as all-null
   * rows straight from footer metadata without touching a page. Row-group
   * skipping on pushed filters as in the SPJ reader (a filter on a column
-  * the file lacks has no stats → the group survives — always safe). */
+  * the file lacks has no stats → the group survives — always safe).
+  *
+  * MERGE-ON-READ deletes: when `dvFiles` is nonempty (the scan attaches
+  * the DV sidecar only to files the vector actually touches), the reader
+  * first loads ITS OWN deleted positions — the sidecar rows whose `file`
+  * equals this partition's manifest-relative name — then tracks the
+  * parquet row index while scanning (skipped row groups still advance
+  * it, matching `_metadata.row_index` semantics) and drops deleted rows.
+  * Per-task DV cost is O(vector size) only for DV'd files; the MOR
+  * contract (materialize when the vector grows) bounds it. */
 class GraftSnapshotFileReader(
     file: String, schema: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    relFile: String = "", dvFiles: Array[String] = Array.empty)
   extends PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+
+  // deleted row positions of THIS file (parquet row index), loaded from
+  // the DV sidecar before any data page is opened; null = no vector
+  private val deleted: java.util.HashSet[java.lang.Long] =
+    if (dvFiles.isEmpty) null
+    else {
+      val s = new java.util.HashSet[java.lang.Long]()
+      dvFiles.foreach { dvf =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(dvf),
+            new org.apache.hadoop.conf.Configuration()))
+        try {
+          val sch = r.getFooter.getFileMetaData.getSchema
+          val cio = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(sch)
+          var store = r.readNextRowGroup()
+          while (store != null) {
+            val rr = cio.getRecordReader(store,
+              new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(sch))
+            var i = 0L
+            while (i < store.getRowCount) {
+              val g = rr.read()
+              if (g.getString("file", 0) == relFile) s.add(g.getLong("pos", 0))
+              i += 1
+            }
+            store = r.readNextRowGroup()
+          }
+        } finally r.close()
+      }
+      s
+    }
+  // parquet row index of the NEXT row this reader will surface — advanced
+  // for every row in the file, including rows of filter-skipped groups
+  private var rowPos: Long = 0L
 
   private val fileReader = org.apache.parquet.hadoop.ParquetFileReader.open(
     org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -413,16 +516,25 @@ class GraftSnapshotFileReader(
       } else {
         fileReader.skipNextRowGroup()
         SpjTable.rowGroupsSkipped.incrementAndGet()
+        // a skipped group's rows still occupy row-index space — the DV
+        // records parquet row indexes, so the cursor must advance past them
+        rowPos += block.getRowCount
       }
     }
     false
   }
 
   override def next(): Boolean = {
-    while (remainingInGroup <= 0) if (!nextRowGroup()) return false
-    current = if (recordReader == null) null else recordReader.read()
-    remainingInGroup -= 1
-    true
+    while (true) {
+      while (remainingInGroup <= 0) if (!nextRowGroup()) return false
+      current = if (recordReader == null) null else recordReader.read()
+      val pos = rowPos
+      rowPos += 1
+      remainingInGroup -= 1
+      if (deleted == null || !deleted.contains(pos)) return true
+      // deleted row: fall through and read the next one
+    }
+    false
   }
 
   override def get(): org.apache.spark.sql.catalyst.InternalRow = {

@@ -45,7 +45,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * writes ~0.1% of the table plus one manifest. */
 class GraftRowLevelOperation(
     dir: String, version: Long, cmd: RowLevelOperation.Command,
-    tableSchema: StructType) extends RowLevelOperation {
+    tableSchema: StructType, dvOutstanding: Boolean = false)
+  extends RowLevelOperation {
 
   /** The file set (manifest-relative names) the operation's scan ends up
     * serving: the pinned snapshot's full list until runtime group
@@ -81,11 +82,19 @@ class GraftRowLevelOperation(
         new GraftRowLevelScan(GraftRowLevelOperation.this, dir, required)
     }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // only reached when the REWRITE path actually runs (a translatable
+    // DELETE takes SupportsDelete → deleteWhereMor instead): its merge
+    // commit drops the dv pointer, which would resurrect deleted rows on
+    // files this rewrite never touched
+    require(!dvOutstanding,
+      s"$cmd on $dir@v$version with an outstanding merge-on-read deletion " +
+        "vector — run SnapshotTable.materializeDeletes first")
     new WriteBuilder {
       override def build(): Write =
         new GraftReplaceDataWrite(dir, version, GraftRowLevelOperation.this, info.schema())
     }
+  }
 }
 
 /** The row-level operation's scan: the pinned snapshot served one

@@ -168,6 +168,21 @@ object SnapshotTable {
     Snapshot(v, meta.getOrElse("op", "?"), lines.dropWhile(_.contains("=")), meta)
   }
 
+  /** The `ts=` commit stamp (millis) of version `v` WITHOUT materializing
+    * the manifest's file list: header key=value lines precede the data
+    * paths, so the streamed read stops at the first non-header line —
+    * O(header) per manifest, never O(files). TIMESTAMP AS OF resolution
+    * walks every version of a table, and on a long-history table each
+    * manifest lists every live file, so a full-manifest parse per version
+    * would be O(versions × files). */
+  private[sources] def commitTsOf(tableDir: String, v: Long): Option[Long] = {
+    val s = Files.lines(manifestPath(tableDir, v))
+    try s.iterator().asScala
+      .takeWhile(_.contains("="))
+      .collectFirst { case l if l.startsWith("ts=") => l.substring(3).toLong }
+    finally s.close()
+  }
+
   /** Append `df` as a new snapshot; returns the committed version.
     * With `zoneCol`, per-file min/max zone stats for that column are
     * computed from the staged files (one tiny scan) and recorded in the

@@ -200,4 +200,39 @@ class DedupSpec extends AnyFunSuite {
       assert(fBp >= math.min(rBp, pBp) - 1 && fBp <= math.max(rBp, pBp) + 1)
     }
   }
+
+  test("q306 contamination census: no collect_list buffer; counts match a direct recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val df = graft.queries.DedupQueries.queries("q306_split_contamination")(spark, sf)
+    // the r12 verdict's scale wart: a per-group collect_list of every
+    // pair's ids holds ~all pairs of a split class in ONE buffer (≤ 6
+    // groups) — the exploded countDistinct form must leave no
+    // collect_list in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"q306 must not aggregate pair ids into a buffer:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.nonEmpty, "planted near-dup pairs must surface")
+    // direct recompute from the same pair relation
+    val docs = graft.Tables.documents(spark, sf)
+    val prs = MinHashDedup.pairs(docs, "doc_id",
+      graft.functions.VectorExpressions.wordShingleHashes(
+        org.apache.spark.sql.functions.col("text"), 3, graft.functions.TextHash.P),
+      MinHashDedup.Config())
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.take(15), 16) % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    val want = prs.groupBy { case (a, b) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      (if (sa < sb) sa else sb, if (sa < sb) sb else sa)
+    }.view.mapValues(g => (g.length.toLong,
+      g.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)).toMap
+    assert(rows == want)
+  }
 }

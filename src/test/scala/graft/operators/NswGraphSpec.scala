@@ -88,6 +88,36 @@ class NswGraphSpec extends AnyFunSuite {
     assert(ev1 >= p.nEntries)
   }
 
+  test("hierarchical descent: super layer is exact, probes valid, phases share one state") {
+    val hp = NswGraph.HierParams(superCap = 8, superEntries = 2,
+      superRounds = 2, hubRounds = 3)
+    val (supers, sadj, sents) = NswGraph.superLayer(g, p, hp)
+    assert(supers.nonEmpty && supers.toSet.subsetOf(g.hubIds.toSet),
+      "supers must be a subsample of the hubs")
+    assert(sents.length == math.min(hp.superEntries, supers.length) &&
+      sents.forall(supers.contains))
+    // super adjacency is the EXACT m-nearest among supers (brute reference)
+    val vecOf = g.hubIds.zip(g.hubVecs).toMap
+    def cosRef(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    for (s0 <- supers) {
+      val brute = supers.filter(_ != s0)
+        .sortBy(o => (-cosRef(vecOf(s0), vecOf(o)), o)).take(p.m)
+      assert(sadj(s0) == brute, s"super $s0 adjacency")
+    }
+    // descent: deterministic, probes are hubs, evals bounded by both layers
+    val qv = e.filter(col("vec_id") === 5L)
+      .select(VectorOps.asDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val (pr1, ev1) = NswGraph.beamSearchHier(g, p, hp, sadj, sents, qv)
+    val (pr2, ev2) = NswGraph.beamSearchHier(g, p, hp, sadj, sents, qv)
+    assert(pr1 == pr2 && ev1 == ev2)
+    assert(pr1.length == p.nprobe && pr1.forall(g.hubIds.contains))
+    assert(ev1 >= hp.superEntries && ev1 < g.hubIds.length)
+  }
+
   test("scanProbes is the exact top-nprobe over the hub set (the ablation truth)") {
     val qv = e.filter(col("vec_id") === 7L)
       .select(VectorOps.asDouble(col("embedding"))).head.getSeq[Double](0).toArray

@@ -87,10 +87,13 @@ class StreamingProbeSpec extends AnyFunSuite {
     val idx = java.nio.file.Files.createTempDirectory("sp_ivfapp").toString
     KMeansIVF.writeIndex(base, "vec_id", "embedding", idx, sampleCap = 100)
 
-    val chunk1 = odds.filter(col("vec_id") % 4 === 1)
+    val chunk1 = odds.filter(col("vec_id") % 8 === 1)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
       .as[(Long, Seq[Double])].collect().toSeq
-    val chunk2 = odds.filter(col("vec_id") % 4 === 3)
+    val chunk2 = odds.filter(col("vec_id") % 8 === 3)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val chunk3 = odds.filter(col("vec_id") % 8 === 5 || col("vec_id") % 8 === 7)
       .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
       .as[(Long, Seq[Double])].collect().toSeq
 
@@ -107,12 +110,16 @@ class StreamingProbeSpec extends AnyFunSuite {
     try {
       mem.addData(chunk1: _*); q.processAllAvailable()
       mem.addData(chunk2: _*); q.processAllAvailable()
+      mem.addData(chunk3: _*); q.processAllAvailable()
     } finally q.stop()
 
-    assert(verdicts.map(_._2).toSeq == Seq(0L, 1L))
+    assert(verdicts.map(_._2).toSeq == Seq(0L, 1L, 2L))
     assert(verdicts.map(_._1.nBatch).sum == odds.count())
+    // EDGE trigger: fires at the crossing (committed = 2), stays silent on
+    // the next batch (committed = 3 — a level trigger would re-signal an
+    // operator that already compacted and is waiting to repoint)
     assert(compactions.toSeq == Seq(2L),
-      "the compaction trigger must fire exactly when committed appends reach the threshold")
+      "the compaction trigger must fire exactly once per threshold crossing")
 
     // probe-equivalence: the streamed tree serves exactly what ONE batch
     // append of the same rows serves (same deterministic base fit)

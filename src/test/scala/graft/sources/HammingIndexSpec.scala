@@ -34,6 +34,28 @@ class HammingIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted groups straddle the split — pairs must exist")
   }
 
+  test("crashed rebuild (no _ready marker) refuses probes, appends and drift audits") {
+    val idx = java.nio.file.Files.createTempDirectory("ham_idxr").toString
+    HammingIndex.write(fps(0L until 16L), "id", "peak_hash", idx, bits = 56)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idx/_ready"))
+    val e1 = intercept[IllegalArgumentException] {
+      HammingIndex.probe(spark, fps(16L until 20L), "id", "peak_hash", idx).collect()
+    }
+    assert(e1.getMessage.contains("_ready"))
+    val e2 = intercept[IllegalArgumentException] {
+      HammingIndex.append(spark, fps(16L until 20L), "id", "peak_hash", idx)
+    }
+    assert(e2.getMessage.contains("_ready"))
+    val e3 = intercept[IllegalArgumentException] {
+      HammingIndex.candidateDrift(spark, idx, col("id") >= 8).collect()
+    }
+    assert(e3.getMessage.contains("_ready"))
+    // a completed rebuild restores the marker and serving resumes
+    HammingIndex.write(fps(0L until 16L), "id", "peak_hash", idx, bits = 56)
+    HammingIndex.probe(spark, fps(16L until 20L), "id", "peak_hash", idx).collect()
+    spark.catalog.clearCache()
+  }
+
   test("geometry rides meta.json; probes reuse it (no caller-side bits drift)") {
     val idx = java.nio.file.Files.createTempDirectory("ham_idx2").toString
     HammingIndex.write(fps(0L until 8L), "id", "peak_hash", idx, bits = 56, nParts = 8)

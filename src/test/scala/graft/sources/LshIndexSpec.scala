@@ -295,6 +295,30 @@ class LshIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("crashed rebuild (no _ready marker) refuses probes and appends; rebuild restores") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(docs, "doc_id", shingles, dir, cfg)
+    // simulate the crash window: write() revokes _ready before its first
+    // overwrite and recreates it after meta.json — absence means the data
+    // trees and geometry sidecar may be MIXED generations
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_ready"))
+    val batch = docs.filter(col("doc_id") < 5)
+    val e1 = intercept[IllegalArgumentException] {
+      LshIndex.probe(spark, batch, "doc_id", shingles, dir, cfg).collect()
+    }
+    assert(e1.getMessage.contains("_ready"))
+    val e2 = intercept[IllegalArgumentException] {
+      LshIndex.append(spark, batch, "doc_id", shingles, dir, cfg)
+    }
+    assert(e2.getMessage.contains("_ready"))
+    // a completed rebuild recreates the marker and serving resumes
+    LshIndex.write(docs, "doc_id", shingles, dir, cfg)
+    assert(LshIndex.probe(spark, batch, "doc_id", shingles, dir, cfg)
+      .collect() != null)
+    spark.catalog.clearCache()
+    graft.TempDirs.deleteRecursively(new java.io.File(dir))
+  }
+
   test("probe with mismatched band geometry is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
     LshIndex.write(docs, "doc_id", shingles, dir, cfg)

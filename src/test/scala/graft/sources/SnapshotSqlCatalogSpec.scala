@@ -10,7 +10,9 @@ import graft.TestSpark
 /** SQL time travel over SnapshotTable via the DSv2 catalog
   * (`GraftSnapshotCatalog`): VERSION AS OF resolves manifests, the default
   * read serves the latest snapshot, row-group skipping rides the pushed
-  * filters, and the loud boundaries (DV tables, TIMESTAMP AS OF) refuse. */
+  * filters, merge-on-read deletion vectors apply inside the scan (and SQL
+  * DELETE routes onto the MOR path while one is outstanding), and the
+  * remaining loud boundaries (MERGE/UPDATE under a DV) refuse. */
 class SnapshotSqlCatalogSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -125,20 +127,80 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L)
   }
 
-  test("loud boundaries: DV tables and TIMESTAMP AS OF refuse") {
+  test("merge-on-read lifecycle through SQL: MOR reads, DELETE routes MOR, MERGE refuses") {
     val t = s"$warehouse/dv"
-    SnapshotTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), t)
-    SnapshotTable.deleteWhereMor(spark, t, col("k") === 1L)
-    val e = intercept[Exception](
-      spark.sql("SELECT * FROM graft_snap.dv").collect())
+    SnapshotTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1), t) // v1
+    SnapshotTable.deleteWhereMor(spark, t, col("k") === 1L)                          // v2
+    def ks(sql: String): Seq[Long] =
+      spark.sql(sql).as[Long].collect().sorted.toSeq
+    // SELECT applies the vector inside the scan — no materialization needed
+    assert(ks("SELECT k FROM graft_snap.dv") == Seq(2L, 3L, 4L))
+    // time travel: the pre-delete version still serves every row
+    assert(ks("SELECT k FROM graft_snap.dv VERSION AS OF 1") == Seq(1L, 2L, 3L, 4L))
+    // SQL DELETE on a DV-enabled table rides the MOR path (CoW would
+    // refuse) — the new version is a delete-mor metadata commit
+    spark.sql("DELETE FROM graft_snap.dv WHERE k = 3")
+    val v3 = SnapshotTable.latestVersion(t).get
+    assert(SnapshotTable.snapshot(t, v3).op == "delete-mor",
+      "SQL DELETE under an outstanding vector must append positions, not rewrite")
+    assert(ks("SELECT k FROM graft_snap.dv") == Seq(2L, 4L))
+    assert(ks("SELECT k FROM graft_snap.dv VERSION AS OF 2") == Seq(2L, 3L, 4L))
+    // projections + aggregates through the DV-aware scan
+    assert(spark.sql("SELECT count(*) FROM graft_snap.dv").collect()(0).getLong(0) == 2L)
+    // MERGE/UPDATE still refuse: their rewrite commit would drop the dv
+    // pointer while untouched files carry live entries
+    val e = intercept[Exception](spark.sql(
+      "UPDATE graft_snap.dv SET v = 'x' WHERE k = 2"))
     assert(e.getMessage.contains("materializeDeletes"), e.getMessage)
-    // after materialization SQL serves the logical rows
+    // materialization folds the vector; everything works again
     SnapshotTable.materializeDeletes(spark, t)
-    assert(spark.sql("SELECT k FROM graft_snap.dv").as[Long].collect().toSeq == Seq(2L))
+    assert(ks("SELECT k FROM graft_snap.dv") == Seq(2L, 4L))
+    spark.sql("UPDATE graft_snap.dv SET v = 'x' WHERE k = 2")
+    assert(spark.sql("SELECT v FROM graft_snap.dv WHERE k = 2")
+      .as[String].collect().toSeq == Seq("x"))
     // an instant before the first stamped commit refuses with a pointer
     val ts = intercept[Exception](spark.sql(
       "SELECT * FROM graft_snap.dv TIMESTAMP AS OF '2001-01-01'").collect())
     assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+  }
+
+  test("DV position tracking survives row-group skipping (multi-group file)") {
+    val t = s"$warehouse/dvrg"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    try {
+      // tiny row groups => one file, MANY groups: the DV records parquet
+      // row indexes, so a filter-skipped group must still advance the
+      // reader's position cursor or every later row is misattributed
+      hc.setInt("parquet.block.size", 1024)
+      SnapshotTable.commitReplace(
+        (1 to 4000).map(i => (i.toLong, i.toLong * 2)).toDF("k", "m")
+          .coalesce(1).sortWithinPartitions("k"), t)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val nGroups = {
+      val f = SnapshotTable.snapshot(t, 1L).files.head
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$t/$f"),
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getRowGroups.size finally r.close()
+    }
+    assert(nGroups >= 3, s"test needs a multi-group file, got $nGroups groups")
+    // delete rows scattered across the whole index space
+    SnapshotTable.deleteWhereMor(spark, t, col("k") % 7 === 0)
+    // the pushed filter prunes leading groups; the surviving rows must be
+    // exactly what the authoritative reader (Spark _metadata.row_index
+    // anti-join) serves for the same predicate
+    val got = spark.sql("SELECT k FROM graft_snap.dvrg WHERE k > 3500")
+      .as[Long].collect().sorted.toSeq
+    val want = SnapshotTable.read(spark, t).filter(col("k") > 3500)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty && !got.exists(_ % 7 == 0))
   }
 
   test("TIMESTAMP AS OF resolves the last commit at or before the instant") {
