@@ -225,8 +225,13 @@ object DedupQueries {
         System.getProperty("java.io.tmpdir"),
         s"graft_lsh_append_q341_${ProcessHandle.current().pid()}_" +
           java.lang.Integer.toHexString(d.hashCode)).getPath)
+      // nParts 16 (not the 64 default): bucket count should SCALE with
+      // the corpus — at this size 64 pk-dirs just multiply per-write file
+      // commits; partition pruning is unchanged in kind (values invisible
+      // to the oracle)
       graft.sources.LshIndex.write(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", sh, idx, wordCfg)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", sh, idx, wordCfg,
+        nParts = 16)
       val batch = docs.filter(col("doc_id") % 2 === 1)
       graft.sources.LshIndex.append(s, batch, "doc_id", sh, idx, wordCfg)
       graft.sources.LshIndex.appendRecallAudit(
@@ -255,7 +260,8 @@ object DedupQueries {
         s"graft_ham_drift_q342_${ProcessHandle.current().pid()}_" +
           java.lang.Integer.toHexString(d.hashCode)).getPath)
       graft.sources.HammingIndex.write(
-        fps.filter(col("doc_id") % 2 === 0), "doc_id", "fp", idx, bits = 60)
+        fps.filter(col("doc_id") % 2 === 0), "doc_id", "fp", idx, bits = 60,
+        nParts = 16) // bucket count scaled to corpus (see q341)
       graft.sources.HammingIndex.append(
         s, fps.filter(col("doc_id") % 2 === 1), "doc_id", "fp", idx)
       graft.sources.HammingIndex.candidateDrift(s, idx, col("id") % 2 === 1)

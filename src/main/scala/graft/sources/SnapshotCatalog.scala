@@ -58,7 +58,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * maintainable entirely through SQL. MERGE/UPDATE still refuse under an
   * outstanding vector (their rewrite commit cannot yet carry the DV for
   * untouched files — `materializeDeletes` first), loudly at analysis. */
-class GraftSnapshotCatalog extends TableCatalog {
+class GraftSnapshotCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -146,6 +147,109 @@ class GraftSnapshotCatalog extends TableCatalog {
   }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     Files.move(dirFor(oldIdent), dirFor(newIdent))
+
+  /** SQL MAINTENANCE surface — the commands a SQL-only user needs to keep
+    * a snapshot table healthy, as DSv2 procedures:
+    * {{{
+    *   CALL graft_snap.optimize('t', 'hilbert', 'a', 'b', 8)  -- curve compaction
+    *   CALL graft_snap.vacuum('t', 3)                         -- retention
+    *   CALL graft_snap.materialize_deletes('t')               -- fold MOR vectors
+    * }}}
+    * All three REFUSE while a multi-table transaction is open on the
+    * table (optimize commits through the guarded slot path; vacuum and
+    * the procedures check the lock), so SQL maintenance can never race a
+    * transactional writer. */
+  override def listProcedures(namespace: Array[String])
+    : Array[Identifier] =
+    GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+  override def loadProcedure(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(GraftProcedures.Names.contains(ident.name()),
+      s"unknown procedure ${ident.name()} — available: " +
+        GraftProcedures.Names.mkString(", "))
+    new GraftProcedures.Proc(warehouse, ident.name())
+  }
+}
+
+/** The catalog's maintenance procedures (one class, dispatch by name —
+  * the surface is three fixed signatures). Side-effecting: `call` returns
+  * no result scans; effects are observable through the table itself
+  * (new version, dropped history, cleared dv pointer). */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures._
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  val Names: Seq[String] = Seq("optimize", "vacuum", "materialize_deletes")
+
+  class Proc(warehouse: String, procName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procName match {
+      case "optimize" =>
+        "rewrite the table space-filling-curve-clustered on two columns " +
+          "(curve = 'zorder' | 'hilbert') into num_files files, recording " +
+          "both columns' per-file zone stats"
+      case "vacuum" =>
+        "drop manifests older than the newest keep_versions and delete " +
+          "data files no retained manifest references"
+      case _ =>
+        "fold outstanding merge-on-read deletion vectors into the data " +
+          "(file-granular copy-on-write), making the table join-free again"
+    }
+    override def bind(inputType: org.apache.spark.sql.types.StructType)
+      : BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = procName match {
+      case "optimize" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("curve", StringType).build(),
+        ProcedureParameter.in("col_a", StringType).build(),
+        ProcedureParameter.in("col_b", StringType).build(),
+        ProcedureParameter.in("num_files", IntegerType).defaultValue("8").build())
+      case "vacuum" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_versions", IntegerType).build())
+      case _ => Array(
+        ProcedureParameter.in("table", StringType).build())
+    }
+    private def dirOf(table: String): String = {
+      val dir = Paths.get(warehouse, table.split("\\."): _*).toString
+      require(SnapshotTable.latestVersion(dir).nonEmpty,
+        s"$procName: no snapshot table at $dir")
+      // SQL maintenance refuses under an open multi-table transaction:
+      // optimize's commit would refuse anyway (guarded slot path), and a
+      // SQL operator cannot see transaction state to judge a vacuum —
+      // loud and uniform across all three procedures
+      if (Files.exists(Paths.get(dir, "_snapshots", "open.txn")))
+        throw new SnapshotTable.ConcurrentCommitException(
+          s"$procName: a multi-table transaction is open on $dir — " +
+            "run maintenance after it resolves")
+      dir
+    }
+    override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val dir = dirOf(input.getUTF8String(0).toString)
+      procName match {
+        case "optimize" =>
+          val curve = input.getUTF8String(1).toString.toLowerCase
+          val (a, b) = (input.getUTF8String(2).toString,
+            input.getUTF8String(3).toString)
+          val nf = input.getInt(4)
+          curve match {
+            case "zorder"  => SnapshotTable.compactZOrder(spark, dir, a, b, nf)
+            case "hilbert" => SnapshotTable.compactHilbert(spark, dir, a, b, nf)
+            case other => sys.error(
+              s"optimize: unknown curve '$other' (zorder | hilbert)")
+          }
+        case "vacuum" =>
+          SnapshotTable.vacuum(dir, input.getInt(1))
+        case _ =>
+          SnapshotTable.materializeDeletes(spark, dir)
+      }
+      java.util.Collections.emptyIterator()
+    }
+  }
 }
 
 /** One pinned snapshot version served as a DSv2 table. `writable` is true

@@ -1648,6 +1648,13 @@ object SnapshotTable {
     * set it comfortably above the longest plausible stage→publish window. */
   def vacuum(tableDir: String, keepVersions: Int, orphanAgeMs: Option[Long]): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    // NOTE: safe under an OPEN multi-table transaction by construction —
+    // the txn lock excludes other writers, so the visible tip the txn
+    // staged against is always inside the keep window, pending staged
+    // dirs are referenced by RAW manifests (never orphan-swept, spec-
+    // proven), and dead-file deletion only touches files of DROPPED
+    // manifests. The SQL CALL surface still refuses under an open txn
+    // (an operator there can't see transaction state).
     val all = versions(tableDir)
     val (drop, keep) = all.splitAt(math.max(0, all.length - keepVersions))
     val live = keep.flatMap(snapshot(tableDir, _).files).toSet

@@ -203,6 +203,54 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(got.nonEmpty && !got.exists(_ % 7 == 0))
   }
 
+  test("SQL maintenance: CALL optimize/vacuum/materialize_deletes; open txn refuses") {
+    val t = s"$warehouse/mnt"
+    SnapshotTable.commitAppend(
+      (1 to 2000).map(i => (i.toLong, ((i * 37) % 2000).toLong)).toDF("x", "y")
+        .repartition(4), t)                                        // v1
+    SnapshotTable.commitAppend(Seq((9999L, 9999L)).toDF("x", "y").coalesce(1), t) // v2
+    // OPTIMIZE = curve compaction: one replace commit, zone stats for both
+    // columns recorded, box reads prune
+    spark.sql("CALL graft_snap.optimize('mnt', 'hilbert', 'x', 'y', 4)")
+    val v3 = SnapshotTable.latestVersion(t).get
+    assert(SnapshotTable.snapshot(t, v3).op == "replace")
+    assert(SnapshotTable.snapshot(t, v3).meta.contains("zonecols"))
+    assert(spark.sql("SELECT count(*) FROM graft_snap.mnt")
+      .collect()(0).getLong(0) == 2001L)
+    // MOR delete + CALL materialize_deletes folds the vector
+    SnapshotTable.deleteWhereMor(spark, t, col("x") === 9999L)
+    spark.sql("CALL graft_snap.materialize_deletes('mnt')")
+    assert(!SnapshotTable.snapshot(t, SnapshotTable.latestVersion(t).get)
+      .meta.contains("dv"))
+    assert(spark.sql("SELECT count(*) FROM graft_snap.mnt")
+      .collect()(0).getLong(0) == 2000L)
+    // VACUUM drops pre-optimize history
+    spark.sql("CALL graft_snap.vacuum('mnt', 2)")
+    assert(SnapshotTable.versions(t).length == 2)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_snap.mnt VERSION AS OF 1").collect())
+    // unknown procedure and unknown curve refuse loudly
+    val e1 = intercept[Exception](spark.sql("CALL graft_snap.compact('mnt')"))
+    assert(e1.getMessage.contains("FAILED_TO_LOAD_ROUTINE") ||
+      e1.getMessage.contains("unknown procedure"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft_snap.optimize('mnt', 'peano', 'x', 'y', 4)"))
+    assert(e2.getMessage.contains("peano"), e2.getMessage)
+    // an OPEN multi-table transaction refuses maintenance on the table
+    val txd = Files.createTempDirectory("mnt_txn").toString
+    val h = SnapshotTxn.begin(txd, Seq(t))
+    try {
+      val ev = intercept[Exception](spark.sql("CALL graft_snap.vacuum('mnt', 1)"))
+      assert(ev.getMessage.contains("transaction"), ev.getMessage)
+      val eo = intercept[Exception](spark.sql(
+        "CALL graft_snap.optimize('mnt', 'zorder', 'x', 'y', 4)"))
+      assert(eo.getMessage.contains("transaction"), eo.getMessage)
+    } finally SnapshotTxn.abort(h)
+    // after the txn resolves, maintenance works again
+    spark.sql("CALL graft_snap.vacuum('mnt', 1)")
+    assert(SnapshotTable.versions(t).length == 1)
+  }
+
   test("TIMESTAMP AS OF resolves the last commit at or before the instant") {
     val t = s"$warehouse/tso"
     SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t) // v1
