@@ -475,6 +475,46 @@ object NswGraph {
         graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
   }
 
+  /** [[indexSearch]] routed through the HIERARCHICAL descent: the super
+    * layer derives DETERMINISTICALLY from the persisted graph sidecar
+    * (same md5 subsample + exact adjacency every time — nothing extra is
+    * persisted), computed once per query batch, then each query descends
+    * super→hub and scans only its probed buckets (the same static
+    * partition filter). The serving win at scale: the sidecar stays one
+    * layer on disk, but the router touches O(supers + beam·M·rounds)
+    * hubs instead of needing the scattered multi-restart entries. */
+  def indexSearchHier(queries: DataFrame, dir: String, idCol: String,
+                      vecCol: String, k: Int, p: Params,
+                      hp: HierParams): DataFrame = {
+    val spark = queries.sparkSession
+    val g = readGraph(dir)
+    val (_, sadj, sents) = superLayer(g, p, hp)
+    val idxOf = g.hubIds.zipWithIndex.toMap
+    val qdf = queries.select(col(idCol).as("query_id"),
+      VectorOps.asDouble(col(vecCol)).as("qv"))
+    val qrows = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qrows.flatMap { case (qid, qv) =>
+      beamSearchHier(g, p, hp, sadj, sents, qv)._1.map(h => (qid, idxOf(h)))
+    }.toSeq
+    val buckets = probeRows.map(_._2).distinct.sorted
+    import spark.implicits._
+    val probed = probeRows.toDF("query_id", "bucket")
+    val data = KMeansIVF.dataPaths(dir).map(p => spark.read.parquet(p))
+      .reduce(_ unionByName _)
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+    broadcast(probed.join(qdf, "query_id"))
+      .join(data, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.payload").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        graft.functions.PortableMath.roundPortable(col("t.score"), 3).as("cosine"))
+  }
+
   /** The shared routing-replay CTE text — hub sample, M-nearest
     * adjacency, query scores, multi-restart entries, EVERY beam round,
     * final probes, and corpus attachment — ONE generator feeding both the
@@ -629,28 +669,20 @@ object NswGraph {
     sb.toString
   }
 
-  /** DuckDB replay of the q347 HIERARCHICAL descent audit: the single-
-    * layer beam (routingCtes' chain, md5-scattered entries) NEXT TO the
-    * two-layer descent — super-hub subsample (the count-derived √ rule
-    * over the hubs), exact m-nearest super adjacency, `superRounds`
-    * unrolled beam rounds over it, then the usual hub-adjacency rounds
-    * CONTINUING the same visited state — plus the exact truth and the
-    * integer recall/eval rollup for both methods. Hash-equality checks
-    * the recall AND the eval counts, so the "equal recall, fewer evals"
-    * claim is itself oracle-verified. */
-  def hierRecallOracleSql(
-      table: String, idCol: String, vecCol: String, p: Params,
-      hp: HierParams, k: Int, queryCap: Long): String = {
+  /** The HIERARCHICAL descent replay — super subsample, exact m-nearest
+    * super adjacency, `superRounds` beam rounds over it, then `hubRounds`
+    * over the hub adjacency CONTINUING one shared visited state, ending
+    * with `hierp(query_id, hub)` (the probe set). Assumes [[routingCtes]]'
+    * `hubs`/`adj`/`qs`/`hscore` are in scope; every round CTE is
+    * MATERIALIZED (DuckDB re-inlines by default — the chain is
+    * exponential otherwise, the q102 trap). ONE generator feeding the
+    * q347 audit and the q348 persisted-search oracle. */
+  private def hierChainCtes(p: Params, hp: HierParams): String = {
     def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
-    val h = TextHash.md5LongSql("id::VARCHAR")
     val hh = TextHash.md5LongSql("hid::VARCHAR")
-    def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
     val cap2 = s"greatest(${hp.superCap}, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT))"
     val supMod = s"(SELECT greatest(1, (count(*) + $cap2 - 1) // $cap2) FROM hubs)"
     val sb = new StringBuilder
-    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
-    sb ++= routingCtes(p, s"$h % ${modOf(queryCap)} = 0")
-    // ---- the upper layer ----
     sb ++= s"supers AS MATERIALIZED (SELECT hid, hv FROM hubs WHERE $hh % $supMod = 0),\n"
     sb ++= s"sadj AS MATERIALIZED (SELECT src, dst FROM (\n"
     sb ++= s"    SELECT s1.hid AS src, s2.hid AS dst,\n"
@@ -684,12 +716,62 @@ object NswGraph {
       sb ++= beamOf(i)
     }
     val wFin = s"w${hp.superRounds + hp.hubRounds}"
-    val vFin = s"v${p.rounds}"
     sb ++= s"hierp AS (SELECT query_id, hub FROM (\n"
     sb ++= s"    SELECT w.query_id, w.hub,\n"
     sb ++= s"      row_number() OVER (PARTITION BY w.query_id ORDER BY s.c DESC, w.hub) AS rn\n"
     sb ++= s"    FROM $wFin w JOIN hscore s ON s.query_id = w.query_id AND s.hid = w.hub)\n"
     sb ++= s"    WHERE rn <= ${p.nprobe}),\n"
+    sb.toString
+  }
+
+  /** DuckDB replay of a persisted-graph HIERARCHICAL search (the q348
+    * oracle): [[searchOracleSql]] with the descent routed through the
+    * super layer — the hier probe set feeds the same attachment-bucket
+    * candidate scan and exact top-k re-rank. */
+  def hierSearchOracleSql(table: String, idCol: String, vecCol: String,
+                          p: Params, hp: HierParams, k: Int,
+                          queryPred: String): String = {
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= routingCtes(p, queryPred)
+    sb ++= hierChainCtes(p, hp)
+    sb ++= s"cand AS (SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n"
+    sb ++= s"    FROM hierp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n"
+    sb ++= s"    JOIN qs q ON q.query_id = p.query_id),\n"
+    sb ++= s"ranked AS (SELECT query_id, nid, c,\n"
+    sb ++= s"    row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rank\n"
+    sb ++= s"  FROM cand)\n"
+    sb ++= s"SELECT query_id, nid AS neighbor_id, rank::INT AS rank,\n"
+    sb ++= s"  (floor(c * 1000 + 0.5) / 1000) AS cosine\n"
+    sb ++= s"FROM ranked WHERE rank <= $k"
+    sb.toString
+  }
+
+  /** DuckDB replay of the q347 HIERARCHICAL descent audit: the single-
+    * layer beam (routingCtes' chain, md5-scattered entries) NEXT TO the
+    * two-layer descent — super-hub subsample (the count-derived √ rule
+    * over the hubs), exact m-nearest super adjacency, `superRounds`
+    * unrolled beam rounds over it, then the usual hub-adjacency rounds
+    * CONTINUING the same visited state — plus the exact truth and the
+    * integer recall/eval rollup for both methods. Hash-equality checks
+    * the recall AND the eval counts, so the "equal recall, fewer evals"
+    * claim is itself oracle-verified. */
+  def hierRecallOracleSql(
+      table: String, idCol: String, vecCol: String, p: Params,
+      hp: HierParams, k: Int, queryCap: Long): String = {
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val h = TextHash.md5LongSql("id::VARCHAR")
+    val hh = TextHash.md5LongSql("hid::VARCHAR")
+    def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
+    val cap2 = s"greatest(${hp.superCap}, CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT))"
+    val supMod = s"(SELECT greatest(1, (count(*) + $cap2 - 1) // $cap2) FROM hubs)"
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS (SELECT $idCol AS id, $vecCol::DOUBLE[] AS v FROM $table),\n"
+    sb ++= routingCtes(p, s"$h % ${modOf(queryCap)} = 0")
+    sb ++= hierChainCtes(p, hp)
+    val vFin = s"v${p.rounds}"
+    val wFin = s"w${hp.superRounds + hp.hubRounds}"
     // ---- truth + per-method stats ----
     sb ++= s"truth AS MATERIALIZED (SELECT query_id, nid FROM (\n"
     sb ++= s"    SELECT q.query_id, n.id AS nid,\n"

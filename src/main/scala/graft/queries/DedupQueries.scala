@@ -457,6 +457,67 @@ object DedupQueries {
           col("cluster_size"))
     }),
 
+    // INCREMENTAL dedup-cluster maintenance — q100's delta discipline
+    // applied to connected components: yesterday's clustering (base =
+    // even doc_ids) plus ONLY the day's new pairs (any pair touching an
+    // odd doc — MinHash pair membership depends on the two docs alone, so
+    // the delta is exactly the new-batch pairs) must reproduce the full
+    // closure WITHOUT re-traversing the base pair set. The operator
+    // contracts base components to their roots, runs CC over the
+    // contracted delta (∝ touched components, never history), and
+    // re-expands; min-label roots compose exactly. Oracle = the full
+    // recursive closure over ALL pairs — hash-equality proves the
+    // incremental path loses nothing.
+    "q350_incremental_clusters" -> ((s, d) => {
+      val sh = graft.functions.VectorExpressions
+        .wordShingleHashes(col("text"), 3, TextHash.P)
+      val docs = Tables.documents(s, d)
+      val basePairs = MinHashDedup.pairs(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", sh, wordCfg)
+      val allPairs = MinHashDedup.pairs(docs, "doc_id", sh, wordCfg)
+      val newPairs = allPairs
+        .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
+      val baseComp = graft.operators.ConnectedComponents.minLabel(
+        basePairs.select(col("id_a"), col("id_b")))
+      val comp = graft.operators.ConnectedComponents.incremental(
+        baseComp, newPairs.select(col("id_a"), col("id_b")))
+      val sizes = comp.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, "root")
+        .select(col("id").as("doc_id"), col("root").as("cluster_root"),
+          col("cluster_size"))
+    }),
+
+    // CLUSTER COHESION audit — the risk report behind q52's keep-one-per-
+    // cluster policy: transitive closure makes A~B~C one cluster even when
+    // A and C share nothing, so a CHAIN-shaped cluster (n_pairs == n-1,
+    // density at its connectivity minimum) canonicalizes documents that
+    // were never compared. Per cluster: size, verified pair count, exact
+    // integer edge-density bp (2e·10⁴ div n(n−1)), the chain flag, and the
+    // weakest verified link (min jaccard — q12's rounded value, same
+    // portability). Pair relation persisted: CC and the edge rollup both
+    // consume it.
+    "q349_cluster_cohesion" -> ((s, d) => {
+      val pairs = MinHashDedup.pairs(
+        Tables.documents(s, d), "doc_id",
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("id_a"), col("id_b")))
+      val sizes = comp.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+      val edges = pairs
+        .join(comp.select(col("id").as("id_a"), col("root")), "id_a")
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("jaccard")).as("weakest_link"))
+      sizes.join(edges, "root")
+        .select(col("root").as("cluster_root"), col("cluster_size"),
+          col("n_pairs"),
+          expr("(n_pairs * 2 * 10000) div (cluster_size * (cluster_size - 1))")
+            .as("density_bp"),
+          (col("n_pairs") === col("cluster_size") - 1).as("chain_like"),
+          col("weakest_link"))
+    }),
+
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): k-means cluster
     // the embedding space, compare pairs only WITHIN a cluster (the
     // cluster bound is what makes semantic dedup affordable — pair cost
@@ -1076,6 +1137,27 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
     }),
 
+    // HIERARCHICAL search through the PERSISTED graph index (q332's
+    // descent dual): the super layer derives deterministically from the
+    // graph sidecar at read time — nothing extra on disk — so the same
+    // one-layer index serves both descent strategies; probes still read
+    // only their partition-pruned buckets. Oracle replays sidecar
+    // derivation, the full two-phase descent, attachment, and re-rank.
+    "q348_nsw_hier_index_probe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val p = graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8)
+      val hp = graft.operators.NswGraph.HierParams(
+        superCap = 16, superEntries = 2, superRounds = 2, hubRounds = 3)
+      val idx = graft.TempDirs.register(new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_nsw_idx_q348_${ProcessHandle.current().pid()}_" +
+          java.lang.Integer.toHexString(d.hashCode)).getPath)
+      graft.operators.NswGraph.writeIndex(e, "vec_id", "embedding", idx, p)
+      graft.operators.NswGraph.indexSearchHier(
+        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p, hp)
+    }),
+
     // INCREMENTAL NSW maintenance (NswGraph.appendIndex — the q333
     // machinery for graph ANN): routing layer built on HALF the corpus
     // (even vec_ids), the other half appended WITHOUT rebuilding — each
@@ -1669,6 +1751,48 @@ object DedupQueries {
          |FROM roots JOIN sz ON roots.cluster_root = sz.cr""".stripMargin
     },
 
+    // the full closure over ALL pairs — identical to q52's oracle: the
+    // incremental path must be indistinguishable from a recompute
+    "q350_incremental_clusters" -> {
+      val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b AS a, id_a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |roots AS (SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_root AS cr, count(*)::BIGINT AS cluster_size
+         |       FROM roots GROUP BY cluster_root)
+         |SELECT doc_id, cluster_root, cluster_size
+         |FROM roots JOIN sz ON roots.cluster_root = sz.cr""".stripMargin
+    },
+
+    "q349_cluster_cohesion" -> {
+      val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b, jaccard FROM ($pairsSql) q),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b AS a, id_a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+         |sz AS (SELECT root, count(*)::BIGINT AS cluster_size FROM roots GROUP BY root),
+         |ed AS (SELECT ra.root, count(*)::BIGINT AS n_pairs,
+         |         min(p.jaccard) AS weakest_link
+         |       FROM p JOIN roots ra ON p.id_a = ra.id GROUP BY ra.root)
+         |SELECT sz.root AS cluster_root, sz.cluster_size, ed.n_pairs,
+         |  ((ed.n_pairs * 2 * 10000) // (sz.cluster_size * (sz.cluster_size - 1)))::BIGINT
+         |    AS density_bp,
+         |  (ed.n_pairs = sz.cluster_size - 1) AS chain_like,
+         |  ed.weakest_link
+         |FROM sz JOIN ed ON sz.root = ed.root""".stripMargin
+    },
+
     "q159_cluster_sizes" -> {
       val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg)
@@ -2043,6 +2167,14 @@ object DedupQueries {
       graft.operators.NswGraph.Params(
         hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
       k = 10, queryCap = 16, kmClusters = 10, kmIters = 4, kmSampleCap = 100),
+
+    "q348_nsw_hier_index_probe" -> graft.operators.NswGraph.hierSearchOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.operators.NswGraph.Params(
+        hubCap = 64, m = 6, beamWidth = 4, rounds = 4, nprobe = 5, nEntries = 8),
+      graft.operators.NswGraph.HierParams(
+        superCap = 16, superEntries = 2, superRounds = 2, hubRounds = 3),
+      k = 5, queryPred = "id < 10"),
 
     "q347_nsw_hier_recall" -> graft.operators.NswGraph.hierRecallOracleSql(
       "embeddings", "vec_id", "embedding",

@@ -106,4 +106,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("a", "b"))
     assert(out.count() == 0)
   }
+
+  test("incremental == full recompute under randomized base/delta splits") {
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 6) {
+      val n = 30 + rng.nextInt(30)
+      val edges = (1 to 60).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      // random split: merges within base components, bridges across them,
+      // fresh vertices appearing only in the delta — all shapes exercised
+      val (base, delta) = edges.partition(_ => rng.nextBoolean())
+      val want = labels(edges)
+      val baseComp = ConnectedComponents.minLabel(base.toDF("a", "b"))
+      val got = ConnectedComponents.incremental(baseComp, delta.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial=$trial base=${base.size} delta=${delta.size}")
+      spark.catalog.clearCache() // incremental's library caching contract
+    }
+  }
+
+  test("incremental: untouched components pass through; empty delta is identity") {
+    val base = Seq((1L, 2L), (5L, 6L), (6L, 7L))
+    val baseComp = ConnectedComponents.minLabel(base.toDF("a", "b"))
+    // delta bridges {1,2} to a fresh vertex 9 and leaves {5,6,7} untouched
+    val got = ConnectedComponents.incremental(baseComp, Seq((9L, 2L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+    spark.catalog.clearCache()
+  }
 }
