@@ -804,6 +804,67 @@ object NswGraph {
     sb.toString
   }
 
+  /** DuckDB replay of the q354 MRR RANKING audit: three retrieval methods
+    * — learned-IVF (nprobe buckets of the [[KMeansIVF.fitReplayCtes]]
+    * fit), single-layer NSW beam, hierarchical descent — each producing a
+    * ranked top-k list; per query the FIRST rank at which an exact-truth
+    * neighbor appears contributes `2520 div rank` (2520 = lcm(1..10), so
+    * every reciprocal rank at k ≤ 10 is an EXACT integer — MRR without a
+    * float in sight), missing queries contribute 0. One row per method:
+    * query count, queries with any hit, and the integer MRR sum. */
+  def mrrOracleSql(
+      table: String, idCol: String, vecCol: String, p: Params,
+      hp: HierParams, k: Int, queryCap: Long,
+      kmClusters: Int, kmIters: Int, kmSampleCap: Long, kmNprobe: Int): String = {
+    require(k <= 10, s"2520-scaled reciprocal ranks are exact only to rank 10, got k=$k")
+    def cos(a: String, b: String): String = KMeansIVF.cosSql(a, b)
+    val h = TextHash.md5LongSql("id::VARCHAR")
+    def modOf(cap: Long) = s"(SELECT greatest(1, (count(*) + ${cap - 1}) // $cap) FROM e)"
+    val cFin = s"c$kmIters"
+    val sb = new StringBuilder
+    sb ++= KMeansIVF.fitReplayCtes(table, idCol, vecCol, kmClusters, kmIters, kmSampleCap)
+    sb ++= routingCtes(p, s"$h % ${modOf(queryCap)} = 0")
+    sb ++= hierChainCtes(p, hp)
+    sb ++= s"truth AS MATERIALIZED (SELECT query_id, nid FROM (\n"
+    sb ++= s"    SELECT q.query_id, n.id AS nid,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "n.v")} DESC, n.id) AS rn\n"
+    sb ++= s"    FROM qs q JOIN e n ON n.id != q.query_id) WHERE rn <= $k),\n"
+    sb ++= s"kmp AS (SELECT query_id, bucket FROM (\n"
+    sb ++= s"    SELECT q.query_id, c.cid AS bucket,\n"
+    sb ++= s"      row_number() OVER (PARTITION BY q.query_id ORDER BY ${cos("q.qv", "c.cv")} DESC, c.cid) AS rn\n"
+    sb ++= s"    FROM qs q CROSS JOIN $cFin c) WHERE rn <= $kmNprobe),\n"
+    def method(name: String, candSql: String): Unit = {
+      sb ++= s"cand_$name AS MATERIALIZED ($candSql),\n"
+      sb ++= s"top_$name AS (SELECT query_id, nid, rnk FROM (\n"
+      sb ++= s"    SELECT query_id, nid, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nid) AS rnk\n"
+      sb ++= s"    FROM cand_$name) WHERE rnk <= $k),\n"
+      sb ++= s"fr_$name AS (SELECT t.query_id, min(f.rnk) AS r\n"
+      sb ++= s"    FROM truth t JOIN top_$name f ON t.query_id = f.query_id AND t.nid = f.nid\n"
+      sb ++= s"    GROUP BY t.query_id),\n"
+      sb ++= s"mrr_$name AS (SELECT count(*)::BIGINT AS n_hit_queries,\n"
+      sb ++= s"    coalesce(sum(2520 // r), 0)::BIGINT AS mrr_x2520 FROM fr_$name),\n"
+      ()
+    }
+    method("kmeans_ivf",
+      s"SELECT p.query_id, a.neighbor_id AS nid, ${cos("q.qv", "a.cv2")} AS c\n" +
+        s"    FROM kmp p JOIN assigned a ON a.bucket = p.bucket AND a.neighbor_id != p.query_id\n" +
+        s"    JOIN qs q ON q.query_id = p.query_id")
+    method("nsw_beam",
+      s"SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n" +
+        s"    FROM nswp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n" +
+        s"    JOIN qs q ON q.query_id = p.query_id")
+    method("nsw_hier",
+      s"SELECT p.query_id, t.id AS nid, ${cos("q.qv", "t.v")} AS c\n" +
+        s"    FROM hierp p JOIN hatt t ON t.hub = p.hub AND t.id != p.query_id\n" +
+        s"    JOIN qs q ON q.query_id = p.query_id")
+    sb ++= s"nqv AS (SELECT count(*)::BIGINT AS nq FROM qs)\n"
+    sb ++= s"SELECT 'kmeans_ivf' AS method, nq AS n_queries, n_hit_queries, mrr_x2520\n"
+    sb ++= s"FROM mrr_kmeans_ivf, nqv\n"
+    sb ++= s"UNION ALL SELECT 'nsw_beam', nq, n_hit_queries, mrr_x2520 FROM mrr_nsw_beam, nqv\n"
+    sb ++= s"UNION ALL SELECT 'nsw_hier', nq, n_hit_queries, mrr_x2520 FROM mrr_nsw_hier, nqv"
+    sb.toString
+  }
+
   /** DuckDB replay of the FULL q327 recall audit: hub sample, M-nearest
     * adjacency, every beam-search round unrolled, corpus attachment, the
     * three probe strategies (nsw beam / full hub scan / learned-k-means

@@ -51,6 +51,21 @@ object StreamingProbe {
         batch, indexDir, idCol, vecCol, k, p), batchId)
     }
 
+  /** [[startNsw]] routed through the HIERARCHICAL descent
+    * ([[NswGraph.indexSearchHier]]): the super layer re-derives from the
+    * `_ready`-gated sidecar each batch (deterministic, nothing extra on
+    * disk), so a completed rebuild is picked up at the next batch
+    * boundary exactly like the single-layer path. */
+  def startNswHier(
+      stream: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      k: Int, p: NswGraph.Params, hp: NswGraph.HierParams,
+      checkpointDir: String,
+      onResults: (DataFrame, Long) => Unit): StreamingQuery =
+    start(stream, checkpointDir) { (spark, batch, batchId) =>
+      onResults(NswGraph.indexSearchHier(
+        batch, indexDir, idCol, vecCol, k, p, hp), batchId)
+    }
+
   /** Probe a persisted [[graft.sources.HammingIndex]] with a stream of
     * `(idCol, fpCol)` fingerprints; emits `(query_id, corpus_id,
     * hamming)` near-dup pairs per batch. Unlike

@@ -457,6 +457,29 @@ object DedupQueries {
           col("cluster_size"))
     }),
 
+    // MUTUAL k-NN pairs (reciprocal nearest neighbors) — the robust
+    // near-dup criterion kNN-graph methods build on: a pair qualifies
+    // only if EACH is in the other's top-k, which kills the hub problem
+    // (a generic vector near everything is nobody's mutual neighbor).
+    // The kNN relation is the DISTRIBUTED exact path — selfTopK at full
+    // probe (map-side bucket assignment + shuffle-hash meet; degenerates
+    // provably to brute m-nearest, nothing corpus-sized broadcasts) —
+    // persisted for both sides of the mutuality self-join. At scale,
+    // swap in a partial-probe selfTopK: the mutuality join is unchanged.
+    "q351_mutual_knn" -> ((s, d) => {
+      val top = graft.operators.KMeansIVF.selfTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5, nprobe = 10, nClusters = 10, iters = 4, sampleCap = 100)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      top.as("x").join(top.as("y"),
+          col("x.query_id") === col("y.neighbor_id") &&
+            col("x.neighbor_id") === col("y.query_id") &&
+            col("x.query_id") < col("x.neighbor_id"))
+        .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+          col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"),
+          col("x.cosine").as("cosine"))
+    }),
+
     // INCREMENTAL dedup-cluster maintenance — q100's delta discipline
     // applied to connected components: yesterday's clustering (base =
     // even doc_ids) plus ONLY the day's new pairs (any pair touching an
@@ -1137,6 +1160,80 @@ object DedupQueries {
         e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, p)
     }),
 
+    // RANKING-QUALITY audit in exact integers — MRR@10 for the three
+    // retrieval methods (learned-IVF, single-layer NSW, hierarchical
+    // descent) against the exact truth: recall (q327/q347) counts hits
+    // anywhere in the list, MRR weights WHERE they land. The trick that
+    // keeps it hash-checkable: 2520 = lcm(1..10), so every reciprocal
+    // rank at k ≤ 10 is an exact integer (2520 div r) — mean reciprocal
+    // rank without a float. Per method: query count, queries with any
+    // hit, integer MRR sum.
+    "q354_ann_mrr" -> ((s, d) => {
+      import s.implicits._
+      val p = graft.operators.NswGraph.Params(
+        hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5)
+      val hp = graft.operators.NswGraph.HierParams(
+        superCap = 16, superEntries = 6, superRounds = 2, hubRounds = 3)
+      val K = 10
+      val e = Tables.embeddings(s, d)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        VectorOps.asDouble(col("embedding")).as("cv"))
+      val g = graft.operators.NswGraph.build(e, "vec_id", "embedding", p)
+      val n = c.count()
+      val qmod = graft.operators.KMeansIVF.sampleModFor(n, 16)
+      val queries = e.filter(
+        pmod(TextHash.md5Long(col("vec_id").cast("string")), lit(qmod)) === 0)
+      val qdf = queries.select(col("vec_id").as("query_id"),
+        VectorOps.asDouble(col("embedding")).as("qv"))
+      val qrows = qdf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val nq = qrows.length.toLong
+      val idxOf = g.hubIds.zipWithIndex.toMap
+      val (_, sadj, sents) = graft.operators.NswGraph.superLayer(g, p, hp)
+      val nswProbe = qrows.toSeq.flatMap { case (qid, qv) =>
+        graft.operators.NswGraph.beamSearch(g, p, qv)._1.map(h => (qid, idxOf(h))) }
+        .toDF("query_id", "bucket")
+      val hierProbe = qrows.toSeq.flatMap { case (qid, qv) =>
+        graft.operators.NswGraph.beamSearchHier(g, p, hp, sadj, sents, qv)._1
+          .map(h => (qid, idxOf(h))) }
+        .toDF("query_id", "bucket")
+      val smod = graft.operators.KMeansIVF.sampleModFor(n, 100)
+      val sample = c
+        .filter(pmod(TextHash.md5Long(col("neighbor_id").cast("string")), lit(smod)) === 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val cents = graft.operators.KMeansIVF.fit(sample, 10, 4)
+      val assigned = graft.operators.KMeansIVF.assignBuckets(c, cents)
+      val kmProbe = qdf.select(col("query_id"),
+        explode(graft.functions.VectorExpressions.nearestCentroids(col("qv"), cents, 2))
+          .as("bucket"))
+      val att = graft.operators.NswGraph.attach(c, g)
+        .persist() // nsw + hier candidate joins both consume it
+      val truth = VectorOps.topK(queries, e, "vec_id", "embedding", k = K)
+        .select(col("query_id"), col("neighbor_id"))
+        .persist() // one first-hit join per method
+      def mrr(name: String, probeRel: org.apache.spark.sql.DataFrame,
+              attRel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val ranked = broadcast(probeRel.join(qdf, "query_id"))
+          .join(attRel, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", VectorOps.cosine(col("qv"), col("cv")))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopKAggregate.topK(col("cos"), col("neighbor_id"), K).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("query_id"), col("t.payload").as("neighbor_id"),
+            (col("pos") + 1).cast("long").as("rnk"))
+        ranked.join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(min(col("rnk")).as("r"))
+          .agg(count(lit(1)).as("n_hit_queries"),
+            coalesce(sum(expr("2520 div r")), lit(0L)).as("mrr_x2520"))
+          .select(lit(name).as("method"), lit(nq).as("n_queries"),
+            col("n_hit_queries"), col("mrr_x2520"))
+      }
+      mrr("kmeans_ivf", kmProbe, assigned)
+        .unionByName(mrr("nsw_beam", nswProbe, att))
+        .unionByName(mrr("nsw_hier", hierProbe, att))
+    }),
+
     // HIERARCHICAL search through the PERSISTED graph index (q332's
     // descent dual): the super layer derives deterministically from the
     // graph sidecar at read time — nothing extra on disk — so the same
@@ -1751,6 +1848,23 @@ object DedupQueries {
          |FROM roots JOIN sz ON roots.cluster_root = sz.cr""".stripMargin
     },
 
+    // full probe = exact brute top-k, so the oracle is the plain window;
+    // cosine is symmetric (elementwise products, same fold order), so one
+    // side's rounded value serves the pair
+    "q351_mutual_knn" -> {
+      val cos = graft.operators.KMeansIVF.cosSql("a.v", "b.v")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |r AS MATERIALIZED (SELECT query_id, nid, rnk, cos FROM (
+         |    SELECT a.id AS query_id, b.id AS nid, $cos AS cos,
+         |      row_number() OVER (PARTITION BY a.id ORDER BY $cos DESC, b.id) AS rnk
+         |    FROM e a JOIN e b ON a.id != b.id) WHERE rnk <= 5)
+         |SELECT x.query_id AS id_a, x.nid AS id_b,
+         |  x.rnk::INT AS rank_ab, y.rnk::INT AS rank_ba,
+         |  (floor(x.cos * 1000 + 0.5) / 1000) AS cosine
+         |FROM r x JOIN r y ON x.query_id = y.nid AND x.nid = y.query_id
+         |  AND x.query_id < x.nid""".stripMargin
+    },
+
     // the full closure over ALL pairs — identical to q52's oracle: the
     // incremental path must be indistinguishable from a recompute
     "q350_incremental_clusters" -> {
@@ -2167,6 +2281,15 @@ object DedupQueries {
       graft.operators.NswGraph.Params(
         hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
       k = 10, queryCap = 16, kmClusters = 10, kmIters = 4, kmSampleCap = 100),
+
+    "q354_ann_mrr" -> graft.operators.NswGraph.mrrOracleSql(
+      "embeddings", "vec_id", "embedding",
+      graft.operators.NswGraph.Params(
+        hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
+      graft.operators.NswGraph.HierParams(
+        superCap = 16, superEntries = 6, superRounds = 2, hubRounds = 3),
+      k = 10, queryCap = 16,
+      kmClusters = 10, kmIters = 4, kmSampleCap = 100, kmNprobe = 2),
 
     "q348_nsw_hier_index_probe" -> graft.operators.NswGraph.hierSearchOracleSql(
       "embeddings", "vec_id", "embedding",

@@ -284,6 +284,40 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_variants"), sum(col("nr")).as("n_rows"))
     }),
 
+    // GOLDEN-RECORD SURVIVORSHIP — the consolidation step AFTER entity
+    // resolution (q88 finds which name variants are one entity; something
+    // must then pick the surviving field values for the merged record).
+    // Rules, each deterministic and portable: canonical id = the entity
+    // root (min name), type = MODAL value with (count DESC, type ASC)
+    // ties broken by a max-count filter + min — never max_by, whose tie
+    // winner is execution-order-dependent — size/retail = max. Two hash
+    // aggs + one entity-grain join; nothing wider than the entity count
+    // ever shuffles.
+    "q353_golden_record" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val pairs = graft.operators.FuzzyJoin.selfLinkage(
+        part, "p_name", name => split(name, " ").getItem(0), maxDist = 3)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("name_a"), col("name_b")))
+      val rows = part
+        .join(comp.withColumnRenamed("id", "p_name"), Seq("p_name"), "left")
+        .select(coalesce(col("root"), col("p_name")).as("entity_id"),
+          col("p_type"), col("p_size"), col("p_retailprice"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tc = rows.groupBy(col("entity_id"), col("p_type"))
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val modal = tc
+        .join(tc.groupBy(col("entity_id")).agg(max(col("c")).as("mc")), "entity_id")
+        .filter(col("c") === col("mc"))
+        .groupBy(col("entity_id")).agg(min(col("p_type")).as("surv_type"))
+      rows.groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("p_size")).as("surv_size"),
+          round(max(col("p_retailprice")), 2).as("surv_retail"))
+        .join(modal, "entity_id")
+    }),
+
     // Equi-depth deciles of order value WITHIN each priority class — the
     // binning pass of a stratified analysis. ntile rides the per-class
     // sort-window (parallel across classes; a global ntile would be a
@@ -2187,6 +2221,35 @@ object RelationalQueries {
         |        FROM n LEFT JOIN roots USING (name))
         |SELECT entity_id, count(*) AS n_variants, sum(nr)::BIGINT AS n_rows
         |FROM ent GROUP BY entity_id""".stripMargin,
+
+    "q353_golden_record" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+        |b AS (SELECT name, split_part(name, ' ', 1) AS blk FROM n),
+        |p AS (SELECT a.name AS id_a, c.name AS id_b
+        |      FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        |      WHERE levenshtein(a.name, c.name) <= 3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p
+        |      UNION SELECT id_b AS a, id_a AS b FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+        |roots AS (SELECT id AS name, min(r) AS root FROM reach GROUP BY id),
+        |rows_ AS (SELECT coalesce(root, p_name) AS entity_id,
+        |            p_type, p_size, p_retailprice
+        |          FROM part LEFT JOIN roots ON part.p_name = roots.name),
+        |tc AS (SELECT entity_id, p_type, count(*)::BIGINT AS c
+        |       FROM rows_ GROUP BY 1, 2),
+        |mc AS (SELECT entity_id, max(c) AS mc FROM tc GROUP BY 1),
+        |modal AS (SELECT tc.entity_id, min(tc.p_type) AS surv_type
+        |          FROM tc JOIN mc ON tc.entity_id = mc.entity_id AND tc.c = mc.mc
+        |          GROUP BY tc.entity_id)
+        |SELECT r.entity_id, count(*)::BIGINT AS n_rows,
+        |  max(r.p_size) AS surv_size,
+        |  round(max(r.p_retailprice), 2) AS surv_retail,
+        |  any_value(m.surv_type) AS surv_type
+        |FROM rows_ r JOIN modal m ON r.entity_id = m.entity_id
+        |GROUP BY r.entity_id""".stripMargin,
 
     "q85_equidepth_deciles" ->
       """SELECT o_orderpriority, decile::INT AS decile, count(*) AS n_orders,

@@ -86,6 +86,38 @@ object TextQueries {
         greatest(hits("en"), hits("es"), hits("fr"), hits("de")).as("marker_hits"))
     }),
 
+    // LANGUAGE-CONSISTENCY audit — the mislabeled-data check a corpus
+    // curator runs before trusting per-language slices: q19's marker
+    // classifier vs the DECLARED lang column, as a per-source confusion
+    // census. Declared 'zh' is outside the classifier's domain, so those
+    // rows are structural mismatches — exactly what the audit should
+    // surface (a slice the heuristic cannot vouch for). One row per
+    // (source, declared, predicted) cell, each carrying its source's doc
+    // count and exact mismatch bp.
+    "q352_lang_consistency" -> ((s, d) => {
+      val toks = TextHash.tokens(lower(col("text")))
+      val hits = langMarkers.map { case (lang, ms) =>
+        lang -> size(filter(toks, t => t.isin(ms: _*)))
+      }.toMap
+      val predExpr = when(hits("en") >= greatest(hits("es"), hits("fr"), hits("de")), "en")
+        .when(hits("es") >= greatest(hits("fr"), hits("de")), "es")
+        .when(hits("fr") >= hits("de"), "fr")
+        .otherwise("de")
+      val pred = Tables.documents(s, d)
+        .select(col("source"), col("lang"), predExpr.as("lang_pred"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cells = pred.groupBy(col("source"), col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val per = pred.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") =!= col("lang_pred"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+      cells.join(per, "source")
+        .select(col("source"), col("lang"), col("lang_pred"), col("n"),
+          col("n_docs"),
+          expr("(n_mismatch * 10000) div n_docs").as("src_mismatch_bp"))
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     "q20_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -601,6 +633,26 @@ object TextQueries {
            |       WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS lang_pred,
            |  greatest(c_en, c_es, c_fr, c_de) AS marker_hits
            |FROM h""".stripMargin,
+
+      "q352_lang_consistency" ->
+        s"""WITH h AS (SELECT source, lang,
+           |  ${markerLen("en")} AS c_en, ${markerLen("es")} AS c_es,
+           |  ${markerLen("fr")} AS c_fr, ${markerLen("de")} AS c_de
+           |  FROM documents),
+           |p AS (SELECT source, lang,
+           |  CASE WHEN c_en >= greatest(c_es, c_fr, c_de) THEN 'en'
+           |       WHEN c_es >= greatest(c_fr, c_de) THEN 'es'
+           |       WHEN c_fr >= c_de THEN 'fr' ELSE 'de' END AS lang_pred
+           |  FROM h),
+           |cells AS (SELECT source, lang, lang_pred, count(*)::BIGINT AS n
+           |          FROM p GROUP BY 1, 2, 3),
+           |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |          sum(CASE WHEN lang <> lang_pred THEN 1 ELSE 0 END)::BIGINT
+           |            AS n_mismatch
+           |        FROM p GROUP BY 1)
+           |SELECT c.source, c.lang, c.lang_pred, c.n, per.n_docs,
+           |  ((per.n_mismatch * 10000) // per.n_docs)::BIGINT AS src_mismatch_bp
+           |FROM cells c JOIN per ON c.source = per.source""".stripMargin,
 
       "q20_token_count" ->
         s"""SELECT doc_id, len($toksSql) AS ws_tokens,

@@ -179,7 +179,8 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.catalog.procedures._
   import org.apache.spark.sql.types.{IntegerType, StringType}
 
-  val Names: Seq[String] = Seq("optimize", "vacuum", "materialize_deletes")
+  val Names: Seq[String] =
+    Seq("optimize", "vacuum", "materialize_deletes", "history", "restore", "clone")
 
   class Proc(warehouse: String, procName: String)
     extends UnboundProcedure with BoundProcedure {
@@ -192,6 +193,15 @@ private[sources] object GraftProcedures {
       case "vacuum" =>
         "drop manifests older than the newest keep_versions and delete " +
           "data files no retained manifest references"
+      case "history" =>
+        "the table's retained commit history, newest first: " +
+          "(version, op, ts_millis, n_files)"
+      case "restore" =>
+        "zero-copy rollback: commit a new version serving exactly the " +
+          "named version's files (history preserved, nothing rewritten)"
+      case "clone" =>
+        "zero-copy clone of the named version into a NEW table under the " +
+          "warehouse (hard links pin the data; either side vacuums freely)"
       case _ =>
         "fold outstanding merge-on-read deletion vectors into the data " +
           "(file-granular copy-on-write), making the table join-free again"
@@ -209,8 +219,45 @@ private[sources] object GraftProcedures {
       case "vacuum" => Array(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("keep_versions", IntegerType).build())
+      case "restore" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build())
+      case "clone" => Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build(),
+        ProcedureParameter.in("dest", StringType).build())
       case _ => Array(
         ProcedureParameter.in("table", StringType).build())
+    }
+    // history READS (no write, no txn hazard): bypass the open-txn gate
+    private def historyScan(dir: String)
+      : org.apache.spark.sql.connector.read.Scan = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("version",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("op", StringType),
+        org.apache.spark.sql.types.StructField("ts_millis",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_files",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      // manifest-scale: one row per RETAINED version — bounded by design
+      // (vacuum caps history), never row- or file-content-scale
+      // named histRows, NOT rows: inside the anonymous LocalScan the
+      // override `def rows()` would shadow a local named `rows` and the
+      // body would recurse on ITSELF forever (cost one hung test run)
+      val histRows = SnapshotTable.versions(dir).reverse.map { v =>
+        val snap = SnapshotTable.snapshot(dir, v)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+          v, org.apache.spark.unsafe.types.UTF8String.fromString(snap.op),
+          snap.meta.get("ts").map(_.toLong).orNull,
+          snap.files.length.toLong))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = histRows
+        override def readSchema(): org.apache.spark.sql.types.StructType = schema
+        override def description(): String = s"GraftHistoryScan($dir)"
+      }
     }
     private def dirOf(table: String): String = {
       val dir = Paths.get(warehouse, table.split("\\."): _*).toString
@@ -229,6 +276,14 @@ private[sources] object GraftProcedures {
     override def call(input: org.apache.spark.sql.catalyst.InternalRow)
       : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
       val spark = org.apache.spark.sql.SparkSession.active
+      if (procName == "history") {
+        // read-only: no txn gate (dirOf enforces it for the mutators)
+        val dir = Paths.get(warehouse,
+          input.getUTF8String(0).toString.split("\\."): _*).toString
+        require(SnapshotTable.latestVersion(dir).nonEmpty,
+          s"history: no snapshot table at $dir")
+        return java.util.List.of(historyScan(dir)).iterator()
+      }
       val dir = dirOf(input.getUTF8String(0).toString)
       procName match {
         case "optimize" =>
@@ -244,6 +299,14 @@ private[sources] object GraftProcedures {
           }
         case "vacuum" =>
           SnapshotTable.vacuum(dir, input.getInt(1))
+        case "restore" =>
+          SnapshotTable.restoreVersion(spark, dir, input.getInt(1).toLong)
+        case "clone" =>
+          val dest = Paths.get(warehouse,
+            input.getUTF8String(2).toString.split("\\."): _*).toString
+          require(!Files.exists(Paths.get(dest)),
+            s"clone: destination $dest already exists")
+          SnapshotTable.cloneAt(dir, input.getInt(1).toLong, dest)
         case _ =>
           SnapshotTable.materializeDeletes(spark, dir)
       }

@@ -201,6 +201,27 @@ class StreamingProbeSpec extends AnyFunSuite {
     assert(nswSearch(nswIdx) == nswSearch(nswRef))
   }
 
+  test("hierarchical NSW probe stream == batch indexSearchHier under random slicing") {
+    val p = NswGraph.Params()
+    val hp = NswGraph.HierParams(superCap = 8, superEntries = 2,
+      superRounds = 2, hubRounds = 3)
+    val idx = java.nio.file.Files.createTempDirectory("sp_nswh").toString
+    NswGraph.writeIndex(e, "vec_id", "embedding", idx, p)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), VectorOps.asDouble(col("embedding")).as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val ck = java.nio.file.Files.createTempDirectory("sp_nswh_ck").toString
+    val got = drive(queries, slices = 3, seed = 19) { (df, cb) =>
+      StreamingProbe.startNswHier(
+        df.toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+        k = 4, p, hp, ck, cb)
+    }.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val want = NswGraph.indexSearchHier(e.filter(col("vec_id") < 10), idx,
+        "vec_id", "embedding", k = 4, p, hp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
   test("Hamming probe stream == batch probe under random slicing") {
     val idx = java.nio.file.Files.createTempDirectory("sp_ham").toString
     val corpus = (1L to 30L).map(i => (i, i * 16L + 5L)).toDF("doc_id", "fp")

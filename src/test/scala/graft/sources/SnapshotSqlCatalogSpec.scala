@@ -251,6 +251,51 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(SnapshotTable.versions(t).length == 1)
   }
 
+  test("CALL restore rolls back zero-copy; CALL clone branches into a new table") {
+    val t = s"$warehouse/rst"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)  // v1
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)  // v2
+    spark.sql("DELETE FROM graft_snap.rst WHERE k = 1")                       // v3
+    spark.sql("CALL graft_snap.restore('rst', 2)")                            // v4 == v2
+    assert(spark.sql("SELECT k FROM graft_snap.rst").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L))
+    // history preserved: the deleted state is still addressable
+    assert(spark.sql("SELECT count(*) FROM graft_snap.rst VERSION AS OF 3")
+      .collect()(0).getLong(0) == 1L)
+    // clone v2 into a NEW catalog table; both sides stay independent
+    spark.sql("CALL graft_snap.clone('rst', 2, 'rst_branch')")
+    assert(spark.sql("SELECT k FROM graft_snap.rst_branch").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql("INSERT INTO graft_snap.rst_branch VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM graft_snap.rst").collect()(0).getLong(0) == 2L,
+      "branch writes must not leak into the source")
+    // clone refuses an existing destination
+    val e = intercept[Exception](spark.sql(
+      "CALL graft_snap.clone('rst', 1, 'rst_branch')"))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
+  test("CALL history returns the retained commit log, newest first") {
+    val t = s"$warehouse/hist"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)   // v1
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)   // v2
+    SnapshotTable.deleteWhere(spark, t, col("k") === 1L)                       // v3
+    val rows = spark.sql("CALL graft_snap.history('hist')").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(3L, 2L, 1L), "newest first")
+    assert(rows.map(_._2).toSeq == Seq("merge", "append", "append"))
+    assert(rows.forall(_._3 >= 1L))
+    // ts stamps present and non-decreasing in version order (single writer)
+    val ts = spark.sql("CALL graft_snap.history('hist')").collect()
+      .map(_.getLong(2)).reverse
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // read-only: works even while a txn is open on the table
+    val txd = Files.createTempDirectory("hist_txn").toString
+    val h = SnapshotTxn.begin(txd, Seq(t))
+    try assert(spark.sql("CALL graft_snap.history('hist')").count() == 3L)
+    finally SnapshotTxn.abort(h)
+  }
+
   test("TIMESTAMP AS OF resolves the last commit at or before the instant") {
     val t = s"$warehouse/tso"
     SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t) // v1
