@@ -90,8 +90,8 @@ object IndexLifecycle {
     * root marker. A replayed batch returns its persisted verdict verbatim
     * (the at-least-once-runner rule of the per-generation protocol). */
   def append(batch: DataFrame, idCol: String, vecCol: String, root: String,
-             batchId: String): KMeansIVF.AppendResult =
-    withLock(root, "append") {
+             batchId: String, lockWaitMs: Long = 0L): KMeansIVF.AppendResult =
+    withLock(root, "append", lockWaitMs) {
       val applied = appliedPath(root, batchId)
       if (java.nio.file.Files.exists(applied)) KMeansIVF.readResult(applied)
       else {
@@ -160,13 +160,29 @@ object IndexLifecycle {
     * probes against the old generation have drained — the isolation
     * argument holds because vacuum and probe-starts never overlap on a
     * retired name. */
-  def vacuum(root: String): Seq[String] =
+  def vacuum(root: String): Seq[String] = vacuum(root, None)
+
+  /** As [[vacuum]]; `appliedOlderThanMs` additionally sweeps `applied/`
+    * exactly-once records whose last-modified age exceeds the horizon.
+    * SAFETY CONTRACT: set it strictly above the longest possible replay
+    * window (the streaming checkpoint bounds it — a batch can only
+    * replay until its offsets commit), or a swept marker re-admits a
+    * replayed batch. Without retention a long-running ingest accumulates
+    * one marker file per micro-batch forever. */
+  def vacuum(root: String, appliedOlderThanMs: Option[Long]): Seq[String] =
     withLock(root, "vacuum") {
       val cur = java.nio.file.Paths.get(resolve(root)).getFileName.toString
       val dir = new java.io.File(root)
       val dead = dir.listFiles().toSeq
         .filter(f => f.isDirectory && f.getName.startsWith("gen-") && f.getName != cur)
       dead.foreach(graft.TempDirs.deleteRecursively)
+      appliedOlderThanMs.foreach { horizon =>
+        val cutoff = System.currentTimeMillis() - horizon
+        val ap = new java.io.File(root, "applied")
+        if (ap.isDirectory)
+          ap.listFiles().filter(_.lastModified() < cutoff)
+            .foreach(f => { java.nio.file.Files.deleteIfExists(f.toPath); () })
+      }
       dead.map(_.getName)
     }
 
@@ -184,13 +200,17 @@ object IndexLifecycle {
       checkpointDir: String,
       onVerdict: (KMeansIVF.AppendResult, Long) => Unit,
       autoRebuild: Boolean = false,
-      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000)
+      nClusters: Int = 10, iters: Int = 4, sampleCap: Long = 10000,
+      lockWaitMs: Long = 600000L)
     : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val v = append(batch, idCol, vecCol, root, s"s$batchId")
+          // bounded lock wait: an out-of-band rebuild/vacuum stalls the
+          // batch instead of killing the query; a genuinely dead owner
+          // still fails loudly after the deadline
+          val v = append(batch, idCol, vecCol, root, s"s$batchId", lockWaitMs)
           onVerdict(v, batchId)
           if (autoRebuild && v.rebuild) {
             rebuild(batch.sparkSession, root, nClusters, iters, sampleCap)
@@ -210,11 +230,25 @@ object IndexLifecycle {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def withLock[T](root: String, what: String)(body: => T): T = {
+  /** `waitMs` > 0 polls for the lock instead of failing immediately — the
+    * STREAMING caller's mode: a live rebuild or vacuum holding the lock
+    * for a bounded window must stall the micro-batch, not kill the
+    * StreamingQuery (maintenance would otherwise terminate continuous
+    * ingest). The wait is BOUNDED: a lock left by a crashed owner still
+    * surfaces loudly once the deadline passes. Interactive callers keep
+    * the fail-fast default. */
+  private def withLock[T](root: String, what: String, waitMs: Long = 0L)(body: => T): T = {
     val lock = lockPath(root)
-    if (!graft.sources.LshIndex.casCreate(lock)) throw new IllegalStateException(
-      s"$what on $root: a rebuild/append/vacuum holds rebuild.lock — retry " +
-        "when it completes, or remove the lock if its owner is known dead")
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    var held = graft.sources.LshIndex.casCreate(lock)
+    while (!held && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      held = graft.sources.LshIndex.casCreate(lock)
+    }
+    if (!held) throw new IllegalStateException(
+      s"$what on $root: a rebuild/append/vacuum holds rebuild.lock" +
+        (if (waitMs > 0) s" (waited ${waitMs}ms)" else "") +
+        " — retry when it completes, or remove the lock if its owner is known dead")
     try body
     finally {
       java.nio.file.Files.deleteIfExists(lock)

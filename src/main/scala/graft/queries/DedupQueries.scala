@@ -495,9 +495,14 @@ object DedupQueries {
       val sh = graft.functions.VectorExpressions
         .wordShingleHashes(col("text"), 3, TextHash.P)
       val docs = Tables.documents(s, d)
-      val basePairs = MinHashDedup.pairs(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", sh, wordCfg)
+      // ONE pair pipeline: membership depends on the two docs alone, so
+      // the base set IS the even-even restriction — re-running the
+      // shingle/signature/banding pass over the base half would double
+      // the query's dominant cost. Persisted: both subsets consume it.
       val allPairs = MinHashDedup.pairs(docs, "doc_id", sh, wordCfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val basePairs = allPairs
+        .filter(col("id_a") % 2 === 0 && col("id_b") % 2 === 0)
       val newPairs = allPairs
         .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1)
       val baseComp = graft.operators.ConnectedComponents.minLabel(

@@ -79,12 +79,27 @@ object HammingIndex {
   private def readyPath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(s"$dir/_ready")
 
+  /** [[LshIndex.markReady]]'s one-time migration for the Hamming index. */
+  def markReady(dir: String): Unit = {
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!LshIndex.casCreate(lock)) throw new IllegalStateException(
+      s"an append or rebuild is in flight on $dir (append.lock) — markReady later")
+    try {
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/meta.json")),
+        s"$dir has no meta.json — nothing to mark ready (build it with write())")
+      if (!java.nio.file.Files.exists(readyPath(dir)))
+        java.nio.file.Files.createFile(readyPath(dir))
+      ()
+    } finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   /** [[LshIndex.requireReady]]'s contract for the Hamming index. */
   private def requireReady(dir: String): Unit =
     require(java.nio.file.Files.exists(readyPath(dir)),
       s"index $dir has no _ready marker — a rebuild crashed mid-overwrite " +
         "(chunk/id trees and meta.json may be mixed generations); re-run " +
-        "write() to rebuild before serving probes or appends")
+        "write() to rebuild, or markReady() if this is a known-consistent " +
+        "pre-gate index")
 
   /** Incrementally index a batch — the daily-ingest path: new chunk rows
     * land as additional files inside the existing `pk` partition

@@ -94,12 +94,34 @@ object LshIndex {
   private def readyPath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(s"$dir/_ready")
 
+  /** ONE-TIME MIGRATION for an index written before the `_ready` gate
+    * existed: stamps the marker on a tree the OPERATOR knows is
+    * consistent. The gate cannot auto-stamp — a legacy-complete index
+    * and one whose rebuild crashed between the data overwrite and
+    * meta.json are indistinguishable on disk (both lack the marker, both
+    * have a meta.json) — so the judgment is deliberately manual. Takes
+    * `append.lock` so it can't race a live rebuild. */
+  def markReady(dir: String): Unit = {
+    val lock = java.nio.file.Paths.get(s"$dir/append.lock")
+    if (!casCreate(lock)) throw new IllegalStateException(
+      s"an append or rebuild is in flight on $dir (append.lock) — markReady later")
+    try {
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/meta.json")),
+        s"$dir has no meta.json — nothing to mark ready (build it with write())")
+      if (!java.nio.file.Files.exists(readyPath(dir)))
+        java.nio.file.Files.createFile(readyPath(dir))
+      ()
+    } finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   /** Refuse to serve an index whose last rebuild did not complete: the
     * `_ready` marker is revoked before [[write]]'s first overwrite and
     * recreated only after meta.json lands, so its absence means the data
     * trees and the geometry sidecar may be MIXED GENERATIONS — silent
-    * false negatives if served. Every reader path funnels through
-    * [[metaOf]] (or calls this directly). */
+    * false negatives if served (a PRE-GATE index trips this too — an
+    * operator who knows it is consistent migrates with [[markReady]]).
+    * Every reader path funnels through [[metaOf]] (or calls this
+    * directly). */
   private[sources] def requireReady(dir: String): Unit =
     require(java.nio.file.Files.exists(readyPath(dir)),
       s"index $dir has no _ready marker — a rebuild crashed mid-overwrite " +

@@ -267,7 +267,7 @@ private[sources] object GraftProcedures {
       // optimize's commit would refuse anyway (guarded slot path), and a
       // SQL operator cannot see transaction state to judge a vacuum —
       // loud and uniform across all three procedures
-      if (Files.exists(Paths.get(dir, "_snapshots", "open.txn")))
+      if (Files.exists(SnapshotTable.openTxnPath(dir)))
         throw new SnapshotTable.ConcurrentCommitException(
           s"$procName: a multi-table transaction is open on $dir — " +
             "run maintenance after it resolves")
@@ -621,17 +621,20 @@ class GraftSnapshotFileReader(
         try {
           val sch = r.getFooter.getFileMetaData.getSchema
           val cio = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(sch)
-          var store = r.readNextRowGroup()
-          while (store != null) {
-            val rr = cio.getRecordReader(store,
-              new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(sch))
-            var i = 0L
-            while (i < store.getRowCount) {
-              val g = rr.read()
-              if (g.getString("file", 0) == relFile) s.add(g.getLong("pos", 0))
-              i += 1
+          r.getFooter.getBlocks.asScala.foreach { block =>
+            if (!GraftSnapshotFileReader.dvGroupMayContain(block, relFile))
+              r.skipNextRowGroup() // file-sorted sidecar ⇒ tight [min,max]
+            else {
+              val store = r.readNextRowGroup()
+              val rr = cio.getRecordReader(store,
+                new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(sch))
+              var i = 0L
+              while (i < store.getRowCount) {
+                val g = rr.read()
+                if (g.getString("file", 0) == relFile) s.add(g.getLong("pos", 0))
+                i += 1
+              }
             }
-            store = r.readNextRowGroup()
           }
         } finally r.close()
       }
@@ -730,4 +733,30 @@ class GraftSnapshotFileReader(
 
   override def close(): Unit =
     if (!closed) { closed = true; fileReader.close() }
+}
+
+object GraftSnapshotFileReader {
+  /** May this DV-sidecar row group contain entries for `rel`? Skips on the
+    * `file` column's footer [min,max]. Parquet string stats are
+    * UNSIGNED-byte-ordered while Java String compares UTF-16 code units —
+    * the two orders coincide only on pure-ASCII values, so the skip
+    * applies ONLY when min/max/rel are all ASCII (manifest-relative data
+    * paths are `data-<uuid>/part-…`, always ASCII; the guard keeps a
+    * future exotic name safe). Missing/odd stats ⇒ must-read. */
+  private[sources] def dvGroupMayContain(
+      block: org.apache.parquet.hadoop.metadata.BlockMetaData,
+      rel: String): Boolean = {
+    val cc = block.getColumns.asScala
+      .find(_.getPath.toDotString == "file").orNull
+    if (cc == null) return true
+    val st = cc.getStatistics
+    if (st == null || !st.hasNonNullValue || st.getNumNulls > 0) return true
+    val (minB, maxB) = (st.getMinBytes, st.getMaxBytes)
+    def ascii(b: Array[Byte]): Boolean = b.forall(x => x >= 0)
+    if (minB == null || maxB == null || !ascii(minB) || !ascii(maxB) ||
+        !rel.forall(_ < 128)) return true
+    val min = new String(minB, java.nio.charset.StandardCharsets.UTF_8)
+    val max = new String(maxB, java.nio.charset.StandardCharsets.UTF_8)
+    min <= rel && rel <= max
+  }
 }

@@ -875,7 +875,13 @@ object SnapshotTable {
         case Some(old) => old.unionByName(hits)
       }
       val dvSub = s"dv-${java.util.UUID.randomUUID().toString}"
-      dvNew.write.mode(SaveMode.ErrorIfExists)
+      // sortWithinPartitions (no shuffle — `hits` is already file-clustered
+      // by its per-file scan tasks): each sidecar part file then carries a
+      // TIGHT footer [min,max] on `file`, which the catalog's per-file DV
+      // load uses to skip whole row groups — total DV read work stays
+      // ~O(|vector|) instead of O(touched files × |vector|)
+      dvNew.sortWithinPartitions("file", "pos")
+        .write.mode(SaveMode.ErrorIfExists)
         .parquet(Paths.get(tableDir, dvSub).toString)
       try
         // metaOnly: the df argument is never evaluated — pass the cheapest

@@ -129,13 +129,33 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/gen-00000002").isDirectory)
     val qs = e.filter(col("vec_id") < 8)
     assert(probeSet(IndexLifecycle.resolve(root), qs).nonEmpty)
-    // a held rebuild.lock refuses appends loudly
+    // a held rebuild.lock refuses appends loudly (fail-fast default)
     java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$root/rebuild.lock"))
     val ex = intercept[IllegalStateException] {
       IndexLifecycle.append(e.limit(1), "vec_id", "embedding", root, "bX")
     }
     assert(ex.getMessage.contains("rebuild.lock"))
-    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/rebuild.lock"))
+    // the STREAMING mode waits: a lock released within the window must
+    // not kill the caller (maintenance stalls ingest, never terminates it)
+    val releaser = new Thread(() => {
+      Thread.sleep(600)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$root/rebuild.lock"))
+      ()
+    })
+    releaser.start()
+    val v = IndexLifecycle.append(
+      e.filter(col("vec_id") === 1L), "vec_id", "embedding", root, "bWait",
+      lockWaitMs = 15000L)
+    releaser.join()
+    assert(v.nBatch == 1L)
+    // applied-record retention: markers older than the horizon are swept
+    // (safe only past the replay window — the documented contract)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/applied/bWait")))
+    IndexLifecycle.vacuum(root, appliedOlderThanMs = Some(0L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/applied/bWait")))
   }
 
   test("wired streaming loop: drifted batch triggers refit; stream resumes on new base") {

@@ -311,7 +311,13 @@ class LshIndexSpec extends AnyFunSuite {
       LshIndex.append(spark, batch, "doc_id", shingles, dir, cfg)
     }
     assert(e2.getMessage.contains("_ready"))
-    // a completed rebuild recreates the marker and serving resumes
+    // markReady = the pre-gate-index migration: an operator who KNOWS the
+    // tree is consistent restores service without a rebuild
+    LshIndex.markReady(dir)
+    assert(LshIndex.probe(spark, batch, "doc_id", shingles, dir, cfg)
+      .collect() != null)
+    // a completed rebuild also recreates the marker
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/_ready"))
     LshIndex.write(docs, "doc_id", shingles, dir, cfg)
     assert(LshIndex.probe(spark, batch, "doc_id", shingles, dir, cfg)
       .collect() != null)
