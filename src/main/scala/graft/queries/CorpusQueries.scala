@@ -191,6 +191,43 @@ object CorpusQueries {
     // Trigrams come from zip_with over a 3-way sliced char array — the
     // per-element lambda only concats (the HOF-lambda re-evaluation trap
     // re-runs lower(text) per POSITION if substr is used in transform).
+    // Count-Sketch (Charikar et al. 2002): d=5 signed hash rows × w=256
+    // cells, estimate = MEDIAN over rows of sign·cell — the unbiased
+    // sibling of Count-Min (whose estimates only over-count). Cells build
+    // from the exact distinct-token counts (one explode + two bounded hash
+    // aggs, 5·256 cells total); the top-20 probe re-derives each token's
+    // (cell, sign) pair map-side and medians 5 integers via
+    // element_at(array_sort(...), 3) — exact on both engines, so the
+    // ESTIMATES themselves are hash-checked, not a tolerance. The exact
+    // count and |error| ride alongside: the sketch-accuracy audit.
+    "q357_count_sketch" -> ((s, d) => {
+      val W = 256; val D = 5
+      def hcell(r: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+        TextHash.md5Long(concat(lit("csh:"), r.cast("string"), lit(":"), t)) % W
+      def hsign(r: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+        lit(1L) - lit(2L) * (TextHash.md5Long(
+          concat(lit("css:"), r.cast("string"), lit(":"), t)) % 2)
+      val exact = Tables.documents(s, d)
+        .select(explode(TextHash.tokens(lower(col("text")))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sketch build + top-20 probe
+      val sk = exact
+        .select(col("t"), col("cnt"), explode(sequence(lit(0), lit(D - 1))).as("r"))
+        .select(col("r"), hcell(col("r"), col("t")).as("cell"),
+          (hsign(col("r"), col("t")) * col("cnt")).as("contrib"))
+        .groupBy("r", "cell").agg(sum(col("contrib")).as("c"))
+        .select(col("r").as("sk_r"), col("cell").as("sk_cell"), col("c"))
+      exact.orderBy(desc("cnt"), asc("t")).limit(20)
+        .select(col("t"), col("cnt"), explode(sequence(lit(0), lit(D - 1))).as("r"))
+        .join(broadcast(sk),
+          col("r") === col("sk_r") && hcell(col("r"), col("t")) === col("sk_cell"))
+        .select(col("t"), col("cnt"), (hsign(col("r"), col("t")) * col("c")).as("ev"))
+        .groupBy(col("t"), col("cnt"))
+        .agg(element_at(array_sort(collect_list(col("ev"))), 3).as("cs_est"))
+        .select(col("t"), col("cnt"), col("cs_est"),
+          abs(col("cs_est") - col("cnt")).as("abs_err"))
+    }),
+
     "q97_heavy_hitters" -> ((s, d) => {
       val k = 256
       val tg = Tables.documents(s, d)
@@ -399,6 +436,30 @@ object CorpusQueries {
       graft.operators.BpeVocab.tokenPackOracleSql("documents", "text",
         "doc_id", numMerges = 32, minCount = 2L, chunk = 512L, headN = 8,
         batch = 8),
+
+    // full sketch replay: same md5 cell/sign hashes, same 5-row median.
+    "q357_count_sketch" -> {
+      def cell(r: String, t: String) =
+        s"(${TextHash.md5LongSql(s"'csh:' || ($r) || ':' || ($t)")} % 256)"
+      def sign(r: String, t: String) =
+        s"(1 - 2 * (${TextHash.md5LongSql(s"'css:' || ($r) || ':' || ($t)")} % 2))"
+      s"""WITH tok AS (SELECT unnest(${TextHash.tokensSql("lower(text)")}) AS t
+         |            FROM documents),
+         |exact AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t),
+         |cells AS (SELECT r, ${cell("r", "t")} AS cell,
+         |            ${sign("r", "t")} * cnt AS contrib
+         |          FROM exact, unnest(range(0, 5)) AS u(r)),
+         |sk AS (SELECT r, cell, sum(contrib)::BIGINT AS c
+         |       FROM cells GROUP BY r, cell),
+         |top AS (SELECT t, cnt FROM exact ORDER BY cnt DESC, t LIMIT 20),
+         |probe AS (SELECT t, cnt, r FROM top, unnest(range(0, 5)) AS u(r)),
+         |est AS (SELECT p.t, p.cnt, ${sign("p.r", "p.t")} * sk.c AS ev
+         |        FROM probe p JOIN sk
+         |          ON sk.r = p.r AND sk.cell = ${cell("p.r", "p.t")})
+         |SELECT t, cnt, (list_sort(list(ev)))[3]::BIGINT AS cs_est,
+         |  abs((list_sort(list(ev)))[3] - cnt)::BIGINT AS abs_err
+         |FROM est GROUP BY t, cnt""".stripMargin
+    },
 
     // The heavy set is computed EXACTLY here; the guarantee booleans are
     // literal TRUE — the Spark side must reproduce them from the sketch.

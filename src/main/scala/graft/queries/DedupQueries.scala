@@ -1173,6 +1173,18 @@ object DedupQueries {
     // rank at k ≤ 10 is an exact integer (2520 div r) — mean reciprocal
     // rank without a float. Per method: query count, queries with any
     // hit, integer MRR sum.
+    // k-center greedy coreset (Gonzalez 1985 farthest-point): the 8-pick
+    // diversity skeleton of the embedding corpus + its attrition curve
+    // (cover_d2 per round — the covering radius² each new pick buys down).
+    // Exact integer micro distances make every argmax portable; each round
+    // is one scan + TakeOrdered(1), nothing corpus-sized leaves executors.
+    "q356_kcenter_coreset" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.KCenter
+        .fit(Tables.embeddings(s, d), "vec_id", "embedding", k = 8, seedId = 0L)
+        .toDF("round", "vec_id", "cover_d2")
+    }),
+
     "q354_ann_mrr" -> ((s, d) => {
       import s.implicits._
       val p = graft.operators.NswGraph.Params(
@@ -2286,6 +2298,9 @@ object DedupQueries {
       graft.operators.NswGraph.Params(
         hubCap = 64, m = 4, beamWidth = 3, rounds = 4, nprobe = 5),
       k = 10, queryCap = 16, kmClusters = 10, kmIters = 4, kmSampleCap = 100),
+
+    "q356_kcenter_coreset" ->
+      graft.operators.KCenter.oracleSql(k = 8, seedId = 0L, dim = 64),
 
     "q354_ann_mrr" -> graft.operators.NswGraph.mrrOracleSql(
       "embeddings", "vec_id", "embedding",

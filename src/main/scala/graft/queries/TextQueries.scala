@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextHash
-import graft.operators.{Multimodal, Sessionize}
+import graft.operators.{Dsir, Multimodal, Sessionize}
 
 /** Extension surface: text analysis, sessionization, multimodal metadata —
   * the per-document / per-event operators of a training-data pipeline. All
@@ -116,6 +116,23 @@ object TextQueries {
         .select(col("source"), col("lang"), col("lang_pred"), col("n"),
           col("n_docs"),
           expr("(n_mismatch * 10000) div n_docs").as("src_mismatch_bp"))
+    }),
+
+    // DSIR importance selection (Xie et al. 2023): hashed-unigram-bucket
+    // log-likelihood-ratio scores against a target domain (declared-English
+    // docs), integer milli-log2 LUT so every score is hash-exact, top-64
+    // most target-like docs via TakeOrdered (map-side partial top-k — no
+    // global sort materializes). The canonical "filter 100 TB of web text
+    // toward a small high-quality target" curation operator.
+    "q355_dsir_selection" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lut = Dsir.bucketLut(docs, col("lang") === "en", col("text"), 512)
+      Dsir.scored(docs, lut, "doc_id", col("text"), 512)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .orderBy(desc("dsir_mllr"), asc("doc_id"))
+        .limit(64)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tok"), col("dsir_mllr"))
     }),
 
     // Token counting: whitespace tokens + BPE-ish regex tokens.
@@ -653,6 +670,12 @@ object TextQueries {
            |SELECT c.source, c.lang, c.lang_pred, c.n, per.n_docs,
            |  ((per.n_mismatch * 10000) // per.n_docs)::BIGINT AS src_mismatch_bp
            |FROM cells c JOIN per ON c.source = per.source""".stripMargin,
+
+      "q355_dsir_selection" ->
+        s"""WITH ${Dsir.replayCtes("lang = 'en'", 512)}
+           |SELECT d.doc_id, d.lang, d.source, s.n_tok, s.dsir_mllr
+           |FROM sc s JOIN documents d USING (doc_id)
+           |ORDER BY s.dsir_mllr DESC, d.doc_id ASC LIMIT 64""".stripMargin,
 
       "q20_token_count" ->
         s"""SELECT doc_id, len($toksSql) AS ws_tokens,
