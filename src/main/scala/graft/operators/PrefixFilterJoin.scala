@@ -92,6 +92,53 @@ object PrefixFilterJoin {
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }
 
+  /** Lossless CANDIDATE generation for a cross (query × corpus) Jaccard
+    * join at threshold ≥ tNum/tDen: returns (query_id, corpus_id) pairs
+    * GUARANTEED to contain every true pair (the prefix/size/positional
+    * filters are the [[jaccardSelfJoin]] proofs, which never use the fact
+    * that both sets come from one relation) — the caller runs the exact
+    * verify. Global rare-first order is computed over the UNION of both
+    * relations' tokens so the two sides rank identically; prefix volume is
+    * Σ_h qpf(h)·cpf(h) over PREFIX tokens only, which is what makes an
+    * audit-style truth join hub-safe: a stopword-heavy shingle never
+    * reaches the join (it ranks last and falls outside every prefix)
+    * instead of fanning out qf(h)·df(h).
+    *
+    * Use a CONSERVATIVE rational threshold (tNum/tDen ≤ the caller's real
+    * threshold): a smaller t only lengthens prefixes — still lossless.
+    * `setCol` elements must be DISTINCT per row. */
+  def jaccardCrossCandidates(queries: DataFrame, corpus: DataFrame,
+                             idCol: String, setCol: String,
+                             tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    def norm(rel: DataFrame) =
+      rel.select(col(idCol).as("__id"), col(setCol).as("__hs"))
+    val q = norm(queries); val c = norm(corpus)
+    val dfreq = q.union(c).select(explode(col("__hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    def pfx(rel: DataFrame) = rel
+      .select(col("__id"), explode(col("__hs")).as("h"))
+      .join(dfreq, "h")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
+      .withColumn("n", size(col("sorted")))
+      .select(col("__id"), col("n"),
+        posexplode(slice(col("sorted"), lit(1),
+          (col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1).cast("int")))
+          .as(Seq("p0", "e")))
+      .select(col("__id"), col("n"), (col("p0") + 1).as("i"), col("e.h").as("h"))
+    pfx(q).as("x").join(pfx(c).as("y"), "h")
+      // size filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t
+      .filter(col("x.n") * tNum <= col("y.n") * tDen &&
+        col("y.n") * tNum <= col("x.n") * tDen)
+      // PPJoin positional filter (same cross-multiplied form as the
+      // self-join; the first-common-token argument is pair-symmetric)
+      .filter((lit(1) + least(col("x.n") - col("x.i"), col("y.n") - col("y.i")))
+        * (tNum + tDen) >= lit(tNum) * (col("x.n") + col("y.n")))
+      .select(col("x.__id").as("query_id"), col("y.__id").as("corpus_id"))
+      .distinct()
+  }
+
   /** Directed CONTAINMENT self-join: all ordered pairs (a, b), a ≠ b, with
     * |a∩b| / |a| ≥ tNum/tDen — "a is (nearly) contained in b": excerpt and
     * quote detection, near-subset dedup, template-instance linking. The

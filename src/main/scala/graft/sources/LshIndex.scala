@@ -409,17 +409,27 @@ object LshIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact truth on the hashed (distinct) shingle sets — the same arrays
     // probe verifies with, so FOUND ⊆ TRUTH by construction and hits/truth
-    // IS banded recall
+    // IS banded recall. Candidates come from the LOSSLESS prefix filter
+    // (jaccardCrossCandidates) rather than a raw inverted-index join on
+    // every shingle hash: the raw join fans out Σ_h qf(h)·df(h) and a
+    // stopword-heavy shingle at 100× data would dominate it; prefix tokens
+    // are rare-first, so the truth join is hub-safe. The conservative
+    // rational threshold (floor(τ·1000)/1000 ≤ τ) only widens candidates;
+    // the accept filter below is byte-identical to the oracle's replay,
+    // so the truth SET — and the gate hash — are unchanged (the gate
+    // match is itself the losslessness proof, the q98 doctrine).
     val qsh = MinHashDedup.hashed(sample, idCol, shingleHashes)
-    val qe = qsh.select(col("id").as("query_id"),
-      size(col("hashes")).as("nq"), explode(col("hashes")).as("h"))
-    val ce = readLive(spark, dir, "docs")
-      .select(col("id").as("corpus_id"),
-        size(col("hashes")).as("nc"), explode(col("hashes")).as("h"))
-    val truth = qe.join(ce, "h")
+    val csh = readLive(spark, dir, "docs")
+    val tn = math.floor(cfg.jaccardThreshold * 1000).toInt
+    val truth = graft.operators.PrefixFilterJoin
+      .jaccardCrossCandidates(qsh, csh, "id", "hashes", tn, 1000)
       .filter(col("query_id") =!= col("corpus_id"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(count(lit(1)).as("inter"), max(col("nq")).as("nq"), max(col("nc")).as("nc"))
+      .join(qsh.select(col("id").as("query_id"),
+        sort_array(col("hashes")).as("qh"), size(col("hashes")).as("nq")), "query_id")
+      .join(csh.select(col("id").as("corpus_id"),
+        sort_array(col("hashes")).as("ch"), size(col("hashes")).as("nc")), "corpus_id")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersectCount(col("qh"), col("ch")))
       .filter(col("inter").cast("double") /
         (col("nq") + col("nc") - col("inter")) >= cfg.jaccardThreshold)
       .select(col("query_id"), col("corpus_id"))

@@ -59,7 +59,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * outstanding vector (their rewrite commit cannot yet carry the DV for
   * untouched files — `materializeDeletes` first), loudly at analysis. */
 class GraftSnapshotCatalog extends TableCatalog
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -136,8 +137,51 @@ class GraftSnapshotCatalog extends TableCatalog
       ident: Identifier, schema: StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: java.util.Map[String, String]): Table =
-    sys.error("CREATE TABLE is not supported — bootstrap with a " +
-      "graft.sources.SnapshotTable commit, then INSERT/DELETE through SQL")
+    sys.error("CREATE TABLE without AS SELECT is not supported (an empty " +
+      "snapshot commit would record no usable layout) — use CREATE TABLE " +
+      "… AS SELECT, or bootstrap with a graft.sources.SnapshotTable commit")
+
+  /** CREATE TABLE … AS SELECT — ATOMIC through the staging protocol: the
+    * query result lands as version 1 of a snapshot table built in a
+    * hidden `warehouse/.ctas/<uuid>/` staging root, and the table becomes
+    * visible only when `commitStagedChanges` RENAMES the directory into
+    * place (one POSIX rename — fails if a rival CTAS won the race; a
+    * failed query aborts by deleting the staging root, leaving no
+    * half-created table behind). Partition transforms are refused — the
+    * layout surface is `CALL optimize` / programmatic bucketing. */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    require(info.partitions().isEmpty,
+      "CTAS with PARTITIONED BY is not supported — lay out with " +
+        "CALL optimize (curve compaction) or programmatic bucketing")
+    val dest = dirFor(ident)
+    if (Files.isDirectory(dest.resolve("_snapshots")))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val stagingRoot = Paths.get(warehouse, ".ctas",
+      java.util.UUID.randomUUID().toString)
+    Files.createDirectories(stagingRoot)
+    new GraftStagedCtasTable(ident, info.schema(),
+      stagingRoot, stagingRoot.resolve(ident.name()), Some(dest))
+  }
+
+  /** REPLACE TABLE … AS SELECT — the query result lands as ONE
+    * `commitReplace` on the existing table (a new snapshot version:
+    * history, time travel and constraints all survive, unlike a
+    * drop-and-recreate). The commit happens inside the write itself, so
+    * a failed query leaves the table untouched; commit/abort staging
+    * hooks are no-ops. */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    require(info.partitions().isEmpty,
+      "RTAS with PARTITIONED BY is not supported — lay out with " +
+        "CALL optimize (curve compaction) or programmatic bucketing")
+    val dest = dirFor(ident)
+    if (!Files.isDirectory(dest.resolve("_snapshots")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new GraftStagedCtasTable(ident, info.schema(), null, dest, None)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    if (Files.isDirectory(dirFor(ident).resolve("_snapshots"))) stageReplace(ident, info)
+    else stageCreate(ident, info)
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     sys.error("snapshot tables are immutable through the catalog")
   override def dropTable(ident: Identifier): Boolean = {
@@ -759,4 +803,80 @@ object GraftSnapshotFileReader {
     val max = new String(maxB, java.nio.charset.StandardCharsets.UTF_8)
     min <= rel && rel <= max
   }
+}
+
+/** The staged table behind atomic CTAS / RTAS (see
+  * [[GraftSnapshotCatalog.stageCreate]]). CTAS builds a complete snapshot
+  * table under `stagingRoot` and publishes it with ONE directory rename in
+  * `commitStagedChanges`; RTAS (`moveTo == None`) commits straight into the
+  * live table as one `commitReplace` version — both give all-or-nothing
+  * visibility. The declared schema is validated up front against what the
+  * SQL scan can serve (same rules as reads: bigint/int/double/string, no
+  * `_file` data column) so a CTAS can never create a table the catalog
+  * then refuses to load. */
+class GraftStagedCtasTable(
+    ident: Identifier,
+    declaredSchema: StructType,
+    stagingRoot: JPath,        // null for RTAS (nothing staged on disk)
+    writeDir: JPath,           // staged table dir (CTAS) or the live dir (RTAS)
+    moveTo: Option[JPath])     // Some(final dir) for CTAS
+  extends StagedTable with SupportsWrite {
+
+  locally {
+    val bad = declaredSchema.fields.filterNot(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    require(bad.isEmpty,
+      s"CTAS schema for $ident has columns the SQL catalog reader cannot " +
+        s"serve (${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}); " +
+        "supported: bigint/int/double/string — commit programmatically instead")
+    require(!declaredSchema.fieldNames.contains("_file"),
+      s"CTAS schema for $ident has a column named _file, which collides " +
+        "with the catalog's metadata column — rename it")
+  }
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): JSet[TableCapability] =
+    java.util.Set.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // the RTAS exec calls truncate() on the builder (replace semantics);
+  // every staged write IS a commitReplace, so truncate is the identity
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+            : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+              SnapshotTable.commitReplace(data, writeDir.toString); ()
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = moveTo.foreach { dest =>
+    Option(dest.getParent).foreach(Files.createDirectories(_))
+    try Files.move(writeDir, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        cleanupStaging()
+        sys.error(s"CTAS publish of $ident lost to a rival writer " +
+          s"(destination $dest appeared first): ${e.getMessage}")
+    }
+    cleanupStaging()
+  }
+
+  override def abortStagedChanges(): Unit = cleanupStaging()
+
+  private def cleanupStaging(): Unit =
+    if (stagingRoot != null && Files.exists(stagingRoot))
+      SnapshotTable.deleteRecursively(stagingRoot)
 }

@@ -67,6 +67,30 @@ class PrefixFilterJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
   }
 
+  test("cross candidates are a lossless superset of the true cross pairs") {
+    val rng = new Random(4100)
+    def mkSets(n: Int, idBase: Long): Seq[(Long, Set[Long])] =
+      (0 until n).map { i =>
+        (idBase + i,
+          (0 until 6 + rng.nextInt(10)).map(_ => rng.nextInt(40).toLong).toSet)
+      }
+    val qs = mkSets(25, 0L); val cs = mkSets(60, 1000L)
+    for ((tn, td) <- Seq((1, 2), (7, 10), (4, 5))) {
+      val trueCross = (for {
+        (qi, qa) <- qs; (ci, ca) <- cs
+        if (qa & ca).size * td >= tn * (qa | ca).size
+      } yield (qi, ci)).toSet
+      val qdf = qs.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("id", "hs")
+      val cdf = cs.map { case (id, s) => (id, s.toSeq.sorted) }.toDF("id", "hs")
+      val cand = PrefixFilterJoin.jaccardCrossCandidates(qdf, cdf, "id", "hs", tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(trueCross.subsetOf(cand),
+        s"t=$tn/$td lost ${(trueCross -- cand).take(3)}")
+      // and the filter is doing real work: candidates ≪ full cross product
+      assert(cand.size < qs.size * cs.size)
+    }
+  }
+
   test("containment matches brute force on random set families") {
     val rng = new Random(4100)
     for (trial <- 1 to 6) {

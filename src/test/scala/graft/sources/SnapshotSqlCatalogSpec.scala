@@ -319,4 +319,76 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("syntax") ||
       e.getMessage.contains("read-only"), e.getMessage)
   }
+  test("atomic CTAS: the table appears only on success, with full snapshot semantics") {
+    SnapshotTable.commitAppend(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)).toDF("k", "grp", "v")
+        .coalesce(1), s"$warehouse/ctsrc")
+    spark.sql(
+      """CREATE TABLE graft_snap.ctagg AS
+        |SELECT grp, count(*) AS n, sum(v) AS tot
+        |FROM graft_snap.ctsrc GROUP BY grp""".stripMargin)
+    val got = spark.sql("SELECT grp, n, tot FROM graft_snap.ctagg")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 2L, 40L), ("b", 1L, 20L)))
+    // a real snapshot table: version 1 exists, DML keeps working on it
+    assert(SnapshotTable.versions(s"$warehouse/ctagg") == Seq(1L))
+    spark.sql("INSERT INTO graft_snap.ctagg VALUES ('c', 1, 5)")
+    assert(spark.sql("SELECT count(*) FROM graft_snap.ctagg").head().getLong(0) == 3L)
+    // CTAS over an existing table refuses
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_snap.ctagg AS SELECT 1L AS x"))
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    // no staging debris survives
+    val staged = java.nio.file.Paths.get(warehouse, ".ctas")
+    assert(!Files.exists(staged) ||
+      !Files.list(staged).iterator().hasNext)
+  }
+
+  test("failed CTAS leaves no table behind (abort cleans the staging root)") {
+    // source table (not a VALUES literal — constant folding would throw
+    // before stageCreate and never exercise the abort path); the ANSI
+    // cast fails in the EXECUTOR mid-write
+    SnapshotTable.commitAppend(
+      Seq("boom").toDF("v").coalesce(1), s"$warehouse/ctfsrc")
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft_snap.ctfail AS
+        |SELECT CAST(v AS BIGINT) AS x FROM graft_snap.ctfsrc""".stripMargin))
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(warehouse, "ctfail", "_snapshots")))
+    val staged = java.nio.file.Paths.get(warehouse, ".ctas")
+    assert(!Files.exists(staged) || !Files.list(staged).iterator().hasNext)
+    val e2 = intercept[Exception](spark.sql("SELECT * FROM graft_snap.ctfail"))
+    assert(e2.getMessage.contains("ctfail"), e2.getMessage)
+  }
+
+  test("RTAS replaces as one new version; history and time travel survive") {
+    val t = s"$warehouse/rtt"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t) // v1
+    spark.sql(
+      "REPLACE TABLE graft_snap.rtt AS SELECT 9L AS k, 'z' AS v")            // v2
+    assert(spark.sql("SELECT k, v FROM graft_snap.rtt")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == Set((9L, "z")))
+    // the pre-replace version is still reachable
+    assert(spark.sql("SELECT k FROM graft_snap.rtt VERSION AS OF 1")
+      .head().getLong(0) == 1L)
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates it
+    val e = intercept[Exception](spark.sql(
+      "REPLACE TABLE graft_snap.rtt_missing AS SELECT 1L AS x"))
+    assert(e.getMessage.toLowerCase.contains("not found") ||
+      e.getMessage.toLowerCase.contains("cannot be found"), e.getMessage)
+    spark.sql("CREATE OR REPLACE TABLE graft_snap.rtt2 AS SELECT 1L AS x")
+    assert(spark.sql("SELECT x FROM graft_snap.rtt2").head().getLong(0) == 1L)
+    spark.sql("CREATE OR REPLACE TABLE graft_snap.rtt2 AS SELECT 2L AS x")
+    assert(spark.sql("SELECT x FROM graft_snap.rtt2").head().getLong(0) == 2L)
+    assert(SnapshotTable.versions(s"$warehouse/rtt2") == Seq(1L, 2L))
+  }
+
+  test("CTAS refuses schemas the SQL reader cannot serve, before any work") {
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_snap.ctbad AS SELECT array(1L, 2L) AS arr"))
+    assert(e.getMessage.contains("cannot"), e.getMessage)
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(warehouse, "ctbad", "_snapshots")))
+  }
 }
+
