@@ -73,6 +73,32 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"), sum(col("llr")).as("dsir_mllr"))
 
+  /** The LUT as a driver map — BOUNDED by nBuckets (the whole point of
+    * hashed features: the model is ≤ nBuckets longs however big the fit
+    * corpus), so the collect is safe at any scale. */
+  def lutMap(lut: DataFrame): Map[Long, Long] =
+    lut.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Map-side scoring against a FROZEN literal LUT — zero joins, zero
+    * shuffles, zero state, which makes it STREAMING-SAFE (append mode;
+    * score live ingest with the last fitted LUT, refit offline). Two
+    * deliberate differences from [[scored]], visible only on docs OUTSIDE
+    * the fit corpus: buckets never observed at fit time score 0 (the
+    * smoothed-prior posture) and still count in `n_tok`; on the fit
+    * corpus itself the two forms agree exactly (every bucket is observed
+    * — spec-proven). */
+  def scoredMapSide(docs: DataFrame, lut: Map[Long, Long], idCol: String,
+                    textCol: Column, nBuckets: Int): DataFrame = {
+    require(lut.nonEmpty && lut.size <= nBuckets, s"LUT size ${lut.size} vs $nBuckets")
+    val m = typedlit(lut)
+    val toks = TextHash.tokens(lower(textCol))
+    docs.select(col(idCol),
+      size(toks).as("n_tok"),
+      aggregate(
+        transform(toks, t => coalesce(element_at(m, bucket(t, nBuckets)), lit(0L))),
+        lit(0L), (acc, x) => acc + x).as("dsir_mllr"))
+  }
+
   /** DuckDB replay of the whole pipeline over table `documents`:
     * CTEs `bk` (doc_id, is_t, bkt), `lut` (bkt, llr), `sc`
     * (doc_id, n_tok, dsir_mllr). `targetSql` is a boolean predicate over

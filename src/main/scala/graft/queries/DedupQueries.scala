@@ -1185,6 +1185,25 @@ object DedupQueries {
         .toDF("round", "vec_id", "cover_d2")
     }),
 
+    // Coreset QUALITY census — q356's picks put to work: assign every
+    // point to its nearest pick (one map-side pass, literal centers, ties
+    // -> smallest round), then per center: population, exact d2 mass,
+    // radius, and the well-separated count (runner-up >= 4x assigned d2,
+    // i.e. second center at least twice as far). The standard post-fit
+    // audit before using a coreset as a stratification key.
+    "q358_coreset_assignment" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (_, cents) = graft.operators.KCenter
+        .fitWithVectors(e, "vec_id", "embedding", k = 8, seedId = 0L)
+      graft.operators.KCenter.assign(e, "vec_id", "embedding", cents)
+        .groupBy(col("center_round"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("d2")).as("sum_d2"),
+          max(col("d2")).as("max_d2"),
+          sum(when(col("d2_second") >= col("d2") * 4, 1L).otherwise(0L))
+            .as("n_wellsep"))
+    }),
+
     "q354_ann_mrr" -> ((s, d) => {
       import s.implicits._
       val p = graft.operators.NswGraph.Params(
@@ -2301,6 +2320,9 @@ object DedupQueries {
 
     "q356_kcenter_coreset" ->
       graft.operators.KCenter.oracleSql(k = 8, seedId = 0L, dim = 64),
+
+    "q358_coreset_assignment" ->
+      graft.operators.KCenter.assignOracleSql(k = 8, seedId = 0L, dim = 64),
 
     "q354_ann_mrr" -> graft.operators.NswGraph.mrrOracleSql(
       "embeddings", "vec_id", "embedding",

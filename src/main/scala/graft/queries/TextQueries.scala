@@ -135,6 +135,22 @@ object TextQueries {
           col("n_tok"), col("dsir_mllr"))
     }),
 
+    // The DSIR panel a curator reads before fixing a source mix: per
+    // source, exact integer mllr mass and the share of docs scoring
+    // target-positive — "which sources look like my target domain".
+    // Same LUT as q355; one extra source-grain aggregation.
+    "q359_dsir_source_panel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lut = Dsir.bucketLut(docs, col("lang") === "en", col("text"), 512)
+      Dsir.scored(docs, lut, "doc_id", col("text"), 512)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dsir_mllr")).as("sum_mllr"),
+          sum(when(col("dsir_mllr") > 0, 1L).otherwise(0L)).as("n_positive"))
+        .withColumn("pos_bp", expr("(n_positive * 10000) div n_docs"))
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     "q20_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -676,6 +692,16 @@ object TextQueries {
            |SELECT d.doc_id, d.lang, d.source, s.n_tok, s.dsir_mllr
            |FROM sc s JOIN documents d USING (doc_id)
            |ORDER BY s.dsir_mllr DESC, d.doc_id ASC LIMIT 64""".stripMargin,
+
+      "q359_dsir_source_panel" ->
+        s"""WITH ${Dsir.replayCtes("lang = 'en'", 512)}
+           |SELECT d.source, count(*)::BIGINT AS n_docs,
+           |  sum(s.dsir_mllr)::BIGINT AS sum_mllr,
+           |  sum(CASE WHEN s.dsir_mllr > 0 THEN 1 ELSE 0 END)::BIGINT AS n_positive,
+           |  ((sum(CASE WHEN s.dsir_mllr > 0 THEN 1 ELSE 0 END) * 10000)
+           |    // count(*))::BIGINT AS pos_bp
+           |FROM sc s JOIN documents d USING (doc_id)
+           |GROUP BY d.source""".stripMargin,
 
       "q20_token_count" ->
         s"""SELECT doc_id, len($toksSql) AS ws_tokens,

@@ -73,5 +73,50 @@ class DsirSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(scores(1L) > scores(3L))
     assert(scores(5L) > scores(3L) && scores(5L) < scores(1L))
+
+    // the frozen-LUT map-side form agrees exactly on the fit corpus,
+    // scores unseen vocabulary 0, and is streaming-safe (stateless)
+    val m = Dsir.lutMap(lutDf)
+    val mapSide = Dsir.scoredMapSide(docs, m, "doc_id", col("text"), nB)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val joined = Dsir.scored(docs, lutDf, "doc_id", col("text"), nB)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    joined.foreach { case (id, (n, sc)) =>
+      assert(mapSide(id) === ((n.toInt, sc)), s"doc $id") }
+    // a token whose BUCKET is absent from the LUT scores 0 (hashed
+    // features collide, so pick one with a provably unobserved bucket)
+    val fresh = (0 until 200).map(i => s"tok$i").toDF("t")
+      .select(col("t"), Dsir.bucket(col("t"), nB).as("b"))
+      .collect().collectFirst { case r if !m.contains(r.getLong(1)) => r.getString(0) }.get
+    val unseen = Seq((9L, s"$fresh $fresh")).toDF("doc_id", "text")
+    val u = Dsir.scoredMapSide(unseen, m, "doc_id", col("text"), nB).head()
+    assert(u.getInt(1) === 2 && u.getLong(2) === 0L)
+  }
+
+  test("map-side scoring over a stream equals the batch form under slicing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val docs = Seq((1L, "alpha beta"), (2L, "zeta eta"), (3L, "alpha zeta"),
+      (4L, "beta beta gamma"), (5L, "theta"))
+    val lut = Dsir.lutMap(Dsir.bucketLut(
+      docs.toDF("doc_id", "text"), col("doc_id") <= 2, col("text"), 32))
+    val batch = Dsir.scoredMapSide(
+      docs.toDF("doc_id", "text"), lut, "doc_id", col("text"), 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    for (sliceAt <- Seq(1, 3)) {
+      val mem = MemoryStream[(Long, String)]
+      val q = Dsir.scoredMapSide(mem.toDF().toDF("doc_id", "text"),
+          lut, "doc_id", col("text"), 32)
+        .writeStream.format("memory").queryName(s"dsir_$sliceAt")
+        .outputMode("append").start()
+      try {
+        val (a, b) = docs.splitAt(sliceAt)
+        mem.addData(a); q.processAllAvailable()
+        mem.addData(b); q.processAllAvailable()
+        val got = spark.table(s"dsir_$sliceAt")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(got === batch, s"sliceAt=$sliceAt")
+      } finally q.stop()
+    }
   }
 }
