@@ -95,14 +95,32 @@ class GraftSnapshotCatalog extends TableCatalog
     new GraftSnapshotVersionTable(dir.toString, v, writable = version.isEmpty)
   }
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+  /** `t$history` / `t$files` route to read-only METADATA tables (the
+    * Iceberg-style inspection surface, quoted as `` graft_snap.`t$files` ``);
+    * '$' is reserved in catalog table names for this. */
+  private def metaTableFor(ident: Identifier, version: Option[Long]): Option[Table] = {
+    val n = ident.name()
+    val di = n.lastIndexOf('$')
+    if (di <= 0) None
+    else {
+      val dir = dirFor(Identifier.of(ident.namespace(), n.substring(0, di))).toString
+      if (SnapshotTable.latestVersion(dir).isEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      Some(GraftMetaTables.table(dir, n, n.substring(di + 1), version))
+    }
+  }
 
-  /** `VERSION AS OF <v>` — the time-travel entry point. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, Some(
-      try version.toLong
+  override def loadTable(ident: Identifier): Table =
+    metaTableFor(ident, None).getOrElse(tableAt(ident, None))
+
+  /** `VERSION AS OF <v>` — the time-travel entry point (metadata tables
+    * pin too: `` t$files VERSION AS OF 3 `` lists version 3's files). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong
       catch { case _: NumberFormatException =>
-        sys.error(s"VERSION AS OF wants a numeric snapshot version, got '$version'") }))
+        sys.error(s"VERSION AS OF wants a numeric snapshot version, got '$version'") }
+    metaTableFor(ident, Some(v)).getOrElse(tableAt(ident, Some(v)))
+  }
 
   /** `TIMESTAMP AS OF <t>` — resolves to the LAST version (in version
     * order, the only total order) whose commit timestamp is at or before
@@ -273,33 +291,19 @@ private[sources] object GraftProcedures {
       case _ => Array(
         ProcedureParameter.in("table", StringType).build())
     }
-    // history READS (no write, no txn hazard): bypass the open-txn gate
+    // history READS (no write, no txn hazard): bypass the open-txn gate.
+    // Rows/schema shared with the `t$history` metadata table
+    // (GraftMetaTables) — one definition, two SQL spellings.
+    // named histRows, NOT rows: inside the anonymous LocalScan the
+    // override `def rows()` would shadow a local named `rows` and the
+    // body would recurse on ITSELF forever (cost one hung test run)
     private def historyScan(dir: String)
       : org.apache.spark.sql.connector.read.Scan = {
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("version",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("op", StringType),
-        org.apache.spark.sql.types.StructField("ts_millis",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_files",
-          org.apache.spark.sql.types.LongType, nullable = false)))
-      // manifest-scale: one row per RETAINED version — bounded by design
-      // (vacuum caps history), never row- or file-content-scale
-      // named histRows, NOT rows: inside the anonymous LocalScan the
-      // override `def rows()` would shadow a local named `rows` and the
-      // body would recurse on ITSELF forever (cost one hung test run)
-      val histRows = SnapshotTable.versions(dir).reverse.map { v =>
-        val snap = SnapshotTable.snapshot(dir, v)
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-          v, org.apache.spark.unsafe.types.UTF8String.fromString(snap.op),
-          snap.meta.get("ts").map(_.toLong).orNull,
-          snap.files.length.toLong))
-          : org.apache.spark.sql.catalyst.InternalRow
-      }.toArray
+      val histRows = GraftMetaTables.historyRows(dir, None)
       new org.apache.spark.sql.connector.read.LocalScan {
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = histRows
-        override def readSchema(): org.apache.spark.sql.types.StructType = schema
+        override def readSchema(): org.apache.spark.sql.types.StructType =
+          GraftMetaTables.historySchema
         override def description(): String = s"GraftHistoryScan($dir)"
       }
     }
@@ -574,9 +578,32 @@ class GraftSnapshotScan(label: String, files: Array[String],
                         relFiles: Array[String], dvDir: Option[String],
                         required: StructType,
                         filters: Array[org.apache.spark.sql.sources.Filter])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Planner statistics from the manifest's own file list — WITHOUT this,
+    * a DSv2 scan defaults to `defaultSizeInBytes` (effectively infinite)
+    * and a snapshot dimension table would NEVER be chosen as a broadcast
+    * side, forcing every snapshot join through a shuffle. sizeInBytes =
+    * the summed on-disk bytes of exactly the version's files (driver
+    * stat calls at manifest scale, no data I/O) — the same
+    * compressed-size heuristic Spark's own file sources feed the
+    * broadcast threshold. Row counts are left empty: they would need
+    * footer reads per PLANNING round, and size alone drives the join
+    * strategy. */
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = files.map { f =>
+        val p = Paths.get(f)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }.sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   override def description(): String =
     s"GraftSnapshotScan($label, files=${files.length}, " +
       s"rowGroupFilters=[${filters.mkString(", ")}]" +
@@ -879,4 +906,77 @@ class GraftStagedCtasTable(
   private def cleanupStaging(): Unit =
     if (stagingRoot != null && Files.exists(stagingRoot))
       SnapshotTable.deleteRecursively(stagingRoot)
+}
+
+/** Read-only metadata tables (`t$history`, `t$files`) and the row builders
+  * shared with `CALL history`. All manifest-scale: one row per retained
+  * version / per data file of one version — bounded by vacuum and
+  * compaction, never row-content-scale. */
+private[sources] object GraftMetaTables {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType),
+    StructField("ts_millis", LongType),
+    StructField("n_files", LongType, nullable = false)))
+
+  /** newest first; `upTo` truncates to versions ≤ it (the VERSION AS OF view). */
+  def historyRows(dir: String, upTo: Option[Long]): Array[InternalRow] =
+    SnapshotTable.versions(dir).filter(v => upTo.forall(v <= _)).reverse.map { v =>
+      val snap = SnapshotTable.snapshot(dir, v)
+      new GenericInternalRow(Array[Any](
+        v, UTF8String.fromString(snap.op),
+        snap.meta.get("ts").map(_.toLong).orNull,
+        snap.files.length.toLong)): InternalRow
+    }.toArray
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  def filesRows(dir: String, version: Option[Long]): Array[InternalRow] = {
+    val v = version.orElse(SnapshotTable.latestVersion(dir)).get
+    require(SnapshotTable.versions(dir).contains(v),
+      s"$dir has no version $v (vacuumed or never committed)")
+    SnapshotTable.snapshot(dir, v).files.map { f =>
+      val p = Paths.get(dir, f)
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(f),
+        if (Files.exists(p)) Files.size(p) else 0L)): InternalRow
+    }.toArray
+  }
+
+  def table(dir: String, label: String, kind: String, version: Option[Long]): Table = {
+    // mSchema, NOT schema: inside the anonymous Table a local named
+    // `schema` is SHADOWED by the `schema()` override, whose body would
+    // then recurse on itself forever (the documented LocalScan `rows`
+    // trap, same mechanism)
+    val (mSchema, rowsF): (StructType, () => Array[InternalRow]) = kind match {
+      case "history" => (historySchema, () => historyRows(dir, version))
+      case "files"   => (filesSchema, () => filesRows(dir, version))
+      case other => sys.error(
+        s"unknown metadata table '$$$other' — available: $$history, $$files")
+    }
+    new Table with SupportsRead {
+      override def name(): String = label
+      override def schema(): StructType = mSchema
+      override def capabilities(): JSet[TableCapability] =
+        java.util.Set.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan =
+            new org.apache.spark.sql.connector.read.LocalScan {
+              // materialize at SCAN build (execution), not table load
+              private val r = rowsF()
+              override def rows(): Array[InternalRow] = r
+              override def readSchema(): StructType = mSchema
+              override def description(): String = s"GraftMetaScan($label)"
+            }
+        }
+    }
+  }
 }

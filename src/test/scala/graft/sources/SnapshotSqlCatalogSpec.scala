@@ -390,5 +390,48 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(!Files.isDirectory(
       java.nio.file.Paths.get(warehouse, "ctbad", "_snapshots")))
   }
+  test("scan statistics from the manifest drive broadcast join planning") {
+    SnapshotTable.commitAppend(
+      spark.range(20000).select(col("id").as("k"), (col("id") % 100).as("g"))
+        .coalesce(2), s"$warehouse/stat_big")
+    SnapshotTable.commitAppend(
+      Seq((1L, "x"), (2L, "y")).toDF("g", "name").coalesce(1),
+      s"$warehouse/stat_dim")
+    val q = spark.sql(
+      """SELECT b.k, d.name FROM graft_snap.stat_big b
+        |JOIN graft_snap.stat_dim d ON b.g = d.g""".stripMargin)
+    // pre-AQE plan: without SupportsReportStatistics a DSv2 relation
+    // defaults to an effectively infinite size and no broadcast is ever
+    // planned — the BHJ here is the statistics at work
+    assert(q.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      q.queryExecution.sparkPlan.toString)
+    assert(q.count() === 400L)
+  }
+  test("metadata tables: t$history and t$files, pinnable with VERSION AS OF") {
+    val t = s"$warehouse/meta"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)   // v1
+    SnapshotTable.commitAppend(Seq((2L, "b")).toDF("k", "v").coalesce(1), t)   // v2
+    spark.sql("DELETE FROM graft_snap.meta WHERE k = 1")                       // v3
+    val hist = spark.sql("SELECT version, op, n_files FROM graft_snap.`meta$history`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.map(_._1).toSeq == Seq(3L, 2L, 1L), "newest first")
+    assert(hist.head._2 == "merge", hist.head._2) // CoW delete = a merge commit
+    // files of the LATEST version; every row carries real on-disk bytes
+    val files = spark.sql("SELECT file, bytes FROM graft_snap.`meta$files`")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(files.nonEmpty && files.forall(_._2 > 0))
+    // pinned: v1 had exactly one file; history AS OF 2 hides v3
+    assert(spark.sql("SELECT count(*) FROM graft_snap.`meta$files` VERSION AS OF 1")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT max(version) FROM graft_snap.`meta$history` VERSION AS OF 2")
+      .head().getLong(0) == 2L)
+    // unknown suffix and missing base refuse loudly
+    val e1 = intercept[Exception](spark.sql("SELECT * FROM graft_snap.`meta$bogus`"))
+    assert(e1.getMessage.contains("$history"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("SELECT * FROM graft_snap.`nope$files`"))
+    assert(e2.getMessage.toLowerCase.contains("not"), e2.getMessage)
+  }
 }
+
+
 
