@@ -191,6 +191,31 @@ object CorpusQueries {
     // Trigrams come from zip_with over a 3-way sliced char array — the
     // per-element lambda only concats (the HOF-lambda re-evaluation trap
     // re-runs lower(text) per POSITION if substr is used in transform).
+    // Zipf HEAD-slope fit: the rank-frequency power-law exponent every
+    // corpus report quotes, as exact-integer OLS of mlog2(freq) on
+    // mlog2(rank) over the TOP-1024 vocabulary head (the head is where
+    // Zipf's law is measured; bounding it also bounds the only global
+    // sort — TakeOrdered(1024) + a window over ≤1024 rows, never a
+    // vocab-scale sort). mlog2 keeps both axes int64, so the OLS
+    // numerator/denominator and the milli-slope are hash-exact — a float
+    // log-log regression would be an order-dependent float sum.
+    "q360_zipf_slope" -> ((s, d) => {
+      val f = Tables.documents(s, d)
+        .select(explode(TextHash.tokens(lower(col("text")))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+      val head = f.orderBy(desc("freq"), asc("t")).limit(1024)
+      val w = Window.orderBy(desc("freq"), asc("t")) // ≤1024 rows — bounded
+      head.withColumn("rank", row_number().over(w))
+        .select(graft.functions.PortableMath.mlog2(col("rank")).as("x"),
+          graft.functions.PortableMath.mlog2(col("freq")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("n").as("n_head"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("mslope", expr("(num * 1000) div den"))
+    }),
+
     // Count-Sketch (Charikar et al. 2002): d=5 signed hash rows × w=256
     // cells, estimate = MEDIAN over rows of sign·cell — the unbiased
     // sibling of Count-Min (whose estimates only over-count). Cells build
@@ -436,6 +461,24 @@ object CorpusQueries {
       graft.operators.BpeVocab.tokenPackOracleSql("documents", "text",
         "doc_id", numMerges = 32, minCount = 2L, chunk = 512L, headN = 8,
         batch = 8),
+
+    "q360_zipf_slope" -> {
+      val m = (x: String) => graft.functions.PortableMath.mlog2Sql(x)
+      s"""WITH tok AS (SELECT unnest(${TextHash.tokensSql("lower(text)")}) AS t
+         |            FROM documents),
+         |f AS (SELECT t, count(*)::BIGINT AS freq FROM tok GROUP BY t),
+         |head AS (SELECT t, freq FROM f ORDER BY freq DESC, t LIMIT 1024),
+         |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, t) AS rank
+         |      FROM head),
+         |xy AS (SELECT ${m("rank")} AS x, ${m("freq")} AS y FROM r),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |         sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+         |         sum(x*y)::BIGINT AS sxy FROM xy)
+         |SELECT n AS n_head, (n*sxy - sx*sy)::BIGINT AS num,
+         |  (n*sxx - sx*sx)::BIGINT AS den,
+         |  (((n*sxy - sx*sy) * 1000) // (n*sxx - sx*sx))::BIGINT AS mslope
+         |FROM st""".stripMargin
+    },
 
     // full sketch replay: same md5 cell/sign hashes, same 5-row median.
     "q357_count_sketch" -> {

@@ -555,7 +555,8 @@ class GraftSnapshotScanBuilder(label: String, files: Array[String],
                                relFiles: Array[String], dvDir: Option[String],
                                full: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -570,8 +571,177 @@ class GraftSnapshotScanBuilder(label: String, files: Array[String],
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
-  override def build(): Scan =
-    new GraftSnapshotScan(label, files, relFiles, dvDir, required, pushed)
+
+  /** AGGREGATE PUSHDOWN: `COUNT(*)` / `COUNT(col)` / `MIN` / `MAX` with no
+    * WHERE and no GROUP BY are answered from parquet FOOTER metadata —
+    * row counts and column statistics — without opening a single data
+    * page. At 100 TB that turns the most common health probes into
+    * manifest-scale driver I/O. The pushdown REFUSES (falls back to a
+    * full scan, still correct) whenever footer truth is insufficient:
+    * any residual filter (Spark only pushes filterless aggs here, but
+    * guard anyway), an outstanding deletion vector (footer counts include
+    * deleted rows), GROUP BY, DISTINCT, unsupported functions (sum/avg —
+    * footers carry no sums), min/max on strings (parquet string stats are
+    * unsigned-byte order, the zone-map caveat), or any block whose
+    * statistics are absent (e.g. NaN-poisoned doubles — parquet writers
+    * omit stats). Complete pushdown: the single emitted row IS the
+    * result; Spark plans no re-aggregation. */
+  private var aggResult: Option[(StructType, Array[Any])] = None
+  private var aggMemo: Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[(StructType, Array[Any])])] = None
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    evalAgg(agg).isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = evalAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def evalAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(StructType, Array[Any])] = {
+    aggMemo match {
+      case Some((a, r)) if a == agg => return r
+      case _ => ()
+    }
+    val r = evalAggOnce(agg)
+    aggMemo = Some((agg, r))
+    r
+  }
+
+  private def evalAggOnce(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    if (dvDir.isDefined || pushed.nonEmpty || agg.groupByExpressions().nonEmpty)
+      return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    // spec per func: Left(()) = COUNT(*), Right((col, kind)) with kind
+    // 0 = COUNT(col), 1 = MIN, 2 = MAX
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar => Left(())
+      case c: Count if !c.isDistinct =>
+        colOf(c.column()) match {
+          case Some(n) if full.fieldNames.contains(n) => Right((n, 0))
+          case _ => return None
+        }
+      case m: Min =>
+        colOf(m.column()) match {
+          case Some(n) if full.fieldNames.contains(n) &&
+            (full(n).dataType == LongType || full(n).dataType == IntegerType ||
+              full(n).dataType == DoubleType) => Right((n, 1))
+          case _ => return None
+        }
+      case m: Max =>
+        colOf(m.column()) match {
+          case Some(n) if full.fieldNames.contains(n) &&
+            (full(n).dataType == LongType || full(n).dataType == IntegerType ||
+              full(n).dataType == DoubleType) => Right((n, 2))
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val needCols: Array[String] = specs.collect { case Right((n, _)) => n }.distinct
+    // min/max folding applies ONLY to MIN/MAX columns — a COUNT(col) on a
+    // string column must not touch its (unsigned-byte-ordered) value stats
+    val mmCols: Set[String] = specs.collect { case Right((n, k)) if k != 0 => n }.toSet
+    var totalRows = 0L
+    val nonNull = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val mins = scala.collection.mutable.Map[String, Any]()
+    val maxs = scala.collection.mutable.Map[String, Any]()
+    def foldMinMax(n: String, mn: Any, mx: Any): Unit = {
+      def lt(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: java.lang.Long, y: java.lang.Long)       => x < y
+        case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+        case (x: java.lang.Double, y: java.lang.Double)   => x < y
+        case _ => sys.error(s"unexpected stat types ${a.getClass}/${b.getClass}")
+      }
+      if (!mins.contains(n) || lt(mn, mins(n))) mins(n) = mn
+      if (!maxs.contains(n) || lt(maxs(n), mx)) maxs(n) = mx
+    }
+    files.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          new org.apache.hadoop.conf.Configuration()))
+      try rd.getFooter.getBlocks.asScala.foreach { block =>
+        val rows = block.getRowCount
+        totalRows += rows
+        needCols.foreach { n =>
+          block.getColumns.asScala.find(_.getPath.toDotString == n) match {
+            case None => () // schema evolution: file predates the column -> all null
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              val nn = rows - st.getNumNulls
+              nonNull(n) += nn
+              if (nn > 0 && mmCols(n)) {
+                if (!st.hasNonNullValue) return None // values exist but no min/max
+                foldMinMax(n, st.genericGetMin, st.genericGetMax)
+              }
+          }
+        }
+      } finally rd.close()
+    }
+    val fields = specs.zipWithIndex.map {
+      case (Left(()), i)        => org.apache.spark.sql.types.StructField(s"agg_$i", LongType)
+      case (Right((n, 0)), i)   => org.apache.spark.sql.types.StructField(s"agg_$i", LongType)
+      case (Right((n, _)), i)   => org.apache.spark.sql.types.StructField(s"agg_$i", full(n).dataType)
+    }
+    val values: Array[Any] = specs.map {
+      case Left(())       => totalRows: java.lang.Long
+      case Right((n, 0))  => nonNull(n): java.lang.Long
+      case Right((n, 1))  => mins.getOrElse(n, null)
+      case Right((n, 2))  => maxs.getOrElse(n, null)
+    }.toArray
+    Some((StructType(fields), values))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, values)) =>
+      new GraftAggResultScan(label, aggSchema, values)
+    case None =>
+      new GraftSnapshotScan(label, files, relFiles, dvDir, required, pushed)
+  }
+}
+
+/** The one-row result of a completely pushed footer aggregation: no data
+  * pages are ever opened — the values were folded from footer metadata at
+  * planning time and ride the single input partition. */
+class GraftAggResultScan(label: String, aggSchema: StructType,
+                         values: Array[Any])
+  extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggResultScan($label, footer-only, ${aggSchema.length} aggs)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggResultPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggResultReaderFactory
+}
+
+case class GraftAggResultPartition(values: Array[Any]) extends InputPartition
+
+class GraftAggResultReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+    : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val vs = p.asInstanceOf[GraftAggResultPartition].values
+    new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class GraftSnapshotScan(label: String, files: Array[String],

@@ -431,7 +431,49 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     val e2 = intercept[Exception](spark.sql("SELECT * FROM graft_snap.`nope$files`"))
     assert(e2.getMessage.toLowerCase.contains("not"), e2.getMessage)
   }
+  test("aggregate pushdown: COUNT/MIN/MAX answer from footers, zero row groups read") {
+    val t = s"$warehouse/aggpd"
+    SnapshotTable.commitAppend(
+      (1 to 3000).map(i => (i.toLong, i.toDouble / 4, s"s$i")).toDF("k", "x", "s")
+        .repartition(3), t)
+    val before = SpjTable.rowGroupsRead.get()
+    val r = spark.sql(
+      "SELECT count(*), count(s), min(k), max(k), min(x), max(x) FROM graft_snap.aggpd")
+      .head()
+    assert(r.getLong(0) == 3000L && r.getLong(1) == 3000L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 3000L)
+    assert(r.getDouble(4) == 0.25 && r.getDouble(5) == 750.0)
+    assert(SpjTable.rowGroupsRead.get() == before,
+      "a pushed footer aggregation must not open any row group")
+
+    // schema evolution: files predating a column count it as all-null
+    SnapshotTable.commitAppend(
+      Seq((9001L, 2000.5, "z", 7L)).toDF("k", "x", "s", "w").coalesce(1), t)
+    val r2 = spark.sql(
+      "SELECT count(*), count(w), max(x) FROM graft_snap.aggpd").head()
+    assert(r2.getLong(0) == 3001L && r2.getLong(1) == 1L)
+    assert(r2.getDouble(2) == 2000.5)
+    assert(SpjTable.rowGroupsRead.get() == before, "still footer-only")
+
+    // refusal paths stay CORRECT (full scan): WHERE, GROUP BY, string min
+    assert(spark.sql("SELECT count(*) FROM graft_snap.aggpd WHERE k <= 10")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_snap.aggpd GROUP BY k % 2 ORDER BY 1 LIMIT 1")
+      .head().getLong(0) == 1500L)
+    assert(spark.sql("SELECT min(s) FROM graft_snap.aggpd").head().getString(0) == "s1")
+    assert(SpjTable.rowGroupsRead.get() > before, "fallbacks really scanned")
+
+    // a deletion vector makes footer counts stale -> pushdown refuses
+    val tdv = s"$warehouse/aggdv"
+    SnapshotTable.commitAppend(
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1), tdv)
+    SnapshotTable.deleteWhereMor(spark, tdv, col("k") <= 40L)
+    assert(spark.sql("SELECT count(*), max(k) FROM graft_snap.aggdv").head()
+      .toSeq == Seq(60L, 100L))
+  }
 }
+
 
 
 
