@@ -457,6 +457,32 @@ object DedupQueries {
           col("cluster_size"))
     }),
 
+    // Dedup-AWARE example weighting (the soft alternative to dropping
+    // near-dups): every member of an m-doc near-dup cluster weighs 1/m,
+    // in 1/2520 integer units (2520 = lcm(1..10) — exact reciprocals
+    // through m = 10, the q354 trick; larger clusters truncate
+    // identically on both engines). Per source: doc count, clustered
+    // count, integer weight mass, and the effective-size share in bp —
+    // "how much UNIQUE data does this source really contribute".
+    "q362_dedup_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.pairs(docs, "doc_id",
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("id_a"), col("id_b")))
+      val w = comp.join(comp.groupBy(col("root")).agg(count(lit(1)).as("m")), "root")
+        .select(col("id").as("doc_id"), expr("2520 div m").as("w"))
+      docs.select(col("doc_id"), col("source"))
+        .join(w, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+          sum(coalesce(col("w"), lit(2520L))).as("weight_sum"))
+        .withColumn("effective_bp",
+          expr("(weight_sum * 10000) div (n_docs * 2520)"))
+    }),
+
     // MUTUAL k-NN pairs (reciprocal nearest neighbors) — the robust
     // near-dup criterion kNN-graph methods build on: a pair qualifies
     // only if EACH is in the other's top-k, which kills the hub problem
@@ -1882,6 +1908,30 @@ object DedupQueries {
          |       FROM roots GROUP BY cluster_root)
          |SELECT doc_id, cluster_root, cluster_size
          |FROM roots JOIN sz ON roots.cluster_root = sz.cr""".stripMargin
+    },
+
+    "q362_dedup_weights" -> {
+      val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b AS a, id_a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |roots AS (SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_root AS cr, count(*)::BIGINT AS m
+         |       FROM roots GROUP BY cluster_root),
+         |w AS (SELECT doc_id, (2520 // m)::BIGINT AS w
+         |      FROM roots JOIN sz ON roots.cluster_root = sz.cr)
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN w.w IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_clustered,
+         |  sum(coalesce(w.w, 2520))::BIGINT AS weight_sum,
+         |  ((sum(coalesce(w.w, 2520)) * 10000) // (count(*) * 2520))::BIGINT
+         |    AS effective_bp
+         |FROM documents d LEFT JOIN w USING (doc_id)
+         |GROUP BY d.source""".stripMargin
     },
 
     // full probe = exact brute top-k, so the oracle is the plain window;

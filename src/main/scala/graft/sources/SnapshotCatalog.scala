@@ -200,8 +200,32 @@ class GraftSnapshotCatalog extends TableCatalog
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     if (Files.isDirectory(dirFor(ident).resolve("_snapshots"))) stageReplace(ident, info)
     else stageCreate(ident, info)
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    sys.error("snapshot tables are immutable through the catalog")
+  /** `ALTER TABLE … ADD COLUMNS (…)` — a metadata-only schema-evolution
+    * commit ([[SnapshotTable.addColumns]]): existing rows null-fill the
+    * new columns, no data file moves, history keeps serving. Everything
+    * else (DROP/RENAME/ALTER COLUMN) refuses: they would need column
+    * mapping the manifest format deliberately doesn't carry. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident).toString
+    if (SnapshotTable.latestVersion(dir).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested column adds are not supported (${a.fieldNames().mkString(".")})")
+        require(a.isNullable,
+          s"new column ${a.fieldNames()(0)} must be nullable — existing rows " +
+            "have no value for it")
+        require(a.position() == null,
+          "FIRST/AFTER positions are not supported — new columns append")
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType())
+      case other => sys.error(
+        s"unsupported ALTER ${other.getClass.getSimpleName} — only ADD COLUMNS " +
+          "(nullable, appended) is supported on snapshot tables")
+    }
+    SnapshotTable.addColumns(org.apache.spark.sql.SparkSession.active, dir, adds)
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
     if (!Files.exists(dir)) false

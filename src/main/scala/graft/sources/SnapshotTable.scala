@@ -731,6 +731,32 @@ object SnapshotTable {
       metaOnly = true, opOverride = Some("add-constraint"))
   }
 
+  /** ALTER TABLE ADD COLUMNS — a METADATA-ONLY schema-evolution commit:
+    * the new fields append (forced nullable — every existing row
+    * null-fills them, exactly the append-merge policy) and no data file
+    * moves. Refuses duplicates case-insensitively (Spark resolution is
+    * case-insensitive by default) and legacy tables without a recorded
+    * schema (inventing one would be a lie readers act on). */
+  def addColumns(spark: SparkSession, tableDir: String,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(fields.nonEmpty, "addColumns with no fields")
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"addColumns on empty table $tableDir"))
+    val cur = schemaOf(tableDir, v).getOrElse(sys.error(
+      s"$tableDir@v$v records no schema (pre-schema-tracking manifest) — " +
+        "re-commit the table before ALTERing it"))
+    val existing = cur.fieldNames.map(_.toLowerCase).toSet
+    fields.foreach(f => require(!existing(f.name.toLowerCase),
+      s"column ${f.name} already exists on $tableDir"))
+    require(fields.map(_.name.toLowerCase).distinct.size == fields.size,
+      "duplicate column names in ADD COLUMNS")
+    val merged = StructType(cur.fields ++ fields.map(_.copy(nullable = true)))
+    commit(spark.emptyDataFrame, tableDir, replace = false,
+      extraMeta = Seq.empty, expectedVersion = Some(v),
+      metaOnly = true, opOverride = Some("add-columns"),
+      schemaOverride = Some(merged))
+  }
+
   /** Drop a CHECK constraint (metadata-only commit). */
   def dropConstraint(spark: SparkSession, tableDir: String, name: String): Long = {
     val v = latestVersion(tableDir).getOrElse(
@@ -1962,7 +1988,8 @@ object SnapshotTable {
       metaOnly: Boolean = false,
       opOverride: Option[String] = None,
       dropMetaKeys: Set[String] = Set.empty,
-      txn: Option[SnapshotTxn.Handle] = None): Long = {
+      txn: Option[SnapshotTxn.Handle] = None,
+      schemaOverride: Option[StructType] = None): Long = {
     init(tableDir)
     txn.foreach { h =>
       require(h.tables.contains(Paths.get(tableDir).toAbsolutePath.toString),
@@ -2113,7 +2140,8 @@ object SnapshotTable {
       // records nothing — inventing an "authoritative" schema without
       // knowing the old files' columns would be a lie readers act on.
       val schemaEntry: Option[(String, String)] =
-        if (metaOnly) prevMeta.get("schema").map("schema" -> _)
+        if (schemaOverride.isDefined) Some("schema" -> schemaOverride.get.json)
+        else if (metaOnly) prevMeta.get("schema").map("schema" -> _)
         else if (replace || prev.isEmpty) Some("schema" -> df.schema.json)
         else prev.get.meta.get("schema").map { pj =>
           val merged = mergeSchemas(

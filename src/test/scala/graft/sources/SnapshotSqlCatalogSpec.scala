@@ -472,7 +472,32 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*), max(k) FROM graft_snap.aggdv").head()
       .toSeq == Seq(60L, 100L))
   }
+  test("ALTER TABLE ADD COLUMNS: metadata-only evolution, null-filled history") {
+    val t = s"$warehouse/alt"
+    SnapshotTable.commitAppend(Seq((1L, "a")).toDF("k", "v").coalesce(1), t)   // v1
+    spark.sql("ALTER TABLE graft_snap.alt ADD COLUMNS (w BIGINT, note STRING)") // v2
+    assert(SnapshotTable.snapshot(t, 2L).op == "add-columns")
+    // existing rows null-fill; inserts can now target the new columns
+    val r = spark.sql("SELECT k, v, w, note FROM graft_snap.alt").head()
+    assert(r.getLong(0) == 1L && r.isNullAt(2) && r.isNullAt(3))
+    spark.sql("INSERT INTO graft_snap.alt VALUES (2, 'b', 9, 'n')")
+    assert(spark.sql("SELECT sum(w) FROM graft_snap.alt").head().getLong(0) == 9L)
+    // time travel: the pre-ALTER version has the old schema
+    assert(spark.sql("SELECT * FROM graft_snap.alt VERSION AS OF 1").schema
+      .fieldNames.toSeq == Seq("k", "v"))
+    // refusals: duplicate, non-nullable, drop
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_snap.alt ADD COLUMNS (K BIGINT)"))
+    assert(e1.getMessage.toLowerCase.contains("exists"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_snap.alt ADD COLUMNS (z BIGINT NOT NULL)"))
+    assert(e2.getMessage.toLowerCase.contains("nullable"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_snap.alt DROP COLUMN v"))
+    assert(e3.getMessage.contains("ADD COLUMNS"), e3.getMessage)
+  }
 }
+
 
 
 
