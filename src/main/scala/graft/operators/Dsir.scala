@@ -50,9 +50,15 @@ object Dsir {
   def bucketLut(docs: DataFrame, isTarget: Column, textCol: Column, nBuckets: Int): DataFrame = {
     val b = toks(docs, textCol, Seq(isTarget.as("is_t")))
       .select(col("is_t"), bucket(col("t"), nBuckets).as("bkt"))
+    // cnt is consumed twice (the totals aggregate + the llr projection) —
+    // unpersisted, each consumer would re-run the full corpus tokenize +
+    // hash + groupBy (the round-5 rule). ≤ nBuckets rows, trivially
+    // cached; same caching contract as MinHashDedup.pairs: long-lived
+    // callers clearCache once the LUT is consumed (Bench does).
     val cnt = b.groupBy("bkt").agg(
       count(lit(1)).as("cs"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cnt.agg(sum(col("cs")).as("ns"), sum(col("ct")).as("nt"))
     cnt.crossJoin(broadcast(tot)).select(
       col("bkt"),

@@ -213,7 +213,10 @@ object CorpusQueries {
         .select(col("n").as("n_head"),
           (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
           (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
-        .withColumn("mslope", expr("(num * 1000) div den"))
+        // den = 0 on a degenerate single-row head: gate on BOTH engines
+        // (the q263 rule) — Spark div would NULL, DuckDB // would ERROR
+        .withColumn("mslope",
+          expr("CASE WHEN den > 0 THEN (num * 1000) div den END"))
     }),
 
     // Count-Sketch (Charikar et al. 2002): d=5 signed hash rows × w=256
@@ -476,7 +479,9 @@ object CorpusQueries {
          |         sum(x*y)::BIGINT AS sxy FROM xy)
          |SELECT n AS n_head, (n*sxy - sx*sy)::BIGINT AS num,
          |  (n*sxx - sx*sx)::BIGINT AS den,
-         |  (((n*sxy - sx*sy) * 1000) // (n*sxx - sx*sx))::BIGINT AS mslope
+         |  (CASE WHEN (n*sxx - sx*sx) > 0
+         |        THEN ((n*sxy - sx*sy) * 1000) // (n*sxx - sx*sx) END)::BIGINT
+         |    AS mslope
          |FROM st""".stripMargin
     },
 

@@ -418,8 +418,13 @@ object LshIndex {
     // the accept filter below is byte-identical to the oracle's replay,
     // so the truth SET — and the gate hash — are unchanged (the gate
     // match is itself the losslessness proof, the q98 doctrine).
+    // both hash relations feed candidate generation AND the verify join —
+    // persist so the shingle-hash scan runs once per relation (round-5
+    // rule; probe's caching contract already applies to this method)
     val qsh = MinHashDedup.hashed(sample, idCol, shingleHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val csh = readLive(spark, dir, "docs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tn = math.floor(cfg.jaccardThreshold * 1000).toInt
     val truth = graft.operators.PrefixFilterJoin
       .jaccardCrossCandidates(qsh, csh, "id", "hashes", tn, 1000)

@@ -176,9 +176,13 @@ class GraftSnapshotCatalog extends TableCatalog
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val stagingRoot = Paths.get(warehouse, ".ctas",
       java.util.UUID.randomUUID().toString)
-    Files.createDirectories(stagingRoot)
-    new GraftStagedCtasTable(ident, info.schema(),
+    // construct (= validate the schema) BEFORE creating the staging root:
+    // a refusal here must not leak an orphan .ctas/<uuid>/ dir — Spark
+    // never calls abortStagedChanges on a stageCreate that threw
+    val staged = new GraftStagedCtasTable(ident, info.schema(),
       stagingRoot, stagingRoot.resolve(ident.name()), Some(dest))
+    Files.createDirectories(stagingRoot)
+    staged
   }
 
   /** REPLACE TABLE … AS SELECT — the query result lands as ONE
@@ -218,6 +222,21 @@ class GraftSnapshotCatalog extends TableCatalog
             "have no value for it")
         require(a.position() == null,
           "FIRST/AFTER positions are not supported — new columns append")
+        // the CTAS rule applies here too: an ALTER must never commit a
+        // schema the catalog then refuses to serve (the metadata commit
+        // would land BEFORE the load-time refusal fires, bricking every
+        // later SELECT until a programmatic restoreVersion)
+        require(a.dataType() match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        }, s"column ${a.fieldNames()(0)}: ${a.dataType().simpleString} is not " +
+          "servable by the SQL catalog reader (bigint/int/double/string) — " +
+          "evolve the schema with a programmatic commit instead")
+        require(a.fieldNames()(0) != "_file",
+          "_file collides with the catalog's metadata column")
         org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType())
       case other => sys.error(
         s"unsupported ALTER ${other.getClass.getSimpleName} — only ADD COLUMNS " +
@@ -788,16 +807,7 @@ class GraftSnapshotScan(label: String, files: Array[String],
     * strategy. */
   override def estimateStatistics()
     : org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = files.map { f =>
-        val p = Paths.get(f)
-        if (Files.exists(p)) Files.size(p) else 0L
-      }.sum
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
-    }
+    GraftScanStats.fromFiles(files)
   override def description(): String =
     s"GraftSnapshotScan($label, files=${files.length}, " +
       s"rowGroupFilters=[${filters.mkString(", ")}]" +
@@ -1100,6 +1110,26 @@ class GraftStagedCtasTable(
   private def cleanupStaging(): Unit =
     if (stagingRoot != null && Files.exists(stagingRoot))
       SnapshotTable.deleteRecursively(stagingRoot)
+}
+
+/** The one Statistics builder every graft DSv2 scan shares: summed
+  * on-disk bytes of a file list (driver stat calls, no data I/O), rows
+  * left empty. One definition so caveat fixes (caching, deleted files,
+  * row counts) can't drift between the snapshot and SPJ scans. */
+private[sources] object GraftScanStats {
+  def fromFiles(fs: Iterable[String])
+    : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = fs.map { f =>
+      val p = Paths.get(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 }
 
 /** Read-only metadata tables (`t$history`, `t$files`) and the row builders

@@ -332,21 +332,11 @@ class GraftSpjScan(dir: String, meta: SpjTable.Meta, required: StructType,
 
   /** Same posture as GraftSnapshotScan: without reported statistics a
     * DSv2 relation sizes as defaultSizeInBytes (effectively infinite) and
-    * can never be a broadcast side. Summed on-disk bytes of the bucket
-    * files — driver stat calls at file-count scale, no data I/O. */
+    * can never be a broadcast side. Shared builder — see GraftScanStats. */
   override def estimateStatistics()
     : org.apache.spark.sql.connector.read.Statistics =
-    new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = (0 until meta.nBuckets)
-        .flatMap(b => SpjTable.bucketFiles(dir, b)).map { f =>
-          val p = java.nio.file.Paths.get(f)
-          if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
-        }.sum
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
-    }
+    GraftScanStats.fromFiles(
+      (0 until meta.nBuckets).flatMap(b => SpjTable.bucketFiles(dir, b)))
   override def description(): String =
     s"GraftSpjScan(dir=$dir, bucket(${meta.nBuckets}, ${meta.keyCol}), " +
       s"rowGroupFilters=[${filters.mkString(", ")}])"

@@ -25,6 +25,14 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     w
   }
 
+  /** stream CLOSED (the round-12 fd-leak rule for directory listings). */
+  private def ctasStagingEmpty(): Boolean = {
+    val staged = java.nio.file.Paths.get(warehouse, ".ctas")
+    if (!Files.exists(staged)) return true
+    val st = Files.list(staged)
+    try !st.iterator().hasNext finally st.close()
+  }
+
   test("SELECT serves the latest snapshot; VERSION AS OF pins any retained one") {
     val t = s"$warehouse/tt"
     SnapshotTable.commitAppend(
@@ -339,9 +347,7 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       "CREATE TABLE graft_snap.ctagg AS SELECT 1L AS x"))
     assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
     // no staging debris survives
-    val staged = java.nio.file.Paths.get(warehouse, ".ctas")
-    assert(!Files.exists(staged) ||
-      !Files.list(staged).iterator().hasNext)
+    assert(ctasStagingEmpty())
   }
 
   test("failed CTAS leaves no table behind (abort cleans the staging root)") {
@@ -355,8 +361,7 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
         |SELECT CAST(v AS BIGINT) AS x FROM graft_snap.ctfsrc""".stripMargin))
     assert(!Files.isDirectory(
       java.nio.file.Paths.get(warehouse, "ctfail", "_snapshots")))
-    val staged = java.nio.file.Paths.get(warehouse, ".ctas")
-    assert(!Files.exists(staged) || !Files.list(staged).iterator().hasNext)
+    assert(ctasStagingEmpty())
     val e2 = intercept[Exception](spark.sql("SELECT * FROM graft_snap.ctfail"))
     assert(e2.getMessage.contains("ctfail"), e2.getMessage)
   }
