@@ -462,7 +462,27 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val files = snap.files.map(f => Paths.get(dir, f).toString).toArray
-    new GraftSnapshotScanBuilder(name(), files, snap.files.toArray, dvDir, tableSchema)
+    // per-file zone stats by column (legacy single zonecol + multi-zone
+    // keys), fed to the scan's RUNTIME file pruning
+    def parse(v: String): (Double, Double) = {
+      val Array(mn, mx) = v.split(","); (mn.toDouble, mx.toDouble)
+    }
+    val zoneStats: Map[String, Map[String, (Double, Double)]] = {
+      val single = snap.meta.get("zonecol").map { zc =>
+        zc -> snap.files.flatMap(f =>
+          snap.meta.get(s"zone:$f").map(v => f -> parse(v))).toMap
+      }
+      val multi = snap.meta.get("zonecols").toSeq.flatMap(_.split(","))
+        .filter(_.nonEmpty).map { c =>
+          c -> snap.files.flatMap(f =>
+            snap.meta.get(s"zone:$c:$f").map(v => f -> parse(v))).toMap
+        }
+      // merge (a column can be both the legacy zonecol and a multi col)
+      (single.toSeq ++ multi).groupBy(_._1)
+        .map { case (c, ms) => c -> ms.map(_._2).reduce(_ ++ _) }
+    }
+    new GraftSnapshotScanBuilder(name(), files, snap.files.toArray, dvDir,
+      tableSchema, zoneStats)
   }
 
   private def requireWritable(what: String): Unit =
@@ -596,7 +616,8 @@ object GraftSnapshotVersionTable {
 
 class GraftSnapshotScanBuilder(label: String, files: Array[String],
                                relFiles: Array[String], dvDir: Option[String],
-                               full: StructType)
+                               full: StructType,
+                               zoneStats: Map[String, Map[String, (Double, Double)]] = Map.empty)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -751,7 +772,8 @@ class GraftSnapshotScanBuilder(label: String, files: Array[String],
     case Some((aggSchema, values)) =>
       new GraftAggResultScan(label, aggSchema, values)
     case None =>
-      new GraftSnapshotScan(label, files, relFiles, dvDir, required, pushed)
+      new GraftSnapshotScan(label, files, relFiles, dvDir, required, pushed,
+        zoneStats)
   }
 }
 
@@ -787,13 +809,86 @@ class GraftAggResultReaderFactory extends PartitionReaderFactory {
   }
 }
 
-class GraftSnapshotScan(label: String, files: Array[String],
-                        relFiles: Array[String], dvDir: Option[String],
+class GraftSnapshotScan(label: String, files0: Array[String],
+                        relFiles0: Array[String], dvDir: Option[String],
                         required: StructType,
-                        filters: Array[org.apache.spark.sql.sources.Filter])
-  extends Scan with Batch with SupportsReportStatistics {
+                        filters: Array[org.apache.spark.sql.sources.Filter],
+                        zoneStats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  // runtime filtering narrows these BEFORE planInputPartitions (the
+  // BatchScanExec contract: filter() on the driver, then re-plan)
+  private var files: Array[String] = files0
+  private var relFiles: Array[String] = relFiles0
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME file pruning (the DSv2 sibling of dynamic partition
+    * pruning): a join against a filtered dimension sends the build side's
+    * key VALUES here before the scan executes, and any file whose zone
+    * stats exclude every value is dropped WITHOUT a task — at 100 TB a
+    * selective dim join reads only the files that can match. Only
+    * zone-stat'd columns are offered ([[SnapshotTable]] `zonecol`/
+    * `zonecols` meta — optimize/compaction layouts write them); files
+    * without stats always survive (advisory pruning, the SPJ contract).
+    * Stored bounds are doubles written by the commit's min/max cast —
+    * widened 1 ulp on each side so nearest-rounding of extreme int64
+    * values can never prune a file that truly contains a probe value. */
+  override def filterAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    zoneStats.keys.toArray.sorted
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : Unit = predicates.foreach { p =>
+    def litD(e: org.apache.spark.sql.connector.expressions.Expression): Option[Double] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+            case x: java.lang.Long    => Some(x.toDouble)
+            case x: java.lang.Integer => Some(x.toDouble)
+            case x: java.lang.Double  => Some(x)
+            case x: java.lang.Short   => Some(x.toDouble)
+            case _ => None
+          }
+        case _ => None
+      }
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+        case _ => None
+      }
+    val parsed: Option[(String, Seq[Double])] = p.name() match {
+      case "IN" if p.children().length >= 2 =>
+        for {
+          n <- refName(p.children()(0))
+          vs <- { val o = p.children().drop(1).map(litD)
+                  if (o.forall(_.isDefined)) Some(o.map(_.get).toSeq) else None }
+        } yield (n, vs)
+      case "=" if p.children().length == 2 =>
+        for (n <- refName(p.children()(0)); v <- litD(p.children()(1)))
+          yield (n, Seq(v))
+      case _ => None
+    }
+    parsed.foreach { case (colName, values) =>
+      zoneStats.get(colName).foreach { st =>
+        val keepIdx = relFiles.indices.filter { i =>
+          st.get(relFiles(i)) match {
+            case Some((mn, mx)) =>
+              val lo = math.nextDown(mn); val hi = math.nextUp(mx)
+              values.exists(v => v >= lo && v <= hi)
+            case None => true // no stats recorded -> always a candidate
+          }
+        }
+        GraftSnapshotScan.filesPrunedRuntime.addAndGet(
+          (relFiles.length - keepIdx.size).toLong)
+        files = keepIdx.map(files(_)).toArray
+        relFiles = keepIdx.map(relFiles(_)).toArray
+      }
+    }
+  }
 
   /** Planner statistics from the manifest's own file list — WITHOUT this,
     * a DSv2 scan defaults to `defaultSizeInBytes` (effectively infinite)
@@ -841,6 +936,11 @@ class GraftSnapshotScan(label: String, files: Array[String],
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftSnapshotReaderFactory
+}
+
+object GraftSnapshotScan {
+  /** observability for specs/ops: files dropped by runtime filtering. */
+  val filesPrunedRuntime = new java.util.concurrent.atomic.AtomicLong()
 }
 
 case class GraftSnapshotFilePartition(

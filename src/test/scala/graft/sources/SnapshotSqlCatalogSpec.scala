@@ -501,7 +501,27 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       "ALTER TABLE graft_snap.alt DROP COLUMN v"))
     assert(e3.getMessage.contains("ADD COLUMNS"), e3.getMessage)
   }
+  test("runtime file pruning: a selective dim join drops files before any task") {
+    val t = s"$warehouse/rtp"
+    SnapshotTable.commitReplace(
+      (1 to 4000).map(i => (i.toLong, i.toLong * 3)).toDF("k", "m")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      t, zoneCol = Some("k"))
+    SnapshotTable.commitAppend(
+      Seq((5L, "hit"), (17L, "hit"), (23L, "miss")).toDF("k", "tag").coalesce(1),
+      s"$warehouse/rtpdim")
+    val before = GraftSnapshotScan.filesPrunedRuntime.get()
+    val q = spark.sql(
+      """SELECT b.k, b.m FROM graft_snap.rtp b
+        |JOIN graft_snap.rtpdim d ON b.k = d.k WHERE d.tag = 'hit'""".stripMargin)
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((5L, 15L), (17L, 51L)))
+    assert(GraftSnapshotScan.filesPrunedRuntime.get() - before >= 3,
+      "keys 5 and 17 live in one of four range-clustered files — the other " +
+        "three must prune at runtime")
+  }
 }
+
 
 
 
