@@ -219,6 +219,43 @@ object CorpusQueries {
           expr("CASE WHEN den > 0 THEN (num * 1000) div den END"))
     }),
 
+    // Good–Turing frequency smoothing + unseen-mass estimate: the classic
+    // "how much of the language haven't we seen" corpus statistic, over
+    // word TRIGRAMS (this corpus's unigram vocabulary is 31 closed-class
+    // tokens with min count ~26 — no tail; trigrams have ~9k singletons).
+    // Everything is exact: unseen mass = n1/N in integer bp, smoothed
+    // counts r* = (r+1)·n_{r+1}/n_r as integer numerator/denominator
+    // pairs (the rational form downstream LM code actually wants).
+    // Trigram build is the zip_with-of-slices form (arrays bind once —
+    // the q97 shape, not the per-element re-split HOF trap). Shape: one
+    // explode + the count agg + a tiny freq-of-freq agg + a ≤6-row join.
+    "q363_good_turing" -> ((s, d) => {
+      val t = TextHash.tokens(lower(col("text")))
+      val len3 = greatest(size(t) - 2, lit(0))
+      val g3 = zip_with(
+        zip_with(slice(t, lit(1), len3), slice(t, lit(2), len3),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(t, lit(3), len3), (ab, c) => concat(ab, lit(" "), c))
+      val f = Tables.documents(s, d)
+        .select(explode(g3).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // ff + totals
+      val ff = f.groupBy(col("cnt")).agg(count(lit(1)).as("n_r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // rows + r+1 side
+      val tot = f.agg(sum(col("cnt")).as("big_n"), count(lit(1)).as("vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"))
+      ff.filter(col("cnt") <= 6)
+        .join(ff.select((col("cnt") - 1).as("cnt"), col("n_r").as("n_rp1")),
+          Seq("cnt"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("cnt").as("r"), col("n_r"),
+          coalesce(col("n_rp1"), lit(0L)).as("n_rp1"),
+          ((col("cnt") + 1) * coalesce(col("n_rp1"), lit(0L))).as("rstar_num"),
+          col("n_r").as("rstar_den"),
+          col("big_n"), col("vocab"),
+          expr("(n1 * 10000) div big_n").as("unseen_bp"))
+    }),
+
     // Count-Sketch (Charikar et al. 2002): d=5 signed hash rows × w=256
     // cells, estimate = MEDIAN over rows of sign·cell — the unbiased
     // sibling of Count-Min (whose estimates only over-count). Cells build
@@ -484,6 +521,24 @@ object CorpusQueries {
          |    AS mslope
          |FROM st""".stripMargin
     },
+
+    "q363_good_turing" ->
+      s"""WITH tok AS (SELECT ${TextHash.tokensSql("lower(text)")} AS t
+         |            FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+         |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g FROM tok),
+         |f AS (SELECT g, count(*)::BIGINT AS cnt FROM g GROUP BY g),
+         |ff AS (SELECT cnt, count(*)::BIGINT AS n_r FROM f GROUP BY cnt),
+         |tot AS (SELECT sum(cnt)::BIGINT AS big_n, count(*)::BIGINT AS vocab,
+         |          sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+         |        FROM f)
+         |SELECT a.cnt AS r, a.n_r, coalesce(b.n_r, 0)::BIGINT AS n_rp1,
+         |  ((a.cnt + 1) * coalesce(b.n_r, 0))::BIGINT AS rstar_num,
+         |  a.n_r AS rstar_den, tot.big_n, tot.vocab,
+         |  ((tot.n1 * 10000) // tot.big_n)::BIGINT AS unseen_bp
+         |FROM ff a LEFT JOIN ff b ON b.cnt = a.cnt + 1
+         |CROSS JOIN tot
+         |WHERE a.cnt <= 6""".stripMargin,
 
     // full sketch replay: same md5 cell/sign hashes, same 5-row median.
     "q357_count_sketch" -> {

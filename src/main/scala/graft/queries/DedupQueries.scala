@@ -483,6 +483,42 @@ object DedupQueries {
           expr("(weight_sum * 10000) div (n_docs * 2520)"))
     }),
 
+    // LEAKAGE-FREE train/test split: assign splits by md5 of the dedup
+    // CLUSTER root (singletons = their own root), so no near-dup pair
+    // ever straddles train and test — the PREVENTIVE dual of q306's
+    // contamination measurement. Emits both strategies' straddle counts
+    // (naive per-doc hashing straddles multi-doc clusters whenever
+    // members hash apart; cluster-keyed hashing straddles ZERO by
+    // construction — the 0 is hash-checked, not asserted).
+    "q364_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = MinHashDedup.pairs(docs, "doc_id",
+        graft.functions.VectorExpressions.wordShingleHashes(col("text"), 3, TextHash.P),
+        wordCfg)
+      val comp = graft.operators.ConnectedComponents.minLabel(
+        pairs.select(col("id_a"), col("id_b")))
+      def split(c: org.apache.spark.sql.Column) =
+        when(TextHash.md5Long(concat(lit("sp:"), c.cast("string"))) % 10 < 8,
+          "train").otherwise("test")
+      val lab = docs.select(col("doc_id"))
+        .join(comp.select(col("id").as("doc_id"), col("root")), Seq("doc_id"), "left")
+        .withColumn("cr", coalesce(col("root"), col("doc_id")))
+        .select(col("doc_id"), col("root"), col("cr"),
+          split(col("doc_id")).as("sp_naive"), split(col("cr")).as("sp_cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val straddle = lab.filter(col("root").isNotNull)
+        .groupBy(col("cr"))
+        .agg(countDistinct(col("sp_naive")).as("dn"),
+          countDistinct(col("sp_cluster")).as("dc"))
+        .agg(sum(when(col("dn") > 1, 1L).otherwise(0L)).as("naive_straddle"),
+          sum(when(col("dc") > 1, 1L).otherwise(0L)).as("cluster_straddle"),
+          count(lit(1)).as("n_clusters"))
+      lab.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sp_naive") === "train", 1L).otherwise(0L)).as("naive_train"),
+          sum(when(col("sp_cluster") === "train", 1L).otherwise(0L)).as("cluster_train"))
+        .crossJoin(broadcast(straddle))
+    }),
+
     // MUTUAL k-NN pairs (reciprocal nearest neighbors) — the robust
     // near-dup criterion kNN-graph methods build on: a pair qualifies
     // only if EACH is in the other's top-k, which kills the hub problem
@@ -1932,6 +1968,43 @@ object DedupQueries {
          |    AS effective_bp
          |FROM documents d LEFT JOIN w USING (doc_id)
          |GROUP BY d.source""".stripMargin
+    },
+
+    "q364_cluster_split" -> {
+      val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
+        TextHash.wordShinglesSql("text", 3), wordCfg)
+      def splitSql(c: String) =
+        s"(CASE WHEN ${TextHash.md5LongSql(s"'sp:' || ($c)::VARCHAR")} % 10 < 8 " +
+          "THEN 'train' ELSE 'test' END)"
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
+         |e AS (SELECT id_a AS a, id_b AS b FROM p
+         |      UNION SELECT id_b AS a, id_a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |roots AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, roots.root,
+         |          coalesce(roots.root, d.doc_id) AS cr,
+         |          ${splitSql("d.doc_id")} AS sp_naive,
+         |          ${splitSql("coalesce(roots.root, d.doc_id)")} AS sp_cluster
+         |        FROM documents d LEFT JOIN roots USING (doc_id)),
+         |str AS (SELECT sum(CASE WHEN dn > 1 THEN 1 ELSE 0 END)::BIGINT
+         |            AS naive_straddle,
+         |          sum(CASE WHEN dc > 1 THEN 1 ELSE 0 END)::BIGINT
+         |            AS cluster_straddle,
+         |          count(*)::BIGINT AS n_clusters
+         |        FROM (SELECT cr, count(DISTINCT sp_naive) AS dn,
+         |                count(DISTINCT sp_cluster) AS dc
+         |              FROM lab WHERE root IS NOT NULL GROUP BY cr))
+         |SELECT count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN sp_naive = 'train' THEN 1 ELSE 0 END)::BIGINT
+         |    AS naive_train,
+         |  sum(CASE WHEN sp_cluster = 'train' THEN 1 ELSE 0 END)::BIGINT
+         |    AS cluster_train,
+         |  str.naive_straddle, str.cluster_straddle, str.n_clusters
+         |FROM lab CROSS JOIN str
+         |GROUP BY str.naive_straddle, str.cluster_straddle, str.n_clusters""".stripMargin
     },
 
     // full probe = exact brute top-k, so the oracle is the plain window;
