@@ -112,12 +112,13 @@ object PrefixFilterJoin {
                              tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
     // both inputs are consumed twice (the union df count + their own
-    // prefix generation) and may be expensive shingle scans — persist,
-    // the jaccardSelfJoin discipline; dfreq feeds both pfx sides.
-    // Caching contract as there: callers clearCache when done.
+    // prefix generation) — CALLER CONTRACT: pass persisted relations when
+    // they are expensive (appendRecallAudit does); persisting the
+    // rename-only projections here too would double-materialize the same
+    // data (found in review). dfreq (derived, consumed by both pfx
+    // sides) persists here; callers clearCache when done.
     def norm(rel: DataFrame) =
       rel.select(col(idCol).as("__id"), col(setCol).as("__hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     val q = norm(queries); val c = norm(corpus)
     val dfreq = q.union(c).select(explode(col("__hs")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -1933,12 +1933,7 @@ object DedupQueries {
       val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b AS a, id_a AS b FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a AS id, a AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |${MinHashDedup.closureCtes},
          |roots AS (SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id),
          |sz AS (SELECT cluster_root AS cr, count(*)::BIGINT AS cluster_size
          |       FROM roots GROUP BY cluster_root)
@@ -1950,12 +1945,7 @@ object DedupQueries {
       val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b AS a, id_a AS b FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a AS id, a AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |${MinHashDedup.closureCtes},
          |roots AS (SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id),
          |sz AS (SELECT cluster_root AS cr, count(*)::BIGINT AS m
          |       FROM roots GROUP BY cluster_root),
@@ -1977,12 +1967,7 @@ object DedupQueries {
         s"(CASE WHEN ${TextHash.md5LongSql(s"'sp:' || ($c)::VARCHAR")} % 10 < 8 " +
           "THEN 'train' ELSE 'test' END)"
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b AS a, id_a AS b FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a AS id, a AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |${MinHashDedup.closureCtes},
          |roots AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id),
          |lab AS (SELECT d.doc_id, roots.root,
          |          coalesce(roots.root, d.doc_id) AS cr,
@@ -2030,12 +2015,7 @@ object DedupQueries {
       val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b AS a, id_a AS b FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a AS id, a AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |${MinHashDedup.closureCtes},
          |roots AS (SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id),
          |sz AS (SELECT cluster_root AS cr, count(*)::BIGINT AS cluster_size
          |       FROM roots GROUP BY cluster_root)
@@ -2047,12 +2027,7 @@ object DedupQueries {
       val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b, jaccard FROM ($pairsSql) q),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b AS a, id_a AS b FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a AS id, a AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |${MinHashDedup.closureCtes},
          |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
          |sz AS (SELECT root, count(*)::BIGINT AS cluster_size FROM roots GROUP BY root),
          |ed AS (SELECT ra.root, count(*)::BIGINT AS n_pairs,
@@ -2070,12 +2045,7 @@ object DedupQueries {
       val pairsSql = MinHashDedup.oracleSql("documents", "doc_id",
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($pairsSql) q),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b AS a, id_a AS b FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a AS id, a AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |${MinHashDedup.closureCtes},
          |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
          |sz AS (SELECT root, count(*)::BIGINT AS cluster_size FROM roots GROUP BY root),
          |h AS (SELECT cluster_size, count(*)::BIGINT AS n_clusters
@@ -2565,12 +2535,7 @@ object DedupQueries {
         TextHash.wordShinglesSql("text", 3), wordCfg)
       s"""WITH RECURSIVE pass AS (SELECT doc_id, source FROM $passSub pz),
          |p AS (SELECT id_a, id_b FROM ($pairsSql) q),
-         |e AS (SELECT id_a AS a, id_b AS b FROM p
-         |      UNION SELECT id_b AS a, id_a AS b FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a AS id, a AS r FROM e
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |${MinHashDedup.closureCtes},
          |roots AS (SELECT id AS doc_id, min(r) AS root FROM reach GROUP BY id),
          |dropped AS (SELECT doc_id FROM roots WHERE doc_id <> root),
          |kept AS (SELECT source, doc_id FROM pass

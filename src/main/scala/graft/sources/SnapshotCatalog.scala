@@ -464,18 +464,22 @@ class GraftSnapshotVersionTable(dir: String, version: Long,
     val files = snap.files.map(f => Paths.get(dir, f).toString).toArray
     // per-file zone stats by column (legacy single zonecol + multi-zone
     // keys), fed to the scan's RUNTIME file pruning
-    def parse(v: String): (Double, Double) = {
-      val Array(mn, mx) = v.split(","); (mn.toDouble, mx.toDouble)
-    }
+    // a malformed zone entry must degrade to "no stats for that file"
+    // (advisory posture — pruning is an optimization, never a gate on
+    // reading an intact table), not brick every SELECT
+    def parse(v: String): Option[(Double, Double)] =
+      scala.util.Try {
+        val Array(mn, mx) = v.split(","); (mn.toDouble, mx.toDouble)
+      }.toOption
     val zoneStats: Map[String, Map[String, (Double, Double)]] = {
       val single = snap.meta.get("zonecol").map { zc =>
         zc -> snap.files.flatMap(f =>
-          snap.meta.get(s"zone:$f").map(v => f -> parse(v))).toMap
+          snap.meta.get(s"zone:$f").flatMap(parse).map(f -> _)).toMap
       }
       val multi = snap.meta.get("zonecols").toSeq.flatMap(_.split(","))
         .filter(_.nonEmpty).map { c =>
           c -> snap.files.flatMap(f =>
-            snap.meta.get(s"zone:$c:$f").map(v => f -> parse(v))).toMap
+            snap.meta.get(s"zone:$c:$f").flatMap(parse).map(f -> _)).toMap
         }
       // merge (a column can be both the legacy zonecol and a multi col)
       (single.toSeq ++ multi).groupBy(_._1)
