@@ -65,13 +65,20 @@ object SuffixRepeats {
       val l = lag(col(k), 1).over(w)
       l.isNotNull && l === col(k)
     }.reduce(_ && _)
+    // EAGER lineage cut FIRST: rank relations feed SELF-JOINS (doubling
+    // pairs, SA adjacency, LCP descent), and a chained plan tree doubles
+    // per level — the plan STRING alone goes exponential and OOMs AQE's
+    // explain pass long before execution hurts. Checkpointing HERE (not
+    // after the offset join) makes the one materializing pass the same
+    // pass that pins the RangePartitioner boundaries; the totals collect
+    // then reads the checkpointed blocks with a narrow agg instead of
+    // re-materializing the whole relation a second time, and the offset
+    // join stays LAZY (a ≤numParts-row broadcast over a checkpoint leaf —
+    // constant-size plan, fused into whatever consumes the rank).
     val local = parted
       .withColumn("__f", when(sameAsPrev, 0L).otherwise(1L))
       .withColumn("__cl", sum(col("__f")).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // totals collect FORCES the persist before the offset join re-reads
-    // it (RangePartitioner boundaries are not stable across executions —
-    // the PrefixSum lesson)
+      .localCheckpoint()
     val totals = local.groupBy(col("__pid")).agg(sum(col("__f")).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = {
@@ -81,17 +88,9 @@ object SuffixRepeats {
     val spark = df.sparkSession
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__off")
-    val joined = local.join(broadcast(offDf), "__pid")
+    local.join(broadcast(offDf), "__pid")
       .withColumn(out, col("__cl") + col("__off"))
       .drop("__pid", "__f", "__cl", "__off")
-    // EAGER lineage cut, then drop the internal cache: rank relations
-    // feed SELF-JOINS (doubling pairs, SA adjacency, LCP descent), and a
-    // chained plan tree doubles per level — the plan STRING alone goes
-    // exponential and OOMs AQE's explain pass long before execution
-    // hurts. A checkpoint leaf keeps every downstream join's plan linear.
-    val res = joined.localCheckpoint()
-    local.unpersist()
-    res
   }
 
   /** Consecutive-row pairs of `df` in ascending `keys` order, WITHOUT a

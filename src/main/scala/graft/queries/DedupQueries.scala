@@ -134,8 +134,13 @@ object DedupQueries {
         System.getProperty("java.io.tmpdir"),
         s"graft_lsh_idx_q121_${ProcessHandle.current().pid()}_" +
           java.lang.Integer.toHexString(d.hashCode)).getPath)
+      // nParts 16 (not the 64 default) — the q341 bucket-count rule:
+      // bucket count should SCALE with the corpus; at this size 64
+      // pk-dirs just multiply per-write file commits while pruning is
+      // unchanged in kind (pk values invisible to the oracle)
       graft.sources.LshIndex.write(
-        docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, wordCfg)
+        docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, wordCfg,
+        nParts = 16)
       graft.sources.LshIndex.probe(
         s, docs.filter(col("doc_id") < 50), "doc_id", sh, idx, wordCfg)
     }),
@@ -157,7 +162,8 @@ object DedupQueries {
         s"graft_lsh_idx_q231_${ProcessHandle.current().pid()}_" +
           java.lang.Integer.toHexString(d.hashCode)).getPath)
       graft.sources.LshIndex.write(
-        docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, mpCfg)
+        docs.filter(col("doc_id") >= 50), "doc_id", sh, idx, mpCfg,
+        nParts = 16) // q341 bucket-count rule, see q121
       val batch = docs.filter(col("doc_id") < 50)
       // each probe result feeds TWO consumers (the found-join and its own
       // count) — persist, or the exact-verify join re-runs per reference
@@ -800,7 +806,8 @@ object DedupQueries {
         s"graft_ham_idx_q331_${ProcessHandle.current().pid()}_" +
           java.lang.Integer.toHexString(d.hashCode)).getPath)
       graft.sources.HammingIndex.write(
-        fps.filter(col("id") >= 50), "id", "peak_hash", idx, bits = 56)
+        fps.filter(col("id") >= 50), "id", "peak_hash", idx, bits = 56,
+        nParts = 16) // q341 bucket-count rule, see q121
       graft.sources.HammingIndex.probe(
         s, fps.filter(col("id") < 50), "id", "peak_hash", idx, maxHamming = 3)
     }),
