@@ -39,7 +39,9 @@ object Dsir {
 
   /** `(doc columns…, t)` exploded lowercase whitespace tokens. */
   private def toks(docs: DataFrame, textCol: Column, keep: Seq[Column]): DataFrame =
-    docs.select(keep :+ explode(TextHash.tokens(lower(textCol))).as("t"): _*)
+    // tokenize+hash fans each doc out ~len× map-side — spread the compact
+    // doc rows first (no-op at scale, see [[Spread]])
+    Spread.rows(docs).select(keep :+ explode(TextHash.tokens(lower(textCol))).as("t"): _*)
 
   /** The importance LUT: one row per OBSERVED bucket, `llr` = milli-log2
     * of the +1-smoothed target/corpus probability ratio,

@@ -218,8 +218,20 @@ object OpqRotation {
     val rots = fitPairKlt(df, vecCol, dims)
     val v = col(vecCol).cast("array<double>")
     def idMicro(i: Int) = round(element_at(v, i + 1) * 1000000.0).cast("long")
-    val zCols = kltRotateMicroCols(col(vecCol), rots, dims) ++ (0 until dims).map(idMicro)
-    val stats = quantStats(df, zCols)
+    val zExprs = kltRotateMicroCols(col(vecCol), rots, dims) ++ (0 until dims).map(idMicro)
+    // Materialize the 2·dims z-columns ONCE behind a checkpoint leaf:
+    // quantErrCol embeds its z argument several times (value, shifted
+    // quant, dequant) and CollapseProject would inline the full rotate
+    // arithmetic into every one of the 2·dims error aggregates — a
+    // many-thousand-node plan whose ANALYSIS/codegen time dwarfs the
+    // corpus pass (the q297 driver-bound profile; the r8 HadamardRotate
+    // lesson in aggregate form). After the cut, stats and error aggs
+    // reference plain column refs; the arithmetic (and the result) is
+    // bit-identical — only the expression-tree duplication is gone.
+    val zdf = df.select(zExprs.zipWithIndex.map { case (c, i) => c.as(s"z$i") }: _*)
+      .localCheckpoint()
+    val zCols = zExprs.indices.map(i => col(s"z$i"))
+    val stats = quantStats(zdf, zCols)
     val alloc = (0 until half).map { p =>
       val (qL0, qL1, promL) = allocatePair(stats(p), stats(p + half), bBase)
       val (qI0, qI1, promI) = allocatePair(stats(dims + p), stats(dims + half + p), bBase)
@@ -231,7 +243,7 @@ object OpqRotation {
         sum(quantErrCol(zCols(dims + p), qI0) + quantErrCol(zCols(dims + half + p), qI1))
           .as(s"ei$p"))
     }
-    val row = df.agg(errAggs.head, errAggs.tail: _*).head()
+    val row = zdf.agg(errAggs.head, errAggs.tail: _*).head()
     import s.implicits._
     alloc.map { case (p, _, _, promL, _, _, promI) =>
       (p, promL, promI, row.getAs[Long](s"el$p"), row.getAs[Long](s"ei$p"))

@@ -40,6 +40,9 @@ object SimHashDedup {
       // explode(tokens(NULL)) yields no rows there, so a NULL text must
       // drop the document here too (not emit an (id, NULL) row)
       .filter(col(textCol).isNotNull)
+      // the 60-bit fingerprint is a per-token fold over the whole text —
+      // spread the compact doc rows first (no-op at scale, see Spread)
+      .transform(Spread.rows)
       .select(col(idCol).as("id"),
         graft.functions.VectorExpressions.simHash60(col(textCol)).as("simhash"))
 

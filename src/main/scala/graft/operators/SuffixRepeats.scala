@@ -164,17 +164,11 @@ object SuffixRepeats {
     val tdocs0 = docs
       .select(col(idCol).cast("long").as("d"), trim(col(textCol)).as("t"))
       .filter(length(col("t")) > 0)
-    // the window-hash pass fans each doc out ~len× — a skinny input (e.g.
-    // a single-row-group local file) would hash the whole corpus on ONE
-    // core (the BpeVocab precedent); a round-robin shuffle of the DOC
-    // rows is tiny and a no-op on real clusters whose scans already carry
-    // enough splits
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    // doc rows are consumed TWICE (window-hash pass + the pos0 rejoin) —
-    // checkpoint the tiny relation (round-5 rule: >=2 consumers persist)
-    val tdocs =
-      (if (tdocs0.rdd.getNumPartitions < par) tdocs0.repartition(par) else tdocs0)
-        .localCheckpoint()
+    // the window-hash pass fans each doc out ~len× — spread the compact
+    // doc rows first (no-op at scale, see [[Spread]]); doc rows are
+    // consumed TWICE (window-hash pass + the pos0 rejoin) — checkpoint
+    // the tiny relation (round-5 rule: >=2 consumers persist)
+    val tdocs = Spread.rows(tdocs0).localCheckpoint()
     val wH = Window.partitionBy(col("h"))
     val wd = Window.partitionBy(col("d")).orderBy(col("p"))
     // S: duplicated-base-window positions. Window hashes come from ONE

@@ -41,7 +41,9 @@ object CorpusQueries {
     // TF-IDF: top-3 terms per document by tf·ln((N+1)/(df+1)).
     "q35_tfidf_top_terms" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val tok = docs.select(col("doc_id"),
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val tok = graft.operators.Spread.rows(docs).select(col("doc_id"),
         explode(TextHash.tokens(lower(col("text")))).as("token"))
       val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
       val df = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -115,7 +117,9 @@ object CorpusQueries {
       val docs = Tables.documents(s, d)
       val merges = graft.operators.BpeVocab
         .learnMerges(docs, "text", numMerges = 4, minCount = 2L)
-      docs
+      // spread the compact doc rows: the merge-chain encode is a fan-out
+      // map pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(docs)
         .select(col("doc_id"), col("source"),
           graft.functions.BpeExpressions.initSymbols(col("text")).as("syms0"))
         .filter(size(col("syms0")) >= 1) // nonempty text ⇔ ≥2 symbols
@@ -150,8 +154,11 @@ object CorpusQueries {
       val merges = graft.operators.BpeVocab
         .learnMerges(docs, "text", numMerges = 32, minCount = 2L, batch = 8)
       // one row per doc with its final symbol array; consumed by the
-      // vocab agg AND the id mapping — persist (round-5 rule)
-      val enc = docs
+      // vocab agg AND the id mapping — persist (round-5 rule). Spread the
+      // compact doc rows first: the fused 32-merge chain is the heaviest
+      // map pass in the suite and would otherwise run on the single
+      // local scan task (no-op at scale, see operators/Spread)
+      val enc = graft.operators.Spread.rows(docs)
         .select(col("doc_id"),
           graft.operators.BpeVocab.applyMerges(col("text"), merges).as("syms"))
         .filter(size(col("syms")) >= 1)
@@ -236,7 +243,9 @@ object CorpusQueries {
         zip_with(slice(t, lit(1), len3), slice(t, lit(2), len3),
           (a, b) => concat(a, lit(" "), b)),
         slice(t, lit(3), len3), (ab, c) => concat(ab, lit(" "), c))
-      val f = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val f = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(explode(g3).as("g"))
         .groupBy("g").agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // ff + totals
@@ -344,7 +353,9 @@ object CorpusQueries {
     // collect; the join touches only the two terms' postings.
     "q142_phrase_search" -> ((s, d) => {
       val ltoks = TextHash.tokens(lower(col("text")))
-      val docs = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val docs = graft.operators.Spread.rows(Tables.documents(s, d))
       val pos = docs
         .select(col("doc_id"), posexplode(ltoks).as(Seq("pos", "token")))
         .persist() // two term probes; harness clears cache per query

@@ -84,7 +84,7 @@ object DedupQueries {
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
-    docs
+    graft.operators.Spread.rows(docs)
       .select(col("doc_id"), trim(col("text")).as("t"))
       .filter(length(col("t")) >= 30)
       // ONE native pass per doc (PositionedWindowHashes) — value-identical
@@ -683,7 +683,7 @@ object DedupQueries {
     // shared substrings at misaligned offsets.
     "q83_substring_dup" -> ((s, d) => {
       val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-      Tables.documents(s, d)
+      graft.operators.Spread.rows(Tables.documents(s, d))
         .select(col("doc_id"),
           explode(graft.functions.VectorExpressions
             .charShingleHashes(col("text"), 30, 1L << 60)).as("h"))
@@ -1428,10 +1428,13 @@ object DedupQueries {
       val W = 30
       val wd = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("p"))
-      val docs = Tables.documents(s, d)
+      val docs0 = Tables.documents(s, d)
         .select(col("doc_id"), trim(col("text")).as("t"),
           (TextHash.md5Long(col("doc_id").cast("string")) % 100).as("bucket"))
         .filter(length(col("t")) >= W)
+      // the window-hash pass fans each doc out ~len× — spread the compact
+      // doc rows first (no-op at scale, see operators/Spread)
+      val docs = graft.operators.Spread.rows(docs0)
       val win = docs
         .select(col("doc_id"), col("bucket"),
           posexplode(graft.functions.VectorExpressions

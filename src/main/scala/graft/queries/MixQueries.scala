@@ -96,7 +96,10 @@ object MixQueries {
             greatest(acc.getField("best"), run).as("best"))
         },
         acc => acc.getField("best"))
-      Tables.documents(s, d).select(col("doc_id"), size(toks).as("n_tokens"),
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d))
+        .select(col("doc_id"), size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_dist_tok"),
           total.as("total"), nDistG.as("n_dist_gram"), maxRun.as("max_n"))
         .filter(col("total") >= 1) // align with the oracle: no-gram docs drop
@@ -163,7 +166,9 @@ object MixQueries {
     // bounded, never a full sort).
     "q314_kneser_ney" -> ((s, d) => {
       val toks = TextHash.tokens(col("text"))
-      val bi = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val bi = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(explode(bigrams(toks)).as("gram"))
         .select(split(col("gram"), " ").getItem(0).as("w1"),
           split(col("gram"), " ").getItem(1).as("w2"))
@@ -194,7 +199,9 @@ object MixQueries {
     // GROUP (vocabulary-keyed, never low-cardinality); accuracy and
     // coverage are exact integer basis points.
     "q279_bigram_lm_eval" -> ((s, d) => {
-      val t = Tables.documents(s, d).select(
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val t = graft.operators.Spread.rows(Tables.documents(s, d)).select(
         (pmod(TextHash.md5Long(col("doc_id").cast("string")), lit(5L)) === 0L)
           .as("is_test"),
         TextHash.tokens(col("text")).as("toks"))
@@ -234,7 +241,9 @@ object MixQueries {
     // (min) bigram — thresholds tuned to DISCRIMINATE on this corpus
     // (~half keep), all integer compares so any threshold is portable.
     "q300_surprisal_quality" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val docs = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
       val g = docs.select(col("doc_id"), explode(bigrams(col("toks"))).as("gram"))
         .select(col("doc_id"),
@@ -600,7 +609,9 @@ object MixQueries {
     "q329_nb_quality_classifier" -> ((s, d) => {
       val V = 256; val K = 8; val Q = 10000L
       val q = qualityCols
-      val lab = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val lab = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(col("doc_id"), col("source"), (q.reasons === "").as("pass"),
           array_distinct(TextHash.tokens(col("text"))).as("toks"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -50,7 +50,9 @@ object StatQueries {
     * universe join) — the caller unpersists. */
   private[graft] def setCoverRelations(
       s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
-    val pairs = Tables.documents(s, d)
+    // spread the compact doc rows before the corpus-wide shingle explode
+    // (fan-out map pass; no-op at scale, see operators/Spread)
+    val pairs = graft.operators.Spread.rows(Tables.documents(s, d))
       .select(col("source"), explode(TextHash.wordShingles(col("text"), 3)).as("t"))
       .groupBy(col("source"), col("t")).agg(count(lit(1)).as("pn"))
       .persist()
@@ -427,7 +429,9 @@ object StatQueries {
     // scale-safe dual of a single-partition ORDER BY window — and the
     // decile probe is a 10-row broadcast join.
     "q177_heaps_law" -> ((s, d) => {
-      val tf = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val tf = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(col("doc_id"), explode(TextHash.tokens(lower(col("text")))).as("t"))
         .filter(col("t") =!= "").persist() // n_tok + first-seen consumers
       val nt = tf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
@@ -553,15 +557,17 @@ object StatQueries {
       val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
       var done = false
       for (r <- 1 to 3 if !done) {
+        // ONE action per greedy round: carry the winning source's token
+        // list on the argmax row itself (bounded by the ≤200-token
+        // universe) instead of a second filter+collect for the tokens
         val cand = ts.filter(uncovered)
-          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"),
+            collect_list(col("t")).as("toks"))
           .orderBy(col("n").desc, col("source").asc).limit(1).collect()
         if (cand.isEmpty) done = true
         else {
           val (src, n) = (cand(0).getString(0), cand(0).getLong(1))
-          val newToks = ts.filter(col("source") === src && uncovered)
-            .select(col("t")).collect().map(_.getString(0)) // ≤ 200 by universe bound
-          covered ++= newToks
+          covered ++= cand(0).getSeq[String](2)
           picks += ((r, src, n, covered.size.toLong))
         }
       }

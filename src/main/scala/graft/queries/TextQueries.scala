@@ -574,7 +574,9 @@ object TextQueries {
             (acc.getField("acc") + lit(2L) * run - 1L).as("acc"))
         },
         acc => acc.getField("acc"))
-      Tables.documents(s, d).select(col("doc_id"),
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d)).select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars"),
           size(array_distinct(filter(split(col("text"), ""), c => c =!= "")))
             .as("n_distinct_chars"),

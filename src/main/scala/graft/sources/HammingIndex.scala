@@ -59,7 +59,11 @@ object HammingIndex {
       // would leave mixed-generation geometry that probes would serve
       // silently — readers refuse until a rebuild completes
       java.nio.file.Files.deleteIfExists(readyPath(dir))
+      // cluster by the partition column before the write (guide-§6
+      // rebalance): one file per pk dir regardless of upstream
+      // parallelism — without it every upstream task writes to every dir
       chunkRows(fps, idCol, fpCol, bits, nParts)
+        .repartition(col("pk"))
         .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/chunks")
       // id-bucketed membership table: the SOUND collision gate for append
       // (pruning the chunk tables by the batch's pk values would miss a
@@ -68,6 +72,7 @@ object HammingIndex {
         .select(col(idCol).cast("long").as("id"))
         .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")),
           lit(nParts.toLong)))
+        .repartition(col("hb"))
         .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/ids")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
         s"""{"bits":$bits,"nParts":$nParts}""")
@@ -153,8 +158,10 @@ object HammingIndex {
           .join(newIds.select(col("id")), "id").limit(1).collect()
         require(clash.isEmpty,
           s"append would duplicate already-indexed id ${clash.headOption}")
-        rows.write.mode("append").partitionBy("pk").parquet(s"$dir/chunks")
-        newIds.write.mode("append").partitionBy("hb").parquet(s"$dir/ids")
+        rows.repartition(col("pk"))
+          .write.mode("append").partitionBy("pk").parquet(s"$dir/chunks")
+        newIds.repartition(col("hb"))
+          .write.mode("append").partitionBy("hb").parquet(s"$dir/ids")
       } finally newIds.unpersist()
     } finally rows.unpersist()
   }
@@ -229,9 +236,9 @@ object HammingIndex {
         // either way until the decision exists
         IndexTxn.writeInfo(dir, h.txid, h.txnDir)
         val pend = IndexTxn.pendingDir(dir, h.txid)
-        rows.write.mode("overwrite").partitionBy("pk")
+        rows.repartition(col("pk")).write.mode("overwrite").partitionBy("pk")
           .parquet(pend.resolve("chunks").toString)
-        newIds.write.mode("overwrite").partitionBy("hb")
+        newIds.repartition(col("hb")).write.mode("overwrite").partitionBy("hb")
           .parquet(pend.resolve("ids").toString)
         IndexTxn.markStaged(dir, h.txid) // data complete — now publishable
       } finally newIds.unpersist()

@@ -74,11 +74,16 @@ object LshIndex {
       val sh = MinHashDedup.hashed(corpus, idCol, shingleHashes)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = MinHashDedup.withSignature(sh, cfg)
+      // cluster by the partition column before each write (guide-§6
+      // rebalance): one file per dir regardless of upstream parallelism —
+      // without it every upstream task writes to every dir
       MinHashDedup.bandRows(sig, cfg)
         .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+        .repartition(col("pk"))
         .write.mode("overwrite").partitionBy("pk").parquet(s"$dir/bands")
       sh.select(col("id"), col("hashes"))
         .withColumn("hb", pmod(TextHash.md5Long(col("id").cast("string")), lit(nParts)))
+        .repartition(col("hb"))
         .write.mode("overwrite").partitionBy("hb").parquet(s"$dir/docs")
       sh.unpersist()
       // meta.json second-to-last, marker last: the marker certifies that
@@ -194,8 +199,10 @@ object LshIndex {
       val sig = MinHashDedup.withSignature(sh, cfg)
       MinHashDedup.bandRows(sig, cfg)
         .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+        .repartition(col("pk"))
         .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
-      newDocs.write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
+      newDocs.repartition(col("hb"))
+        .write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
       newDocs.unpersist()
       sh.unpersist()
     } finally java.nio.file.Files.deleteIfExists(lock)
@@ -308,6 +315,7 @@ object LshIndex {
       val sig = MinHashDedup.withSignature(sh, cfg)
       MinHashDedup.bandRows(sig, cfg)
         .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+        .repartition(col("pk"))
         .write.mode("append").partitionBy("pk").parquet(s"$dir/bands")
       // CLAIM the batch before the docs read-filter-write (the rival-worker
       // TOCTOU: without it, two workers on this batch both anti-join
@@ -335,6 +343,7 @@ object LshIndex {
         val existing = readLive(spark, dir, "docs")
           .filter(col("hb").isin(hbs: _*)).select(col("id"))
         newDocs.join(existing, Seq("id"), "left_anti")
+          .repartition(col("hb"))
           .write.mode("append").partitionBy("hb").parquet(s"$dir/docs")
         sh.unpersist()
         commitMarker(commits, marker)
@@ -532,9 +541,11 @@ object LshIndex {
         val sig = MinHashDedup.withSignature(sh, cfg)
         MinHashDedup.bandRows(sig, cfg)
           .withColumn("pk", pmod(TextHash.md5Long(col("bk")), lit(nParts)))
+          .repartition(col("pk"))
           .write.mode("overwrite").partitionBy("pk")
           .parquet(pend.resolve("bands").toString)
-        newDocs.write.mode("overwrite").partitionBy("hb")
+        newDocs.repartition(col("hb"))
+          .write.mode("overwrite").partitionBy("hb")
           .parquet(pend.resolve("docs").toString)
         IndexTxn.markStaged(dir, h.txid) // data complete — now publishable
       } finally newDocs.unpersist()
