@@ -73,8 +73,11 @@ object WeightedMedian {
       s"quantile labels must be unique: ${ps.map(_._1)}")
     ps.foreach { case (l, n, d) =>
       require(n > 0 && n <= d, s"quantile $l=$n/$d not in (0,1]") }
-    val base = df.select(col(groupCol).as("g"),
-      col(valueCol).cast("long").as("v"), col(weightCol).cast("long").as("w"))
+    // every narrowing round re-scans the cached projection — spread the
+    // narrow rows first so the rounds parallelize on a skinny input
+    // (the HistogramPercentile idiom; no-op at scale, see Spread)
+    val base = Spread.rows(df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"), col(weightCol).cast("long").as("w")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // validation folds into the SAME stats aggregate — no separate scan

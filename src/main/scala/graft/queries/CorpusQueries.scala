@@ -31,7 +31,9 @@ object CorpusQueries {
 
     // Corpus vocabulary: top-50 tokens by frequency (deterministic ties).
     "q34_vocab_topk" -> ((s, d) =>
-      Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d))
         .select(explode(TextHash.tokens(lower(col("text")))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("freq"))
@@ -207,7 +209,9 @@ object CorpusQueries {
     // numerator/denominator and the milli-slope are hash-exact — a float
     // log-log regression would be an order-dependent float sum.
     "q360_zipf_slope" -> ((s, d) => {
-      val f = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val f = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(explode(TextHash.tokens(lower(col("text")))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("freq"))
       val head = f.orderBy(desc("freq"), asc("t")).limit(1024)
@@ -281,7 +285,9 @@ object CorpusQueries {
       def hsign(r: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
         lit(1L) - lit(2L) * (TextHash.md5Long(
           concat(lit("css:"), r.cast("string"), lit(":"), t)) % 2)
-      val exact = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val exact = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(explode(TextHash.tokens(lower(col("text")))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // sketch build + top-20 probe

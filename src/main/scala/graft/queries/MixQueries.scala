@@ -116,7 +116,9 @@ object MixQueries {
     // violated rules. Single-pass column math, no shuffle.
     "q51_quality_filter" -> ((s, d) => {
       val q = qualityCols
-      Tables.documents(s, d).select(
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d)).select(
         col("doc_id"), q.nTok.as("n_tokens"),
         graft.functions.PortableMath.roundPortable(q.avgLen, 3).as("avg_token_len"),
         graft.functions.PortableMath.roundPortable(q.stopRatio, 3).as("stopword_ratio"),
@@ -132,7 +134,9 @@ object MixQueries {
     // word key (no broadcast hint — a 100 TB vocabulary outgrows any
     // broadcast threshold; AQE may still pick one at small scale).
     "q53_bigram_lift" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val docs = graft.operators.Spread.rows(Tables.documents(s, d))
       val toks = TextHash.tokens(col("text"))
       val uni = docs.select(explode(toks).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -327,7 +331,8 @@ object MixQueries {
     // at 1, and FRE·1000 = 206835 − (1015·1000·W) div S − (84600·1000·Y)
     // div W — two integer divisions, identical truncation both engines.
     "q305_readability" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      // spread: three regexp/token folds per doc (see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d)).select(col("doc_id"),
           size(TextHash.tokens(col("text"))).cast("long").as("n_words"),
           greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
             lit(1L)).as("n_sentences"),
@@ -686,7 +691,9 @@ object MixQueries {
 
     "q73_source_quality_panel" -> ((s, d) => {
       val q = qualityCols
-      Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d))
         .select(col("source"), q.nTok.as("nt"), (q.reasons === "").as("ok"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),

@@ -81,7 +81,9 @@ object TextQueries {
         .when(hits("es") >= greatest(hits("fr"), hits("de")), "es")
         .when(hits("fr") >= hits("de"), "fr")
         .otherwise("de")
-      Tables.documents(s, d).select(
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d)).select(
         col("doc_id"), pred.as("lang_pred"),
         greatest(hits("en"), hits("es"), hits("fr"), hits("de")).as("marker_hits"))
     }),
@@ -103,7 +105,9 @@ object TextQueries {
         .when(hits("es") >= greatest(hits("fr"), hits("de")), "es")
         .when(hits("fr") >= hits("de"), "fr")
         .otherwise("de")
-      val pred = Tables.documents(s, d)
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      val pred = graft.operators.Spread.rows(Tables.documents(s, d))
         .select(col("source"), col("lang"), predExpr.as("lang_pred"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cells = pred.groupBy(col("source"), col("lang"), col("lang_pred"))
@@ -547,7 +551,9 @@ object TextQueries {
             (acc.getField("c2") + lit(2L) * run - 1L).as("c2"),
             greatest(acc.getField("maxc"), run).as("maxc"))
         })
-      Tables.documents(s, d).select(col("doc_id"),
+      // spread the compact doc rows before the corpus-wide fan-out map
+      // pass (no-op at scale, see operators/Spread)
+      graft.operators.Spread.rows(Tables.documents(s, d)).select(col("doc_id"),
           size(TextHash.tokens(col("text"))).cast("long").as("n_tokens"),
           size(array_distinct(TextHash.tokens(col("text")))).cast("long")
             .as("n_distinct"),
