@@ -43,7 +43,13 @@ object Bfs {
       .localCheckpoint()
     val allNodes = adj.select(col("v")).distinct().localCheckpoint()
 
-    val seed = sources.select(col(idCol).as("v")).distinct().localCheckpoint()
+    // LAZY checkpoint + count: the count is the ONE action per round — it
+    // materializes every checkpoint partition (count computes all of them)
+    // AND answers the loop's emptiness question, where the old eager
+    // checkpoint + isEmpty paid two driver round-trips per round
+    val seed = sources.select(col(idCol).as("v")).distinct()
+      .localCheckpoint(false)
+    var frontierN = seed.count()
     // the settled set is the UNION of per-round checkpointed frontiers —
     // never re-materialized as a whole: checkpointing the union each round
     // would write O(V) per round = O(V·depth) total, while the frontiers
@@ -51,13 +57,20 @@ object Bfs {
     var levels = Vector[(Long, DataFrame)](0L -> seed)
     var frontier = seed
     var round = 0
-    while (round < maxDepth && !frontier.isEmpty) {
+    while (round < maxDepth && frontierN > 0) {
       round += 1
-      val settledV = levels.map(_._2).reduce(_ unionAll _)
+      // TWO-FRONTIER settled check: a neighbor w of a node at distance
+      // r-1 satisfies |dist(w) - (r-1)| <= 1 (the edge runs both ways),
+      // so dist(w) ∈ {r-2, r-1, r} and "already settled" ≡ membership in
+      // the LAST TWO levels — the anti-join shrinks from O(settled) =
+      // O(V) rows per round (O(V·depth) total traffic) to O(two
+      // frontiers), which sums to O(V) over the whole run
+      val settledV = levels.takeRight(2).map(_._2).reduce(_ unionAll _)
       val next = adj.join(frontier, Seq("v"), "left_semi")
         .select(col("w").as("v")).distinct()
         .join(settledV, Seq("v"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
+      frontierN = next.count()
       levels :+= (round.toLong -> next)
       frontier = next
     }
@@ -99,21 +112,28 @@ object Bfs {
       .unionAll(e0.select(col("b").as("v"), col("a").as("w")))
       .localCheckpoint()
     val allNodes = adj.select(col("v")).distinct().localCheckpoint()
+    // lazy checkpoint + count = one action per round (see [[distances]])
     val seed = sources.select(col(idCol).as("s"))
       .distinct()
       .select(col("s"), col("s").as("v"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var frontierN = seed.count()
     var levels = Vector[(Long, DataFrame)](0L -> seed)
     var frontier = seed
     var round = 0
-    while (round < maxDepth && !frontier.isEmpty) {
+    while (round < maxDepth && frontierN > 0) {
       round += 1
-      val settledSV = levels.map(_._2.select(col("s"), col("v"))).reduce(_ unionAll _)
+      // two-frontier settled check, per source: dist_s(w) of a neighbor
+      // of a dist_s = r-1 node lies in {r-2, r-1, r} (see [[distances]]),
+      // so the anti-join needs only the last two (s, v) levels
+      val settledSV = levels.takeRight(2)
+        .map(_._2.select(col("s"), col("v"))).reduce(_ unionAll _)
       val next = adj.join(frontier, Seq("v"))
         .groupBy(col("s"), col("w").as("v"))
         .agg(sum(col("sigma")).as("sigma"))
         .join(settledSV, Seq("s", "v"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
+      frontierN = next.count()
       levels :+= (round.toLong -> next)
       frontier = next
     }

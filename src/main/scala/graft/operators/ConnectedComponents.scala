@@ -35,10 +35,14 @@ object ConnectedComponents {
     // is just min(id, min(neighbor)) — one groupBy instead of an identity
     // checkpoint plus a full join round (2 fewer jobs on the common
     // tiny-diameter dedup graphs)
+    // LAZY checkpoints + the convergence count as the ONE materializing
+    // job per round (the Bfs pattern): the filter-count computes every
+    // checkpoint partition, so eager + count's second job disappears.
+    // The init checkpoint folds into round 1's count job the same way.
     var labels = sym.groupBy(col("a"))
       .agg(min(col("b")).as("nb"))
       .select(col("a").as("id"), least(col("a"), col("nb")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 1
     while (changed > 0 && iter < maxIter) {
@@ -52,7 +56,7 @@ object ConnectedComponents {
         .select(col("l.id").as("id"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"),
           (col("nlabel") < col("l.label")).as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -134,10 +138,11 @@ object ConnectedComponents {
     val und = edges.select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy checkpoint + fused convergence count per round (see [[minLabel]])
     var labels = sym.groupBy(col("a"))
       .agg(min(col("b")).as("nb"))
       .select(col("a").as("id"), least(col("a"), col("nb")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -157,7 +162,7 @@ object ConnectedComponents {
           least(col("m.lab1"), coalesce(col("jl"), col("m.lab1"))).as("label"),
           col("m.old").as("old"))
         .withColumn("chg", col("label") < col("old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("chg")).count()
       labels = next.select(col("id"), col("label"))
       iter += 1
@@ -210,13 +215,20 @@ object ConnectedComponents {
       val parted =
         if (single) e.coalesce(1)
         else e.repartition(col("a"))
+      // LAZY checkpoints throughout the level (the Bfs pattern): each
+      // still cuts the plan to a constant-size RDD scan, but the level's
+      // ONE action — the surviving-edge count — materializes m and e
+      // together, where the eager form paid three jobs per level. The
+      // mapping chain stays lazy end to end (m is persisted by the count
+      // job, so composing it later reads blocks, not lineage) and is
+      // materialized by the caller's first action.
       val m = parted.as[(Long, Long)]
         .mapPartitions(unionFindPartition)
         .toDF("id", "r")
         // a vertex can surface in several partitions; any reported root is
         // a component member, so min keeps the invariant and determinism
         .groupBy(col("id")).agg(min(col("r")).as("root"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       mapping =
         if (mapping == null) m
         else mapping.as("p")
@@ -224,7 +236,7 @@ object ConnectedComponents {
             col("p.root") === col("cid"), "left")
           .select(col("p.id").as("id"),
             coalesce(col("croot"), col("p.root")).as("root"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       if (single) n = 0
       else {
         e = e.join(m.select(col("id").as("ja"), col("root").as("ra")),
@@ -234,7 +246,7 @@ object ConnectedComponents {
           .select(col("ra").as("a"), col("rb").as("b"))
           .filter(col("a") =!= col("b"))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(false)
         n = e.count()
       }
     }

@@ -59,9 +59,12 @@ object KCore {
         .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
       // the per-round localCheckpoint on the NODE set is NOT optional:
       // without lineage truncation round r's aggregate re-executes every
-      // prior round's chain (measured 3.0 → 8.6 s at only 4 rounds)
-      val survivors = withDeg.filter(col("deg") >= k).select(col("v")).localCheckpoint()
-      val nAfter = survivors.count() // eager: materialized before the unpersist below
+      // prior round's chain (measured 3.0 → 8.6 s at only 4 rounds).
+      // LAZY checkpoint + count = ONE job per round (the Bfs pattern):
+      // count materializes every checkpoint partition AND answers the
+      // convergence question, where eager + count paid two jobs
+      val survivors = withDeg.filter(col("deg") >= k).select(col("v")).localCheckpoint(false)
+      val nAfter = survivors.count() // materializes the lazy checkpoint before the unpersist below
       // free the PREVIOUS round's checkpoint blocks once the new node set is
       // materialized (BpeVocab's lastCheckpoint pattern) — without this,
       // block-manager memory accumulates one node-set per round per query

@@ -35,9 +35,17 @@ object LabelPropagation {
     val adj = e0.select(col("a").as("v"), col("b").as("w"))
       .unionAll(e0.select(col("b").as("v"), col("a").as("w")))
       .localCheckpoint()
-    var ck = adj.select(col("v")).distinct()
-      .withColumn("label", col("v")).localCheckpoint()
-    var lab = ck
+    // LAZY checkpoints end to end: the round budget is FIXED (no
+    // convergence check reads a count), so no per-round action is needed
+    // at all — each round's checkpoint still cuts the plan to constant
+    // size, but the whole chain executes as stages of the ONE final
+    // materializing job instead of one job per round. Intermediate
+    // blocks are unpersisted only after the final eager checkpoint
+    // (unpersisting a lazy checkpoint pre-materialization is unsound —
+    // its blocks are what later rounds read)
+    var lab = adj.select(col("v")).distinct()
+      .withColumn("label", col("v")).localCheckpoint(false)
+    var inter = Vector[DataFrame](lab)
     for (_ <- 1 to rounds) {
       val neigh = adj
         .join(lab.withColumnRenamed("v", "w"), Seq("w"))
@@ -48,14 +56,12 @@ object LabelPropagation {
         // min-struct — no per-node window sort
         .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("m"))
         .select(col("v"), col("m.label").as("label"))
-        .localCheckpoint()
-      val prev = ck
-      ck = next
+        .localCheckpoint(false)
+      inter :+= next
       lab = next
-      prev.unpersist()
     }
-    val out = lab.localCheckpoint()
-    adj.unpersist(); ck.unpersist()
+    val out = lab.localCheckpoint() // eager: materializes the whole chain
+    adj.unpersist(); inter.foreach(_.unpersist())
     out
   }
 

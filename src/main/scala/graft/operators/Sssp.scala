@@ -46,12 +46,18 @@ object Sssp {
       .localCheckpoint()
     val allNodes = adj.select(col("v")).distinct().localCheckpoint()
 
+    // LAZY checkpoint + a count over the improved rows = ONE job per
+    // round (the Bfs pattern): the count computes every partition of the
+    // merged relation — materializing the checkpoint — AND answers the
+    // frontier-emptiness question, where the old eager checkpoint +
+    // isEmpty paid two driver round-trips per round
     var ck = sources.select(col(idCol).as("v")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+      .withColumn("dist", lit(0L)).localCheckpoint(false)
     var dist = ck
     var frontier = ck
+    var frontierN = ck.count()
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && frontierN > 0) {
       round += 1
       val cand = adj.join(frontier, Seq("v"))
         .select(col("w").as("v"), (col("dist") + col("wt")).as("nd"))
@@ -62,7 +68,8 @@ object Sssp {
             coalesce(col("nd"), lit(Long.MaxValue))).as("dist"),
           (col("nd").isNotNull &&
             (col("dist").isNull || (col("nd") < col("dist")))).as("improved"))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      frontierN = merged.filter(col("improved")).count()
       val prevCk = ck
       ck = merged
       dist = merged.select(col("v"), col("dist"))
