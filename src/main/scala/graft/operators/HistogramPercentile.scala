@@ -66,7 +66,7 @@ object HistogramPercentile {
       groupCol: String,
       valueCol: String,
       probs: Seq[Double],
-      bins: Int = 128,
+      bins: Int = 2048,
       collectCap: Int = 8192): DataFrame = {
     val out = quantilesMulti(df, groupCol, Seq(valueCol -> probs), bins, collectCap)
     out.columns.zipWithIndex.foldLeft(out) { case (d, (c, i)) =>
@@ -77,12 +77,19 @@ object HistogramPercentile {
   /** Exact linear-interpolated quantiles of several value columns per
     * `groupCol` in ONE shared narrowing loop. Output: one row per group,
     * columns `<valueCol>_q<i>` per requested prob, value-identical to
-    * `percentile(valueCol, p)`. */
+    * `percentile(valueCol, p)`.
+    *
+    * `bins` is an EXECUTION parameter, not a semantic one — any bins ≥ 2
+    * converges to the identical exact quantile; it only sets the round
+    * count (rounds = ceil(log_bins(domain width))). Default 2048: one
+    * round fewer than 128 on ~1e7-wide cents domains, and the per-round
+    * driver histogram stays ≤ live·bins counters — bounded by the group
+    * domain, never the data. */
   def quantilesMulti(
       df: DataFrame,
       groupCol: String,
       specs: Seq[(String, Seq[Double])],
-      bins: Int = 128,
+      bins: Int = 2048,
       collectCap: Int = 8192): DataFrame = {
     val spark = df.sparkSession
     val nCols = specs.size

@@ -44,7 +44,7 @@ object WeightedMedian {
   /** df(groupCol: any, valueCol: long, weightCol: long) →
     * (groupCol, total_weight, wmedian). */
   def exact(spark: SparkSession, df: DataFrame, groupCol: String,
-            valueCol: String, weightCol: String, bins: Int = 128,
+            valueCol: String, weightCol: String, bins: Int = 2048,
             maxRounds: Int = 64): DataFrame =
     quantile(spark, df, groupCol, valueCol, weightCol, 1, 2, bins, maxRounds)
       .withColumnRenamed("wquantile", "wmedian")
@@ -54,7 +54,7 @@ object WeightedMedian {
     * p = 9/10 the weighted p90, etc. */
   def quantile(spark: SparkSession, df: DataFrame, groupCol: String,
                valueCol: String, weightCol: String,
-               pNum: Long, pDen: Long, bins: Int = 128,
+               pNum: Long, pDen: Long, bins: Int = 2048,
                maxRounds: Int = 64): DataFrame =
     quantiles(spark, df, groupCol, valueCol, weightCol,
       Seq(("q", pNum, pDen)), bins, maxRounds)
@@ -63,10 +63,18 @@ object WeightedMedian {
   /** Several lower weighted quantiles at once, sharing every scan.
     * `ps` is (label, pNum, pDen) per quantile; returns long format
     * (groupCol, p_label, total_weight, wquantile) — pivot to wide with a
-    * groupBy if needed. */
+    * groupBy if needed.
+    *
+    * `bins` is an EXECUTION parameter, not a semantic one — any bins ≥ 2
+    * resolves the identical exact quantile; it only sets the round count,
+    * rounds = ceil(log_bins(domain width)). Default 2048: a ~1e7-wide
+    * cents domain drains in 3 rounds (vs 4 at 128) and the per-round
+    * driver collect stays ≤ live·bins tiny rows — bounded by the GROUP
+    * domain × quantile count, never the data. Callers with huge group
+    * domains should pass bins back down. */
   def quantiles(spark: SparkSession, df: DataFrame, groupCol: String,
                 valueCol: String, weightCol: String,
-                ps: Seq[(String, Long, Long)], bins: Int = 128,
+                ps: Seq[(String, Long, Long)], bins: Int = 2048,
                 maxRounds: Int = 64): DataFrame = {
     require(bins >= 2, s"bins=$bins")
     require(ps.nonEmpty && ps.map(_._1).distinct.size == ps.size,

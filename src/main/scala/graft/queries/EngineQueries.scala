@@ -374,7 +374,10 @@ object EngineQueries {
     // operator's two key-parallel shuffles per iteration.
     "q202_textrank" -> ((s, d) => {
       val toks = filter(split(lower(col("text")), "[^a-z]+"), t => t =!= "")
-      val occ = Tables.documents(s, d)
+      // spread the compact doc rows before the ~len× token fan-out — the
+      // explode otherwise runs whole on the single-task scan (see Spread)
+      val occ = graft.operators.Spread.rows(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
         .filter(!col("tok").isin(RakeStop: _*))
       val w = org.apache.spark.sql.expressions.Window
@@ -384,6 +387,10 @@ object EngineQueries {
       val edges = p.select(col("tok").as("src"), col("y").as("dst"))
         .unionAll(p.select(col("y").as("src"), col("tok").as("dst")))
         .distinct()
+        // ranksMicro derives nodes, degrees AND the degree-annotated edge
+        // relation from this input — unpersisted, the explode + window +
+        // distinct pipeline above runs three times (the q217 precedent)
+        .persist()
       graft.operators.PageRank.ranksMicro(edges, "src", "dst", iters = 3)
         .orderBy(desc("rank_micro"), asc("id")).limit(20)
         .withColumnRenamed("id", "word")

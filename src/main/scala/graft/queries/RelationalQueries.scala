@@ -1154,16 +1154,20 @@ object RelationalQueries {
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
-      // bins=2048: the ~1e7-wide cents domain needs one narrowing round
-      // fewer than at 128 — the loop's cost is per-JOB overhead × rounds,
-      // and 5 groups × 2048 driver counters are still trivial
+      // bins=8192: the ~1e7-wide cents domain resolves in 2 narrowing
+      // rounds (vs 3 at 2048, 4 at 128) — the loop's cost is per-JOB
+      // overhead × rounds, and 5 groups × 8192 driver counters are still
+      // trivial (the bound scales with the GROUP domain, not the data)
       val med = graft.operators.HistogramPercentile
-        .quantiles(li, "l_returnflag", "cents", Seq(0.5), bins = 2048)
+        .quantiles(li, "l_returnflag", "cents", Seq(0.5), bins = 8192)
         .withColumnRenamed("q0", "med")
+      // two consumers (MAD loop input + the final flag aggregate) — persist
+      // so lineitem is parsed and the med join evaluated once, not twice
       val withDev = li.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+        .persist()
       val mad = graft.operators.HistogramPercentile
-        .quantiles(withDev, "l_returnflag", "dev", Seq(0.5), bins = 2048)
+        .quantiles(withDev, "l_returnflag", "dev", Seq(0.5), bins = 8192)
         .withColumnRenamed("q0", "mad")
       withDev.join(broadcast(mad), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
