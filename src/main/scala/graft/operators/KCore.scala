@@ -36,8 +36,9 @@ object KCore {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // lazy + count: one init job, the same fusion as the loop below
     var alive = e0.select(explode(array(col("a"), col("b"))).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val drops = Seq.newBuilder[(Int, Long)]
     var round = 0
     // carried across rounds: one count action per round, not two

@@ -46,7 +46,7 @@ object LabelPropagation {
     var lab = adj.select(col("v")).distinct()
       .withColumn("label", col("v")).localCheckpoint(false)
     var inter = Vector[DataFrame](lab)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val neigh = adj
         .join(lab.withColumnRenamed("v", "w"), Seq("w"))
         .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
@@ -59,6 +59,15 @@ object LabelPropagation {
         .localCheckpoint(false)
       inter :+= next
       lab = next
+      // bound block residency on LONG round budgets: a fully lazy chain
+      // holds every round's label set until the final job. Materializing
+      // every 8th round (one count job) lets all earlier rounds' blocks
+      // go — residency stays <= 8 label sets regardless of `rounds`
+      if (r % 8 == 0 && r < rounds) {
+        lab.count()
+        inter.dropRight(1).foreach(_.unpersist())
+        inter = Vector(lab)
+      }
     }
     val out = lab.localCheckpoint() // eager: materializes the whole chain
     adj.unpersist(); inter.foreach(_.unpersist())

@@ -384,6 +384,10 @@ object EngineQueries {
         .partitionBy(col("doc_id")).orderBy(col("idx"))
       val p = occ.withColumn("y", lead(col("tok"), 1).over(w))
         .filter(col("y").isNotNull && col("tok") =!= col("y"))
+        // both unionAll orientations below read p — persist, or the
+        // explode + window pipeline evaluates once per branch (round-5
+        // rule: ReusedExchange is not guaranteed)
+        .persist()
       val edges = p.select(col("tok").as("src"), col("y").as("dst"))
         .unionAll(p.select(col("y").as("src"), col("tok").as("dst")))
         .distinct()
